@@ -1,0 +1,157 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Calendar / index-generation and replication primitives.
+  *
+  * Reference semantics (kristianfoerster/melodist):
+  *  - `util.hourly_index` (melodist/util/util.py:26-43): hourly stamps
+  *    00..23 for every day PRESENT in the daily frame.
+  *  - `util.distribute_equally` (melodist/util/util.py:46-67): replicate a
+  *    daily value onto its 24 hours, optionally /24 (mass-preserving).
+  *  - `precipitation.sub_level_index` (melodist/precipitation.py:705-737):
+  *    sub-daily grid at 42187500µs * 2^(11-level) steps (512 steps/day at
+  *    level 9).
+  *  - `precipitation.fmin_index` (melodist/precipitation.py:740-767): 5-min
+  *    grid (288 steps/day) restricted to days present.
+  *
+  * Scale design: all builders are `sequence`+`explode` column expressions —
+  * narrow, codegen'd, no shuffle, and they parallelize over whatever
+  * partitioning the daily frame already has (e.g. hash on `station_id`
+  * for a multi-station 100 TB layout).
+  */
+object TimeSeries {
+
+  /** Hourly timestamps covering each day present in `daily` (24 rows/day). */
+  def hourlyIndex(daily: DataFrame, dateCol: String = "date"): DataFrame =
+    explodeDays(daily.select(dateCol), dateCol, 24, 3600L * 1000000L)
+      .select("timestamp")
+
+  /** Per-day sub-grid: `steps` rows per day at `stepMicros` spacing,
+    * carrying all other columns of `daily` unchanged. */
+  def explodeDays(daily: DataFrame, dateCol: String, steps: Int,
+      stepMicros: Long): DataFrame = {
+    val start = col(dateCol).cast("timestamp")
+    val end = start + expr(s"INTERVAL ${stepMicros * (steps - 1)} MICROSECOND")
+    daily.withColumn("timestamp",
+      explode(sequence(start, end, expr(s"INTERVAL $stepMicros MICROSECOND"))))
+  }
+
+  /** melodist distribute_equally: each daily value replicated to its 24
+    * hourly slots; `divide=true` divides by 24 (mass-preserving). */
+  def distributeEqually(daily: DataFrame, dateCol: String,
+      valueCols: Seq[String], divide: Boolean): DataFrame = {
+    val hourly = explodeDays(daily, dateCol, 24, 3600L * 1000000L)
+    val projected = valueCols.foldLeft(hourly) { (df, c) =>
+      if (divide) df.withColumn(c, col(c) / 24.0) else df
+    }
+    projected.select(col("timestamp") +: valueCols.map(col): _*)
+  }
+
+  /** Cascade sub-level grid. Level L => 2^L * 2 steps/day? No — reference:
+    * step = 42187500µs * 2^(11-level); level 9 => 168.75 s => 512/day. */
+  def subLevelIndex(daily: DataFrame, level: Int,
+      dateCol: String = "date"): DataFrame = {
+    val stepMicros = 42187500L * (1L << (11 - level))
+    val steps = (86400L * 1000000L / stepMicros).toInt
+    explodeDays(daily.select(dateCol), dateCol, steps, stepMicros)
+      .select("timestamp")
+  }
+
+  /** 5-minute grid (288 steps/day) for days present. */
+  def fminIndex(daily: DataFrame, dateCol: String = "date"): DataFrame =
+    explodeDays(daily.select(dateCol), dateCol, 288, 300L * 1000000L)
+      .select("timestamp")
+
+  /** Reindex a daily frame to a gap-free calendar between its min and max
+    * date — missing days become null rows (melodist/station.py:86-90). */
+  def reindexDailyComplete(daily: DataFrame, dateCol: String = "date")
+      : DataFrame = {
+    val cal = daily
+      .agg(min(col(dateCol)).as("d0"), max(col(dateCol)).as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"),
+        expr("INTERVAL 1 DAY"))).as(dateCol))
+    cal.join(daily, Seq(dateCol), "left")
+  }
+
+  /** Gap detection: rows whose distance to the previous timestamp differs
+    * from `stepSeconds` (melodist/util/util.py:249-297, re-expressed as a
+    * one-pass window). Returns (gap_start=prev ts, gap_end=ts, gap_seconds).
+    * `partitionCols` should carry station_id at scale. */
+  def gaps(df: DataFrame, tsCol: String, stepSeconds: Long,
+      partitionCols: Seq[String] = Nil): DataFrame = {
+    val w = if (partitionCols.isEmpty) Window.orderBy(col(tsCol))
+      else Window.partitionBy(partitionCols.map(col): _*).orderBy(col(tsCol))
+    df.select(partitionCols.map(col) :+ col(tsCol): _*)
+      .withColumn("prev_ts", lag(col(tsCol), 1).over(w))
+      .withColumn("gap_seconds",
+        col(tsCol).cast("timestamp").cast("long") -
+          col("prev_ts").cast("timestamp").cast("long"))
+      .where(col("prev_ts").isNotNull && col("gap_seconds") =!= stepSeconds)
+      .select(partitionCols.map(col) ++ Seq(col("prev_ts").as("gap_start"),
+        col(tsCol).as("gap_end"), col("gap_seconds")): _*)
+  }
+
+  /** melodist util.drop_incomplete_days (util/util.py:300-352): keep rows
+    * from the first `hour==shift, minute==0` stamp through the last
+    * `hour==(shift-1+24)%24` stamp, so only whole [shift, shift+24) days
+    * remain. Python row-loop re-expressed as two conditional aggregates. */
+  def dropIncompleteDays(df: DataFrame, tsCol: String, shift: Int = 0)
+      : DataFrame = {
+    val lastHour = ((shift - 1) % 24 + 24) % 24
+    val bounds = df.agg(
+      min(when(hour(col(tsCol)) === shift && minute(col(tsCol)) === 0,
+        col(tsCol))).as("first_ok"),
+      max(when(hour(col(tsCol)) === lastHour && minute(col(tsCol)) === 0,
+        col(tsCol))).as("last_ok"))
+    df.join(broadcast(bounds),
+      col(tsCol) >= col("first_ok") && col(tsCol) <= col("last_ok"))
+      .drop("first_ok", "last_ok")
+  }
+
+  /** Seasonal subset: rows whose month is in `months`
+    * (melodist/precipitation.py:607-628 — one filter, no concat). */
+  def seasonalSubset(df: DataFrame, timeCol: String, months: Seq[Int])
+      : DataFrame =
+    df.where(month(col(timeCol)).isin(months: _*))
+
+  /** Linear interpolation of nulls over time, bounded by `limit` steps
+    * (pandas Series.interpolate(method='linear', limit=N) equivalent for a
+    * regularly spaced series). Window-function based: previous/next non-null
+    * value + timestamp, time-weighted blend.
+    * pandas fills forward only (a leading null block stays null) and at the
+    * tail fills with the last value only when limit allows; matching that:
+    * interpolate only when BOTH neighbours exist, forward-fill when only the
+    * previous exists and the row is within `limit` rows of it.
+    */
+  def interpolateLinear(df: DataFrame, tsCol: String, valueCol: String,
+      limit: Int, partitionCols: Seq[String] = Nil): DataFrame = {
+    def base = if (partitionCols.isEmpty) Window.orderBy(col(tsCol))
+      else Window.partitionBy(partitionCols.map(col): _*).orderBy(col(tsCol))
+    val wPrev = base.rowsBetween(Window.unboundedPreceding, 0)
+    val wNext = base.rowsBetween(0, Window.unboundedFollowing)
+    val v = col(valueCol)
+    val prevV = last(v, ignoreNulls = true).over(wPrev)
+    val prevT = last(when(v.isNotNull, col(tsCol)), ignoreNulls = true)
+      .over(wPrev)
+    val nextV = first(v, ignoreNulls = true).over(wNext)
+    val nextT = first(when(v.isNotNull, col(tsCol)), ignoreNulls = true)
+      .over(wNext)
+    // row distance to previous non-null (for the pandas `limit` semantics)
+    val rn = row_number().over(base)
+    val prevRn = last(when(v.isNotNull, rn), ignoreNulls = true).over(wPrev)
+    val dist = rn - prevRn
+    val frac =
+      (col(tsCol).cast("timestamp").cast("double") -
+        prevT.cast("timestamp").cast("double")) /
+      (nextT.cast("timestamp").cast("double") -
+        prevT.cast("timestamp").cast("double"))
+    val interp = when(v.isNotNull, v)
+      .when(prevV.isNotNull && nextV.isNotNull && dist <= limit,
+        prevV + (nextV - prevV) * frac)
+      .when(prevV.isNotNull && nextV.isNull && dist <= limit, prevV)
+    df.withColumn(valueCol, interp)
+  }
+}

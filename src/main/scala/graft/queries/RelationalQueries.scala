@@ -1,0 +1,125 @@
+package graft.queries
+
+import graft.QueryRegistry.register
+import graft.core.Tables.table
+import org.apache.spark.sql.functions._
+
+/** Generic relational layer: scans, filters, aggregations, equi/outer joins
+  * (SURVEY.md §2.1 generic CSV/parquet source, §2.4 joins, §2.5 resample
+  * aggregations in their relational form).
+  *
+  * All double sums go through exact integer micro-units so Spark and the
+  * DuckDB oracle hash-match regardless of float summation order.
+  */
+object TimestampHelpers {
+  // shared helpers for oracle-matched output
+  import org.apache.spark.sql.Column
+  /** exact sum of a double column: round(x*1e6) as long, summed, /1e6 */
+  def sumMicros(c: Column): Column =
+    sum(round(c * 1e6).cast("long")) / 1e6
+  def avgMicros(c: Column): Column =
+    sum(round(c * 1e6).cast("long")) / count(c) / 1e6
+  /** DuckDB spellings */
+  def duckSumMicros(e: String): String =
+    s"SUM(CAST(ROUND(($e) * 1e6) AS BIGINT)) / 1e6"
+  def duckAvgMicros(e: String): String =
+    s"SUM(CAST(ROUND(($e) * 1e6) AS BIGINT)) / COUNT($e) / 1e6"
+}
+
+object RelationalQueries {
+  import TimestampHelpers._
+
+  def init(): Unit = {
+
+    register("q01_pricing_summary",
+      """SELECT l_returnflag, l_linestatus,
+        |  SUM(CAST(ROUND(l_quantity * 1e6) AS BIGINT)) / 1e6 AS sum_qty,
+        |  SUM(CAST(ROUND(l_extendedprice * 1e6) AS BIGINT)) / 1e6 AS sum_base_price,
+        |  SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 1e6) AS BIGINT)) / 1e6 AS sum_disc_price,
+        |  SUM(CAST(ROUND(l_quantity * 1e6) AS BIGINT)) / COUNT(l_quantity) / 1e6 AS avg_qty,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
+      table(s, dir, "lineitem")
+        .where(col("l_shipdate").cast("date") <= lit("1998-09-02").cast("date"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sumMicros(col("l_quantity")).as("sum_qty"),
+          sumMicros(col("l_extendedprice")).as("sum_base_price"),
+          sumMicros(col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .as("sum_disc_price"),
+          avgMicros(col("l_quantity")).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }
+
+    register("q02_revenue_by_nation",
+      """SELECT n_name,
+        |  COUNT(*) AS n_orders,
+        |  SUM(CAST(ROUND(o_totalprice * 1e6) AS BIGINT)) / 1e6 AS revenue
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin) { (s, dir) =>
+      val o = table(s, dir, "orders")
+      val c = table(s, dir, "customer")
+      val n = table(s, dir, "nation")
+      o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_orders"),
+          sumMicros(col("o_totalprice")).as("revenue"))
+        .orderBy(col("n_name"))
+    }
+
+    register("q03_parts_by_brand",
+      """SELECT p_brand,
+        |  SUM(CAST(ROUND(l_quantity * 1e6) AS BIGINT)) / 1e6 AS sum_qty,
+        |  MIN(l_extendedprice) AS min_price,
+        |  MAX(l_extendedprice) AS max_price,
+        |  COUNT(*) AS n
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand
+        |ORDER BY p_brand""".stripMargin) { (s, dir) =>
+      val li = table(s, dir, "lineitem")
+      val p = table(s, dir, "part")
+      li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(sumMicros(col("l_quantity")).as("sum_qty"),
+          min(col("l_extendedprice")).as("min_price"),
+          max(col("l_extendedprice")).as("max_price"),
+          count(lit(1)).as("n"))
+        .orderBy(col("p_brand"))
+    }
+
+    // DWD multi-file merge analog (data_io.py:211-220): two per-date series
+    // full-outer-joined on the date key.
+    register("q04_outer_join_merge",
+      """WITH a AS (
+        |  SELECT CAST(ts AS DATE) AS d,
+        |    SUM(CAST(ROUND(value * 1e6) AS BIGINT)) / 1e6 AS v_click
+        |  FROM events WHERE event_type = 'click' GROUP BY 1),
+        |b AS (
+        |  SELECT CAST(ts AS DATE) AS d,
+        |    SUM(CAST(ROUND(value * 1e6) AS BIGINT)) / 1e6 AS v_view
+        |  FROM events WHERE event_type = 'view' GROUP BY 1)
+        |SELECT STRFTIME(COALESCE(a.d, b.d), '%Y-%m-%d') AS day,
+        |  v_click, v_view
+        |FROM a FULL OUTER JOIN b ON a.d = b.d
+        |ORDER BY day""".stripMargin) { (s, dir) =>
+      val ev = table(s, dir, "events")
+      def side(t: String, out: String) = ev.where(col("event_type") === t)
+        .groupBy(col("ts").cast("date").as("d"))
+        .agg(sumMicros(col("value")).as(out))
+      val a = side("click", "v_click")
+      val b = side("view", "v_view")
+      a.join(b, Seq("d"), "full_outer")
+        .select(date_format(col("d"), "yyyy-MM-dd").as("day"),
+          col("v_click"), col("v_view"))
+        .orderBy(col("day"))
+    }
+  }
+}

@@ -1,0 +1,241 @@
+package graft.queries
+
+import graft.QueryRegistry.{register, registerRowsOnly}
+import graft.core.Tables.table
+import graft.core.TimeSeries
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series primitives mapped onto the driver's `events`/`orders` tables:
+  * index generation, equal distribution, resample-style daily aggregation,
+  * windows (lag/lead/ffill/cumsum/pairwise), gap detection, calendars
+  * (SURVEY.md §2.3, §2.5, §2.6).
+  */
+object TimeSeriesQueries {
+  import TimestampHelpers._
+
+  def init(): Unit = {
+
+    // util.daily_from_hourly (melodist/util/util.py:374-414): one groupBy
+    // with variable-aware aggregates.
+    register("q10_daily_from_hourly",
+      """SELECT STRFTIME(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+        |  SUM(CAST(ROUND(value * 1e6) AS BIGINT)) / COUNT(value) / 1e6 AS v_mean,
+        |  MIN(value) AS v_min,
+        |  MAX(value) AS v_max,
+        |  SUM(CAST(ROUND(value * 1e6) AS BIGINT)) / 1e6 AS v_sum,
+        |  COUNT(*) AS n
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      table(s, dir, "events")
+        .groupBy(date_format(col("ts").cast("date"), "yyyy-MM-dd").as("day"))
+        .agg(avgMicros(col("value")).as("v_mean"),
+          min(col("value")).as("v_min"),
+          max(col("value")).as("v_max"),
+          sumMicros(col("value")).as("v_sum"),
+          count(lit(1)).as("n"))
+        .orderBy(col("day"))
+    }
+
+    // util.hourly_index (util/util.py:26-43): 24 stamps per present day.
+    register("q11_hourly_index",
+      """SELECT STRFTIME(h, '%Y-%m-%d %H:%M:%S') AS ts_str
+        |FROM (SELECT UNNEST(GENERATE_SERIES(CAST(d AS TIMESTAMP),
+        |        CAST(d AS TIMESTAMP) + INTERVAL 23 HOUR, INTERVAL 1 HOUR)) AS h
+        |      FROM (SELECT DISTINCT CAST(o_orderdate AS DATE) AS d
+        |            FROM orders WHERE o_orderdate < TIMESTAMP '1995-03-01'))
+        |ORDER BY 1""".stripMargin) { (s, dir) =>
+      val daily = table(s, dir, "orders")
+        .where(col("o_orderdate") < lit("1995-03-01").cast("timestamp"))
+        .select(col("o_orderdate").cast("date").as("date")).distinct()
+      TimeSeries.hourlyIndex(daily)
+        .select(date_format(col("timestamp"), "yyyy-MM-dd HH:mm:ss")
+          .as("ts_str"))
+        .orderBy(col("ts_str"))
+    }
+
+    // util.distribute_equally divide=True (util/util.py:46-67).
+    register("q12_distribute_equally",
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS d,
+        |    SUM(CAST(ROUND(value * 1e6) AS BIGINT)) / 1e6 AS v
+        |  FROM events GROUP BY 1)
+        |SELECT STRFTIME(h, '%Y-%m-%d %H:%M:%S') AS ts_str,
+        |  ROUND(v / 24, 6) AS v_hourly
+        |FROM (SELECT d, v, UNNEST(GENERATE_SERIES(CAST(d AS TIMESTAMP),
+        |        CAST(d AS TIMESTAMP) + INTERVAL 23 HOUR, INTERVAL 1 HOUR)) AS h
+        |      FROM daily)
+        |ORDER BY 1""".stripMargin) { (s, dir) =>
+      val daily = table(s, dir, "events")
+        .groupBy(col("ts").cast("date").as("date"))
+        .agg(sumMicros(col("value")).as("v"))
+      TimeSeries.distributeEqually(daily, "date", Seq("v"), divide = true)
+        .select(date_format(col("timestamp"), "yyyy-MM-dd HH:mm:ss")
+          .as("ts_str"),
+          round(col("v"), 6).as("v_hourly"))
+        .orderBy(col("ts_str"))
+    }
+
+    // gap detection (util/util.py:249-297) over the daily orders calendar.
+    register("q13_gap_detection",
+      """WITH days AS (SELECT DISTINCT CAST(o_orderdate AS DATE) AS d FROM orders)
+        |SELECT STRFTIME(prev_d, '%Y-%m-%d') AS gap_start,
+        |  STRFTIME(d, '%Y-%m-%d') AS gap_end, gap_seconds
+        |FROM (SELECT d, LAG(d) OVER (ORDER BY d) AS prev_d,
+        |        CAST(EPOCH(CAST(d AS TIMESTAMP)) AS BIGINT)
+        |          - CAST(EPOCH(CAST(LAG(d) OVER (ORDER BY d) AS TIMESTAMP)) AS BIGINT)
+        |          AS gap_seconds
+        |      FROM days)
+        |WHERE prev_d IS NOT NULL AND gap_seconds <> 86400
+        |ORDER BY 1""".stripMargin) { (s, dir) =>
+      val days = table(s, dir, "orders")
+        .select(col("o_orderdate").cast("date").as("d")).distinct()
+      TimeSeries.gaps(days, "d", 86400L)
+        .select(date_format(col("gap_start"), "yyyy-MM-dd").as("gap_start"),
+          date_format(col("gap_end"), "yyyy-MM-dd").as("gap_end"),
+          col("gap_seconds"))
+        .orderBy(col("gap_start"))
+    }
+
+    // drop_incomplete_days (util/util.py:300-352) on the hour-truncated
+    // events series (shift=6: day runs 06:00..05:00).
+    register("q14_drop_incomplete_days",
+      """WITH hrs AS (SELECT DISTINCT DATE_TRUNC('hour', ts) AS h FROM events),
+        |bounds AS (SELECT
+        |    MIN(CASE WHEN EXTRACT(hour FROM h) = 6 THEN h END) AS first_ok,
+        |    MAX(CASE WHEN EXTRACT(hour FROM h) = 5 THEN h END) AS last_ok
+        |  FROM hrs)
+        |SELECT COUNT(*) AS n_rows,
+        |  STRFTIME(MIN(h), '%Y-%m-%d %H:%M:%S') AS first_ts,
+        |  STRFTIME(MAX(h), '%Y-%m-%d %H:%M:%S') AS last_ts
+        |FROM hrs, bounds WHERE h >= first_ok AND h <= last_ok""".stripMargin) {
+      (s, dir) =>
+      val hrs = table(s, dir, "events")
+        .select(date_trunc("hour", col("ts")).as("h")).distinct()
+      TimeSeries.dropIncompleteDays(hrs, "h", shift = 6)
+        .agg(count(lit(1)).as("n_rows"),
+          date_format(min(col("h")), "yyyy-MM-dd HH:mm:ss").as("first_ts"),
+          date_format(max(col("h")), "yyyy-MM-dd HH:mm:ss").as("last_ts"))
+    }
+
+    // shift(±1) prev/next-day values with edge self-fill
+    // (temperature.py:115-122).
+    register("q15_shift_prev_next",
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS d, MIN(value) AS vmin, MAX(value) AS vmax
+        |  FROM events GROUP BY 1)
+        |SELECT STRFTIME(d, '%Y-%m-%d') AS day,
+        |  COALESCE(LAG(vmax) OVER (ORDER BY d), vmax) AS vmax_prev,
+        |  COALESCE(LEAD(vmin) OVER (ORDER BY d), vmin) AS vmin_next
+        |FROM daily ORDER BY 1""".stripMargin) { (s, dir) =>
+      val daily = table(s, dir, "events")
+        .groupBy(col("ts").cast("date").as("d"))
+        .agg(min(col("value")).as("vmin"), max(col("value")).as("vmax"))
+      val w = Window.orderBy(col("d"))
+      daily.select(date_format(col("d"), "yyyy-MM-dd").as("day"),
+        coalesce(lag(col("vmax"), 1).over(w), col("vmax")).as("vmax_prev"),
+        coalesce(lead(col("vmin"), 1).over(w), col("vmin")).as("vmin_next"))
+        .orderBy(col("day"))
+    }
+
+    // running cumulative sum (precipitation.py:293-303 accumulation trick).
+    register("q16_cumsum",
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS d,
+        |    SUM(CAST(ROUND(value * 1e6) AS BIGINT)) AS v_micro
+        |  FROM events GROUP BY 1)
+        |SELECT STRFTIME(d, '%Y-%m-%d') AS day,
+        |  SUM(v_micro) OVER (ORDER BY d
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 1e6
+        |    AS running_sum
+        |FROM daily ORDER BY 1""".stripMargin) { (s, dir) =>
+      val daily = table(s, dir, "events")
+        .groupBy(col("ts").cast("date").as("d"))
+        .agg(sum(round(col("value") * 1e6).cast("long")).as("v_micro"))
+      val w = Window.orderBy(col("d"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      daily.select(date_format(col("d"), "yyyy-MM-dd").as("day"),
+        (sum(col("v_micro")).over(w) / 1e6).as("running_sum"))
+        .orderBy(col("day"))
+    }
+
+    // pairwise (i-1,i) reduction (precipitation.py:441-447): adjacent days
+    // paired, parent box = sum of the two children.
+    register("q17_pairwise_reduction",
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS d,
+        |    SUM(CAST(ROUND(value * 1e6) AS BIGINT)) AS v_micro
+        |  FROM events GROUP BY 1),
+        |numbered AS (
+        |  SELECT d, v_micro,
+        |    CAST(FLOOR((ROW_NUMBER() OVER (ORDER BY d) - 1) / 2) AS BIGINT)
+        |      AS pair_id
+        |  FROM daily)
+        |SELECT pair_id, SUM(v_micro) / 1e6 AS pair_sum, COUNT(*) AS n_children
+        |FROM numbered GROUP BY pair_id ORDER BY pair_id""".stripMargin) {
+      (s, dir) =>
+      val daily = table(s, dir, "events")
+        .groupBy(col("ts").cast("date").as("d"))
+        .agg(sum(round(col("value") * 1e6).cast("long")).as("v_micro"))
+      val w = Window.orderBy(col("d"))
+      daily.withColumn("pair_id",
+          floor((row_number().over(w) - 1) / 2).cast("long"))
+        .groupBy(col("pair_id"))
+        .agg((sum(col("v_micro")) / 1e6).as("pair_sum"),
+          count(lit(1)).as("n_children"))
+        .orderBy(col("pair_id"))
+    }
+
+    // seasonal_subset (precipitation.py:607-628).
+    register("q18_seasonal_subset",
+      """SELECT EXTRACT(month FROM l_shipdate) AS m, COUNT(*) AS n,
+        |  SUM(CAST(ROUND(l_quantity * 1e6) AS BIGINT)) / 1e6 AS sum_qty
+        |FROM lineitem
+        |WHERE EXTRACT(month FROM l_shipdate) IN (12, 1, 2)
+        |GROUP BY m ORDER BY m""".stripMargin) { (s, dir) =>
+      TimeSeries.seasonalSubset(table(s, dir, "lineitem"), "l_shipdate",
+          Seq(12, 1, 2))
+        .groupBy(month(col("l_shipdate")).cast("long").as("m"))
+        .agg(count(lit(1)).as("n"), sumMicros(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("m"))
+    }
+
+    // reindex-to-complete-calendar (station.py:86-90): missing days are
+    // materialized as null rows.
+    register("q19_reindex_complete",
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS date,
+        |    SUM(CAST(ROUND(value * 1e6) AS BIGINT)) / 1e6 AS v
+        |  FROM events WHERE EXTRACT(day FROM ts) % 3 <> 0 GROUP BY 1),
+        |cal AS (
+        |  SELECT UNNEST(GENERATE_SERIES(MIN(date), MAX(date),
+        |    INTERVAL 1 DAY)) AS date FROM daily)
+        |SELECT STRFTIME(CAST(cal.date AS DATE), '%Y-%m-%d') AS day, daily.v AS v,
+        |  CASE WHEN daily.v IS NULL THEN 1 ELSE 0 END AS is_missing
+        |FROM cal LEFT JOIN daily ON CAST(cal.date AS DATE) = daily.date
+        |ORDER BY 1""".stripMargin) { (s, dir) =>
+      val daily = table(s, dir, "events")
+        .where(dayofmonth(col("ts")) % 3 =!= 0)
+        .groupBy(col("ts").cast("date").as("date"))
+        .agg(sumMicros(col("value")).as("v"))
+      TimeSeries.reindexDailyComplete(daily)
+        .select(date_format(col("date"), "yyyy-MM-dd").as("day"), col("v"),
+          when(col("v").isNull, 1).otherwise(0).as("is_missing"))
+        .orderBy(col("day"))
+    }
+
+    // bounded linear interpolation over nulls (station.interpolate linear,
+    // station.py:403-437) — window-only oracle is painful in SQL; checked by
+    // ScalaTest golden values instead, rows-only here.
+    registerRowsOnly("q20_interpolate_linear") { (s, dir) =>
+      val daily = table(s, dir, "events")
+        .groupBy(col("ts").cast("date").as("d"))
+        .agg(avgMicros(col("value")).as("v"))
+        .withColumn("v", when(dayofmonth(col("d")) % 4 === 0, lit(null)
+          .cast("double")).otherwise(col("v")))
+      TimeSeries.interpolateLinear(daily, "d", "v", limit = 24)
+        .select(date_format(col("d"), "yyyy-MM-dd").as("day"),
+          round(col("v"), 6).as("v"))
+        .orderBy(col("day"))
+    }
+  }
+}
