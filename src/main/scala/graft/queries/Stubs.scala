@@ -1,7 +1,7 @@
 package graft.queries
 
 // Providers filled in as their operator packages land.
-object MeteoQueries { def init(): Unit = () }
+object MeteoQueries { def init(): Unit = MeteoQueriesImpl.init() }
 object DisaggQueries { def init(): Unit = () }
 object TextQueries { def init(): Unit = () }
 object SimilarityQueries { def init(): Unit = () }
