@@ -50,8 +50,18 @@ object TimeSeries {
     projected.select(col("timestamp") +: valueCols.map(col): _*)
   }
 
-  /** Cascade sub-level grid. Level L => 2^L * 2 steps/day? No — reference:
-    * step = 42187500µs * 2^(11-level); level 9 => 168.75 s => 512/day. */
+  /** distributeEqually keeping extra key columns (multi-station layout). */
+  def distributeEquallyPartitioned(daily: DataFrame, dateCol: String,
+      valueCol: String, divide: Boolean,
+      partitionCols: Seq[String] = Nil): DataFrame = {
+    val hourly = explodeDays(daily, dateCol, 24, 3600L * 1000000L)
+    val v = if (divide) col(valueCol) / 24.0 else col(valueCol)
+    hourly.select((partitionCols.map(col) :+ col("timestamp") :+
+      v.as(valueCol)): _*)
+  }
+
+  /** Cascade sub-level grid: step = 42187500µs * 2^(11-level)
+    * (precipitation.py:705-737); level 9 => 168.75 s => 512 steps/day. */
   def subLevelIndex(daily: DataFrame, level: Int,
       dateCol: String = "date"): DataFrame = {
     val stepMicros = 42187500L * (1L << (11 - level))
@@ -127,7 +137,8 @@ object TimeSeries {
     * previous exists and the row is within `limit` rows of it.
     */
   def interpolateLinear(df: DataFrame, tsCol: String, valueCol: String,
-      limit: Int, partitionCols: Seq[String] = Nil): DataFrame = {
+      limit: Int, partitionCols: Seq[String] = Nil,
+      byRow: Boolean = false): DataFrame = {
     def base = if (partitionCols.isEmpty) Window.orderBy(col(tsCol))
       else Window.partitionBy(partitionCols.map(col): _*).orderBy(col(tsCol))
     val wPrev = base.rowsBetween(Window.unboundedPreceding, 0)
@@ -142,12 +153,17 @@ object TimeSeries {
     // row distance to previous non-null (for the pandas `limit` semantics)
     val rn = row_number().over(base)
     val prevRn = last(when(v.isNotNull, rn), ignoreNulls = true).over(wPrev)
+    val nextRn = first(when(v.isNotNull, rn), ignoreNulls = true).over(wNext)
     val dist = rn - prevRn
+    // pandas interpolate(method='linear') is ROW-spaced (index ignored);
+    // byRow=true matches that, byRow=false weights by time distance.
     val frac =
-      (col(tsCol).cast("timestamp").cast("double") -
-        prevT.cast("timestamp").cast("double")) /
-      (nextT.cast("timestamp").cast("double") -
-        prevT.cast("timestamp").cast("double"))
+      if (byRow) (rn - prevRn).cast("double") / (nextRn - prevRn)
+      else
+        (col(tsCol).cast("timestamp").cast("double") -
+          prevT.cast("timestamp").cast("double")) /
+        (nextT.cast("timestamp").cast("double") -
+          prevT.cast("timestamp").cast("double"))
     val interp = when(v.isNotNull, v)
       .when(prevV.isNotNull && nextV.isNotNull && dist <= limit,
         prevV + (nextV - prevV) * frac)

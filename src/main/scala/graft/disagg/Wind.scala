@@ -1,0 +1,46 @@
+package graft.disagg
+
+import graft.core.TimeSeries
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Wind disaggregation (melodist/wind.py:28-72): equal replication,
+  * calibrated cosine diurnal course, or stochastic Weibull-ish scaling.
+  * The `random` method uses a hash-derived uniform so results are
+  * deterministic under any partitioning/retry (SURVEY.md §4). */
+object Wind {
+
+  /** `daily`: (date, wind). Returns (partitionCols…, timestamp, wind). */
+  def disaggregate(daily: DataFrame, method: String = "equal",
+      a: Double = Double.NaN, b: Double = Double.NaN,
+      tShift: Double = Double.NaN, seed: Long = 42L,
+      partitionCols: Seq[String] = Nil): DataFrame = {
+    val pcols = partitionCols.map(col)
+    val hourly = TimeSeries.explodeDays(daily, "date", 24, 3600L * 1000000L)
+    val out = method match {
+      case "equal" => hourly.withColumn("wind_disagg", col("wind"))
+      case "cosine" =>
+        require(!a.isNaN && !b.isNaN && !tShift.isNaN)
+        val h = hour(col("timestamp"))
+        hourly.withColumn("wind_disagg",
+          lit(a) * col("wind") * cos((h - tShift) * (math.Pi / 12.0)) +
+            lit(b) * col("wind"))
+      case "random" =>
+        // w̄ * (-ln U)^0.3 with U from a stable per-row hash — plan- and
+        // partitioning-independent determinism, unlike rand(seed)
+        val u = uniformHash(seed, col("timestamp") +: pcols: _*)
+        hourly.withColumn("wind_disagg",
+          col("wind") * pow(-log(u), 0.3))
+      case other => throw new IllegalArgumentException(other)
+    }
+    out.select((pcols :+ col("timestamp") :+
+      col("wind_disagg").as("wind")): _*)
+  }
+
+  /** Uniform(0,1) from xxhash64 of the given columns + seed; excludes 0
+    * exactly so -ln(u) stays finite. */
+  def uniformHash(seed: Long,
+      cols: org.apache.spark.sql.Column*): org.apache.spark.sql.Column =
+    (pmod(xxhash64(lit(seed) +: cols: _*), lit(Long.MaxValue))
+      .cast("double") + 1.0) / (Long.MaxValue.toDouble + 2.0)
+}

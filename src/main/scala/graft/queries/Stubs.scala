@@ -2,6 +2,6 @@ package graft.queries
 
 // Providers filled in as their operator packages land.
 object MeteoQueries { def init(): Unit = MeteoQueriesImpl.init() }
-object DisaggQueries { def init(): Unit = () }
+object DisaggQueries { def init(): Unit = DisaggQueriesImpl.init() }
 object TextQueries { def init(): Unit = () }
 object SimilarityQueries { def init(): Unit = () }

@@ -1,0 +1,208 @@
+package graft.disagg
+
+import graft.TestSpark
+import graft.agg.Aggregations
+import graft.meteo.Meteo
+import graft.core.TimeSeries
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Hourly outputs compared against golden dumps produced by running the
+  * reference (melodist) on its own 2016 fixture — see
+  * src/test/resources/golden/. Null (pandas NaN) == NaN == null here. */
+class GoldenDisaggSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  val G = new java.io.File("src/test/resources/golden").getAbsolutePath
+  val lon = 8.86; val lat = 51.0; val tz = 1.0
+
+  def csv(name: String): DataFrame =
+    spark.read.option("header", "true").option("inferSchema", "true")
+      .csv(s"$G/$name")
+
+  lazy val daily: DataFrame = {
+    val d = csv("daily.csv.gz").withColumn("date", to_date($"date"))
+    Meteo.withSunTimes(d, "date", lon, lat, tz).cache()
+  }
+  lazy val hourlyObs: DataFrame = csv("hourly_obs.csv.gz")
+    .withColumn("timestamp", to_timestamp($"timestamp")).cache()
+  lazy val params: Map[String, Any] = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val src = scala.io.Source.fromFile(s"$G/params.json")
+    try JsonMethods.parse(src.mkString).values
+      .asInstanceOf[Map[String, Any]]
+    finally src.close()
+  }
+  def dbl(a: Any): Double = a match {
+    case d: Double => d; case i: BigInt => i.toDouble
+    case i: Int => i.toDouble; case _ => Double.NaN
+  }
+  lazy val a0 = dbl(params("a0")); lazy val a1 = dbl(params("a1"))
+  lazy val maxDelta: Map[Int, Double] =
+    params("max_delta").asInstanceOf[Map[String, Any]]
+      .map { case (k, v) => k.toInt -> dbl(v) }
+  lazy val meanCourseTemp = csv("mean_course_temp.csv")
+  lazy val meanCourseGlob = csv("mean_course_glob.csv")
+  lazy val mhpm = csv("month_hour_precip_mean.csv")
+  lazy val refTempSine: DataFrame = csv("out_temp_sine_min_max_fix.csv.gz")
+    .select(to_timestamp($"timestamp").as("timestamp"),
+      $"value".cast("double").as("temp")).cache()
+
+  /** max |got - expected| over matching timestamps; asserts same row count
+    * and null/NaN alignment. */
+  def assertGolden(got: DataFrame, valueCol: String, goldenName: String,
+      tol: Double = 1e-5): Unit = {
+    val exp = csv(s"out_$goldenName.csv.gz")
+      .select(to_timestamp($"timestamp").as("timestamp"),
+        $"value".cast("double").as("exp"))
+    val g = got.select($"timestamp", col(valueCol).cast("double").as("got"))
+    val joined = g.join(exp, Seq("timestamp"), "full_outer").cache()
+    try {
+      val total = joined.count()
+      val expected = exp.count()
+      assert(total == expected, s"$goldenName: row count $total != $expected")
+      val gotNull = $"got".isNull || isnan($"got")
+      val expNull = $"exp".isNull || isnan($"exp")
+      val misalignedNulls = joined.where(gotNull =!= expNull).count()
+      assert(misalignedNulls == 0,
+        s"$goldenName: $misalignedNulls null/NaN-misaligned rows, e.g. " +
+          joined.where(gotNull =!= expNull).orderBy($"timestamp")
+            .head(3).mkString("; "))
+      val maxDiff = joined.where(!gotNull && !expNull)
+        .agg(max(abs($"got" - $"exp"))).head().getDouble(0)
+      assert(maxDiff <= tol,
+        s"$goldenName: max diff $maxDiff > $tol, e.g. " +
+          joined.withColumn("d", abs($"got" - $"exp"))
+            .orderBy($"d".desc).head(3).mkString("; "))
+    } finally joined.unpersist()
+  }
+
+  // ------------------------------------------------------------ temperature
+
+  test("temp sine_min_max fix") {
+    assertGolden(Temperature.disaggregate(daily, "sine_min_max", "fix"),
+      "temp", "temp_sine_min_max_fix")
+  }
+
+  test("temp sine_min_max sun_loc") {
+    assertGolden(Temperature.disaggregate(daily, "sine_min_max", "sun_loc"),
+      "temp", "temp_sine_min_max_sun_loc")
+  }
+
+  test("temp sine_min_max sun_loc_shift") {
+    assertGolden(Temperature.disaggregate(daily, "sine_min_max",
+      "sun_loc_shift", maxDelta = maxDelta),
+      "temp", "temp_sine_min_max_sun_loc_shift")
+  }
+
+  test("temp sine_min_max fix mod_nighttime") {
+    assertGolden(Temperature.disaggregate(daily, "sine_min_max", "fix",
+      modNighttime = true), "temp", "temp_sine_min_max_fix_nighttime")
+  }
+
+  test("temp sine_mean fix") {
+    assertGolden(Temperature.disaggregate(daily, "sine_mean", "fix"),
+      "temp", "temp_sine_mean_fix")
+  }
+
+  test("temp mean_course_min_max") {
+    assertGolden(Temperature.disaggregate(daily, "mean_course_min_max",
+      meanCourse = meanCourseTemp), "temp", "temp_mean_course_min_max")
+  }
+
+  test("temp mean_course_mean") {
+    assertGolden(Temperature.disaggregate(daily, "mean_course_mean",
+      meanCourse = meanCourseTemp), "temp", "temp_mean_course_mean")
+  }
+
+  test("temp polar sine fix at lat 75") {
+    val pd0 = csv("daily_polar.csv.gz").withColumn("date", to_date($"date"))
+    val pdaily = Meteo.withSunTimes(pd0, "date", 20.0, 75.0, 1.0)
+    assertGolden(Temperature.disaggregate(pdaily, "sine_min_max", "fix"),
+      "temp", "temp_polar_sine_fix")
+  }
+
+  // --------------------------------------------------------------- humidity
+
+  def humGolden(method: String, golden: String,
+      preserve: Boolean = false): Unit = {
+    val got = Humidity.disaggregate(daily, method, hourlyTemp = refTempSine,
+      a0 = a0, a1 = a1, kr = 12, monthHourPrecipMean = mhpm,
+      preserveDailyMean = preserve)
+    assertGolden(got, "hum", golden)
+  }
+
+  test("hum equal") { humGolden("equal", "hum_equal") }
+  test("hum minimal") { humGolden("minimal", "hum_minimal") }
+  test("hum dewpoint_regression") {
+    humGolden("dewpoint_regression", "hum_dewpoint_regression")
+  }
+  test("hum linear_dewpoint_variation") {
+    humGolden("linear_dewpoint_variation", "hum_linear_dewpoint_variation")
+  }
+  test("hum min_max") { humGolden("min_max", "hum_min_max") }
+  test("hum month_hour_precip_mean") {
+    humGolden("month_hour_precip_mean", "hum_month_hour_precip_mean")
+  }
+  test("hum dewpoint_regression preserve_daily_mean") {
+    humGolden("dewpoint_regression", "hum_dewpoint_regression_preserve",
+      preserve = true)
+  }
+
+  // ------------------------------------------------------------------- wind
+
+  test("wind equal") {
+    assertGolden(Wind.disaggregate(daily, "equal"), "wind", "wind_equal")
+  }
+  test("wind cosine") {
+    assertGolden(Wind.disaggregate(daily, "cosine", a = 1.0, b = 0.8,
+      tShift = 14.0), "wind", "wind_cosine")
+  }
+  test("wind random: nonneg, deterministic, scales with daily mean") {
+    val r1 = Wind.disaggregate(daily, "random", seed = 7L)
+    val r2 = Wind.disaggregate(daily, "random", seed = 7L)
+    val vals = r1.agg(min($"wind"), count(when($"wind" < 0, 1))).head()
+    assert(vals.getLong(1) == 0)
+    assert(r1.join(r2, Seq("timestamp"))
+      .where(r1("wind") =!= r2("wind")).count() == 0)
+  }
+
+  // -------------------------------------------------------------- radiation
+
+  lazy val potRad: DataFrame = TimeSeries.hourlyIndex(daily)
+    .select($"timestamp",
+      Meteo.potentialRadiation($"timestamp", lon, lat, tz).as("pot_rad"))
+
+  test("glob pot_rad") {
+    assertGolden(Radiation.disaggregate(daily, "pot_rad", potRad = potRad),
+      "glob", "glob_pot_rad")
+  }
+  test("glob pot_rad_via_ssd") {
+    val dailySsd = daily.join(csv("daily_ssd.csv.gz")
+      .withColumn("date", to_date($"date")), "date")
+    assertGolden(Radiation.disaggregate(dailySsd, "pot_rad_via_ssd",
+      potRad = potRad), "glob", "glob_pot_rad_via_ssd")
+  }
+  test("glob pot_rad_via_bc") {
+    assertGolden(Radiation.disaggregate(daily, "pot_rad_via_bc",
+      potRad = potRad), "glob", "glob_pot_rad_via_bc")
+  }
+  test("glob mean_course") {
+    assertGolden(Radiation.disaggregate(daily, "mean_course",
+      meanCourse = meanCourseGlob), "glob", "glob_mean_course")
+  }
+
+  // ----------------------------------------------------------- precipitation
+
+  test("precip equal") {
+    assertGolden(Precipitation.equal(daily), "precip", "precip_equal")
+  }
+  test("precip masterstation") {
+    val master = hourlyObs.select($"timestamp", $"precip")
+    assertGolden(Precipitation.masterStation(daily, master), "precip",
+      "precip_masterstation")
+  }
+}
