@@ -58,6 +58,7 @@ private object Providers {
       graft.queries.TimeSeriesQueries.init()
       graft.queries.MeteoQueries.init()
       graft.queries.DisaggQueries.init()
+      graft.queries.CascadeQueriesImpl.init()
       graft.queries.TextQueries.init()
       graft.queries.SimilarityQueries.init()
     }

@@ -1,0 +1,359 @@
+package graft.cascade
+
+import graft.core.TimeSeries
+import graft.disagg.Wind.uniformHash
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Olsson (1998) microcanonical random cascade for precipitation —
+  * calibration (melodist/precipitation.py:416-604, 631-702) and
+  * disaggregation (precipitation.py:74-372), Spark-first.
+  *
+  * Disaggregation runs ≤11 chained narrow passes: per level a lag/lead
+  * window classifies boxes, literal when-chains look up the calibrated
+  * matrices (no joins, full codegen), `posexplode` doubles the rows.
+  * Randomness is xxhash64-derived per (seed, level, box index) — stable
+  * under any partitioning, retries, and AQE re-plans, unlike rand().
+  *
+  * Calibration is ≤11 chained halving aggregations, each ending in a tiny
+  * (≤ 8+56 cell) collect; all heavy work stays distributed.
+  *
+  * Scale: windows order the whole per-station series — partition by
+  * station via `partitionCols` for fleet-size data; box counts per level
+  * stay ≤ 2048 × days which flows through narrow stages.
+  */
+object Cascade {
+  import CascadeStatistics.BoxTypes
+
+  /** when-chain lookup of a 2×4 matrix by (belowabove, boxtype) columns. */
+  private def mat(m: Array[Array[Double]], ba: Column, bt: Column): Column = {
+    var c: Column = lit(Double.NaN)
+    for (b <- 0 until 2; t <- 1 to 4)
+      c = when(ba === b && bt === t, m(b)(t - 1)).otherwise(c)
+    c
+  }
+
+  /** box type from wet flags of neighbours (null prev/next = series edge:
+    * only starting/isolated at the head, ending/isolated at the tail). */
+  private def boxType(wet: Column, prevWet: Column, nextWet: Column)
+      : Column = {
+    val p = coalesce(prevWet, lit(false))
+    val n = coalesce(nextWet, lit(false))
+    when(!wet, BoxTypes.dry)
+      .when(!p && n, BoxTypes.starting)
+      .when(p && n, BoxTypes.enclosed)
+      .when(p && !n, BoxTypes.ending)
+      .otherwise(BoxTypes.isolated)
+  }
+
+  // ------------------------------------------------------------- disagg
+
+  /** One cascade level: each box at `idx` becomes two children
+    * (idx*2, idx*2+1). `stats` supplies matrices + the level threshold. */
+  private def disaggLevel(df: DataFrame, stats: CascadeStatistics,
+      meanvol: Double, level: Int, seed: Long,
+      partitionCols: Seq[String]): DataFrame = {
+    val w = (if (partitionCols.isEmpty) Window.orderBy(col("idx"))
+      else Window.partitionBy(partitionCols.map(col): _*)
+        .orderBy(col("idx")))
+    val v = col("v")
+    val wet = v > 0.0
+    val bt = boxType(wet, lag(wet, 1).over(w), lead(wet, 1).over(w))
+    val ba = when(v > meanvol, 1).otherwise(0)
+
+    val rndp = uniformHash(seed * 31 + level,
+      (col("idx") +: partitionCols.map(col)): _*)
+    val rndw = uniformHash(seed * 31 + level + 7919,
+      (col("idx") +: partitionCols.map(col)): _*)
+
+    val p01 = mat(stats.p01, ba, col("bt"))
+    val p10 = mat(stats.p10, ba, col("bt"))
+    val cum = stats.wxxCum
+    var w1: Column = lit(CascadeStatistics.wClassCenters(6)) // fallback
+    for (k <- 6 to 0 by -1)
+      w1 = when(col("rndw") <= mat(cum(k), ba, col("bt")),
+        CascadeStatistics.wClassCenters(k)).otherwise(w1)
+
+    val staged = df
+      .withColumn("bt", bt)
+      .withColumn("rndw", rndw)
+      .withColumn("w1", w1)
+      .withColumn("children",
+        when(!wet, array(lit(0.0), lit(0.0)))
+        .when(rndp <= p01, array(lit(0.0), v))
+        .when(rndp <= p01 + p10, array(v, lit(0.0)))
+        .otherwise(array(col("w1") * v, (lit(1.0) - col("w1")) * v)))
+
+    staged
+      .select((partitionCols.map(col) :+ col("idx") :+
+        posexplode(col("children"))): _*)
+      .select((partitionCols.map(col) :+
+        (col("idx") * 2 + col("pos")).as("idx") :+ col("col").as("v")): _*)
+  }
+
+  /** Cascade disaggregation of a daily precip series.
+    *
+    * `daily`: (partitionCols…, date, precip). Returns hourly
+    * (partitionCols…, timestamp, precip) when `hourly=true`, else 5-min.
+    * `stats` is either one CascadeStatistics (threshold indexed per level)
+    * or a per-level list (deepest-first, as built by buildCasc with
+    * avgStats=false). Missing daily values are zeroed for the cascade and
+    * restored to null afterwards (precipitation.py:96-99, 313-315);
+    * `shift` lags the final series by that many steps. */
+  def disaggregate(daily: DataFrame,
+      stats: Either[CascadeStatistics, Seq[CascadeStatistics]],
+      hourly: Boolean = true, level: Int = 9, shift: Int = 0,
+      seed: Long = 42L, partitionCols: Seq[String] = Nil): DataFrame = {
+    val si = if (hourly) 5 else level
+    stats match {
+      case Right(l) => require(l.length == si,
+        s"stats list must have $si elements")
+      case _ =>
+    }
+    val pcols = partitionCols.map(col)
+    val wDay = (if (partitionCols.isEmpty) Window.orderBy(col("date"))
+      else Window.partitionBy(pcols: _*).orderBy(col("date")))
+
+    val base = daily
+      .withColumn("missing", col("precip").isNull)
+      .withColumn("idx", row_number().over(wDay).cast("long") - 1)
+      .withColumn("v", coalesce(col("precip"), lit(0.0)))
+      .select((pcols ++ Seq(col("date"), col("missing"), col("idx"),
+        col("v"))): _*)
+
+    var cur = base.select((pcols :+ col("idx") :+ col("v")): _*)
+    var siVar = si
+    for (l <- 1 to si) {
+      siVar -= 1
+      val (lvlStats, meanvol) = stats match {
+        case Left(s) => (s, s.threshold(siVar))
+        case Right(list) => (list(siVar), list(siVar).threshold(0))
+      }
+      cur = disaggLevel(cur, lvlStats, meanvol, l, seed, partitionCols)
+      // keep the lineage shallow and plans small on deep cascades
+      if (l % 4 == 0) cur = cur.localCheckpoint(true)
+    }
+
+    val out: DataFrame = if (hourly) {
+      // 32 × 0.75h boxes/day -> ×3 quarters -> hour = quarter div 4
+      // (precipitation.py:283-305; net effect: each hour sums its 4
+      // quarter-steps, mass-exact)
+      val quarters = cur
+        .select((pcols :+ col("idx") :+
+          posexplode(array(col("v") / 3.0, col("v") / 3.0,
+            col("v") / 3.0))): _*)
+        .select((pcols :+ (col("idx") * 3 + col("pos")).as("q") :+
+          col("col").as("v")): _*)
+      quarters
+        .groupBy((pcols :+ (col("q") / 4).cast("long").as("hpos")): _*)
+        .agg(sum(col("v")).as("precip_c"))
+    } else {
+      // sub-level stamps at 42187500µs * 2^(11-level) -> 5-min buckets
+      val stepMicros = 42187500L * (1L << (11 - level))
+      val perDay = (86400L * 1000000L / stepMicros).toInt
+      val bucketsPerDay = 288
+      cur
+        .withColumn("day_idx", (col("idx") / perDay).cast("long"))
+        .withColumn("in_day", col("idx") % perDay)
+        .withColumn("bucket",
+          (col("in_day") * stepMicros / (300L * 1000000L)).cast("long"))
+        .groupBy((pcols :+
+          (col("day_idx") * bucketsPerDay + col("bucket")).as("hpos")): _*)
+        .agg(sum(col("v")).as("precip_c"))
+    }
+
+    // map sequential positions back to timestamps of present days
+    val stepsPerDay = if (hourly) 24 else 288
+    val stepMicros = if (hourly) 3600L * 1000000L else 300L * 1000000L
+    val dayMap = base.select((pcols ++ Seq(col("idx").as("day_idx"),
+      col("date"), col("missing"))): _*)
+    val withTs = out
+      .withColumn("day_idx", (col("hpos") / stepsPerDay).cast("long"))
+      .withColumn("step", col("hpos") % stepsPerDay)
+      .join(dayMap, partitionCols :+ "day_idx")
+      .withColumn("timestamp", timestamp_micros(
+        unix_micros(col("date").cast("timestamp")) +
+          col("step") * stepMicros))
+      .withColumn("precip_c",
+        when(col("missing"), lit(null).cast("double"))
+          .otherwise(col("precip_c")))
+
+    val ordered = withTs.select((pcols :+ col("timestamp") :+
+      col("precip_c").as("precip")): _*)
+    if (shift == 0) ordered
+    else {
+      val ws = (if (partitionCols.isEmpty) Window.orderBy(col("timestamp"))
+        else Window.partitionBy(pcols: _*).orderBy(col("timestamp")))
+      ordered.withColumn("precip", lag(col("precip"), shift).over(ws))
+    }
+  }
+
+  // -------------------------------------------------------- calibration
+
+  /** np.percentile(values, pct) with 'linear' interpolation, bit-matching
+    * numpy's _lerp (a + (b-a)t for t<0.5, b - (b-a)(1-t) otherwise). */
+  def numpyPercentile(sorted: Array[Double], pct: Double): Double = {
+    require(sorted.nonEmpty)
+    val pos = (sorted.length - 1) * (pct / 100.0)
+    val lo = math.floor(pos).toInt
+    val hi = math.ceil(pos).toInt
+    val t = pos - lo
+    val d = sorted(hi) - sorted(lo)
+    if (t >= 0.5) sorted(hi) - d * (1 - t) else sorted(lo) + d * t
+  }
+
+  /** One aggregation (halving) step: pairs (2j, 2j+1) by position, parent
+    * value = child sum; classifies parents, counts branch types and weight
+    * histogram, returns (statistics, parent frame for the next level).
+    * An odd trailing element is dropped (precipitation.py:441-447). */
+  def aggregateStep(df: DataFrame, pct: Double,
+      partitionCols: Seq[String] = Nil)
+      : (CascadeStatistics, DataFrame) = {
+    val pcols = partitionCols.map(col)
+    val w = (if (partitionCols.isEmpty) Window.orderBy(col("idx"))
+      else Window.partitionBy(pcols: _*).orderBy(col("idx")))
+
+    val paired = df
+      .withColumn("rn", row_number().over(w).cast("long") - 1)
+      .withColumn("pair", (col("rn") / 2).cast("long"))
+      .groupBy((pcols :+ col("pair")): _*)
+      .agg(count(lit(1)).as("nchild"),
+        count(col("v")).as("nvalid"),
+        sum(col("v")).as("vsum"),
+        // deterministic child pick: even row = first child, odd = second
+        max(when(col("rn") % 2 === 0, col("v"))).as("r1"),
+        max(when(col("rn") % 2 === 1, col("v"))).as("r2"),
+        max(col("ts")).as("ts"))
+      .where(col("nchild") === 2)
+      // pandas NaN propagates through the pair sum (r1+r2); a parent with
+      // any missing child is missing -> acts as dry below
+      .withColumn("v", when(col("nvalid") === 2, col("vsum"))
+        .otherwise(lit(null).cast("double")))
+      .withColumn("idx", col("pair"))
+
+    // np.percentile('linear') bit-exact (incl. numpy's _lerp switch at
+    // t >= 0.5) — an ulp-off threshold flips boundary classifications.
+    // Calibration-scale collect: wet parent count ≤ wet hours per station.
+    val wetVals = paired.where(col("v") > 0).select(col("v"))
+      .sort(col("v")).collect().map(_.getDouble(0))
+    val meanvol = numpyPercentile(wetVals, pct)
+
+    val wetP = coalesce(col("v") > 0.0, lit(false))
+    // numpy quirk faithfully kept (precipitation.py:489-497): an interior
+    // wet parent whose neighbour is NaN matches NO branch of the if-chain,
+    // keeps vbtype=0, and `vbtype-1 == -1` wraps to the LAST column — so
+    // NaN-adjacent parents are counted in the `isolated` column.
+    val prevIsNan = coalesce(lag(col("v").isNull, 1).over(w), lit(false))
+    val nextIsNan = coalesce(lead(col("v").isNull, 1).over(w), lit(false))
+    val btNormal = boxType(wetP,
+      lag(wetP, 1).over(w), lead(wetP, 1).over(w))
+    val classified = paired
+      .withColumn("bt", when(prevIsNan || nextIsNan,
+        CascadeStatistics.BoxTypes.isolated).otherwise(btNormal))
+      .withColumn("ba", when(col("v") > meanvol, 1).otherwise(0))
+      .where(col("v") > 0.0)
+
+    val wlower = CascadeStatistics.wClassBounds.init
+    val wupper = CascadeStatistics.wClassBounds.tail
+    val wxxval = col("r1") / (col("r1") + col("r2"))
+    val histAggs = (0 until 7).map { k =>
+      sum(when(col("r1") > 0 && col("r2") > 0 &&
+        wxxval > wlower(k) && wxxval <= wupper(k), 1L).otherwise(0L))
+        .as(s"w$k")
+    }
+    val baseAggs = Seq(
+      count(lit(1)).as("nb"),
+      sum(when(col("r1") <= 0 && col("r2") > 0, 1L).otherwise(0L)).as("n01"),
+      sum(when(col("r1") > 0 && col("r2") <= 0, 1L).otherwise(0L)).as("n10"),
+      sum(when(col("r1") > 0 && col("r2") > 0, 1L).otherwise(0L)).as("nxx"))
+    val allAggs = baseAggs ++ histAggs
+    val counts = classified.groupBy(col("ba"), col("bt"))
+      .agg(allAggs.head, allAggs.tail: _*).collect()
+
+    val nb = Array.ofDim[Double](2, 4)
+    val nbxx = Array.ofDim[Double](2, 4)
+    val s = CascadeStatistics.zero(pct)
+    counts.foreach { r =>
+      val b = r.getAs[Int]("ba"); val t = r.getAs[Int]("bt") - 1
+      nb(b)(t) = r.getAs[Long]("nb").toDouble
+      s.p01(b)(t) = r.getAs[Long]("n01").toDouble
+      s.p10(b)(t) = r.getAs[Long]("n10").toDouble
+      s.pxx(b)(t) = r.getAs[Long]("nxx").toDouble
+      nbxx(b)(t) = r.getAs[Long]("nxx").toDouble
+      for (k <- 0 until 7) s.wxx(k)(b)(t) = r.getAs[Long](s"w$k").toDouble
+    }
+    // normalize counts -> probabilities (0/0 -> NaN like numpy)
+    for (b <- 0 until 2; t <- 0 until 4) {
+      s.p01(b)(t) /= nb(b)(t); s.p10(b)(t) /= nb(b)(t)
+      s.pxx(b)(t) /= nb(b)(t)
+      for (k <- 0 until 7) s.wxx(k)(b)(t) /= nbxx(b)(t)
+    }
+    val withThreshold = s.copy(threshold = Array(meanvol),
+      percentile = pct)
+    val repaired = repair(withThreshold)
+    (repaired, paired.select((pcols ++ Seq(col("idx"), col("v"),
+      col("ts"))): _*))
+  }
+
+  /** NaN fallbacks (precipitation.py:566-602): invalid branching
+    * probabilities -> sample data; undefined weight bins -> 1/7. */
+  private def repair(s: CascadeStatistics): CascadeStatistics = {
+    def anyNaN2(m: Array[Array[Double]]) = m.exists(_.exists(_.isNaN))
+    if (anyNaN2(s.p01) || anyNaN2(s.p10) || anyNaN2(s.pxx)) {
+      val sd = CascadeStatistics.sampleData(s.percentile)
+      sd.copy(threshold = s.threshold)
+    } else if (s.wxx.exists(anyNaN2)) {
+      val fixed = s.copy(wxx = s.wxx.map(_.map(_.map(v =>
+        if (v.isNaN) 1.0 / 7.0 else v))))
+      fixed
+    } else s
+  }
+
+  /** build_casc (precipitation.py:631-702): per season, iterate the
+    * halving aggregation over the levels, box-count-weight the per-level
+    * statistics into one average (avgStats) or keep the per-level list.
+    * `obsHourly`: (partitionCols…, timestamp, precip) at hourly (or 5-min)
+    * resolution. */
+  def buildCasc(obsHourly: DataFrame, hourly: Boolean = true,
+      level: Int = 9, monthsSeasons: Seq[Seq[Int]] = Seq((1 to 12)),
+      avgStats: Boolean = true, percentile: Double = 50,
+      partitionCols: Seq[String] = Nil)
+      : Seq[Either[CascadeStatistics, Seq[CascadeStatistics]]] = {
+    val pcols = partitionCols.map(col)
+    monthsSeasons.map { months =>
+      // nulls stay null: the reference's fillna(0) writes to a copy and
+      // its NaNs flow through calibration as "dry" (precipitation.py:663)
+      val subset = TimeSeries
+        .seasonalSubset(obsHourly, "timestamp", months)
+        .withColumn("v", col("precip"))
+        .withColumn("ts", col("timestamp"))
+      val w = (if (partitionCols.isEmpty) Window.orderBy(col("ts"))
+        else Window.partitionBy(pcols: _*).orderBy(col("ts")))
+      var cur = subset
+        .withColumn("idx", row_number().over(w).cast("long") - 1)
+        .select((pcols ++ Seq(col("idx"), col("v"), col("ts"))): _*)
+
+      val aggreLevel = if (hourly) 5 else level
+      var total = CascadeStatistics.zero(percentile)
+      val perLevel = Seq.newBuilder[CascadeStatistics]
+      val thresholds = Array.ofDim[Double](aggreLevel)
+      var count = 0L
+      for (i <- 0 until aggreLevel) {
+        val (si, parent) = aggregateStep(cur, percentile, partitionCols)
+        cur = parent.localCheckpoint(true)
+        thresholds(i) = si.threshold(0)
+        perLevel += si
+        val n = cur.count()
+        total = total.plus(si.scaled(n.toDouble))
+        count += n
+      }
+      total = total.scaled(1.0 / count)
+      total = total.copy(threshold = thresholds)
+      if (avgStats) Left(total)
+      // deepest-first list so that disaggregate's downward walk indexes
+      // list(si) after the reference's in-loop decrement
+      else Right(perLevel.result())
+    }
+  }
+}
