@@ -1,0 +1,158 @@
+package graft.stats
+
+import graft.agg.Aggregations
+import org.apache.commons.math3.analysis.MultivariateFunction
+import org.apache.commons.math3.fitting.leastsquares.{
+  LeastSquaresBuilder, LevenbergMarquardtOptimizer}
+import org.apache.commons.math3.linear.{Array2DRowRealMatrix, ArrayRealVector}
+import org.apache.commons.math3.optim.{InitialGuess, MaxEval, SimpleBounds}
+import org.apache.commons.math3.optim.nonlinear.scalar.{
+  GoalType, ObjectiveFunction}
+import org.apache.commons.math3.optim.nonlinear.scalar.noderiv.{
+  NelderMeadSimplex, SimplexOptimizer}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Driver-side nonlinear calibration fits on commons-math3, mirroring the
+  * reference's scipy fits (wind.py:75-93, radiation.py:251-344). The data
+  * path stays in Spark: aggregate to small paired frames, collect, fit.
+  */
+object Fitting {
+
+  /** generic Levenberg-Marquardt least squares with forward-difference
+    * jacobian (scipy curve_fit's default algorithm). */
+  def leastSquares(model: Array[Double] => Array[Double],
+      target: Array[Double], p0: Array[Double],
+      maxEval: Int = 10000): Array[Double] = {
+    val n = target.length
+    val valueFn =
+      new org.apache.commons.math3.analysis.MultivariateVectorFunction {
+        def value(p: Array[Double]): Array[Double] = model(p)
+      }
+    val jacobianFn =
+      new org.apache.commons.math3.analysis.MultivariateMatrixFunction {
+        def value(params: Array[Double]): Array[Array[Double]] = {
+          val f0 = model(params)
+          val jac = Array.ofDim[Double](n, params.length)
+          for (j <- params.indices) {
+            val h = math.max(1e-8, math.abs(params(j)) * 1e-8)
+            val pj = params.clone(); pj(j) += h
+            val fj = model(pj)
+            for (i <- 0 until n) jac(i)(j) = (fj(i) - f0(i)) / h
+          }
+          jac
+        }
+      }
+    val problem = new LeastSquaresBuilder()
+      .start(p0)
+      .target(target)
+      .model(valueFn, jacobianFn)
+      .maxEvaluations(maxEval)
+      .maxIterations(maxEval)
+      .build()
+    new LevenbergMarquardtOptimizer().optimize(problem).getPoint.toArray
+  }
+
+  /** Nelder-Mead minimization (reference fit_bristow_campbell_params uses
+    * scipy minimize on |mean bias|). */
+  def nelderMead(f: Array[Double] => Double, p0: Array[Double],
+      maxEval: Int = 10000): Array[Double] = {
+    val opt = new SimplexOptimizer(1e-12, 1e-12)
+    opt.optimize(
+      new MaxEval(maxEval),
+      new ObjectiveFunction(new MultivariateFunction {
+        def value(p: Array[Double]): Double = f(p)
+      }),
+      GoalType.MINIMIZE,
+      new InitialGuess(p0),
+      new NelderMeadSimplex(p0.length)).getPoint
+  }
+
+  /** fit_cosine_function (wind.py:75-93): fit (a, b, t_shift) of
+    * a·w̄·cos(π(t−t_shift)/12) + b·w̄ against observed hourly wind.
+    * `hourlyWind`: (timestamp, wind). */
+  def fitCosineWind(hourlyWind: DataFrame): (Double, Double, Double) = {
+    val paired = hourlyWind
+      .withColumn("date", to_date(col("timestamp")))
+      .withColumn("h", hour(col("timestamp")))
+      .groupBy(col("date"))
+      .agg(avg(col("wind")).as("daily"))
+      .join(hourlyWind.withColumn("date", to_date(col("timestamp"))),
+        "date")
+      .where(col("wind").isNotNull && col("daily").isNotNull)
+      .select(col("daily"), hour(col("timestamp")).cast("double").as("h"),
+        col("wind"))
+      .collect()
+    val daily = paired.map(_.getDouble(0))
+    val hrs = paired.map(_.getDouble(1))
+    val obs = paired.map(_.getDouble(2))
+    val res = leastSquares(
+      p => daily.indices.map { i =>
+        p(0) * daily(i) * math.cos(math.Pi * (hrs(i) - p(2)) / 12.0) +
+          p(1) * daily(i)
+      }.toArray,
+      obs, Array(1.0, 1.0, 1.0))
+    (res(0), res(1), res(2))
+  }
+
+  /** fit_angstroem_params (radiation.py:314-344): least squares of
+    * (a + b·ssd/daylen)·pot against observed daily radiation — linear in
+    * (a, b), solved by LM like scipy from p0=(0.25, 0.75). Input frame
+    * needs columns ssd, daylength, pot, obs. */
+  def fitAngstroem(daily: DataFrame): (Double, Double) = {
+    val rows = daily
+      .where(col("ssd").isNotNull && col("daylength").isNotNull &&
+        col("pot").isNotNull && col("obs").isNotNull)
+      .select(col("ssd"), col("daylength"), col("pot"), col("obs"))
+      .collect()
+    val ssd = rows.map(_.getDouble(0)); val dl = rows.map(_.getDouble(1))
+    val pot = rows.map(_.getDouble(2)); val obs = rows.map(_.getDouble(3))
+    val res = leastSquares(
+      p => ssd.indices.map(i =>
+        (p(0) + p(1) * ssd(i) / dl(i)) * pot(i)).toArray,
+      obs, Array(0.25, 0.75))
+    (res(0), res(1))
+  }
+
+  /** fit_bristow_campbell_params (radiation.py:251-280): minimize
+    * |mean(bc(tmin, tmax, pot, A, C) − obs)| from (0.75, 2.4). The B term
+    * uses monthly mean ΔT exactly like the forward model. Input frame
+    * needs columns date, tmin, tmax, pot, obs (complete pairs only). */
+  def fitBristowCampbell(daily: DataFrame): (Double, Double) = {
+    val rows = daily
+      .where(col("tmin").isNotNull && col("tmax").isNotNull &&
+        col("pot").isNotNull && col("obs").isNotNull)
+      .orderBy(col("date"))
+      .select(col("date"), col("tmin"), col("tmax"), col("pot"),
+        col("obs"), month(col("date")).as("m"))
+      .collect()
+    val n = rows.length
+    val tmin = rows.map(_.getDouble(1)); val tmax = rows.map(_.getDouble(2))
+    val pot = rows.map(_.getDouble(3)); val obs = rows.map(_.getDouble(4))
+    val mon = rows.map(_.getInt(5))
+    val dates = rows.map(_.getDate(0).toLocalDate)
+    // tmin_nextday on the calendar; last row self-fills
+    val byDate = dates.zipWithIndex.toMap
+    val tminNext = Array.tabulate(n) { i =>
+      byDate.get(dates(i).plusDays(1)).map(tmin).getOrElse(
+        if (i == n - 1) tmin(i) else Double.NaN)
+    }
+    val dT = Array.tabulate(n)(i => tmax(i) - (tmin(i) + tminNext(i)) / 2)
+    val mAvg = (1 to 12).map { m =>
+      val xs = dT.indices.filter(i => mon(i) == m && !dT(i).isNaN)
+      m -> (if (xs.isEmpty) Double.NaN
+            else xs.map(dT).sum / xs.length)
+    }.toMap
+    def bias(p: Array[Double]): Double = {
+      val diffs = (0 until n).flatMap { i =>
+        val b = 0.036 * math.exp(-0.154 * mAvg(mon(i)))
+        val trans = p(0) * (1 - math.exp(-b * math.pow(dT(i), p(1))))
+        val r0 = trans * pot(i)
+        if (r0.isNaN || obs(i).isNaN) None else Some(r0 - obs(i))
+      }
+      math.abs(diffs.sum / diffs.length)
+    }
+    val res = nelderMead(bias, Array(0.75, 2.4))
+    (res(0), res(1))
+  }
+}

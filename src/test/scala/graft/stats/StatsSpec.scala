@@ -1,0 +1,103 @@
+package graft.stats
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class StatsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  val G = new java.io.File("src/test/resources/golden").getAbsolutePath
+
+  test("parse reference-written station_stats.json") {
+    val s = StationStats.readJson(s"$G/station_stats.json")
+    assert(math.abs(s.hum.a0.get - 8.839621948885167) < 1e-9)
+    assert(math.abs(s.hum.a1.get - 0.9716236195927772) < 1e-9)
+    assert(s.hum.kr.contains(12))
+    assert(s.wind.a.contains(1.0) && s.wind.tShift.contains(14.0))
+    assert(s.temp.maxDelta.get.size == 12)
+    assert(math.abs(s.temp.maxDelta.get(1) - 2.2858432743) < 1e-9)
+    assert(s.temp.meanCourse.get.size == 288)
+    assert(s.glob.angstroem(3) == ((0.25, 0.75)))
+    assert(s.glob.bristcamp(7) == ((0.75, 2.4)))
+    assert(s.glob.meanCourse.get.size == 288)
+    assert(s.hum.monthHourPrecipMean.get.size == 576)
+    assert(s.precip.months.get == Seq(1 to 12))
+    val Left(casc) = s.precip.stats.get.head : @unchecked
+    assert(casc.threshold.length == 5)
+    assert(math.abs(casc.threshold(2) - 0.6000000000000001) < 1e-12)
+    assert(math.abs(casc.p01(0)(0) - 0.5994519699673584) < 1e-12)
+  }
+
+  test("JSON round-trip preserves everything") {
+    val s = StationStats.readJson(s"$G/station_stats.json")
+    val back = StationStats.parse(s.toJsonString)
+    assert(back.hum.a0 == s.hum.a0 && back.hum.a1 == s.hum.a1)
+    assert(back.temp.maxDelta == s.temp.maxDelta)
+    assert(back.temp.meanCourse == s.temp.meanCourse)
+    assert(back.glob.angstroem == s.glob.angstroem)
+    assert(back.glob.meanCourse == s.glob.meanCourse)
+    assert(back.hum.monthHourPrecipMean == s.hum.monthHourPrecipMean)
+    assert(back.precip.months == s.precip.months)
+    val Left(a) = s.precip.stats.get.head : @unchecked
+    val Left(b) = back.precip.stats.get.head : @unchecked
+    assert(a.p01.flatten.toSeq == b.p01.flatten.toSeq)
+    assert(a.wxx.flatten.flatten.toSeq == b.wxx.flatten.flatten.toSeq)
+    assert(a.threshold.toSeq == b.threshold.toSeq)
+  }
+
+  test("fitCosineWind recovers the generating curve") {
+    // b = 1 keeps the observed daily mean equal to the base mean, so the
+    // generating params are a fixed point of the self-referential model
+    val rows = for (d <- 1 to 28; h <- 0 until 24) yield {
+      val mean = 3.0 + (d % 5)
+      val w = 0.3 * mean * math.cos(math.Pi * (h - 13.0) / 12.0) + 1.0 * mean
+      (f"2016-02-$d%02d $h%02d:00:00", w, mean)
+    }
+    val df = rows.map(r => (r._1, r._2)).toDF("s", "wind")
+      .select(to_timestamp($"s").as("timestamp"), $"wind")
+    val (a, b, t) = Fitting.fitCosineWind(df)
+    // (a, t_shift) and (-a, t_shift±12) parameterize the same curve —
+    // judge the fit functionally
+    val rms = math.sqrt(rows.map { case (s, w, mean) =>
+      val h = s.substring(11, 13).toInt
+      val pred = a * mean * math.cos(math.Pi * (h - t) / 12.0) + b * mean
+      (pred - w) * (pred - w)
+    }.sum / rows.size)
+    assert(rms < 1e-4, s"rms=$rms for (a=$a b=$b t=$t)")
+    assert(math.abs(math.abs(a) - 0.3) < 1e-4, s"|a|=$a")
+    assert(math.abs(b - 1.0) < 1e-4, s"b=$b")
+  }
+
+  test("fitAngstroem recovers known parameters") {
+    val rows = (1 to 200).map { i =>
+      val ssd = (i % 10).toDouble; val dl = 12.0; val pot = 200.0 + i % 7
+      val obs = (0.3 + 0.6 * ssd / dl) * pot
+      (ssd, dl, pot, obs)
+    }
+    val df = rows.toDF("ssd", "daylength", "pot", "obs")
+    val (a, b) = Fitting.fitAngstroem(df)
+    assert(math.abs(a - 0.3) < 1e-6 && math.abs(b - 0.6) < 1e-6,
+      s"($a, $b)")
+  }
+
+  test("fitBristowCampbell reduces absolute bias vs defaults") {
+    val rows = (0 until 120).map { i =>
+      val d = java.time.LocalDate.of(2016, 4, 1).plusDays(i)
+      val tmin = 278.0 + 3 * math.sin(i / 9.0)
+      val tmax = tmin + 8 + 2 * math.cos(i / 5.0)
+      val pot = 300.0
+      (java.sql.Date.valueOf(d), tmin, tmax, pot)
+    }
+    val base = rows.toDF("date", "tmin", "tmax", "pot")
+    // observations generated with A=0.7, C=2.0 through the real model
+    val obsDf = graft.meteo.Meteo.bristowCampbell(base, "date", "tmin",
+        "tmax", "pot", Left(0.7), Left(2.0))
+      .withColumnRenamed("r0", "obs")
+    val (a, c) = Fitting.fitBristowCampbell(obsDf)
+    // |mean bias| at fitted params ~ 0; sanity: params in plausible range
+    assert(a > 0.3 && a < 1.2, s"a=$a")
+    assert(c > 0.5 && c < 5.0, s"c=$c")
+  }
+}
