@@ -1,0 +1,120 @@
+package graft.queries
+
+import graft.QueryRegistry.{register, registerRowsOnly}
+import graft.core.Tables.table
+import graft.multimodal.Multimodal
+import graft.similarity.Similarity
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity-search + multimodal gate queries over `embeddings` /
+  * `documents`. The oracle-matched top-k computes dot products through
+  * exact per-component integer micro-units so both engines rank the
+  * identical doubles; the xxhash-LSH / IVF scale paths are spec-tested
+  * and rows-only here. */
+object SimilarityQueriesImpl {
+
+  def init(): Unit = {
+
+    register("q70_cosine_topk_bruteforce",
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+        |  WHERE vec_id < 8),
+        |c AS (SELECT vec_id AS corpus_id, embedding AS cv
+        |      FROM embeddings),
+        |pairs AS (
+        |  SELECT query_id, corpus_id,
+        |    LIST_AGGREGATE(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(qv)),
+        |      i -> CAST(ROUND(CAST(qv[i] AS DOUBLE)
+        |        * CAST(cv[i] AS DOUBLE) * 1e12) AS BIGINT)), 'sum')
+        |      / 1e12 AS dot,
+        |    LIST_AGGREGATE(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(qv)),
+        |      i -> CAST(ROUND(CAST(qv[i] AS DOUBLE)
+        |        * CAST(qv[i] AS DOUBLE) * 1e12) AS BIGINT)), 'sum')
+        |      / 1e12 AS qn,
+        |    LIST_AGGREGATE(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(cv)),
+        |      i -> CAST(ROUND(CAST(cv[i] AS DOUBLE)
+        |        * CAST(cv[i] AS DOUBLE) * 1e12) AS BIGINT)), 'sum')
+        |      / 1e12 AS cn
+        |  FROM q CROSS JOIN c),
+        |ranked AS (
+        |  SELECT query_id, corpus_id,
+        |    ROUND(dot / (SQRT(qn) * SQRT(cn)), 6) AS cosine,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY dot / (SQRT(qn) * SQRT(cn)) DESC, corpus_id)
+        |      AS rank
+        |  FROM pairs)
+        |SELECT query_id, corpus_id, cosine, rank
+        |FROM ranked WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
+      val emb = table(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val c = emb.select(col("vec_id").as("corpus_id"),
+        col("embedding").as("cv"))
+      def microDot(a: org.apache.spark.sql.Column,
+          b: org.apache.spark.sql.Column) =
+        aggregate(zip_with(a, b, (x, y) =>
+          round(x.cast("double") * y.cast("double") * 1e12).cast("long")),
+          lit(0L), (acc, v) => acc + v) / 1e12
+      val scored = c.crossJoin(broadcast(q))
+        .withColumn("dot", microDot(col("cv"), col("qv")))
+        .withColumn("qn", microDot(col("qv"), col("qv")))
+        .withColumn("cn", microDot(col("cv"), col("cv")))
+        .withColumn("cos_raw",
+          col("dot") / (sqrt(col("qn")) * sqrt(col("cn"))))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos_raw").desc, col("corpus_id"))
+      scored.withColumn("rank", row_number().over(w))
+        .where(col("rank") <= 5)
+        .select(col("query_id"), col("corpus_id"),
+          round(col("cos_raw"), 6).as("cosine"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }
+
+    registerRowsOnly("q71_cosine_topk_lsh") { (s, dir) =>
+      val emb = table(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") < 8)
+      Similarity.lshTopK(emb, q, "embedding", "vec_id", "vec_id", k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }
+
+    registerRowsOnly("q72_cosine_topk_ivf") { (s, dir) =>
+      val emb = table(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") < 8)
+      Similarity.ivfTopK(emb, q, "embedding", "vec_id", "vec_id", k = 5,
+          nlist = 8, nprobe = 3)
+        .orderBy(col("query_id"), col("rank"))
+    }
+
+    registerRowsOnly("q73_embedding_neardups") { (s, dir) =>
+      graft.text.Dedup.embeddingNearDups(table(s, dir, "embeddings"),
+          "embedding", "vec_id", minCosine = 0.0)
+        .orderBy(col("id_a"), col("id_b"))
+    }
+
+    registerRowsOnly("q74_multimodal_features") { (s, dir) =>
+      val spark = s
+      import spark.implicits._
+      val media = Multimodal.syntheticMediaTable(
+        table(s, dir, "documents"), "doc_id", "text")
+        .as[Multimodal.MediaRow]
+      Multimodal.extractFeatures(media).toDF()
+        .select(col("media_id"), col("modality"), col("n_bytes"),
+          round(element_at(col("features"), 1), 6).as("f0"))
+        .orderBy(col("media_id"))
+    }
+
+    registerRowsOnly("q75_video_frame_sample") { (s, dir) =>
+      val spark = s
+      import spark.implicits._
+      val media = Multimodal.syntheticMediaTable(
+        table(s, dir, "documents"), "doc_id", "text")
+        .as[Multimodal.MediaRow]
+      Multimodal.sampleFrames(media, fps = 0.5, maxFrames = 4).toDF()
+        .select(col("media_id"), col("frame_index"), col("offset_s"),
+          length(col("content")).as("n_bytes"))
+        .orderBy(col("media_id"), col("frame_index"))
+    }
+  }
+}

@@ -1,0 +1,228 @@
+package graft.queries
+
+import graft.QueryRegistry.{register, registerRowsOnly}
+import graft.core.Tables.table
+import graft.text.{Dedup, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis + dedup operators over the `documents` table. The
+  * oracle-matched variants use md5 (portable across Spark/DuckDB); the
+  * scale implementations (xxhash64) are spec-tested. */
+object TextQueriesImpl {
+
+  def init(): Unit = {
+
+    register("q60_token_count",
+      """SELECT doc_id,
+        |  LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+')) AS n_tokens,
+        |  LENGTH(text) AS n_chars_actual,
+        |  n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      table(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+          length(col("text")).cast("long").as("n_chars_actual"),
+          col("n_chars"))
+        .orderBy(col("doc_id"))
+    }
+
+    register("q61_quality_score",
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |    LENGTH(text) AS nc,
+        |    GREATEST(LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+')), 1)
+        |      AS nt,
+        |    LENGTH(text) - LENGTH(REGEXP_REPLACE(text,
+        |      '[.,!?;:''"()\-]', '', 'g')) AS np,
+        |    LEN(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)),
+        |      '\s+'), x -> x IN ('the','a','an','of','and','to','in','is',
+        |      'it','that','for','on','with','as','this'))) AS nsw
+        |  FROM documents)
+        |SELECT doc_id,
+        |  ROUND(LEAST(nc / 200.0, 1.0) * 0.3
+        |    + (CASE WHEN CAST(nc AS DOUBLE) / nt BETWEEN 3.0 AND 12.0
+        |        THEN 1.0 ELSE 0.3 END) * 0.2
+        |    + (CASE WHEN CAST(np AS DOUBLE) / nc <= 0.2 THEN 1.0
+        |        ELSE 0.4 END) * 0.2
+        |    + LEAST(CAST(nsw AS DOUBLE) / nt * 5.0, 1.0) * 0.3, 6)
+        |    AS quality
+        |FROM t ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      table(s, dir, "documents")
+        .select(col("doc_id"),
+          round(TextAnalysis.qualityScore(col("text")), 6).as("quality"))
+        .orderBy(col("doc_id"))
+    }
+
+    register("q62_language_id", {
+      def hits(words: Seq[String]) =
+        s"""LEN(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)),
+           | '\\s+'), x -> x IN (${words.map(w => s"'$w'").mkString(",")}
+           |)))""".stripMargin.replaceAll("\n", "")
+      val langs = TextAnalysis.stopwords.keys.toSeq.sorted
+      val hitCols = langs.map(l =>
+        s"${hits(TextAnalysis.stopwords(l).filterNot(_.contains("'")))} AS hits_$l")
+      val greatestExpr = langs.map(l => s"hits_$l").mkString("GREATEST(", ", ", ")")
+      val caseExpr = langs.reverse.foldLeft("'und'") { (acc, l) =>
+        s"CASE WHEN hits_$l = mx AND mx > 0 THEN '$l' ELSE $acc END"
+      }
+      s"""WITH t AS (SELECT doc_id, text,
+         |  ${hitCols.mkString(",\n  ")},
+         |  LENGTH(text) - LENGTH(REGEXP_REPLACE(text,
+         |    '[\\x{4e00}-\\x{9fff}]', '', 'g')) AS cjk
+         |  FROM documents),
+         |m AS (SELECT *, $greatestExpr AS mx FROM t)
+         |SELECT doc_id,
+         |  CASE WHEN cjk > 0 THEN 'zh' ELSE $caseExpr END AS lang_pred
+         |FROM m ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      table(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.languageId(col("text")).as("lang_pred"))
+        .orderBy(col("doc_id"))
+    }
+
+    register("q63_fingerprint_md5",
+      """SELECT doc_id,
+        |  MD5(REGEXP_REPLACE(LOWER(TRIM(text)), '\s+', ' ', 'g')) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      table(s, dir, "documents")
+        .select(col("doc_id"),
+          md5(to_binary(
+            regexp_replace(lower(trim(col("text"))), "\\s+", " "),
+            lit("utf-8"))).as("fp"))
+        .orderBy(col("doc_id"))
+    }
+
+    register("q64_exact_dedup",
+      """WITH keyed AS (
+        |  SELECT doc_id,
+        |    MD5(REGEXP_REPLACE(LOWER(TRIM(text)), '\s+', ' ', 'g')) AS fp
+        |  FROM documents)
+        |SELECT fp, MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
+        |FROM keyed GROUP BY fp
+        |ORDER BY fp""".stripMargin) { (s, dir) =>
+      table(s, dir, "documents")
+        .select(col("doc_id"),
+          md5(to_binary(
+            regexp_replace(lower(trim(col("text"))), "\\s+", " "),
+            lit("utf-8"))).as("fp"))
+        .groupBy(col("fp"))
+        .agg(min(col("doc_id")).as("keep_id"),
+          count(lit(1)).as("dup_count"))
+        .orderBy(col("fp"))
+    }
+
+    register("q65_minhash_signature",
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1,
+        |      GREATEST(LEN(t) - 2, 1)),
+        |      j -> CONCAT_WS(' ', t[j], t[j+1], t[j+2]))) AS s
+        |  FROM toks)
+        |SELECT doc_id,
+        |  MIN(MD5(s || '#0')) AS h0, MIN(MD5(s || '#1')) AS h1,
+        |  MIN(MD5(s || '#2')) AS h2, MIN(MD5(s || '#3')) AS h3
+        |FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin) {
+      (s, dir) =>
+      val sh = table(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(TextAnalysis.wordShingles(col("text"), 3)).as("s"))
+      sh.groupBy(col("doc_id"))
+        .agg(
+          min(md5(to_binary(concat(col("s"), lit("#0")), lit("utf-8"))))
+            .as("h0"),
+          min(md5(to_binary(concat(col("s"), lit("#1")), lit("utf-8"))))
+            .as("h1"),
+          min(md5(to_binary(concat(col("s"), lit("#2")), lit("utf-8"))))
+            .as("h2"),
+          min(md5(to_binary(concat(col("s"), lit("#3")), lit("utf-8"))))
+            .as("h3"))
+        .orderBy(col("doc_id"))
+    }
+
+    register("q66_simhash16",
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |    UNNEST(REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\\s+')) AS t
+         |  FROM documents),
+         |votes AS (
+         |  SELECT doc_id,
+         |${(0 until 16).map(k =>
+             s"""    SUM(CASE WHEN SUBSTR(MD5(t), ${k + 1}, 1) IN
+                |      ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1
+                |      END) AS v$k""".stripMargin)
+             .mkString(",\n")}
+         |  FROM toks GROUP BY doc_id)
+         |SELECT doc_id,
+         |  ${(0 until 16).map(k =>
+              s"(CASE WHEN v$k > 0 THEN '1' ELSE '0' END)")
+              .mkString(" || ")} AS simhash
+         |FROM votes ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val toks = table(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(TextAnalysis.tokens(lower(col("text")))).as("t"))
+      val voteAggs = (0 until 16).map { k =>
+        sum(when(substring(md5(to_binary(col("t"), lit("utf-8"))),
+          k + 1, 1).isin("8", "9", "a", "b", "c", "d", "e", "f"), 1)
+          .otherwise(-1)).as(s"v$k")
+      }
+      val votes = toks.groupBy(col("doc_id"))
+        .agg(voteAggs.head, voteAggs.tail: _*)
+      votes.select(col("doc_id"),
+        concat((0 until 16).map(k =>
+          when(col(s"v$k") > 0, "1").otherwise("0")): _*).as("simhash"))
+        .orderBy(col("doc_id"))
+    }
+
+    register("q67_ngram_jaccard_pairs",
+      """WITH sh AS (
+        |  SELECT doc_id, lang, source,
+        |    LIST_DISTINCT(LIST_TRANSFORM(GENERATE_SERIES(1,
+        |      GREATEST(LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)),
+        |        '\s+')) - 2, 1)),
+        |      j -> CONCAT_WS(' ',
+        |        REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+')[j],
+        |        REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+')[j+1],
+        |        REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+')[j+2])))
+        |      AS g
+        |  FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  ROUND(CAST(LEN(LIST_INTERSECT(a.g, b.g)) AS DOUBLE)
+        |    / (LEN(a.g) + LEN(b.g) - LEN(LIST_INTERSECT(a.g, b.g))), 6)
+        |    AS jaccard
+        |FROM sh a JOIN sh b
+        |  ON a.lang = b.lang AND a.source = b.source
+        |  AND a.doc_id < b.doc_id
+        |ORDER BY jaccard DESC, id_a, id_b LIMIT 100""".stripMargin) {
+      (s, dir) =>
+      val docs = table(s, dir, "documents")
+      val sh = docs.select(col("doc_id"), col("lang"), col("source"),
+        array_distinct(TextAnalysis.wordShingles(col("text"), 3)).as("g"))
+      val a = sh.select(col("lang"), col("source"),
+        col("doc_id").as("id_a"), col("g").as("ga"))
+      val b = sh.select(col("lang"), col("source"),
+        col("doc_id").as("id_b"), col("g").as("gb"))
+      val inter = size(array_intersect(col("ga"), col("gb")))
+        .cast("double")
+      val jac = inter / (size(col("ga")) + size(col("gb")) -
+        size(array_intersect(col("ga"), col("gb"))))
+      a.join(b, Seq("lang", "source"))
+        .where(col("id_a") < col("id_b"))
+        .withColumn("jaccard", round(jac, 6))
+        .select(col("id_a"), col("id_b"), col("jaccard"))
+        .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))
+        .limit(100)
+    }
+
+    // xxhash64-based scale paths: spec-tested, rows-only at the gate
+    registerRowsOnly("q68_minhash_lsh_neardups") { (s, dir) =>
+      Dedup.minhashCandidates(table(s, dir, "documents"), "text",
+          "doc_id", numHashes = 16, bands = 4, minJaccard = 0.2)
+        .orderBy(col("id_a"), col("id_b"))
+    }
+  }
+}

@@ -1,0 +1,174 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`array<float>`).
+  *
+  * Baseline: brute-force cosine top-k (broadcast the query set, scan the
+  * corpus once — the right plan when queries are few). Scale path:
+  * hash-derived hyperplane LSH bucketing (sign-bit sketch) that turns
+  * candidate generation into an equi-join, probing only matching buckets;
+  * or IVF via a driver-fit coarse quantizer. */
+object Similarity {
+
+  /** exact dot product of two double arrays (sequential fold — stable
+    * evaluation order, no shuffle). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
+
+  /** Deterministic pseudo-random hyperplane component for (plane, dim):
+    * uniform in [-1, 1) from xxhash64 — no stored model, identical on
+    * every executor. */
+  private def planeComponent(plane: Int, dim: Column, seed: Long): Column =
+    (pmod(xxhash64(lit(seed), lit(plane), dim), lit(1000000007L))
+      .cast("double") / 5.0e8) - 1.0
+
+  /** Sign-bit sketch over `planes` hash-derived hyperplanes — vectors in
+    * the same bucket are likely cosine-similar. */
+  def hyperplaneBucket(vec: Column, planes: Int = 8, seed: Long = 42)
+      : Column = {
+    val bits = (0 until planes).map { p =>
+      val proj = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (x, i) => x.cast("double") * planeComponent(p, i, seed)),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj >= 0, shiftleft(lit(1L), p)).otherwise(0L)
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** Brute-force cosine top-k: per query vector, the k nearest corpus
+    * vectors. `queries` is broadcast — one corpus scan total. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
+      vecCol: String, idCol: String, queryIdCol: String, k: Int)
+      : DataFrame = {
+    val c = corpus.select(col(idCol).as("corpus_id"),
+      col(vecCol).as("cv"))
+    val q = queries.select(col(queryIdCol).as("query_id"),
+      col(vecCol).as("qv"))
+    val scored = c.crossJoin(broadcast(q))
+      .withColumn("cosine", cosine(col("cv"), col("qv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("corpus_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("corpus_id"), col("cosine"),
+        col("rank"))
+  }
+
+  /** LSH-bucketed approximate top-k: candidates only from the query's
+    * hyperplane bucket (multi-probe: exact bucket plus 1-bit flips),
+    * then exact cosine rank. Falls back to fewer than k results when the
+    * buckets are sparse — the standard ANN recall/latency trade. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, vecCol: String,
+      idCol: String, queryIdCol: String, k: Int, planes: Int = 8,
+      seed: Long = 42): DataFrame = {
+    val c = corpus.select(col(idCol).as("corpus_id"),
+      col(vecCol).as("cv"),
+      hyperplaneBucket(col(vecCol), planes, seed).as("bucket"))
+    val qBucket = hyperplaneBucket(col("qv"), planes, seed)
+    val probes = array(
+      (qBucket +: (0 until planes).map(b =>
+        qBucket.bitwiseXOR(lit(1L << b)))): _*)
+    val q = queries.select(col(queryIdCol).as("query_id"),
+      col(vecCol).as("qv"))
+      .withColumn("bucket", explode(probes))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .withColumn("cosine", cosine(col("cv"), col("qv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("corpus_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("corpus_id"), col("cosine"),
+        col("rank"))
+  }
+
+  /** IVF-style top-k: coarse centroids fit on a driver-collected sample
+    * (k-means lite), vectors assigned to nearest centroid at scan time,
+    * queries probe `nprobe` nearest centroid partitions. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, vecCol: String,
+      idCol: String, queryIdCol: String, k: Int, nlist: Int = 16,
+      nprobe: Int = 4, sampleSize: Int = 2048, seed: Long = 42,
+      iterations: Int = 5): DataFrame = {
+    val spark = corpus.sparkSession
+    val sample = corpus.select(col(vecCol)).limit(sampleSize).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val centroids = kmeans(sample, nlist, iterations, seed)
+
+    val centDf = broadcast(spark.createDataFrame(
+      centroids.zipWithIndex.map { case (cvec, i) =>
+        (i, cvec.toSeq)
+      }.toSeq).toDF("centroid_id", "centroid"))
+
+    // assignment via join against the broadcast centroid table (argmin)
+    val assigned = corpus.select(col(idCol).as("corpus_id"),
+        col(vecCol).as("cv"))
+      .crossJoin(centDf)
+      .withColumn("dist", -dot(col("cv"), col("centroid")) /
+        (norm(col("cv")) * norm(col("centroid"))))
+      .withColumn("rn", row_number().over(Window
+        .partitionBy(col("corpus_id")).orderBy(col("dist"),
+          col("centroid_id"))))
+      .where(col("rn") === 1)
+      .select(col("corpus_id"), col("cv"), col("centroid_id"))
+
+    val qAssigned = queries.select(col(queryIdCol).as("query_id"),
+        col(vecCol).as("qv"))
+      .crossJoin(centDf)
+      .withColumn("dist", -dot(col("qv"), col("centroid")) /
+        (norm(col("qv")) * norm(col("centroid"))))
+      .withColumn("rn", row_number().over(Window
+        .partitionBy(col("query_id")).orderBy(col("dist"),
+          col("centroid_id"))))
+      .where(col("rn") <= nprobe)
+      .select(col("query_id"), col("qv"), col("centroid_id"))
+
+    val scored = assigned.join(broadcast(qAssigned), Seq("centroid_id"))
+      .withColumn("cosine", cosine(col("cv"), col("qv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("corpus_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("corpus_id"), col("cosine"),
+        col("rank"))
+  }
+
+  /** tiny driver-side k-means (for IVF coarse quantization) */
+  def kmeans(points: Array[Array[Double]], k: Int, iterations: Int,
+      seed: Long): Array[Array[Double]] = {
+    require(points.nonEmpty)
+    val rng = new scala.util.Random(seed)
+    val dim = points.head.length
+    var centroids = rng.shuffle(points.toVector).take(k).map(_.clone)
+      .toArray
+    for (_ <- 0 until iterations) {
+      val sums = Array.fill(k)(Array.ofDim[Double](dim))
+      val counts = Array.ofDim[Int](k)
+      points.foreach { p =>
+        var best = 0; var bestD = Double.MaxValue
+        for (c <- 0 until centroids.length) {
+          var d = 0.0
+          var j = 0
+          while (j < dim) {
+            val diff = p(j) - centroids(c)(j); d += diff * diff; j += 1
+          }
+          if (d < bestD) { bestD = d; best = c }
+        }
+        counts(best) += 1
+        var j = 0
+        while (j < dim) { sums(best)(j) += p(j); j += 1 }
+      }
+      for (c <- 0 until k if counts(c) > 0; j <- 0 until dim)
+        centroids(c)(j) = sums(c)(j) / counts(c)
+    }
+    centroids
+  }
+}

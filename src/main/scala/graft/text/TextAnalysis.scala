@@ -1,0 +1,103 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * token counting, quality scoring, language ID, fingerprinting. All pure
+  * Column expressions — whole-stage codegen'd, shuffle-free per-row work
+  * that scales linearly over any partitioning of a 100 TB corpus. */
+object TextAnalysis {
+
+  /** whitespace tokens */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword proxy: runs of letters, digits, or single other
+    * chars (common pre-tokenizer shape). */
+  def subwordCount(text: Column): Column =
+    size(filter(split(text, "(?<=[^\\p{L}\\p{N}])|(?=[^\\p{L}\\p{N}])"),
+      t => length(t) > 0))
+
+  private val punctClass = "[.,!?;:'\"()\\-]"
+
+  def punctCount(text: Column): Column =
+    length(text) - length(regexp_replace(text, punctClass, ""))
+
+  /** per-language stopword seed sets (tiny, embedded) */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "an", "of", "and", "to", "in", "is", "it",
+      "that", "for", "on", "with", "as", "this"),
+    "es" -> Seq("el", "la", "los", "las", "de", "y", "en", "es", "que",
+      "un", "una", "por", "con", "para", "del"),
+    "de" -> Seq("der", "die", "das", "und", "in", "ist", "von", "mit",
+      "den", "zu", "ein", "eine", "auf", "für", "im"),
+    "fr" -> Seq("le", "la", "les", "de", "et", "en", "est", "que", "un",
+      "une", "pour", "dans", "du", "des", "au"))
+
+  def stopwordCount(text: Column, lang: String): Column =
+    size(filter(tokens(lower(text)),
+      t => t.isin(stopwords(lang).map(x => x: Any): _*)))
+
+  def stopwordRatio(text: Column, lang: String = "en"): Column =
+    stopwordCount(text, lang) / greatest(tokenCount(text), lit(1))
+
+  /** CJK character count (for zh detection) */
+  def cjkCount(text: Column): Column =
+    length(text) - length(regexp_replace(text, "[\\x{4e00}-\\x{9fff}]", ""))
+
+  /** Heuristic language ID over stopword hits + CJK density. Returns the
+    * language code with the most evidence ('und' when none). */
+  def languageId(text: Column): Column = {
+    val counts = stopwords.keys.toSeq.sorted.map(l =>
+      l -> stopwordCount(text, l))
+    val cjk = cjkCount(text)
+    // zh wins when any CJK present; otherwise argmax of stopword hits
+    val maxHits = greatest(counts.map(_._2): _*)
+    val best = counts.foldRight(lit("und")) { case ((l, c), acc) =>
+      when(c === maxHits && maxHits > 0, l).otherwise(acc)
+    }
+    when(cjk > 0, "zh").otherwise(best)
+  }
+
+  /** Composite quality score in [0, 1]: length sweet-spot, moderate
+    * punctuation, healthy stopword ratio, reasonable mean word length. */
+  def qualityScore(text: Column, lang: String = "en"): Column = {
+    val nChars = length(text)
+    val nTokens = greatest(tokenCount(text), lit(1))
+    val meanWordLen = nChars.cast("double") / nTokens
+    val punctRatio = punctCount(text).cast("double") / nChars
+    val swRatio = stopwordRatio(text, lang)
+    val lenScore = least(nChars / lit(200.0), lit(1.0))
+    val wordLenScore =
+      when(meanWordLen.between(3.0, 12.0), 1.0).otherwise(0.3)
+    val punctScore = when(punctRatio <= 0.2, 1.0).otherwise(0.4)
+    val swScore = least(swRatio * 5.0, lit(1.0))
+    (lenScore * 0.3 + wordLenScore * 0.2 + punctScore * 0.2 +
+      swScore * 0.3)
+  }
+
+  /** Document fingerprint: 64-bit content hash of the
+    * whitespace-normalized lowercased text (stable across partitioning,
+    * suitable as an exact-dup key at any scale). */
+  def fingerprint(text: Column): Column =
+    xxhash64(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** Rolling-window fingerprint: min/max xxhash over word shingles —
+    * robust to small edits (winnowing-style). */
+  def rollingFingerprint(text: Column, k: Int = 3): Column = {
+    val sh = wordShingles(text, k)
+    array_min(transform(sh, s => xxhash64(s)))
+  }
+
+  /** word k-grams of the lowercased text (1-based; short texts yield one
+    * truncated shingle — try_element_at so out-of-range reads are null,
+    * matching SQL list indexing under ANSI mode) */
+  def wordShingles(text: Column, k: Int = 3): Column = {
+    val t = tokens(lower(text))
+    transform(sequence(lit(1), greatest(size(t) - (k - 1), lit(1))),
+      j => concat_ws(" ",
+        (0 until k).map(o => try_element_at(t, j + o)): _*))
+  }
+}

@@ -1,0 +1,64 @@
+package graft.similarity
+
+import graft.TestSpark
+import graft.core.Tables
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SimilaritySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  lazy val emb = Tables.table(spark, TestSpark.sfDir, "embeddings").cache()
+
+  test("cosine of a vector with itself is 1") {
+    val r = emb.limit(5)
+      .select(Similarity.cosine($"embedding", $"embedding"))
+      .collect().map(_.getDouble(0))
+    r.foreach(v => assert(math.abs(v - 1.0) < 1e-9))
+  }
+
+  test("bruteForceTopK returns k ranked neighbours, self first") {
+    val q = emb.where($"vec_id" < 3)
+    val top = Similarity.bruteForceTopK(emb, q, "embedding", "vec_id",
+      "vec_id", k = 5)
+    val rows = top.collect()
+    assert(rows.length == 15)
+    val self = rows.filter(r => r.getAs[Long]("query_id") ==
+      r.getAs[Long]("corpus_id"))
+    assert(self.length == 3 && self.forall(_.getAs[Int]("rank") == 1))
+  }
+
+  test("lshTopK recall against brute force is reasonable") {
+    val q = emb.where($"vec_id" < 8)
+    val exact = Similarity.bruteForceTopK(emb, q, "embedding", "vec_id",
+      "vec_id", k = 5).select($"query_id", $"corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.lshTopK(emb, q, "embedding", "vec_id",
+      "vec_id", k = 5, planes = 6).select($"query_id", $"corpus_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.3, s"recall=$recall") // multi-probe 1-bit, 6 planes
+  }
+
+  test("ivfTopK matches brute force for most queries at high nprobe") {
+    val q = emb.where($"vec_id" < 8)
+    val exact = Similarity.bruteForceTopK(emb, q, "embedding", "vec_id",
+      "vec_id", k = 3).select($"query_id", $"corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(emb, q, "embedding", "vec_id", "vec_id",
+      k = 3, nlist = 4, nprobe = 4).select($"query_id", $"corpus_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // nprobe == nlist probes everything -> identical to brute force
+    assert(ivf == exact)
+  }
+
+  test("hyperplane bucketing is deterministic and spreads vectors") {
+    val b1 = emb.select(Similarity.hyperplaneBucket($"embedding", 8, 42)
+      .as("b")).collect().map(_.getLong(0))
+    val b2 = emb.select(Similarity.hyperplaneBucket($"embedding", 8, 42)
+      .as("b")).collect().map(_.getLong(0))
+    assert(b1.toSeq == b2.toSeq)
+    assert(b1.distinct.length > 10)
+  }
+}

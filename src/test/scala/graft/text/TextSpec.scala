@@ -1,0 +1,92 @@
+package graft.text
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class TextSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+    (3L, "the quick brown fox leaps over the lazy dog"), // near dup of 1
+    (4L, "el rapido zorro marron salta sobre el perro y la casa"),
+    (5L, "der schnelle braune fuchs springt über den faulen hund und die"),
+    (6L, "completely different words about spark query engines and joins"),
+    (7L, "  THE  Quick   Brown FOX jumps over the lazy dog "))
+    .toDF("doc_id", "text")
+
+  test("tokenCount and subwordCount") {
+    val r = docs.select($"doc_id", TextAnalysis.tokenCount($"text"))
+      .orderBy($"doc_id").collect()
+    assert(r(0).getInt(1) == 9)
+    assert(r(6).getInt(1) == 9) // multi-space normalized by trim/split
+  }
+
+  test("languageId picks the evident language") {
+    val r = docs.select($"doc_id", TextAnalysis.languageId($"text"))
+      .orderBy($"doc_id").collect().map(_.getString(1))
+    assert(r(0) == "en" && r(3) == "es" && r(4) == "de")
+    val zh = Seq((8L, "这是一个中文句子")).toDF("doc_id", "text")
+      .select(TextAnalysis.languageId($"text")).head().getString(0)
+    assert(zh == "zh")
+  }
+
+  test("fingerprint is whitespace/case-insensitive") {
+    val r = docs.select($"doc_id", TextAnalysis.fingerprint($"text"))
+      .orderBy($"doc_id").collect()
+    assert(r(0).getLong(1) == r(6).getLong(1)) // doc 7 normalizes to doc 1
+    assert(r(0).getLong(1) != r(2).getLong(1))
+  }
+
+  test("exact dedup keeps min id per content") {
+    val kept = Dedup.exact(docs, "text", "doc_id")
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(!kept.contains(2L)) // dup of 1
+    assert(!kept.contains(7L)) // normalized dup of 1
+    assert(kept.contains(1L) && kept.contains(3L) && kept.contains(6L))
+  }
+
+  test("minhash LSH finds the near-dup pair and skips unrelated") {
+    val pairs = Dedup.minhashCandidates(docs, "text", "doc_id",
+      numHashes = 16, bands = 8, minJaccard = 0.3)
+      .select($"id_a", $"id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 3L)) || pairs.contains((1L, 2L)),
+      s"expected near-dups, got $pairs")
+    assert(!pairs.contains((1L, 6L)))
+    assert(!pairs.contains((4L, 5L)))
+  }
+
+  test("simhash: identical texts equal, near-dups close, unrelated far") {
+    val sh = docs.select($"doc_id", Dedup.simhash($"text", 32).as("s"))
+      .orderBy($"doc_id").collect().map(_.getLong(1))
+    assert(sh(0) == sh(1))
+    val near = java.lang.Long.bitCount(sh(0) ^ sh(2))
+    val far = java.lang.Long.bitCount(sh(0) ^ sh(5))
+    assert(near < far, s"near=$near far=$far")
+  }
+
+  test("ngram jaccard pairs rank the true near-dup highest") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+      minJaccard = 0.0)
+      .orderBy($"jaccard".desc).collect()
+    val top = pairs.filter(r => r.getDouble(2) < 1.0).head
+    assert(Set(top.getLong(0), top.getLong(1)) == Set(1L, 3L) ||
+      Set(top.getLong(0), top.getLong(1)) == Set(3L, 7L))
+  }
+
+  test("quality score is higher for clean prose than word soup") {
+    val clean = Seq((1L, ("the cat sat on the mat and it was a good day " +
+      "for all of the cats in this town") * 3)).toDF("doc_id", "text")
+    val soup = Seq((2L, "zx qwv bnm pqr !!! ;;; ::: ??? jkl mno " * 5))
+      .toDF("doc_id", "text")
+    val qc = clean.select(TextAnalysis.qualityScore($"text"))
+      .head().getDouble(0)
+    val qs = soup.select(TextAnalysis.qualityScore($"text"))
+      .head().getDouble(0)
+    assert(qc > qs, s"clean=$qc soup=$qs")
+  }
+}
