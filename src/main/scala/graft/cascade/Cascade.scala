@@ -49,6 +49,20 @@ object Cascade {
 
   // ------------------------------------------------------------- disagg
 
+  /** 8-row lookup table for one level's statistics: (ba, bt) ->
+    * p01, p10, cumulative weight CDF. Broadcast-joined — tiny generated
+    * code per level instead of 56-branch when-chains (whose janino
+    * compile time dominated deep cascades). */
+  private def statsLookup(spark: org.apache.spark.sql.SparkSession,
+      stats: CascadeStatistics): DataFrame = {
+    import spark.implicits._
+    val cum = stats.wxxCum
+    val rows = for (b <- 0 until 2; t <- 1 to 4) yield
+      (b, t, stats.p01(b)(t - 1), stats.p10(b)(t - 1),
+        (0 until 7).map(k => cum(k)(b)(t - 1)))
+    rows.toDF("ba", "bt", "p01", "p10", "wcum")
+  }
+
   /** One cascade level: each box at `idx` becomes two children
     * (idx*2, idx*2+1). `stats` supplies matrices + the level threshold. */
   private def disaggLevel(df: DataFrame, stats: CascadeStatistics,
@@ -67,22 +81,26 @@ object Cascade {
     val rndw = uniformHash(seed * 31 + level + 7919,
       (col("idx") +: partitionCols.map(col)): _*)
 
-    val p01 = mat(stats.p01, ba, col("bt"))
-    val p10 = mat(stats.p10, ba, col("bt"))
-    val cum = stats.wxxCum
-    var w1: Column = lit(CascadeStatistics.wClassCenters(6)) // fallback
-    for (k <- 6 to 0 by -1)
-      w1 = when(col("rndw") <= mat(cum(k), ba, col("bt")),
-        CascadeStatistics.wClassCenters(k)).otherwise(w1)
+    val centers = CascadeStatistics.wClassCenters
+    // first class whose cumulative weight covers the draw (break-on-first)
+    val w1 = coalesce(
+      element_at(array(centers.map(lit(_)): _*),
+        try_element_at(
+          filter(sequence(lit(1), lit(7)),
+            k => col("rndw") <= element_at(col("wcum"), k)), lit(1))),
+      lit(centers(6)))
 
     val staged = df
       .withColumn("bt", bt)
+      .withColumn("ba", ba)
       .withColumn("rndw", rndw)
+      .join(broadcast(statsLookup(df.sparkSession, stats)),
+        Seq("ba", "bt"), "left")
       .withColumn("w1", w1)
       .withColumn("children",
         when(!wet, array(lit(0.0), lit(0.0)))
-        .when(rndp <= p01, array(lit(0.0), v))
-        .when(rndp <= p01 + p10, array(v, lit(0.0)))
+        .when(rndp <= col("p01"), array(lit(0.0), v))
+        .when(rndp <= col("p01") + col("p10"), array(v, lit(0.0)))
         .otherwise(array(col("w1") * v, (lit(1.0) - col("w1")) * v)))
 
     staged
@@ -131,8 +149,9 @@ object Cascade {
         case Right(list) => (list(siVar), list(siVar).threshold(0))
       }
       cur = disaggLevel(cur, lvlStats, meanvol, l, seed, partitionCols)
-      // keep the lineage shallow and plans small on deep cascades
-      if (l % 4 == 0) cur = cur.localCheckpoint(true)
+      // keep optimizer time bounded on deep (5-min) cascades without
+      // forcing extra materializations on the common hourly path
+      if (l % 6 == 0) cur = cur.localCheckpoint(true)
     }
 
     val out: DataFrame = if (hourly) {

@@ -129,8 +129,10 @@ object TextQueriesImpl {
         |FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin) {
       (s, dir) =>
       val sh = table(s, dir, "documents")
+        .withColumn("toks_", TextAnalysis.tokens(lower(col("text"))))
         .select(col("doc_id"),
-          explode(TextAnalysis.wordShingles(col("text"), 3)).as("s"))
+          explode(TextAnalysis.shinglesFromTokens(col("toks_"), 3))
+            .as("s"))
       sh.groupBy(col("doc_id"))
         .agg(
           min(md5(to_binary(concat(col("s"), lit("#0")), lit("utf-8"))))
@@ -200,19 +202,25 @@ object TextQueriesImpl {
         |ORDER BY jaccard DESC, id_a, id_b LIMIT 100""".stripMargin) {
       (s, dir) =>
       val docs = table(s, dir, "documents")
-      val sh = docs.select(col("doc_id"), col("lang"), col("source"),
-        array_distinct(TextAnalysis.wordShingles(col("text"), 3)).as("g"))
+      // hashed distinct shingles: long-array intersection is far cheaper
+      // than string arrays and the SIZES (all the oracle needs) match
+      val sh = docs
+        .withColumn("toks_", TextAnalysis.tokens(lower(col("text"))))
+        .select(col("doc_id"), col("lang"), col("source"),
+          array_distinct(transform(
+            TextAnalysis.shinglesFromTokens(col("toks_"), 3),
+            x => xxhash64(x))).as("g"))
       val a = sh.select(col("lang"), col("source"),
         col("doc_id").as("id_a"), col("g").as("ga"))
       val b = sh.select(col("lang"), col("source"),
         col("doc_id").as("id_b"), col("g").as("gb"))
-      val inter = size(array_intersect(col("ga"), col("gb")))
-        .cast("double")
-      val jac = inter / (size(col("ga")) + size(col("gb")) -
-        size(array_intersect(col("ga"), col("gb"))))
-      a.join(b, Seq("lang", "source"))
+      val paired = a.join(b, Seq("lang", "source"))
         .where(col("id_a") < col("id_b"))
-        .withColumn("jaccard", round(jac, 6))
+        .withColumn("ni",
+          size(array_intersect(col("ga"), col("gb"))).cast("double"))
+      paired
+        .withColumn("jaccard", round(col("ni") /
+          (size(col("ga")) + size(col("gb")) - col("ni")), 6))
         .select(col("id_a"), col("id_b"), col("jaccard"))
         .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))
         .limit(100)

@@ -33,27 +33,54 @@ object Dedup {
   /** Near-duplicate candidate pairs via MinHash+LSH: band-bucket
     * equi-join, then exact shingle-set Jaccard on the candidates only.
     * Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= minJaccard.
-    */
+    *
+    * Plan shape (the 100 TB-safe version): shingles explode once, ONE
+    * groupBy computes all `numHashes` min-aggregates (map-side combined,
+    * linear in corpus size — no nested per-row recomputation), banding is
+    * tiny array math on the signature, and the full shingle arrays join
+    * back only for the (rare) bucket-collision candidates. */
   def minhashCandidates(df: DataFrame, textCol: String, idCol: String,
       numHashes: Int = 16, bands: Int = 4, k: Int = 3,
       minJaccard: Double = 0.5): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val sig = df.select(col(idCol),
-      TextAnalysis.wordShingles(col(textCol), k).as("shingles"),
-      minhashSignature(col(textCol), numHashes, k).as("sig"))
-    val banded = sig.select(col(idCol), col("shingles"),
+    val shingled = df
+      .withColumn("toks_", TextAnalysis.tokens(lower(col(textCol))))
+      .select(col(idCol),
+        TextAnalysis.shinglesFromTokens(col("toks_"), k).as("shingles"))
+    val exploded = shingled.select(col(idCol),
+      explode(col("shingles")).as("s"))
+    val minAggs = (0 until numHashes).map(i =>
+      min(xxhash64(lit(i), col("s"))).as(s"h$i"))
+    val sig = exploded.groupBy(col(idCol))
+      .agg(minAggs.head, minAggs.tail: _*)
+      .select(col(idCol),
+        array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
+    val banded = sig.select(col(idCol),
       posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
         xxhash64(b, concat_ws(",",
           slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))))
       .withColumnRenamed("col", "bucket")
-    val a = banded.select(col("bucket"), col(idCol).as("id_a"),
-      col("shingles").as("sh_a"))
-    val b = banded.select(col("bucket"), col(idCol).as("id_b"),
-      col("shingles").as("sh_b"))
-    a.join(b, Seq("bucket"))
+    val candidates = banded.select(col("bucket"), col(idCol).as("id_a"))
+      .join(banded.select(col("bucket"), col(idCol).as("id_b")),
+        Seq("bucket"))
       .where(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
-      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    // verify on hashed distinct shingles: long-array intersection sizes
+    // equal the string-set sizes (64-bit collisions are negligible) at a
+    // fraction of the comparison cost
+    val hashed = shingled.select(col(idCol),
+      array_distinct(transform(col("shingles"), s => xxhash64(s)))
+        .as("gh"))
+    candidates
+      .join(hashed.select(col(idCol).as("id_a"), col("gh").as("gh_a")),
+        Seq("id_a"))
+      .join(hashed.select(col(idCol).as("id_b"), col("gh").as("gh_b")),
+        Seq("id_b"))
+      .withColumn("ni",
+        size(array_intersect(col("gh_a"), col("gh_b"))).cast("double"))
+      .withColumn("jaccard", col("ni") /
+        (size(col("gh_a")) + size(col("gh_b")) - col("ni")))
       .where(col("jaccard") >= minJaccard)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }

@@ -91,13 +91,20 @@ object TextAnalysis {
     array_min(transform(sh, s => xxhash64(s)))
   }
 
-  /** word k-grams of the lowercased text (1-based; short texts yield one
-    * truncated shingle — try_element_at so out-of-range reads are null,
-    * matching SQL list indexing under ANSI mode) */
-  def wordShingles(text: Column, k: Int = 3): Column = {
-    val t = tokens(lower(text))
+  /** word k-grams from an already-materialized token array column.
+    * IMPORTANT for plans: pass a bound column (e.g. via withColumn), not
+    * an inline `split` expression — the lambda body re-evaluates its
+    * captured expressions per element, so an inlined split would cost
+    * O(tokens²) per row. With an attribute reference it's O(tokens). */
+  def shinglesFromTokens(t: Column, k: Int = 3): Column =
     transform(sequence(lit(1), greatest(size(t) - (k - 1), lit(1))),
       j => concat_ws(" ",
         (0 until k).map(o => try_element_at(t, j + o)): _*))
-  }
+
+  /** word k-grams of the lowercased text (1-based; short texts yield one
+    * truncated shingle — try_element_at so out-of-range reads are null,
+    * matching SQL list indexing under ANSI mode). Convenience form; for
+    * hot paths materialize tokens first and use shinglesFromTokens. */
+  def wordShingles(text: Column, k: Int = 3): Column =
+    shinglesFromTokens(tokens(lower(text)), k)
 }
