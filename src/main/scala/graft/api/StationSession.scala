@@ -130,10 +130,15 @@ final class StationSession(
   }
 
   /** Station.interpolate (station.py:403-437): scatter daily columns to
-    * their hours, reindex to the hourly grid, linear interpolation with
-    * the pandas row-spacing semantics. */
-  def interpolate(columnHours: Map[String, Int], limit: Int = 24)
-      : DataFrame = {
+    * their hours, reindex to the hourly grid, interpolate.
+    *
+    * `method`: "linear" (window-based, pandas row-spacing + the
+    * limit_direction='both' default) or "cubic" (knots collected to the
+    * driver — calibration-scale — fitted with commons-math3's natural
+    * cubic spline and evaluated as a broadcast closure; boundary
+    * conditions differ slightly from scipy's not-a-knot). */
+  def interpolate(columnHours: Map[String, Int], method: String = "linear",
+      limit: Int = 24): DataFrame = {
     val scattered = columnHours.map { case (c, h) =>
       dailyData.select(
         (col("date").cast("timestamp") +
@@ -142,8 +147,45 @@ final class StationSession(
     }.reduce(_ unionByName _)
     val grid = TimeSeries.hourlyIndex(dailyData)
     val joined = grid.join(scattered, Seq("timestamp"), "left")
-    TimeSeries.interpolateLinear(joined, "timestamp", "v", limit,
-      partitionCols, byRow = true)
+    method match {
+      case "linear" =>
+        TimeSeries.interpolateLinear(joined, "timestamp", "v", limit,
+          partitionCols, byRow = true, limitDirection = "both")
+      case "cubic" =>
+        val knots = joined.where(col("v").isNotNull)
+          .select(unix_timestamp(col("timestamp")).as("x"), col("v"))
+          .orderBy(col("x")).collect()
+        val xs = knots.map(_.getLong(0).toDouble)
+        val ys = knots.map(_.getDouble(1))
+        require(xs.length >= 3, "cubic interpolation needs >= 3 knots")
+        val spline = new org.apache.commons.math3.analysis.interpolation
+          .SplineInterpolator().interpolate(xs, ys)
+        // PolynomialSplineFunction isn't serializable — ship knots +
+        // piecewise coefficients and evaluate with Horner on executors
+        val knotsArr = spline.getKnots
+        val coefs = spline.getPolynomials.map(_.getCoefficients)
+        val bc = spark.sparkContext.broadcast((knotsArr, coefs))
+        val evalUdf = udf { (ts: Long) =>
+          val (kn, cs) = bc.value
+          val x = ts.toDouble
+          if (x < kn.head || x > kn.last) None
+          else {
+            var i = java.util.Arrays.binarySearch(kn, x)
+            if (i < 0) i = -i - 2
+            if (i >= cs.length) i = cs.length - 1
+            val d = x - kn(i)
+            val c = cs(i)
+            var acc = 0.0
+            var j = c.length - 1
+            while (j >= 0) { acc = acc * d + c(j); j -= 1 }
+            Some(acc)
+          }
+        }
+        joined.withColumn("v",
+          when(col("v").isNotNull, col("v"))
+            .otherwise(evalUdf(unix_timestamp(col("timestamp")))))
+      case other => throw new IllegalArgumentException(other)
+    }
   }
 
   // ------------------------------------------------------------ calc_*
@@ -202,4 +244,46 @@ final class StationSession(
   def withStats(s: StationStats): StationSession =
     new StationSession(spark, station, dailyData, hourlyObs, s,
       partitionCols)
+
+  /** calc_radiation_stats with month-range fitting
+    * (stationstatistics.py:137-192): Angstroem (a,b) when daily ssd is
+    * present, Bristow-Campbell (a,c) when tmin/tmax are —
+    * how = all | seasonal | monthly controls the month grouping. */
+  def calibrateRadiation(how: String = "all"): StationSession = {
+    val obs = hourlyObs.getOrElse(throw new IllegalStateException(
+      "calibrateRadiation() needs hourlyObs"))
+    require(obs.columns.contains("glob"), "needs hourly glob")
+    val monthRanges: Seq[Seq[Int]] = how match {
+      case "all" => Seq(1 to 12)
+      case "seasonal" =>
+        Seq(Seq(3, 4, 5), Seq(6, 7, 8), Seq(9, 10, 11), Seq(12, 1, 2))
+      case "monthly" => (1 to 12).map(Seq(_))
+      case other => throw new IllegalArgumentException(other)
+    }
+    val potDaily = potentialRadiation()
+      .groupBy(to_date(col("timestamp")).as("date"))
+      .agg(avg(col("pot_rad")).as("pot"))
+    val obsDaily = obs.groupBy(to_date(col("timestamp")).as("date"))
+      .agg(avg(col("glob")).as("obs"))
+    val base = dailyWithSun.join(potDaily, "date").join(obsDaily, "date")
+
+    val dcols = dailyData.columns.toSet
+    var angstroem = stats.glob.angstroem
+    var bristcamp = stats.glob.bristcamp
+    monthRanges.foreach { months =>
+      val sub = base.where(month(col("date")).isin(months: _*))
+      if (dcols("ssd")) {
+        val (a, b) = Fitting.fitAngstroem(sub.select(col("ssd"),
+          col("daylength"), col("pot"), col("obs")))
+        months.foreach(m => angstroem = angstroem.updated(m, (a, b)))
+      }
+      if (dcols("tmin") && dcols("tmax")) {
+        val (a, c) = Fitting.fitBristowCampbell(sub.select(col("date"),
+          col("tmin"), col("tmax"), col("pot"), col("obs")))
+        months.foreach(m => bristcamp = bristcamp.updated(m, (a, c)))
+      }
+    }
+    withStats(stats.copy(glob = stats.glob.copy(
+      angstroem = angstroem, bristcamp = bristcamp)))
+  }
 }

@@ -138,7 +138,8 @@ object TimeSeries {
     */
   def interpolateLinear(df: DataFrame, tsCol: String, valueCol: String,
       limit: Int, partitionCols: Seq[String] = Nil,
-      byRow: Boolean = false): DataFrame = {
+      byRow: Boolean = false, limitDirection: String = "forward")
+      : DataFrame = {
     def base = if (partitionCols.isEmpty) Window.orderBy(col(tsCol))
       else Window.partitionBy(partitionCols.map(col): _*).orderBy(col(tsCol))
     val wPrev = base.rowsBetween(Window.unboundedPreceding, 0)
@@ -164,10 +165,23 @@ object TimeSeries {
           prevT.cast("timestamp").cast("double")) /
         (nextT.cast("timestamp").cast("double") -
           prevT.cast("timestamp").cast("double"))
-    val interp = when(v.isNotNull, v)
-      .when(prevV.isNotNull && nextV.isNotNull && dist <= limit,
-        prevV + (nextV - prevV) * frac)
-      .when(prevV.isNotNull && nextV.isNull && dist <= limit, prevV)
+    val distNext = nextRn - rn
+    val interp =
+      if (limitDirection == "both")
+        // pandas limit_direction='both': interior gaps fill from either
+        // end within `limit`; leading NaNs backfill, trailing forward-fill
+        when(v.isNotNull, v)
+          .when(prevV.isNotNull && nextV.isNotNull &&
+            (dist <= limit || distNext <= limit),
+            prevV + (nextV - prevV) * frac)
+          .when(prevV.isNotNull && nextV.isNull && dist <= limit, prevV)
+          .when(prevV.isNull && nextV.isNotNull && distNext <= limit,
+            nextV)
+      else
+        when(v.isNotNull, v)
+          .when(prevV.isNotNull && nextV.isNotNull && dist <= limit,
+            prevV + (nextV - prevV) * frac)
+          .when(prevV.isNotNull && nextV.isNull && dist <= limit, prevV)
     df.withColumn(valueCol, interp)
   }
 }
