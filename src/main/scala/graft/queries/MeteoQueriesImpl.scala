@@ -237,12 +237,18 @@ object MeteoQueriesImpl {
         |  MAX(EXTRACT(hour FROM ts)) AS hour_of_max
         |FROM events JOIN daily ON CAST(ts AS DATE) = d AND value = mv
         |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      // two hash aggregates + a join: max(struct) would plan as
+      // non-codegen SortAggregate with two extra sorts
       val ev = table(s, dir, "events")
-      ev.groupBy(col("ts").cast("date").as("date"))
-        .agg(max(struct(col("value"), hour(col("ts")).cast("long")
-          .as("h"))).as("mx"))
+        .select(col("ts").cast("date").as("date"),
+          hour(col("ts")).cast("long").as("h"), col("value"))
+      val daily = ev.groupBy(col("date")).agg(max(col("value")).as("mv"))
+      ev.join(daily, "date")
+        .where(col("value") === col("mv"))
+        .groupBy(col("date"))
+        .agg(max(col("h")).as("hour_of_max"))
         .select(date_format(col("date"), "yyyy-MM-dd").as("day"),
-          col("mx.h").as("hour_of_max"))
+          col("hour_of_max"))
         .orderBy(col("day"))
     }
 
