@@ -64,7 +64,12 @@ object Formats {
   /** write_smet (data_io.py:228-307): header + fixed 2-decimal table,
     * nodata fill, optional all-NaN column drop. Single ordered text file
     * (driver-composed header, executor-formatted rows collected —
-    * SMET sinks are per-station sized). */
+    * SMET sinks are per-station sized).
+    *
+    * Intentional divergence: the reference's daily write dict swaps
+    * tmin→TMAX / tmax→TMIN (data_io.py:251-253, a bug — its own reader
+    * maps TMAX→tmax, so reference-written daily files round-trip with
+    * min/max exchanged). We write the correct mapping. */
   def writeSmet(df: DataFrame, path: String,
       metadata: Map[String, String], nodataValue: Double = -999,
       mode: String = "h", checkNan: Boolean = true): Unit = {

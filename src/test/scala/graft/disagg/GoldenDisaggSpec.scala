@@ -151,6 +151,11 @@ class GoldenDisaggSpec extends AnyFunSuite {
     humGolden("dewpoint_regression", "hum_dewpoint_regression_preserve",
       preserve = true)
   }
+  test("hum linear_dewpoint_variation kr=6") {
+    val got = Humidity.disaggregate(daily, "linear_dewpoint_variation",
+      hourlyTemp = refTempSine, a0 = a0, a1 = a1, kr = 6)
+    assertGolden(got, "hum", "hum_linear_dewpoint_variation_kr6")
+  }
 
   // ------------------------------------------------------------------- wind
 

@@ -95,6 +95,21 @@ units_multiplier = 1 1 0.01 1
     assert(rows(2).isNullAt(rows(2).fieldIndex("precip")))
   }
 
+  test("readDwd hourly parses yyyyMMddHH stamps") {
+    val f = tmp("dwdh", """STATIONS_ID; MESS_DATUM;LUFTTEMPERATUR;REL_FEUCHTE
+44; 2016010100;    1.0;  80
+44; 2016010101;    2.0;  75
+44; eor
+""")
+    val df = Formats.readDwd(spark, Seq(f), mode = "h")
+    val rows = df.orderBy($"timestamp").collect()
+    assert(rows.length == 2)
+    assert(rows(1).getAs[java.sql.Timestamp]("timestamp").toString
+      .startsWith("2016-01-01 01:00"))
+    assert(math.abs(rows(1).getAs[Double]("tmean") - 275.15) < 1e-9)
+    assert(rows(1).getAs[Double]("hum") == 75.0)
+  }
+
   test("readKnmi converts units and shifts the hour") {
     val hdr = (1 to 31).map(i => s"# comment line $i").mkString("\n")
     val path = tmp("knmi", s"""$hdr
