@@ -119,14 +119,38 @@ object Formats {
     "WINDGESCHWINDIGKEIT" -> "wind",
     "SONNENSCHEINDAUER" -> "sun_h")
 
+  /** DWD station metadata header (data_io.py:138-151): last valid row of
+    * the `;`-separated metadata file -> id, name, lat (Breite), lon
+    * (Laenge). Driver-side — the file is a handful of rows. */
+  def readDwdMetadata(path: String): Map[String, String] = {
+    val lines = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(path)).asScala
+      .map(_.trim).filter(_.nonEmpty)
+    require(lines.size >= 2, s"no metadata rows in $path")
+    val cols = lines.head.split(";").map(_.trim)
+    val last = lines.last.split(";").map(_.trim)
+    val byName = cols.zip(last).toMap
+    Map(
+      "Stations_id" -> byName.getOrElse("Stations_id", last(0)),
+      "Stationsname" -> byName.getOrElse("Stationsname", ""),
+      "Breite" -> last.lift(2).getOrElse(""),
+      "Laenge" -> last.lift(3).getOrElse(""))
+  }
+
   /** read_dwd (data_io.py:107-225): `;`-separated, na -999, MESS_DATUM
     * daily yyyyMMdd / hourly yyyyMMddHH, German→canonical renames, °C→K,
     * unknown columns dropped; multi-file variants outer-join on the
-    * timestamp. `skipLast` drops the trailing summary line. */
+    * timestamp. `skipLast` drops the trailing summary line. Pass
+    * `metadataPath` to also get the station header. */
   def readDwd(spark: SparkSession, paths: Seq[String], mode: String = "d",
       skipLast: Boolean = true): DataFrame =
     paths.map(readSingleDwd(spark, _, mode, skipLast))
       .reduce((a, b) => a.join(b, Seq("timestamp"), "outer"))
+
+  def readDwdWithMetadata(spark: SparkSession, paths: Seq[String],
+      metadataPath: String, mode: String = "d", skipLast: Boolean = true)
+      : (Map[String, String], DataFrame) =
+    (readDwdMetadata(metadataPath), readDwd(spark, paths, mode, skipLast))
 
   private def readSingleDwd(spark: SparkSession, path: String,
       mode: String, skipLast: Boolean): DataFrame = {

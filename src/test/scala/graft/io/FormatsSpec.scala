@@ -95,6 +95,17 @@ units_multiplier = 1 1 0.01 1
     assert(rows(2).isNullAt(rows(2).fieldIndex("precip")))
   }
 
+  test("readDwdMetadata picks the last valid station row") {
+    val meta = tmp("dwdmeta",
+      """Stations_id; von_datum; Geogr.Breite; Geogr.Laenge; Stationsname
+44; 19500101; 51.10; 8.90; Alt Standort
+44; 20000101; 51.00; 8.86; Neuer Standort
+""")
+    val h = Formats.readDwdMetadata(meta)
+    assert(h("Stations_id") == "44")
+    assert(h("Breite") == "51.00" && h("Laenge") == "8.86")
+  }
+
   test("readDwd hourly parses yyyyMMddHH stamps") {
     val f = tmp("dwdh", """STATIONS_ID; MESS_DATUM;LUFTTEMPERATUR;REL_FEUCHTE
 44; 2016010100;    1.0;  80
