@@ -153,6 +153,18 @@ class CascadeSpec extends AnyFunSuite {
     }
   }
 
+  test("per-level stats list drives disaggregation (avg_stats=false)") {
+    val Right(levels) = Cascade.buildCasc(hourlyPrecip, hourly = true,
+      percentile = 90, avgStats = false).head : @unchecked
+    val daily = dailyFixture
+    val out = Cascade.disaggregate(daily, Right(levels), seed = 3L)
+    val sums = out.groupBy(to_date($"timestamp").as("date"))
+      .agg(sum($"precip").as("s"))
+    val bad = daily.join(sums, "date")
+      .where($"precip".isNotNull && abs($"s" - $"precip") > 1e-9)
+    assert(bad.count() == 0)
+  }
+
   test("shift lags the series") {
     val daily = dailyFixture.limit(10)
     val out = Cascade.disaggregate(daily,
