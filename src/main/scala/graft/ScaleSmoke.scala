@@ -1,0 +1,71 @@
+package graft
+
+import graft.agg.Aggregations
+import graft.cascade.{Cascade, CascadeStatistics}
+import graft.disagg.Temperature
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Multi-station scale smoke: synthesize N stations × Y years of hourly
+  * data with expressions (no driver data), then run the station-partitioned
+  * pipeline — daily aggregation, temperature disaggregation, cascade —
+  * and print row counts + timings. `runMain graft.ScaleSmoke [stations]
+  * [years]`. This is the shape that scales to a 1000-executor cluster:
+  * all windows keyed by station_id, no driver loops, no collects beyond
+  * tiny matrices. */
+object ScaleSmoke {
+  def main(args: Array[String]): Unit = {
+    val stations = args.headOption.map(_.toInt).getOrElse(100)
+    val years = args.lift(1).map(_.toInt).getOrElse(3)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val days = years * 365
+    def t(label: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"$label%-28s ${(System.nanoTime() - t0) / 1e9}%7.1f s  " +
+        f"$n%,d rows")
+    }
+
+    val dailyMet = spark.range(0, stations.toLong * days, 1, 32)
+      .select(
+        concat(lit("st"), (col("id") / days).cast("long")).as("station_id"),
+        date_add(lit(java.sql.Date.valueOf("2016-01-01")),
+          (col("id") % days).cast("int")).as("date"),
+        (sin(col("id") / 58.1) * 8 + 278).as("tmin"),
+        (sin(col("id") / 58.1) * 8 + 286).as("tmax"),
+        when(pmod(col("id"), lit(3)) === 0,
+          pmod(col("id"), lit(17)).cast("double")).otherwise(0.0)
+          .as("precip"))
+      .localCheckpoint(true)
+
+    println(s"$stations stations x $years years = " +
+      f"${stations.toLong * days}%,d daily rows " +
+      f"(${stations.toLong * days * 24}%,d hourly)")
+
+    t("temperature sine_min_max") {
+      Temperature.disaggregate(dailyMet, "sine_min_max", "fix",
+        partitionCols = Seq("station_id")).count()
+    }
+    t("cascade hourly") {
+      Cascade.disaggregate(dailyMet,
+        Left(CascadeStatistics.sampleData()),
+        partitionCols = Seq("station_id")).count()
+    }
+    t("daily_from_hourly roundtrip") {
+      val hourly = graft.core.TimeSeries.explodeDays(
+        dailyMet.withColumnRenamed("tmin", "temp"), "date", 24,
+        3600L * 1000000L)
+      Aggregations.dailyFromHourly(hourly,
+        partitionCols = Seq("station_id")).count()
+    }
+    spark.stop()
+  }
+}
