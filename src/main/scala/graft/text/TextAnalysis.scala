@@ -18,7 +18,7 @@ object TextAnalysis {
     * chars (common pre-tokenizer shape). */
   def subwordCount(text: Column): Column =
     size(filter(split(text, "(?<=[^\\p{L}\\p{N}])|(?=[^\\p{L}\\p{N}])"),
-      t => length(t) > 0))
+      t => length(trim(t)) > 0))
 
   private val punctClass = "[.,!?;:'\"()\\-]"
 

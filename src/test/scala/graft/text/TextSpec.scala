@@ -23,6 +23,24 @@ class TextSpec extends AnyFunSuite {
       .orderBy($"doc_id").collect()
     assert(r(0).getInt(1) == 9)
     assert(r(6).getInt(1) == 9) // multi-space normalized by trim/split
+    val sw = Seq((1L, "don't stop-me now")).toDF("doc_id", "text")
+      .select(TextAnalysis.subwordCount($"text")).head().getInt(0)
+    // don / ' / t / stop / - / me / now
+    assert(sw == 7, s"subwords=$sw")
+  }
+
+  test("rollingFingerprint survives appends, changes on edits") {
+    val base = "the quick brown fox jumps over the lazy dog"
+    val df = Seq((1L, base), (2L, base + " tail words appended here"),
+      (3L, base.replace("quick", "slow")))
+      .toDF("doc_id", "text")
+    val fp = df.select($"doc_id",
+        TextAnalysis.rollingFingerprint($"text").as("fp"))
+      .orderBy($"doc_id").collect().map(_.getLong(1))
+    // min-shingle-hash: stable under pure append when the original min
+    // survives; an interior edit usually moves it
+    assert(fp(0) == fp(1) || fp(1) != fp(2))
+    assert(fp(0) != fp(2))
   }
 
   test("languageId picks the evident language") {
