@@ -73,14 +73,17 @@ object Aggregations {
     joined.groupBy(keys: _*).agg(avg(col(humCol)).as("mean_hum"))
   }
 
-  /** Hour-of-daily-maximum (temperature.py:280-282 idxmax) via max_by. */
+  /** Hour-of-daily-maximum (temperature.py:280-282 idxmax). pandas idxmax
+    * returns the FIRST max occurrence, so ties break to the earliest hour:
+    * min(struct(-value, hour)) is deterministic where max_by is not. */
   def hourOfDailyMax(hourly: DataFrame, valueCol: String,
       tsCol: String = "timestamp", partitionCols: Seq[String] = Nil)
       : DataFrame = {
     val keys = partitionCols.map(col) :+ to_date(col(tsCol)).as("date")
     hourly.where(col(valueCol).isNotNull)
       .groupBy(keys: _*)
-      .agg(max_by(hour(col(tsCol)), col(valueCol)).as("hour_of_max"))
+      .agg(min(struct(negate(col(valueCol)).as("nv"),
+        hour(col(tsCol)).as("h"))).getField("h").as("hour_of_max"))
   }
 
   /** Exact closed-form simple linear regression y = a1*x + a0 from one

@@ -42,9 +42,12 @@ object CascadeQueriesImpl {
         |      ELSE 4 END AS bt
         |  FROM paired)
         |SELECT ba, bt, COUNT(*) AS nb,
-        |  SUM(CASE WHEN r1 <= 0 AND r2 > 0 THEN 1 ELSE 0 END) AS n01,
-        |  SUM(CASE WHEN r1 > 0 AND r2 <= 0 THEN 1 ELSE 0 END) AS n10,
-        |  SUM(CASE WHEN r1 > 0 AND r2 > 0 THEN 1 ELSE 0 END) AS nxx
+        |  CAST(SUM(CASE WHEN r1 <= 0 AND r2 > 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n01,
+        |  CAST(SUM(CASE WHEN r1 > 0 AND r2 <= 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n10,
+        |  CAST(SUM(CASE WHEN r1 > 0 AND r2 > 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS nxx
         |FROM cls WHERE v > 0 GROUP BY ba, bt ORDER BY ba, bt""".stripMargin) {
       (s, dir) =>
       val src = table(s, dir, "events")

@@ -164,12 +164,16 @@ object TextQueriesImpl {
               s"(CASE WHEN v$k > 0 THEN '1' ELSE '0' END)")
               .mkString(" || ")} AS simhash
          |FROM votes ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      // md5 is materialized ONCE per token row; the 16 bit-votes are
+      // cheap substring tests over that column (was: 16 md5 calls/row)
       val toks = table(s, dir, "documents")
         .select(col("doc_id"),
           explode(TextAnalysis.tokens(lower(col("text")))).as("t"))
+        .select(col("doc_id"),
+          md5(to_binary(col("t"), lit("utf-8"))).as("m"))
       val voteAggs = (0 until 16).map { k =>
-        sum(when(substring(md5(to_binary(col("t"), lit("utf-8"))),
-          k + 1, 1).isin("8", "9", "a", "b", "c", "d", "e", "f"), 1)
+        sum(when(substring(col("m"), k + 1, 1)
+          .isin("8", "9", "a", "b", "c", "d", "e", "f"), 1)
           .otherwise(-1)).as(s"v$k")
       }
       val votes = toks.groupBy(col("doc_id"))
@@ -229,7 +233,7 @@ object TextQueriesImpl {
     // xxhash64-based scale paths: spec-tested, rows-only at the gate
     registerRowsOnly("q68_minhash_lsh_neardups") { (s, dir) =>
       Dedup.minhashCandidates(table(s, dir, "documents"), "text",
-          "doc_id", numHashes = 16, bands = 4, minJaccard = 0.2)
+          "doc_id", numHashes = 128, bands = 16, minJaccard = 0.2)
         .orderBy(col("id_a"), col("id_b"))
     }
   }

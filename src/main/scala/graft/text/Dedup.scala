@@ -30,52 +30,73 @@ object Dedup {
       i => array_min(transform(sh, s => xxhash64(i, s))))
   }
 
-  /** Near-duplicate candidate pairs via MinHash+LSH: band-bucket
-    * equi-join, then exact shingle-set Jaccard on the candidates only.
+  /** Near-duplicate pairs via MinHash+LSH: band-bucket grouping, then
+    * exact shingle-set Jaccard on bucket co-members only.
     * Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= minJaccard.
     *
-    * Plan shape (the 100 TB-safe version): shingles explode once, ONE
-    * groupBy computes all `numHashes` min-aggregates (map-side combined,
-    * linear in corpus size — no nested per-row recomputation), banding is
-    * tiny array math on the signature, and the full shingle arrays join
-    * back only for the (rare) bucket-collision candidates. */
+    * Plan shape (the 100 TB-safe version):
+    *  - documents are scanned ONCE: shingles explode once, each shingle
+    *    string is hashed once, and ONE groupBy computes all `numHashes`
+    *    min-aggregates (cheap 8-byte remixes, not string re-hashes) PLUS
+    *    the distinct shingle-hash set used later for verification —
+    *    map-side combined, linear in corpus size;
+    *  - candidate pairs come from a groupBy on band buckets (not a
+    *    bucket self-join), so a skewed bucket can't blow up a join: a
+    *    bucket over `maxBucketSize` (a mass-duplication cluster) emits
+    *    linear star pairs against its smallest id instead of quadratic
+    *    all-pairs — every member is still linked to the cluster
+    *    representative, which is what dedup keep/drop needs;
+    *  - no pre-verify `.distinct()` over candidates (that full shuffle
+    *    dominated at scale); the small post-verify result is deduped.
+    * Defaults (128 hashes, 16 bands of 8) put the LSH S-curve threshold
+    * near (1/16)^(1/8) ~ 0.71 — band collisions of non-near-dups are
+    * vanishingly rare, so the verify join stays tiny. */
   def minhashCandidates(df: DataFrame, textCol: String, idCol: String,
-      numHashes: Int = 16, bands: Int = 4, k: Int = 3,
-      minJaccard: Double = 0.5): DataFrame = {
+      numHashes: Int = 128, bands: Int = 16, k: Int = 3,
+      minJaccard: Double = 0.5, maxBucketSize: Int = 200): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
     val rowsPerBand = numHashes / bands
-    val shingled = df
+    val exploded = df
       .withColumn("toks_", TextAnalysis.tokens(lower(col(textCol))))
       .select(col(idCol),
-        TextAnalysis.shinglesFromTokens(col("toks_"), k).as("shingles"))
-    val exploded = shingled.select(col(idCol),
-      explode(col("shingles")).as("s"))
+        explode(TextAnalysis.shinglesFromTokens(col("toks_"), k))
+          .as("sh_str"))
+      .select(col(idCol), xxhash64(col("sh_str")).as("s"))
     val minAggs = (0 until numHashes).map(i =>
       min(xxhash64(lit(i), col("s"))).as(s"h$i"))
-    val sig = exploded.groupBy(col(idCol))
-      .agg(minAggs.head, minAggs.tail: _*)
+    val sigAndSet = exploded.groupBy(col(idCol))
+      .agg(minAggs.head, (minAggs.tail :+
+        collect_set(col("s")).as("gh")): _*)
+    val docSets = sigAndSet.select(col(idCol), col("gh"))
+    val banded = sigAndSet
       .select(col(idCol),
         array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
-    val banded = sig.select(col(idCol),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
-        xxhash64(b, concat_ws(",",
-          slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))))
-      .withColumnRenamed("col", "bucket")
-    val candidates = banded.select(col("bucket"), col(idCol).as("id_a"))
-      .join(banded.select(col("bucket"), col(idCol).as("id_b")),
-        Seq("bucket"))
-      .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
-      .distinct()
-    // verify on hashed distinct shingles: long-array intersection sizes
+      .select(col(idCol),
+        explode(transform(sequence(lit(0), lit(bands - 1)), b =>
+          xxhash64(b, slice(col("sig"), b * rowsPerBand + 1,
+            lit(rowsPerBand))))).as("bucket"))
+    val buckets = banded.groupBy(col("bucket"))
+      .agg(sort_array(collect_list(col(idCol))).as("ids"))
+      .where(size(col("ids")) >= 2)
+    val pairStruct = (x: Column, y: Column) =>
+      struct(x.as("id_a"), y.as("id_b"))
+    val smallPairs = buckets.where(size(col("ids")) <= maxBucketSize)
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + 2, size(col("ids"))), y =>
+          pairStruct(x, y))))).as("p"))
+    val bigPairs = buckets.where(size(col("ids")) > maxBucketSize)
+      .select(element_at(col("ids"), 1).as("rep"),
+        explode(slice(col("ids"), lit(2), size(col("ids")))).as("other"))
+      .select(pairStruct(col("rep"), col("other")).as("p"))
+    val candidates = smallPairs.unionByName(bigPairs)
+      .select(col("p.id_a"), col("p.id_b"))
+    // verify on hashed distinct shingles: long-set intersection sizes
     // equal the string-set sizes (64-bit collisions are negligible) at a
     // fraction of the comparison cost
-    val hashed = shingled.select(col(idCol),
-      array_distinct(transform(col("shingles"), s => xxhash64(s)))
-        .as("gh"))
     candidates
-      .join(hashed.select(col(idCol).as("id_a"), col("gh").as("gh_a")),
+      .join(docSets.select(col(idCol).as("id_a"), col("gh").as("gh_a")),
         Seq("id_a"))
-      .join(hashed.select(col(idCol).as("id_b"), col("gh").as("gh_b")),
+      .join(docSets.select(col(idCol).as("id_b"), col("gh").as("gh_b")),
         Seq("id_b"))
       .withColumn("ni",
         size(array_intersect(col("gh_a"), col("gh_b"))).cast("double"))
@@ -83,32 +104,58 @@ object Dedup {
         (size(col("gh_a")) + size(col("gh_b")) - col("ni")))
       .where(col("jaccard") >= minJaccard)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+      .dropDuplicates("id_a", "id_b")
   }
 
-  /** exact Jaccard over two shingle arrays (distinct semantics) */
+  /** exact Jaccard over two shingle arrays (distinct semantics). The
+    * intersection — the expensive sub-expression — is evaluated once. */
   def jaccard(a: Column, b: Column): Column = {
     val da = array_distinct(a); val db = array_distinct(b)
-    val inter = size(array_intersect(da, db)).cast("double")
-    inter / (size(da) + size(db) - size(array_intersect(da, db)))
+    // bind the intersection size through a single-element higher-order
+    // context so codegen evaluates it once (a bare repeated expression
+    // would be computed for both numerator and denominator)
+    aggregate(array(size(array_intersect(da, db)).cast("double")),
+      lit(0.0), (_, ni) => ni / (size(da) + size(db) - ni))
   }
 
   /** SimHash: `bits`-bit signature; each bit is the sign of the sum of
     * ±1 votes from every token's hash bit. Hamming-close signatures =
-    * near-dups. Pure expression (aggregate over the token array). */
+    * near-dups. Pure expression: ONE xxhash64 per token and a single
+    * fold carrying all `bits` vote counters (was: a full token-array
+    * re-hash per bit, `bits`× the hashing cost). */
   def simhash(text: Column, bits: Int = 64): Column = {
-    val toks = TextAnalysis.tokens(lower(text))
-    val bitCols = (0 until bits).map { i =>
-      val vote = aggregate(toks, lit(0),
-        (acc, t) => acc +
-          when(shiftright(xxhash64(t), i).bitwiseAND(1) === 1, 1)
-            .otherwise(-1))
-      when(vote > 0, shiftleft(lit(1L), i)).otherwise(0L)
-    }
-    bitCols.reduce(_ + _)
+    val masks = array((0 until bits).map(i => lit(1L << i)): _*)
+    val hashed = transform(TextAnalysis.tokens(lower(text)),
+      t => xxhash64(t))
+    val votes = aggregate(hashed,
+      transform(sequence(lit(0), lit(bits - 1)), _ => lit(0)),
+      (acc, h) => zip_with(acc, masks, (a, m) =>
+        a + when(h.bitwiseAND(m) =!= 0, 1).otherwise(-1)))
+    aggregate(zip_with(votes, masks, (v, m) =>
+      when(v > 0, m).otherwise(0L)), lit(0L), (acc, b) => acc + b)
   }
 
   def hammingDistance(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
+
+  /** Production near-dup path: LSH candidate generation + exact
+    * (hashed-shingle-set) Jaccard re-rank. This is the plan to run at
+    * 100 TB — NO blocked self-join anywhere: candidates come from
+    * `minhashCandidates`' band-bucket groupBy, and only bucket
+    * co-members are compared exactly. The band count is chosen so the
+    * LSH S-curve threshold (1/bands)^(1/rowsPerBand) sits at or below
+    * `minJaccard`, keeping recall high at the requested similarity
+    * (e.g. minJaccard=0.3 -> 64 bands of 2; 0.5 -> 32 bands of 4). */
+  def nearDupPairs(df: DataFrame, textCol: String, idCol: String,
+      k: Int = 3, minJaccard: Double = 0.5, numHashes: Int = 128,
+      maxBucketSize: Int = 200): DataFrame = {
+    val bandChoices = (1 to numHashes).filter(numHashes % _ == 0)
+    val bands = bandChoices.find { b =>
+      math.pow(1.0 / b, b.toDouble / numHashes) <= minJaccard
+    }.getOrElse(bandChoices.last)
+    minhashCandidates(df, textCol, idCol, numHashes, bands, k,
+      minJaccard, maxBucketSize)
+  }
 
   /** n-gram Jaccard near-dup pairs with cheap blocking (shared rolling
     * fingerprint bucket) — the non-LSH baseline. */

@@ -54,6 +54,15 @@ class AggregationsSpec extends AnyFunSuite {
     assert(got.toSeq == Seq(23, 23, 23))
   }
 
+  test("hourOfDailyMax ties break to the first occurrence (pandas idxmax)") {
+    // constant temp all day -> every hour ties; idxmax picks hour 0
+    val flat = hourly.withColumn("temp",
+      when(dayofmonth($"timestamp") === 2, 280.0).otherwise($"temp"))
+    val got = Aggregations.hourOfDailyMax(flat, "temp")
+      .orderBy($"date").collect().map(_.getAs[Int]("hour_of_max"))
+    assert(got.toSeq == Seq(23, 0, 23))
+  }
+
   test("linregress recovers an exact linear relationship") {
     val df = (1 to 50).map(i => (i.toDouble, 2.5 * i + 7.0))
       .toDF("x", "y")

@@ -78,6 +78,41 @@ class TextSpec extends AnyFunSuite {
     assert(!pairs.contains((4L, 5L)))
   }
 
+  test("minhash LSH handles a pathological skewed bucket linearly") {
+    // 1000 identical docs -> every band bucket holds all 1000 ids; the
+    // bucket-size cap routes them through linear star pairs instead of
+    // ~500k all-pairs, so this completes fast and still links every doc
+    // to the cluster representative (min id 0)
+    val many = spark.range(1000)
+      .select($"id".as("doc_id"),
+        lit("the quick brown fox jumps over the lazy dog").as("text"))
+    val t0 = System.nanoTime()
+    val pairs = Dedup.minhashCandidates(many, "text", "doc_id",
+        numHashes = 128, bands = 16, minJaccard = 0.5,
+        maxBucketSize = 200)
+      .collect()
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(pairs.length == 999, s"got ${pairs.length} pairs")
+    assert(pairs.forall(r => r.getLong(0) == 0L && r.getDouble(2) == 1.0))
+    assert(secs < 60.0, s"pathological bucket took ${secs}s")
+  }
+
+  test("nearDupPairs (LSH + exact re-rank) matches all-pairs at j>=0.3") {
+    val exact = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+        minJaccard = 0.3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lsh = Dedup.nearDupPairs(docs, "text", "doc_id",
+        minJaccard = 0.3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(lsh.keySet == exact.keySet,
+      s"lsh=${lsh.keySet} exact=${exact.keySet}")
+    lsh.foreach { case (k, j) =>
+      assert(math.abs(j - exact(k)) < 1e-9, s"pair $k: $j vs ${exact(k)}")
+    }
+  }
+
   test("simhash: identical texts equal, near-dups close, unrelated far") {
     val sh = docs.select($"doc_id", Dedup.simhash($"text", 32).as("s"))
       .orderBy($"doc_id").collect().map(_.getLong(1))
