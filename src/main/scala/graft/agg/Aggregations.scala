@@ -80,9 +80,11 @@ object Aggregations {
       tsCol: String = "timestamp", partitionCols: Seq[String] = Nil)
       : DataFrame = {
     val keys = partitionCols.map(col) :+ to_date(col(tsCol)).as("date")
+    // cast to double before negating: ANSI mode throws on
+    // negate(IntegerType.MinValue); doubles negate safely
     hourly.where(col(valueCol).isNotNull)
       .groupBy(keys: _*)
-      .agg(min(struct(negate(col(valueCol)).as("nv"),
+      .agg(min(struct(negate(col(valueCol).cast("double")).as("nv"),
         hour(col(tsCol)).as("h"))).getField("h").as("hour_of_max"))
   }
 

@@ -2,9 +2,10 @@ package graft.cascade
 
 import graft.core.TimeSeries
 import graft.disagg.Wind.uniformHash
-import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.{Window, WindowSpec}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Olsson (1998) microcanonical random cascade for precipitation —
   * calibration (melodist/precipitation.py:416-604, 631-702) and
@@ -110,6 +111,81 @@ object Cascade {
         (col("idx") * 2 + col("pos")).as("idx") :+ col("col").as("v")): _*)
   }
 
+  /** Per-station lookup tables for one cascade level: a threshold table
+    * (station key -> meanvol) and a statistics table (station key ×
+    * (ba, bt) -> p01, p10, weight CDF). Both are #stations-scale and
+    * broadcast. Keys are strings; the join casts the data-side station
+    * columns to string, so any key column type works. */
+  private def multiLookups(spark: SparkSession, partitionCols: Seq[String],
+      entries: Seq[(Seq[String], CascadeStatistics, Double)])
+      : (DataFrame, DataFrame) = {
+    import scala.jdk.CollectionConverters._
+    val keyFields = partitionCols.indices
+      .map(i => StructField(s"__k$i", StringType))
+    val thrSchema = StructType(keyFields :+
+      StructField("meanvol", DoubleType))
+    val thrRows = entries.map { case (k, _, thr) =>
+      Row.fromSeq(k :+ thr) }
+    val statSchema = StructType(keyFields ++ Seq(
+      StructField("ba", IntegerType), StructField("bt", IntegerType),
+      StructField("p01", DoubleType), StructField("p10", DoubleType),
+      StructField("wcum", ArrayType(DoubleType))))
+    val statRows = entries.flatMap { case (k, s, _) =>
+      val cum = s.wxxCum
+      for (b <- 0 until 2; t <- 1 to 4) yield Row.fromSeq(k ++ Seq(b, t,
+        s.p01(b)(t - 1), s.p10(b)(t - 1),
+        (0 until 7).map(kk => cum(kk)(b)(t - 1))))
+    }
+    (spark.createDataFrame(thrRows.asJava, thrSchema),
+      spark.createDataFrame(statRows.asJava, statSchema))
+  }
+
+  /** One cascade level with per-station statistics: same narrow plan as
+    * [[disaggLevel]], with the scalar threshold and the 8-row stats
+    * lookup replaced by per-station broadcast joins. */
+  private def disaggLevelMulti(df: DataFrame, thrDf: DataFrame,
+      statsDf: DataFrame, level: Int, seed: Long,
+      partitionCols: Seq[String]): DataFrame = {
+    val pcols = partitionCols.map(col)
+    val w = Window.partitionBy(pcols: _*).orderBy(col("idx"))
+    val keys = partitionCols.indices.map(i => s"__k$i")
+    val keyed = partitionCols.zipWithIndex.foldLeft(df) {
+      case (d, (c, i)) => d.withColumn(s"__k$i", col(c).cast("string")) }
+    val v = col("v")
+    val wet = v > 0.0
+    val bt = boxType(wet, lag(wet, 1).over(w), lead(wet, 1).over(w))
+    val rndp = uniformHash(seed * 31 + level,
+      (col("idx") +: pcols): _*)
+    val rndw = uniformHash(seed * 31 + level + 7919,
+      (col("idx") +: pcols): _*)
+
+    val centers = CascadeStatistics.wClassCenters
+    val w1 = coalesce(
+      element_at(array(centers.map(lit(_)): _*),
+        try_element_at(
+          filter(sequence(lit(1), lit(7)),
+            k => col("rndw") <= element_at(col("wcum"), k)), lit(1))),
+      lit(centers(6)))
+
+    val staged = keyed
+      .join(broadcast(thrDf), keys, "left")
+      .withColumn("bt", bt)
+      .withColumn("ba", when(v > col("meanvol"), 1).otherwise(0))
+      .withColumn("rndw", rndw)
+      .join(broadcast(statsDf), keys ++ Seq("ba", "bt"), "left")
+      .withColumn("w1", w1)
+      .withColumn("children",
+        when(!wet, array(lit(0.0), lit(0.0)))
+        .when(rndp <= col("p01"), array(lit(0.0), v))
+        .when(rndp <= col("p01") + col("p10"), array(v, lit(0.0)))
+        .otherwise(array(col("w1") * v, (lit(1.0) - col("w1")) * v)))
+
+    staged
+      .select((pcols :+ col("idx") :+ posexplode(col("children"))): _*)
+      .select((pcols :+
+        (col("idx") * 2 + col("pos")).as("idx") :+ col("col").as("v")): _*)
+  }
+
   /** Cascade disaggregation of a daily precip series.
     *
     * `daily`: (partitionCols…, date, precip). Returns hourly
@@ -129,6 +205,56 @@ object Cascade {
         s"stats list must have $si elements")
       case _ =>
     }
+    disaggregateImpl(daily, hourly, level, shift, partitionCols) {
+      (cur, l, siVar) =>
+        val (lvlStats, meanvol) = stats match {
+          case Left(s) => (s, s.threshold(siVar))
+          case Right(list) => (list(siVar), list(siVar).threshold(0))
+        }
+        disaggLevel(cur, lvlStats, meanvol, l, seed, partitionCols)
+    }
+  }
+
+  /** Cascade disaggregation with PER-STATION calibrated statistics: each
+    * station's boxes branch using its own matrices and thresholds (the
+    * reference calibrates stations independently — one global statistics
+    * object would mix climates). Map keys are the station key values
+    * rendered as strings, matched against `partitionCols` cast to string.
+    * Per level the per-station parameters become two broadcast lookup
+    * tables (#stations and #stations×8 rows) — the data path is identical
+    * to [[disaggregate]]: narrow, fully distributed, no driver loops. */
+  def disaggregatePerStation(daily: DataFrame,
+      statsByStation: Map[Seq[String],
+        Either[CascadeStatistics, Seq[CascadeStatistics]]],
+      hourly: Boolean = true, level: Int = 9, shift: Int = 0,
+      seed: Long = 42L, partitionCols: Seq[String] = Nil): DataFrame = {
+    require(partitionCols.nonEmpty,
+      "disaggregatePerStation needs partitionCols")
+    val si = if (hourly) 5 else level
+    statsByStation.values.foreach {
+      case Right(l) => require(l.length == si,
+        s"stats list must have $si elements")
+      case _ =>
+    }
+    disaggregateImpl(daily, hourly, level, shift, partitionCols) {
+      (cur, l, siVar) =>
+        val entries = statsByStation.toSeq.map { case (k, e) =>
+          val (s, thr) = e match {
+            case Left(s) => (s, s.threshold(siVar))
+            case Right(list) => (list(siVar), list(siVar).threshold(0))
+          }
+          (k, s, thr)
+        }
+        val (thrDf, statsDf) =
+          multiLookups(cur.sparkSession, partitionCols, entries)
+        disaggLevelMulti(cur, thrDf, statsDf, l, seed, partitionCols)
+    }
+  }
+
+  private def disaggregateImpl(daily: DataFrame, hourly: Boolean,
+      level: Int, shift: Int, partitionCols: Seq[String])
+      (step: (DataFrame, Int, Int) => DataFrame): DataFrame = {
+    val si = if (hourly) 5 else level
     val pcols = partitionCols.map(col)
     val wDay = (if (partitionCols.isEmpty) Window.orderBy(col("date"))
       else Window.partitionBy(pcols: _*).orderBy(col("date")))
@@ -144,11 +270,7 @@ object Cascade {
     var siVar = si
     for (l <- 1 to si) {
       siVar -= 1
-      val (lvlStats, meanvol) = stats match {
-        case Left(s) => (s, s.threshold(siVar))
-        case Right(list) => (list(siVar), list(siVar).threshold(0))
-      }
-      cur = disaggLevel(cur, lvlStats, meanvol, l, seed, partitionCols)
+      cur = step(cur, l, siVar)
       // keep optimizer time bounded on deep (5-min) cascades without
       // forcing extra materializations on the common hourly path
       if (l % 6 == 0) cur = cur.localCheckpoint(true)
@@ -222,57 +344,60 @@ object Cascade {
     if (t >= 0.5) sorted(hi) - d * (1 - t) else sorted(lo) + d * t
   }
 
-  /** One aggregation (halving) step: pairs (2j, 2j+1) by position, parent
-    * value = child sum; classifies parents, counts branch types and weight
-    * histogram, returns (statistics, parent frame for the next level).
+  /** Expression form of [[numpyPercentile]] over a pre-sorted double
+    * array column. Identical double-operation order, so the result is
+    * bit-identical to the scalar version. */
+  private def numpyPercentileCol(sortedArr: Column, pct: Double): Column = {
+    val pos = (size(sortedArr) - 1).cast("double") * lit(pct / 100.0)
+    val lo = floor(pos)
+    val t = pos - lo.cast("double")
+    val vlo = element_at(sortedArr, lo.cast("int") + 1)
+    val vhi = element_at(sortedArr, ceil(pos).cast("int") + 1)
+    val d = vhi - vlo
+    when(t >= 0.5, vhi - d * (lit(1.0) - t)).otherwise(vlo + d * t)
+  }
+
+  /** pairs (2j, 2j+1) by position; parent value = child sum, pandas NaN
+    * propagation (a parent with any missing child is missing -> dry).
     * An odd trailing element is dropped (precipitation.py:441-447). */
-  def aggregateStep(df: DataFrame, pct: Double,
-      partitionCols: Seq[String] = Nil)
-      : (CascadeStatistics, DataFrame) = {
-    val pcols = partitionCols.map(col)
-    val w = (if (partitionCols.isEmpty) Window.orderBy(col("idx"))
-      else Window.partitionBy(pcols: _*).orderBy(col("idx")))
+  private def pairChildren(df: DataFrame, pcols: Seq[Column],
+      w: WindowSpec): DataFrame = df
+    .withColumn("rn", row_number().over(w).cast("long") - 1)
+    .withColumn("pair", (col("rn") / 2).cast("long"))
+    .groupBy((pcols :+ col("pair")): _*)
+    .agg(count(lit(1)).as("nchild"),
+      count(col("v")).as("nvalid"),
+      sum(col("v")).as("vsum"),
+      // deterministic child pick: even row = first child, odd = second
+      max(when(col("rn") % 2 === 0, col("v"))).as("r1"),
+      max(when(col("rn") % 2 === 1, col("v"))).as("r2"),
+      max(col("ts")).as("ts"))
+    .where(col("nchild") === 2)
+    .withColumn("v", when(col("nvalid") === 2, col("vsum"))
+      .otherwise(lit(null).cast("double")))
+    .withColumn("idx", col("pair"))
 
-    val paired = df
-      .withColumn("rn", row_number().over(w).cast("long") - 1)
-      .withColumn("pair", (col("rn") / 2).cast("long"))
-      .groupBy((pcols :+ col("pair")): _*)
-      .agg(count(lit(1)).as("nchild"),
-        count(col("v")).as("nvalid"),
-        sum(col("v")).as("vsum"),
-        // deterministic child pick: even row = first child, odd = second
-        max(when(col("rn") % 2 === 0, col("v"))).as("r1"),
-        max(when(col("rn") % 2 === 1, col("v"))).as("r2"),
-        max(col("ts")).as("ts"))
-      .where(col("nchild") === 2)
-      // pandas NaN propagates through the pair sum (r1+r2); a parent with
-      // any missing child is missing -> acts as dry below
-      .withColumn("v", when(col("nvalid") === 2, col("vsum"))
-        .otherwise(lit(null).cast("double")))
-      .withColumn("idx", col("pair"))
-
-    // np.percentile('linear') bit-exact (incl. numpy's _lerp switch at
-    // t >= 0.5) — an ulp-off threshold flips boundary classifications.
-    // Calibration-scale collect: wet parent count ≤ wet hours per station.
-    val wetVals = paired.where(col("v") > 0).select(col("v"))
-      .sort(col("v")).collect().map(_.getDouble(0))
-    val meanvol = numpyPercentile(wetVals, pct)
-
+  /** classifies wet parents by box type and below/above `meanvol`.
+    * numpy quirk faithfully kept (precipitation.py:489-497): an interior
+    * wet parent whose neighbour is NaN matches NO branch of the if-chain,
+    * keeps vbtype=0, and `vbtype-1 == -1` wraps to the LAST column — so
+    * NaN-adjacent parents are counted in the `isolated` column. */
+  private def classifyParents(paired: DataFrame, w: WindowSpec,
+      meanvol: Column): DataFrame = {
     val wetP = coalesce(col("v") > 0.0, lit(false))
-    // numpy quirk faithfully kept (precipitation.py:489-497): an interior
-    // wet parent whose neighbour is NaN matches NO branch of the if-chain,
-    // keeps vbtype=0, and `vbtype-1 == -1` wraps to the LAST column — so
-    // NaN-adjacent parents are counted in the `isolated` column.
     val prevIsNan = coalesce(lag(col("v").isNull, 1).over(w), lit(false))
     val nextIsNan = coalesce(lead(col("v").isNull, 1).over(w), lit(false))
     val btNormal = boxType(wetP,
       lag(wetP, 1).over(w), lead(wetP, 1).over(w))
-    val classified = paired
+    paired
       .withColumn("bt", when(prevIsNan || nextIsNan,
         CascadeStatistics.BoxTypes.isolated).otherwise(btNormal))
       .withColumn("ba", when(col("v") > meanvol, 1).otherwise(0))
       .where(col("v") > 0.0)
+  }
 
+  /** branch-type counters + 7-bin weight histogram aggregates. */
+  private def countAggs: Seq[Column] = {
     val wlower = CascadeStatistics.wClassBounds.init
     val wupper = CascadeStatistics.wClassBounds.tail
     val wxxval = col("r1") / (col("r1") + col("r2"))
@@ -281,15 +406,18 @@ object Cascade {
         wxxval > wlower(k) && wxxval <= wupper(k), 1L).otherwise(0L))
         .as(s"w$k")
     }
-    val baseAggs = Seq(
+    Seq(
       count(lit(1)).as("nb"),
       sum(when(col("r1") <= 0 && col("r2") > 0, 1L).otherwise(0L)).as("n01"),
       sum(when(col("r1") > 0 && col("r2") <= 0, 1L).otherwise(0L)).as("n10"),
-      sum(when(col("r1") > 0 && col("r2") > 0, 1L).otherwise(0L)).as("nxx"))
-    val allAggs = baseAggs ++ histAggs
-    val counts = classified.groupBy(col("ba"), col("bt"))
-      .agg(allAggs.head, allAggs.tail: _*).collect()
+      sum(when(col("r1") > 0 && col("r2") > 0, 1L).otherwise(0L)).as("nxx")
+    ) ++ histAggs
+  }
 
+  /** counts -> normalized probabilities (0/0 -> NaN like numpy) + NaN
+    * repair, for the count rows of ONE station (or the global series). */
+  private def statsFromCounts(counts: Seq[Row], meanvol: Double,
+      pct: Double): CascadeStatistics = {
     val nb = Array.ofDim[Double](2, 4)
     val nbxx = Array.ofDim[Double](2, 4)
     val s = CascadeStatistics.zero(pct)
@@ -302,17 +430,82 @@ object Cascade {
       nbxx(b)(t) = r.getAs[Long]("nxx").toDouble
       for (k <- 0 until 7) s.wxx(k)(b)(t) = r.getAs[Long](s"w$k").toDouble
     }
-    // normalize counts -> probabilities (0/0 -> NaN like numpy)
     for (b <- 0 until 2; t <- 0 until 4) {
       s.p01(b)(t) /= nb(b)(t); s.p10(b)(t) /= nb(b)(t)
       s.pxx(b)(t) /= nb(b)(t)
       for (k <- 0 until 7) s.wxx(k)(b)(t) /= nbxx(b)(t)
     }
-    val withThreshold = s.copy(threshold = Array(meanvol),
-      percentile = pct)
-    val repaired = repair(withThreshold)
-    (repaired, paired.select((pcols ++ Seq(col("idx"), col("v"),
-      col("ts"))): _*))
+    repair(s.copy(threshold = Array(meanvol), percentile = pct))
+  }
+
+  /** One aggregation (halving) step over a single series: pairs children,
+    * classifies parents, counts branch types and weight histogram, returns
+    * (statistics, parent frame for the next level). */
+  def aggregateStep(df: DataFrame, pct: Double,
+      partitionCols: Seq[String] = Nil)
+      : (CascadeStatistics, DataFrame) = {
+    val pcols = partitionCols.map(col)
+    val w = (if (partitionCols.isEmpty) Window.orderBy(col("idx"))
+      else Window.partitionBy(pcols: _*).orderBy(col("idx")))
+    val paired = pairChildren(df, pcols, w)
+
+    // np.percentile('linear') bit-exact (incl. numpy's _lerp switch at
+    // t >= 0.5) — an ulp-off threshold flips boundary classifications.
+    // Calibration-scale collect: wet parent count ≤ wet hours per station.
+    val wetVals = paired.where(col("v") > 0).select(col("v"))
+      .sort(col("v")).collect().map(_.getDouble(0))
+    val meanvol = numpyPercentile(wetVals, pct)
+
+    val classified = classifyParents(paired, w, lit(meanvol))
+    val aggs = countAggs
+    val counts = classified.groupBy(col("ba"), col("bt"))
+      .agg(aggs.head, aggs.tail: _*).collect()
+
+    (statsFromCounts(counts.toSeq, meanvol, pct),
+      paired.select((pcols ++ Seq(col("idx"), col("v"), col("ts"))): _*))
+  }
+
+  /** Multi-station halving step: the wet-value percentile threshold and
+    * the branch/weight counts are computed PER STATION, distributed (the
+    * reference calibrates each station independently — a global threshold
+    * would mix climates). The per-station sorted wet-value array is
+    * bounded by one station's wet steps (years × 8760 at hourly), and the
+    * driver receives only #stations × ≤8 count rows plus one threshold
+    * row per station. Map keys are the station key values as strings. */
+  def aggregateStepPerStation(df: DataFrame, pct: Double,
+      partitionCols: Seq[String])
+      : (Map[Seq[String], CascadeStatistics], DataFrame) = {
+    require(partitionCols.nonEmpty,
+      "aggregateStepPerStation needs partitionCols")
+    val pcols = partitionCols.map(col)
+    val w = Window.partitionBy(pcols: _*).orderBy(col("idx"))
+    val paired = pairChildren(df, pcols, w).localCheckpoint(true)
+
+    val thr = paired.where(col("v") > 0)
+      .groupBy(pcols: _*)
+      .agg(sort_array(collect_list(col("v"))).as("vs"))
+      .select((pcols :+
+        numpyPercentileCol(col("vs"), pct).as("meanvol")): _*)
+
+    val withThr = paired.join(broadcast(thr), partitionCols, "left")
+    val classified = classifyParents(withThr, w, col("meanvol"))
+    val aggs = countAggs
+    val counts = classified
+      .groupBy((pcols ++ Seq(col("ba"), col("bt"))): _*)
+      .agg(aggs.head, aggs.tail: _*).collect()
+
+    def key(r: Row): Seq[String] =
+      partitionCols.map(c => String.valueOf(r.getAs[Any](c)))
+    val thrByStation = thr.collect()
+      .map(r => key(r) -> r.getAs[Double]("meanvol")).toMap
+    val statsByStation = counts.groupBy(key).map { case (k, rows) =>
+      // a station with no wet parents never reaches `counts`; stations in
+      // thr but absent here fall through to repair()'s sample-data path
+      k -> statsFromCounts(rows.toSeq,
+        thrByStation.getOrElse(k, Double.NaN), pct)
+    }
+    (statsByStation,
+      paired.select((pcols ++ Seq(col("idx"), col("v"), col("ts"))): _*))
   }
 
   /** NaN fallbacks (precipitation.py:566-602): invalid branching
@@ -374,5 +567,80 @@ object Cascade {
       // list(si) after the reference's in-loop decrement
       else Right(perLevel.result())
     }
+  }
+
+  /** Per-station build_casc: like [[buildCasc]], but every station keyed
+    * by `partitionCols` is calibrated INDEPENDENTLY (its own percentile
+    * thresholds, branch probabilities, and weight histograms — the
+    * reference calibrates one station at a time) while the cluster runs
+    * one set of distributed passes per level for the whole fleet, not one
+    * job per station. Returns station key (values as strings) ->
+    * per-season results, consumable by [[disaggregatePerStation]].
+    * A station with no wet boxes at some level (or absent from a season)
+    * falls back to the reference's sample-data statistics, mirroring
+    * [[repair]]'s fallback for uncalibratable series. */
+  def buildCascPerStation(obsHourly: DataFrame, hourly: Boolean = true,
+      level: Int = 9, monthsSeasons: Seq[Seq[Int]] = Seq((1 to 12)),
+      avgStats: Boolean = true, percentile: Double = 50,
+      partitionCols: Seq[String] = Nil)
+      : Map[Seq[String],
+          Seq[Either[CascadeStatistics, Seq[CascadeStatistics]]]] = {
+    require(partitionCols.nonEmpty,
+      "buildCascPerStation needs partitionCols")
+    import scala.collection.mutable
+    val pcols = partitionCols.map(col)
+    val aggreLevel = if (hourly) 5 else level
+    val allStations = mutable.LinkedHashSet[Seq[String]]()
+
+    val perSeason = monthsSeasons.map { months =>
+      val subset = TimeSeries
+        .seasonalSubset(obsHourly, "timestamp", months)
+        .withColumn("v", col("precip"))
+        .withColumn("ts", col("timestamp"))
+      val w = Window.partitionBy(pcols: _*).orderBy(col("ts"))
+      var cur = subset
+        .withColumn("idx", row_number().over(w).cast("long") - 1)
+        .select((pcols ++ Seq(col("idx"), col("v"), col("ts"))): _*)
+
+      val totals = mutable.Map[Seq[String], CascadeStatistics]()
+      val boxCounts = mutable.Map[Seq[String], Long]()
+      val thresholds = mutable.Map[Seq[String], Array[Double]]()
+      val levels = mutable.Map[Seq[String], Array[CascadeStatistics]]()
+      for (i <- 0 until aggreLevel) {
+        val (statsMap, parent) =
+          aggregateStepPerStation(cur, percentile, partitionCols)
+        cur = parent
+        val nByStation = cur.groupBy(pcols: _*).count().collect().map(r =>
+          partitionCols.map(c => String.valueOf(r.getAs[Any](c))) ->
+            r.getAs[Long]("count")).toMap
+        statsMap.foreach { case (k, si) =>
+          allStations += k
+          val n = nByStation.getOrElse(k, 0L)
+          thresholds.getOrElseUpdate(k,
+            Array.fill(aggreLevel)(Double.NaN))(i) = si.threshold(0)
+          levels.getOrElseUpdate(k,
+            Array.fill[CascadeStatistics](aggreLevel)(null))(i) = si
+          totals(k) = totals.getOrElse(k,
+            CascadeStatistics.zero(percentile)).plus(si.scaled(n.toDouble))
+          boxCounts(k) = boxCounts.getOrElse(k, 0L) + n
+        }
+      }
+      levels.keys.map { k =>
+        k -> (if (avgStats) {
+          Left(totals(k).scaled(1.0 / boxCounts(k))
+            .copy(threshold = thresholds(k)))
+        } else {
+          Right(levels(k).map(s => if (s == null)
+            CascadeStatistics.sampleData(percentile) else s).toSeq)
+        }): (Seq[String], Either[CascadeStatistics, Seq[CascadeStatistics]])
+      }.toMap
+    }
+
+    allStations.iterator.map { k =>
+      k -> perSeason.map(_.getOrElse(k,
+        if (avgStats) Left(CascadeStatistics.sampleData(percentile))
+        else Right(Seq.fill(aggreLevel)(
+          CascadeStatistics.sampleData(percentile)))))
+    }.toMap
   }
 }

@@ -230,10 +230,13 @@ object TextQueriesImpl {
         .limit(100)
     }
 
-    // xxhash64-based scale paths: spec-tested, rows-only at the gate
+    // xxhash64-based scale paths: spec-tested, rows-only at the gate.
+    // nearDupPairs picks the band count for the requested similarity
+    // (minJaccard=0.2 -> 64 bands of 2), so recall at j just above 0.2
+    // is high — a fixed bands=16 config silently missed that range.
     registerRowsOnly("q68_minhash_lsh_neardups") { (s, dir) =>
-      Dedup.minhashCandidates(table(s, dir, "documents"), "text",
-          "doc_id", numHashes = 128, bands = 16, minJaccard = 0.2)
+      Dedup.nearDupPairs(table(s, dir, "documents"), "text", "doc_id",
+          minJaccard = 0.2, numHashes = 128)
         .orderBy(col("id_a"), col("id_b"))
     }
   }

@@ -45,7 +45,13 @@ object Dedup {
     *    bucket over `maxBucketSize` (a mass-duplication cluster) emits
     *    linear star pairs against its smallest id instead of quadratic
     *    all-pairs — every member is still linked to the cluster
-    *    representative, which is what dedup keep/drop needs;
+    *    representative, which is what dedup keep/drop needs. NOTE: pair
+    *    completeness therefore holds only for buckets <= maxBucketSize;
+    *    in an over-cap bucket, a member whose jaccard to the
+    *    representative is < minJaccard is not re-paired against other
+    *    co-members, so qualifying pairs strictly inside a giant
+    *    heterogeneous bucket can be missed (raise maxBucketSize if that
+    *    matters more than skew protection);
     *  - no pre-verify `.distinct()` over candidates (that full shuffle
     *    dominated at scale); the small post-verify result is deduped.
     * Defaults (128 hashes, 16 bands of 8) put the LSH S-curve threshold
@@ -144,14 +150,18 @@ object Dedup {
     * `minhashCandidates`' band-bucket groupBy, and only bucket
     * co-members are compared exactly. The band count is chosen so the
     * LSH S-curve threshold (1/bands)^(1/rowsPerBand) sits at or below
-    * `minJaccard`, keeping recall high at the requested similarity
-    * (e.g. minJaccard=0.3 -> 64 bands of 2; 0.5 -> 32 bands of 4). */
+    * 0.8*`minJaccard` — a margin that puts the steep part of the
+    * S-curve BELOW the cutoff, so pairs just above minJaccard still
+    * collide with high probability instead of the ~50-63% you get when
+    * the threshold sits exactly at the cutoff
+    * (e.g. minJaccard=0.5 -> 64 bands of 2, threshold 0.125;
+    * 0.3 -> 64 bands of 2). */
   def nearDupPairs(df: DataFrame, textCol: String, idCol: String,
       k: Int = 3, minJaccard: Double = 0.5, numHashes: Int = 128,
       maxBucketSize: Int = 200): DataFrame = {
     val bandChoices = (1 to numHashes).filter(numHashes % _ == 0)
     val bands = bandChoices.find { b =>
-      math.pow(1.0 / b, b.toDouble / numHashes) <= minJaccard
+      math.pow(1.0 / b, b.toDouble / numHashes) <= 0.8 * minJaccard
     }.getOrElse(bandChoices.last)
     minhashCandidates(df, textCol, idCol, numHashes, bands, k,
       minJaccard, maxBucketSize)

@@ -70,6 +70,93 @@ class MultiStationSpec extends AnyFunSuite {
     assert(bad.count() == 0)
   }
 
+  lazy val hourlyObs = spark.read.option("header", "true")
+    .option("inferSchema", "true").csv(s"$G/hourly_obs.csv.gz")
+    .select(to_timestamp($"timestamp").as("timestamp"),
+      $"precip".cast("double").as("precip")).cache()
+
+  // two stations with genuinely different series (s2 scaled + thinned) so
+  // their calibrations differ — a global threshold would show up here
+  def obsFor(id: String) =
+    if (id == "s1") hourlyObs
+    else hourlyObs.withColumn("precip",
+      when(hour($"timestamp") % 5 === 0, 0.0).otherwise($"precip" * 1.7))
+
+  def assertStatsEqual(got: CascadeStatistics, exp: CascadeStatistics,
+      what: String): Unit = {
+    def cmp(g: Array[Array[Double]], e: Array[Array[Double]], n: String) =
+      for (b <- g.indices; t <- g(b).indices)
+        assert((g(b)(t).isNaN && e(b)(t).isNaN) ||
+          g(b)(t) == e(b)(t), s"$what.$n[$b][$t]")
+    cmp(got.p01, exp.p01, "p01"); cmp(got.p10, exp.p10, "p10")
+    cmp(got.pxx, exp.pxx, "pxx")
+    for (k <- 0 until 7) cmp(got.wxx(k), exp.wxx(k), s"wxx[$k]")
+    assert(got.threshold.sameElements(exp.threshold), s"$what.threshold")
+  }
+
+  test("per-station calibration == independent single-station calibrates") {
+    val stackedObs = Seq("s1", "s2").map(id =>
+      obsFor(id).withColumn("station_id", lit(id)))
+      .reduce(_ unionByName _).repartition(8)
+    val multi = Cascade.buildCascPerStation(stackedObs, hourly = true,
+      percentile = 50, partitionCols = Seq("station_id"))
+    assert(multi.keySet == Set(Seq("s1"), Seq("s2")))
+    for (id <- Seq("s1", "s2")) {
+      val Left(single) = Cascade.buildCasc(obsFor(id), hourly = true,
+        percentile = 50).head : @unchecked
+      val Left(got) = multi(Seq(id)).head : @unchecked
+      assertStatsEqual(got, single, id)
+    }
+  }
+
+  test("per-station calibration per-level == single-station per-level") {
+    val stackedObs = Seq("s1", "s2").map(id =>
+      obsFor(id).withColumn("station_id", lit(id)))
+      .reduce(_ unionByName _)
+    val multi = Cascade.buildCascPerStation(stackedObs, hourly = true,
+      percentile = 90, avgStats = false,
+      partitionCols = Seq("station_id"))
+    for (id <- Seq("s1", "s2")) {
+      val Right(single) = Cascade.buildCasc(obsFor(id), hourly = true,
+        percentile = 90, avgStats = false).head : @unchecked
+      val Right(got) = multi(Seq(id)).head : @unchecked
+      assert(got.length == single.length)
+      got.zip(single).zipWithIndex.foreach { case ((g, e), i) =>
+        assertStatsEqual(g, e, s"$id.L$i") }
+    }
+  }
+
+  test("per-station disaggregation uses each station's own statistics") {
+    val precip = daily.select($"date", $"precip")
+    val Left(stats2) = Cascade.buildCasc(hourlyObs, hourly = true,
+      percentile = 50).head : @unchecked
+    val statsBy = Map(
+      Seq("s1") -> Left(CascadeStatistics.sampleData()),
+      Seq("s2") -> Left(stats2))
+    val multiIn = Seq("s1", "s2").map(id =>
+      precip.withColumn("station_id", lit(id))).reduce(_ unionByName _)
+    val multi = Cascade.disaggregatePerStation(multiIn, statsBy, seed = 9L,
+      partitionCols = Seq("station_id"))
+    for (id <- Seq("s1", "s2")) {
+      val single = Cascade.disaggregate(
+          precip.withColumn("station_id", lit(id)), statsBy(Seq(id)),
+          seed = 9L, partitionCols = Seq("station_id"))
+        .select($"timestamp", $"precip".as("p_single"))
+      val diffs = multi.where($"station_id" === id)
+        .join(single, "timestamp")
+        .where(abs($"precip" - $"p_single") > 0 ||
+          $"precip".isNull =!= $"p_single".isNull)
+      assert(diffs.count() == 0, s"station $id diverges")
+    }
+    // and the two stations' outputs DO differ (different stats in play)
+    val s1 = multi.where($"station_id" === "s1")
+      .select($"timestamp", $"precip".as("p1"))
+    val s2 = multi.where($"station_id" === "s2")
+      .select($"timestamp", $"precip".as("p2"))
+    assert(s1.join(s2, "timestamp")
+      .where(abs($"p1" - $"p2") > 1e-12).count() > 0)
+  }
+
   test("daily aggregation keyed by station") {
     val hourly = Wind.disaggregate(stacked, "equal",
         partitionCols = Seq("station_id"))
