@@ -12,6 +12,22 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Untimed warmup: JIT + whole-stage-codegen compilation otherwise lands
+    // on whichever query happens to run first (~5 s of measured noise).
+    // One small aggregate+window+join pass touches the main codegen paths.
+    locally {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      val r = spark.range(0, 100000, 1, 4)
+        .select(col("id"), (col("id") % 97).as("k"),
+          (col("id") * 0.5).as("v"))
+      val agg = r.groupBy(col("k")).agg(sum(col("v")).as("s"))
+      agg.join(r, "k")
+        .withColumn("rn",
+          row_number().over(Window.partitionBy(col("k"))
+            .orderBy(col("id"))))
+        .where(col("rn") <= 3).count()
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -271,7 +271,117 @@ object DisaggQueriesImpl {
         .orderBy(col("ts_str"))
     }
 
-    registerRowsOnly("q48_temp_polar") { (s, dir) =>
+    // polar overlay (temperature.py:178-240) at lat 75: deterministic, so
+    // oracle-checkable — the SQL restates sun times (q32 algebra, lon 20),
+    // the fix locFrame (q40 algebra), the sine curve, the polar/transition
+    // flags, and the row-spaced limit-23 interpolation (q20 algebra).
+    register("q48_temp_polar",
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS d,
+        |    MIN(value) % 20 + 270.0 AS tmin,
+        |    MAX(value) % 15 + 285.0 AS tmax
+        |  FROM events GROUP BY 1),
+        |sun AS (
+        |  SELECT d, tmin, tmax,
+        |    RADIANS((360.0/365.25) * (DAYOFYEAR(d) - 79.346)) AS da,
+        |    (DAYOFYEAR(d) - 1) * (2*PI()/365.0) AS das
+        |  FROM daily),
+        |u AS (
+        |  SELECT d, tmin, tmax,
+        |    RADIANS(0.3723 + 23.2567*SIN(da) - 0.7580*COS(da)
+        |      + 0.1149*SIN(da*2) + 0.3656*COS(da*2)
+        |      - 0.1712*SIN(da*3) + 0.0201*COS(da*3)) AS decl,
+        |    (12.0/PI()) * (0.000075 + 0.001868*COS(das) - 0.032077*SIN(das)
+        |      - 0.014615*COS(das*2) - 0.040849*SIN(das*2)) AS eqt
+        |  FROM sun),
+        |v AS (
+        |  SELECT d, tmin, tmax,
+        |    -TAN(RADIANS(75.0)) * TAN(decl) AS arg,
+        |    12.0 - (20.0 - 15.0)*24.0/360.0 - eqt AS sunnoon, eqt
+        |  FROM u),
+        |dl AS (
+        |  SELECT d, tmin, tmax,
+        |    (CASE WHEN arg < -1 THEN sunnoon + 12 WHEN arg > 1 THEN sunnoon
+        |      ELSE 12.0*(1.0 + ACOS(arg)/PI()) - (20.0-15.0)*24.0/360.0 - eqt
+        |      END)
+        |    - (CASE WHEN arg < -1 THEN sunnoon - 12 WHEN arg > 1 THEN sunnoon
+        |      ELSE 12.0*(1.0 - ACOS(arg)/PI()) - (20.0-15.0)*24.0/360.0 - eqt
+        |      END) AS daylength
+        |  FROM v),
+        |locs AS (
+        |  SELECT d, tmin, tmax, daylength,
+        |    COALESCE(LEAD(tmin) OVER (ORDER BY d), tmin) AS min_val_next,
+        |    COALESCE(LAG(tmax) OVER (ORDER BY d), tmax) AS max_val_before,
+        |    COALESCE(LAG(tmin) OVER (ORDER BY d), tmin) AS min_val_before
+        |  FROM dl),
+        |flags AS (
+        |  SELECT *,
+        |    daylength < 3.0 AS polar,
+        |    COALESCE((min_val_before + max_val_before)/2.0
+        |      <= (tmin + tmax)/2.0, FALSE) AS warming
+        |  FROM locs),
+        |flags2 AS (
+        |  SELECT *,
+        |    (NOT polar) AND COALESCE(LAG(polar) OVER (ORDER BY d), FALSE)
+        |      AS polar_to_normal,
+        |    (NOT polar) AND COALESCE(LEAD(polar) OVER (ORDER BY d), FALSE)
+        |      AS normal_to_polar
+        |  FROM flags),
+        |hourly AS (
+        |  SELECT *, CAST(EXTRACT(hour FROM h) AS INT) AS hr FROM (
+        |    SELECT *, UNNEST(GENERATE_SERIES(CAST(d AS TIMESTAMP),
+        |      CAST(d AS TIMESTAMP) + INTERVAL 23 HOUR, INTERVAL 1 HOUR)) AS h
+        |    FROM flags2)),
+        |curve AS (
+        |  SELECT h, hr, polar, warming, polar_to_normal, normal_to_polar,
+        |    tmin, tmax,
+        |    (CASE WHEN hr < 14 THEN tmin ELSE min_val_next END)
+        |      + ((CASE WHEN hr < 7 THEN max_val_before ELSE tmax END)
+        |         - (CASE WHEN hr < 14 THEN tmin ELSE min_val_next END)) / 2.0
+        |      + (((CASE WHEN hr < 7 THEN max_val_before ELSE tmax END)
+        |         - (CASE WHEN hr < 14 THEN tmin ELSE min_val_next END)) / 2.0)
+        |        * COS((hr - 14) * (2 * PI() / 24)) AS temp_curve,
+        |    (polar OR polar_to_normal OR normal_to_polar) AS in_subset
+        |  FROM hourly),
+        |sub AS (
+        |  SELECT h,
+        |    CASE WHEN polar THEN
+        |        CASE WHEN hr = 6 THEN CASE WHEN warming THEN tmin ELSE tmax END
+        |             WHEN hr = 18 THEN CASE WHEN warming THEN tmax ELSE tmin END
+        |             END
+        |      WHEN polar_to_normal THEN
+        |        CASE WHEN hr < 7 THEN NULL WHEN hr = 7 THEN tmin
+        |          ELSE temp_curve END
+        |      WHEN normal_to_polar THEN
+        |        CASE WHEN hr > 14 THEN NULL ELSE temp_curve END
+        |    END AS v,
+        |    ROW_NUMBER() OVER (ORDER BY h) AS rn
+        |  FROM curve WHERE in_subset),
+        |subw AS (
+        |  SELECT h, v, rn,
+        |    LAST_VALUE(v IGNORE NULLS) OVER wp AS pv,
+        |    LAST_VALUE(CASE WHEN v IS NOT NULL THEN rn END IGNORE NULLS)
+        |      OVER wp AS prn,
+        |    FIRST_VALUE(v IGNORE NULLS) OVER wn AS nv,
+        |    FIRST_VALUE(CASE WHEN v IS NOT NULL THEN rn END IGNORE NULLS)
+        |      OVER wn AS nrn
+        |  FROM sub
+        |  WINDOW wp AS (ORDER BY h
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    wn AS (ORDER BY h
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+        |interp AS (
+        |  SELECT h,
+        |    CASE WHEN v IS NOT NULL THEN v
+        |      WHEN pv IS NOT NULL AND nv IS NOT NULL AND rn - prn <= 23
+        |        THEN pv + (nv - pv) * (CAST(rn - prn AS DOUBLE) / (nrn - prn))
+        |      WHEN pv IS NOT NULL AND nv IS NULL AND rn - prn <= 23 THEN pv
+        |    END AS vi
+        |  FROM subw)
+        |SELECT STRFTIME(curve.h, '%Y-%m-%d %H:%M:%S') AS ts_str,
+        |  ROUND(CASE WHEN in_subset THEN vi ELSE temp_curve END, 6) AS temp
+        |FROM curve LEFT JOIN interp ON curve.h = interp.h
+        |ORDER BY 1""".stripMargin) { (s, dir) =>
       val daily = Meteo.withSunTimes(dailyMet(s, dir), "date", 20.0, 75.0,
         1.0)
       Temperature.disaggregate(daily, "sine_min_max", "fix")

@@ -48,19 +48,22 @@ object SimilarityQueriesImpl {
         |FROM ranked WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
       val emb = table(s, dir, "embeddings")
-      val q = emb.where(col("vec_id") < 8)
-        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-      val c = emb.select(col("vec_id").as("corpus_id"),
-        col("embedding").as("cv"))
       def microDot(a: org.apache.spark.sql.Column,
           b: org.apache.spark.sql.Column) =
         aggregate(zip_with(a, b, (x, y) =>
           round(x.cast("double") * y.cast("double") * 1e12).cast("long")),
           lit(0L), (acc, v) => acc + v) / 1e12
+      // norms are per-row constants: compute once per side BEFORE the
+      // crossJoin instead of re-deriving both per pair (3 interpreted
+      // higher-order aggregates per pair -> 1)
+      val q = emb.where(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+        .withColumn("qn", microDot(col("qv"), col("qv")))
+      val c = emb.select(col("vec_id").as("corpus_id"),
+          col("embedding").as("cv"))
+        .withColumn("cn", microDot(col("cv"), col("cv")))
       val scored = c.crossJoin(broadcast(q))
         .withColumn("dot", microDot(col("cv"), col("qv")))
-        .withColumn("qn", microDot(col("qv"), col("qv")))
-        .withColumn("cn", microDot(col("cv"), col("cv")))
         .withColumn("cos_raw",
           col("dot") / (sqrt(col("qn")) * sqrt(col("cn"))))
       val w = Window.partitionBy(col("query_id"))
