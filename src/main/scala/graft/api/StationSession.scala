@@ -132,11 +132,17 @@ final class StationSession(
   /** Station.interpolate (station.py:403-437): scatter daily columns to
     * their hours, reindex to the hourly grid, interpolate.
     *
-    * `method`: "linear" (window-based, pandas row-spacing + the
-    * limit_direction='both' default) or "cubic" (knots collected to the
-    * driver — calibration-scale — fitted with commons-math3's natural
-    * cubic spline and evaluated as a broadcast closure; boundary
-    * conditions differ slightly from scipy's not-a-knot). */
+    * `method` mirrors the pandas `Series.interpolate(method=...)` surface
+    * the reference delegates to:
+    *  - "linear": window-based, pandas row-spacing + the
+    *    limit_direction='both' default;
+    *  - "nearest" / "zero" / "pad": window-based (see TimeSeries);
+    *  - "cubic" / "akima": knots collected to the driver —
+    *    calibration-scale — fitted as a piecewise spline
+    *    (commons-math3) and evaluated as a broadcast closure. Cubic
+    *    boundary conditions differ slightly from scipy's (natural vs
+    *    not-a-knot); Akima follows the standard Akima (1970) scheme
+    *    like scipy's Akima1DInterpolator. */
   def interpolate(columnHours: Map[String, Int], method: String = "linear",
       limit: Int = 24): DataFrame = {
     val scattered = columnHours.map { case (c, h) =>
@@ -151,17 +157,32 @@ final class StationSession(
       case "linear" =>
         TimeSeries.interpolateLinear(joined, "timestamp", "v", limit,
           partitionCols, byRow = true, limitDirection = "both")
-      case "cubic" =>
+      case "nearest" =>
+        TimeSeries.interpolateNearest(joined, "timestamp", "v", limit,
+          partitionCols)
+      case "zero" =>
+        TimeSeries.interpolateZero(joined, "timestamp", "v", limit,
+          partitionCols)
+      case "pad" | "ffill" =>
+        TimeSeries.fillForward(joined, "timestamp", "v", limit,
+          partitionCols)
+      case "cubic" | "akima" =>
         val knots = joined.where(col("v").isNotNull)
           .select(unix_timestamp(col("timestamp")).as("x"), col("v"))
           .orderBy(col("x")).collect()
         val xs = knots.map(_.getLong(0).toDouble)
         val ys = knots.map(_.getDouble(1))
-        require(xs.length >= 3, "cubic interpolation needs >= 3 knots")
-        val spline = new org.apache.commons.math3.analysis.interpolation
-          .SplineInterpolator().interpolate(xs, ys)
-        // PolynomialSplineFunction isn't serializable — ship knots +
-        // piecewise coefficients and evaluate with Horner on executors
+        require(xs.length >= (if (method == "akima") 5 else 3),
+          s"$method interpolation needs more knots")
+        val spline = (if (method == "cubic")
+            new org.apache.commons.math3.analysis.interpolation
+              .SplineInterpolator()
+          else
+            new org.apache.commons.math3.analysis.interpolation
+              .AkimaSplineInterpolator()).interpolate(xs, ys)
+        // ship knots + ascending piecewise coefficients, evaluate with
+        // Horner on executors (PolynomialSplineFunction isn't
+        // serializable)
         val knotsArr = spline.getKnots
         val coefs = spline.getPolynomials.map(_.getCoefficients)
         val bc = spark.sparkContext.broadcast((knotsArr, coefs))

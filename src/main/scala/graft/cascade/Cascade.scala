@@ -251,6 +251,41 @@ object Cascade {
     }
   }
 
+  /** `disagg_prec_cascade(test=True)` equivalent
+    * (precipitation.py:74 signature; per-level dumps at :116-121 and
+    * :183-189): the per-level intermediate box values, for method
+    * debugging. Returns (level -> boxes) pairs, level 1 first; each frame
+    * is (partitionCols…, idx, v) with days×2^level boxes (missing daily
+    * values run through the cascade as zero, exactly as in
+    * [[disaggregate]]). Lazy DataFrames — collecting all levels costs one
+    * scan per level, so keep it to debug runs. */
+  def disaggregateDebug(daily: DataFrame,
+      stats: Either[CascadeStatistics, Seq[CascadeStatistics]],
+      hourly: Boolean = true, level: Int = 9, seed: Long = 42L,
+      partitionCols: Seq[String] = Nil): Seq[(Int, DataFrame)] = {
+    val si = if (hourly) 5 else level
+    val pcols = partitionCols.map(col)
+    val wDay = (if (partitionCols.isEmpty) Window.orderBy(col("date"))
+      else Window.partitionBy(pcols: _*).orderBy(col("date")))
+    var cur = daily
+      .withColumn("idx", row_number().over(wDay).cast("long") - 1)
+      .withColumn("v", coalesce(col("precip"), lit(0.0)))
+      .select((pcols :+ col("idx") :+ col("v")): _*)
+    var siVar = si
+    val levels = Seq.newBuilder[(Int, DataFrame)]
+    for (l <- 1 to si) {
+      siVar -= 1
+      val (lvlStats, meanvol) = stats match {
+        case Left(s) => (s, s.threshold(siVar))
+        case Right(list) => (list(siVar), list(siVar).threshold(0))
+      }
+      cur = disaggLevel(cur, lvlStats, meanvol, l, seed, partitionCols)
+      if (l % 6 == 0) cur = cur.localCheckpoint(true)
+      levels += (l -> cur)
+    }
+    levels.result()
+  }
+
   private def disaggregateImpl(daily: DataFrame, hourly: Boolean,
       level: Int, shift: Int, partitionCols: Seq[String])
       (step: (DataFrame, Int, Int) => DataFrame): DataFrame = {

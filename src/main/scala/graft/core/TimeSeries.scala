@@ -184,4 +184,69 @@ object TimeSeries {
           .when(prevV.isNotNull && nextV.isNull && dist <= limit, prevV)
     df.withColumn(valueCol, interp)
   }
+
+  /** Shared scaffolding for the null-filling family: previous/next
+    * non-null value, stamp and row distance around each row. */
+  private def withPrevNext(df: DataFrame, tsCol: String, valueCol: String,
+      partitionCols: Seq[String])(
+      build: (Column, Column, Column, Column, Column, Column) => Column)
+      : DataFrame = {
+    def base = if (partitionCols.isEmpty) Window.orderBy(col(tsCol))
+      else Window.partitionBy(partitionCols.map(col): _*).orderBy(col(tsCol))
+    val wPrev = base.rowsBetween(Window.unboundedPreceding, 0)
+    val wNext = base.rowsBetween(0, Window.unboundedFollowing)
+    val v = col(valueCol)
+    val prevV = last(v, ignoreNulls = true).over(wPrev)
+    val prevT = last(when(v.isNotNull, col(tsCol)), ignoreNulls = true)
+      .over(wPrev)
+    val nextV = first(v, ignoreNulls = true).over(wNext)
+    val nextT = first(when(v.isNotNull, col(tsCol)), ignoreNulls = true)
+      .over(wNext)
+    val rn = row_number().over(base)
+    val prevRn = last(when(v.isNotNull, rn), ignoreNulls = true).over(wPrev)
+    df.withColumn(valueCol,
+      build(prevV, prevT, nextV, nextT, rn - prevRn, prevRn))
+  }
+
+  /** pandas `interpolate(method='nearest')` (scipy interp1d
+    * kind='nearest'): interior nulls take the time-nearer bracketing
+    * non-null value, ties rounding DOWN to the earlier knot (scipy's
+    * side='left' searchsorted); leading/trailing nulls stay null —
+    * scipy methods never extrapolate. `limit` bounds the row distance
+    * to the previous non-null, as in pandas. */
+  def interpolateNearest(df: DataFrame, tsCol: String, valueCol: String,
+      limit: Int, partitionCols: Seq[String] = Nil): DataFrame =
+    withPrevNext(df, tsCol, valueCol, partitionCols) {
+      (prevV, prevT, nextV, nextT, dist, _) =>
+        val v = col(valueCol)
+        val t = col(tsCol).cast("timestamp").cast("double")
+        val dPrev = t - prevT.cast("timestamp").cast("double")
+        val dNext = nextT.cast("timestamp").cast("double") - t
+        when(v.isNotNull, v)
+          .when(prevV.isNotNull && nextV.isNotNull && dist <= limit,
+            when(dPrev <= dNext, prevV).otherwise(nextV))
+    }
+
+  /** pandas `interpolate(method='zero')` (scipy kind='zero'): step
+    * function holding the previous knot's value — interior nulls only,
+    * no extrapolation past the last knot. */
+  def interpolateZero(df: DataFrame, tsCol: String, valueCol: String,
+      limit: Int, partitionCols: Seq[String] = Nil): DataFrame =
+    withPrevNext(df, tsCol, valueCol, partitionCols) {
+      (prevV, _, nextV, _, dist, _) =>
+        val v = col(valueCol)
+        when(v.isNotNull, v)
+          .when(prevV.isNotNull && nextV.isNotNull && dist <= limit, prevV)
+    }
+
+  /** pandas `interpolate(method='pad')` / `fillna(method='ffill',
+    * limit=N)`: forward-fill within `limit` rows of the previous
+    * non-null, including past the last knot. */
+  def fillForward(df: DataFrame, tsCol: String, valueCol: String,
+      limit: Int, partitionCols: Seq[String] = Nil): DataFrame =
+    withPrevNext(df, tsCol, valueCol, partitionCols) {
+      (prevV, _, _, _, dist, _) =>
+        val v = col(valueCol)
+        when(v.isNotNull, v).when(prevV.isNotNull && dist <= limit, prevV)
+    }
 }

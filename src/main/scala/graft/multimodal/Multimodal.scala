@@ -7,12 +7,13 @@ import org.apache.spark.sql.functions._
   * pipelines: media as opaque `binary` payloads + typed metadata, with
   * decode / feature-extract / resize / frame-sample stages.
   *
-  * The decode step is a clearly marked STUB (media codec libraries are
-  * not in this container): `fakeDecode` derives a deterministic
-  * fixed-shape feature vector from the payload bytes. Everything
-  * Spark-side — schema, partition-preserving batch iteration, typed
-  * Encoders, output shape — is real and tested; swapping the stub for a
-  * JNI/FFI codec keeps the pipeline unchanged.
+  * Image payloads are REALLY decoded: `decodeImage` runs the pure-JVM
+  * `javax.imageio` codecs (PNG/BMP/GIF/JPEG) and extracts pixel
+  * statistics. Payloads no JVM codec accepts — and the audio/video
+  * modalities, whose codec libraries are not in this container — fall
+  * back to `fakeDecode`, a clearly marked deterministic STUB with the
+  * same feature shape, so the pipeline is total either way and swapping
+  * in a JNI/FFI codec changes nothing Spark-side.
   *
   * Scale: `mapPartitions` keeps per-batch decode state (a real codec's
   * native context) per partition, preserves partitioning, and never
@@ -46,11 +47,64 @@ object Multimodal {
       (pmod(col(idCol), lit(30)) + lit(1)).cast("double")
         .as("duration_s"))
 
-  /** STUB decode: deterministic feature vector from payload bytes.
-    * Replace with a real codec (??? boundary) — signature and batch shape
-    * stay identical. */
+  /** Real image decode via the JVM's built-in codecs. Returns pixel-stat
+    * features: [1, width, height, meanR, meanG, meanB, mean/std/min/max
+    * luminance, luminance histogram(4), aspect, coverage] — a fixed
+    * FeatureDim-float vector, or None when no registered codec accepts
+    * the payload. Single pass over pixels, no temporaries proportional
+    * to the image. */
+  def decodeImage(content: Array[Byte]): Option[Array[Float]] = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
+      catch { case _: Exception => null }
+    if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
+    else {
+      val w = img.getWidth; val hgt = img.getHeight
+      val n = w.toLong * hgt
+      var sumR = 0.0; var sumG = 0.0; var sumB = 0.0
+      var sumL = 0.0; var sumL2 = 0.0
+      var minL = Double.MaxValue; var maxL = Double.MinValue
+      val hist = Array.ofDim[Long](4)
+      var opaque = 0L
+      var y = 0
+      while (y < hgt) {
+        var x = 0
+        while (x < w) {
+          val argb = img.getRGB(x, y)
+          val a = (argb >>> 24) & 0xff
+          val r = (argb >>> 16) & 0xff
+          val g = (argb >>> 8) & 0xff
+          val b = argb & 0xff
+          if (a > 0) opaque += 1
+          val lum = 0.299 * r + 0.587 * g + 0.114 * b
+          sumR += r; sumG += g; sumB += b
+          sumL += lum; sumL2 += lum * lum
+          if (lum < minL) minL = lum
+          if (lum > maxL) maxL = lum
+          hist(math.min(3, (lum / 64.0).toInt)) += 1
+          x += 1
+        }
+        y += 1
+      }
+      val meanL = sumL / n
+      val varL = math.max(0.0, sumL2 / n - meanL * meanL)
+      Some(Array[Float](1.0f, w.toFloat, hgt.toFloat,
+        (sumR / n / 255.0).toFloat, (sumG / n / 255.0).toFloat,
+        (sumB / n / 255.0).toFloat,
+        (meanL / 255.0).toFloat, (math.sqrt(varL) / 255.0).toFloat,
+        (minL / 255.0).toFloat, (maxL / 255.0).toFloat,
+        hist(0).toFloat / n, hist(1).toFloat / n,
+        hist(2).toFloat / n, hist(3).toFloat / n,
+        w.toFloat / hgt, opaque.toFloat / n))
+    }
+  }
+
+  /** STUB decode: deterministic feature vector from payload bytes — the
+    * fallback for audio/video (codec libs absent here) and undecodable
+    * payloads. Replace with a real codec (??? boundary) — signature and
+    * batch shape stay identical. */
   def fakeDecode(content: Array[Byte]): Array[Float] = {
-    // ??? real implementation would decode pixels/samples here
+    // ??? real implementation would decode samples/frames here
     val out = Array.ofDim[Float](FeatureDim)
     var i = 0
     while (i < content.length) {
@@ -65,14 +119,21 @@ object Multimodal {
   }
 
   /** Feature extraction over media batches: one decoder context per
-    * partition, rows streamed through it. */
+    * partition, rows streamed through it. Image rows go through the real
+    * `javax.imageio` decoder; anything it rejects — and the stubbed
+    * audio/video modalities — falls back to `fakeDecode`. */
   def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
-      // per-partition decoder init would go here (native context)
+      // per-partition decoder init would go here (native context);
+      // ImageIO caching to disk hurts at this row rate — keep it in-memory
+      javax.imageio.ImageIO.setUseCache(false)
       rows.map { r =>
-        MediaFeatures(r.media_id, r.modality, r.content.length,
-          fakeDecode(r.content))
+        val feats =
+          if (r.modality == "image")
+            decodeImage(r.content).getOrElse(fakeDecode(r.content))
+          else fakeDecode(r.content)
+        MediaFeatures(r.media_id, r.modality, r.content.length, feats)
       }
     }
   }

@@ -274,5 +274,55 @@ object TimeSeriesQueries {
           round(col("v"), 6).as("v"))
         .orderBy(col("day"))
     }
+
+    // nearest-knot interpolation (pandas method='nearest', scipy
+    // kind='nearest' with its round-down tie): same masked series as q20.
+    register("q21_interpolate_nearest",
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS d,
+        |    SUM(CAST(ROUND(value * 1e6) AS BIGINT)) / COUNT(value) / 1e6 AS v0
+        |  FROM events GROUP BY 1),
+        |masked AS (
+        |  SELECT d, CASE WHEN EXTRACT(day FROM d) % 4 = 0 THEN NULL ELSE v0
+        |    END AS v,
+        |    ROW_NUMBER() OVER (ORDER BY d) AS rn
+        |  FROM daily),
+        |w AS (
+        |  SELECT d, v, rn,
+        |    LAST_VALUE(v IGNORE NULLS) OVER (ORDER BY d
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_v,
+        |    LAST_VALUE(CASE WHEN v IS NOT NULL THEN d END IGNORE NULLS)
+        |      OVER (ORDER BY d
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_t,
+        |    LAST_VALUE(CASE WHEN v IS NOT NULL THEN rn END IGNORE NULLS)
+        |      OVER (ORDER BY d
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_rn,
+        |    FIRST_VALUE(v IGNORE NULLS) OVER (ORDER BY d
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
+        |    FIRST_VALUE(CASE WHEN v IS NOT NULL THEN d END IGNORE NULLS)
+        |      OVER (ORDER BY d
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_t
+        |  FROM masked)
+        |SELECT STRFTIME(d, '%Y-%m-%d') AS day,
+        |  ROUND(CASE WHEN v IS NOT NULL THEN v
+        |    WHEN prev_v IS NOT NULL AND next_v IS NOT NULL
+        |      AND rn - prev_rn <= 24
+        |      THEN CASE WHEN EPOCH(CAST(d AS TIMESTAMP))
+        |          - EPOCH(CAST(prev_t AS TIMESTAMP))
+        |          <= EPOCH(CAST(next_t AS TIMESTAMP))
+        |          - EPOCH(CAST(d AS TIMESTAMP))
+        |        THEN prev_v ELSE next_v END
+        |    END, 6) AS v
+        |FROM w ORDER BY 1""".stripMargin) { (s, dir) =>
+      val daily = table(s, dir, "events")
+        .groupBy(col("ts").cast("date").as("d"))
+        .agg(avgMicros(col("value")).as("v"))
+        .withColumn("v", when(dayofmonth(col("d")) % 4 === 0, lit(null)
+          .cast("double")).otherwise(col("v")))
+      TimeSeries.interpolateNearest(daily, "d", "v", limit = 24)
+        .select(date_format(col("d"), "yyyy-MM-dd").as("day"),
+          round(col("v"), 6).as("v"))
+        .orderBy(col("day"))
+    }
   }
 }

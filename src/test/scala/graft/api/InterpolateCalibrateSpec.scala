@@ -47,6 +47,57 @@ class InterpolateCalibrateSpec extends AnyFunSuite {
     assert(head.count() == 0)
   }
 
+  test("nearest interpolation snaps to the time-nearer knot, ties down") {
+    val out = session.interpolate(Map("tmin" -> 7, "tmax" -> 14),
+      method = "nearest")
+    // hour 10 sits 3 h after the 07:00 tmin knot, 4 h before 14:00 tmax
+    val at10 = out.where(hour($"timestamp") === 10)
+      .withColumn("date", to_date($"timestamp"))
+      .join(daily.select($"date", $"tmin"), "date")
+      .where($"v".isNotNull && abs($"v" - $"tmin") > 1e-9)
+    assert(at10.count() == 0)
+    // hour 18 is 4 h after 14:00 tmax, 13 h before next-day 07:00 tmin
+    val at18 = out.where(hour($"timestamp") === 18)
+      .withColumn("date", to_date($"timestamp"))
+      .join(daily.select($"date", $"tmax"), "date")
+      .where($"v".isNotNull && abs($"v" - $"tmax") > 1e-9)
+    assert(at18.count() == 0)
+    // no extrapolation: hours before the first knot stay null
+    assert(out.orderBy($"timestamp").limit(7)
+      .where($"v".isNotNull).count() == 0)
+  }
+
+  test("zero holds previous knot; pad forward-fills past the last") {
+    val z = session.interpolate(Map("tmin" -> 7, "tmax" -> 14),
+      method = "zero")
+    val at10 = z.where(hour($"timestamp") === 10)
+      .withColumn("date", to_date($"timestamp"))
+      .join(daily.select($"date", $"tmin"), "date")
+      .where($"v".isNotNull && abs($"v" - $"tmin") > 1e-9)
+    assert(at10.count() == 0)
+    val p = session.interpolate(Map("tmin" -> 7, "tmax" -> 14),
+      method = "pad")
+    // pad extends beyond the final 14:00 knot to the end of that day
+    val lastDay = daily.agg(max($"date")).head().getDate(0)
+    val tail = p.where(to_date($"timestamp") === lastDay &&
+      hour($"timestamp") > 14)
+    assert(tail.where($"v".isNull).count() == 0)
+  }
+
+  test("akima spline passes through knots, stays bounded") {
+    val out = session.interpolate(Map("tmin" -> 7, "tmax" -> 14),
+      method = "akima")
+    val at14 = out.where(hour($"timestamp") === 14)
+      .withColumn("date", to_date($"timestamp"))
+      .join(daily.select($"date", $"tmax"), "date")
+      .where($"v".isNotNull && abs($"v" - $"tmax") > 1e-6)
+    assert(at14.count() == 0)
+    val mid = out.where(hour($"timestamp") === 10 && $"v".isNotNull)
+    assert(mid.count() > 300)
+    val bounds = mid.agg(min($"v"), max($"v")).head()
+    assert(bounds.getDouble(0) > 150 && bounds.getDouble(1) < 400)
+  }
+
   test("calibrateRadiation monthly fits per-month Bristow-Campbell") {
     val cal = session.calibrateRadiation("monthly")
     val bc = cal.stats.glob.bristcamp

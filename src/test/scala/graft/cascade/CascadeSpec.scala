@@ -165,6 +165,27 @@ class CascadeSpec extends AnyFunSuite {
     assert(bad.count() == 0)
   }
 
+  test("disaggregateDebug (test=True) dumps every level, mass-exact") {
+    val daily = dailyFixture.limit(20)
+    val levels = Cascade.disaggregateDebug(daily,
+      Left(CascadeStatistics.sampleData()), hourly = true, seed = 99L)
+    assert(levels.map(_._1) == (1 to 5))
+    val totalIn = daily.agg(sum(coalesce($"precip", lit(0.0)))).head()
+      .getDouble(0)
+    levels.foreach { case (l, df) =>
+      assert(df.count() == 20L * (1L << l), s"level $l box count")
+      val s = df.agg(sum($"v")).head().getDouble(0)
+      assert(math.abs(s - totalIn) <= 1e-9, s"level $l mass: $s")
+    }
+    // the debug chain IS the disaggregation chain: the same seed's final
+    // level carries exactly the mass disaggregate() spreads over hours
+    val lastMass = levels.last._2.agg(sum($"v")).head().getDouble(0)
+    val outMass = Cascade.disaggregate(daily,
+      Left(CascadeStatistics.sampleData()), hourly = true, seed = 99L)
+      .agg(sum($"precip")).head().getDouble(0)
+    assert(math.abs(lastMass - outMass) <= 1e-9)
+  }
+
   test("shift lags the series") {
     val daily = dailyFixture.limit(10)
     val out = Cascade.disaggregate(daily,

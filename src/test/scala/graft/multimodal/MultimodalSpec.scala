@@ -29,6 +29,48 @@ class MultimodalSpec extends AnyFunSuite {
     assert(f1.map(_.features.toSeq).toSeq == f2.map(_.features.toSeq).toSeq)
   }
 
+  test("decodeImage really decodes a PNG: dimensions and pixel stats") {
+    // 4x2 image: left half pure red, right half pure blue
+    val img = new java.awt.image.BufferedImage(4, 2,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 2; x <- 0 until 4)
+      img.setRGB(x, y, if (x < 2) 0xff0000 else 0x0000ff)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val f = Multimodal.decodeImage(bos.toByteArray).get
+    assert(f.length == Multimodal.FeatureDim)
+    assert(f(0) == 1.0f && f(1) == 4.0f && f(2) == 2.0f) // decoded, w, h
+    assert(math.abs(f(3) - 0.5f) < 1e-6) // half the pixels full red
+    assert(f(4) == 0.0f)                 // no green anywhere
+    assert(math.abs(f(5) - 0.5f) < 1e-6) // half the pixels full blue
+    assert(math.abs(f(14) - 2.0f) < 1e-6) // aspect 4/2
+    assert(f(15) == 1.0f)                 // fully opaque
+    // luminance: red 0.299*255, blue 0.114*255 -> mean (0.299+0.114)/2
+    assert(math.abs(f(6) - (0.299f + 0.114f) / 2) < 1e-4)
+  }
+
+  test("extractFeatures routes real PNG payloads through the decoder") {
+    val img = new java.awt.image.BufferedImage(3, 3,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 3; x <- 0 until 3) img.setRGB(x, y, 0x00ff00)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val png = bos.toByteArray
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "image", png, 3, 3, 1.0),
+      Multimodal.MediaRow(2L, "image", "not an image".getBytes, 3, 3, 1.0),
+      Multimodal.MediaRow(3L, "audio", png, 3, 3, 1.0))
+    val out = Multimodal.extractFeatures(rows.toDS()).collect()
+      .sortBy(_.media_id)
+    // decoded image: flag 1, true dims, pure green
+    assert(out(0).features(0) == 1.0f && out(0).features(1) == 3.0f)
+    assert(out(0).features(4) == 1.0f && out(0).features(3) == 0.0f)
+    // undecodable payload and audio fall back to the deterministic stub
+    assert(out(1).features.toSeq ==
+      Multimodal.fakeDecode("not an image".getBytes).toSeq)
+    assert(out(2).features.toSeq == Multimodal.fakeDecode(png).toSeq)
+  }
+
   test("sampleFrames only emits for video, bounded by maxFrames") {
     val ds = media.as[Multimodal.MediaRow]
     val frames = Multimodal.sampleFrames(ds, fps = 1.0, maxFrames = 5)
