@@ -13,11 +13,14 @@ import org.apache.spark.sql.functions._
   * or IVF via a driver-fit coarse quantizer. */
 object Similarity {
 
-  /** exact dot product of two double arrays (sequential fold — stable
-    * evaluation order, no shuffle). */
+  /** exact dot product (sequential multiply-accumulate — stable
+    * evaluation order). Native codegen'd expression: the composed
+    * `aggregate(zip_with(...))` form is interpreter-evaluated and
+    * allocates per row; [[graft.functions.DotProduct]] runs as a
+    * primitive loop inside whole-stage codegen with bit-identical
+    * results. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    graft.functions.GraftFunctions.dot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
