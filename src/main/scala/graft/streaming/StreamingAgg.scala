@@ -1,7 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
+  OutputMode}
 
 /** Structured-Streaming re-expressions of the batch aggregations
   * (SURVEY.md §2.9 stretch goal): hourly observations arriving as a
@@ -45,4 +47,52 @@ object StreamingAgg {
       .withColumn("date", to_date(col("w.start")))
       .withColumn("complete", col("n_rows") >= 24)
       .drop("w")
+
+  /** Streaming exact dedup for a document firehose: first occurrence of
+    * each fingerprint wins, duplicates within the watermark horizon are
+    * dropped — state stays bounded (fingerprints expire with the
+    * watermark), so this holds up on an unbounded 100 TB/day feed where
+    * a batch distinct() could not. */
+  def dedupStream(docs: DataFrame, fingerprintCol: String,
+      tsCol: String = "timestamp", watermark: String = "1 hour")
+      : DataFrame =
+    docs.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(Seq(fingerprintCol))
+
+  case class Obs(station: String, ts: java.sql.Timestamp, value: Double)
+  case class GapEvent(station: String, gap_start: java.sql.Timestamp,
+      gap_end: java.sql.Timestamp, gap_seconds: Long)
+  case class LastSeen(ts: Long)
+
+  /** Stateful streaming gap detection (the streaming twin of
+    * TimeSeries.gaps): per-station custom state via
+    * flatMapGroupsWithState keeps only the last-seen stamp per station
+    * and emits a GapEvent the moment a batch's arrivals jump more than
+    * `stepSeconds`. State size = #stations, independent of stream
+    * length. Rows inside one batch are sorted by event time; ordering
+    * across batches follows arrival, matching monitor semantics. */
+  def gapStream(obs: Dataset[Obs], stepSeconds: Long)
+      : Dataset[GapEvent] = {
+    import obs.sparkSession.implicits._
+    obs.groupByKey(_.station)
+      .flatMapGroupsWithState[LastSeen, GapEvent](OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (station: String, rows: Iterator[Obs],
+            state: GroupState[LastSeen]) =>
+          val sorted = rows.map(_.ts.getTime / 1000L).toArray.sorted
+          val events = Seq.newBuilder[GapEvent]
+          var last = state.getOption.map(_.ts)
+          sorted.foreach { t =>
+            last.foreach { p =>
+              if (t - p != stepSeconds)
+                events += GapEvent(station,
+                  new java.sql.Timestamp(p * 1000L),
+                  new java.sql.Timestamp(t * 1000L), t - p)
+            }
+            last = Some(t)
+          }
+          last.foreach(t => state.update(LastSeen(t)))
+          events.result().iterator
+      }
+  }
 }

@@ -33,6 +33,59 @@ class StreamingAggSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("dedupStream keeps the first fingerprint occurrence only") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String, String)]
+    val df = mem.toDF().toDF("timestamp", "fp", "text")
+    val q = StreamingAgg.dedupStream(df, "fp", watermark = "10 minutes")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("dedup_out").start()
+    try {
+      mem.addData(Seq(
+        (java.sql.Timestamp.valueOf("2016-01-01 00:00:00"), "a", "one"),
+        (java.sql.Timestamp.valueOf("2016-01-01 00:01:00"), "b", "two"),
+        (java.sql.Timestamp.valueOf("2016-01-01 00:02:00"), "a", "dup")))
+      q.processAllAvailable()
+      // a duplicate arriving in a LATER batch within the watermark is
+      // dropped by the fingerprint state too
+      mem.addData(Seq(
+        (java.sql.Timestamp.valueOf("2016-01-01 00:03:00"), "b", "dup2"),
+        (java.sql.Timestamp.valueOf("2016-01-01 00:04:00"), "c", "new")))
+      q.processAllAvailable()
+      val got = spark.table("dedup_out").orderBy($"timestamp").collect()
+      assert(got.map(_.getAs[String]("fp")).toSeq == Seq("a", "b", "c"))
+      assert(got.map(_.getAs[String]("text")).toSeq ==
+        Seq("one", "two", "new"))
+    } finally q.stop()
+  }
+
+  test("stateful gapStream emits gaps across batches, per station") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamingAgg.Obs]
+    val q = StreamingAgg.gapStream(mem.toDS(), stepSeconds = 3600L)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("gap_out").start()
+    def obs(st: String, t: String) =
+      StreamingAgg.Obs(st, java.sql.Timestamp.valueOf(t), 1.0)
+    try {
+      mem.addData(Seq(obs("s1", "2016-01-01 00:00:00"),
+        obs("s1", "2016-01-01 01:00:00"),
+        obs("s2", "2016-01-01 00:00:00")))
+      q.processAllAvailable()
+      // batch 2: s1 continues seamlessly, s2 skips two hours -> one gap
+      // spanning the batch boundary via the kept state
+      mem.addData(Seq(obs("s1", "2016-01-01 02:00:00"),
+        obs("s2", "2016-01-01 03:00:00")))
+      q.processAllAvailable()
+      val got = spark.table("gap_out").collect()
+      assert(got.length == 1)
+      assert(got(0).getAs[String]("station") == "s2")
+      assert(got(0).getAs[Long]("gap_seconds") == 3 * 3600L)
+    } finally q.stop()
+  }
+
   test("completeness stream flags short days") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
