@@ -99,8 +99,88 @@ object Multimodal {
     }
   }
 
+  /** Real audio decode for RIFF/WAVE PCM payloads — a pure-JVM header +
+    * sample parse, no codec library needed. Returns waveform-stat
+    * features: [2, sampleRate, channels, duration_s, meanAmp, rms, peak,
+    * zero-crossing rate, amplitude histogram(4), dc offset, bitDepth,
+    * clipping fraction] as a fixed FeatureDim-float vector, or None when
+    * the payload is not parseable PCM WAV (then the caller falls back to
+    * the stub). Supports 8-bit unsigned and 16-bit signed little-endian
+    * PCM (format tag 1), mono or interleaved multi-channel; samples are
+    * folded to mono by averaging channels. Single streaming pass. */
+  def decodeAudioWav(content: Array[Byte]): Option[Array[Float]] = {
+    def le32(o: Int): Int =
+      (content(o) & 0xff) | ((content(o + 1) & 0xff) << 8) |
+        ((content(o + 2) & 0xff) << 16) | ((content(o + 3) & 0xff) << 24)
+    def le16(o: Int): Int =
+      (content(o) & 0xff) | ((content(o + 1) & 0xff) << 8)
+    def tag(o: Int): String =
+      new String(content, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    if (content.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE")
+      return None
+    // walk chunks for fmt + data
+    var off = 12
+    var fmtOff = -1; var dataOff = -1; var dataLen = 0
+    while (off + 8 <= content.length && (fmtOff < 0 || dataOff < 0)) {
+      val id = tag(off); val sz = le32(off + 4)
+      if (sz < 0 || off + 8 + sz > content.length) return None
+      if (id == "fmt ") fmtOff = off + 8
+      else if (id == "data") { dataOff = off + 8; dataLen = sz }
+      off += 8 + sz + (sz & 1) // chunks are word-aligned
+    }
+    if (fmtOff < 0 || dataOff < 0) return None
+    val fmtTag = le16(fmtOff)
+    val channels = le16(fmtOff + 2)
+    val sampleRate = le32(fmtOff + 4)
+    val bits = le16(fmtOff + 14)
+    if (fmtTag != 1 || channels < 1 || sampleRate <= 0 ||
+        (bits != 8 && bits != 16)) return None
+    val bytesPerSample = bits / 8
+    val frameBytes = bytesPerSample * channels
+    val nFrames = dataLen / frameBytes
+    if (nFrames == 0) return None
+    var sum = 0.0; var sumAbs = 0.0; var sum2 = 0.0
+    var peak = 0.0; var crossings = 0L; var clipped = 0L
+    var prevSign = 0
+    val hist = Array.ofDim[Long](4)
+    var f = 0
+    while (f < nFrames) {
+      val base = dataOff + f * frameBytes
+      var acc = 0.0
+      var c = 0
+      while (c < channels) {
+        val s =
+          if (bits == 8) ((content(base + c) & 0xff) - 128) / 128.0
+          else le16(base + c * 2).toShort / 32768.0
+        acc += s
+        c += 1
+      }
+      val v = acc / channels
+      val av = math.abs(v)
+      sum += v; sumAbs += av; sum2 += v * v
+      if (av > peak) peak = av
+      if (av >= 0.999) clipped += 1
+      hist(math.min(3, (av * 4).toInt)) += 1
+      val sign = if (v > 0) 1 else if (v < 0) -1 else 0
+      if (sign != 0) {
+        if (prevSign != 0 && sign != prevSign) crossings += 1
+        prevSign = sign
+      }
+      f += 1
+    }
+    Some(Array[Float](2.0f, sampleRate.toFloat, channels.toFloat,
+      nFrames.toFloat / sampleRate,
+      (sumAbs / nFrames).toFloat,
+      math.sqrt(sum2 / nFrames).toFloat, peak.toFloat,
+      crossings.toFloat / nFrames,
+      hist(0).toFloat / nFrames, hist(1).toFloat / nFrames,
+      hist(2).toFloat / nFrames, hist(3).toFloat / nFrames,
+      (sum / nFrames).toFloat, bits.toFloat,
+      clipped.toFloat / nFrames, 0.0f))
+  }
+
   /** STUB decode: deterministic feature vector from payload bytes — the
-    * fallback for audio/video (codec libs absent here) and undecodable
+    * fallback for video (codec libs absent here) and undecodable
     * payloads. Replace with a real codec (??? boundary) — signature and
     * batch shape stay identical. */
   def fakeDecode(content: Array[Byte]): Array[Float] = {
@@ -120,8 +200,9 @@ object Multimodal {
 
   /** Feature extraction over media batches: one decoder context per
     * partition, rows streamed through it. Image rows go through the real
-    * `javax.imageio` decoder; anything it rejects — and the stubbed
-    * audio/video modalities — falls back to `fakeDecode`. */
+    * `javax.imageio` decoder, audio rows through the real WAV/PCM
+    * parser; anything they reject — and the stubbed video modality —
+    * falls back to `fakeDecode`. */
   def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
@@ -129,10 +210,13 @@ object Multimodal {
       // ImageIO caching to disk hurts at this row rate — keep it in-memory
       javax.imageio.ImageIO.setUseCache(false)
       rows.map { r =>
-        val feats =
-          if (r.modality == "image")
+        val feats = r.modality match {
+          case "image" =>
             decodeImage(r.content).getOrElse(fakeDecode(r.content))
-          else fakeDecode(r.content)
+          case "audio" =>
+            decodeAudioWav(r.content).getOrElse(fakeDecode(r.content))
+          case _ => fakeDecode(r.content)
+        }
         MediaFeatures(r.media_id, r.modality, r.content.length, feats)
       }
     }

@@ -71,6 +71,76 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out(2).features.toSeq == Multimodal.fakeDecode(png).toSeq)
   }
 
+  /** Minimal WAV writer for fixtures: PCM, little-endian. */
+  private def wavBytes(samples: Array[Array[Short]], sampleRate: Int,
+      bits: Int): Array[Byte] = {
+    val channels = samples.length
+    val nFrames = samples(0).length
+    val frameBytes = bits / 8 * channels
+    val dataLen = nFrames * frameBytes
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes); bb.putInt(36 + dataLen)
+    bb.put("WAVE".getBytes)
+    bb.put("fmt ".getBytes); bb.putInt(16)
+    bb.putShort(1); bb.putShort(channels.toShort)
+    bb.putInt(sampleRate); bb.putInt(sampleRate * frameBytes)
+    bb.putShort(frameBytes.toShort); bb.putShort(bits.toShort)
+    bb.put("data".getBytes); bb.putInt(dataLen)
+    for (f <- 0 until nFrames; c <- 0 until channels)
+      if (bits == 16) bb.putShort(samples(c)(f))
+      else bb.put(((samples(c)(f) / 256) + 128).toByte)
+    bb.array()
+  }
+
+  test("decodeAudioWav parses 16-bit mono PCM: rate, duration, rms, zcr") {
+    val rate = 8000; val freq = 400.0; val n = 8000 // 1 second
+    val amp = 16384 // half scale
+    val sine = Array.tabulate(n)(i =>
+      (amp * math.sin(2 * math.Pi * freq * i / rate)).toShort)
+    val f = Multimodal.decodeAudioWav(
+      wavBytes(Array(sine), rate, 16)).get
+    assert(f(0) == 2.0f)            // audio flag
+    assert(f(1) == rate.toFloat)    // sample rate from the header
+    assert(f(2) == 1.0f)            // channels
+    assert(math.abs(f(3) - 1.0f) < 1e-6)  // duration 1 s
+    // sine RMS = amp/sqrt(2) of full scale
+    assert(math.abs(f(5) - amp / 32768.0 / math.sqrt(2)) < 1e-3)
+    assert(math.abs(f(6) - amp / 32768.0f) < 1e-3) // peak
+    // 400 Hz sine crosses zero 2*400 times per second
+    assert(math.abs(f(7) - 2 * freq / rate) < 1e-3)
+    assert(math.abs(f(12)) < 1e-3)  // no DC offset
+    assert(f(13) == 16.0f)          // bit depth
+    assert(f(14) == 0.0f)           // nothing clipped at half scale
+  }
+
+  test("decodeAudioWav folds stereo to mono and rejects non-WAV") {
+    val rate = 1000
+    val left = Array.fill(100)(16384.toShort)
+    val right = Array.fill(100)((-16384).toShort)
+    // L and R cancel -> silent mono fold
+    val f = Multimodal.decodeAudioWav(
+      wavBytes(Array(left, right), rate, 16)).get
+    assert(f(2) == 2.0f && f(5) == 0.0f && f(6) == 0.0f)
+    assert(Multimodal.decodeAudioWav(("RIFFnope" * 8).getBytes).isEmpty)
+    assert(Multimodal.decodeAudioWav(Array.emptyByteArray).isEmpty)
+  }
+
+  test("extractFeatures routes WAV audio through the real parser") {
+    val rate = 4000
+    val tone = Array.tabulate(400)(i =>
+      (8192 * math.sin(2 * math.Pi * 100 * i / rate)).toShort)
+    val wav = wavBytes(Array(tone), rate, 16)
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "audio", wav, 0, 0, 0.1),
+      Multimodal.MediaRow(2L, "audio", "not audio".getBytes, 0, 0, 1.0))
+    val out = Multimodal.extractFeatures(rows.toDS()).collect()
+      .sortBy(_.media_id)
+    assert(out(0).features(0) == 2.0f && out(0).features(1) == rate)
+    assert(out(1).features.toSeq ==
+      Multimodal.fakeDecode("not audio".getBytes).toSeq)
+  }
+
   test("sampleFrames only emits for video, bounded by maxFrames") {
     val ds = media.as[Multimodal.MediaRow]
     val frames = Multimodal.sampleFrames(ds, fps = 1.0, maxFrames = 5)
