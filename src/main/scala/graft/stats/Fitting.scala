@@ -95,6 +95,50 @@ object Fitting {
     (res(0), res(1), res(2))
   }
 
+  /** Per-station fit_cosine_function at fleet scale: one LM fit per
+    * station, run INSIDE the executors via groupByKey + mapGroups — no
+    * driver collect, stations fit in parallel across the cluster. Each
+    * task holds one station's paired hourly series (bounded: decades of
+    * hourly data per station is <1M rows). Returns one row per station:
+    * (stationCols..., a, b, t_shift). Station key columns are treated
+    * as strings (they are IDs); values must not contain U+0001. */
+  def fitCosineWindByStation(hourlyWind: DataFrame,
+      stationCols: Seq[String]): DataFrame = {
+    require(stationCols.nonEmpty, "stationCols must be non-empty")
+    val spark = hourlyWind.sparkSession
+    import spark.implicits._
+    val sep = "\u0001"
+    val withDate = hourlyWind
+      .withColumn("date", to_date(col("timestamp")))
+    val daily = withDate
+      .groupBy(stationCols.map(col) :+ col("date"): _*)
+      .agg(avg(col("wind")).as("daily"))
+    val paired = withDate.join(daily, stationCols :+ "date")
+      .where(col("wind").isNotNull && col("daily").isNotNull)
+      .select(concat_ws(sep, stationCols.map(col): _*).as("k"),
+        col("daily"), hour(col("timestamp")).cast("double").as("h"),
+        col("wind"))
+      .as[(String, Double, Double, Double)]
+    val fitted = paired.groupByKey(_._1).mapGroups { (k, it) =>
+      val rows = it.toArray
+      val dailyV = rows.map(_._2); val hrs = rows.map(_._3)
+      val obs = rows.map(_._4)
+      val res = leastSquares(
+        p => dailyV.indices.map { i =>
+          p(0) * dailyV(i) *
+            math.cos(math.Pi * (hrs(i) - p(2)) / 12.0) +
+            p(1) * dailyV(i)
+        }.toArray,
+        obs, Array(1.0, 1.0, 1.0))
+      (k, res(0), res(1), res(2))
+    }.toDF("k", "a", "b", "t_shift")
+    val restored = stationCols.zipWithIndex.foldLeft(fitted) {
+      case (d, (c, i)) => d.withColumn(c, split(col("k"), sep)(i))
+    }
+    restored.select(stationCols.map(col) ++
+      Seq(col("a"), col("b"), col("t_shift")): _*)
+  }
+
   /** fit_angstroem_params (radiation.py:314-344): least squares of
     * (a + b·ssd/daylen)·pot against observed daily radiation — linear in
     * (a, b), solved by LM like scipy from p0=(0.25, 0.75). Input frame

@@ -70,6 +70,30 @@ class StatsSpec extends AnyFunSuite {
     assert(math.abs(b - 1.0) < 1e-4, s"b=$b")
   }
 
+  test("fitCosineWindByStation: grouped fit == independent fits") {
+    def series(shift: Double, amp: Double, st: String) =
+      for (d <- 1 to 28; h <- 0 until 24) yield {
+        val mean = 3.0 + (d % 5)
+        val w = amp * mean * math.cos(math.Pi * (h - shift) / 12.0) + mean
+        (st, f"2016-02-$d%02d $h%02d:00:00", w)
+      }
+    val df = (series(13.0, 0.3, "s1") ++ series(10.0, 0.5, "s2"))
+      .toDF("station", "s", "wind")
+      .select($"station", to_timestamp($"s").as("timestamp"), $"wind")
+    val fits = Fitting.fitCosineWindByStation(df, Seq("station"))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(fits.keySet == Set("s1", "s2"))
+    for ((st, shift, amp) <- Seq(("s1", 13.0, 0.3), ("s2", 10.0, 0.5))) {
+      val (a, b, t) = fits(st)
+      val (ea, eb, et) =
+        Fitting.fitCosineWind(df.where($"station" === st))
+      assert(math.abs(a - ea) < 1e-6 && math.abs(b - eb) < 1e-6 &&
+        math.abs(t - et) < 1e-6, s"$st grouped ($a,$b,$t) vs ($ea,$eb,$et)")
+      assert(math.abs(math.abs(a) - amp) < 1e-4 && math.abs(b - 1.0) < 1e-4)
+    }
+  }
+
   test("fitAngstroem recovers known parameters") {
     val rows = (1 to 200).map { i =>
       val ssd = (i % 10).toDouble; val dl = 12.0; val pot = 200.0 + i % 7
