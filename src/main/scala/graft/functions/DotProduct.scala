@@ -123,12 +123,47 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 }
 
 object GraftExtensions {
+  private def fromColumns(name: String, arity: Int,
+      build: Seq[Column] => Column)
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (new FunctionIdentifier(name),
+      new ExpressionInfo(GraftExtensions.getClass.getName, name),
+      (children: Seq[Expression]) => {
+        require(children.length == arity,
+          s"$name expects $arity arguments, got ${children.length}")
+        ColumnBridge.expression(build(children.map(ColumnBridge.column)))
+      })
+
+  /** The SQL-callable surface: the native codegen'd dot product plus the
+    * Column-API scalar functions, re-exposed through the same Catalyst
+    * trees the DataFrame API builds — SQL and DataFrame users get
+    * identical plans (and identical whole-stage codegen). */
   val functions: Seq[(FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => Expression)] = Seq(
     (new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       (children: Seq[Expression]) =>
-        DotProduct(children.head, children(1))))
+        DotProduct(children.head, children(1))),
+    fromColumns("graft_cosine", 2, c =>
+      graft.similarity.Similarity.cosine(c(0), c(1))),
+    fromColumns("graft_vapor_pressure", 2, c =>
+      graft.meteo.Meteo.vaporPressure(c(0), c(1))),
+    fromColumns("graft_dewpoint", 2, c =>
+      graft.meteo.Meteo.dewpointTemperature(c(0), c(1))),
+    fromColumns("graft_sat_vapor_pressure", 1, c =>
+      graft.meteo.Meteo.saturationVaporPressure(c(0))),
+    fromColumns("graft_token_count", 1, c =>
+      graft.text.TextAnalysis.tokenCount(c(0))),
+    fromColumns("graft_quality_score", 1, c =>
+      graft.text.TextAnalysis.qualityScore(c(0))),
+    fromColumns("graft_language_id", 1, c =>
+      graft.text.TextAnalysis.languageId(c(0))),
+    fromColumns("graft_fingerprint", 1, c =>
+      graft.text.TextAnalysis.fingerprint(c(0))),
+    fromColumns("graft_simhash", 1, c =>
+      graft.text.Dedup.simhash(c(0))),
+    fromColumns("graft_hamming", 2, c =>
+      graft.text.Dedup.hammingDistance(c(0), c(1))))
 
   /** Register into an already-running session (REPL, tests) — same
     * builders the extensions inject at session construction. */

@@ -11,5 +11,13 @@ import org.apache.spark.sql.classic.ExpressionUtils
   * for Column-API entry points to custom expressions. */
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
-  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Eager node->Expression conversion. `ExpressionUtils.expression`
+    * wraps the column in a LAZY `ColumnNodeExpression` that only the
+    * DataFrame API's own analysis unwraps; an expression returned from a
+    * registered SQL function builder must instead be a real Catalyst
+    * tree (UnresolvedFunction leaves and all) for the analyzer to
+    * resolve it — the eager converter produces exactly that. */
+  def expression(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
 }

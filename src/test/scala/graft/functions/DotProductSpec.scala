@@ -56,6 +56,44 @@ class DotProductSpec extends AnyFunSuite {
       .getDouble(0) == 1.0)
   }
 
+  test("SQL surface: scalar functions match their Column-API twins") {
+    GraftExtensions.register(spark)
+    val docs = Seq((1L, "The quick brown fox jumps over the lazy dog"),
+      (2L, "el rapido zorro marron salta sobre el perro perezoso"))
+      .toDF("id", "text")
+    docs.createOrReplaceTempView("ext_docs")
+    val sql = spark.sql(
+      """SELECT id, graft_token_count(text) AS tc,
+        |  graft_language_id(text) AS lang,
+        |  graft_fingerprint(text) AS fp, graft_simhash(text) AS sh,
+        |  graft_quality_score(text) AS q
+        |FROM ext_docs ORDER BY id""".stripMargin).collect()
+    val api = docs.select($"id",
+        graft.text.TextAnalysis.tokenCount($"text").as("tc"),
+        graft.text.TextAnalysis.languageId($"text").as("lang"),
+        graft.text.TextAnalysis.fingerprint($"text").as("fp"),
+        graft.text.Dedup.simhash($"text").as("sh"),
+        graft.text.TextAnalysis.qualityScore($"text").as("q"))
+      .orderBy($"id").collect()
+    assert(sql.map(_.toSeq).toSeq == api.map(_.toSeq).toSeq)
+    assert(sql(0).getAs[String]("lang") == "en")
+    // meteo twins on a numeric frame
+    val m = spark.sql(
+      "SELECT graft_vapor_pressure(15.0D, 70.0D) AS vp, " +
+        "graft_dewpoint(15.0D, 70.0D) AS dp, " +
+        "graft_sat_vapor_pressure(15.0D) AS svp").head()
+    val mApi = spark.range(1).select(
+      graft.meteo.Meteo.vaporPressure(lit(15.0), lit(70.0)),
+      graft.meteo.Meteo.dewpointTemperature(lit(15.0), lit(70.0)),
+      graft.meteo.Meteo.saturationVaporPressure(lit(15.0))).head()
+    assert(m.toSeq == mApi.toSeq)
+    // cosine + hamming round out the similarity surface
+    assert(spark.sql("SELECT graft_cosine(array(1.0D, 0.0D), " +
+      "array(1.0D, 0.0D)) AS c").head().getDouble(0) == 1.0)
+    assert(spark.sql("SELECT graft_hamming(5L, 6L) AS h").head()
+      .getInt(0) == 2)
+  }
+
   test("SQL registration exposes graft_dot; plan stays codegen'd") {
     GraftExtensions.register(spark)
     val v = spark.sql(
