@@ -7,7 +7,16 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
 
 /** Structured-Streaming re-expressions of the batch aggregations
   * (SURVEY.md §2.9 stretch goal): hourly observations arriving as a
-  * stream roll up into the same daily frame `daily_from_hourly` produces
+  * stream.
+  *
+  * The window-free disaggregators need no re-expression at all: wind
+  * equal/cosine/random and precip equal are pure per-daily-row
+  * explode + scalar expressions (no windows, no cross-day state), so
+  * the BATCH operators — `Wind.disaggregate`, `Precipitation.equal` —
+  * run unchanged on a streaming daily feed in append mode with the
+  * exact same plan (StreamingAggSpec proves stream ≡ batch on them).
+  * The window-shaped methods (temperature's prev/next-day extremes,
+  * humidity, cascade) are calendar-stateful and stay batch roll up into the same daily frame `daily_from_hourly` produces
   * in batch — event-time windows + watermark, so state is bounded and
   * late data within the watermark folds in correctly at any scale. */
 object StreamingAgg {

@@ -86,6 +86,53 @@ class StreamingAggSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("batch disaggregators run unchanged on a streaming daily feed") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val days = Seq(
+      (java.sql.Date.valueOf("2016-03-01"), 4.8, 12.0),
+      (java.sql.Date.valueOf("2016-03-02"), 2.4, 0.0),
+      (java.sql.Date.valueOf("2016-03-03"), 7.2, 3.6))
+    val mem = MemoryStream[(java.sql.Date, Double, Double)]
+    val streamDaily = mem.toDF().toDF("date", "wind", "precip")
+    // the BATCH operators applied directly to the unbounded frame
+    val windQ = graft.disagg.Wind.disaggregate(
+        streamDaily.select($"date", $"wind"),
+        method = "cosine", a = 0.4, b = 1.0, tShift = 13.0)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("wind_stream").start()
+    val precQ = graft.disagg.Precipitation.equal(
+        streamDaily.select($"date", $"precip"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("prec_stream").start()
+    try {
+      mem.addData(days.take(2))
+      windQ.processAllAvailable(); precQ.processAllAvailable()
+      mem.addData(days.drop(2)) // a later micro-batch appends cleanly
+      windQ.processAllAvailable(); precQ.processAllAvailable()
+      val batchDaily = days.toDF("date", "wind", "precip")
+      val windBatch = graft.disagg.Wind.disaggregate(
+          batchDaily.select($"date", $"wind"),
+          method = "cosine", a = 0.4, b = 1.0, tShift = 13.0)
+        .orderBy($"timestamp").collect()
+      val windStream = spark.table("wind_stream")
+        .orderBy($"timestamp").collect()
+      assert(windStream.map(_.toSeq).toSeq ==
+        windBatch.map(_.toSeq).toSeq)
+      assert(windStream.length == 72)
+      val precBatch = graft.disagg.Precipitation.equal(
+          batchDaily.select($"date", $"precip"))
+        .orderBy($"timestamp").collect()
+      val precStream = spark.table("prec_stream")
+        .orderBy($"timestamp").collect()
+      assert(precStream.map(_.toSeq).toSeq ==
+        precBatch.map(_.toSeq).toSeq)
+      // mass conservation holds per appended micro-batch too
+      assert(math.abs(precStream.map(_.getDouble(1)).sum -
+        days.map(_._3).sum) < 1e-9)
+    } finally { windQ.stop(); precQ.stop() }
+  }
+
   test("completeness stream flags short days") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
