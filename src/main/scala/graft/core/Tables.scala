@@ -21,4 +21,37 @@ object Tables {
       else acc
     }
   }
+
+  /** The 100 TB station-fleet parquet layout: hive-partitioned by the
+    * station keys (+ optionally month), rows time-sorted within each
+    * file. Reads that filter on station/month prune whole directories
+    * before any I/O (`PartitionFilters` in the scan), per-station
+    * operators get their partition's data contiguous and pre-sorted,
+    * and `maxRecordsPerFile` bounds file size under skewed stations.
+    * One shuffle (the repartition on the layout keys) per write —
+    * without it every task writes a sliver of every partition and the
+    * sink emits tiny files. */
+  def writeStationPartitioned(df: DataFrame, path: String,
+      stationCols: Seq[String], tsCol: String = "timestamp",
+      byMonth: Boolean = false, maxRecordsPerFile: Long = 5000000L)
+      : Unit = {
+    val (layoutCols, toWrite) =
+      if (byMonth)
+        (stationCols :+ "part_month",
+          df.withColumn("part_month", date_format(col(tsCol), "yyyy-MM")))
+      else (stationCols, df)
+    toWrite
+      .repartition(layoutCols.map(col): _*)
+      .sortWithinPartitions((layoutCols ++ Seq(tsCol)).map(col): _*)
+      .write
+      .partitionBy(layoutCols: _*)
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .mode("overwrite")
+      .parquet(path)
+  }
+
+  /** Read a `writeStationPartitioned` layout back; partition columns
+    * come back as strings (hive dirs), data columns keep their types. */
+  def readStationPartitioned(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
 }
