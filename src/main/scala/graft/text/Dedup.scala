@@ -194,21 +194,47 @@ object Dedup {
 
   /** Embedding-cosine near-dup pairs: LSH-style blocking on the sign of a
     * few hash-derived hyperplane projections, cosine verify on candidates.
-    */
+    *
+    * Skew-capped like `minhashCandidates`: candidate pairs come from a
+    * groupBy on the bucket (not a bucket self-join), so a degenerate
+    * bucket — a mass-duplicated embedding, or a low-entropy corpus
+    * collapsing onto few sign patterns — emits linear star pairs
+    * against its smallest id instead of quadratic all-pairs. Norms are
+    * computed once per vector, not once per pair, and the dot product
+    * is the native codegen'd expression. Completeness holds for buckets
+    * <= maxBucketSize; over-cap buckets link every member to the
+    * representative only. */
   def embeddingNearDups(df: DataFrame, vecCol: String, idCol: String,
-      minCosine: Double = 0.95, planes: Int = 8, seed: Long = 42)
-      : DataFrame = {
+      minCosine: Double = 0.95, planes: Int = 8, seed: Long = 42,
+      maxBucketSize: Int = 1000): DataFrame = {
     import graft.similarity.Similarity
-    val bucketed = df.select(col(idCol), col(vecCol).as("v"))
-      .withColumn("bucket",
-        Similarity.hyperplaneBucket(col("v"), planes, seed))
-    val a = bucketed.select(col("bucket"), col(idCol).as("id_a"),
-      col("v").as("va"))
-    val b = bucketed.select(col("bucket"), col(idCol).as("id_b"),
-      col("v").as("vb"))
-    a.join(b, Seq("bucket"))
-      .where(col("id_a") < col("id_b"))
-      .withColumn("cosine", Similarity.cosine(col("va"), col("vb")))
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("nrm", Similarity.norm(col("v")))
+      .where(col("nrm") > 0)
+    val buckets = base
+      .select(col("id"),
+        Similarity.hyperplaneBucket(col("v"), planes, seed).as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .where(size(col("ids")) >= 2)
+    val pairStruct = (x: Column, y: Column) =>
+      struct(x.as("id_a"), y.as("id_b"))
+    val smallPairs = buckets.where(size(col("ids")) <= maxBucketSize)
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + 2, size(col("ids"))), y =>
+          pairStruct(x, y))))).as("p"))
+    val bigPairs = buckets.where(size(col("ids")) > maxBucketSize)
+      .select(element_at(col("ids"), 1).as("rep"),
+        explode(slice(col("ids"), lit(2), size(col("ids")))).as("other"))
+      .select(pairStruct(col("rep"), col("other")).as("p"))
+    smallPairs.unionByName(bigPairs)
+      .select(col("p.id_a"), col("p.id_b"))
+      .join(base.select(col("id").as("id_a"), col("v").as("va"),
+        col("nrm").as("na")), Seq("id_a"))
+      .join(base.select(col("id").as("id_b"), col("v").as("vb"),
+        col("nrm").as("nb")), Seq("id_b"))
+      .withColumn("cosine",
+        Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .where(col("cosine") >= minCosine)
       .select(col("id_a"), col("id_b"), col("cosine"))
   }

@@ -97,6 +97,36 @@ class TextSpec extends AnyFunSuite {
     assert(secs < 60.0, s"pathological bucket took ${secs}s")
   }
 
+  test("embeddingNearDups finds planted dups, caps skewed buckets") {
+    val rng = new scala.util.Random(11)
+    def vec() = Array.fill(16)(rng.nextFloat() * 2 - 1)
+    val v0 = vec()
+    val near = v0.map(x => x + 0.001f) // cosine ~ 1
+    val distinctRows = Seq((0L, v0), (1L, near)) ++
+      (2L until 50L).map(i => (i, vec()))
+    val pairs = Dedup.embeddingNearDups(
+        distinctRows.toDF("vec_id", "embedding"), "embedding", "vec_id",
+        minCosine = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((0L, 1L)), s"got ${pairs.toSeq}")
+    // 2000 identical vectors land in ONE bucket: the cap routes them
+    // through linear star pairs (all to representative 0), not ~2M
+    // all-pairs
+    val clones = spark.range(2000)
+      .select($"id".as("vec_id"),
+        array((0 until 16).map(i => lit(0.1f * (i + 1))): _*)
+          .as("embedding"))
+    val t0 = System.nanoTime()
+    val star = Dedup.embeddingNearDups(clones, "embedding", "vec_id",
+        minCosine = 0.99, maxBucketSize = 100)
+      .collect()
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(star.length == 1999, s"got ${star.length}")
+    assert(star.forall(r => r.getLong(0) == 0L &&
+      math.abs(r.getDouble(2) - 1.0) < 1e-6))
+    assert(secs < 60.0, s"skewed embedding bucket took ${secs}s")
+  }
+
   test("nearDupPairs (LSH + exact re-rank) matches all-pairs at j>=0.3") {
     val exact = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
         minJaccard = 0.3)
