@@ -222,21 +222,68 @@ object Multimodal {
     }
   }
 
-  /** Frame sampling for video rows: emit `fps`-spaced frame stubs up to
-    * `maxFrames` (payload slices stand in for decoded frames). */
+  /** Real frame extraction for animated-GIF payloads — the one
+    * multi-frame format the JVM decodes without codec libraries. Picks
+    * up to `maxFrames` frames evenly spaced over the animation and
+    * re-encodes each as PNG bytes. Returns None for anything that is
+    * not a decodable multi-image GIF (then the caller falls back to
+    * the stub). Frames are read raw (no disposal-method compositing —
+    * fine for feature extraction, documented divergence from a full
+    * renderer). */
+  def decodeGifFrames(content: Array[Byte], maxFrames: Int)
+      : Option[Seq[Array[Byte]]] = {
+    if (content.length < 6 ||
+      !content.startsWith("GIF8".getBytes)) return None
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(content))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) { iis.close(); return None }
+      val reader = readers.next()
+      try {
+        reader.setInput(iis)
+        val n = reader.getNumImages(true)
+        if (n <= 0) None
+        else {
+          val take = math.min(maxFrames, n)
+          val idxs = if (take == 1) Seq(0)
+            else (0 until take).map(i => i * (n - 1) / (take - 1))
+          Some(idxs.map { i =>
+            val img = reader.read(i)
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "png", bos)
+            bos.toByteArray
+          })
+        }
+      } finally { reader.dispose(); iis.close() }
+    } catch { case _: Exception => None }
+  }
+
+  /** Frame sampling for video rows: animated-GIF payloads go through
+    * the REAL decoder (`decodeGifFrames` — evenly-spaced frames,
+    * re-encoded PNG); payloads needing absent codecs fall back to
+    * `fps`-spaced deterministic stub slices, so the pipeline shape is
+    * identical either way. */
   def sampleFrames(media: Dataset[MediaRow], fps: Double = 1.0,
       maxFrames: Int = 8): Dataset[Frame] = {
     import media.sparkSession.implicits._
     media.filter(_.modality == "video").flatMap { r =>
-      val n = math.min(maxFrames, math.max(1,
-        (r.duration_s * fps).toInt))
-      (0 until n).iterator.map { i =>
-        val offset = i / fps
-        val sliceStart = if (r.content.isEmpty) 0
-          else (i * 7) % math.max(1, r.content.length - 1)
-        Frame(r.media_id, i, offset,
-          r.content.slice(sliceStart,
-            math.min(r.content.length, sliceStart + 16)))
+      decodeGifFrames(r.content, maxFrames) match {
+        case Some(frames) =>
+          frames.iterator.zipWithIndex.map { case (png, i) =>
+            Frame(r.media_id, i, i / fps, png)
+          }
+        case None =>
+          val n = math.min(maxFrames, math.max(1,
+            (r.duration_s * fps).toInt))
+          (0 until n).iterator.map { i =>
+            val offset = i / fps
+            val sliceStart = if (r.content.isEmpty) 0
+              else (i * 7) % math.max(1, r.content.length - 1)
+            Frame(r.media_id, i, offset,
+              r.content.slice(sliceStart,
+                math.min(r.content.length, sliceStart + 16)))
+          }
       }
     }
   }

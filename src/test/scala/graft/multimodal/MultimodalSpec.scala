@@ -141,6 +141,62 @@ class MultimodalSpec extends AnyFunSuite {
       Multimodal.fakeDecode("not audio".getBytes).toSeq)
   }
 
+  /** Animated-GIF fixture: one solid-color 4x4 frame per color. */
+  private def gifBytes(colors: Seq[Int]): Array[Byte] = {
+    val baos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+    val writer = javax.imageio.ImageIO
+      .getImageWritersByFormatName("gif").next()
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    colors.foreach { c =>
+      val img = new java.awt.image.BufferedImage(4, 4,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 4; x <- 0 until 4) img.setRGB(x, y, c)
+      writer.writeToSequence(
+        new javax.imageio.IIOImage(img, null, null), null)
+    }
+    writer.endWriteSequence()
+    ios.close(); writer.dispose()
+    baos.toByteArray
+  }
+
+  test("decodeGifFrames extracts real, evenly spaced GIF frames") {
+    val gif = gifBytes(Seq(0xff0000, 0x00ff00, 0x0000ff, 0xffffff))
+    val all = Multimodal.decodeGifFrames(gif, maxFrames = 8).get
+    assert(all.length == 4)
+    // each extracted frame is a decodable PNG of the right color
+    val feats = all.map(png => Multimodal.decodeImage(png).get)
+    assert(feats.forall(f => f(1) == 4.0f && f(2) == 4.0f))
+    assert(feats(0)(3) > 0.9f && feats(0)(4) < 0.2f) // red frame
+    assert(feats(1)(4) > 0.9f)                        // green frame
+    assert(feats(2)(5) > 0.9f)                        // blue frame
+    // down-sampling stays evenly spaced: first and last frame kept
+    val two = Multimodal.decodeGifFrames(gif, maxFrames = 2).get
+    val f2 = two.map(png => Multimodal.decodeImage(png).get)
+    assert(f2(0)(3) > 0.9f, "first frame is the red one")
+    assert(f2(1)(3) > 0.9f && f2(1)(4) > 0.9f && f2(1)(5) > 0.9f,
+      "last frame is the white one")
+    assert(Multimodal.decodeGifFrames("not a gif".getBytes, 8).isEmpty)
+  }
+
+  test("sampleFrames routes GIF videos through the real decoder") {
+    val gif = gifBytes(Seq(0xff0000, 0x00ff00, 0x0000ff))
+    val pngMagic = Array[Byte](0x89.toByte, 'P', 'N', 'G')
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "video", gif, 4, 4, 3.0),
+      Multimodal.MediaRow(2L, "video", "raw payload bytes".getBytes,
+        0, 0, 2.0))
+    val out = Multimodal.sampleFrames(rows.toDS(), fps = 1.0,
+      maxFrames = 8).collect().sortBy(r => (r.media_id, r.frame_index))
+    val gifFrames = out.filter(_.media_id == 1L)
+    assert(gifFrames.length == 3)
+    assert(gifFrames.forall(_.content.startsWith(pngMagic)))
+    val stubFrames = out.filter(_.media_id == 2L)
+    assert(stubFrames.length == 2) // duration 2 s at 1 fps, stub path
+    assert(stubFrames.forall(!_.content.startsWith(pngMagic)))
+  }
+
   test("sampleFrames only emits for video, bounded by maxFrames") {
     val ds = media.as[Multimodal.MediaRow]
     val frames = Multimodal.sampleFrames(ds, fps = 1.0, maxFrames = 5)
