@@ -66,6 +66,43 @@ object ScaleSmoke {
       Aggregations.dailyFromHourly(hourly,
         partitionCols = Seq("station_id")).count()
     }
+
+    // LLM-pipeline ops on a synthesized corpus: `stations` scales the
+    // corpus (1k docs / 2k embeddings per station-equivalent), ~14% of
+    // docs are near-exact clones of their neighbor — the near-dup rate
+    // stays fixed as the corpus grows, so pair counts grow linearly and
+    // so should wall time (band buckets + caps, no quadratic joins).
+    val words = array((0 until 512).map(i => lit(s"w$i")): _*)
+    val docs = spark.range(0, stations * 1000L, 1, 32)
+      .select(col("id").as("doc_id"),
+        when(pmod(col("id"), lit(7)) === 0, col("id") - 1)
+          .otherwise(col("id")).as("seed"))
+      .select(col("doc_id"), concat_ws(" ",
+        transform(sequence(lit(1), lit(60)), i =>
+          element_at(words,
+            (pmod(xxhash64(col("seed"), i), lit(512)) + 1).cast("int"))))
+          .as("text"))
+      .localCheckpoint(true)
+    t("minhash near-dup pairs") {
+      // numHashes=32 -> 16 bands of 2 (S-curve threshold 0.25, well
+      // under 0.8*minJaccard): same recall guarantee as the 128-hash
+      // default at a quarter of the signature hashing, which dominates
+      // at corpus scale. Verification is exact either way.
+      graft.text.Dedup.nearDupPairs(docs, "text", "doc_id",
+        minJaccard = 0.5, numHashes = 32).count()
+    }
+    val embs = spark.range(0, stations * 2000L, 1, 32)
+      .select(col("id").as("vec_id"),
+        when(pmod(col("id"), lit(7)) === 0, col("id") - 1)
+          .otherwise(col("id")).as("seed"))
+      .select(col("vec_id"), transform(sequence(lit(0), lit(63)), i =>
+        (pmod(xxhash64(col("seed"), i), lit(1000)).cast("double") / 500.0
+          - 1.0).cast("float")).as("embedding"))
+      .localCheckpoint(true)
+    t("embedding near-dup pairs") {
+      graft.text.Dedup.embeddingNearDups(embs, "embedding", "vec_id",
+        minCosine = 0.95).count()
+    }
     spark.stop()
   }
 }

@@ -94,8 +94,14 @@ object Dedup {
       .select(element_at(col("ids"), 1).as("rep"),
         explode(slice(col("ids"), lit(2), size(col("ids")))).as("other"))
       .select(pairStruct(col("rep"), col("other")).as("p"))
+    // dedupe candidates BEFORE the verify join: a true near-dup pair
+    // collides in up to `bands` buckets, so without this the expensive
+    // set-intersection join runs `bands`× per pair. The dedup shuffle
+    // moves only (long, long) rows — orders of magnitude lighter than
+    // the shingle-set join it prunes.
     val candidates = smallPairs.unionByName(bigPairs)
       .select(col("p.id_a"), col("p.id_b"))
+      .dropDuplicates("id_a", "id_b")
     // verify on hashed distinct shingles: long-set intersection sizes
     // equal the string-set sizes (64-bit collisions are negligible) at a
     // fraction of the comparison cost
@@ -110,7 +116,6 @@ object Dedup {
         (size(col("gh_a")) + size(col("gh_b")) - col("ni")))
       .where(col("jaccard") >= minJaccard)
       .select(col("id_a"), col("id_b"), col("jaccard"))
-      .dropDuplicates("id_a", "id_b")
   }
 
   /** exact Jaccard over two shingle arrays (distinct semantics). The
@@ -203,17 +208,34 @@ object Dedup {
     * computed once per vector, not once per pair, and the dot product
     * is the native codegen'd expression. Completeness holds for buckets
     * <= maxBucketSize; over-cap buckets link every member to the
-    * representative only. */
+    * representative only.
+    *
+    * Sizing `planes`: expected bucket occupancy is n/2^planes and
+    * verify work is n·occupancy/2 pairs, so planes must GROW with the
+    * corpus — a fixed plane count turns quadratic at scale. Pass
+    * `planes = 0` (the scale default) to auto-size to
+    * log2(n / 8) from a count of the input, keeping occupancy ~8 and
+    * verify cost linear in n. More planes = faster but lower recall
+    * per table for merely-similar pairs — each plane splits a true
+    * near-dup pair with probability angle/π (~1.4% at cosine 0.95;
+    * EXACT duplicates are never split) — so for recall-critical runs
+    * at lower thresholds, union several explicit-`planes` runs with
+    * different `seed`s. */
   def embeddingNearDups(df: DataFrame, vecCol: String, idCol: String,
-      minCosine: Double = 0.95, planes: Int = 8, seed: Long = 42,
+      minCosine: Double = 0.95, planes: Int = 0, seed: Long = 42,
       maxBucketSize: Int = 1000): DataFrame = {
+    val nPlanes =
+      if (planes > 0) planes
+      else math.max(8, math.min(24,
+        math.ceil(math.log(math.max(df.count(), 2L) / 8.0) /
+          math.log(2.0)).toInt))
     import graft.similarity.Similarity
     val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("nrm", Similarity.norm(col("v")))
       .where(col("nrm") > 0)
     val buckets = base
       .select(col("id"),
-        Similarity.hyperplaneBucket(col("v"), planes, seed).as("bucket"))
+        Similarity.hyperplaneBucket(col("v"), nPlanes, seed).as("bucket"))
       .groupBy(col("bucket"))
       .agg(sort_array(collect_list(col("id"))).as("ids"))
       .where(size(col("ids")) >= 2)
