@@ -139,6 +139,43 @@ object Fitting {
       Seq(col("a"), col("b"), col("t_shift")): _*)
   }
 
+  /** Shared per-station fit skeleton: rows reduced to double vectors,
+    * grouped by the concatenated station key, fitted INSIDE the
+    * executors (one task per station, stations in parallel), key split
+    * back into columns. Station key columns are treated as strings and
+    * must not contain U+0001. */
+  private def perStation(df: DataFrame, stationCols: Seq[String],
+      fields: Seq[org.apache.spark.sql.Column], outNames: Seq[String])(
+      fit: Array[Array[Double]] => Array[Double]): DataFrame = {
+    require(stationCols.nonEmpty, "stationCols must be non-empty")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sep = "\u0001"
+    val keyed = df
+      .select(concat_ws(sep, stationCols.map(col): _*).as("k"),
+        array(fields.map(_.cast("double")): _*).as("vals"))
+      .as[(String, Array[Double])]
+    val fitted = keyed.groupByKey(_._1).mapGroups { (k, it) =>
+      (k, fit(it.map(_._2).toArray))
+    }.toDF("k", "p")
+    val withOut = outNames.zipWithIndex.foldLeft(fitted) {
+      case (d, (n, i)) => d.withColumn(n, col("p")(i))
+    }
+    val restored = stationCols.zipWithIndex.foldLeft(withOut) {
+      case (d, (c, i)) => d.withColumn(c, split(col("k"), sep)(i))
+    }
+    restored.select(stationCols.map(col) ++ outNames.map(col): _*)
+  }
+
+  private def angstroemCore(ssd: Array[Double], dl: Array[Double],
+      pot: Array[Double], obs: Array[Double]): (Double, Double) = {
+    val res = leastSquares(
+      p => ssd.indices.map(i =>
+        (p(0) + p(1) * ssd(i) / dl(i)) * pot(i)).toArray,
+      obs, Array(0.25, 0.75))
+    (res(0), res(1))
+  }
+
   /** fit_angstroem_params (radiation.py:314-344): least squares of
     * (a + b·ssd/daylen)·pot against observed daily radiation — linear in
     * (a, b), solved by LM like scipy from p0=(0.25, 0.75). Input frame
@@ -149,14 +186,25 @@ object Fitting {
         col("pot").isNotNull && col("obs").isNotNull)
       .select(col("ssd"), col("daylength"), col("pot"), col("obs"))
       .collect()
-    val ssd = rows.map(_.getDouble(0)); val dl = rows.map(_.getDouble(1))
-    val pot = rows.map(_.getDouble(2)); val obs = rows.map(_.getDouble(3))
-    val res = leastSquares(
-      p => ssd.indices.map(i =>
-        (p(0) + p(1) * ssd(i) / dl(i)) * pot(i)).toArray,
-      obs, Array(0.25, 0.75))
-    (res(0), res(1))
+    angstroemCore(rows.map(_.getDouble(0)), rows.map(_.getDouble(1)),
+      rows.map(_.getDouble(2)), rows.map(_.getDouble(3)))
   }
+
+  /** Per-station Angstroem fit on executors — one LM fit per station
+    * via mapGroups, no driver collect. Input needs stationCols + ssd,
+    * daylength, pot, obs. Returns (stationCols..., a, b). */
+  def fitAngstroemByStation(daily: DataFrame, stationCols: Seq[String])
+      : DataFrame =
+    perStation(
+      daily.where(col("ssd").isNotNull && col("daylength").isNotNull &&
+        col("pot").isNotNull && col("obs").isNotNull),
+      stationCols,
+      Seq(col("ssd"), col("daylength"), col("pot"), col("obs")),
+      Seq("a", "b")) { rows =>
+      val (a, b) = angstroemCore(rows.map(_(0)), rows.map(_(1)),
+        rows.map(_(2)), rows.map(_(3)))
+      Array(a, b)
+    }
 
   /** fit_bristow_campbell_params (radiation.py:251-280): minimize
     * |mean(bc(tmin, tmax, pot, A, C) − obs)| from (0.75, 2.4). The B term
@@ -170,11 +218,36 @@ object Fitting {
       .select(col("date"), col("tmin"), col("tmax"), col("pot"),
         col("obs"), month(col("date")).as("m"))
       .collect()
-    val n = rows.length
-    val tmin = rows.map(_.getDouble(1)); val tmax = rows.map(_.getDouble(2))
-    val pot = rows.map(_.getDouble(3)); val obs = rows.map(_.getDouble(4))
-    val mon = rows.map(_.getInt(5))
-    val dates = rows.map(_.getDate(0).toLocalDate)
+    bristowCore(rows.map(_.getDate(0).toLocalDate),
+      rows.map(_.getDouble(1)), rows.map(_.getDouble(2)),
+      rows.map(_.getDouble(3)), rows.map(_.getDouble(4)),
+      rows.map(_.getInt(5)))
+  }
+
+  /** Per-station Bristow-Campbell fit on executors (mapGroups, no
+    * driver collect). Input needs stationCols + date, tmin, tmax, pot,
+    * obs. Returns (stationCols..., A, C). */
+  def fitBristowCampbellByStation(daily: DataFrame,
+      stationCols: Seq[String]): DataFrame =
+    perStation(
+      daily.where(col("tmin").isNotNull && col("tmax").isNotNull &&
+        col("pot").isNotNull && col("obs").isNotNull),
+      stationCols,
+      Seq(datediff(col("date"), lit("1970-01-01")), col("tmin"),
+        col("tmax"), col("pot"), col("obs"), month(col("date"))),
+      Seq("A", "C")) { unsorted =>
+      val rows = unsorted.sortBy(_(0))
+      val (a, c) = bristowCore(
+        rows.map(r => java.time.LocalDate.ofEpochDay(r(0).toLong)),
+        rows.map(_(1)), rows.map(_(2)), rows.map(_(3)), rows.map(_(4)),
+        rows.map(_(5).toInt))
+      Array(a, c)
+    }
+
+  private def bristowCore(dates: Array[java.time.LocalDate],
+      tmin: Array[Double], tmax: Array[Double], pot: Array[Double],
+      obs: Array[Double], mon: Array[Int]): (Double, Double) = {
+    val n = dates.length
     // tmin_nextday on the calendar; last row self-fills
     val byDate = dates.zipWithIndex.toMap
     val tminNext = Array.tabulate(n) { i =>

@@ -124,4 +124,40 @@ class StatsSpec extends AnyFunSuite {
     assert(a > 0.3 && a < 1.2, s"a=$a")
     assert(c > 0.5 && c < 5.0, s"c=$c")
   }
+
+  test("per-station Angstroem and Bristow-Campbell == independent fits") {
+    val ang = (for (st <- Seq("s1", "s2"); i <- 1 to 100) yield {
+      val (pa, pb) = if (st == "s1") (0.3, 0.6) else (0.2, 0.7)
+      val ssd = (i % 10).toDouble; val dl = 12.0; val pot = 200.0 + i % 7
+      (st, ssd, dl, pot, (pa + pb * ssd / dl) * pot)
+    }).toDF("station", "ssd", "daylength", "pot", "obs")
+    val angFits = Fitting.fitAngstroemByStation(ang, Seq("station"))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2))).toMap
+    for (st <- Seq("s1", "s2")) {
+      val (ea, eb) = Fitting.fitAngstroem(ang.where($"station" === st))
+      val (a, b) = angFits(st)
+      assert(math.abs(a - ea) < 1e-9 && math.abs(b - eb) < 1e-9,
+        s"$st ($a,$b) vs ($ea,$eb)")
+    }
+    val bcBase = (for (st <- Seq("s1", "s2"); i <- 0 until 120) yield {
+      val d = java.time.LocalDate.of(2016, 4, 1).plusDays(i)
+      val amp = if (st == "s1") 3.0 else 5.0
+      val tmin = 278.0 + amp * math.sin(i / 9.0)
+      (st, java.sql.Date.valueOf(d), tmin,
+        tmin + 8 + 2 * math.cos(i / 5.0), 300.0)
+    }).toDF("station", "date", "tmin", "tmax", "pot")
+    val bcObs = graft.meteo.Meteo.bristowCampbell(bcBase, "date", "tmin",
+        "tmax", "pot", Left(0.7), Left(2.0), partitionCols = Seq("station"))
+      .withColumnRenamed("r0", "obs")
+    val bcFits = Fitting.fitBristowCampbellByStation(bcObs, Seq("station"))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2))).toMap
+    for (st <- Seq("s1", "s2")) {
+      val (ea, ec) = Fitting.fitBristowCampbell(bcObs.where($"station" === st))
+      val (a, c) = bcFits(st)
+      assert(math.abs(a - ea) < 1e-9 && math.abs(c - ec) < 1e-9,
+        s"$st ($a,$c) vs ($ea,$ec)")
+    }
+  }
 }
