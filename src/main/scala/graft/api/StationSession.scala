@@ -157,6 +157,11 @@ final class StationSession(
       case "linear" =>
         TimeSeries.interpolateLinear(joined, "timestamp", "v", limit,
           partitionCols, byRow = true, limitDirection = "both")
+      case "slinear" | "index" | "values" =>
+        // pandas: these weight by the index (time) distance, where
+        // 'linear' is row-spaced
+        TimeSeries.interpolateLinear(joined, "timestamp", "v", limit,
+          partitionCols, byRow = false, limitDirection = "both")
       case "nearest" =>
         TimeSeries.interpolateNearest(joined, "timestamp", "v", limit,
           partitionCols)

@@ -37,6 +37,26 @@ object Wind {
       col("wind_disagg").as("wind")): _*)
   }
 
+  /** Fleet cosine disaggregation: per-station (a, b, t_shift) joined
+    * from a fits frame — e.g. `Fitting.fitCosineWindByStation`'s output
+    * — via one broadcast join (fits are one row per station). The
+    * fleet twin of `disaggregate(method = "cosine")`: each station's
+    * hourly curve uses ITS OWN calibrated parameters in a single job
+    * over the fleet. */
+  def cosinePerStation(daily: DataFrame, fits: DataFrame,
+      partitionCols: Seq[String]): DataFrame = {
+    require(partitionCols.nonEmpty, "cosinePerStation needs partitionCols")
+    val hourly = TimeSeries.explodeDays(daily, "date", 24, 3600L * 1000000L)
+    val h = hour(col("timestamp"))
+    hourly.join(broadcast(fits), partitionCols)
+      .withColumn("wind_disagg",
+        col("a") * col("wind") *
+          cos((h - col("t_shift")) * (math.Pi / 12.0)) +
+          col("b") * col("wind"))
+      .select((partitionCols.map(col) :+ col("timestamp") :+
+        col("wind_disagg").as("wind")): _*)
+  }
+
   /** Uniform(0,1) from xxhash64 of the given columns + seed; excludes 0
     * exactly so -ln(u) stays finite. */
   def uniformHash(seed: Long,

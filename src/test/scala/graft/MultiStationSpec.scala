@@ -157,6 +157,27 @@ class MultiStationSpec extends AnyFunSuite {
       .where(abs($"p1" - $"p2") > 1e-12).count() > 0)
   }
 
+  test("wind cosinePerStation == scalar cosine with each station's fit") {
+    val fits = Seq(("s1", 0.3, 1.0, 13.0), ("s2", 0.5, 0.9, 10.0),
+      ("s3", 0.2, 1.1, 15.0)).toDF("station_id", "a", "b", "t_shift")
+    val multi = Wind.cosinePerStation(
+      stacked.select($"station_id", $"date", $"wind"), fits,
+      Seq("station_id"))
+    assert(multi.count() == 3 * 120 * 24)
+    fits.collect().foreach { p =>
+      val id = p.getString(0)
+      val single = Wind.disaggregate(daily.select($"date", $"wind"),
+          "cosine", a = p.getDouble(1), b = p.getDouble(2),
+          tShift = p.getDouble(3))
+        .select($"timestamp", $"wind".as("w_single"))
+      val diffs = multi.where($"station_id" === id)
+        .join(single, "timestamp")
+        .where(abs($"wind" - $"w_single") > 1e-12 ||
+          $"wind".isNull =!= $"w_single".isNull)
+      assert(diffs.count() == 0, s"station $id diverges")
+    }
+  }
+
   test("daily aggregation keyed by station") {
     val hourly = Wind.disaggregate(stacked, "equal",
         partitionCols = Seq("station_id"))

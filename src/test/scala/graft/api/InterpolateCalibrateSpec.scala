@@ -47,6 +47,20 @@ class InterpolateCalibrateSpec extends AnyFunSuite {
     assert(head.count() == 0)
   }
 
+  test("slinear (time-weighted) == linear on the uniform hourly grid") {
+    // pandas 'slinear'/'index' weight by time distance; on the hourly
+    // grid row distance == time distance, so the two methods coincide
+    val lin = session.interpolate(Map("tmin" -> 7, "tmax" -> 14),
+      method = "linear").orderBy($"timestamp").collect()
+    val sli = session.interpolate(Map("tmin" -> 7, "tmax" -> 14),
+      method = "slinear").orderBy($"timestamp").collect()
+    assert(lin.length == sli.length)
+    lin.zip(sli).foreach { case (a, b) =>
+      assert(a.isNullAt(1) == b.isNullAt(1) &&
+        (a.isNullAt(1) || math.abs(a.getDouble(1) - b.getDouble(1)) < 1e-9))
+    }
+  }
+
   test("nearest interpolation snaps to the time-nearer knot, ties down") {
     val out = session.interpolate(Map("tmin" -> 7, "tmax" -> 14),
       method = "nearest")
