@@ -231,6 +231,38 @@ object TextQueriesImpl {
     }
 
     // xxhash64-based scale paths: spec-tested, rows-only at the gate.
+    // deterministic per-document text metrics: punctuation count,
+    // stopword count/ratio, CJK chars. The ratio ships as FLOORED
+    // MICROS (bigint) — both engines floor the SAME IEEE double, so no
+    // half-way rounding-mode hazard (ROUND differs at exact .5 micros,
+    // reachable for e.g. 128-token docs).
+    register("q69_text_metrics",
+      """SELECT doc_id,
+        |  LENGTH(text) - LENGTH(REGEXP_REPLACE(text,
+        |    '[.,!?;:''"()\-]', '', 'g')) AS punct_n,
+        |  LEN(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)),
+        |    '\s+'), x -> x IN ('the','a','an','of','and','to','in','is',
+        |    'it','that','for','on','with','as','this'))) AS stop_n,
+        |  CAST(FLOOR(CAST(LEN(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(
+        |      TRIM(LOWER(text)), '\s+'), x -> x IN ('the','a','an','of',
+        |      'and','to','in','is','it','that','for','on','with','as',
+        |      'this'))) AS DOUBLE)
+        |    / GREATEST(LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+')), 1)
+        |    * 1e6) AS BIGINT) AS stop_ratio_u,
+        |  LENGTH(text) - LENGTH(REGEXP_REPLACE(text,
+        |    '[\x{4e00}-\x{9fff}]', '', 'g')) AS cjk_n
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      table(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.punctCount(col("text")).cast("long").as("punct_n"),
+          TextAnalysis.stopwordCount(col("text"), "en").cast("long")
+            .as("stop_n"),
+          floor(TextAnalysis.stopwordRatio(col("text")) * 1e6)
+            .cast("long").as("stop_ratio_u"),
+          TextAnalysis.cjkCount(col("text")).cast("long").as("cjk_n"))
+        .orderBy(col("doc_id"))
+    }
+
     // nearDupPairs picks the band count for the requested similarity
     // (minJaccard=0.2 -> 64 bands of 2), so recall at j just above 0.2
     // is high — a fixed bands=16 config silently missed that range.
