@@ -108,6 +108,29 @@ object SimilarityQueriesImpl {
         .orderBy(col("media_id"))
     }
 
+    // the multimodal METADATA plumbing is deterministic arithmetic, so
+    // unlike the decode paths it hash-checks against DuckDB: synthetic
+    // media typing + resize planning (scale doubles are identical
+    // correctly-rounded int divisions in both engines).
+    register("q76_resize_plan",
+      """SELECT doc_id AS media_id,
+        |  (['image', 'audio', 'video'])[CAST(doc_id % 3 AS INT) + 1]
+        |    AS modality,
+        |  CAST(doc_id % 4 * 64 + 64 AS INT) AS width,
+        |  CAST(doc_id % 3 * 64 + 64 AS INT) AS height,
+        |  224 AS target_width, 224 AS target_height,
+        |  224.0 / (doc_id % 4 * 64 + 64) AS scale_x,
+        |  224.0 / (doc_id % 3 * 64 + 64) AS scale_y
+        |FROM documents ORDER BY media_id""".stripMargin) { (s, dir) =>
+      Multimodal.resizePlan(
+          Multimodal.syntheticMediaTable(table(s, dir, "documents"),
+            "doc_id", "text"), 224, 224)
+        .select(col("media_id"), col("modality"), col("width"),
+          col("height"), col("target_width"), col("target_height"),
+          col("scale_x"), col("scale_y"))
+        .orderBy(col("media_id"))
+    }
+
     registerRowsOnly("q75_video_frame_sample") { (s, dir) =>
       val spark = s
       import spark.implicits._
