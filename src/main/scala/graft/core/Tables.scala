@@ -54,4 +54,19 @@ object Tables {
     * come back as strings (hive dirs), data columns keep their types. */
   def readStationPartitioned(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Bucketed-table write for CO-LOCATED joins: two tables bucketed the
+    * same way on the same key join with NO Exchange on either side —
+    * at 100 TB that deletes the dominant shuffle of every fact-to-fact
+    * join on the key. Bucketing needs the session catalog
+    * (`saveAsTable`); `sortedBy` the key keeps bucket files
+    * merge-join-ready. Read back with `spark.table(name)`. */
+  def writeBucketed(df: DataFrame, name: String, bucketCols: Seq[String],
+      buckets: Int): Unit =
+    df.write
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .mode("overwrite")
+      .format("parquet")
+      .saveAsTable(name)
 }

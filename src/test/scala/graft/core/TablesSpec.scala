@@ -50,4 +50,34 @@ class TablesSpec extends AnyFunSuite {
       .select($"timestamp").limit(3).collect().map(_.getTimestamp(0))
     assert(head.sorted.toSeq == head.toSeq)
   }
+
+  test("bucketed tables join without an exchange on either side") {
+    val left = spark.range(0, 10000)
+      .select($"id".as("k"), ($"id" * 2).as("a"))
+    val right = spark.range(0, 10000)
+      .select($"id".as("k"), ($"id" * 3).as("b"))
+    Tables.writeBucketed(left, "graft_bkt_l", Seq("k"), 8)
+    Tables.writeBucketed(right, "graft_bkt_r", Seq("k"), 8)
+    // force the non-broadcast path: at fleet scale both sides are big
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("graft_bkt_l")
+        .join(spark.table("graft_bkt_r"), "k")
+      assert(joined.count() == 10000)
+      // the co-located join plans with zero shuffles: bucket layout
+      // replaces both Exchanges
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"), plan)
+      assert(plan.contains("SortMergeJoin") ||
+        plan.contains("ShuffledHashJoin"), plan)
+      // correctness: values line up per key
+      assert(joined.where($"a" =!= $"k" * 2 || $"b" =!= $"k" * 3)
+        .count() == 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+      spark.sql("DROP TABLE IF EXISTS graft_bkt_l")
+      spark.sql("DROP TABLE IF EXISTS graft_bkt_r")
+    }
+  }
 }
