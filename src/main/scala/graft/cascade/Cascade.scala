@@ -509,20 +509,32 @@ object Cascade {
     * row per station. Map keys are the station key values as strings. */
   def aggregateStepPerStation(df: DataFrame, pct: Double,
       partitionCols: Seq[String])
-      : (Map[Seq[String], CascadeStatistics], DataFrame) = {
+      : (Map[Seq[String], CascadeStatistics], Map[Seq[String], Long],
+         DataFrame) = {
     require(partitionCols.nonEmpty,
       "aggregateStepPerStation needs partitionCols")
     val pcols = partitionCols.map(col)
     val w = Window.partitionBy(pcols: _*).orderBy(col("idx"))
     val paired = pairChildren(df, pcols, w).localCheckpoint(true)
 
-    val thr = paired.where(col("v") > 0)
+    // ONE aggregation pass per level carries both the per-station sorted
+    // wet values (threshold input; collect_list skips the nulls the
+    // `when` emits for dry boxes) and the total parent-box count (the
+    // build_casc level weight) — checkpointed tiny (one row/station) so
+    // the collect and the broadcast join below don't re-aggregate.
+    val thrAndN = paired
       .groupBy(pcols: _*)
-      .agg(sort_array(collect_list(col("v"))).as("vs"))
+      .agg(sort_array(collect_list(when(col("v") > 0, col("v"))))
+          .as("vs"),
+        count(lit(1)).as("np"))
       .select((pcols :+
-        numpyPercentileCol(col("vs"), pct).as("meanvol")): _*)
+        when(size(col("vs")) > 0, numpyPercentileCol(col("vs"), pct))
+          .as("meanvol") :+ col("np")): _*)
+      .localCheckpoint(true)
 
-    val withThr = paired.join(broadcast(thr), partitionCols, "left")
+    val withThr = paired.join(
+      broadcast(thrAndN.select((pcols :+ col("meanvol")): _*)),
+      partitionCols, "left")
     val classified = classifyParents(withThr, w, col("meanvol"))
     val aggs = countAggs
     val counts = classified
@@ -531,15 +543,20 @@ object Cascade {
 
     def key(r: Row): Seq[String] =
       partitionCols.map(c => String.valueOf(r.getAs[Any](c)))
-    val thrByStation = thr.collect()
-      .map(r => key(r) -> r.getAs[Double]("meanvol")).toMap
+    val collected = thrAndN.collect()
+    val thrByStation = collected.map { r =>
+      val i = partitionCols.length
+      key(r) -> (if (r.isNullAt(i)) Double.NaN else r.getDouble(i))
+    }.toMap
+    val nByStation = collected
+      .map(r => key(r) -> r.getAs[Long]("np")).toMap
     val statsByStation = counts.groupBy(key).map { case (k, rows) =>
       // a station with no wet parents never reaches `counts`; stations in
       // thr but absent here fall through to repair()'s sample-data path
       k -> statsFromCounts(rows.toSeq,
         thrByStation.getOrElse(k, Double.NaN), pct)
     }
-    (statsByStation,
+    (statsByStation, nByStation,
       paired.select((pcols ++ Seq(col("idx"), col("v"), col("ts"))): _*))
   }
 
@@ -642,12 +659,9 @@ object Cascade {
       val thresholds = mutable.Map[Seq[String], Array[Double]]()
       val levels = mutable.Map[Seq[String], Array[CascadeStatistics]]()
       for (i <- 0 until aggreLevel) {
-        val (statsMap, parent) =
+        val (statsMap, nByStation, parent) =
           aggregateStepPerStation(cur, percentile, partitionCols)
         cur = parent
-        val nByStation = cur.groupBy(pcols: _*).count().collect().map(r =>
-          partitionCols.map(c => String.valueOf(r.getAs[Any](c))) ->
-            r.getAs[Long]("count")).toMap
         statsMap.foreach { case (k, si) =>
           allStations += k
           val n = nByStation.getOrElse(k, 0L)
