@@ -68,6 +68,15 @@ object Fitting {
       new NelderMeadSimplex(p0.length)).getPoint
   }
 
+  private def cosineWindCore(daily: Array[Double], hrs: Array[Double],
+      obs: Array[Double]): Array[Double] =
+    leastSquares(
+      p => daily.indices.map { i =>
+        p(0) * daily(i) * math.cos(math.Pi * (hrs(i) - p(2)) / 12.0) +
+          p(1) * daily(i)
+      }.toArray,
+      obs, Array(1.0, 1.0, 1.0))
+
   /** fit_cosine_function (wind.py:75-93): fit (a, b, t_shift) of
     * a·w̄·cos(π(t−t_shift)/12) + b·w̄ against observed hourly wind.
     * `hourlyWind`: (timestamp, wind). */
@@ -83,15 +92,8 @@ object Fitting {
       .select(col("daily"), hour(col("timestamp")).cast("double").as("h"),
         col("wind"))
       .collect()
-    val daily = paired.map(_.getDouble(0))
-    val hrs = paired.map(_.getDouble(1))
-    val obs = paired.map(_.getDouble(2))
-    val res = leastSquares(
-      p => daily.indices.map { i =>
-        p(0) * daily(i) * math.cos(math.Pi * (hrs(i) - p(2)) / 12.0) +
-          p(1) * daily(i)
-      }.toArray,
-      obs, Array(1.0, 1.0, 1.0))
+    val res = cosineWindCore(paired.map(_.getDouble(0)),
+      paired.map(_.getDouble(1)), paired.map(_.getDouble(2)))
     (res(0), res(1), res(2))
   }
 
@@ -121,15 +123,8 @@ object Fitting {
       .as[(String, Double, Double, Double)]
     val fitted = paired.groupByKey(_._1).mapGroups { (k, it) =>
       val rows = it.toArray
-      val dailyV = rows.map(_._2); val hrs = rows.map(_._3)
-      val obs = rows.map(_._4)
-      val res = leastSquares(
-        p => dailyV.indices.map { i =>
-          p(0) * dailyV(i) *
-            math.cos(math.Pi * (hrs(i) - p(2)) / 12.0) +
-            p(1) * dailyV(i)
-        }.toArray,
-        obs, Array(1.0, 1.0, 1.0))
+      val res = cosineWindCore(rows.map(_._2), rows.map(_._3),
+        rows.map(_._4))
       (k, res(0), res(1), res(2))
     }.toDF("k", "a", "b", "t_shift")
     val restored = stationCols.zipWithIndex.foldLeft(fitted) {
