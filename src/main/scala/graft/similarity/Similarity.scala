@@ -48,6 +48,39 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
+  /** `planeComponent` evaluated at the driver — the SAME catalyst
+    * XxHash64 (the expression `xxhash64` builds, seed 42) over the same
+    * (long seed, int plane, int dim) children, then the same
+    * pmod/scale arithmetic, so buckets are bit-identical to
+    * [[hyperplaneBucket]]'s. */
+  private def planeComponentValue(plane: Int, dim: Int, seed: Long)
+      : Double = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    val h = new XxHash64(Seq(Literal(seed), Literal(plane), Literal(dim)),
+      42L).eval(null).asInstanceOf[Long]
+    val m = 1000000007L
+    (((h % m) + m) % m).toDouble / 5.0e8 - 1.0
+  }
+
+  /** [[hyperplaneBucket]] with the plane matrix PRECOMPUTED as literal
+    * arrays for a known dimension: the generic form re-derives every
+    * plane component with an xxhash64 call per (row, plane, dim) —
+    * planes×dim hashes per vector that do not depend on the row at
+    * all. Identical buckets (planeComponentValue replays the same
+    * hash), ~dim×planes fewer hash evaluations per row. */
+  def hyperplaneBucketPrecomputed(vec: Column, planes: Int, seed: Long,
+      dim: Int): Column = {
+    val bits = (0 until planes).map { p =>
+      val weights = array((0 until dim).map(i =>
+        lit(planeComponentValue(p, i, seed))): _*)
+      val proj = aggregate(
+        zip_with(vec, weights, (x, w) => x.cast("double") * w),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj >= 0, shiftleft(lit(1L), p)).otherwise(0L)
+    }
+    bits.reduce(_ + _)
+  }
+
   /** Brute-force cosine top-k: per query vector, the k nearest corpus
     * vectors. `queries` is broadcast — one corpus scan total. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,

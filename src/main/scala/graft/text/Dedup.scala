@@ -70,9 +70,15 @@ object Dedup {
       .select(col(idCol), xxhash64(col("sh_str")).as("s"))
     val minAggs = (0 until numHashes).map(i =>
       min(xxhash64(lit(i), col("s"))).as(s"h$i"))
+    // materialize once: this frame feeds THREE branches (band explode,
+    // id_a verify side, id_b verify side) and Catalyst plans each
+    // branch's scan+explode+aggregate independently (no ReuseExchange —
+    // downstream projections differ). A lazy localCheckpoint computes
+    // the signatures once on first use and serves all branches.
     val sigAndSet = exploded.groupBy(col(idCol))
       .agg(minAggs.head, (minAggs.tail :+
         collect_set(col("s")).as("gh")): _*)
+      .localCheckpoint(false)
     val docSets = sigAndSet.select(col(idCol), col("gh"))
     val banded = sigAndSet
       .select(col(idCol),
@@ -224,18 +230,37 @@ object Dedup {
   def embeddingNearDups(df: DataFrame, vecCol: String, idCol: String,
       minCosine: Double = 0.95, planes: Int = 0, seed: Long = 42,
       maxBucketSize: Int = 1000): DataFrame = {
-    val nPlanes =
-      if (planes > 0) planes
-      else math.max(8, math.min(24,
-        math.ceil(math.log(math.max(df.count(), 2L) / 8.0) /
-          math.log(2.0)).toInt))
     import graft.similarity.Similarity
+    // auto mode sizes planes from the corpus and, in the same action,
+    // probes the embedding dimension so the plane matrix can be
+    // precomputed as literals (identical buckets, planes×dim fewer
+    // hash evaluations per row)
+    val probed: Option[(Long, Int, Int)] =
+      if (planes > 0) None
+      else {
+        val r = df.agg(count(lit(1)), min(size(col(vecCol))),
+          max(size(col(vecCol)))).head()
+        // empty/all-null input: no dim to probe -> generic bucket path
+        if (r.isNullAt(1) || r.isNullAt(2)) Some((r.getLong(0), -1, -2))
+        else Some((r.getLong(0), r.getInt(1), r.getInt(2)))
+      }
+    val nPlanes = probed match {
+      case None => planes
+      case Some((n, _, _)) =>
+        math.max(8, math.min(24,
+          math.ceil(math.log(math.max(n, 2L) / 8.0) /
+            math.log(2.0)).toInt))
+    }
+    val bucketOf = (v: Column) => probed match {
+      case Some((_, dmin, dmax)) if dmin == dmax =>
+        Similarity.hyperplaneBucketPrecomputed(v, nPlanes, seed, dmax)
+      case _ => Similarity.hyperplaneBucket(v, nPlanes, seed)
+    }
     val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("nrm", Similarity.norm(col("v")))
       .where(col("nrm") > 0)
     val buckets = base
-      .select(col("id"),
-        Similarity.hyperplaneBucket(col("v"), nPlanes, seed).as("bucket"))
+      .select(col("id"), bucketOf(col("v")).as("bucket"))
       .groupBy(col("bucket"))
       .agg(sort_array(collect_list(col("id"))).as("ids"))
       .where(size(col("ids")) >= 2)

@@ -61,4 +61,17 @@ class SimilaritySpec extends AnyFunSuite {
     assert(b1.toSeq == b2.toSeq)
     assert(b1.distinct.length > 10)
   }
+
+  test("precomputed-plane buckets are bit-identical to the generic form") {
+    val dim = emb.select(size($"embedding")).head().getInt(0)
+    for (planes <- Seq(8, 14); seed <- Seq(42L, 7L)) {
+      val gen = emb.select(
+        Similarity.hyperplaneBucket($"embedding", planes, seed).as("b"))
+        .collect().map(_.getLong(0))
+      val pre = emb.select(Similarity.hyperplaneBucketPrecomputed(
+        $"embedding", planes, seed, dim).as("b"))
+        .collect().map(_.getLong(0))
+      assert(gen.toSeq == pre.toSeq, s"planes=$planes seed=$seed")
+    }
+  }
 }
