@@ -78,7 +78,11 @@ object SimilarityQueriesImpl {
     registerRowsOnly("q71_cosine_topk_lsh") { (s, dir) =>
       val emb = table(s, dir, "embeddings")
       val q = emb.where(col("vec_id") < 8)
-      Similarity.lshTopK(emb, q, "embedding", "vec_id", "vec_id", k = 5)
+      // the driver table's embedding dim is uniform: probe it once from
+      // the tiny query side so the plane matrix precomputes to literals
+      val dim = q.select(size(col("embedding"))).head().getInt(0)
+      Similarity.lshTopK(emb, q, "embedding", "vec_id", "vec_id", k = 5,
+          dim = dim)
         .orderBy(col("query_id"), col("rank"))
     }
 

@@ -103,14 +103,20 @@ object Similarity {
   /** LSH-bucketed approximate top-k: candidates only from the query's
     * hyperplane bucket (multi-probe: exact bucket plus 1-bit flips),
     * then exact cosine rank. Falls back to fewer than k results when the
-    * buckets are sparse — the standard ANN recall/latency trade. */
+    * buckets are sparse — the standard ANN recall/latency trade.
+    * Pass the (uniform) embedding dimension as `dim` to precompute the
+    * plane matrix as literals — identical buckets, planes×dim fewer
+    * hash evaluations per corpus row; leave 0 when dims may vary. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, vecCol: String,
       idCol: String, queryIdCol: String, k: Int, planes: Int = 8,
-      seed: Long = 42): DataFrame = {
+      seed: Long = 42, dim: Int = 0): DataFrame = {
+    val bucketOf = (v: Column) =>
+      if (dim > 0) hyperplaneBucketPrecomputed(v, planes, seed, dim)
+      else hyperplaneBucket(v, planes, seed)
     val c = corpus.select(col(idCol).as("corpus_id"),
       col(vecCol).as("cv"),
-      hyperplaneBucket(col(vecCol), planes, seed).as("bucket"))
-    val qBucket = hyperplaneBucket(col("qv"), planes, seed)
+      bucketOf(col(vecCol)).as("bucket"))
+    val qBucket = bucketOf(col("qv"))
     val probes = array(
       (qBucket +: (0 until planes).map(b =>
         qBucket.bitwiseXOR(lit(1L << b)))): _*)
