@@ -150,12 +150,15 @@ object Similarity {
         (i, cvec.toSeq)
       }.toSeq).toDF("centroid_id", "centroid"))
 
-    // assignment via join against the broadcast centroid table (argmin)
+    // assignment via join against the broadcast centroid table (argmin).
+    // The row's own norm is CONSTANT across centroids, so dividing by
+    // it cannot change the per-row ranking — rank on -dot/|centroid|
+    // only and skip a norm evaluation per (row, centroid) pair.
     val assigned = corpus.select(col(idCol).as("corpus_id"),
         col(vecCol).as("cv"))
       .crossJoin(centDf)
-      .withColumn("dist", -dot(col("cv"), col("centroid")) /
-        (norm(col("cv")) * norm(col("centroid"))))
+      .withColumn("dist",
+        -dot(col("cv"), col("centroid")) / norm(col("centroid")))
       .withColumn("rn", row_number().over(Window
         .partitionBy(col("corpus_id")).orderBy(col("dist"),
           col("centroid_id"))))
@@ -165,8 +168,8 @@ object Similarity {
     val qAssigned = queries.select(col(queryIdCol).as("query_id"),
         col(vecCol).as("qv"))
       .crossJoin(centDf)
-      .withColumn("dist", -dot(col("qv"), col("centroid")) /
-        (norm(col("qv")) * norm(col("centroid"))))
+      .withColumn("dist",
+        -dot(col("qv"), col("centroid")) / norm(col("centroid")))
       .withColumn("rn", row_number().over(Window
         .partitionBy(col("query_id")).orderBy(col("dist"),
           col("centroid_id"))))
