@@ -88,6 +88,24 @@ object Aggregations {
         hour(col(tsCol)).as("h"))).getField("h").as("hour_of_max"))
   }
 
+  /** [[linregress]] per group, fully distributed: the same closed-form
+    * moments computed by one grouped aggregation — no collect at all.
+    * Returns (groupCols..., a1, a0, r), one row per group. */
+  def linregressByGroup(df: DataFrame, xCol: String, yCol: String,
+      groupCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    val x = col(xCol); val y = col(yCol)
+    val a1 = col("cxy") / col("vx")
+    df.where(x.isNotNull && y.isNotNull)
+      .groupBy(groupCols.map(col): _*)
+      .agg(avg(x).as("mx"), avg(y).as("my"),
+        covar_pop(x, y).as("cxy"), var_pop(x).as("vx"),
+        var_pop(y).as("vy"))
+      .select(groupCols.map(col) :+ a1.as("a1") :+
+        (col("my") - a1 * col("mx")).as("a0") :+
+        (col("cxy") / sqrt(col("vx") * col("vy"))).as("r"): _*)
+  }
+
   /** Exact closed-form simple linear regression y = a1*x + a0 from one
     * aggregate pass (replaces scipy.stats.linregress in
     * util/util.py:137-157). Returns (a1, a0, r). Null pairs dropped. */

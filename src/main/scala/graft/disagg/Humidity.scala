@@ -140,4 +140,19 @@ object Humidity {
       graft.agg.Aggregations.linregress(daily, "tmin", "tdew")
     (a1, a0)
   }
+
+  /** Per-station dewpoint regression, fully distributed (closed-form
+    * grouped moments — no collect). Returns (stationCols..., a1, a0). */
+  def dewpointRegressionByStation(hourlyObs: DataFrame,
+      stationCols: Seq[String], tsCol: String = "timestamp"): DataFrame = {
+    val keys = stationCols.map(col) :+ to_date(col(tsCol)).as("date")
+    val daily = hourlyObs
+      .withColumn("tdew",
+        Meteo.dewpointTemperature(col("temp"), col("hum")))
+      .groupBy(keys: _*)
+      .agg(avg(col("tdew")).as("tdew"), min(col("temp")).as("tmin"))
+    graft.agg.Aggregations
+      .linregressByGroup(daily, "tmin", "tdew", stationCols)
+      .select(stationCols.map(col) :+ col("a1") :+ col("a0"): _*)
+  }
 }

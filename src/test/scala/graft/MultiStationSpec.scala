@@ -157,6 +157,31 @@ class MultiStationSpec extends AnyFunSuite {
       .where(abs($"p1" - $"p2") > 1e-12).count() > 0)
   }
 
+  test("dewpointRegressionByStation == per-station dewpointRegression") {
+    // two stations with different temp/hum relationships so the fitted
+    // (a1, a0) genuinely differ per station
+    def obs(scale: Double) = (0 until 30 * 24).map { i =>
+      (f"2016-01-${i / 24 + 1}%02d ${i % 24}%02d:00:00",
+        270.0 + (i / 24) * scale + (i % 24) * 0.4,
+        55.0 + (i % 24) * scale)
+    }.toDF("s", "temp", "hum")
+      .select(to_timestamp($"s").as("timestamp"), $"temp", $"hum")
+    val stackedObs = Seq("s1" -> 1.0, "s2" -> 1.6).map { case (id, sc) =>
+      obs(sc).withColumn("station_id", lit(id)) }
+      .reduce(_ unionByName _).repartition(8)
+    val got = graft.disagg.Humidity
+      .dewpointRegressionByStation(stackedObs, Seq("station_id"))
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Double]("a1"), r.getAs[Double]("a0"))).toMap
+    assert(got.keySet == Set("s1", "s2"))
+    for ((id, sc) <- Seq("s1" -> 1.0, "s2" -> 1.6)) {
+      val (a1, a0) = graft.disagg.Humidity.dewpointRegression(obs(sc))
+      assert(math.abs(got(id)._1 - a1) < 1e-12 &&
+        math.abs(got(id)._2 - a0) < 1e-12, s"station $id diverges")
+    }
+    assert(math.abs(got("s1")._1 - got("s2")._1) > 1e-6)
+  }
+
   test("wind cosinePerStation == scalar cosine with each station's fit") {
     val fits = Seq(("s1", 0.3, 1.0, 13.0), ("s2", 0.5, 0.9, 10.0),
       ("s3", 0.2, 1.1, 15.0)).toDF("station_id", "a", "b", "t_shift")

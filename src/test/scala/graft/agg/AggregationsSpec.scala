@@ -72,6 +72,25 @@ class AggregationsSpec extends AnyFunSuite {
     assert(math.abs(r - 1.0) < 1e-9)
   }
 
+  test("linregressByGroup == independent per-group linregress") {
+    val df = (1 to 50).flatMap { i =>
+      Seq(("g1", i.toDouble, 2.5 * i + 7.0 + (i % 3) * 0.1),
+        ("g2", i.toDouble, -1.2 * i + 3.0 + (i % 5) * 0.2))
+    }.toDF("g", "x", "y")
+    val got = Aggregations.linregressByGroup(df, "x", "y", Seq("g"))
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Double]("a1"), r.getAs[Double]("a0"), r.getAs[Double]("r")))
+      .toMap
+    assert(got.keySet == Set("g1", "g2"))
+    for (g <- Seq("g1", "g2")) {
+      val (a1, a0, r) =
+        Aggregations.linregress(df.where($"g" === g), "x", "y")
+      val (ga1, ga0, gr) = got(g)
+      assert(math.abs(ga1 - a1) < 1e-12 && math.abs(ga0 - a0) < 1e-12 &&
+        math.abs(gr - r) < 1e-12, s"group $g diverges")
+    }
+  }
+
   test("wetPercentile matches numpy linear interpolation") {
     val df = Seq(0.0, 0.0, 1.0, 2.0, 3.0, 4.0).toDF("precip")
     // wet values [1,2,3,4], p50 -> 2.5; p90 -> 3.7
