@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.QueryRegistry.{register, registerRowsOnly}
 import graft.core.Tables.table
-import graft.text.{Dedup, TextAnalysis}
+import graft.text.{Clusters, Dedup, TextAnalysis}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis + dedup operators over the `documents` table. The
@@ -270,6 +270,101 @@ object TextQueriesImpl {
       Dedup.nearDupPairs(table(s, dir, "documents"), "text", "doc_id",
           minJaccard = 0.2, numHashes = 128)
         .orderBy(col("id_a"), col("id_b"))
+    }
+
+    // Gopher-style repetition quality signals: most-frequent-word
+    // ratio, top-bigram count, duplicate-trigram fraction. Pure
+    // per-row expressions (no shuffle) — ratios ship as floored micros
+    // so both engines floor the same IEEE double.
+    register("q78_repetition_metrics",
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+') AS tok
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, tok,
+        |    LIST_TRANSFORM(GENERATE_SERIES(1, GREATEST(LEN(tok) - 1, 1)),
+        |      j -> CONCAT_WS(' ', tok[j], tok[j+1])) AS g2,
+        |    LIST_TRANSFORM(GENERATE_SERIES(1, GREATEST(LEN(tok) - 2, 1)),
+        |      j -> CONCAT_WS(' ', tok[j], tok[j+1], tok[j+2])) AS g3
+        |  FROM t)
+        |SELECT doc_id,
+        |  LEN(tok) AS n_tokens,
+        |  LIST_MAX(LIST_TRANSFORM(LIST_DISTINCT(tok),
+        |    x -> LEN(LIST_FILTER(tok, y -> y = x)))) AS top_word_n,
+        |  CAST(FLOOR(CAST(LIST_MAX(LIST_TRANSFORM(LIST_DISTINCT(tok),
+        |    x -> LEN(LIST_FILTER(tok, y -> y = x)))) AS DOUBLE)
+        |    / LEN(tok) * 1e6) AS BIGINT) AS top_word_u,
+        |  LIST_MAX(LIST_TRANSFORM(LIST_DISTINCT(g2),
+        |    x -> LEN(LIST_FILTER(g2, y -> y = x)))) AS top_bigram_n,
+        |  LEN(LIST_FILTER(g3, x -> LEN(LIST_FILTER(g3, y -> y = x)) > 1))
+        |    AS dup_trigram_n,
+        |  CAST(FLOOR(CAST(LEN(LIST_FILTER(g3,
+        |      x -> LEN(LIST_FILTER(g3, y -> y = x)) > 1)) AS DOUBLE)
+        |    / LEN(g3) * 1e6) AS BIGINT) AS dup_trigram_u
+        |FROM g ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val base = table(s, dir, "documents")
+        .withColumn("tok", TextAnalysis.tokens(lower(col("text"))))
+        .withColumn("g2", TextAnalysis.shinglesFromTokens(col("tok"), 2))
+        .withColumn("g3", TextAnalysis.shinglesFromTokens(col("tok"), 3))
+      base.select(col("doc_id"),
+          size(col("tok")).cast("long").as("n_tokens"),
+          TextAnalysis.topCount(col("tok")).cast("long").as("top_word_n"),
+          floor(TextAnalysis.topCount(col("tok")).cast("double")
+            / size(col("tok")) * 1e6).cast("long").as("top_word_u"),
+          TextAnalysis.topCount(col("g2")).cast("long")
+            .as("top_bigram_n"),
+          TextAnalysis.dupCount(col("g3")).cast("long")
+            .as("dup_trigram_n"),
+          floor(TextAnalysis.dupCount(col("g3")).cast("double")
+            / size(col("g3")) * 1e6).cast("long").as("dup_trigram_u"))
+        .orderBy(col("doc_id"))
+    }
+
+    // Transitive dedup clusters: LSH near-dup pairs -> distributed
+    // connected components -> (cluster id, size, keeper) per document.
+    // The oracle recomputes the same >=0.5-Jaccard edge set quadratically
+    // and closes it with a recursive CTE (min-label reachability), so
+    // the gate checks BOTH the LSH pair recall and the component labels.
+    register("q77_dedup_clusters",
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id,
+        |    LIST_DISTINCT(LIST_TRANSFORM(GENERATE_SERIES(1,
+        |      GREATEST(LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)),
+        |        '\s+')) - 2, 1)),
+        |      j -> CONCAT_WS(' ',
+        |        REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+')[j],
+        |        REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+')[j+1],
+        |        REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+')[j+2])))
+        |      AS g
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE CAST(LEN(LIST_INTERSECT(a.g, b.g)) AS DOUBLE)
+        |    / (LEN(a.g) + LEN(b.g) - LEN(LIST_INTERSECT(a.g, b.g)))
+        |    >= 0.5),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach(node, label) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.dst, r.label FROM reach r JOIN edges e
+        |    ON e.src = r.node
+        |  WHERE r.label < e.dst),
+        |cc AS (SELECT node AS doc_id, MIN(label) AS cluster_id
+        |       FROM reach GROUP BY node)
+        |SELECT c.doc_id, c.cluster_id, s.n AS cluster_size,
+        |  CAST(c.doc_id = c.cluster_id AS BIGINT) AS is_keeper
+        |FROM cc c JOIN (SELECT cluster_id, COUNT(*) AS n FROM cc
+        |                GROUP BY cluster_id) s USING (cluster_id)
+        |ORDER BY c.doc_id""".stripMargin) { (s, dir) =>
+      val docs = table(s, dir, "documents")
+      val pairs = Dedup.nearDupPairs(docs, "text", "doc_id",
+        minJaccard = 0.5, numHashes = 128)
+      Clusters.assign(docs, "doc_id", pairs)
+        .orderBy(col("doc_id"))
     }
   }
 }

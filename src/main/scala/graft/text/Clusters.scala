@@ -1,0 +1,96 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components over near-duplicate pair lists — turns pairwise
+  * dedup output (exact, MinHash-LSH, SimHash, embedding-cosine) into
+  * transitive duplicate CLUSTERS, so "keep one representative per
+  * group" survives chains (A~B, B~C but A!~C must still collapse to
+  * one keeper).
+  *
+  * Algorithm: distributed min-label propagation. Every node starts
+  * labelled with its own id; each round every node takes the minimum
+  * label among itself and its neighbors; at fixpoint each node carries
+  * the minimum node id of its component. Each round is two hash
+  * shuffles (edge-label join + min groupBy), both map-side combined,
+  * and rounds needed = graph diameter.
+  *
+  * Scale: near-dup similarity graphs are unions of small dense
+  * clusters (duplicate families), so the diameter — and hence the
+  * round count — is small and independent of corpus size; each round
+  * touches only |V| label rows and |E| edge rows, hash-partitioned.
+  * Label state is re-materialized per round via localCheckpoint so the
+  * plan/lineage doesn't grow with iterations (the same guard the
+  * cascade levels use). For adversarially chain-shaped graphs raise
+  * `maxIter`; the loop stops as soon as a round changes nothing.
+  */
+object Clusters {
+
+  /** Component label (min member id) per node appearing in `edges`.
+    * Input: an undirected pair list, one row per pair, any orientation.
+    * Output: (node, label) — nodes absent from `edges` are singletons
+    * and are NOT emitted; callers left-join and coalesce to own id. */
+  def connectedComponents(edges: DataFrame, srcCol: String = "id_a",
+      dstCol: String = "id_b", maxIter: Int = 50): DataFrame = {
+    val fwd = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+    val sym = fwd.union(
+      fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint(false) // reused every round: scan edges once
+    var labels = sym.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val nbrMin = sym
+        .join(labels.withColumnRenamed("node", "src"), Seq("src"))
+        .groupBy(col("dst").as("node"))
+        .agg(min(col("label")).as("nbr"))
+      val next = labels.join(nbrMin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nbr"), col("label")))
+            .as("label"),
+          (coalesce(col("nbr"), col("label")) < col("label")).as("chg"))
+        .localCheckpoint() // eager: bounds lineage, one action per round
+      changed = next.where(col("chg")).count()
+      labels = next.select(col("node"), col("label"))
+      iter += 1
+    }
+    labels
+  }
+
+  /** Cluster assignment for every row of `df`: transitive closure over
+    * near-dup `pairs`, singletons labelled with their own id.
+    * Returns (idCol, cluster_id, cluster_size, is_keeper) where the
+    * keeper is the minimum id of the cluster. */
+  def assign(df: DataFrame, idCol: String, pairs: DataFrame,
+      srcCol: String = "id_a", dstCol: String = "id_b"): DataFrame = {
+    val cc = connectedComponents(pairs, srcCol, dstCol)
+      .withColumnRenamed("node", idCol)
+    val labelled = df.select(col(idCol))
+      .join(cc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("label"), col(idCol)).as("cluster_id"))
+    val sizes = labelled.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    labelled.join(sizes, Seq("cluster_id"))
+      .select(col(idCol), col("cluster_id"), col("cluster_size"),
+        (col(idCol) === col("cluster_id")).cast("long").as("is_keeper"))
+  }
+
+  /** End-to-end corpus dedup: MinHash-LSH near-dup pairs → transitive
+    * clusters → keep one representative (min id) per cluster. The
+    * production 100 TB path: LSH bucketing for candidates, exact
+    * Jaccard verify, then component-wise collapse — no quadratic stage
+    * anywhere. */
+  def dropNearDuplicates(df: DataFrame, textCol: String, idCol: String,
+      minJaccard: Double = 0.5, numHashes: Int = 128): DataFrame = {
+    val pairs = Dedup.nearDupPairs(df, textCol, idCol,
+      minJaccard = minJaccard, numHashes = numHashes)
+    val keep = assign(df, idCol, pairs).where(col("is_keeper") === 1)
+      .select(col(idCol))
+    df.join(keep, Seq(idCol), "left_semi")
+  }
+}

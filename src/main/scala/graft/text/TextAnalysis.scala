@@ -91,6 +91,19 @@ object TextAnalysis {
     array_min(transform(sh, s => xxhash64(s)))
   }
 
+  /** Occurrence count of the most frequent element of an
+    * already-materialized array column (pass a bound column, not an
+    * inline expression — lambda bodies re-evaluate captures per
+    * element). Per-row O(distinct·n) compares; shuffle-free. */
+  def topCount(arr: Column): Column =
+    array_max(transform(array_distinct(arr),
+      x => size(filter(arr, y => y === x))))
+
+  /** Number of array elements whose value occurs more than once —
+    * the numerator of Gopher-style duplicate n-gram fractions. */
+  def dupCount(arr: Column): Column =
+    size(filter(arr, x => size(filter(arr, y => y === x)) > 1))
+
   /** word k-grams from an already-materialized token array column.
     * IMPORTANT for plans: pass a bound column (e.g. via withColumn), not
     * an inline `split` expression — the lambda body re-evaluates its

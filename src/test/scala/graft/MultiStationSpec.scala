@@ -176,8 +176,11 @@ class MultiStationSpec extends AnyFunSuite {
     assert(got.keySet == Set("s1", "s2"))
     for ((id, sc) <- Seq("s1" -> 1.0, "s2" -> 1.6)) {
       val (a1, a0) = graft.disagg.Humidity.dewpointRegression(obs(sc))
-      assert(math.abs(got(id)._1 - a1) < 1e-12 &&
-        math.abs(got(id)._2 - a0) < 1e-12, s"station $id diverges")
+      // grouped and scalar fits accumulate partial sums in different
+      // orders -> agreement is to rounding, not bit-exact
+      assert(math.abs(got(id)._1 - a1) < 1e-9 * (1 + math.abs(a1)) &&
+        math.abs(got(id)._2 - a0) < 1e-9 * (1 + math.abs(a0)),
+        s"station $id diverges")
     }
     assert(math.abs(got("s1")._1 - got("s2")._1) > 1e-6)
   }

@@ -1,0 +1,70 @@
+package graft.text
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class ClustersSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("connectedComponents: chain, triangle, pair, orientation-mixed") {
+    // chain 1-2-3-4 (diameter 3), triangle 10-11-12, pair 20-21;
+    // edges given in mixed orientation on purpose
+    val edges = Seq((2L, 1L), (2L, 3L), (4L, 3L),
+      (10L, 11L), (12L, 10L), (11L, 12L), (21L, 20L))
+      .toDF("id_a", "id_b")
+    val cc = Clusters.connectedComponents(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("connectedComponents matches driver-side union-find on a random graph") {
+    val rnd = new scala.util.Random(7)
+    val n = 200
+    val edges = Seq.fill(150)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter { case (a, b) => a != b }
+    // driver union-find ground truth
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expect = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      .map(v => v -> {
+        // min member of v's component among touched vertices
+        val r = find(v.toInt)
+        edges.flatMap(e => Seq(e._1, e._2)).distinct
+          .filter(u => find(u.toInt) == r).min
+      }).toMap
+    val got = Clusters.connectedComponents(edges.toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expect)
+  }
+
+  test("assign labels singletons with own id and sizes clusters") {
+    val df = Seq(1L, 2L, 3L, 4L, 9L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val r = Clusters.assign(df, "doc_id", pairs)
+      .orderBy($"doc_id")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+        x.getLong(3)))
+    assert(r.toSeq == Seq((1L, 1L, 3L, 1L), (2L, 1L, 3L, 0L),
+      (3L, 1L, 3L, 0L), (4L, 4L, 1L, 1L), (9L, 9L, 1L, 1L)))
+  }
+
+  test("dropNearDuplicates keeps one representative per dup family") {
+    val base = "the quick brown fox jumps over the lazy dog and then " +
+      "ran far away into the deep green forest before sunset tonight"
+    val df = Seq(
+      (1L, base), (2L, base), (3L, base.replace("quick", "swift")),
+      (4L, "completely unrelated words about spark query engines joins"),
+      (5L, "another standalone document mentioning shuffles and scans"))
+      .toDF("doc_id", "text")
+    val kept = Clusters.dropNearDuplicates(df, "text", "doc_id")
+      .select($"doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 4L, 5L))
+  }
+}
