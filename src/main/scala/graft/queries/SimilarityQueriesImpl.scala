@@ -100,6 +100,47 @@ object SimilarityQueriesImpl {
         .orderBy(col("id_a"), col("id_b"))
     }
 
+    // SemDedup-style semantic pruning, gated end-to-end: the oracle
+    // rebuilds the same leading-4-dim sign buckets and the same
+    // sequential multiply-accumulate cosine (LIST_SUM over an ordered
+    // comprehension == the codegen'd primitive loop, bit-identical
+    // doubles), so bucket, neighbor counts and drop flags all match.
+    // 0.4 is a "semantically redundant" radius for this corpus (its
+    // max pairwise cosine is ~0.51; the nearest pair to the cutoff
+    // sits 6e-4 away — far beyond cross-engine double noise).
+    register("q79_semdedup", {
+      val bucket = (1 to 4).map(i =>
+        s"(CASE WHEN embedding[$i] >= 0 THEN '1' ELSE '0' END)")
+        .mkString(" || ")
+      def sumProd(x: String, y: String) =
+        s"""LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, LEN($x)),
+           |    i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)))"""
+          .stripMargin
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding AS v, $bucket AS bucket
+         |  FROM embeddings),
+         |close AS (
+         |  SELECT a.vec_id AS vec_id, COUNT(*) AS n_close
+         |  FROM e a JOIN e b
+         |    ON a.bucket = b.bucket AND b.vec_id < a.vec_id
+         |  WHERE ${sumProd("a.v", "b.v")}
+         |    / (SQRT(${sumProd("a.v", "a.v")})
+         |     * SQRT(${sumProd("b.v", "b.v")})) >= 0.4
+         |  GROUP BY a.vec_id)
+         |SELECT e.vec_id, e.bucket,
+         |  COALESCE(c.n_close, 0) AS n_close,
+         |  CAST(COALESCE(c.n_close, 0) > 0 AS BIGINT) AS dropped
+         |FROM e LEFT JOIN close c USING (vec_id)
+         |ORDER BY e.vec_id""".stripMargin
+    }) { (s, dir) =>
+      val signBucket = concat((1 to 4).map(i =>
+        when(try_element_at(col("embedding"), lit(i)) >= 0, "1")
+          .otherwise("0")): _*)
+      Similarity.semDedup(table(s, dir, "embeddings"), "embedding",
+          "vec_id", minCosine = 0.4, bucket = signBucket)
+        .orderBy(col("vec_id"))
+    }
+
     registerRowsOnly("q74_multimodal_features") { (s, dir) =>
       val spark = s
       import spark.implicits._

@@ -366,5 +366,38 @@ object TextQueriesImpl {
       Clusters.assign(docs, "doc_id", pairs)
         .orderBy(col("doc_id"))
     }
+
+    // Benchmark decontamination: docs 0-9 stand in for the eval suite;
+    // every other doc is flagged if it shares any distinct 13-gram
+    // with a probe. Broadcast the probe gram set; only matching grams
+    // shuffle.
+    register("q80_decontaminate", {
+      val terms = (0 until 13).map(o => s"tok[j+$o]").mkString(", ")
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\\s+') AS tok
+         |  FROM documents),
+         |g AS (
+         |  SELECT doc_id,
+         |    UNNEST(LIST_DISTINCT(LIST_TRANSFORM(
+         |      GENERATE_SERIES(1, GREATEST(LEN(tok) - 12, 1)),
+         |      j -> CONCAT_WS(' ', $terms)))) AS gram
+         |  FROM t),
+         |p AS (SELECT DISTINCT gram FROM g WHERE doc_id < 10),
+         |s AS (
+         |  SELECT d.doc_id, COUNT(*) AS n_shared
+         |  FROM g d JOIN p USING (gram)
+         |  WHERE d.doc_id >= 10 GROUP BY d.doc_id)
+         |SELECT t.doc_id, COALESCE(s.n_shared, 0) AS n_shared,
+         |  CAST(COALESCE(s.n_shared, 0) > 0 AS BIGINT) AS contaminated
+         |FROM t LEFT JOIN s USING (doc_id)
+         |WHERE t.doc_id >= 10 ORDER BY t.doc_id""".stripMargin
+    }) { (s, dir) =>
+      val docs = table(s, dir, "documents")
+      graft.text.Curation.decontaminate(
+          docs.where(col("doc_id") >= 10),
+          docs.where(col("doc_id") < 10), "text", "doc_id", k = 13)
+        .orderBy(col("doc_id"))
+    }
   }
 }

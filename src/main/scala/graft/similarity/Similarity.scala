@@ -48,6 +48,52 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
+  /** SemDedup-style semantic pruning: cluster embeddings, compare
+    * pairs WITHIN a cluster only, and drop every vector that has a
+    * lower-id in-cluster neighbor with cosine >= `minCosine` (keep-
+    * first rule — deterministic under any partitioning). Returns one
+    * row per input vector: (idCol, bucket, n_close, dropped).
+    *
+    * `bucket` is any clustering expression over the vector column —
+    * [[hyperplaneBucket]] by default via [[semDedupAuto]]; tests and
+    * oracles can pass a replicable expression (e.g. leading-dim sign
+    * bits). Scale: the in-cluster self-join is quadratic in cluster
+    * size, so the bucket count must GROW with the corpus exactly like
+    * [[Dedup.embeddingNearDups]]'s planes (occupancy n/2^planes keeps
+    * the pairwise term linear overall); norms are computed once per
+    * vector, and the dot product is the codegen'd primitive loop. */
+  def semDedup(df: DataFrame, vecCol: String, idCol: String,
+      minCosine: Double, bucket: Column): DataFrame = {
+    val e = df.withColumn("bucket", bucket)
+      .select(col(idCol).as("id"), col(vecCol).as("v"), col("bucket"))
+      .withColumn("nrm", norm(col("v")))
+    val a = e.select(col("bucket"), col("id").as("id_a"),
+      col("v").as("va"), col("nrm").as("na"))
+    val b = e.select(col("bucket"), col("id").as("id_b"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    val close = a.join(b, Seq("bucket"))
+      .where(col("id_b") < col("id_a"))
+      .where(dot(col("va"), col("vb")) / (col("na") * col("nb"))
+        >= minCosine)
+      .groupBy(col("id_a").as("id"))
+      .agg(count(lit(1)).as("n_close"))
+    e.select(col("id"), col("bucket"))
+      .join(close, Seq("id"), "left")
+      .select(col("id").as(idCol), col("bucket"),
+        coalesce(col("n_close"), lit(0L)).as("n_close"),
+        (coalesce(col("n_close"), lit(0L)) > 0).cast("long")
+          .as("dropped"))
+  }
+
+  /** [[semDedup]] with the production bucketing: hash-derived
+    * hyperplane signs, `planes` sized to the corpus like
+    * [[Dedup.embeddingNearDups]]. */
+  def semDedupAuto(df: DataFrame, vecCol: String, idCol: String,
+      minCosine: Double = 0.95, planes: Int = 8, seed: Long = 42)
+      : DataFrame =
+    semDedup(df, vecCol, idCol, minCosine,
+      hyperplaneBucket(col(vecCol), planes, seed))
+
   /** `planeComponent` evaluated at the driver — the SAME catalyst
     * XxHash64 (the expression `xxhash64` builds, seed 42) over the same
     * (long seed, int plane, int dim) children, then the same

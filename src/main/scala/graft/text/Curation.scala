@@ -60,4 +60,35 @@ object Curation {
       .where(col("frac_").isNotNull && u < col("frac_"))
       .drop("frac_")
   }
+
+  /** Benchmark decontamination: flag corpus documents sharing any word
+    * `k`-gram with a probe set (the eval benchmarks). Returns one row
+    * per corpus document: (idCol, n_shared, contaminated) where
+    * n_shared counts DISTINCT shared k-grams.
+    *
+    * Scale shape: the probe side is an eval suite — thousands of
+    * documents, not terabytes — so its distinct k-gram set is
+    * broadcast and the corpus is matched with a broadcast inner join
+    * on the exploded grams (no shuffle of corpus text), followed by
+    * one count-per-doc shuffle of only the matching (doc, gram) rows,
+    * which decontamination keeps tiny by construction. */
+  def decontaminate(corpus: DataFrame, probes: DataFrame,
+      textCol: String, idCol: String, k: Int = 13): DataFrame = {
+    def grams(df: DataFrame, keep: Seq[String]) = df
+      .withColumn("tok_", TextAnalysis.tokens(lower(col(textCol))))
+      .select(keep.map(col) :+
+        explode(array_distinct(
+          TextAnalysis.shinglesFromTokens(col("tok_"), k))).as("gram_"): _*)
+    val probeGrams = grams(probes, Nil).distinct()
+    val shared = grams(corpus, Seq(idCol))
+      .join(broadcast(probeGrams), Seq("gram_"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shared"))
+    corpus.select(col(idCol))
+      .join(shared, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        (coalesce(col("n_shared"), lit(0L)) > 0).cast("long")
+          .as("contaminated"))
+  }
 }

@@ -74,4 +74,26 @@ class SimilaritySpec extends AnyFunSuite {
       assert(gen.toSeq == pre.toSeq, s"planes=$planes seed=$seed")
     }
   }
+
+  test("semDedup keep-first: lower id kept, close higher ids dropped") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.2f)),
+      (2L, Array(0.99f, 0.01f, 0.2f)),  // ~v1 -> dropped vs 1
+      (3L, Array(0.98f, 0.02f, 0.21f)), // ~v1,v2 -> n_close 2
+      (4L, Array(0.1f, 1.0f, -0.4f)),   // same bucket, far -> kept
+      (5L, Array(-1.0f, -0.01f, 0.0f))) // other bucket, alone -> kept
+      .toDF("vec_id", "embedding")
+    val bucket = when(element_at($"embedding", 1) >= 0, "p")
+      .otherwise("n")
+    val r = Similarity.semDedup(vecs, "embedding", "vec_id",
+        minCosine = 0.95, bucket = bucket)
+      .orderBy($"vec_id").collect()
+      .map(x => (x.getLong(0), x.getLong(2), x.getLong(3)))
+    assert(r.toSeq == Seq((1L, 0L, 0L), (2L, 1L, 1L), (3L, 2L, 1L),
+      (4L, 0L, 0L), (5L, 0L, 0L)))
+    // production form runs with hyperplane buckets
+    val auto = Similarity.semDedupAuto(vecs, "embedding", "vec_id",
+      minCosine = 0.95, planes = 4)
+    assert(auto.count() == 5)
+  }
 }

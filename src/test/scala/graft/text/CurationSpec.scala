@@ -66,4 +66,20 @@ class CurationSpec extends AnyFunSuite {
     assert(s3.select($"id").collect().map(_.getLong(0)).sorted.toSeq !=
       s1.select($"id").collect().map(_.getLong(0)).sorted.toSeq)
   }
+
+  test("decontaminate flags k-gram overlap with the probe set") {
+    val probes = Seq((100L, "alpha beta gamma delta epsilon"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "prefix words alpha beta gamma more tail content here"),
+      (2L, "completely clean document with no benchmark overlap at all"),
+      // two shared trigrams: "alpha beta gamma", "beta gamma delta"
+      (3L, "xx alpha beta gamma delta yy"))
+      .toDF("doc_id", "text")
+    val r = Curation.decontaminate(corpus, probes, "text", "doc_id",
+        k = 3)
+      .orderBy($"doc_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    assert(r.toSeq == Seq((1L, 1L, 1L), (2L, 0L, 0L), (3L, 2L, 1L)))
+  }
 }
