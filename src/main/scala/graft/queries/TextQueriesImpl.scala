@@ -361,8 +361,11 @@ object TextQueriesImpl {
         |                GROUP BY cluster_id) s USING (cluster_id)
         |ORDER BY c.doc_id""".stripMargin) { (s, dir) =>
       val docs = table(s, dir, "documents")
+      // 32 hashes -> 16 bands of 2: same S-curve guarantee at
+      // minJaccard=0.5 as 128 hashes at a quarter the signature cost
+      // (signature hashing dominates at corpus scale)
       val pairs = Dedup.nearDupPairs(docs, "text", "doc_id",
-        minJaccard = 0.5, numHashes = 128)
+        minJaccard = 0.5, numHashes = 32)
       Clusters.assign(docs, "doc_id", pairs)
         .orderBy(col("doc_id"))
     }
