@@ -91,6 +91,22 @@ object ScaleSmoke {
       graft.text.Dedup.nearDupPairs(docs, "text", "doc_id",
         minJaccard = 0.5, numHashes = 32).count()
     }
+    t("dedup clusters + drop") {
+      // pairs -> connected components -> keep one per cluster; rounds
+      // = cluster diameter (2 here), each two hash shuffles
+      graft.text.Clusters.dropNearDuplicates(docs, "text", "doc_id",
+        minJaccard = 0.5, numHashes = 32).count()
+    }
+    t("decontaminate vs 1k probes") {
+      // probe gram set broadcasts; corpus side is one scan + explode.
+      // sum(contaminated) rather than count(): a bare count lets the
+      // optimizer skip the flagging join entirely. The 1001 boundary
+      // (7|1001) puts one clone pair astride it -> expected sum 1.
+      graft.text.Curation.decontaminate(
+        docs.where(col("doc_id") >= 1001),
+        docs.where(col("doc_id") < 1001), "text", "doc_id")
+        .agg(sum(col("contaminated"))).head().getLong(0)
+    }
     val embs = spark.range(0, stations * 2000L, 1, 32)
       .select(col("id").as("vec_id"),
         when(pmod(col("id"), lit(7)) === 0, col("id") - 1)
@@ -102,6 +118,13 @@ object ScaleSmoke {
     t("embedding near-dup pairs") {
       graft.text.Dedup.embeddingNearDups(embs, "embedding", "vec_id",
         minCosine = 0.95).count()
+    }
+    t("semdedup (auto planes)") {
+      // auto mode probes n and dim in one action: planes sized so
+      // occupancy stays ~8, plane matrix shipped as literals
+      graft.similarity.Similarity.semDedupAuto(embs, "embedding",
+        "vec_id", minCosine = 0.95)
+        .where(col("dropped") === 1).count()
     }
     spark.stop()
   }

@@ -86,13 +86,30 @@ object Similarity {
   }
 
   /** [[semDedup]] with the production bucketing: hash-derived
-    * hyperplane signs, `planes` sized to the corpus like
-    * [[Dedup.embeddingNearDups]]. */
+    * hyperplane signs. One probe action reads the corpus count (to
+    * size `planes` so bucket occupancy stays ~8 — the in-cluster
+    * pairwise term then stays linear overall) and the embedding
+    * dimension (to precompute the plane matrix as literals: the
+    * row-independent hash components would otherwise re-evaluate
+    * per row — planes×dim×n extra hashes). Pass `planes > 0` to pin
+    * the bucket count instead. */
   def semDedupAuto(df: DataFrame, vecCol: String, idCol: String,
-      minCosine: Double = 0.95, planes: Int = 8, seed: Long = 42)
-      : DataFrame =
-    semDedup(df, vecCol, idCol, minCosine,
-      hyperplaneBucket(col(vecCol), planes, seed))
+      minCosine: Double = 0.95, planes: Int = 0, seed: Long = 42)
+      : DataFrame = {
+    val r = df.agg(count(lit(1)), min(size(col(vecCol))),
+      max(size(col(vecCol)))).head()
+    val nPlanes =
+      if (planes > 0) planes
+      else math.max(8, math.min(24,
+        math.ceil(math.log(math.max(r.getLong(0), 2L) / 8.0) /
+          math.log(2.0)).toInt))
+    val bucket =
+      if (!r.isNullAt(1) && !r.isNullAt(2) && r.getInt(1) == r.getInt(2))
+        hyperplaneBucketPrecomputed(col(vecCol), nPlanes, seed,
+          r.getInt(2))
+      else hyperplaneBucket(col(vecCol), nPlanes, seed)
+    semDedup(df, vecCol, idCol, minCosine, bucket)
+  }
 
   /** `planeComponent` evaluated at the driver — the SAME catalyst
     * XxHash64 (the expression `xxhash64` builds, seed 42) over the same
