@@ -137,14 +137,19 @@ final class StationSession(
     *  - "linear": window-based, pandas row-spacing + the
     *    limit_direction='both' default;
     *  - "nearest" / "zero" / "pad": window-based (see TimeSeries);
-    *  - "cubic" / "akima": knots collected to the driver —
-    *    calibration-scale — fitted as a piecewise spline
-    *    (commons-math3) and evaluated as a broadcast closure. Cubic
-    *    boundary conditions differ slightly from scipy's (natural vs
+    *  - "cubic" / "akima" / "quadratic" / "pchip" /
+    *    "spline"(order) / "polynomial"(order): knots collected to the
+    *    driver — calibration-scale — fitted as a piecewise polynomial
+    *    and evaluated as a broadcast closure. Cubic boundary
+    *    conditions differ slightly from scipy's (natural vs
     *    not-a-knot); Akima follows the standard Akima (1970) scheme
-    *    like scipy's Akima1DInterpolator. */
+    *    like scipy's Akima1DInterpolator; pchip uses the
+    *    Fritsch–Carlson rules scipy uses; quadratic is the C1
+    *    interpolating construction (reproduces exact quadratics);
+    *    spline/polynomial map order 2/3 onto those interpolants
+    *    (pandas' 'spline' smooths — divergence documented). */
   def interpolate(columnHours: Map[String, Int], method: String = "linear",
-      limit: Int = 24): DataFrame = {
+      limit: Int = 24, order: Int = 3): DataFrame = {
     val scattered = columnHours.map { case (c, h) =>
       dailyData.select(
         (col("date").cast("timestamp") +
@@ -171,25 +176,41 @@ final class StationSession(
       case "pad" | "ffill" =>
         TimeSeries.fillForward(joined, "timestamp", "v", limit,
           partitionCols)
-      case "cubic" | "akima" =>
+      case "cubic" | "akima" | "quadratic" | "pchip" | "spline" |
+           "polynomial" =>
         val knots = joined.where(col("v").isNotNull)
           .select(unix_timestamp(col("timestamp")).as("x"), col("v"))
           .orderBy(col("x")).collect()
         val xs = knots.map(_.getLong(0).toDouble)
         val ys = knots.map(_.getDouble(1))
-        require(xs.length >= (if (method == "akima") 5 else 3),
-          s"$method interpolation needs more knots")
-        val spline = (if (method == "cubic")
-            new org.apache.commons.math3.analysis.interpolation
-              .SplineInterpolator()
-          else
-            new org.apache.commons.math3.analysis.interpolation
-              .AkimaSplineInterpolator()).interpolate(xs, ys)
+        // 'spline'/'polynomial' take the pandas order= argument; the
+        // interpolating (not smoothing) variant, as documented
+        val effective = method match {
+          case "spline" | "polynomial" => order match {
+            case 2 => "quadratic"
+            case 3 => "cubic"
+            case o => throw new IllegalArgumentException(
+              s"$method order=$o unsupported (2 or 3)")
+          }
+          case m => m
+        }
+        require(xs.length >= (if (effective == "akima") 5 else 3),
+          s"$effective interpolation needs more knots")
         // ship knots + ascending piecewise coefficients, evaluate with
         // Horner on executors (PolynomialSplineFunction isn't
         // serializable)
-        val knotsArr = spline.getKnots
-        val coefs = spline.getPolynomials.map(_.getCoefficients)
+        val (knotsArr, coefs) = effective match {
+          case "quadratic" => graft.stats.Splines.quadratic(xs, ys)
+          case "pchip" => graft.stats.Splines.pchip(xs, ys)
+          case _ =>
+            val spline = (if (effective == "cubic")
+                new org.apache.commons.math3.analysis.interpolation
+                  .SplineInterpolator()
+              else
+                new org.apache.commons.math3.analysis.interpolation
+                  .AkimaSplineInterpolator()).interpolate(xs, ys)
+            (spline.getKnots, spline.getPolynomials.map(_.getCoefficients))
+        }
         val bc = spark.sparkContext.broadcast((knotsArr, coefs))
         val evalUdf = udf { (ts: Long) =>
           val (kn, cs) = bc.value

@@ -112,6 +112,38 @@ class InterpolateCalibrateSpec extends AnyFunSuite {
     assert(bounds.getDouble(0) > 150 && bounds.getDouble(1) < 400)
   }
 
+  test("pchip stays inside each day's [tmin, tmax]; quadratic hits knots") {
+    val p = session.interpolate(Map("tmin" -> 7, "tmax" -> 14),
+      method = "pchip")
+    // pchip never overshoots: between the 07:00 tmin and 14:00 tmax
+    // knots every value lies within that day's knot range
+    val between = p.where(hour($"timestamp") > 7 &&
+        hour($"timestamp") < 14 && $"v".isNotNull)
+      .withColumn("date", to_date($"timestamp"))
+      .join(daily.select($"date", $"tmin", $"tmax"), "date")
+      .where($"v" < least($"tmin", $"tmax") - 1e-9 ||
+        $"v" > greatest($"tmin", $"tmax") + 1e-9)
+    assert(between.count() == 0)
+    val q = session.interpolate(Map("tmin" -> 7, "tmax" -> 14),
+      method = "quadratic")
+    val at14 = q.where(hour($"timestamp") === 14)
+      .withColumn("date", to_date($"timestamp"))
+      .join(daily.select($"date", $"tmax"), "date")
+      .where($"v".isNotNull && abs($"v" - $"tmax") > 1e-6)
+    assert(at14.count() == 0)
+    // spline/polynomial map their order onto the interpolants
+    val s2 = session.interpolate(Map("tmin" -> 7, "tmax" -> 14),
+      method = "spline", order = 2).orderBy($"timestamp").collect()
+    val q2 = q.orderBy($"timestamp").collect()
+    s2.zip(q2).foreach { case (a, b) =>
+      assert(a.isNullAt(1) == b.isNullAt(1) &&
+        (a.isNullAt(1) || math.abs(a.getDouble(1) - b.getDouble(1)) < 1e-12))
+    }
+    intercept[IllegalArgumentException] {
+      session.interpolate(Map("tmin" -> 7), method = "spline", order = 5)
+    }
+  }
+
   test("calibrateRadiation monthly fits per-month Bristow-Campbell") {
     val cal = session.calibrateRadiation("monthly")
     val bc = cal.stats.glob.bristcamp
