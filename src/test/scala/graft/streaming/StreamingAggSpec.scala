@@ -133,6 +133,73 @@ class StreamingAggSpec extends AnyFunSuite {
     } finally { windQ.stop(); precQ.stop() }
   }
 
+  test("text scoring + decontamination run unchanged on a doc stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.text.TextAnalysis
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again again"),
+      (2L, "der schnelle braune fuchs springt und und und und und"),
+      (3L, "totally novel words with no benchmark overlap whatsoever"))
+    val probes = Seq((100L, "the quick brown fox jumps"))
+      .toDF("doc_id", "text")
+    val mem = MemoryStream[(Long, String)]
+    val streamDocs = mem.toDF().toDF("doc_id", "text")
+    // per-doc scoring: pure expressions, no state needed
+    val scored = streamDocs
+      .withColumn("tok", TextAnalysis.tokens(lower($"text")))
+      .select($"doc_id",
+        TextAnalysis.tokenCount($"text").as("n_tokens"),
+        TextAnalysis.languageId($"text").as("lang"),
+        round(TextAnalysis.qualityScore($"text"), 6).as("quality"),
+        TextAnalysis.topCount($"tok").as("top_word_n"))
+    val scoreQ = scored.writeStream.outputMode("append")
+      .format("memory").queryName("score_stream").start()
+    // decontamination counts shared grams per doc — a per-doc
+    // aggregation, so the streaming form is foreachBatch: each doc is
+    // wholly inside its micro-batch and the probe side is static, so
+    // per-batch results equal the batch run
+    val deconRows = scala.collection.mutable.ArrayBuffer
+      .empty[Seq[Any]]
+    val deconQ = streamDocs.writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        deconRows.synchronized {
+          deconRows ++= graft.text.Curation.decontaminate(
+              batch, probes, "text", "doc_id", k = 3)
+            .collect().map(_.toSeq)
+        }
+        ()
+      }.start()
+    try {
+      mem.addData(docs.take(2))
+      scoreQ.processAllAvailable(); deconQ.processAllAvailable()
+      mem.addData(docs.drop(2))
+      scoreQ.processAllAvailable(); deconQ.processAllAvailable()
+      val batchDocs = docs.toDF("doc_id", "text")
+      val scoreBatch = batchDocs
+        .withColumn("tok", TextAnalysis.tokens(lower($"text")))
+        .select($"doc_id",
+          TextAnalysis.tokenCount($"text").as("n_tokens"),
+          TextAnalysis.languageId($"text").as("lang"),
+          round(TextAnalysis.qualityScore($"text"), 6).as("quality"),
+          TextAnalysis.topCount($"tok").as("top_word_n"))
+        .orderBy($"doc_id").collect()
+      val scoreStream = spark.table("score_stream")
+        .orderBy($"doc_id").collect()
+      assert(scoreStream.map(_.toSeq).toSeq ==
+        scoreBatch.map(_.toSeq).toSeq)
+      val deconBatch = graft.text.Curation.decontaminate(
+          batchDocs, probes, "text", "doc_id", k = 3)
+        .orderBy($"doc_id").collect().map(_.toSeq).toSeq
+      val deconStream = deconRows.synchronized {
+        deconRows.sortBy(_.head.asInstanceOf[Long]).toSeq }
+      assert(deconStream == deconBatch)
+      // doc 1 shares "the quick brown" etc with the probe; 3 is clean
+      assert(deconStream.find(_.head == 1L).get(2) == 1L)
+      assert(deconStream.find(_.head == 3L).get(2) == 0L)
+    } finally { scoreQ.stop(); deconQ.stop() }
+  }
+
   test("completeness stream flags short days") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
