@@ -266,9 +266,35 @@ object TextQueriesImpl {
     // nearDupPairs picks the band count for the requested similarity
     // (minJaccard=0.2 -> 64 bands of 2), so recall at j just above 0.2
     // is high — a fixed bands=16 config silently missed that range.
-    registerRowsOnly("q68_minhash_lsh_neardups") { (s, dir) =>
+    // Oracle-gated: the quadratic ground truth at sf0.01 has exactly
+    // the LSH path's 25 pairs (verified: every >=0.2 pair is a planted
+    // clone at j>=0.95, where 64-bands-of-2 collision probability is
+    // ~1), and the hashed-shingle set sizes equal the string-set sizes,
+    // so the jaccard doubles are identical.
+    register("q68_minhash_lsh_neardups",
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    LIST_DISTINCT(LIST_TRANSFORM(GENERATE_SERIES(1,
+        |      GREATEST(LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)),
+        |        '\s+')) - 2, 1)),
+        |      j -> CONCAT_WS(' ',
+        |        REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+')[j],
+        |        REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+')[j+1],
+        |        REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+')[j+2])))
+        |      AS g
+        |  FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  ROUND(CAST(LEN(LIST_INTERSECT(a.g, b.g)) AS DOUBLE)
+        |    / (LEN(a.g) + LEN(b.g) - LEN(LIST_INTERSECT(a.g, b.g))), 6)
+        |    AS jaccard
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE CAST(LEN(LIST_INTERSECT(a.g, b.g)) AS DOUBLE)
+        |    / (LEN(a.g) + LEN(b.g) - LEN(LIST_INTERSECT(a.g, b.g)))
+        |    >= 0.2
+        |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
       Dedup.nearDupPairs(table(s, dir, "documents"), "text", "doc_id",
           minJaccard = 0.2, numHashes = 128)
+        .withColumn("jaccard", round(col("jaccard"), 6))
         .orderBy(col("id_a"), col("id_b"))
     }
 
