@@ -100,6 +100,17 @@ object SimilarityQueriesImpl {
         .orderBy(col("id_a"), col("id_b"))
     }
 
+    // PQ compressed search: codes scan + ADC lookups, no float
+    // vector arithmetic per pair. Approximate by construction
+    // (quantization error) -> rows-only; clustering correctness is
+    // spec-tested on separated clusters.
+    registerRowsOnly("q81_pq_topk") { (s, dir) =>
+      val emb = table(s, dir, "embeddings")
+      Similarity.pqTopK(emb, emb.where(col("vec_id") < 8), "embedding",
+          "vec_id", "vec_id", k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }
+
     // SemDedup-style semantic pruning, gated end-to-end: the oracle
     // rebuilds the same leading-4-dim sign buckets and the same
     // sequential multiply-accumulate cosine (LIST_SUM over an ordered

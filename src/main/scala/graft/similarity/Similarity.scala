@@ -249,6 +249,101 @@ object Similarity {
         col("rank"))
   }
 
+  /** Product-quantization codebooks: split the dimension into `m`
+    * subspaces and k-means each on a driver-collected sample (bounded,
+    * like IVF's coarse quantizer). Returns codebooks(j)(c) = centroid
+    * c of subspace j. */
+  def pqCodebooks(corpus: DataFrame, vecCol: String, m: Int = 8,
+      ksub: Int = 16, sampleSize: Int = 2048, seed: Long = 42,
+      iterations: Int = 5): Array[Array[Array[Double]]] = {
+    val sample = corpus.select(col(vecCol)).limit(sampleSize).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    require(sample.nonEmpty, "pq needs a non-empty corpus")
+    val dim = sample.head.length
+    require(dim % m == 0, s"dim $dim must divide into $m subspaces")
+    val ds = dim / m
+    Array.tabulate(m) { j =>
+      kmeans(sample.map(_.slice(j * ds, (j + 1) * ds)), ksub,
+        iterations, seed + j)
+    }
+  }
+
+  /** PQ-encode a vector column: per subspace, the index of the nearest
+    * codebook centroid — an `array<int>` of length m replacing dim
+    * floats (dim=64, m=8, ksub=16 → 256 bytes → 8 codes: 32×
+    * compression). Pure expression over literal codebooks: the argmin
+    * is an `array_min` over (distance, code) structs, so encoding is a
+    * single codegen'd map pass — no shuffle, no UDF. */
+  def pqEncode(vec: Column, codebooks: Array[Array[Array[Double]]])
+      : Column = {
+    val m = codebooks.length
+    val ds = codebooks.head.head.length
+    array((0 until m).map { j =>
+      val sub = slice(vec, j * ds + 1, ds)
+      val cands = array(codebooks(j).zipWithIndex.map { case (cent, c) =>
+        val w = array(cent.map(lit): _*)
+        struct(
+          aggregate(zip_with(sub, w, (x, cj) =>
+            (x.cast("double") - cj) * (x.cast("double") - cj)),
+            lit(0.0), (acc, v) => acc + v).as("dist"),
+          lit(c).as("code"))
+      }: _*)
+      array_min(cands).getField("code")
+    }: _*)
+  }
+
+  /** PQ top-k with asymmetric distance computation: corpus vectors are
+    * quantized to m codes; each query precomputes (on the driver —
+    * queries are few by contract, as in [[bruteForceTopK]]) a lookup
+    * table of squared distances to every (subspace, centroid), and a
+    * corpus row's distance is m table lookups summed — no
+    * per-pair float arithmetic over the original vectors at all. The
+    * scan reads codes (m small ints), not embeddings: this is the
+    * shape that searches a 100 TB vector corpus from a compressed
+    * columnar index. Returns (query_id, corpus_id, adc_dist, rank)
+    * ranked by ascending approximate L2. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, vecCol: String,
+      idCol: String, queryIdCol: String, k: Int, m: Int = 8,
+      ksub: Int = 16, sampleSize: Int = 2048, seed: Long = 42,
+      iterations: Int = 5): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val books = pqCodebooks(corpus, vecCol, m, ksub, sampleSize, seed,
+      iterations)
+    val ds = books.head.head.length
+    val encoded = corpus.select(col(idCol).as("corpus_id"),
+      pqEncode(col(vecCol), books).as("codes"))
+    val qLut = queries
+      .select(col(queryIdCol).as("query_id"), col(vecCol).as("qv"))
+      .collect().map { r =>
+        val qv = r.getSeq[Float](1).map(_.toDouble).toArray
+        val lut = Array.tabulate(m * ksub) { i =>
+          val (j, c) = (i / ksub, i % ksub)
+          var d = 0.0
+          var t = 0
+          while (t < ds) {
+            val diff = qv(j * ds + t) - books(j)(c)(t)
+            d += diff * diff; t += 1
+          }
+          d
+        }
+        (r.getLong(0), lut.toSeq)
+      }.toSeq.toDF("query_id", "lut")
+    val scored = encoded.crossJoin(broadcast(qLut))
+      .withColumn("adc_dist",
+        aggregate(
+          zip_with(col("codes"),
+            sequence(lit(0), lit(m - 1)),
+            (code, j) => element_at(col("lut"), j * ksub + code + 1)),
+          lit(0.0), (acc, v) => acc + v))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_dist"), col("corpus_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("corpus_id"), col("adc_dist"),
+        col("rank"))
+  }
+
   /** tiny driver-side k-means (for IVF coarse quantization) */
   def kmeans(points: Array[Array[Double]], k: Int, iterations: Int,
       seed: Long): Array[Array[Double]] = {

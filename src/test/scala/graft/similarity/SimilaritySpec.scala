@@ -75,6 +75,42 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("pq: codes compress, ADC search finds the right cluster") {
+    // 4 well-separated clusters in 8-dim; PQ must route each query to
+    // its own cluster's members
+    val rnd = new scala.util.Random(3)
+    def jitter() = (rnd.nextDouble() - 0.5).toFloat * 0.2f
+    val centers = Seq(
+      Array(10f, 0f, 0f, 0f, 10f, 0f, 0f, 0f),
+      Array(0f, 10f, 0f, 0f, 0f, 10f, 0f, 0f),
+      Array(0f, 0f, 10f, 0f, 0f, 0f, 10f, 0f),
+      Array(0f, 0f, 0f, 10f, 0f, 0f, 0f, 10f))
+    val corpus = (0 until 200).map { i =>
+      val c = centers(i % 4)
+      (i.toLong, c.map(_ + jitter()))
+    }.toDF("vec_id", "embedding")
+    val queries = centers.zipWithIndex.map { case (c, i) =>
+      (1000L + i, c.map(_ + jitter()))
+    }.toDF("vec_id", "embedding")
+    val books = Similarity.pqCodebooks(corpus, "embedding", m = 4,
+      ksub = 8, sampleSize = 200)
+    val codes = corpus.select($"vec_id",
+      Similarity.pqEncode($"embedding", books).as("codes")).collect()
+    assert(codes.forall { r =>
+      val cs = r.getSeq[Int](1)
+      cs.length == 4 && cs.forall(c => c >= 0 && c < 8)
+    })
+    val top = Similarity.pqTopK(corpus, queries, "embedding", "vec_id",
+      "vec_id", k = 10, m = 4, ksub = 8, sampleSize = 200)
+      .collect()
+    assert(top.length == 40)
+    // every neighbor of query 1000+i belongs to cluster i (ids ≡ i mod 4)
+    assert(top.forall(r =>
+      r.getLong(1) % 4 == r.getLong(0) - 1000L))
+    // ADC distance within the right cluster is far below cross-cluster
+    assert(top.forall(_.getDouble(2) < 50.0))
+  }
+
   test("semDedup keep-first: lower id kept, close higher ids dropped") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f, 0.2f)),
