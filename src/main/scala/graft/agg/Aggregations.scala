@@ -37,6 +37,22 @@ object Aggregations {
     hourly.groupBy(keys: _*).agg(built.head, built.tail: _*)
   }
 
+  /** Resample to an arbitrary step (pandas `resample('3H')`-style,
+    * generalizing the daily path): epoch-aligned buckets via integer
+    * floor on microseconds — identical boundaries to SQL
+    * `TIME_BUCKET` for any step dividing 24 h. One map-side-combined
+    * groupBy; `partitionCols` keys the fleet axis. */
+  def resampleByDuration(df: DataFrame, tsCol: String,
+      stepSeconds: Long, aggs: Seq[Column],
+      partitionCols: Seq[String] = Nil): DataFrame = {
+    require(aggs.nonEmpty, "resample needs aggregates")
+    val stepUs = stepSeconds * 1000000L
+    val bucket = timestamp_micros(
+      floor(unix_micros(col(tsCol)) / stepUs).cast("long") * stepUs)
+    val keys = partitionCols.map(col) :+ bucket.as("bucket")
+    df.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** calculate_mean_daily_course_by_month (util/util.py:417-430):
     * (month, hour) mean of `valueCol`, optionally min-max normalized
     * within each month. Long form (288 rows) — broadcast-join it. */

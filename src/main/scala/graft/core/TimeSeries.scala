@@ -127,6 +127,56 @@ object TimeSeries {
       : DataFrame =
     df.where(month(col(timeCol)).isin(months: _*))
 
+  /** Backward as-of join: for every left row, the most recent right
+    * row with right.ts <= left.ts (SQL `ASOF JOIN`; pandas
+    * `merge_asof`) — the standard alignment of an irregular series
+    * (gauge readings, reference sensor) onto another.
+    *
+    * NOT a range join: both sides union into ONE frame and a single
+    * running `last(ignoreNulls)` window carries right values forward
+    * onto left rows — one shuffle on (partitionCols, ts), no
+    * quadratic time-band explosion, and `partitionCols` keeps the
+    * sort per-station at fleet scale. At equal timestamps the right
+    * row sorts first, so it IS visible to the left row (<= semantics).
+    * `toleranceMicros` nulls matches older than the window. */
+  def asofJoinBackward(left: DataFrame, right: DataFrame, tsCol: String,
+      valueCols: Seq[String], partitionCols: Seq[String] = Nil,
+      toleranceMicros: Option[Long] = None): DataFrame = {
+    val leftCols = left.columns
+    require(!leftCols.contains("is_left__"), "reserved column name")
+    require(!valueCols.exists(leftCols.contains),
+      s"left already has ${valueCols.filter(leftCols.contains)}")
+    val lTagged = left
+      .withColumn("is_left__", lit(1))
+      .withColumns(valueCols.map(c =>
+        c -> lit(null).cast(right.schema(c).dataType)).toMap)
+      .withColumn("rts__", lit(null).cast("timestamp"))
+    val rTagged = right
+      .select((partitionCols :+ tsCol).map(col) ++
+        valueCols.map(col): _*)
+      .withColumn("is_left__", lit(0))
+      .withColumn("rts__", col(tsCol))
+    val unioned = lTagged.unionByName(rTagged,
+      allowMissingColumns = true)
+    val w = (if (partitionCols.isEmpty) Window.orderBy(col(tsCol),
+        col("is_left__"))
+      else Window.partitionBy(partitionCols.map(col): _*)
+        .orderBy(col(tsCol), col("is_left__")))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = valueCols.foldLeft(unioned) { (d, c) =>
+      d.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }.withColumn("rts__", last(col("rts__"), ignoreNulls = true).over(w))
+    val inTol = toleranceMicros match {
+      case Some(t) => col("rts__").isNotNull &&
+        unix_micros(col(tsCol)) - unix_micros(col("rts__")) <= t
+      case None => col("rts__").isNotNull
+    }
+    val out = valueCols.foldLeft(filled) { (d, c) =>
+      d.withColumn(c, when(inTol, col(c))) }
+    out.where(col("is_left__") === 1)
+      .select(leftCols.map(col) ++ valueCols.map(col): _*)
+  }
+
   /** Linear interpolation of nulls over time, bounded by `limit` steps
     * (pandas Series.interpolate(method='linear', limit=N) equivalent for a
     * regularly spaced series). Window-function based: previous/next non-null

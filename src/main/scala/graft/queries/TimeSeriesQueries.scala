@@ -324,5 +324,46 @@ object TimeSeriesQueries {
           round(col("v"), 6).as("v"))
         .orderBy(col("day"))
     }
+
+    // Backward as-of join (SQL ASOF JOIN / pandas merge_asof): align
+    // each click with the most recent error reading. The Spark side
+    // is the union + running-last window, not a range join — the
+    // oracle uses DuckDB's native ASOF.
+    register("q22_asof_join",
+      """WITH l AS (SELECT event_id, ts FROM events
+        |           WHERE event_type = 'click'),
+        |r AS (SELECT ts, value AS last_err FROM events
+        |      WHERE event_type = 'error')
+        |SELECT l.event_id, EPOCH_US(l.ts) AS ts_us, r.last_err
+        |FROM l ASOF LEFT JOIN r ON l.ts >= r.ts
+        |ORDER BY l.event_id""".stripMargin) { (s, dir) =>
+      val ev = table(s, dir, "events")
+      val l = ev.where(col("event_type") === "click")
+        .select(col("event_id"), col("ts"))
+      val r = ev.where(col("event_type") === "error")
+        .select(col("ts"), col("value").as("last_err"))
+      TimeSeries.asofJoinBackward(l, r, "ts", Seq("last_err"))
+        .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+          col("last_err"))
+        .orderBy(col("event_id"))
+    }
+
+    // Arbitrary-frequency resample (pandas resample('3H')): epoch-
+    // aligned integer bucketing == TIME_BUCKET for steps dividing 24h.
+    register("q23_resample_3h",
+      """SELECT EPOCH_US(TIME_BUCKET(INTERVAL '3 hours', ts))
+        |    AS bucket_us,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(ROUND(value * 1e6) AS BIGINT)) AS BIGINT)
+        |    AS sum_u
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      graft.agg.Aggregations.resampleByDuration(
+          table(s, dir, "events"), "ts", stepSeconds = 3 * 3600L,
+          aggs = Seq(count(lit(1)).as("n"),
+            sum(round(col("value") * 1e6).cast("long")).as("sum_u")))
+        .select(unix_micros(col("bucket")).as("bucket_us"), col("n"),
+          col("sum_u"))
+        .orderBy(col("bucket_us"))
+    }
   }
 }

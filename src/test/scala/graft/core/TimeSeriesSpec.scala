@@ -91,4 +91,49 @@ class TimeSeriesSpec extends AnyFunSuite {
     val y = TimeSeries.seasonalSubset(dailyFixture, "date", Seq(1)).count()
     assert(y == 3)
   }
+
+  test("asofJoinBackward: <= semantics, tolerance, partitions") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val left = Seq(
+      ("a", ts("2024-01-01 00:00:30"), 1L),
+      ("a", ts("2024-01-01 00:02:00"), 2L),  // == right stamp: visible
+      ("a", ts("2024-01-01 00:00:05"), 3L),  // before any right: null
+      ("b", ts("2024-01-01 00:02:30"), 4L))  // partition b
+      .toDF("st", "ts", "lid")
+    val right = Seq(
+      ("a", ts("2024-01-01 00:00:10"), 10.0),
+      ("a", ts("2024-01-01 00:02:00"), 20.0),
+      ("b", ts("2024-01-01 00:01:00"), 30.0))
+      .toDF("st", "ts", "v")
+    val out = TimeSeries.asofJoinBackward(left, right, "ts", Seq("v"),
+        partitionCols = Seq("st"))
+      .orderBy($"lid").collect()
+      .map(r => (r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+    assert(out.toSeq == Seq((1L, Some(10.0)), (2L, Some(20.0)),
+      (3L, None), (4L, Some(30.0))))
+    // tolerance: 30s window nulls matches older than that
+    val tol = TimeSeries.asofJoinBackward(left, right, "ts", Seq("v"),
+        partitionCols = Seq("st"),
+        toleranceMicros = Some(30L * 1000000L))
+      .orderBy($"lid").collect()
+      .map(r => (r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+    assert(tol.toSeq == Seq((1L, Some(10.0)), (2L, Some(20.0)),
+      (3L, None), (4L, None)))
+  }
+
+  test("resampleByDuration buckets on epoch-aligned steps") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val df = Seq(
+      (ts("2024-01-01 00:10:00"), 1.0), (ts("2024-01-01 02:59:59"), 2.0),
+      (ts("2024-01-01 03:00:00"), 4.0), (ts("2024-01-01 05:00:00"), 8.0))
+      .toDF("ts", "v")
+    val out = graft.agg.Aggregations.resampleByDuration(df, "ts",
+        3 * 3600L, Seq(sum($"v").as("s"), count(lit(1)).as("n")))
+      .orderBy($"bucket").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getDouble(1), r.getLong(2)))
+    assert(out.toSeq == Seq(("2024-01-01 00:00:00.0", 3.0, 2L),
+      ("2024-01-01 03:00:00.0", 12.0, 2L)))
+  }
 }
