@@ -396,6 +396,16 @@ object TextQueriesImpl {
         .orderBy(col("doc_id"))
     }
 
+    // SimHash near-dup pairs: pigeonhole block join (guaranteed recall
+    // at the radius, not probabilistic). xxhash64-based signature ->
+    // rows-only at the gate; the exhaustive-equality check lives in
+    // TextSpec.
+    registerRowsOnly("q82_simhash_neardups") { (s, dir) =>
+      Dedup.simhashNearDups(table(s, dir, "documents"), "text",
+          "doc_id", maxHamming = 3)
+        .orderBy(col("id_a"), col("id_b"))
+    }
+
     // Benchmark decontamination: docs 0-9 stand in for the eval suite;
     // every other doc is flagged if it shares any distinct 13-gram
     // with a probe. Broadcast the probe gram set; only matching grams

@@ -155,6 +155,53 @@ object Dedup {
   def hammingDistance(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
 
+  /** SimHash near-dup pairs at Hamming distance <= `maxHamming`:
+    * the signature splits into `maxHamming + 1` disjoint bit blocks,
+    * and by pigeonhole any pair within the radius agrees EXACTLY on
+    * at least one block — so candidates come from equi-joins on
+    * (block index, block bits), verified with one XOR popcount.
+    * Guaranteed recall (not probabilistic like minhash banding), one
+    * shuffle per block via a single explode+groupBy, and the same
+    * over-cap star-pair skew guard as [[minhashCandidates]]. */
+  def simhashNearDups(df: DataFrame, textCol: String, idCol: String,
+      maxHamming: Int = 3, bits: Int = 64,
+      maxBucketSize: Int = 1000): DataFrame = {
+    val nBlocks = maxHamming + 1
+    require(bits % nBlocks == 0,
+      s"bits $bits must divide into ${nBlocks} blocks")
+    val blockBits = bits / nBlocks
+    val mask = if (blockBits == 64) -1L else (1L << blockBits) - 1
+    val sigs = df
+      .select(col(idCol), simhash(col(textCol), bits).as("sig"))
+      .localCheckpoint(false) // feeds block explode + both verify sides
+    val banded = sigs.select(col(idCol), col("sig"),
+      explode(array((0 until nBlocks).map(b =>
+        struct(lit(b).as("blk"),
+          shiftrightunsigned(col("sig"), b * blockBits)
+            .bitwiseAND(lit(mask)).as("bb"))): _*))
+        .as("k"))
+    val buckets = banded.groupBy(col("k"))
+      .agg(sort_array(collect_list(struct(col(idCol).as("id"),
+        col("sig").as("s")))).as("ms"))
+      .where(size(col("ms")) >= 2)
+    val pairOf = (x: Column, y: Column) => struct(
+      x.getField("id").as("id_a"), y.getField("id").as("id_b"),
+      x.getField("s").as("sa"), y.getField("s").as("sb"))
+    val small = buckets.where(size(col("ms")) <= maxBucketSize)
+      .select(explode(flatten(transform(col("ms"), (x, i) =>
+        transform(slice(col("ms"), i + 2, size(col("ms"))), y =>
+          pairOf(x, y))))).as("p"))
+    val big = buckets.where(size(col("ms")) > maxBucketSize)
+      .select(element_at(col("ms"), 1).as("rep"),
+        explode(slice(col("ms"), lit(2), size(col("ms")))).as("other"))
+      .select(pairOf(col("rep"), col("other")).as("p"))
+    small.unionByName(big)
+      .select(col("p.id_a"), col("p.id_b"),
+        hammingDistance(col("p.sa"), col("p.sb")).as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .dropDuplicates("id_a", "id_b")
+  }
+
   /** Production near-dup path: LSH candidate generation + exact
     * (hashed-shingle-set) Jaccard re-rank. This is the plan to run at
     * 100 TB — NO blocked self-join anywhere: candidates come from

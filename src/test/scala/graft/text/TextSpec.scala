@@ -161,6 +161,40 @@ class TextSpec extends AnyFunSuite {
       Set(top.getLong(0), top.getLong(1)) == Set(3L, 7L))
   }
 
+  test("simhashNearDups: pigeonhole blocks find all close pairs") {
+    val base = "the quick brown fox jumps over the lazy dog and then " +
+      "runs far away into the deep green forest before sunset " +
+      "carrying seven shiny silver spoons through the cold night"
+    val df = Seq(
+      (1L, base), (2L, base),                       // hamming 0
+      (3L, base.replace("seven", "nine")),          // tiny edit
+      (4L, "entirely different content about query planners join " +
+        "strategies shuffle exchanges and columnar parquet readers"),
+      (5L, "unrelated musings regarding alpine meteorology stations " +
+        "and hourly disaggregation cascades on gauge records"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.simhashNearDups(df, "text", "doc_id",
+      maxHamming = 3)
+    val got = pairs.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((1L, 2L)))
+    // exhaustive check: candidates must equal the true <=3 set
+    val sigs = df.select($"doc_id",
+      Dedup.simhash($"text", 64).as("s")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val truth = (for {
+      a <- sigs.keys; b <- sigs.keys if a < b
+      if java.lang.Long.bitCount(sigs(a) ^ sigs(b)) <= 3
+    } yield (a, b)).toSet
+    assert(got == truth, s"got $got truth $truth")
+    // over-cap buckets degrade to star pairs, stay linear
+    val many = Seq.tabulate(300)(i => (i.toLong, base))
+      .toDF("doc_id", "text")
+    val star = Dedup.simhashNearDups(many, "text", "doc_id",
+      maxHamming = 3, maxBucketSize = 50)
+    assert(star.count() == 299) // every member linked to the rep
+  }
+
   test("quality score is higher for clean prose than word soup") {
     val clean = Seq((1L, ("the cat sat on the mat and it was a good day " +
       "for all of the cats in this town") * 3)).toDF("doc_id", "text")
