@@ -61,6 +61,7 @@ private object Providers {
       graft.queries.CascadeQueriesImpl.init()
       graft.queries.TextQueries.init()
       graft.queries.SimilarityQueries.init()
+      graft.queries.CurationQueriesImpl.init()
     }
   }
 }

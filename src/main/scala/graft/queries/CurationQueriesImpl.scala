@@ -1,0 +1,222 @@
+package graft.queries
+
+import graft.QueryRegistry.register
+import graft.core.Tables.table
+import graft.text.Curation
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation gates over the `documents` table: heuristic filters,
+  * PII redaction, training-example chunking, TF-IDF, mixture rebalance.
+  *
+  * The synthetic corpus is single-line word-soup, so queries that
+  * exercise line/PII structure first AUGMENT the text with a
+  * deterministic doc_id-keyed suffix — computed identically in the
+  * Spark query and the DuckDB oracle — so every branch of the operator
+  * actually fires at the gate. */
+object CurationQueriesImpl {
+
+  /** doc_id-keyed multi-line suffix exercising every heuristic branch. */
+  private def augmentLines(df: DataFrame): DataFrame = df.withColumn(
+    "text",
+    concat(
+      col("text"),
+      when(pmod(col("doc_id"), lit(4)) === 0,
+        lit("\n- bullet point\n- another item"))
+        .when(pmod(col("doc_id"), lit(4)) === 1,
+          lit("\nThis trails off...\nAnd more…"))
+        .when(pmod(col("doc_id"), lit(4)) === 2,
+          lit("\nA proper sentence."))
+        .otherwise(lit("\n# heading ####")),
+      when(pmod(col("doc_id"), lit(17)) === 0,
+        lit("\nlorem ipsum dolor")).otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(23)) === 0,
+        lit("\nfunction() { return; }")).otherwise(lit(""))))
+
+  // NOTE: continuation lines must not START with `||` — stripMargin would
+  // eat one bar and leave a bitwise-or.
+  private val augmentLinesSql =
+    """SELECT doc_id,
+      |  text || CASE doc_id % 4
+      |      WHEN 0 THEN chr(10) || '- bullet point' || chr(10) || '- another item'
+      |      WHEN 1 THEN chr(10) || 'This trails off...' || chr(10) || 'And more…'
+      |      WHEN 2 THEN chr(10) || 'A proper sentence.'
+      |      ELSE chr(10) || '# heading ####' END ||
+      |    CASE WHEN doc_id % 17 = 0 THEN chr(10) || 'lorem ipsum dolor'
+      |       ELSE '' END ||
+      |    CASE WHEN doc_id % 23 = 0 THEN chr(10) || 'function() { return; }'
+      |       ELSE '' END AS text
+      |FROM documents""".stripMargin
+
+  /** doc_id-keyed PII suffix: 1–2 emails, optional IPv4, optional phone. */
+  private def augmentPii(df: DataFrame): DataFrame = df.withColumn(
+    "text",
+    concat(
+      col("text"),
+      lit(" Contact user"), col("doc_id").cast("string"),
+      lit("@example.com"),
+      when(pmod(col("doc_id"), lit(3)) === 0, lit(" cc admin@test.org"))
+        .otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(5)) === 0, lit(""))
+        .otherwise(concat(lit(" from 10."),
+          pmod(col("doc_id"), lit(200)).cast("string"), lit(".0."),
+          pmod(col("doc_id"), lit(250)).cast("string"))),
+      when(pmod(col("doc_id"), lit(2)) === 0, lit(" call 555-123-4567."))
+        .otherwise(lit(""))))
+
+  private val augmentPiiSql =
+    """SELECT doc_id,
+      |  text || ' Contact user' || doc_id || '@example.com' ||
+      |    CASE WHEN doc_id % 3 = 0 THEN ' cc admin@test.org' ELSE '' END ||
+      |    CASE WHEN doc_id % 5 = 0 THEN ''
+      |       ELSE ' from 10.' || (doc_id % 200) || '.0.' || (doc_id % 250) END ||
+      |    CASE WHEN doc_id % 2 = 0 THEN ' call 555-123-4567.' ELSE '' END
+      |    AS text
+      |FROM documents""".stripMargin
+
+  def init(): Unit = {
+
+    register("q83_heuristic_filters",
+      s"""WITH aug AS ($augmentLinesSql),
+         |t AS (SELECT doc_id, text,
+         |    REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\\s+') AS toks,
+         |    STRING_SPLIT(text, chr(10)) AS ls
+         |  FROM aug),
+         |st AS (SELECT doc_id,
+         |    CAST(LEN(toks) AS BIGINT) AS n_words,
+         |    ROUND(CAST(LIST_SUM(LIST_TRANSFORM(toks, x -> LENGTH(x)))
+         |        AS DOUBLE) / GREATEST(LEN(toks), 1), 6) AS mean_word_len,
+         |    ROUND(((LENGTH(text) - LENGTH(REPLACE(text, '#', '')))
+         |      + (LENGTH(text) - LENGTH(REPLACE(text, '...', ''))) / 3
+         |      + (LENGTH(text) - LENGTH(REPLACE(text, '…', ''))))
+         |      / CAST(GREATEST(LEN(toks), 1) AS DOUBLE), 6)
+         |      AS symbol_word_ratio,
+         |    CAST(LEN(ls) AS BIGINT) AS n_lines,
+         |    ROUND(CAST(LEN(LIST_FILTER(ls, x ->
+         |        RIGHT(RTRIM(x), 1) IN ('.', '!', '?', '"', '''')))
+         |      AS DOUBLE) / LEN(ls), 6) AS frac_lines_end_punct,
+         |    ROUND(CAST(LEN(LIST_FILTER(ls, x ->
+         |        LEFT(LTRIM(x), 1) IN ('-', '*', '•')))
+         |      AS DOUBLE) / LEN(ls), 6) AS frac_bullet_lines,
+         |    ROUND(CAST(LEN(LIST_FILTER(ls, x ->
+         |        RTRIM(x) LIKE '%...' OR RTRIM(x) LIKE '%…'))
+         |      AS DOUBLE) / LEN(ls), 6) AS frac_ellipsis_lines,
+         |    ROUND(CAST(LEN(LIST_FILTER(toks, x ->
+         |        REGEXP_MATCHES(x, '[A-Za-z]')))
+         |      AS DOUBLE) / GREATEST(LEN(toks), 1), 6) AS frac_alpha_words,
+         |    CAST(CONTAINS(LOWER(text), 'lorem ipsum') AS BIGINT)
+         |      AS has_lorem,
+         |    CAST(CONTAINS(text, '{') AS BIGINT) AS has_brace
+         |  FROM t)
+         |SELECT *,
+         |  CAST((n_words BETWEEN 50 AND 100000
+         |    AND mean_word_len BETWEEN 3.0 AND 10.0
+         |    AND symbol_word_ratio <= 0.1
+         |    AND frac_bullet_lines <= 0.9
+         |    AND frac_ellipsis_lines <= 0.3
+         |    AND frac_alpha_words >= 0.8
+         |    AND has_lorem = 0 AND has_brace = 0) AS BIGINT) AS keep
+         |FROM st ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Curation.heuristicStats(
+        augmentLines(table(s, dir, "documents")), "text")
+        .select("doc_id", "n_words", "mean_word_len", "symbol_word_ratio",
+          "n_lines", "frac_lines_end_punct", "frac_bullet_lines",
+          "frac_ellipsis_lines", "frac_alpha_words", "has_lorem",
+          "has_brace", "keep")
+        .orderBy("doc_id")
+    }
+
+    register("q84_pii_redaction", {
+      def extract(pat: String) = s"LEN(REGEXP_EXTRACT_ALL(text, '$pat'))"
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val ipv4 = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+      val phone = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+      s"""WITH aug AS ($augmentPiiSql)
+         |SELECT doc_id,
+         |  CAST(${extract(email)} AS BIGINT) AS n_emails,
+         |  CAST(${extract(ipv4)} AS BIGINT) AS n_ipv4,
+         |  CAST(${extract(phone)} AS BIGINT) AS n_phones,
+         |  MD5(REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(text,
+         |    '$email', '<EMAIL>', 'g'),
+         |    '$phone', '<PHONE>', 'g'),
+         |    '$ipv4', '<IP>', 'g')) AS redacted_md5,
+         |  CAST(LENGTH(REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(text,
+         |    '$email', '<EMAIL>', 'g'),
+         |    '$phone', '<PHONE>', 'g'),
+         |    '$ipv4', '<IP>', 'g')) AS BIGINT) AS n_chars_redacted
+         |FROM aug ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      val aug = augmentPii(table(s, dir, "documents"))
+      Curation.piiStats(aug, "text")
+        .withColumn("redacted_", Curation.redactPii(col("text")))
+        .select(col("doc_id"), col("n_emails"), col("n_ipv4"),
+          col("n_phones"),
+          md5(col("redacted_")).as("redacted_md5"),
+          length(col("redacted_")).cast("long").as("n_chars_redacted"))
+        .orderBy("doc_id")
+    }
+
+    register("q85_chunk_tokens",
+      """WITH t AS (SELECT doc_id,
+        |    REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+') AS toks
+        |  FROM documents),
+        |s AS (SELECT doc_id, toks,
+        |    UNNEST(RANGE(0, GREATEST(LEN(toks), 1), 16)) AS start
+        |  FROM t)
+        |SELECT doc_id,
+        |  CAST(start / 16 AS BIGINT) AS chunk_idx,
+        |  CAST(LEN(LIST_SLICE(toks, start + 1, start + 32)) AS BIGINT)
+        |    AS n_tokens,
+        |  MD5(ARRAY_TO_STRING(LIST_SLICE(toks, start + 1, start + 32), ' '))
+        |    AS chunk_md5
+        |FROM s ORDER BY doc_id, chunk_idx""".stripMargin) { (s, dir) =>
+      Curation.chunkTokens(table(s, dir, "documents"), "text",
+        Seq("doc_id"), maxTokens = 32, stride = 16)
+        .select(col("doc_id"), col("chunk_idx"), col("n_tokens"),
+          md5(col("chunk_text")).as("chunk_md5"))
+        .orderBy("doc_id", "chunk_idx")
+    }
+
+    register("q86_tfidf_top_term",
+      """WITH toks AS (SELECT doc_id,
+        |    REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+') AS t
+        |  FROM documents),
+        |terms AS (SELECT doc_id, LEN(t) AS dl, UNNEST(t) AS term FROM toks),
+        |tf AS (SELECT doc_id, term, ANY_VALUE(dl) AS dl, COUNT(*) AS tf
+        |  FROM terms GROUP BY doc_id, term),
+        |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+        |scored AS (SELECT doc_id, tf.term AS term, tf,
+        |    CAST(ROUND((CAST(tf AS DOUBLE) / dl)
+        |      * (LN((1.0 + n.n) / (1.0 + df)) + 1.0) * 1000000) AS BIGINT)
+        |      AS micro
+        |  FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n),
+        |ranked AS (SELECT doc_id, term, tf, micro,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id
+        |      ORDER BY micro DESC, tf DESC, term ASC) AS rn
+        |  FROM scored)
+        |SELECT doc_id, term AS top_term, micro AS tfidf_micro, tf
+        |FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin) {
+      (s, dir) =>
+        Curation.tfIdfTopTerms(table(s, dir, "documents"), "text", "doc_id")
+          .orderBy("doc_id")
+    }
+
+    register("q87_mixture_weights",
+      """WITH counts AS (SELECT source, COUNT(*) AS n_docs FROM documents
+        |  WHERE source IN ('src0', 'src1', 'src2', 'src3') GROUP BY source),
+        |t AS (SELECT source, n_docs,
+        |    CAST(CASE source WHEN 'src0' THEN 0.4 WHEN 'src1' THEN 0.3
+        |      WHEN 'src2' THEN 0.2 ELSE 0.1 END AS DOUBLE) AS target_share
+        |  FROM counts),
+        |c AS (SELECT MIN(n_docs / target_share) AS c FROM t)
+        |SELECT source, n_docs, target_share,
+        |  ROUND(c * target_share / n_docs, 6) AS keep_fraction,
+        |  CAST(FLOOR(c * target_share) AS BIGINT) AS n_keep
+        |FROM t CROSS JOIN c ORDER BY source""".stripMargin) { (s, dir) =>
+      Curation.mixtureWeights(table(s, dir, "documents"), "source",
+        Map("src0" -> 0.4, "src1" -> 0.3, "src2" -> 0.2, "src3" -> 0.1))
+        .orderBy("source")
+    }
+  }
+}

@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Corpus curation for training-data pipelines: quality-threshold
@@ -61,6 +61,87 @@ object Curation {
       .drop("frac_")
   }
 
+  /** Bounds for [[heuristicStats]]' keep decision — the published
+    * Gopher/C4 document-level defaults. */
+  final case class HeuristicBounds(
+      minWords: Long = 50, maxWords: Long = 100000,
+      minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+      maxSymbolWordRatio: Double = 0.1,
+      maxBulletLineFrac: Double = 0.9,
+      maxEllipsisLineFrac: Double = 0.3,
+      minAlphaWordFrac: Double = 0.8)
+
+  /** Gopher/C4-style heuristic quality statistics per document, plus a
+    * `keep` verdict against `bounds`: word count, mean word length,
+    * symbol-to-word ratio (#, ellipses), bullet / ellipsis-terminated /
+    * punctuation-terminated line fractions, alphabetic-word fraction,
+    * and the C4 "lorem ipsum" / curly-brace kill flags.
+    *
+    * Scale shape: every stat is a per-row array expression over the
+    * materialized token and line arrays — shuffle-free, codegen'd, a
+    * pure map over any partitioning of a 100 TB corpus. */
+  def heuristicStats(df: DataFrame, textCol: String,
+      bounds: HeuristicBounds = HeuristicBounds()): DataFrame = {
+    val t = col(textCol)
+    val withArr = df
+      .withColumn("toks_", TextAnalysis.tokens(t))
+      .withColumn("lines_", split(t, "\n"))
+    val toks = col("toks_")
+    val lines = col("lines_")
+    val nWords = size(toks).cast("long")
+    val nWords1 = greatest(nWords, lit(1L))
+    val meanWordLen = round(
+      aggregate(toks, lit(0L), (acc, x) => acc + length(x))
+        .cast("double") / nWords1, 6)
+    def occurrences(lit_ : String) =
+      (length(t) - length(replace(t, lit(lit_)))) / lit_.length
+    val symbolRatio = round(
+      (occurrences("#") + occurrences("...") + occurrences("…"))
+        / nWords1, 6)
+    val nLines = size(lines).cast("long")
+    def lineFrac(p: Column => Column) = round(
+      size(filter(lines, p)).cast("double") / nLines, 6)
+    val endPunct = lineFrac(l =>
+      substring(rtrim(l), -1, 1).isin(".", "!", "?", "\"", "'"))
+    val bullet = lineFrac(l =>
+      substring(ltrim(l), 1, 1).isin("-", "*", "•"))
+    val ellipsis = lineFrac(l =>
+      endswith(rtrim(l), lit("...")) || endswith(rtrim(l), lit("…")))
+    val alphaFrac = round(
+      size(filter(toks, x => x.rlike("[A-Za-z]"))).cast("double") / nWords1,
+      6)
+    val lorem = contains(lower(t), lit("lorem ipsum")).cast("long")
+    val brace = contains(t, lit("{")).cast("long")
+    val stats = withArr.select(df.columns.map(col) ++ Seq(
+      nWords.as("n_words"),
+      meanWordLen.as("mean_word_len"),
+      symbolRatio.as("symbol_word_ratio"),
+      nLines.as("n_lines"),
+      endPunct.as("frac_lines_end_punct"),
+      bullet.as("frac_bullet_lines"),
+      ellipsis.as("frac_ellipsis_lines"),
+      alphaFrac.as("frac_alpha_words"),
+      lorem.as("has_lorem"),
+      brace.as("has_brace")): _*)
+    stats.withColumn("keep",
+      (col("n_words").between(bounds.minWords, bounds.maxWords) &&
+        col("mean_word_len").between(bounds.minMeanWordLen,
+          bounds.maxMeanWordLen) &&
+        col("symbol_word_ratio") <= bounds.maxSymbolWordRatio &&
+        col("frac_bullet_lines") <= bounds.maxBulletLineFrac &&
+        col("frac_ellipsis_lines") <= bounds.maxEllipsisLineFrac &&
+        col("frac_alpha_words") >= bounds.minAlphaWordFrac &&
+        col("has_lorem") === 0 && col("has_brace") === 0).cast("long"))
+  }
+
+  /** Apply [[heuristicStats]] and keep only surviving documents, with
+    * the original schema. */
+  def heuristicFilter(df: DataFrame, textCol: String,
+      bounds: HeuristicBounds = HeuristicBounds()): DataFrame =
+    heuristicStats(df, textCol, bounds)
+      .where(col("keep") === 1)
+      .select(df.columns.map(col): _*)
+
   /** Benchmark decontamination: flag corpus documents sharing any word
     * `k`-gram with a probe set (the eval benchmarks). Returns one row
     * per corpus document: (idCol, n_shared, contaminated) where
@@ -90,5 +171,125 @@ object Curation {
         coalesce(col("n_shared"), lit(0L)).as("n_shared"),
         (coalesce(col("n_shared"), lit(0L)) > 0).cast("long")
           .as("contaminated"))
+  }
+
+  /** PII patterns. Deliberately restricted to syntax with identical
+    * semantics in Java regex and RE2 (no lookaround, no backrefs), so
+    * detection matches across engines and redaction is reproducible. */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipv4Pattern = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val phonePattern = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+
+  /** Per-document PII match counts (emails, IPv4 addresses, phone-like
+    * numbers). Pure row expressions — shuffle-free at any scale. */
+  def piiStats(df: DataFrame, textCol: String): DataFrame = {
+    def n(pat: String) =
+      size(regexp_extract_all(col(textCol), lit(pat), lit(0))).cast("long")
+    df.withColumn("n_emails", n(emailPattern))
+      .withColumn("n_ipv4", n(ipv4Pattern))
+      .withColumn("n_phones", n(phonePattern))
+  }
+
+  /** Redact PII in place: emails first (they may embed dotted-digit
+    * hosts), then phone numbers, then IPv4 — the order is part of the
+    * contract so output is reproducible across engines and retries. */
+  def redactPii(text: Column): Column = {
+    val e = regexp_replace(text, emailPattern, "<EMAIL>")
+    val p = regexp_replace(e, phonePattern, "<PHONE>")
+    regexp_replace(p, ipv4Pattern, "<IP>")
+  }
+
+  /** Split each document into overlapping fixed-size token windows —
+    * the standard step that turns a filtered corpus into training
+    * examples. Window starts step by `stride` while they land inside
+    * the document; the last window may be shorter than `maxTokens`.
+    * Returns `idCols` + (chunk_idx, n_tokens, chunk_text).
+    *
+    * Scale shape: explode-only — each row fans out to
+    * ceil(n_tokens/stride) chunk rows with no shuffle; downstream
+    * writers see chunks co-partitioned with their documents. */
+  def chunkTokens(df: DataFrame, textCol: String, idCols: Seq[String],
+      maxTokens: Int = 128, stride: Int = 64): DataFrame = {
+    require(maxTokens > 0 && stride > 0 && stride <= maxTokens,
+      "need 0 < stride <= maxTokens")
+    val withToks = df.withColumn("toks_", TextAnalysis.tokens(col(textCol)))
+    val starts = sequence(lit(0),
+      greatest(size(col("toks_")) - 1, lit(0)), lit(stride))
+    withToks
+      .select(idCols.map(col) :+ col("toks_") :+
+        explode(starts).as("start_"): _*)
+      .select(idCols.map(col) ++ Seq(
+        (col("start_") / stride).cast("long").as("chunk_idx"),
+        slice(col("toks_"), col("start_") + 1, lit(maxTokens))
+          .as("chunk_")): _*)
+      .select(idCols.map(col) ++ Seq(
+        col("chunk_idx"),
+        size(col("chunk_")).cast("long").as("n_tokens"),
+        concat_ws(" ", col("chunk_")).as("chunk_text")): _*)
+  }
+
+  /** Per-document top term by smoothed TF-IDF
+    * (`tf/len · (ln((1+N)/(1+df))+1)`), with the score in integer
+    * micro-units so ranking and cross-engine comparison are immune to
+    * last-ulp float noise. Returns (idCol, top_term, tfidf_micro, tf).
+    *
+    * Scale shape: one explode → (doc, term) map-side-combined count;
+    * document frequency derives from that same table (second combine);
+    * idf joins back as a hash join on term (the vocabulary may exceed
+    * broadcast size at 100 TB — AQE downgrades to broadcast when it
+    * doesn't); the final per-doc argmax is a map-side-combined min of
+    * a sort-key struct, not a window. */
+  def tfIdfTopTerms(df: DataFrame, textCol: String,
+      idCol: String): DataFrame = {
+    val n = df.select(count(lit(1)).as("n_"))
+    val terms = df
+      .withColumn("toks_", TextAnalysis.tokens(lower(col(textCol))))
+      .select(col(idCol), size(col("toks_")).as("dl_"),
+        explode(col("toks_")).as("term"))
+    val tf = terms.groupBy(col(idCol), col("term"))
+      .agg(first(col("dl_")).as("dl_"), count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df_"))
+    val scored = tf.join(dfreq, "term").crossJoin(broadcast(n))
+      .withColumn("micro_", round((col("tf").cast("double") / col("dl_")) *
+        (log((lit(1.0) + col("n_")) / (lit(1.0) + col("df_"))) + 1.0)
+        * 1e6).cast("long"))
+    scored.groupBy(col(idCol))
+      .agg(min(struct((-col("micro_")).as("nmicro"), (-col("tf")).as("ntf"),
+        col("term").as("term"))).as("best_"))
+      .select(col(idCol),
+        col("best_.term").as("top_term"),
+        (-col("best_.nmicro")).as("tfidf_micro"),
+        (-col("best_.ntf")).as("tf"))
+  }
+
+  /** Largest exact-mixture rebalance: given target shares per stratum
+    * (summing to 1), the biggest subsample whose composition matches the
+    * target keeps `c·T_s` docs of stratum s where
+    * `c = min_s n_s / T_s` — strata outside the target drop. Returns one
+    * row per stratum: (stratum, n_docs, target_share, keep_fraction,
+    * n_keep). Apply with [[stratifiedSample]].
+    *
+    * Scale shape: one count aggregation; the min-ratio scalar joins
+    * back via broadcast — the strata table is domain-scale, not
+    * data-scale. */
+  def mixtureWeights(df: DataFrame, strataCol: String,
+      target: Map[String, Double]): DataFrame = {
+    require(target.nonEmpty && target.values.forall(_ > 0),
+      "target shares must be positive")
+    val share = target.foldLeft(lit(null).cast("double")) {
+      case (acc, (k, v)) => when(col(strataCol) === k, lit(v)).otherwise(acc)
+    }
+    val counts = df.groupBy(col(strataCol))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("target_share", share)
+      .where(col("target_share").isNotNull)
+    val c = counts.select(
+      min(col("n_docs") / col("target_share")).as("c_"))
+    counts.crossJoin(broadcast(c))
+      .select(col(strataCol), col("n_docs"),
+        col("target_share"),
+        round(col("c_") * col("target_share") / col("n_docs"), 6)
+          .as("keep_fraction"),
+        floor(col("c_") * col("target_share")).cast("long").as("n_keep"))
   }
 }

@@ -67,6 +67,110 @@ class CurationSpec extends AnyFunSuite {
       s1.select($"id").collect().map(_.getLong(0)).sorted.toSeq)
   }
 
+  test("heuristicStats computes Gopher/C4 signals and keep verdict") {
+    val df = Seq(
+      // 60 clean words, sentence lines -> keep
+      (1L, (1 to 60).map(i => "word" + i).grouped(20)
+        .map(_.mkString(" ") + " ends.").mkString("\n")),
+      // lorem ipsum kill flag
+      (2L, (1 to 60).map(i => "word" + i).mkString(" ") + " lorem ipsum"),
+      // code-ish: curly brace
+      (3L, (1 to 60).map(i => "fn" + i).mkString(" ") + " { }"),
+      // too short
+      (4L, "tiny doc"),
+      // bullet-heavy: every line starts with -
+      (5L, (1 to 60).map(i => "- item" + i).mkString("\n")))
+      .toDF("doc_id", "text")
+    val r = Curation.heuristicStats(df, "text")
+      .select($"doc_id", $"keep", $"n_words", $"has_lorem", $"has_brace",
+        $"frac_bullet_lines")
+      .orderBy($"doc_id").collect()
+    assert(r.map(x => x.getLong(0) -> x.getLong(1)).toSeq ==
+      Seq(1L -> 1L, 2L -> 0L, 3L -> 0L, 4L -> 0L, 5L -> 0L))
+    assert(r(1).getLong(3) == 1L) // lorem flagged
+    assert(r(2).getLong(4) == 1L) // brace flagged
+    assert(r(4).getDouble(5) == 1.0) // all lines bulleted
+    val kept = Curation.heuristicFilter(df, "text")
+    assert(kept.columns.toSeq == df.columns.toSeq)
+    assert(kept.select($"doc_id").collect().map(_.getLong(0)).toSeq ==
+      Seq(1L))
+  }
+
+  test("piiStats counts and redactPii removes emails/IPs/phones") {
+    val df = Seq(
+      (1L, "reach me at jane.doe+spam@mail.example.org or 10.0.0.17 " +
+        "and 555-123-4567 thanks"),
+      (2L, "no pii here at all"),
+      (3L, "two mails a@b.co c@d.io one ip 192.168.1.1"))
+      .toDF("doc_id", "text")
+    val stats = Curation.piiStats(df, "text").orderBy($"doc_id")
+      .select($"n_emails", $"n_ipv4", $"n_phones")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(stats.toSeq == Seq((1L, 1L, 1L), (0L, 0L, 0L), (2L, 1L, 0L)))
+    val red = df.select(Curation.redactPii($"text")).orderBy($"text")
+      .as[String].collect().mkString(" ")
+    assert(!red.contains("jane.doe") && !red.contains("10.0.0.17") &&
+      !red.contains("555-123-4567") && !red.contains("a@b.co") &&
+      !red.contains("192.168.1.1"))
+    assert(red.contains("<EMAIL>") && red.contains("<IP>") &&
+      red.contains("<PHONE>"))
+  }
+
+  test("chunkTokens windows cover every token with the right overlap") {
+    val df = Seq((7L, (1 to 100).map(i => "t" + i).mkString(" ")))
+      .toDF("doc_id", "text")
+    val chunks = Curation.chunkTokens(df, "text", Seq("doc_id"),
+      maxTokens = 32, stride = 16).orderBy($"chunk_idx").collect()
+    // starts 0,16,...,96 -> 7 chunks; sizes 32 except the tail
+    assert(chunks.length == 7)
+    assert(chunks.map(_.getLong(2)).toSeq ==
+      Seq(32L, 32L, 32L, 32L, 32L, 20L, 4L))
+    assert(chunks.head.getString(3).startsWith("t1 t2 "))
+    assert(chunks.last.getString(3) == "t97 t98 t99 t100")
+    // consecutive chunks overlap by maxTokens - stride tokens
+    val first = chunks(0).getString(3).split(" ")
+    val second = chunks(1).getString(3).split(" ")
+    assert(first.drop(16).toSeq == second.take(16).toSeq)
+  }
+
+  test("tfIdfTopTerms surfaces the discriminative term") {
+    // 30 distinct words shared by every doc (idf = 1, tf = 1 each);
+    // the doc-specific rare term wins on idf despite equal-ish tf
+    val common = (1 to 30).map(i => "c" + i).mkString(" ")
+    val df = Seq(
+      (1L, s"$common zebra zebra"),
+      (2L, s"$common yak"),
+      (3L, common))
+      .toDF("doc_id", "text")
+    val r = Curation.tfIdfTopTerms(df, "text", "doc_id")
+      .orderBy($"doc_id").collect()
+    assert(r(0).getString(1) == "zebra")
+    assert(r(1).getString(1) == "yak")
+    // doc 3 is all-common: every term ties, lexicographic tie-break
+    assert(r(2).getString(1) == "c1")
+    assert(r(0).getLong(3) == 2L) // zebra tf
+  }
+
+  test("mixtureWeights: largest exact-mixture subsample") {
+    val df = (Seq.fill(100)("a") ++ Seq.fill(50)("b") ++
+      Seq.fill(200)("c") ++ Seq.fill(99)("ignored"))
+      .zipWithIndex.map(_.swap).toDF("id", "src")
+    val w = Curation.mixtureWeights(df, "src",
+      Map("a" -> 0.5, "b" -> 0.25, "c" -> 0.25))
+      .orderBy($"src").collect()
+    // ratios n/T: a 200, b 200, c 800 -> c_min = 200: a and b keep
+    // fully, c keeps 200*0.25 = 50 of 200; 'ignored' drops
+    assert(w.map(_.getString(0)).toSeq == Seq("a", "b", "c"))
+    assert(w.map(_.getDouble(3)).toSeq == Seq(1.0, 1.0, 0.25))
+    assert(w.map(_.getLong(4)).toSeq == Seq(100L, 50L, 50L))
+    // unbalanced target: b becomes the binding stratum (50/0.2 = 250)
+    val w2 = Curation.mixtureWeights(df, "src",
+      Map("a" -> 0.2, "b" -> 0.2, "c" -> 0.6)).orderBy($"src").collect()
+    assert(w2.map(_.getLong(4)).toSeq == Seq(50L, 50L, 150L))
+    assert(w2(1).getDouble(3) == 1.0)
+    assert(w2.map(_.getDouble(3)).forall(f => f > 0 && f <= 1.0))
+  }
+
   test("decontaminate flags k-gram overlap with the probe set") {
     val probes = Seq((100L, "alpha beta gamma delta epsilon"))
       .toDF("doc_id", "text")
