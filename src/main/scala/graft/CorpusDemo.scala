@@ -15,16 +15,20 @@ import org.apache.spark.sql.functions._
   *
   *  1. score: language ID, quality, repetition signals — pure
   *     expressions, a single map pass;
-  *  2. filter: per-language quality percentile (sketch + broadcast
+  *  2. heuristic filter: Gopher/C4 document bounds (word counts,
+  *     symbol/bullet/ellipsis signals, lorem/brace kill flags);
+  *  3. redact: PII scrubbing (emails/IPs/phones) — a pure map;
+  *  4. filter: per-language quality percentile (sketch + broadcast
   *     thresholds) and a repetition cap;
-  *  3. dedup: MinHash-LSH near-dup pairs → connected components →
+  *  5. dedup: MinHash-LSH near-dup pairs → connected components →
   *     keep one representative per duplicate family;
-  *  4. decontaminate: drop documents overlapping the (broadcast)
+  *  6. decontaminate: drop documents overlapping the (broadcast)
   *     benchmark 13-gram set;
-  *  5. semantic prune: SemDedup over the embeddings of surviving
+  *  7. semantic prune: SemDedup over the embeddings of surviving
   *     docs (auto-sized hyperplane clusters);
-  *  6. sample: deterministic per-language stratified sample of what
-  *     remains.
+  *  8. rebalance + sample: largest exact source mixture, applied as a
+  *     deterministic stratified sample;
+  *  9. chunk: overlapping token windows — the training examples.
   */
 object CorpusDemo {
   def main(args: Array[String]): Unit = {
@@ -61,19 +65,33 @@ object CorpusDemo {
         .localCheckpoint(false)
     }
 
-    // 2. quality filter: keep the top 80% per language, cap repetition
+    // 2. heuristic document filter (relaxed word-count floor: the
+    //    synthetic docs are short)
+    val heuristic = t("heuristic: Gopher/C4 document bounds") {
+      Curation.heuristicFilter(scored, "text",
+        Curation.HeuristicBounds(minWords = 20))
+    }
+
+    // 3. PII redaction — pure map, no row survives with raw PII
+    val redacted = t("redact: emails/IPs/phones") {
+      heuristic.withColumn("text", Curation.redactPii(col("text")))
+    }
+
+    // 4. quality filter: keep the top 80% per language, cap repetition
     val filtered = t("filter: per-lang quality + repetition cap") {
-      Curation.qualityFilter(scored, "text", keepFraction = 0.8)
+      Curation.qualityFilter(redacted, "text", keepFraction = 0.8)
         .where(col("top_word_frac") <= 0.5)
     }
 
-    // 3. near-dup dedup: pairs -> components -> one keeper per family
+    // 5. near-dup dedup: pairs -> components -> one keeper per family.
+    // localCheckpoint: downstream stages and the final counts would
+    // otherwise re-run the LSH join chain once per action.
     val deduped = t("dedup: LSH pairs -> clusters -> keep-first") {
       Clusters.dropNearDuplicates(filtered, "text", "doc_id",
-        minJaccard = 0.5, numHashes = 32)
+        minJaccard = 0.5, numHashes = 32).localCheckpoint()
     }
 
-    // 4. decontaminate vs a probe set (here: the 10 lowest doc_ids)
+    // 6. decontaminate vs a probe set (here: the 10 lowest doc_ids)
     val clean = t("decontaminate vs benchmark grams") {
       val probes = docs.where(col("doc_id") < 10)
       val flags = Curation.decontaminate(
@@ -82,7 +100,7 @@ object CorpusDemo {
         .select(col("doc_id")), Seq("doc_id"), "left_semi")
     }
 
-    // 5. semantic prune on the survivors' embeddings
+    // 7. semantic prune on the survivors' embeddings
     val pruned = t("semantic prune: semdedup on embeddings") {
       val emb = Tables.table(spark, sfDir, "embeddings")
         .join(clean.select(col("doc_id").as("vec_id")), Seq("vec_id"),
@@ -91,26 +109,37 @@ object CorpusDemo {
           minCosine = 0.4)
         .where(col("dropped") === 1)
         .select(col("vec_id").as("doc_id"))
-      clean.join(drops, Seq("doc_id"), "left_anti")
+      clean.join(drops, Seq("doc_id"), "left_anti").localCheckpoint()
     }
 
-    // 6. deterministic stratified sample of what remains
-    val sampled = t("sample: stratified by language") {
-      Curation.stratifiedSample(
-        pruned.withColumn("lang_pred",
-          TextAnalysis.languageId(col("text"))),
-        "lang_pred",
-        Map("en" -> 0.5, "de" -> 0.5, "fr" -> 0.5, "es" -> 0.5,
-          "zh" -> 0.5, "und" -> 0.25),
+    // 8. rebalance to a target source mixture, applied as a
+    //    deterministic stratified sample (weights are domain-scale:
+    //    collect is one row per source)
+    val sampled = t("rebalance + sample: source mixture") {
+      val srcs = pruned.select(col("source")).distinct()
+        .collect().map(_.getString(0)).sorted
+      val target = srcs.map(_ -> 1.0 / srcs.length).toMap
+      val weights = Curation.mixtureWeights(pruned, "source", target)
+        .select(col("source"), col("keep_fraction"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      Curation.stratifiedSample(pruned, "source", weights,
         idCols = Seq("doc_id"))
     }
 
+    // 9. chunk the survivors into overlapping training windows
+    val chunks = t("chunk: token windows for training") {
+      Curation.chunkTokens(sampled, "text", Seq("doc_id"),
+        maxTokens = 64, stride = 48)
+    }
+
     val counts = Seq(
-      "input" -> total, "quality-filtered" -> filtered.count(),
+      "input" -> total, "heuristic-filtered" -> heuristic.count(),
+      "quality-filtered" -> filtered.count(),
       "deduped" -> deduped.count(), "decontaminated" -> clean.count(),
       "semantically-pruned" -> pruned.count(),
       "sampled" -> sampled.count())
     counts.foreach { case (k, v) => println(f"[corpus] $k%-22s $v%,10d") }
+    println(f"[corpus] ${"training-chunks"}%-22s ${chunks.count()}%,10d")
     require(counts.map(_._2).sliding(2).forall(p => p(1) <= p(0)),
       "each stage must only shrink the corpus")
     spark.stop()
