@@ -127,21 +127,27 @@ object TimeSeries {
       : DataFrame =
     df.where(month(col(timeCol)).isin(months: _*))
 
-  /** Backward as-of join: for every left row, the most recent right
-    * row with right.ts <= left.ts (SQL `ASOF JOIN`; pandas
-    * `merge_asof`) — the standard alignment of an irregular series
-    * (gauge readings, reference sensor) onto another.
+  /** As-of join (SQL `ASOF JOIN`; pandas `merge_asof`): align each
+    * left row with the nearest right row in the requested
+    * `direction` — "backward" (most recent right.ts <= left.ts),
+    * "forward" (earliest right.ts >= left.ts), or "nearest" (closer
+    * of the two; ties resolve backward, matching pandas).
     *
-    * NOT a range join: both sides union into ONE frame and a single
-    * running `last(ignoreNulls)` window carries right values forward
-    * onto left rows — one shuffle on (partitionCols, ts), no
-    * quadratic time-band explosion, and `partitionCols` keeps the
-    * sort per-station at fleet scale. At equal timestamps the right
-    * row sorts first, so it IS visible to the left row (<= semantics).
-    * `toleranceMicros` nulls matches older than the window. */
-  def asofJoinBackward(left: DataFrame, right: DataFrame, tsCol: String,
-      valueCols: Seq[String], partitionCols: Seq[String] = Nil,
+    * NOT a range join: both sides union into ONE frame and running
+    * `last`/`first(ignoreNulls)` windows carry right values onto left
+    * rows — one shuffle on (partitionCols, ts), no quadratic
+    * time-band explosion, and `partitionCols` keeps the sort
+    * per-station at fleet scale. At equal timestamps the right row is
+    * visible in either direction (<= / >= semantics).
+    * `toleranceMicros` nulls matches farther than the window (for
+    * "nearest": the closer side is chosen first, THEN tolerance
+    * applies — no fallback to the farther side, matching pandas). */
+  def asofJoin(left: DataFrame, right: DataFrame, tsCol: String,
+      valueCols: Seq[String], direction: String = "backward",
+      partitionCols: Seq[String] = Nil,
       toleranceMicros: Option[Long] = None): DataFrame = {
+    require(Seq("backward", "forward", "nearest").contains(direction),
+      s"unknown direction $direction")
     val leftCols = left.columns
     require(!leftCols.contains("is_left__"), "reserved column name")
     require(!valueCols.exists(leftCols.contains),
@@ -158,24 +164,64 @@ object TimeSeries {
       .withColumn("rts__", col(tsCol))
     val unioned = lTagged.unionByName(rTagged,
       allowMissingColumns = true)
-    val w = (if (partitionCols.isEmpty) Window.orderBy(col(tsCol),
-        col("is_left__"))
-      else Window.partitionBy(partitionCols.map(col): _*)
-        .orderBy(col(tsCol), col("is_left__")))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = valueCols.foldLeft(unioned) { (d, c) =>
-      d.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }.withColumn("rts__", last(col("rts__"), ignoreNulls = true).over(w))
-    val inTol = toleranceMicros match {
-      case Some(t) => col("rts__").isNotNull &&
-        unix_micros(col(tsCol)) - unix_micros(col("rts__")) <= t
-      case None => col("rts__").isNotNull
+    // Backward scans need equal-ts right rows sorted BEFORE left rows
+    // (so the preceding window sees them); forward scans need them
+    // AFTER. Both windows hash-partition identically, so "nearest"
+    // costs one extra sort, not an extra shuffle.
+    def spec(back: Boolean) = {
+      val order =
+        if (back) Seq(col(tsCol), col("is_left__"))
+        else Seq(col(tsCol), col("is_left__").desc)
+      val w = if (partitionCols.isEmpty) Window.orderBy(order: _*)
+        else Window.partitionBy(partitionCols.map(col): _*)
+          .orderBy(order: _*)
+      if (back) w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      else w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
     }
-    val out = valueCols.foldLeft(filled) { (d, c) =>
-      d.withColumn(c, when(inTol, col(c))) }
+    def fill(df: DataFrame, back: Boolean, suffix: String) = {
+      val w = spec(back)
+      def scan(c: Column) =
+        if (back) last(c, ignoreNulls = true).over(w)
+        else first(c, ignoreNulls = true).over(w)
+      valueCols.foldLeft(df) { (d, c) =>
+        d.withColumn(c + suffix, scan(col(c)))
+      }.withColumn("rts__" + suffix, scan(col("rts__")))
+    }
+    def dist(suffix: String) = {
+      val d = unix_micros(col(tsCol)) - unix_micros(col("rts__" + suffix))
+      abs(d)
+    }
+    def inTol(suffix: String) = toleranceMicros match {
+      case Some(t) => col("rts__" + suffix).isNotNull && dist(suffix) <= t
+      case None => col("rts__" + suffix).isNotNull
+    }
+    val out = direction match {
+      case "backward" | "forward" =>
+        val back = direction == "backward"
+        val filled = fill(unioned, back, "")
+        valueCols.foldLeft(filled) { (d, c) =>
+          d.withColumn(c, when(inTol(""), col(c))) }
+      case "nearest" =>
+        val filled = fill(fill(unioned, back = true, "_b"),
+          back = false, "_f")
+        val useBack = col("rts___b").isNotNull &&
+          (col("rts___f").isNull || dist("_b") <= dist("_f"))
+        valueCols.foldLeft(filled) { (d, c) =>
+          d.withColumn(c,
+            when(useBack && inTol("_b"), col(c + "_b"))
+              .when(!useBack && inTol("_f"), col(c + "_f")))
+        }
+    }
     out.where(col("is_left__") === 1)
       .select(leftCols.map(col) ++ valueCols.map(col): _*)
   }
+
+  /** Backward as-of join — see [[asofJoin]]. */
+  def asofJoinBackward(left: DataFrame, right: DataFrame, tsCol: String,
+      valueCols: Seq[String], partitionCols: Seq[String] = Nil,
+      toleranceMicros: Option[Long] = None): DataFrame =
+    asofJoin(left, right, tsCol, valueCols, "backward", partitionCols,
+      toleranceMicros)
 
   /** Linear interpolation of nulls over time, bounded by `limit` steps
     * (pandas Series.interpolate(method='linear', limit=N) equivalent for a

@@ -348,6 +348,56 @@ object TimeSeriesQueries {
         .orderBy(col("event_id"))
     }
 
+    // Forward as-of: each click joined to the NEXT error reading.
+    // DuckDB's ASOF accepts any inequality; l.ts <= r.ts is forward.
+    register("q24_asof_forward",
+      """WITH l AS (SELECT event_id, ts FROM events
+        |           WHERE event_type = 'click'),
+        |r AS (SELECT ts, value AS next_err FROM events
+        |      WHERE event_type = 'error')
+        |SELECT l.event_id, EPOCH_US(l.ts) AS ts_us, r.next_err
+        |FROM l ASOF LEFT JOIN r ON l.ts <= r.ts
+        |ORDER BY l.event_id""".stripMargin) { (s, dir) =>
+      val ev = table(s, dir, "events")
+      val l = ev.where(col("event_type") === "click")
+        .select(col("event_id"), col("ts"))
+      val r = ev.where(col("event_type") === "error")
+        .select(col("ts"), col("value").as("next_err"))
+      TimeSeries.asofJoin(l, r, "ts", Seq("next_err"), "forward")
+        .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+          col("next_err"))
+        .orderBy(col("event_id"))
+    }
+
+    // Nearest as-of (ties backward): oracle composes DuckDB's
+    // backward and forward ASOF and picks the closer timestamp.
+    register("q25_asof_nearest",
+      """WITH l AS (SELECT event_id, ts FROM events
+        |           WHERE event_type = 'click'),
+        |r AS (SELECT ts, value FROM events
+        |      WHERE event_type = 'error'),
+        |b AS (SELECT l.event_id, l.ts, r.ts AS bts, r.value AS bv
+        |      FROM l ASOF LEFT JOIN r ON l.ts >= r.ts),
+        |f AS (SELECT l.event_id, r.ts AS fts, r.value AS fv
+        |      FROM l ASOF LEFT JOIN r ON l.ts <= r.ts)
+        |SELECT b.event_id, EPOCH_US(b.ts) AS ts_us,
+        |  CASE WHEN b.bts IS NOT NULL AND (f.fts IS NULL OR
+        |      EPOCH_US(b.ts) - EPOCH_US(b.bts)
+        |        <= EPOCH_US(f.fts) - EPOCH_US(b.ts))
+        |    THEN b.bv ELSE f.fv END AS near_err
+        |FROM b JOIN f ON b.event_id = f.event_id
+        |ORDER BY b.event_id""".stripMargin) { (s, dir) =>
+      val ev = table(s, dir, "events")
+      val l = ev.where(col("event_type") === "click")
+        .select(col("event_id"), col("ts"))
+      val r = ev.where(col("event_type") === "error")
+        .select(col("ts"), col("value").as("near_err"))
+      TimeSeries.asofJoin(l, r, "ts", Seq("near_err"), "nearest")
+        .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+          col("near_err"))
+        .orderBy(col("event_id"))
+    }
+
     // Arbitrary-frequency resample (pandas resample('3H')): epoch-
     // aligned integer bucketing == TIME_BUCKET for steps dividing 24h.
     register("q23_resample_3h",

@@ -123,6 +123,45 @@ class TimeSeriesSpec extends AnyFunSuite {
       (3L, None), (4L, None)))
   }
 
+  test("asofJoin forward and nearest: semantics, ties, tolerance") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val left = Seq(
+      ("a", ts("2024-01-01 00:00:30"), 1L), // between 10s and 2:00
+      ("a", ts("2024-01-01 00:02:00"), 2L), // == right stamp
+      ("a", ts("2024-01-01 00:03:00"), 3L), // after all right: fwd null
+      ("a", ts("2024-01-01 00:01:05"), 4L)) // equidistant-ish
+      .toDF("st", "ts", "lid")
+    val right = Seq(
+      ("a", ts("2024-01-01 00:00:10"), 10.0),
+      ("a", ts("2024-01-01 00:02:00"), 20.0))
+      .toDF("st", "ts", "v")
+    def run(dir: String, tol: Option[Long] = None) =
+      TimeSeries.asofJoin(left, right, "ts", Seq("v"), dir,
+        partitionCols = Seq("st"), toleranceMicros = tol)
+        .orderBy($"lid").collect()
+        .map(r => (r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toSeq
+    assert(run("forward") == Seq(1L -> Some(20.0), 2L -> Some(20.0),
+      3L -> None, 4L -> Some(20.0)))
+    // nearest: lid1 is 20s from 00:10 vs 90s from 2:00 -> backward;
+    // lid4 is 55s back vs 55s fwd -> tie resolves backward
+    assert(run("nearest") == Seq(1L -> Some(10.0), 2L -> Some(20.0),
+      3L -> Some(20.0), 4L -> Some(10.0)))
+    // tolerance nulls the chosen match without falling back
+    assert(run("nearest", Some(30L * 1000000L)) ==
+      Seq(1L -> Some(10.0), 2L -> Some(20.0), 3L -> None, 4L -> None))
+    // matches pandas merge_asof: exhaustive check vs brute force
+    val bf = left.as("l").join(right.as("r"), Seq("st"), "left")
+      .groupBy($"lid").agg(
+        min(struct(abs(unix_micros($"l.ts") - unix_micros($"r.ts")),
+          unix_micros($"r.ts"), $"v")).as("m"))
+      .select($"lid", $"m.v").orderBy($"lid").collect()
+      .map(r => (r.getLong(0), Some(r.getDouble(1)))).toSeq
+    // (tie at lid4: brute force min-struct picks the EARLIER right ts
+    //  = backward, same as the operator)
+    assert(run("nearest") == bf)
+  }
+
   test("resampleByDuration buckets on epoch-aligned steps") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     val df = Seq(
