@@ -53,6 +53,30 @@ object Aggregations {
     df.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Trailing time-window aggregates (pandas `rolling('1h')` with
+    * closed='both'): for every row, count/sum/mean/min/max of
+    * `valueCol` over [ts − windowSeconds, ts]. A RANGE-frame window on
+    * the microsecond epoch — no self-join, no time-band explosion; one
+    * shuffle on `partitionCols` (REQUIRED at fleet scale — an empty
+    * partitioning funnels the corpus through one task's sort).
+    * Equal-timestamp peers are all in-frame regardless of sort order,
+    * so results are deterministic under retries/AQE. */
+  def rollingTimeAgg(df: DataFrame, tsCol: String, valueCol: String,
+      windowSeconds: Long, partitionCols: Seq[String] = Nil)
+      : DataFrame = {
+    val w = (if (partitionCols.isEmpty)
+        Window.orderBy(unix_micros(col(tsCol)))
+      else Window.partitionBy(partitionCols.map(col): _*)
+        .orderBy(unix_micros(col(tsCol))))
+      .rangeBetween(-windowSeconds * 1000000L, 0)
+    val v = col(valueCol)
+    df.withColumn("roll_count", count(v).over(w))
+      .withColumn("roll_sum", sum(v).over(w))
+      .withColumn("roll_mean", avg(v).over(w))
+      .withColumn("roll_min", min(v).over(w))
+      .withColumn("roll_max", max(v).over(w))
+  }
+
   /** calculate_mean_daily_course_by_month (util/util.py:417-430):
     * (month, hour) mean of `valueCol`, optionally min-max normalized
     * within each month. Long form (288 rows) — broadcast-join it. */

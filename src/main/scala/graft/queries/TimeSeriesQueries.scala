@@ -398,6 +398,31 @@ object TimeSeriesQueries {
         .orderBy(col("event_id"))
     }
 
+    // Trailing 1h window per event type (pandas rolling('1h')):
+    // RANGE-frame window, integer-micro values for exact sums.
+    register("q26_rolling_1h",
+      """WITH e AS (SELECT event_id, event_type, ts,
+        |    CAST(ROUND(value * 1e6) AS BIGINT) AS value_u FROM events)
+        |SELECT event_id,
+        |  CAST(COUNT(value_u) OVER w AS BIGINT) AS n_1h,
+        |  CAST(SUM(value_u) OVER w AS BIGINT) AS sum_u_1h,
+        |  CAST(MIN(value_u) OVER w AS BIGINT) AS min_u_1h,
+        |  CAST(MAX(value_u) OVER w AS BIGINT) AS max_u_1h
+        |FROM e
+        |WINDOW w AS (PARTITION BY event_type ORDER BY ts
+        |  RANGE BETWEEN INTERVAL '1 hour' PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin) { (s, dir) =>
+      val ev = table(s, dir, "events")
+        .withColumn("value_u", round(col("value") * 1e6).cast("long"))
+      graft.agg.Aggregations.rollingTimeAgg(ev, "ts", "value_u",
+          windowSeconds = 3600L, partitionCols = Seq("event_type"))
+        .select(col("event_id"), col("roll_count").as("n_1h"),
+          col("roll_sum").as("sum_u_1h"),
+          col("roll_min").as("min_u_1h"),
+          col("roll_max").as("max_u_1h"))
+        .orderBy(col("event_id"))
+    }
+
     // Arbitrary-frequency resample (pandas resample('3H')): epoch-
     // aligned integer bucketing == TIME_BUCKET for steps dividing 24h.
     register("q23_resample_3h",

@@ -162,6 +162,31 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(run("nearest") == bf)
   }
 
+  test("rollingTimeAgg: trailing time window, inclusive edges") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val df = Seq(
+      ("a", ts("2024-01-01 00:00:00"), 1.0),
+      ("a", ts("2024-01-01 00:30:00"), 2.0),
+      ("a", ts("2024-01-01 01:00:00"), 4.0),  // 1h window: includes 00:00
+      ("a", ts("2024-01-01 02:30:00"), 8.0),  // nothing within 1h
+      ("b", ts("2024-01-01 00:45:00"), 16.0)) // other partition
+      .toDF("st", "ts", "v")
+    val out = graft.agg.Aggregations.rollingTimeAgg(df, "ts", "v",
+        windowSeconds = 3600L, partitionCols = Seq("st"))
+      .orderBy($"st", $"ts")
+      .select($"roll_count", $"roll_sum", $"roll_mean", $"roll_min",
+        $"roll_max")
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(out.toSeq == Seq(
+      (1L, 1.0, 1.0, 1.0, 1.0),
+      (2L, 3.0, 1.5, 1.0, 2.0),
+      (3L, 7.0, 7.0 / 3, 1.0, 4.0),
+      (1L, 8.0, 8.0, 8.0, 8.0),
+      (1L, 16.0, 16.0, 16.0, 16.0)))
+  }
+
   test("resampleByDuration buckets on epoch-aligned steps") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     val df = Seq(
