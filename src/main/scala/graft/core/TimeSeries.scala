@@ -216,6 +216,27 @@ object TimeSeries {
       .select(leftCols.map(col) ++ valueCols.map(col): _*)
   }
 
+  /** Gap-based sessionization: assign a session id per `keyCols` that
+    * increments whenever the gap to the previous event exceeds
+    * `gapSeconds` (the standard event-stream sessionize; Structured
+    * Streaming's session_window for batch). One lag + one running sum
+    * over the same (key, ts) sort — a single shuffle on `keyCols`,
+    * which keys the scale axis. Session ids are 0-based and stable:
+    * they depend only on the data order, not the partitioning. */
+  def sessionize(df: DataFrame, tsCol: String, keyCols: Seq[String],
+      gapSeconds: Long): DataFrame = {
+    require(keyCols.nonEmpty, "sessionize needs key columns")
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(unix_micros(col(tsCol)))
+    val gap = unix_micros(col(tsCol)) -
+      lag(unix_micros(col(tsCol)), 1).over(w)
+    val isNew = when(gap.isNull || gap > gapSeconds * 1000000L, 1L)
+      .otherwise(0L)
+    df.withColumn("session_id",
+      sum(isNew).over(w.rowsBetween(Window.unboundedPreceding,
+        Window.currentRow)) - 1)
+  }
+
   /** Backward as-of join — see [[asofJoin]]. */
   def asofJoinBackward(left: DataFrame, right: DataFrame, tsCol: String,
       valueCols: Seq[String], partitionCols: Seq[String] = Nil,

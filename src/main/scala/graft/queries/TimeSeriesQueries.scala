@@ -423,6 +423,26 @@ object TimeSeriesQueries {
         .orderBy(col("event_id"))
     }
 
+    // Gap-based sessionization: 30-min inactivity splits sessions
+    // per event type (timestamps are unique per type, so the lag
+    // order is well-defined).
+    register("q27_sessionize",
+      """WITH g AS (SELECT event_id, event_type, ts,
+        |    CASE WHEN LAG(ts) OVER w IS NULL
+        |        OR EPOCH_US(ts) - EPOCH_US(LAG(ts) OVER w) > 1800000000
+        |      THEN 1 ELSE 0 END AS is_new
+        |  FROM events WINDOW w AS (PARTITION BY event_type ORDER BY ts))
+        |SELECT event_id,
+        |  CAST(SUM(is_new) OVER (PARTITION BY event_type ORDER BY ts
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
+        |    AS BIGINT) AS session_id
+        |FROM g ORDER BY event_id""".stripMargin) { (s, dir) =>
+      TimeSeries.sessionize(table(s, dir, "events"), "ts",
+          Seq("event_type"), gapSeconds = 1800L)
+        .select(col("event_id"), col("session_id"))
+        .orderBy(col("event_id"))
+    }
+
     // Arbitrary-frequency resample (pandas resample('3H')): epoch-
     // aligned integer bucketing == TIME_BUCKET for steps dividing 24h.
     register("q23_resample_3h",

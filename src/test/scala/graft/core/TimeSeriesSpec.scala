@@ -162,6 +162,22 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(run("nearest") == bf)
   }
 
+  test("sessionize splits on inactivity gaps per key") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val df = Seq(
+      ("u1", ts("2024-01-01 00:00:00")),
+      ("u1", ts("2024-01-01 00:10:00")), // 10 min -> same session
+      ("u1", ts("2024-01-01 01:00:00")), // 50 min -> new session
+      ("u1", ts("2024-01-01 01:30:00")), // exactly the gap -> same
+      ("u2", ts("2024-01-01 00:00:00"))) // own key space
+      .toDF("user", "ts")
+    val out = TimeSeries.sessionize(df, "ts", Seq("user"),
+        gapSeconds = 1800L)
+      .orderBy($"user", $"ts").select($"session_id").collect()
+      .map(_.getLong(0))
+    assert(out.toSeq == Seq(0L, 0L, 1L, 1L, 0L))
+  }
+
   test("rollingTimeAgg: trailing time window, inclusive edges") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     val df = Seq(
