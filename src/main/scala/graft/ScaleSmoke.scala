@@ -107,6 +107,30 @@ object ScaleSmoke {
         docs.where(col("doc_id") < 1001), "text", "doc_id")
         .agg(sum(col("contaminated"))).head().getLong(0)
     }
+    t("heuristic filter + PII redact") {
+      // both pure maps: wall time tracks the scan, not the corpus shape
+      graft.text.Curation.heuristicFilter(
+        docs.withColumn("text",
+          graft.text.Curation.redactPii(col("text"))), "text",
+        graft.text.Curation.HeuristicBounds(minWords = 20)).count()
+    }
+    t("chunk into training windows") {
+      // explode-only fan-out, chunks co-partitioned with docs
+      graft.text.Curation.chunkTokens(docs, "text", Seq("doc_id"),
+        maxTokens = 32, stride = 16).count()
+    }
+    t("tf-idf top terms") {
+      // two map-side-combined groupBys + a hash join on term
+      graft.text.Curation.tfIdfTopTerms(docs, "text", "doc_id").count()
+    }
+    t("rolling 3h window per station") {
+      val hourly = graft.core.TimeSeries.explodeDays(
+        dailyMet.withColumnRenamed("tmin", "temp"), "date", 24,
+        3600L * 1000000L)
+      Aggregations.rollingTimeAgg(hourly, "timestamp", "temp",
+        windowSeconds = 3 * 3600L,
+        partitionCols = Seq("station_id")).count()
+    }
     val embs = spark.range(0, stations * 2000L, 1, 32)
       .select(col("id").as("vec_id"),
         when(pmod(col("id"), lit(7)) === 0, col("id") - 1)
