@@ -200,6 +200,57 @@ class StreamingAggSpec extends AnyFunSuite {
     } finally { scoreQ.stop(); deconQ.stop() }
   }
 
+  test("curation filters, redaction and chunking run on a doc stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.text.Curation
+    val docs = Seq(
+      (1L, (1 to 30).map(i => "word" + i).mkString(" ") +
+        " mail me: a@b.co now"),
+      (2L, "- bullet\n- bullet\n- bullet"),
+      (3L, (1 to 40).map(i => "tok" + i).mkString(" ")))
+    val mem = MemoryStream[(Long, String)]
+    val streamDocs = mem.toDF().toDF("doc_id", "text")
+    // heuristic stats + redaction are per-row expressions; chunking is
+    // an explode — all append-safe with NO state, so the streaming
+    // plans are literally the batch operators applied to the stream
+    val curated = Curation.heuristicStats(
+        streamDocs.withColumn("text", Curation.redactPii($"text")),
+        "text", Curation.HeuristicBounds(minWords = 20))
+      .select($"doc_id", $"text", $"n_words", $"keep")
+    val chunks = Curation.chunkTokens(
+      streamDocs, "text", Seq("doc_id"), maxTokens = 16, stride = 8)
+    val q1 = curated.writeStream.outputMode("append")
+      .format("memory").queryName("curate_stream").start()
+    val q2 = chunks.writeStream.outputMode("append")
+      .format("memory").queryName("chunk_stream").start()
+    try {
+      mem.addData(docs.take(2))
+      q1.processAllAvailable(); q2.processAllAvailable()
+      mem.addData(docs.drop(2))
+      q1.processAllAvailable(); q2.processAllAvailable()
+      val batchDocs = docs.toDF("doc_id", "text")
+      val curBatch = Curation.heuristicStats(
+          batchDocs.withColumn("text", Curation.redactPii($"text")),
+          "text", Curation.HeuristicBounds(minWords = 20))
+        .select($"doc_id", $"text", $"n_words", $"keep")
+        .orderBy($"doc_id").collect().map(_.toSeq).toSeq
+      val curStream = spark.table("curate_stream")
+        .orderBy($"doc_id").collect().map(_.toSeq).toSeq
+      assert(curStream == curBatch)
+      // the email was redacted BEFORE stats, in-stream
+      assert(curStream.head(1).asInstanceOf[String].contains("<EMAIL>"))
+      assert(curStream.map(r => (r.head, r(3))) ==
+        Seq((1L, 1L), (2L, 0L), (3L, 1L)))
+      val chBatch = Curation.chunkTokens(batchDocs, "text",
+          Seq("doc_id"), maxTokens = 16, stride = 8)
+        .orderBy($"doc_id", $"chunk_idx").collect().map(_.toSeq).toSeq
+      val chStream = spark.table("chunk_stream")
+        .orderBy($"doc_id", $"chunk_idx").collect().map(_.toSeq).toSeq
+      assert(chStream == chBatch && chStream.size > docs.size)
+    } finally { q1.stop(); q2.stop() }
+  }
+
   test("completeness stream flags short days") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
