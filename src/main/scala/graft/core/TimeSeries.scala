@@ -1,8 +1,9 @@
 package graft.core
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
 
 /** Calendar / index-generation and replication primitives.
   *
@@ -235,6 +236,49 @@ object TimeSeries {
     df.withColumn("session_id",
       sum(isNew).over(w.rowsBetween(Window.unboundedPreceding,
         Window.currentRow)) - 1)
+  }
+
+  /** Exponentially weighted moving average (pandas
+    * `ewm(alpha=α, adjust=False).mean()`): per key,
+    * y₀ = x₀ and yₜ = (1−α)·yₜ₋₁ + α·xₜ. Null values carry the
+    * previous state (and emit it); leading nulls emit null.
+    *
+    * A genuine sequential recurrence — a RANGE/ROWS window would need
+    * exponentially growing weights — so this is the secondary-sort
+    * pattern: hash-repartition by key, sortWithinPartitions(key, ts),
+    * ONE mapPartitions pass carrying running state across each key's
+    * contiguous run. One shuffle total; state is one double; a
+    * partition streams its rows, so arbitrarily long series per key
+    * fit. Deterministic under AQE/retries (hash partition + in-
+    * partition sort, no rand). */
+  def ewma(df: DataFrame, tsCol: String, valueCol: String,
+      alpha: Double, partitionCols: Seq[String]): DataFrame = {
+    require(alpha > 0 && alpha <= 1, "alpha in (0, 1]")
+    require(partitionCols.nonEmpty,
+      "ewma needs partition keys — a keyless global recurrence cannot " +
+        "be distributed; add a series id")
+    val cols = df.columns
+    val keyIdx = partitionCols.map(c => cols.indexOf(c))
+    val vIdx = cols.indexOf(valueCol)
+    require(vIdx >= 0 && keyIdx.forall(_ >= 0), "missing column")
+    val outSchema = df.schema.add("ewma", DoubleType, nullable = true)
+    df.repartition(partitionCols.map(col): _*)
+      .sortWithinPartitions((partitionCols :+ tsCol).map(col): _*)
+      .mapPartitions { rows =>
+        var curKey: Seq[Any] = null
+        var state = Double.NaN
+        rows.map { r =>
+          val k = keyIdx.map(r.get)
+          val x = if (r.isNullAt(vIdx)) Double.NaN
+            else r.getAs[Number](vIdx).doubleValue()
+          if (k != curKey) { curKey = k; state = x }
+          else if (!x.isNaN)
+            state = if (state.isNaN) x
+              else (1 - alpha) * state + alpha * x
+          Row.fromSeq(r.toSeq :+
+            (if (state.isNaN) null else state: java.lang.Double))
+        }
+      }(Encoders.row(outSchema))
   }
 
   /** Backward as-of join — see [[asofJoin]]. */

@@ -202,6 +202,32 @@ object CurationQueriesImpl {
           .orderBy("doc_id")
     }
 
+    register("q88_unigram_logprob",
+      """WITH toks AS (SELECT doc_id,
+        |    REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+') AS t
+        |  FROM documents),
+        |terms AS (SELECT doc_id, LEN(t) AS dl, UNNEST(t) AS term
+        |  FROM toks),
+        |tf AS (SELECT doc_id, term, ANY_VALUE(dl) AS dl, COUNT(*) AS tf
+        |  FROM terms GROUP BY doc_id, term),
+        |vocab AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS c
+        |  FROM tf GROUP BY term),
+        |tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS t FROM vocab),
+        |sv AS (SELECT term, CAST(ROUND(LOG2(c / t) * 1e6) AS BIGINT)
+        |    AS micro
+        |  FROM vocab CROSS JOIN tot)
+        |SELECT tf.doc_id,
+        |  CAST(ANY_VALUE(tf.dl) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(tf.tf * sv.micro) AS BIGINT) AS logprob_micro,
+        |  ROUND(-CAST(SUM(tf.tf * sv.micro) AS DOUBLE)
+        |    / (ANY_VALUE(tf.dl) * 1e6), 6) AS bits_per_token
+        |FROM tf JOIN sv ON tf.term = sv.term
+        |GROUP BY tf.doc_id ORDER BY tf.doc_id""".stripMargin) {
+      (s, dir) =>
+        Curation.unigramLogProb(table(s, dir, "documents"), "text",
+          "doc_id").orderBy("doc_id")
+    }
+
     register("q87_mixture_weights",
       """WITH counts AS (SELECT source, COUNT(*) AS n_docs FROM documents
         |  WHERE source IN ('src0', 'src1', 'src2', 'src3') GROUP BY source),

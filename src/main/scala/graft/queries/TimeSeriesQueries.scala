@@ -443,6 +443,16 @@ object TimeSeriesQueries {
         .orderBy(col("event_id"))
     }
 
+    // EWMA per event type — a sequential recurrence (secondary-sort
+    // mapPartitions), not SQL-expressible without a 2000-deep
+    // recursive CTE: rows-only at the gate, exact-value spec-tested.
+    registerRowsOnly("q89_ewma") { (s, dir) =>
+      TimeSeries.ewma(table(s, dir, "events"), "ts", "value",
+          alpha = 0.3, partitionCols = Seq("event_type"))
+        .select(col("event_id"), round(col("ewma"), 6).as("ewma"))
+        .orderBy(col("event_id"))
+    }
+
     // Arbitrary-frequency resample (pandas resample('3H')): epoch-
     // aligned integer bucketing == TIME_BUCKET for steps dividing 24h.
     register("q23_resample_3h",

@@ -262,6 +262,45 @@ object Curation {
         (-col("best_.ntf")).as("tf"))
   }
 
+  /** CCNet-style unigram language-model score: train a unigram LM on
+    * the corpus itself (count / total), then score each document by
+    * its total log2 probability and bits-per-token — the standard
+    * perplexity-ish quality signal for corpus filtering.
+    *
+    * Per-TERM log-probs quantize to integer micros before the per-doc
+    * sum (`sum(tf · micro_w)` over bigints), so document scores are
+    * exactly reproducible across engines and partitionings — no
+    * float-summation-order dependence. Returns (idCol, n_tokens,
+    * logprob_micro, bits_per_token).
+    *
+    * Scale shape: same as TF-IDF — one explode, two map-side-combined
+    * groupBys (doc-term TF, term vocabulary), a hash join on term, and
+    * a broadcast one-row total. */
+  def unigramLogProb(df: DataFrame, textCol: String,
+      idCol: String): DataFrame = {
+    val terms = df
+      .withColumn("toks_", TextAnalysis.tokens(lower(col(textCol))))
+      .select(col(idCol), size(col("toks_")).as("dl_"),
+        explode(col("toks_")).as("term"))
+    val tf = terms.groupBy(col(idCol), col("term"))
+      .agg(first(col("dl_")).as("dl_"), count(lit(1)).as("tf"))
+    val vocab = tf.groupBy(col("term")).agg(sum(col("tf")).as("c_"))
+    val total = vocab.select(sum(col("c_")).as("t_"))
+    val scoredTerms = vocab.crossJoin(broadcast(total))
+      .withColumn("micro_",
+        round(log2(col("c_").cast("double") / col("t_")) * 1e6)
+          .cast("long"))
+      .select(col("term"), col("micro_"))
+    tf.join(scoredTerms, "term")
+      .groupBy(col(idCol))
+      .agg(first(col("dl_")).as("n_tokens"),
+        sum(col("tf") * col("micro_")).as("logprob_micro"))
+      .select(col(idCol), col("n_tokens").cast("long").as("n_tokens"),
+        col("logprob_micro"),
+        round(-col("logprob_micro") /
+          (col("n_tokens") * lit(1e6)), 6).as("bits_per_token"))
+  }
+
   /** Largest exact-mixture rebalance: given target shares per stratum
     * (summing to 1), the biggest subsample whose composition matches the
     * target keeps `c·T_s` docs of stratum s where

@@ -162,6 +162,30 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(run("nearest") == bf)
   }
 
+  test("ewma matches the adjust=False recurrence, per key") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val df = Seq(
+      ("a", ts("2024-01-01 00:00:00"), Some(2.0)),
+      ("a", ts("2024-01-01 01:00:00"), Some(4.0)),
+      ("a", ts("2024-01-01 02:00:00"), None), // carries state
+      ("a", ts("2024-01-01 03:00:00"), Some(8.0)),
+      ("b", ts("2024-01-01 00:00:00"), None), // leading null -> null
+      ("b", ts("2024-01-01 01:00:00"), Some(5.0)))
+      .toDF("st", "ts", "v")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      TimeSeries.ewma(d, "ts", "v", alpha = 0.5, Seq("st"))
+        .orderBy($"st", $"ts").select($"ewma").collect()
+        .map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+        .toSeq
+    // a: 2; 0.5*2+0.5*4=3; null keeps 3; 0.5*3+0.5*8=5.5
+    val expected = Seq(Some(2.0), Some(3.0), Some(3.0), Some(5.5),
+      None, Some(5.0))
+    assert(run(df) == expected)
+    // partitioning-invariant (hash repartition + in-partition sort)
+    assert(run(df.repartition(7)) == expected)
+    assert(run(df.coalesce(1)) == expected)
+  }
+
   test("sessionize splits on inactivity gaps per key") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     val df = Seq(
