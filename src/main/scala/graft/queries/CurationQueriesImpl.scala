@@ -228,6 +228,20 @@ object CurationQueriesImpl {
           "doc_id").orderBy("doc_id")
     }
 
+    register("q90_exact_sample",
+      """WITH r AS (SELECT doc_id, source,
+        |    ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY MD5(CONCAT_WS('|', '42', CAST(doc_id AS VARCHAR))),
+        |        doc_id) AS rk
+        |  FROM documents)
+        |SELECT doc_id, source FROM r WHERE rk <= 10
+        |ORDER BY source, doc_id""".stripMargin) { (s, dir) =>
+      Curation.exactSamplePerStratum(table(s, dir, "documents"),
+          "source", n = 10, idCols = Seq("doc_id"))
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("source"), col("doc_id"))
+    }
+
     register("q87_mixture_weights",
       """WITH counts AS (SELECT source, COUNT(*) AS n_docs FROM documents
         |  WHERE source IN ('src0', 'src1', 'src2', 'src3') GROUP BY source),

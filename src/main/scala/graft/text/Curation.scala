@@ -1,6 +1,7 @@
 package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus curation for training-data pipelines: quality-threshold
@@ -260,6 +261,27 @@ object Curation {
         col("best_.term").as("top_term"),
         (-col("best_.nmicro")).as("tfidf_micro"),
         (-col("best_.ntf")).as("tf"))
+  }
+
+  /** Exactly `n` rows per stratum, chosen by a deterministic hash
+    * order (md5 over seed + id columns): unlike [[stratifiedSample]]'s
+    * binomial keep-rates this hits the count exactly — the eval-set /
+    * holdout construction primitive. Identical output on any engine
+    * that can md5 a string, under any partitioning.
+    *
+    * Scale shape: one shuffle on the stratum key for the rank window;
+    * the per-stratum sort is the price of exact-N (use
+    * [[stratifiedSample]] when approximate rates suffice). */
+  def exactSamplePerStratum(df: DataFrame, strataCol: String, n: Int,
+      idCols: Seq[String], seed: Long = 42L): DataFrame = {
+    require(n > 0 && idCols.nonEmpty)
+    val r = md5(concat_ws("|",
+      lit(seed.toString) +: idCols.map(c => col(c).cast("string")): _*))
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(r +: idCols.map(col): _*)
+    df.withColumn("rank_", row_number().over(w))
+      .where(col("rank_") <= n)
+      .drop("rank_")
   }
 
   /** CCNet-style unigram language-model score: train a unigram LM on

@@ -171,6 +171,26 @@ class CurationSpec extends AnyFunSuite {
     assert(w2.map(_.getDouble(3)).forall(f => f > 0 && f <= 1.0))
   }
 
+  test("exactSamplePerStratum: exact counts, deterministic, seeded") {
+    val df = spark.range(0, 3000)
+      .select($"id", concat(lit("s"), pmod($"id", lit(3))).as("src"))
+    def ids(d: org.apache.spark.sql.DataFrame) =
+      d.select($"id").collect().map(_.getLong(0)).sorted.toSeq
+    val s1 = Curation.exactSamplePerStratum(df, "src", 25, Seq("id"))
+    assert(s1.groupBy($"src").count().collect()
+      .forall(_.getLong(1) == 25L))
+    val s2 = Curation.exactSamplePerStratum(df.repartition(11), "src",
+      25, Seq("id"))
+    assert(ids(s1) == ids(s2)) // partitioning-invariant
+    val s3 = Curation.exactSamplePerStratum(df, "src", 25, Seq("id"),
+      seed = 7L)
+    assert(ids(s1) != ids(s3)) // seed changes the draw
+    // n larger than a stratum keeps the whole stratum
+    val tiny = df.where($"id" < 5)
+    assert(Curation.exactSamplePerStratum(tiny, "src", 25, Seq("id"))
+      .count() == 5L)
+  }
+
   test("decontaminate flags k-gram overlap with the probe set") {
     val probes = Seq((100L, "alpha beta gamma delta epsilon"))
       .toDF("doc_id", "text")
