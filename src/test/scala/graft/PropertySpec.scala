@@ -112,6 +112,126 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("chunkTokens covers every token; overlap = maxTokens - stride") {
+    import graft.text.Curation
+    val gen = for {
+      n <- Gen.choose(1, 300)
+      maxTok <- Gen.choose(1, 64)
+      stride <- Gen.choose(1, maxTok)
+    } yield (n, maxTok, stride)
+    samples(gen, 12, 2000L).foreach { case (n, maxTok, stride) =>
+      val text = (1 to n).map(i => s"t$i").mkString(" ")
+      val chunks = Curation.chunkTokens(
+        Seq((1L, text)).toDF("doc_id", "text"), "text", Seq("doc_id"),
+        maxTok, stride).orderBy($"chunk_idx").collect()
+        .map(r => (r.getLong(1), r.getLong(2), r.getString(3)))
+      // starts at stride intervals while inside the doc
+      assert(chunks.length == (n + stride - 1) / stride)
+      // every token appears in at least one chunk, in order
+      val covered = chunks.flatMap(_._3.split(" ")).distinct
+      assert(covered.length == n)
+      // all but possibly trailing chunks are full-size
+      chunks.dropRight(math.max(1, (maxTok + stride - 1) / stride))
+        .foreach { c => assert(c._2 == maxTok) }
+      // consecutive full chunks overlap by maxTokens - stride
+      chunks.sliding(2).foreach {
+        case Array(a, b) if a._2 == maxTok.toLong =>
+          assert(a._3.split(" ").drop(stride).toSeq ==
+            b._3.split(" ").take(maxTok - stride).toSeq)
+        case _ =>
+      }
+    }
+  }
+
+  test("asofJoin nearest equals brute-force nearest on random series") {
+    import graft.core.TimeSeries
+    val gen = for {
+      lts <- Gen.listOfN(25, Gen.choose(0L, 2000L))
+      rts <- Gen.listOfN(12, Gen.choose(0L, 2000L))
+    } yield (lts.distinct, rts.distinct)
+    samples(gen, 8, 3000L).foreach { case (lts, rts) =>
+      val left = lts.zipWithIndex
+        .map { case (t, i) => (new java.sql.Timestamp(t * 1000), i.toLong) }
+        .toDF("ts", "lid")
+      val right = rts
+        .map(t => (new java.sql.Timestamp(t * 1000), t.toDouble))
+        .toDF("ts", "v")
+      val out = TimeSeries.asofJoin(left, right, "ts", Seq("v"),
+          "nearest")
+        .collect().map(r => r.getLong(1) ->
+          (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+      lts.zipWithIndex.foreach { case (t, i) =>
+        val expected = if (rts.isEmpty) None
+          else {
+            // nearest by |dt|; tie -> backward (smaller right ts)
+            val best = rts.minBy(rt => (math.abs(rt - t), rt))
+            Some(best.toDouble)
+          }
+        assert(out(i.toLong) == expected, s"t=$t rts=$rts")
+      }
+    }
+  }
+
+  test("sessionize: session count = gaps exceeding threshold + 1") {
+    import graft.core.TimeSeries
+    val gen = Gen.listOfN(40, Gen.choose(0L, 5000L)).map(_.distinct)
+    samples(gen, 8, 4000L).foreach { ts =>
+      val df = ts.map(t => ("k", new java.sql.Timestamp(t * 1000L)))
+        .toDF("key", "ts")
+      val out = TimeSeries.sessionize(df, "ts", Seq("key"), 300L)
+      val nSessions = out.agg(max($"session_id")).head().getLong(0) + 1
+      val sorted = ts.sorted
+      val expected = 1 + sorted.sliding(2).count {
+        case Seq(a, b) => b - a > 300L
+        case _ => false
+      }
+      assert(nSessions == expected)
+      // ids are dense 0..n-1 and monotone over time
+      val ids = out.orderBy($"ts").collect().map(_.getLong(2))
+      assert(ids.toSeq == ids.sorted.toSeq)
+      assert(ids.distinct.length == expected)
+    }
+  }
+
+  test("rollingTimeAgg equals a brute-force window on random series") {
+    import graft.agg.Aggregations
+    val gen = Gen.listOfN(30, Gen.zip(
+      Gen.choose(0L, 3000L), Gen.choose(-100, 100))).map(_.distinctBy(_._1))
+    samples(gen, 8, 5000L).foreach { pts =>
+      val df = pts.map { case (t, v) =>
+        ("k", new java.sql.Timestamp(t * 1000L), v.toDouble) }
+        .toDF("key", "ts", "v")
+      val out = Aggregations.rollingTimeAgg(df, "ts", "v", 600L,
+          Seq("key"))
+        .collect().map(r => r.getTimestamp(1).getTime / 1000 ->
+          (r.getLong(3), r.getDouble(4))).toMap
+      pts.foreach { case (t, _) =>
+        val in = pts.filter { case (u, _) => u >= t - 600 && u <= t }
+        val (n, s) = out(t)
+        assert(n == in.length && math.abs(s - in.map(_._2).sum) < 1e-9)
+      }
+    }
+  }
+
+  test("ewma equals the sequential recurrence on random series") {
+    import graft.core.TimeSeries
+    val gen = Gen.listOfN(25, Gen.zip(
+      Gen.choose(0L, 3000L), Gen.choose(-50, 50))).map(_.distinctBy(_._1))
+    samples(gen, 8, 6000L).foreach { pts =>
+      val alpha = 0.25
+      val df = pts.map { case (t, v) =>
+        ("k", new java.sql.Timestamp(t * 1000L), v.toDouble) }
+        .toDF("key", "ts", "v")
+      val out = TimeSeries.ewma(df, "ts", "v", alpha, Seq("key"))
+        .orderBy($"ts").collect().map(_.getDouble(3))
+      val expected = pts.sortBy(_._1).map(_._2.toDouble)
+        .scanLeft(Double.NaN) { (acc, x) =>
+          if (acc.isNaN) x else (1 - alpha) * acc + alpha * x }.tail
+      out.zip(expected).foreach { case (a, e) =>
+        assert(math.abs(a - e) < 1e-9) }
+    }
+  }
+
   test("validation rejects Celsius-looking temps, accepts Kelvin") {
     val kelvin = Seq(("2016-01-01", 271.0)).toDF("d", "temp")
     Validation.assertPlausibleTemps(kelvin)
