@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.QueryRegistry.register
+import graft.QueryRegistry.{register, registerRowsOnly}
 import graft.core.Tables.table
 import graft.text.Curation
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -240,6 +240,20 @@ object CurationQueriesImpl {
           "source", n = 10, idCols = Seq("doc_id"))
         .select(col("doc_id"), col("source"))
         .orderBy(col("source"), col("doc_id"))
+    }
+
+    // chunk -> pack: the full training-example assembly; packing is a
+    // sequential recurrence (secondary-sort mapPartitions), so the
+    // gate is rows-only — invariants are spec-tested.
+    registerRowsOnly("q91_pack_sequences") { (s, dir) =>
+      val chunks = Curation.chunkTokens(table(s, dir, "documents"),
+        "text", Seq("doc_id"), maxTokens = 32, stride = 32)
+        .withColumn("lang_", lit("all"))
+      Curation.packGreedy(chunks, "n_tokens", budget = 256L,
+          Seq("lang_"), Seq("doc_id", "chunk_idx"))
+        .select(col("doc_id"), col("chunk_idx"), col("n_tokens"),
+          col("pack_id"), col("pack_offset"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
     }
 
     register("q87_mixture_weights",

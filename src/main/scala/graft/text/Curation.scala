@@ -284,6 +284,44 @@ object Curation {
       .drop("rank_")
   }
 
+  /** Greedy next-fit sequence packing: walk each key's rows in
+    * (orderCols) order, accumulating `sizeCol` into the current pack
+    * until the next row would exceed `budget`, then open a new pack —
+    * the standard step that turns chunks into fixed-token-budget
+    * training sequences. Adds (pack_id, pack_offset); rows larger than
+    * `budget` get a pack of their own. A sequential recurrence (the
+    * reset depends on the running value), so like [[graft.core
+    * .TimeSeries.ewma]] it uses the secondary-sort pattern: one hash
+    * shuffle on `keyCols`, in-partition sort, one streaming state
+    * pass. Deterministic under any partitioning. */
+  def packGreedy(df: DataFrame, sizeCol: String, budget: Long,
+      keyCols: Seq[String], orderCols: Seq[String]): DataFrame = {
+    require(budget > 0 && keyCols.nonEmpty && orderCols.nonEmpty)
+    val cols = df.columns
+    val keyIdx = keyCols.map(c => cols.indexOf(c))
+    val sIdx = cols.indexOf(sizeCol)
+    require(sIdx >= 0 && keyIdx.forall(_ >= 0), "missing column")
+    val outSchema = df.schema
+      .add("pack_id", org.apache.spark.sql.types.LongType)
+      .add("pack_offset", org.apache.spark.sql.types.LongType)
+    df.repartition(keyCols.map(col): _*)
+      .sortWithinPartitions((keyCols ++ orderCols).map(col): _*)
+      .mapPartitions { rows =>
+        var curKey: Seq[Any] = null
+        var pack = 0L
+        var fill = 0L
+        rows.map { r =>
+          val k = keyIdx.map(r.get)
+          val s = r.getAs[Number](sIdx).longValue()
+          if (k != curKey) { curKey = k; pack = 0L; fill = 0L }
+          else if (fill > 0 && fill + s > budget) { pack += 1; fill = 0L }
+          val off = fill
+          fill += s
+          org.apache.spark.sql.Row.fromSeq(r.toSeq ++ Seq(pack, off))
+        }
+      }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
   /** CCNet-style unigram language-model score: train a unigram LM on
     * the corpus itself (count / total), then score each document by
     * its total log2 probability and bits-per-token — the standard

@@ -191,6 +191,32 @@ class CurationSpec extends AnyFunSuite {
       .count() == 5L)
   }
 
+  test("packGreedy: budget respected, offsets contiguous, deterministic") {
+    val df = Seq(
+      ("a", 1L, 60L), ("a", 2L, 50L), ("a", 3L, 10L), ("a", 4L, 30L),
+      ("a", 5L, 200L), // oversized: own pack
+      ("a", 6L, 5L),
+      ("b", 1L, 100L), ("b", 2L, 1L))
+      .toDF("src", "seq", "n")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Curation.packGreedy(d, "n", budget = 100L, Seq("src"), Seq("seq"))
+        .orderBy($"src", $"seq").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(3),
+          r.getLong(4))).toSeq
+    val out = run(df)
+    // a: 60 -> p0; 50 would overflow -> p1; 10,30 fit p1; 200 -> p2
+    //    alone; 5 -> p3 (200 filled p2 past budget)
+    assert(out == Seq(
+      ("a", 1L, 0L, 0L), ("a", 2L, 1L, 0L), ("a", 3L, 1L, 50L),
+      ("a", 4L, 1L, 60L), ("a", 5L, 2L, 0L), ("a", 6L, 3L, 0L),
+      ("b", 1L, 0L, 0L), ("b", 2L, 1L, 0L)))
+    assert(run(df.repartition(5)) == out) // partitioning-invariant
+    // no pack except oversized singletons exceeds the budget
+    val packSums = out.groupBy(r => (r._1, r._3)).values
+      .map(rows => rows.map(r => r._4).max)
+    assert(packSums.forall(_ <= 100L))
+  }
+
   test("decontaminate flags k-gram overlap with the probe set") {
     val probes = Seq((100L, "alpha beta gamma delta epsilon"))
       .toDF("doc_id", "text")
