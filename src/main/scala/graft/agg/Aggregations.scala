@@ -70,11 +70,15 @@ object Aggregations {
         .orderBy(unix_micros(col(tsCol))))
       .rangeBetween(-windowSeconds * 1000000L, 0)
     val v = col(valueCol)
-    df.withColumn("roll_count", count(v).over(w))
-      .withColumn("roll_sum", sum(v).over(w))
-      .withColumn("roll_mean", avg(v).over(w))
-      .withColumn("roll_min", min(v).over(w))
-      .withColumn("roll_max", max(v).over(w))
+    // one select, one Window node: per-withColumn construction would
+    // leave N window operators (each re-projects the order key, which
+    // defeats CollapseWindow) and sort the partition N times
+    df.select(col("*"),
+      count(v).over(w).as("roll_count"),
+      sum(v).over(w).as("roll_sum"),
+      avg(v).over(w).as("roll_mean"),
+      min(v).over(w).as("roll_min"),
+      max(v).over(w).as("roll_max"))
   }
 
   /** calculate_mean_daily_course_by_month (util/util.py:417-430):
