@@ -21,6 +21,24 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
   * late data within the watermark folds in correctly at any scale. */
 object StreamingAgg {
 
+  /** Streaming sessionization: Spark's native `session_window` — the
+    * event-time twin of the batch `TimeSeries.sessionize` (same gap
+    * semantics, aggregated to one row per session). Watermark bounds
+    * the session state; sessions emit in append mode once the
+    * watermark passes their close. */
+  def sessionStream(events: DataFrame, tsCol: String,
+      keyCols: Seq[String], gap: String,
+      watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(keyCols.map(col) :+
+        session_window(col(tsCol), gap).as("session"): _*)
+      .agg(count(lit(1)).as("n_events"))
+      .select(keyCols.map(col) ++ Seq(
+        col("session.start").as("session_start"),
+        col("session.end").as("session_end"),
+        col("n_events")): _*)
+
   /** Streaming daily_from_hourly: tumbling 1-day event-time windows over
     * a (timestamp, temp/precip/hum/wind/glob…) stream. Append mode after
     * the watermark closes a day. */

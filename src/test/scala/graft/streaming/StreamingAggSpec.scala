@@ -33,6 +33,40 @@ class StreamingAggSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sessionStream: native session_window sessions match the gaps") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, java.sql.Timestamp)]
+    val df = mem.toDF().toDF("user", "ts")
+    val out = StreamingAgg.sessionStream(df, "ts", Seq("user"),
+      gap = "30 minutes", watermark = "1 hour")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("session_out").start()
+    try {
+      def ts(s: String) = java.sql.Timestamp.valueOf(s)
+      mem.addData(Seq(
+        ("u1", ts("2016-01-01 10:00:00")),
+        ("u1", ts("2016-01-01 10:10:00")), // merges (< 30 min)
+        ("u1", ts("2016-01-01 11:00:00")), // new session
+        ("u1", ts("2016-01-01 11:20:00")), // merges
+        ("u2", ts("2016-01-01 10:05:00"))))
+      q.processAllAvailable()
+      // sentinel far in the future pushes the watermark past all
+      // sessions so append mode flushes them
+      mem.addData(Seq(("u9", ts("2016-01-02 00:00:00"))))
+      q.processAllAvailable()
+      val got = spark.table("session_out")
+        .where($"user" =!= "u9")
+        .orderBy($"user", $"session_start").collect()
+        .map(r => (r.getString(0), r.getTimestamp(1).toString,
+          r.getLong(3)))
+      assert(got.toSeq == Seq(
+        ("u1", "2016-01-01 10:00:00.0", 2L),
+        ("u1", "2016-01-01 11:00:00.0", 2L),
+        ("u2", "2016-01-01 10:05:00.0", 1L)))
+    } finally q.stop()
+  }
+
   test("dedupStream keeps the first fingerprint occurrence only") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
