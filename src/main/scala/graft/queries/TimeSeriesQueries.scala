@@ -443,6 +443,37 @@ object TimeSeriesQueries {
         .orderBy(col("event_id"))
     }
 
+    // Session-level rollup: one row per (event_type, session) with
+    // size and duration — the aggregation consumers actually read.
+    register("q28_session_stats",
+      """WITH g AS (SELECT event_type, ts,
+        |    CASE WHEN LAG(ts) OVER w IS NULL
+        |        OR EPOCH_US(ts) - EPOCH_US(LAG(ts) OVER w) > 1800000000
+        |      THEN 1 ELSE 0 END AS is_new
+        |  FROM events WINDOW w AS (PARTITION BY event_type ORDER BY ts)),
+        |s AS (SELECT event_type, ts,
+        |    SUM(is_new) OVER (PARTITION BY event_type ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
+        |      AS session_id
+        |  FROM g)
+        |SELECT event_type, CAST(session_id AS BIGINT) AS session_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  EPOCH_US(MIN(ts)) AS start_us,
+        |  EPOCH_US(MAX(ts)) AS end_us,
+        |  EPOCH_US(MAX(ts)) - EPOCH_US(MIN(ts)) AS duration_us
+        |FROM s GROUP BY event_type, session_id
+        |ORDER BY event_type, session_id""".stripMargin) { (s, dir) =>
+      TimeSeries.sessionize(table(s, dir, "events"), "ts",
+          Seq("event_type"), gapSeconds = 1800L)
+        .groupBy(col("event_type"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          unix_micros(min(col("ts"))).as("start_us"),
+          unix_micros(max(col("ts"))).as("end_us"),
+          (unix_micros(max(col("ts"))) - unix_micros(min(col("ts"))))
+            .as("duration_us"))
+        .orderBy(col("event_type"), col("session_id"))
+    }
+
     // EWMA per event type — a sequential recurrence (secondary-sort
     // mapPartitions), not SQL-expressible without a 2000-deep
     // recursive CTE: rows-only at the gate, exact-value spec-tested.
