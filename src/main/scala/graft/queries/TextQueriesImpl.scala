@@ -400,6 +400,18 @@ object TextQueriesImpl {
     // at the radius, not probabilistic). xxhash64-based signature ->
     // rows-only at the gate; the exhaustive-equality check lives in
     // TextSpec.
+    // Incremental dedup: which "new batch" docs (doc_id < 100)
+    // near-duplicate the standing corpus — xxhash banding has no
+    // DuckDB twin, so rows-only; semantics spec-tested in TextSpec.
+    registerRowsOnly("q92_neardup_delta_vs_corpus") { (s, dir) =>
+      val docs = table(s, dir, "documents")
+      Dedup.nearDupAgainstCorpus(
+          docs.where(col("doc_id") < 100),
+          docs.where(col("doc_id") >= 100),
+          "text", "doc_id", minJaccard = 0.3)
+        .orderBy(col("delta_id"), col("corpus_id"))
+    }
+
     registerRowsOnly("q82_simhash_neardups") { (s, dir) =>
       Dedup.simhashNearDups(table(s, dir, "documents"), "text",
           "doc_id", maxHamming = 3)

@@ -57,9 +57,15 @@ object Dedup {
     * Defaults (128 hashes, 16 bands of 8) put the LSH S-curve threshold
     * near (1/16)^(1/8) ~ 0.71 — band collisions of non-near-dups are
     * vanishingly rare, so the verify join stays tiny. */
-  def minhashCandidates(df: DataFrame, textCol: String, idCol: String,
-      numHashes: Int = 128, bands: Int = 16, k: Int = 3,
-      minJaccard: Double = 0.5, maxBucketSize: Int = 200): DataFrame = {
+  /** Shared LSH front half: per-doc distinct hashed-shingle sets
+    * (`gh`) and banded bucket keys. Materialized once (lazy
+    * localCheckpoint) — the frame feeds the band explode and both
+    * verify sides, and Catalyst would otherwise re-plan the
+    * scan+explode+aggregate per branch (no ReuseExchange — downstream
+    * projections differ). */
+  private def signatureBands(df: DataFrame, textCol: String,
+      idCol: String, numHashes: Int, bands: Int, k: Int)
+      : (DataFrame, DataFrame) = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rowsPerBand = numHashes / bands
     val exploded = df
@@ -70,11 +76,6 @@ object Dedup {
       .select(col(idCol), xxhash64(col("sh_str")).as("s"))
     val minAggs = (0 until numHashes).map(i =>
       min(xxhash64(lit(i), col("s"))).as(s"h$i"))
-    // materialize once: this frame feeds THREE branches (band explode,
-    // id_a verify side, id_b verify side) and Catalyst plans each
-    // branch's scan+explode+aggregate independently (no ReuseExchange —
-    // downstream projections differ). A lazy localCheckpoint computes
-    // the signatures once on first use and serves all branches.
     val sigAndSet = exploded.groupBy(col(idCol))
       .agg(minAggs.head, (minAggs.tail :+
         collect_set(col("s")).as("gh")): _*)
@@ -87,6 +88,58 @@ object Dedup {
         explode(transform(sequence(lit(0), lit(bands - 1)), b =>
           xxhash64(b, slice(col("sig"), b * rowsPerBand + 1,
             lit(rowsPerBand))))).as("bucket"))
+    (docSets, banded)
+  }
+
+  /** Incremental near-dup detection: which DELTA documents (today's
+    * ingest) near-duplicate an existing CORPUS document — the daily
+    * shape of a continuously curated 100 TB corpus, where re-running
+    * all-pairs dedup per batch is unaffordable. Returns
+    * (delta_id, corpus_id, jaccard) for verified pairs.
+    *
+    * Scale shape: both sides band independently; candidates come from
+    * a hash equi-join of delta buckets against corpus buckets (the
+    * corpus side dedups (bucket, id) and caps degenerate buckets at
+    * `maxBucketSize`, so a mass-duplicate family costs O(cap), not
+    * O(family)); verification touches only colliding pairs. The
+    * corpus signatures can be precomputed and stored — only the delta
+    * explodes per run. */
+  def nearDupAgainstCorpus(delta: DataFrame, corpus: DataFrame,
+      textCol: String, idCol: String, numHashes: Int = 128,
+      bands: Int = 16, k: Int = 3, minJaccard: Double = 0.5,
+      maxBucketSize: Int = 200): DataFrame = {
+    val (dSets, dBands) = signatureBands(delta, textCol, idCol,
+      numHashes, bands, k)
+    val (cSets, cBands) = signatureBands(corpus, textCol, idCol,
+      numHashes, bands, k)
+    val cCapped = cBands.groupBy(col("bucket"))
+      .agg(sort_array(collect_set(col(idCol))).as("ids"))
+      .select(col("bucket"),
+        explode(slice(col("ids"), 1, maxBucketSize)).as("corpus_id"))
+    val candidates = dBands
+      .select(col("bucket"), col(idCol).as("delta_id"))
+      .dropDuplicates("bucket", "delta_id")
+      .join(cCapped, "bucket")
+      .select(col("delta_id"), col("corpus_id"))
+      .dropDuplicates("delta_id", "corpus_id")
+    candidates
+      .join(dSets.select(col(idCol).as("delta_id"), col("gh").as("gh_a")),
+        Seq("delta_id"))
+      .join(cSets.select(col(idCol).as("corpus_id"),
+        col("gh").as("gh_b")), Seq("corpus_id"))
+      .withColumn("ni",
+        size(array_intersect(col("gh_a"), col("gh_b"))).cast("double"))
+      .withColumn("jaccard", col("ni") /
+        (size(col("gh_a")) + size(col("gh_b")) - col("ni")))
+      .where(col("jaccard") >= minJaccard)
+      .select(col("delta_id"), col("corpus_id"), col("jaccard"))
+  }
+
+  def minhashCandidates(df: DataFrame, textCol: String, idCol: String,
+      numHashes: Int = 128, bands: Int = 16, k: Int = 3,
+      minJaccard: Double = 0.5, maxBucketSize: Int = 200): DataFrame = {
+    val (docSets, banded) = signatureBands(df, textCol, idCol,
+      numHashes, bands, k)
     val buckets = banded.groupBy(col("bucket"))
       .agg(sort_array(collect_list(col(idCol))).as("ids"))
       .where(size(col("ids")) >= 2)

@@ -78,6 +78,31 @@ class TextSpec extends AnyFunSuite {
     assert(!pairs.contains((4L, 5L)))
   }
 
+  test("nearDupAgainstCorpus flags delta docs cloned from the corpus") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "one two three four five six seven eight nine ten eleven"),
+      (3L, "red orange yellow green blue indigo violet white black"))
+      .toDF("doc_id", "text")
+    val delta = Seq(
+      // near-clone of corpus doc 2 (one word changed)
+      (101L, "one two three four five six seven eight nine ten twelve"),
+      // exact clone of corpus doc 3
+      (102L, "red orange yellow green blue indigo violet white black"),
+      // novel
+      (103L, "completely different content with no corpus overlap here"))
+      .toDF("doc_id", "text")
+    val hits = Dedup.nearDupAgainstCorpus(delta, corpus, "text",
+        "doc_id", numHashes = 32, bands = 16, minJaccard = 0.5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val byDelta = hits.groupBy(_._1)
+    assert(byDelta.contains(101L) && byDelta(101L).head._2 == 2L)
+    assert(byDelta.contains(102L) && byDelta(102L).head._2 == 3L)
+    assert(byDelta(102L).head._3 == 1.0) // exact clone
+    assert(!byDelta.contains(103L))
+  }
+
   test("minhash LSH handles a pathological skewed bucket linearly") {
     // 1000 identical docs -> every band bucket holds all 1000 ids; the
     // bucket-size cap routes them through linear star pairs instead of
