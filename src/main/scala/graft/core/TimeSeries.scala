@@ -1,6 +1,6 @@
 package graft.core
 
-import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row, types}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
@@ -142,7 +142,10 @@ object TimeSeries {
     * visible in either direction (<= / >= semantics).
     * `toleranceMicros` nulls matches farther than the window (for
     * "nearest": the closer side is chosen first, THEN tolerance
-    * applies — no fallback to the farther side, matching pandas). */
+    * applies — no fallback to the farther side, matching pandas).
+    * The matched row's values are emitted AS THEY ARE — a null value
+    * in the matched right row stays null (pandas semantics), it is
+    * never back-filled from an older non-null row. */
   def asofJoin(left: DataFrame, right: DataFrame, tsCol: String,
       valueCols: Seq[String], direction: String = "backward",
       partitionCols: Seq[String] = Nil,
@@ -150,67 +153,71 @@ object TimeSeries {
     require(Seq("backward", "forward", "nearest").contains(direction),
       s"unknown direction $direction")
     val leftCols = left.columns
-    require(!leftCols.contains("is_left__"), "reserved column name")
+    val reserved = Seq("is_left__", "m__", "m___b", "m___f")
+    require(!(leftCols ++ valueCols).exists(reserved.contains),
+      s"reserved column names: ${reserved.mkString(", ")}")
     require(!valueCols.exists(leftCols.contains),
       s"left already has ${valueCols.filter(leftCols.contains)}")
+    // The matched row travels as ONE struct (its ts + its values), so
+    // tolerance/distance and the emitted values always come from the
+    // SAME right row — a null value in the matched row stays null
+    // (pandas merge_asof semantics), never back-filled from an older
+    // non-null row.
+    val mType = types.StructType(
+      types.StructField("rts__", left.schema(tsCol).dataType) +:
+        valueCols.map(c => types.StructField(c, right.schema(c).dataType)))
     val lTagged = left
       .withColumn("is_left__", lit(1))
-      .withColumns(valueCols.map(c =>
-        c -> lit(null).cast(right.schema(c).dataType)).toMap)
-      .withColumn("rts__", lit(null).cast("timestamp"))
+      .withColumn("m__", lit(null).cast(mType))
     val rTagged = right
       .select((partitionCols :+ tsCol).map(col) ++
         valueCols.map(col): _*)
       .withColumn("is_left__", lit(0))
-      .withColumn("rts__", col(tsCol))
+      .withColumn("m__", struct(col(tsCol).as("rts__") +:
+        valueCols.map(col): _*))
+      .drop(valueCols: _*)
     val unioned = lTagged.unionByName(rTagged,
       allowMissingColumns = true)
     // Backward scans need equal-ts right rows sorted BEFORE left rows
     // (so the preceding window sees them); forward scans need them
     // AFTER. Both windows hash-partition identically, so "nearest"
     // costs one extra sort, not an extra shuffle.
-    def spec(back: Boolean) = {
+    def scan(back: Boolean): Column = {
       val order =
         if (back) Seq(col(tsCol), col("is_left__"))
         else Seq(col(tsCol), col("is_left__").desc)
-      val w = if (partitionCols.isEmpty) Window.orderBy(order: _*)
+      val w0 = if (partitionCols.isEmpty) Window.orderBy(order: _*)
         else Window.partitionBy(partitionCols.map(col): _*)
           .orderBy(order: _*)
-      if (back) w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      else w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val w = if (back)
+        w0.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      else w0.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      if (back) last(col("m__"), ignoreNulls = true).over(w)
+      else first(col("m__"), ignoreNulls = true).over(w)
     }
-    def fill(df: DataFrame, back: Boolean, suffix: String) = {
-      val w = spec(back)
-      def scan(c: Column) =
-        if (back) last(c, ignoreNulls = true).over(w)
-        else first(c, ignoreNulls = true).over(w)
-      valueCols.foldLeft(df) { (d, c) =>
-        d.withColumn(c + suffix, scan(col(c)))
-      }.withColumn("rts__" + suffix, scan(col("rts__")))
-    }
-    def dist(suffix: String) = {
-      val d = unix_micros(col(tsCol)) - unix_micros(col("rts__" + suffix))
-      abs(d)
-    }
-    def inTol(suffix: String) = toleranceMicros match {
-      case Some(t) => col("rts__" + suffix).isNotNull && dist(suffix) <= t
-      case None => col("rts__" + suffix).isNotNull
+    def dist(m: Column) =
+      abs(unix_micros(col(tsCol)) - unix_micros(m.getField("rts__")))
+    def inTol(m: Column) = toleranceMicros match {
+      case Some(t) => m.isNotNull && dist(m) <= t
+      case None => m.isNotNull
     }
     val out = direction match {
       case "backward" | "forward" =>
-        val back = direction == "backward"
-        val filled = fill(unioned, back, "")
-        valueCols.foldLeft(filled) { (d, c) =>
-          d.withColumn(c, when(inTol(""), col(c))) }
-      case "nearest" =>
-        val filled = fill(fill(unioned, back = true, "_b"),
-          back = false, "_f")
-        val useBack = col("rts___b").isNotNull &&
-          (col("rts___f").isNull || dist("_b") <= dist("_f"))
+        val filled = unioned.withColumn("m__",
+          scan(direction == "backward"))
         valueCols.foldLeft(filled) { (d, c) =>
           d.withColumn(c,
-            when(useBack && inTol("_b"), col(c + "_b"))
-              .when(!useBack && inTol("_f"), col(c + "_f")))
+            when(inTol(col("m__")), col("m__").getField(c))) }
+      case "nearest" =>
+        val filled = unioned
+          .withColumn("m___b", scan(back = true))
+          .withColumn("m___f", scan(back = false))
+        val b = col("m___b"); val f = col("m___f")
+        val useBack = b.isNotNull && (f.isNull || dist(b) <= dist(f))
+        valueCols.foldLeft(filled) { (d, c) =>
+          d.withColumn(c,
+            when(useBack && inTol(b), b.getField(c))
+              .when(!useBack && inTol(f), f.getField(c)))
         }
     }
     out.where(col("is_left__") === 1)
@@ -257,28 +264,22 @@ object TimeSeries {
     require(partitionCols.nonEmpty,
       "ewma needs partition keys — a keyless global recurrence cannot " +
         "be distributed; add a series id")
-    val cols = df.columns
-    val keyIdx = partitionCols.map(c => cols.indexOf(c))
-    val vIdx = cols.indexOf(valueCol)
-    require(vIdx >= 0 && keyIdx.forall(_ >= 0), "missing column")
-    val outSchema = df.schema.add("ewma", DoubleType, nullable = true)
-    df.repartition(partitionCols.map(col): _*)
-      .sortWithinPartitions((partitionCols :+ tsCol).map(col): _*)
-      .mapPartitions { rows =>
-        var curKey: Seq[Any] = null
-        var state = Double.NaN
-        rows.map { r =>
-          val k = keyIdx.map(r.get)
-          val x = if (r.isNullAt(vIdx)) Double.NaN
-            else r.getAs[Number](vIdx).doubleValue()
-          if (k != curKey) { curKey = k; state = x }
-          else if (!x.isNaN)
-            state = if (state.isNaN) x
-              else (1 - alpha) * state + alpha * x
-          Row.fromSeq(r.toSeq :+
-            (if (state.isNaN) null else state: java.lang.Double))
-        }
-      }(Encoders.row(outSchema))
+    val vIdx = df.columns.indexOf(valueCol)
+    require(vIdx >= 0, "missing column")
+    def x(r: Row): Double = if (r.isNullAt(vIdx)) Double.NaN
+      else r.getAs[Number](vIdx).doubleValue()
+    def emit(s: Double): Seq[Any] =
+      Seq(if (s.isNaN) null else (s: java.lang.Double))
+    SequentialScan.perKey[Double](df, partitionCols, Seq(tsCol),
+      Seq(types.StructField("ewma", DoubleType))) { r =>
+      val s = x(r); (s, emit(s))
+    } { (st, r) =>
+      val xv = x(r)
+      val s2 = if (xv.isNaN) st
+        else if (st.isNaN) xv
+        else (1 - alpha) * st + alpha * xv
+      (s2, emit(s2))
+    }
   }
 
   /** Backward as-of join — see [[asofJoin]]. */

@@ -162,7 +162,7 @@ object CurationQueriesImpl {
         |  FROM documents),
         |s AS (SELECT doc_id, toks,
         |    UNNEST(RANGE(0, GREATEST(LEN(toks), 1), 16)) AS start
-        |  FROM t)
+        |  FROM t WHERE NOT (LEN(toks) = 1 AND toks[1] = ''))
         |SELECT doc_id,
         |  CAST(start / 16 AS BIGINT) AS chunk_idx,
         |  CAST(LEN(LIST_SLICE(toks, start + 1, start + 32)) AS BIGINT)

@@ -22,10 +22,14 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
 object StreamingAgg {
 
   /** Streaming sessionization: Spark's native `session_window` — the
-    * event-time twin of the batch `TimeSeries.sessionize` (same gap
-    * semantics, aggregated to one row per session). Watermark bounds
-    * the session state; sessions emit in append mode once the
-    * watermark passes their close. */
+    * event-time twin of the batch `TimeSeries.sessionize`, aggregated
+    * to one row per session. Boundary caveat: `session_window`'s
+    * half-open [ts, ts+gap) windows put an event EXACTLY `gap` after
+    * its predecessor in a NEW session, while the batch operator's
+    * `gap > threshold` test keeps it in the same one — equal
+    * everywhere except that exact boundary. Watermark bounds the
+    * session state; sessions emit in append mode once the watermark
+    * passes their close. */
   def sessionStream(events: DataFrame, tsCol: String,
       keyCols: Seq[String], gap: String,
       watermark: String = "1 hour"): DataFrame =

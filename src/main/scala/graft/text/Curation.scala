@@ -213,7 +213,12 @@ object Curation {
       maxTokens: Int = 128, stride: Int = 64): DataFrame = {
     require(maxTokens > 0 && stride > 0 && stride <= maxTokens,
       "need 0 < stride <= maxTokens")
+    // empty/whitespace-only (or null) documents produce NO chunks —
+    // split of "" yields [""], which would otherwise leak a phantom
+    // 1-token empty training example
     val withToks = df.withColumn("toks_", TextAnalysis.tokens(col(textCol)))
+      .where(size(col("toks_")) > 1 ||
+        element_at(col("toks_"), 1) =!= "")
     val starts = sequence(lit(0),
       greatest(size(col("toks_")) - 1, lit(0)), lit(stride))
     withToks
@@ -297,29 +302,26 @@ object Curation {
   def packGreedy(df: DataFrame, sizeCol: String, budget: Long,
       keyCols: Seq[String], orderCols: Seq[String]): DataFrame = {
     require(budget > 0 && keyCols.nonEmpty && orderCols.nonEmpty)
-    val cols = df.columns
-    val keyIdx = keyCols.map(c => cols.indexOf(c))
-    val sIdx = cols.indexOf(sizeCol)
-    require(sIdx >= 0 && keyIdx.forall(_ >= 0), "missing column")
-    val outSchema = df.schema
-      .add("pack_id", org.apache.spark.sql.types.LongType)
-      .add("pack_offset", org.apache.spark.sql.types.LongType)
-    df.repartition(keyCols.map(col): _*)
-      .sortWithinPartitions((keyCols ++ orderCols).map(col): _*)
-      .mapPartitions { rows =>
-        var curKey: Seq[Any] = null
-        var pack = 0L
-        var fill = 0L
-        rows.map { r =>
-          val k = keyIdx.map(r.get)
-          val s = r.getAs[Number](sIdx).longValue()
-          if (k != curKey) { curKey = k; pack = 0L; fill = 0L }
-          else if (fill > 0 && fill + s > budget) { pack += 1; fill = 0L }
-          val off = fill
-          fill += s
-          org.apache.spark.sql.Row.fromSeq(r.toSeq ++ Seq(pack, off))
-        }
-      }(org.apache.spark.sql.Encoders.row(outSchema))
+    val sIdx = df.columns.indexOf(sizeCol)
+    require(sIdx >= 0, "missing column")
+    // null sizes pack as 0 tokens (kept, costless) rather than NPE-ing
+    // a task
+    def size(r: org.apache.spark.sql.Row): Long =
+      if (r.isNullAt(sIdx)) 0L else r.getAs[Number](sIdx).longValue()
+    graft.core.SequentialScan.perKey[(Long, Long)](df, keyCols,
+      orderCols,
+      Seq(org.apache.spark.sql.types.StructField("pack_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("pack_offset",
+          org.apache.spark.sql.types.LongType))) { r =>
+      ((0L, size(r)), Seq(0L, 0L))
+    } { case ((pack, fill), r) =>
+      val s = size(r)
+      val (p2, off) =
+        if (fill > 0 && fill + s > budget) (pack + 1, 0L)
+        else (pack, fill)
+      ((p2, off + s), Seq(p2, off))
+    }
   }
 
   /** CCNet-style unigram language-model score: train a unigram LM on
@@ -375,20 +377,25 @@ object Curation {
       target: Map[String, Double]): DataFrame = {
     require(target.nonEmpty && target.values.forall(_ > 0),
       "target shares must be positive")
-    val share = target.foldLeft(lit(null).cast("double")) {
-      case (acc, (k, v)) => when(col(strataCol) === k, lit(v)).otherwise(acc)
-    }
+    // Every target stratum gets a row even when absent from the data
+    // (n_docs = 0): its ratio 0/T_s drives c to 0, so the result is
+    // the mathematically correct empty sample — NOT a silently
+    // off-mixture one that ignores the missing stratum.
+    val sp = df.sparkSession
+    import sp.implicits._
+    val targetDf = target.toSeq.sorted.toDF(strataCol, "target_share")
     val counts = df.groupBy(col(strataCol))
       .agg(count(lit(1)).as("n_docs"))
-      .withColumn("target_share", share)
-      .where(col("target_share").isNotNull)
-    val c = counts.select(
+    val t = targetDf.join(counts, Seq(strataCol), "left")
+      .withColumn("n_docs", coalesce(col("n_docs"), lit(0L)))
+    val c = t.select(
       min(col("n_docs") / col("target_share")).as("c_"))
-    counts.crossJoin(broadcast(c))
+    t.crossJoin(broadcast(c))
       .select(col(strataCol), col("n_docs"),
         col("target_share"),
-        round(col("c_") * col("target_share") / col("n_docs"), 6)
-          .as("keep_fraction"),
+        when(col("n_docs") === 0, lit(0.0))
+          .otherwise(round(col("c_") * col("target_share") /
+            col("n_docs"), 6)).as("keep_fraction"),
         floor(col("c_") * col("target_share")).cast("long").as("n_keep"))
   }
 }

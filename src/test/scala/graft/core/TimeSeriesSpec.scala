@@ -162,6 +162,34 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(run("nearest") == bf)
   }
 
+  test("asofJoin: null value in the matched row stays null (pandas)") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val left = Seq((ts("2024-01-01 01:45:00"), 1L)).toDF("ts", "lid")
+    val right = Seq(
+      (ts("2024-01-01 00:50:00"), Some(7.0)),
+      (ts("2024-01-01 01:40:00"), None)) // matched row, null value
+      .toDF("ts", "v")
+    // backward matches the 01:40 row -> v must be null, NOT 7.0
+    // back-filled from 00:50
+    val b = TimeSeries.asofJoin(left, right, "ts", Seq("v"), "backward")
+      .select($"v").head()
+    assert(b.isNullAt(0))
+    // with a 10s tolerance the matched row (5s away) is in range and
+    // still emits its own null
+    val t = TimeSeries.asofJoin(left, right, "ts", Seq("v"), "backward",
+      toleranceMicros = Some(10L * 1000000L)).select($"v").head()
+    assert(t.isNullAt(0))
+    // nearest judges distance on the matched (null-valued) row too
+    val n = TimeSeries.asofJoin(left, right, "ts", Seq("v"), "nearest")
+      .select($"v").head()
+    assert(n.isNullAt(0))
+    // reserved temp names are rejected instead of silently clobbered
+    intercept[IllegalArgumentException] {
+      TimeSeries.asofJoin(left.withColumn("m__", lit(1)), right, "ts",
+        Seq("v"), "nearest")
+    }
+  }
+
   test("ewma matches the adjust=False recurrence, per key") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     val df = Seq(

@@ -191,6 +191,34 @@ class CurationSpec extends AnyFunSuite {
       .count() == 5L)
   }
 
+  test("chunkTokens: empty/whitespace docs yield no chunks") {
+    val df = Seq((1L, "one two three"), (2L, ""), (3L, "   "))
+      .toDF("doc_id", "text")
+    val out = Curation.chunkTokens(df, "text", Seq("doc_id"), 8, 4)
+    assert(out.select($"doc_id").collect().map(_.getLong(0)).toSeq ==
+      Seq(1L))
+  }
+
+  test("mixtureWeights: a target stratum absent from the data zeroes the mixture") {
+    val df = Seq.fill(100)("a").zipWithIndex.map(_.swap)
+      .toDF("id", "src")
+    val w = Curation.mixtureWeights(df, "src",
+      Map("a" -> 0.5, "z" -> 0.5)).orderBy($"src").collect()
+    // largest exact 50/50 mixture with zero 'z' docs is EMPTY
+    assert(w.map(_.getString(0)).toSeq == Seq("a", "z"))
+    assert(w.map(_.getLong(4)).toSeq == Seq(0L, 0L))
+    assert(w.map(_.getDouble(3)).toSeq == Seq(0.0, 0.0))
+  }
+
+  test("packGreedy: null sizes pack as zero instead of NPE-ing") {
+    val df = Seq(("a", 1L, Some(60L)), ("a", 2L, None),
+      ("a", 3L, Some(50L))).toDF("src", "seq", "n")
+    val out = Curation.packGreedy(df, "n", 100L, Seq("src"), Seq("seq"))
+      .orderBy($"seq").collect().map(r => (r.getLong(3), r.getLong(4)))
+    // null row occupies no budget: 60 -> p0; null -> p0@60; 50 -> p1
+    assert(out.toSeq == Seq((0L, 0L), (0L, 60L), (1L, 0L)))
+  }
+
   test("packGreedy: budget respected, offsets contiguous, deterministic") {
     val df = Seq(
       ("a", 1L, 60L), ("a", 2L, 50L), ("a", 3L, 10L), ("a", 4L, 30L),
