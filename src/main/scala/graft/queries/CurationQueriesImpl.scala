@@ -256,6 +256,35 @@ object CurationQueriesImpl {
         .orderBy(col("doc_id"), col("chunk_idx"))
     }
 
+    register("q93_semantic_decon", {
+      def sumProd(x: String, y: String) =
+        s"""LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, LEN($x)),
+           |    i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)))"""
+          .stripMargin
+      s"""WITH c AS (SELECT vec_id, embedding AS v FROM embeddings
+         |  WHERE vec_id >= 8),
+         |p AS (SELECT embedding AS pv FROM embeddings WHERE vec_id < 8),
+         |close AS (
+         |  SELECT c.vec_id, COUNT(*) AS n_close_probes
+         |  FROM c JOIN p ON ${sumProd("c.v", "p.pv")}
+         |    / (SQRT(${sumProd("c.v", "c.v")})
+         |     * SQRT(${sumProd("p.pv", "p.pv")})) >= 0.35
+         |  GROUP BY c.vec_id)
+         |SELECT c.vec_id,
+         |  COALESCE(cl.n_close_probes, 0) AS n_close_probes,
+         |  CAST(COALESCE(cl.n_close_probes, 0) > 0 AS BIGINT)
+         |    AS contaminated
+         |FROM c LEFT JOIN close cl USING (vec_id)
+         |ORDER BY c.vec_id""".stripMargin
+    }) { (s, dir) =>
+      val emb = table(s, dir, "embeddings")
+      Curation.decontaminateSemantic(
+          emb.where(col("vec_id") >= 8),
+          emb.where(col("vec_id") < 8),
+          "embedding", "vec_id", minCosine = 0.35)
+        .orderBy(col("vec_id"))
+    }
+
     register("q87_mixture_weights",
       """WITH counts AS (SELECT source, COUNT(*) AS n_docs FROM documents
         |  WHERE source IN ('src0', 'src1', 'src2', 'src3') GROUP BY source),

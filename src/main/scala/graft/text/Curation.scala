@@ -268,6 +268,36 @@ object Curation {
         (-col("best_.ntf")).as("tf"))
   }
 
+  /** Semantic decontamination: flag corpus documents whose EMBEDDING
+    * is close to any probe (eval-benchmark) embedding — catches
+    * paraphrased contamination that k-gram [[decontaminate]] misses.
+    * Returns (idCol, n_close_probes, contaminated).
+    *
+    * Scale shape: the probe suite is eval-scale, so it broadcasts and
+    * the corpus is scanned ONCE with the codegen'd dot product (norms
+    * hoisted per side) — the same asymmetric few-queries × huge-corpus
+    * plan as brute-force ANN; only matching pairs reach the per-doc
+    * count shuffle. */
+  def decontaminateSemantic(corpus: DataFrame, probes: DataFrame,
+      vecCol: String, idCol: String, minCosine: Double): DataFrame = {
+    import graft.similarity.Similarity.{dot, norm}
+    val c = corpus.select(col(idCol), col(vecCol).as("v_"))
+      .withColumn("nrm_", norm(col("v_")))
+    val p = probes.select(col(vecCol).as("pv_"))
+      .withColumn("pnrm_", norm(col("pv_")))
+    val close = c.crossJoin(broadcast(p))
+      .where(dot(col("v_"), col("pv_")) / (col("nrm_") * col("pnrm_"))
+        >= minCosine)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_close_probes"))
+    corpus.select(col(idCol))
+      .join(close, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_close_probes"), lit(0L)).as("n_close_probes"),
+        (coalesce(col("n_close_probes"), lit(0L)) > 0).cast("long")
+          .as("contaminated"))
+  }
+
   /** Exactly `n` rows per stratum, chosen by a deterministic hash
     * order (md5 over seed + id columns): unlike [[stratifiedSample]]'s
     * binomial keep-rates this hits the count exactly — the eval-set /

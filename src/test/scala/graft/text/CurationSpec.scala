@@ -245,6 +245,21 @@ class CurationSpec extends AnyFunSuite {
     assert(packSums.forall(_ <= 100L))
   }
 
+  test("decontaminateSemantic flags embedding-close docs only") {
+    val probes = Seq(Tuple1(Array(1.0f, 0.0f, 0.0f, 0.0f)))
+      .toDF("embedding")
+    val corpus = Seq(
+      (1L, Array(2.0f, 0.0f, 0.0f, 0.0f)),   // same direction, cos=1
+      (2L, Array(0.0f, 1.0f, 0.0f, 0.0f)),   // orthogonal
+      (3L, Array(0.9f, 0.1f, 0.0f, 0.0f)))   // near-parallel
+      .toDF("vec_id", "embedding")
+    val r = Curation.decontaminateSemantic(corpus, probes, "embedding",
+        "vec_id", minCosine = 0.9)
+      .orderBy($"vec_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    assert(r.toSeq == Seq((1L, 1L, 1L), (2L, 0L, 0L), (3L, 1L, 1L)))
+  }
+
   test("decontaminate flags k-gram overlap with the probe set") {
     val probes = Seq((100L, "alpha beta gamma delta epsilon"))
       .toDF("doc_id", "text")
