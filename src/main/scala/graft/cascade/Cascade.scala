@@ -236,6 +236,17 @@ object Cascade {
         s"stats list must have $si elements")
       case _ =>
     }
+    // Every station in the data must be calibrated: the per-level left
+    // joins would otherwise leave its probabilities null and every wet
+    // box would silently split with the fixed fallback weight —
+    // plausible-looking but meaningless output. One distinct+collect of
+    // the key tuples (fleet-key scale, not data scale).
+    val present = daily.select(partitionCols.map(col): _*).distinct()
+      .collect().map(_.toSeq.map(String.valueOf): Seq[String])
+    val missing = present.filterNot(statsByStation.contains)
+    require(missing.isEmpty,
+      s"stations without calibration stats: ${missing.take(5).mkString(", ")}" +
+        (if (missing.length > 5) s" (+${missing.length - 5} more)" else ""))
     disaggregateImpl(daily, hourly, level, shift, partitionCols) {
       (cur, l, siVar) =>
         val entries = statsByStation.toSeq.map { case (k, e) =>

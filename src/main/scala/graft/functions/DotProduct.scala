@@ -38,18 +38,26 @@ case class DotProduct(left: Expression, right: Expression)
   }
 
   override def checkInputDataTypes(): TypeCheckResult = {
+    // every element type the composed zip_with form accepted (it cast
+    // elements to double) — narrowing here would break callers that
+    // pass array<int>/array<long> columns
     val ok = Seq(left, right).forall(e => elemType(e) match {
-      case FloatType | DoubleType => true
+      case FloatType | DoubleType | IntegerType | LongType |
+          ShortType | ByteType => true
       case _ => false
     })
     if (ok) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"$prettyName needs array<float> or array<double> inputs, got " +
+      s"$prettyName needs arrays of numeric elements, got " +
         s"${left.dataType.catalogString} / ${right.dataType.catalogString}")
   }
 
   private def read(arr: ArrayData, t: DataType, i: Int): Double = t match {
     case FloatType => arr.getFloat(i).toDouble
+    case IntegerType => arr.getInt(i).toDouble
+    case LongType => arr.getLong(i).toDouble
+    case ShortType => arr.getShort(i).toDouble
+    case ByteType => arr.getByte(i).toDouble
     case _ => arr.getDouble(i)
   }
 
@@ -73,6 +81,10 @@ case class DotProduct(left: Expression, right: Expression)
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     def getter(v: String, t: DataType, i: String): String = t match {
       case FloatType => s"(double) $v.getFloat($i)"
+      case IntegerType => s"(double) $v.getInt($i)"
+      case LongType => s"(double) $v.getLong($i)"
+      case ShortType => s"(double) $v.getShort($i)"
+      case ByteType => s"(double) $v.getByte($i)"
       case _ => s"$v.getDouble($i)"
     }
     val (lt, rt) = (elemType(left), elemType(right))

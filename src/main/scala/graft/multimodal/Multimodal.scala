@@ -108,7 +108,14 @@ object Multimodal {
     * the stub). Supports 8-bit unsigned and 16-bit signed little-endian
     * PCM (format tag 1), mono or interleaved multi-channel; samples are
     * folded to mono by averaging channels. Single streaming pass. */
-  def decodeAudioWav(content: Array[Byte]): Option[Array[Float]] = {
+  def decodeAudioWav(content: Array[Byte]): Option[Array[Float]] =
+    // malformed payloads (truncated chunks, lying sizes) must fall back
+    // to the stub, never crash a task
+    try decodeAudioWavImpl(content)
+    catch { case scala.util.control.NonFatal(_) => None }
+
+  private def decodeAudioWavImpl(
+      content: Array[Byte]): Option[Array[Float]] = {
     def le32(o: Int): Int =
       (content(o) & 0xff) | ((content(o + 1) & 0xff) << 8) |
         ((content(o + 2) & 0xff) << 16) | ((content(o + 3) & 0xff) << 24)
@@ -123,7 +130,9 @@ object Multimodal {
     var fmtOff = -1; var dataOff = -1; var dataLen = 0
     while (off + 8 <= content.length && (fmtOff < 0 || dataOff < 0)) {
       val id = tag(off); val sz = le32(off + 4)
-      if (sz < 0 || off + 8 + sz > content.length) return None
+      // long arithmetic: a lying sz near Int.MaxValue must not
+      // overflow the bound check into acceptance
+      if (sz < 0 || off.toLong + 8L + sz > content.length) return None
       if (id == "fmt ") fmtOff = off + 8
       else if (id == "data") { dataOff = off + 8; dataLen = sz }
       off += 8 + sz + (sz & 1) // chunks are word-aligned

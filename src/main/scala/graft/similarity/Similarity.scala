@@ -63,19 +63,33 @@ object Similarity {
     * the pairwise term linear overall); norms are computed once per
     * vector, and the dot product is the codegen'd primitive loop. */
   def semDedup(df: DataFrame, vecCol: String, idCol: String,
-      minCosine: Double, bucket: Column): DataFrame = {
+      minCosine: Double, bucket: Column,
+      maxBucketSize: Int = 1000): DataFrame = {
     val e = df.withColumn("bucket", bucket)
       .select(col(idCol).as("id"), col(vecCol).as("v"), col("bucket"))
       .withColumn("nrm", norm(col("v")))
-    val a = e.select(col("bucket"), col("id").as("id_a"),
-      col("v").as("va"), col("nrm").as("na"))
-    val b = e.select(col("bucket"), col("id").as("id_b"),
-      col("v").as("vb"), col("nrm").as("nb"))
-    val close = a.join(b, Seq("bucket"))
-      .where(col("id_b") < col("id_a"))
+    // zero-norm vectors have no cosine direction: they pair with
+    // nothing (0/0 = NaN would otherwise satisfy >= under Spark's
+    // NaN-greatest ordering, silently dropping their bucket-mates)
+    val nonzero = e.where(col("nrm") > 0)
+    // pairs come from the shared skew-capped bucket explosion, not a
+    // bucket self-join: a degenerate bucket (mass-duplicated
+    // embedding) emits linear star pairs against its min-id member —
+    // which for true duplicates marks every non-representative
+    // dropped, the intended outcome — instead of going quadratic
+    val buckets = nonzero
+      .groupBy(col("bucket"))
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .where(size(col("ids")) >= 2)
+    val close = graft.text.Dedup.cappedPairs(buckets, "ids",
+        maxBucketSize)
+      .join(nonzero.select(col("id").as("a"), col("v").as("va"),
+        col("nrm").as("na")), Seq("a"))
+      .join(nonzero.select(col("id").as("b"), col("v").as("vb"),
+        col("nrm").as("nb")), Seq("b"))
       .where(dot(col("va"), col("vb")) / (col("na") * col("nb"))
         >= minCosine)
-      .groupBy(col("id_a").as("id"))
+      .groupBy(col("b").as("id"))
       .agg(count(lit(1)).as("n_close"))
     e.select(col("id"), col("bucket"))
       .join(close, Seq("id"), "left")

@@ -16,9 +16,12 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
   * run unchanged on a streaming daily feed in append mode with the
   * exact same plan (StreamingAggSpec proves stream ≡ batch on them).
   * The window-shaped methods (temperature's prev/next-day extremes,
-  * humidity, cascade) are calendar-stateful and stay batch roll up into the same daily frame `daily_from_hourly` produces
-  * in batch — event-time windows + watermark, so state is bounded and
-  * late data within the watermark folds in correctly at any scale. */
+  * humidity, cascade) are calendar-stateful and stay batch.
+  *
+  * Hourly observations arriving as a stream roll up into the same
+  * daily frame `daily_from_hourly` produces in batch — event-time
+  * windows + watermark, so state is bounded and late data within the
+  * watermark folds in correctly at any scale. */
 object StreamingAgg {
 
   /** Streaming sessionization: Spark's native `session_window` — the

@@ -58,6 +58,12 @@ object Clusters {
       labels = next.select(col("node"), col("label"))
       iter += 1
     }
+    // fail loudly: truncated propagation would silently split one true
+    // duplicate family into several, marking multiple "keepers"
+    require(changed == 0,
+      s"connectedComponents did not converge in $maxIter rounds " +
+        s"($changed labels still changing) — the duplicate graph has " +
+        "a longer chain than expected; raise maxIter")
     labels
   }
 

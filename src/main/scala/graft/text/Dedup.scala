@@ -57,6 +57,29 @@ object Dedup {
     * Defaults (128 hashes, 16 bands of 8) put the LSH S-curve threshold
     * near (1/16)^(1/8) ~ 0.71 — band collisions of non-near-dups are
     * vanishingly rare, so the verify join stays tiny. */
+  /** Skew-capped pair explosion shared by every bucket-join dedup path
+    * (minhash bands, simhash blocks, embedding buckets, semdedup
+    * clusters): buckets of SORTED members `<= maxBucketSize` emit all
+    * ordered pairs (a before b); bigger buckets emit linear star pairs
+    * against the first (minimum) member — a degenerate mass-duplicate
+    * bucket costs O(n), never O(n²). Returns columns (a, b) of the
+    * members' element type. */
+  private[graft] def cappedPairs(buckets: DataFrame, membersCol: String,
+      maxBucketSize: Int): DataFrame = {
+    val ms = col(membersCol)
+    val pairOf = (x: Column, y: Column) => struct(x.as("a"), y.as("b"))
+    val small = buckets.where(size(ms) <= maxBucketSize)
+      .select(explode(flatten(transform(ms, (x, i) =>
+        transform(slice(ms, i + 2, size(ms)), y =>
+          pairOf(x, y))))).as("p"))
+    val big = buckets.where(size(ms) > maxBucketSize)
+      .select(element_at(ms, 1).as("rep"),
+        explode(slice(ms, lit(2), size(ms))).as("other"))
+      .select(pairOf(col("rep"), col("other")).as("p"))
+    small.unionByName(big)
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+  }
+
   /** Shared LSH front half: per-doc distinct hashed-shingle sets
     * (`gh`) and banded bucket keys. Materialized once (lazy
     * localCheckpoint) — the frame feeds the band explode and both
@@ -143,23 +166,13 @@ object Dedup {
     val buckets = banded.groupBy(col("bucket"))
       .agg(sort_array(collect_list(col(idCol))).as("ids"))
       .where(size(col("ids")) >= 2)
-    val pairStruct = (x: Column, y: Column) =>
-      struct(x.as("id_a"), y.as("id_b"))
-    val smallPairs = buckets.where(size(col("ids")) <= maxBucketSize)
-      .select(explode(flatten(transform(col("ids"), (x, i) =>
-        transform(slice(col("ids"), i + 2, size(col("ids"))), y =>
-          pairStruct(x, y))))).as("p"))
-    val bigPairs = buckets.where(size(col("ids")) > maxBucketSize)
-      .select(element_at(col("ids"), 1).as("rep"),
-        explode(slice(col("ids"), lit(2), size(col("ids")))).as("other"))
-      .select(pairStruct(col("rep"), col("other")).as("p"))
     // dedupe candidates BEFORE the verify join: a true near-dup pair
     // collides in up to `bands` buckets, so without this the expensive
     // set-intersection join runs `bands`× per pair. The dedup shuffle
     // moves only (long, long) rows — orders of magnitude lighter than
     // the shingle-set join it prunes.
-    val candidates = smallPairs.unionByName(bigPairs)
-      .select(col("p.id_a"), col("p.id_b"))
+    val candidates = cappedPairs(buckets, "ids", maxBucketSize)
+      .select(col("a").as("id_a"), col("b").as("id_b"))
       .dropDuplicates("id_a", "id_b")
     // verify on hashed distinct shingles: long-set intersection sizes
     // equal the string-set sizes (64-bit collisions are negligible) at a
@@ -237,20 +250,9 @@ object Dedup {
       .agg(sort_array(collect_list(struct(col(idCol).as("id"),
         col("sig").as("s")))).as("ms"))
       .where(size(col("ms")) >= 2)
-    val pairOf = (x: Column, y: Column) => struct(
-      x.getField("id").as("id_a"), y.getField("id").as("id_b"),
-      x.getField("s").as("sa"), y.getField("s").as("sb"))
-    val small = buckets.where(size(col("ms")) <= maxBucketSize)
-      .select(explode(flatten(transform(col("ms"), (x, i) =>
-        transform(slice(col("ms"), i + 2, size(col("ms"))), y =>
-          pairOf(x, y))))).as("p"))
-    val big = buckets.where(size(col("ms")) > maxBucketSize)
-      .select(element_at(col("ms"), 1).as("rep"),
-        explode(slice(col("ms"), lit(2), size(col("ms")))).as("other"))
-      .select(pairOf(col("rep"), col("other")).as("p"))
-    small.unionByName(big)
-      .select(col("p.id_a"), col("p.id_b"),
-        hammingDistance(col("p.sa"), col("p.sb")).as("hamming"))
+    cappedPairs(buckets, "ms", maxBucketSize)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        hammingDistance(col("a.s"), col("b.s")).as("hamming"))
       .where(col("hamming") <= maxHamming)
       .dropDuplicates("id_a", "id_b")
   }
@@ -364,18 +366,8 @@ object Dedup {
       .groupBy(col("bucket"))
       .agg(sort_array(collect_list(col("id"))).as("ids"))
       .where(size(col("ids")) >= 2)
-    val pairStruct = (x: Column, y: Column) =>
-      struct(x.as("id_a"), y.as("id_b"))
-    val smallPairs = buckets.where(size(col("ids")) <= maxBucketSize)
-      .select(explode(flatten(transform(col("ids"), (x, i) =>
-        transform(slice(col("ids"), i + 2, size(col("ids"))), y =>
-          pairStruct(x, y))))).as("p"))
-    val bigPairs = buckets.where(size(col("ids")) > maxBucketSize)
-      .select(element_at(col("ids"), 1).as("rep"),
-        explode(slice(col("ids"), lit(2), size(col("ids")))).as("other"))
-      .select(pairStruct(col("rep"), col("other")).as("p"))
-    smallPairs.unionByName(bigPairs)
-      .select(col("p.id_a"), col("p.id_b"))
+    cappedPairs(buckets, "ids", maxBucketSize)
+      .select(col("a").as("id_a"), col("b").as("id_b"))
       .join(base.select(col("id").as("id_a"), col("v").as("va"),
         col("nrm").as("na")), Seq("id_a"))
       .join(base.select(col("id").as("id_b"), col("v").as("vb"),

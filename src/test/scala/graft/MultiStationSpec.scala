@@ -126,6 +126,20 @@ class MultiStationSpec extends AnyFunSuite {
     }
   }
 
+  test("per-station disaggregation rejects uncalibrated stations") {
+    val precip = daily.select($"date", $"precip")
+    val statsBy = Map(Seq("s1") ->
+      (Left(CascadeStatistics.sampleData()): Either[CascadeStatistics,
+        Seq[CascadeStatistics]]))
+    val multiIn = Seq("s1", "sX").map(id =>
+      precip.withColumn("station_id", lit(id))).reduce(_ unionByName _)
+    val e = intercept[IllegalArgumentException] {
+      Cascade.disaggregatePerStation(multiIn, statsBy,
+        partitionCols = Seq("station_id"))
+    }
+    assert(e.getMessage.contains("sX"))
+  }
+
   test("per-station disaggregation uses each station's own statistics") {
     val precip = daily.select($"date", $"precip")
     val Left(stats2) = Cascade.buildCasc(hourlyObs, hourly = true,

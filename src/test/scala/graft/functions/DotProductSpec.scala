@@ -49,6 +49,16 @@ class DotProductSpec extends AnyFunSuite {
       .isNullAt(0))
   }
 
+  test("integer element arrays work (the composed form accepted them)") {
+    val df = Seq((Array(1, 2, 3), Array(4L, 5L, 6L)))
+      .toDF("ai", "al")
+    val r = df.select(
+      GraftFunctions.dot($"ai", $"al"),
+      GraftFunctions.dot($"ai", $"ai")).head()
+    assert(r.getDouble(0) == 32.0)
+    assert(r.getDouble(1) == 14.0)
+  }
+
   test("mixed float/double element types work") {
     val df = Seq((Array(1.0f, 2.0f), Array(0.5, 0.25)))
       .toDF("a", "b")

@@ -126,6 +126,22 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.decodeAudioWav(Array.emptyByteArray).isEmpty)
   }
 
+  test("decodeAudioWav survives lying chunk sizes and truncation") {
+    // header claims a near-Int.MaxValue data chunk: the bound check
+    // must not integer-overflow into acceptance
+    val evil = java.nio.ByteBuffer.allocate(64)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    evil.put("RIFF".getBytes); evil.putInt(56); evil.put("WAVE".getBytes)
+    evil.put("fmt ".getBytes); evil.putInt(16)
+    evil.putShort(1); evil.putShort(1); evil.putInt(8000)
+    evil.putInt(16000); evil.putShort(2); evil.putShort(16)
+    evil.put("data".getBytes); evil.putInt(0x7FFFFFF0)
+    assert(Multimodal.decodeAudioWav(evil.array()).isEmpty)
+    // truncated mid-header
+    assert(Multimodal.decodeAudioWav(
+      "RIFF1234WAVEfmt".getBytes).isEmpty)
+  }
+
   test("extractFeatures routes WAV audio through the real parser") {
     val rate = 4000
     val tone = Array.tabulate(400)(i =>

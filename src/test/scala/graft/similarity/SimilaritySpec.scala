@@ -111,6 +111,37 @@ class SimilaritySpec extends AnyFunSuite {
     assert(top.forall(_.getDouble(2) < 50.0))
   }
 
+  test("semDedup: zero-norm vectors never drop their bucket-mates") {
+    import graft.similarity.Similarity
+    // all share one bucket expression; vec 2 is all-zero (0/0 cosine
+    // would be NaN, which Spark orders ABOVE any threshold)
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(0.0f, 0.0f)),
+      (3L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val r = Similarity.semDedup(df, "embedding", "vec_id",
+        minCosine = 0.9, bucket = lit("all"))
+      .orderBy($"vec_id").collect()
+      .map(x => (x.getLong(0), x.getLong(3)))
+    // 1 and 3 are orthogonal; 2 has no direction: nothing drops
+    assert(r.toSeq == Seq((1L, 0L), (2L, 0L), (3L, 0L)))
+  }
+
+  test("semDedup: a mass-duplicate bucket stays linear and still drops clones") {
+    import graft.similarity.Similarity
+    val many = spark.range(500)
+      .select($"id".as("vec_id"),
+        array(lit(1.0f), lit(2.0f), lit(3.0f)).as("embedding"))
+    val r = Similarity.semDedup(many, "embedding", "vec_id",
+        minCosine = 0.95, bucket = lit("all"), maxBucketSize = 100)
+      .agg(sum($"dropped"), sum($"n_close")).head()
+    // star pairs against the min id: every non-representative drops,
+    // and pair count is linear (499), not 500*499/2
+    assert(r.getLong(0) == 499L)
+    assert(r.getLong(1) == 499L)
+  }
+
   test("semDedup keep-first: lower id kept, close higher ids dropped") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f, 0.2f)),

@@ -44,6 +44,19 @@ class ClustersSpec extends AnyFunSuite {
     assert(got == expect)
   }
 
+  test("connectedComponents fails loudly when maxIter truncates") {
+    // a 6-chain needs ~5 rounds; maxIter=2 must throw, not return
+    // silently split components
+    val chain = (0L until 5L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    intercept[IllegalArgumentException] {
+      Clusters.connectedComponents(chain, maxIter = 2)
+    }
+    // and with enough rounds the same chain converges to one label
+    val ok = Clusters.connectedComponents(chain, maxIter = 10)
+      .select($"label").distinct().collect()
+    assert(ok.map(_.getLong(0)).toSeq == Seq(0L))
+  }
+
   test("assign labels singletons with own id and sizes clusters") {
     val df = Seq(1L, 2L, 3L, 4L, 9L).toDF("doc_id")
     val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
