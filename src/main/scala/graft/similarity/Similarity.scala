@@ -61,7 +61,17 @@ object Similarity {
     * size, so the bucket count must GROW with the corpus exactly like
     * [[Dedup.embeddingNearDups]]'s planes (occupancy n/2^planes keeps
     * the pairwise term linear overall); norms are computed once per
-    * vector, and the dot product is the codegen'd primitive loop. */
+    * vector, and the dot product is the codegen'd primitive loop.
+    *
+    * `maxBucketSize` caps a degenerate cluster's pair explosion: a
+    * bucket over the cap emits linear star pairs against its min-id
+    * member ONLY — every true mass-duplicate is still dropped against
+    * the representative, but near-dup pairs strictly between two
+    * non-representative members of an over-cap DIVERSE bucket are not
+    * compared (they survive). This is a semantics change from an
+    * uncapped all-pairs self-join; pass `maxBucketSize = Int.MaxValue`
+    * to restore exhaustive in-bucket comparison when the clustering is
+    * known to be well-spread. */
   def semDedup(df: DataFrame, vecCol: String, idCol: String,
       minCosine: Double, bucket: Column,
       maxBucketSize: Int = 1000): DataFrame = {

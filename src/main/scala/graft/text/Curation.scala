@@ -14,6 +14,16 @@ import org.apache.spark.sql.functions._
   * no driver-side data beyond the per-group threshold table. */
 object Curation {
 
+  /** Operators below inject working columns (`toks_`, `lines_`, …)
+    * into the input frame; an input that already carries one of those
+    * names would be silently clobbered. Same contract as
+    * `TimeSeries.asofJoin`'s reserved-name guard. */
+  private def requireFresh(df: DataFrame, names: String*): Unit = {
+    val clash = names.filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"input already has reserved working column(s): ${clash.mkString(", ")}")
+  }
+
   /** Keep the top `keepFraction` of documents by `TextAnalysis
     * .qualityScore`, with the cutoff computed PER LANGUAGE (so one
     * dominant language doesn't set the bar for all) via
@@ -24,6 +34,7 @@ object Curation {
       keepFraction: Double, byLanguage: Boolean = true,
       accuracy: Int = 10000): DataFrame = {
     require(keepFraction > 0 && keepFraction <= 1, "keepFraction in (0,1]")
+    requireFresh(df, "lang_", "q_", "q_min_")
     val scored = df
       .withColumn("lang_", TextAnalysis.languageId(col(textCol)))
       .withColumn("q_", TextAnalysis.qualityScore(col(textCol)))
@@ -51,6 +62,7 @@ object Curation {
     require(idCols.nonEmpty, "idCols must identify rows")
     require(fractions.values.forall(f => f >= 0 && f <= 1),
       "fractions in [0,1]")
+    requireFresh(df, "frac_")
     val frac = fractions.foldLeft(lit(null).cast("double")) {
       case (acc, (k, f)) => when(col(strataCol) === k, lit(f)).otherwise(acc)
     }
@@ -83,6 +95,7 @@ object Curation {
     * pure map over any partitioning of a 100 TB corpus. */
   def heuristicStats(df: DataFrame, textCol: String,
       bounds: HeuristicBounds = HeuristicBounds()): DataFrame = {
+    requireFresh(df, "toks_", "lines_")
     val t = col(textCol)
     val withArr = df
       .withColumn("toks_", TextAnalysis.tokens(t))
@@ -156,6 +169,8 @@ object Curation {
     * which decontamination keeps tiny by construction. */
   def decontaminate(corpus: DataFrame, probes: DataFrame,
       textCol: String, idCol: String, k: Int = 13): DataFrame = {
+    requireFresh(corpus, "tok_", "gram_", "n_shared")
+    requireFresh(probes, "tok_", "gram_")
     def grams(df: DataFrame, keep: Seq[String]) = df
       .withColumn("tok_", TextAnalysis.tokens(lower(col(textCol))))
       .select(keep.map(col) :+
@@ -213,6 +228,7 @@ object Curation {
       maxTokens: Int = 128, stride: Int = 64): DataFrame = {
     require(maxTokens > 0 && stride > 0 && stride <= maxTokens,
       "need 0 < stride <= maxTokens")
+    requireFresh(df, "toks_", "start_", "chunk_")
     // empty/whitespace-only (or null) documents produce NO chunks —
     // split of "" yields [""], which would otherwise leak a phantom
     // 1-token empty training example
@@ -247,6 +263,7 @@ object Curation {
     * a sort-key struct, not a window. */
   def tfIdfTopTerms(df: DataFrame, textCol: String,
       idCol: String): DataFrame = {
+    requireFresh(df, "toks_", "dl_", "micro_")
     val n = df.select(count(lit(1)).as("n_"))
     val terms = df
       .withColumn("toks_", TextAnalysis.tokens(lower(col(textCol))))
@@ -281,10 +298,17 @@ object Curation {
   def decontaminateSemantic(corpus: DataFrame, probes: DataFrame,
       vecCol: String, idCol: String, minCosine: Double): DataFrame = {
     import graft.similarity.Similarity.{dot, norm}
+    // zero-norm vectors have no cosine direction: 0/0 = NaN, and NaN
+    // is GREATER than any threshold under Spark's ordering — without
+    // this filter a zero-norm corpus doc matches every probe, and one
+    // zero-norm probe flags the ENTIRE corpus contaminated (same guard
+    // as Similarity.semDedup)
     val c = corpus.select(col(idCol), col(vecCol).as("v_"))
       .withColumn("nrm_", norm(col("v_")))
+      .where(col("nrm_") > 0)
     val p = probes.select(col(vecCol).as("pv_"))
       .withColumn("pnrm_", norm(col("pv_")))
+      .where(col("pnrm_") > 0)
     val close = c.crossJoin(broadcast(p))
       .where(dot(col("v_"), col("pv_")) / (col("nrm_") * col("pnrm_"))
         >= minCosine)
@@ -310,6 +334,7 @@ object Curation {
   def exactSamplePerStratum(df: DataFrame, strataCol: String, n: Int,
       idCols: Seq[String], seed: Long = 42L): DataFrame = {
     require(n > 0 && idCols.nonEmpty)
+    requireFresh(df, "rank_")
     val r = md5(concat_ws("|",
       lit(seed.toString) +: idCols.map(c => col(c).cast("string")): _*))
     val w = Window.partitionBy(col(strataCol))
@@ -370,6 +395,7 @@ object Curation {
     * a broadcast one-row total. */
   def unigramLogProb(df: DataFrame, textCol: String,
       idCol: String): DataFrame = {
+    requireFresh(df, "toks_", "dl_", "micro_")
     val terms = df
       .withColumn("toks_", TextAnalysis.tokens(lower(col(textCol))))
       .select(col(idCol), size(col("toks_")).as("dl_"),
@@ -407,6 +433,9 @@ object Curation {
       target: Map[String, Double]): DataFrame = {
     require(target.nonEmpty && target.values.forall(_ > 0),
       "target shares must be positive")
+    require(math.abs(target.values.sum - 1.0) < 1e-6,
+      s"target shares must sum to 1 (got ${target.values.sum}) — a " +
+        "mis-normalized target silently yields a different mixture")
     // Every target stratum gets a row even when absent from the data
     // (n_docs = 0): its ratio 0/T_s drives c to 0, so the result is
     // the mathematically correct empty sample — NOT a silently

@@ -126,7 +126,16 @@ object Dedup {
     * `maxBucketSize`, so a mass-duplicate family costs O(cap), not
     * O(family)); verification touches only colliding pairs. The
     * corpus signatures can be precomputed and stored — only the delta
-    * explodes per run. */
+    * explodes per run.
+    *
+    * Recall caveat (mirrors [[minhashCandidates]]' over-cap note): an
+    * over-cap corpus bucket keeps only its `maxBucketSize` LOWEST ids —
+    * the slice always includes the bucket representative (min id), so
+    * a delta doc near-duplicating a mass-duplicate family still
+    * matches the family's representative, but a match whose ONLY
+    * shared bucket member is a high-id corpus doc beyond the cap is
+    * missed. Raise `maxBucketSize` when completeness against
+    * degenerate buckets matters more than skew protection. */
   def nearDupAgainstCorpus(delta: DataFrame, corpus: DataFrame,
       textCol: String, idCol: String, numHashes: Int = 128,
       bands: Int = 16, k: Int = 3, minJaccard: Double = 0.5,

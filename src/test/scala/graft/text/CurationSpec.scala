@@ -260,6 +260,46 @@ class CurationSpec extends AnyFunSuite {
     assert(r.toSeq == Seq((1L, 1L, 1L), (2L, 0L, 0L), (3L, 1L, 1L)))
   }
 
+  test("decontaminateSemantic ignores zero-norm vectors on both sides") {
+    // a zero-norm probe would otherwise flag the ENTIRE corpus (0/0 =
+    // NaN, and NaN > threshold under Spark's ordering); a zero-norm
+    // corpus doc would match every probe
+    val probes = Seq(
+      Tuple1(Array(0.0f, 0.0f, 0.0f, 0.0f)),  // degenerate probe
+      Tuple1(Array(1.0f, 0.0f, 0.0f, 0.0f)))
+      .toDF("embedding")
+    val corpus = Seq(
+      (1L, Array(2.0f, 0.0f, 0.0f, 0.0f)),    // matches real probe
+      (2L, Array(0.0f, 1.0f, 0.0f, 0.0f)),    // orthogonal -> clean
+      (3L, Array(0.0f, 0.0f, 0.0f, 0.0f)))    // zero-norm corpus doc
+      .toDF("vec_id", "embedding")
+    val r = Curation.decontaminateSemantic(corpus, probes, "embedding",
+        "vec_id", minCosine = 0.9)
+      .orderBy($"vec_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    assert(r.toSeq == Seq((1L, 1L, 1L), (2L, 0L, 0L), (3L, 0L, 0L)))
+  }
+
+  test("curation operators reject reserved working-column collisions") {
+    val df = Seq((1L, "some text here", 0L)).toDF("id", "text", "toks_")
+    intercept[IllegalArgumentException] {
+      Curation.heuristicStats(df, "text")
+    }
+    intercept[IllegalArgumentException] {
+      Curation.chunkTokens(df, "text", Seq("id"))
+    }
+    intercept[IllegalArgumentException] {
+      Curation.tfIdfTopTerms(df, "text", "id")
+    }
+    intercept[IllegalArgumentException] {
+      Curation.unigramLogProb(df, "text", "id")
+    }
+    intercept[IllegalArgumentException] {
+      Curation.mixtureWeights(Seq((1L, "a")).toDF("id", "src"), "src",
+        Map("a" -> 0.25, "b" -> 0.25)) // shares sum to 0.5
+    }
+  }
+
   test("decontaminate flags k-gram overlap with the probe set") {
     val probes = Seq((100L, "alpha beta gamma delta epsilon"))
       .toDF("doc_id", "text")
