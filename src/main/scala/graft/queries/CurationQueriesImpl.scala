@@ -242,10 +242,42 @@ object CurationQueriesImpl {
         .orderBy(col("source"), col("doc_id"))
     }
 
-    // chunk -> pack: the full training-example assembly; packing is a
-    // sequential recurrence (secondary-sort mapPartitions), so the
-    // gate is rows-only — invariants are spec-tested.
-    registerRowsOnly("q91_pack_sequences") { (s, dir) =>
+    // chunk -> pack: the full training-example assembly. Packing is a
+    // sequential recurrence, so the oracle is a recursive CTE walking
+    // chunks in the same (doc_id, chunk_idx) order and carrying the
+    // (pack, fill) state — the q77 technique applied to a greedy
+    // next-fit fold. The chunk CTE is MATERIALIZED so DuckDB doesn't
+    // re-split every document per recursion step.
+    register("q91_pack_sequences",
+      """WITH RECURSIVE t AS (SELECT doc_id,
+        |    REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+') AS toks
+        |  FROM documents),
+        |s AS (SELECT doc_id, toks,
+        |    UNNEST(RANGE(0, GREATEST(LEN(toks), 1), 32)) AS start
+        |  FROM t WHERE NOT (LEN(toks) = 1 AND toks[1] = '')),
+        |ranked AS MATERIALIZED (SELECT doc_id,
+        |    CAST(start / 32 AS BIGINT) AS chunk_idx,
+        |    CAST(LEN(LIST_SLICE(toks, start + 1, start + 32)) AS BIGINT)
+        |      AS n_tokens,
+        |    ROW_NUMBER() OVER (ORDER BY doc_id, start) AS rk
+        |  FROM s),
+        |p AS (
+        |  SELECT rk, doc_id, chunk_idx, n_tokens,
+        |    CAST(0 AS BIGINT) AS pack_id,
+        |    CAST(0 AS BIGINT) AS pack_offset,
+        |    n_tokens AS fill
+        |  FROM ranked WHERE rk = 1
+        |  UNION ALL
+        |  SELECT r.rk, r.doc_id, r.chunk_idx, r.n_tokens,
+        |    CASE WHEN p.fill > 0 AND p.fill + r.n_tokens > 256
+        |         THEN p.pack_id + 1 ELSE p.pack_id END,
+        |    CASE WHEN p.fill > 0 AND p.fill + r.n_tokens > 256
+        |         THEN CAST(0 AS BIGINT) ELSE p.fill END,
+        |    CASE WHEN p.fill > 0 AND p.fill + r.n_tokens > 256
+        |         THEN r.n_tokens ELSE p.fill + r.n_tokens END
+        |  FROM p JOIN ranked r ON r.rk = p.rk + 1)
+        |SELECT doc_id, chunk_idx, n_tokens, pack_id, pack_offset
+        |FROM p ORDER BY doc_id, chunk_idx""".stripMargin) { (s, dir) =>
       val chunks = Curation.chunkTokens(table(s, dir, "documents"),
         "text", Seq("doc_id"), maxTokens = 32, stride = 32)
         .withColumn("lang_", lit("all"))

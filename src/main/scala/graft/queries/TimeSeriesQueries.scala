@@ -474,13 +474,36 @@ object TimeSeriesQueries {
         .orderBy(col("event_type"), col("session_id"))
     }
 
-    // EWMA per event type — a sequential recurrence (secondary-sort
-    // mapPartitions), not SQL-expressible without a 2000-deep
-    // recursive CTE: rows-only at the gate, exact-value spec-tested.
-    registerRowsOnly("q89_ewma") { (s, dir) =>
+    // EWMA per event type — a sequential recurrence verified by a
+    // recursive-CTE oracle walking the same per-key row order. The
+    // recurrence multiplier is written `(1 - 0.3)` in BOTH engines so
+    // the IEEE value matches bit-exact ((1 - 0.3) != literal 0.7 in
+    // binary); the states quantize to integer micros for the hash.
+    // The source CTE is MATERIALIZED — inlined, DuckDB re-evaluates
+    // the window per recursion step (15 s -> 2 s at sf0.01).
+    register("q89_ewma",
+      """WITH RECURSIVE s AS MATERIALIZED (
+        |  SELECT event_id, event_type, value,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ts)
+        |      AS rk
+        |  FROM events),
+        |r AS (
+        |  SELECT event_type, rk, event_id, value AS state
+        |  FROM s WHERE rk = 1
+        |  UNION ALL
+        |  SELECT s.event_type, s.rk, s.event_id,
+        |    CASE WHEN s.value IS NULL THEN r.state
+        |         WHEN r.state IS NULL THEN s.value
+        |         ELSE (1 - 0.3) * r.state + 0.3 * s.value END
+        |  FROM r JOIN s ON s.event_type = r.event_type
+        |    AND s.rk = r.rk + 1)
+        |SELECT event_id, CAST(ROUND(state * 1e6) AS BIGINT)
+        |  AS ewma_micro
+        |FROM r ORDER BY event_id""".stripMargin) { (s, dir) =>
       TimeSeries.ewma(table(s, dir, "events"), "ts", "value",
           alpha = 0.3, partitionCols = Seq("event_type"))
-        .select(col("event_id"), round(col("ewma"), 6).as("ewma"))
+        .select(col("event_id"),
+          round(col("ewma") * 1e6).cast("long").as("ewma_micro"))
         .orderBy(col("event_id"))
     }
 
