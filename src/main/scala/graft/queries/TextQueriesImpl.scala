@@ -401,20 +401,106 @@ object TextQueriesImpl {
     // rows-only at the gate; the exhaustive-equality check lives in
     // TextSpec.
     // Incremental dedup: which "new batch" docs (doc_id < 100)
-    // near-duplicate the standing corpus — xxhash banding has no
-    // DuckDB twin, so rows-only; semantics spec-tested in TextSpec.
-    registerRowsOnly("q92_neardup_delta_vs_corpus") { (s, dir) =>
+    // near-duplicate the standing corpus. Oracle-gated with the q68
+    // technique: the oracle is the quadratic delta x corpus ground
+    // truth, which equals the LSH path's result at sf0.01 because
+    // every >=0.3 pair is a planted clone at j>=0.90, where
+    // 16-bands-of-8 collision probability is >=1-1.2e-4 (and xxhash
+    // banding is deterministic for fixed data — verified: both sides
+    // produce the same 13 pairs); hashed-shingle set sizes equal the
+    // string-set sizes, so the jaccard doubles are identical. The
+    // maxBucketSize=200 corpus cap never binds at this scale.
+    register("q92_neardup_delta_vs_corpus",
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    LIST_DISTINCT(LIST_TRANSFORM(GENERATE_SERIES(1,
+        |      GREATEST(LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)),
+        |        '\s+')) - 2, 1)),
+        |      j -> CONCAT_WS(' ',
+        |        REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+')[j],
+        |        REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+')[j+1],
+        |        REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+')[j+2])))
+        |      AS g
+        |  FROM documents)
+        |SELECT a.doc_id AS delta_id, b.doc_id AS corpus_id,
+        |  ROUND(CAST(LEN(LIST_INTERSECT(a.g, b.g)) AS DOUBLE)
+        |    / (LEN(a.g) + LEN(b.g) - LEN(LIST_INTERSECT(a.g, b.g))), 6)
+        |    AS jaccard
+        |FROM sh a JOIN sh b ON a.doc_id < 100 AND b.doc_id >= 100
+        |WHERE CAST(LEN(LIST_INTERSECT(a.g, b.g)) AS DOUBLE)
+        |    / (LEN(a.g) + LEN(b.g) - LEN(LIST_INTERSECT(a.g, b.g)))
+        |    >= 0.3
+        |ORDER BY delta_id, corpus_id""".stripMargin) { (s, dir) =>
       val docs = table(s, dir, "documents")
       Dedup.nearDupAgainstCorpus(
           docs.where(col("doc_id") < 100),
           docs.where(col("doc_id") >= 100),
           "text", "doc_id", minJaccard = 0.3)
+        .withColumn("jaccard", round(col("jaccard"), 6))
         .orderBy(col("delta_id"), col("corpus_id"))
     }
 
-    registerRowsOnly("q82_simhash_neardups") { (s, dir) =>
-      Dedup.simhashNearDups(table(s, dir, "documents"), "text",
-          "doc_id", maxHamming = 3)
+    // SimHash near-dup pairs through the REAL pigeonhole block join
+    // (simhashNearDupsFromSigs), gated with a cross-engine-portable
+    // md5-derived 64-bit signature: one md5 per token, each of the
+    // first 16 hex chars contributes its 4 bits to the vote vector
+    // (q66's 16-bit trick widened to the full signature). Pigeonhole
+    // recall at radius<=maxHamming is EXACT, so the Spark result
+    // equals the oracle's all-pairs hamming scan over the same
+    // signatures — a full hash gate on the production blocking code.
+    register("q82_simhash_neardups", {
+      // hex chars whose 4-bit value has bit j set, j = 0..3
+      val bitSets = Seq("13579bdf", "2367abef", "4567cdef", "89abcdef")
+      val votes = (0 until 64).map { k =>
+        val inList = bitSets(k % 4).map(c => s"'$c'").mkString(",")
+        s"    SUM(CASE WHEN SUBSTR(m, ${k / 4 + 1}, 1) IN ($inList)" +
+          s"\n      THEN 1 ELSE -1 END) AS v$k"
+      }.mkString(",\n")
+      val sigTerms = (0 until 64).map { k =>
+        val bit = if (k == 63) "CAST(-9223372036854775808 AS BIGINT)"
+          else s"(CAST(1 AS BIGINT) << $k)"
+        s"(CASE WHEN v$k > 0 THEN $bit ELSE 0 END)"
+      }.mkString(" +\n    ")
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |    UNNEST(REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\\s+'))
+         |      AS t
+         |  FROM documents),
+         |m AS (SELECT doc_id, MD5(t) AS m FROM toks),
+         |votes AS (
+         |  SELECT doc_id,
+         |$votes
+         |  FROM m GROUP BY doc_id),
+         |sig AS (SELECT doc_id,
+         |    $sigTerms AS sig
+         |  FROM votes)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(BIT_COUNT(XOR(a.sig, b.sig)) AS BIGINT) AS hamming
+         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         |WHERE BIT_COUNT(XOR(a.sig, b.sig)) <= 3
+         |ORDER BY id_a, id_b""".stripMargin
+    }) { (s, dir) =>
+      val bitSets = Seq("13579bdf", "2367abef", "4567cdef", "89abcdef")
+        .map(_.map(_.toString))
+      val toks = table(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(TextAnalysis.tokens(lower(col("text")))).as("t"))
+        .select(col("doc_id"),
+          md5(to_binary(col("t"), lit("utf-8"))).as("m"))
+      val voteAggs = (0 until 64).map { k =>
+        sum(when(substring(col("m"), k / 4 + 1, 1)
+          .isin(bitSets(k % 4): _*), 1).otherwise(-1)).as(s"v$k")
+      }
+      val votes = toks.groupBy(col("doc_id"))
+        .agg(voteAggs.head, voteAggs.tail: _*)
+      val sigs = votes.select(col("doc_id"),
+        (0 until 64).map(k =>
+          when(col(s"v$k") > 0, lit(1L << k)).otherwise(lit(0L)))
+          .reduce(_ + _).as("sig"))
+      Dedup.simhashNearDupsFromSigs(sigs, "doc_id", "sig",
+          maxHamming = 3)
+        .select(col("id_a"), col("id_b"),
+          col("hamming").cast("long").as("hamming"))
         .orderBy(col("id_a"), col("id_b"))
     }
 

@@ -240,14 +240,27 @@ object Dedup {
     * over-cap star-pair skew guard as [[minhashCandidates]]. */
   def simhashNearDups(df: DataFrame, textCol: String, idCol: String,
       maxHamming: Int = 3, bits: Int = 64,
+      maxBucketSize: Int = 1000): DataFrame =
+    simhashNearDupsFromSigs(
+      df.select(col(idCol), simhash(col(textCol), bits).as("sig")),
+      idCol, "sig", maxHamming, bits, maxBucketSize)
+
+  /** [[simhashNearDups]] over PRECOMPUTED signatures — for corpora
+    * whose simhashes are already stored (the standing-corpus shape:
+    * signatures are computed once at ingest, pair detection re-runs),
+    * or for alternative signature functions (cross-engine-portable
+    * md5-derived signatures, character-level simhash). Same pigeonhole
+    * block join, skew cap, and XOR-popcount verify. */
+  def simhashNearDupsFromSigs(sigDf: DataFrame, idCol: String,
+      sigCol: String, maxHamming: Int = 3, bits: Int = 64,
       maxBucketSize: Int = 1000): DataFrame = {
     val nBlocks = maxHamming + 1
     require(bits % nBlocks == 0,
       s"bits $bits must divide into ${nBlocks} blocks")
     val blockBits = bits / nBlocks
     val mask = if (blockBits == 64) -1L else (1L << blockBits) - 1
-    val sigs = df
-      .select(col(idCol), simhash(col(textCol), bits).as("sig"))
+    val sigs = sigDf
+      .select(col(idCol), col(sigCol).as("sig"))
       .localCheckpoint(false) // feeds block explode + both verify sides
     val banded = sigs.select(col(idCol), col("sig"),
       explode(array((0 until nBlocks).map(b =>
