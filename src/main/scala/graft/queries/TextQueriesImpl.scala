@@ -184,50 +184,46 @@ object TextQueriesImpl {
         .orderBy(col("doc_id"))
     }
 
+    // n-gram Jaccard baseline, blocked on the portable rolling
+    // fingerprint (min md5 over word shingles) instead of the old
+    // (lang, source) key: block sizes track clone-cluster sizes (max 4
+    // at sf0.01, vs ~1/8 of the corpus per (lang, source) block), so
+    // BOTH engines stay near-linear — the gate no longer ships a
+    // block-quadratic join as the default path. Runs the real
+    // Dedup.ngramJaccardPairs with the fingerprint as blockingCols.
     register("q67_ngram_jaccard_pairs",
-      """WITH sh AS (
-        |  SELECT doc_id, lang, source,
+      """WITH t AS (SELECT doc_id,
+        |    REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+') AS tok
+        |  FROM documents),
+        |sh AS (SELECT doc_id,
         |    LIST_DISTINCT(LIST_TRANSFORM(GENERATE_SERIES(1,
-        |      GREATEST(LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)),
-        |        '\s+')) - 2, 1)),
-        |      j -> CONCAT_WS(' ',
-        |        REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+')[j],
-        |        REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+')[j+1],
-        |        REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+')[j+2])))
-        |      AS g
-        |  FROM documents)
+        |      GREATEST(LEN(tok) - 2, 1)),
+        |      j -> CONCAT_WS(' ', tok[j], tok[j+1], tok[j+2]))) AS g,
+        |    LIST_MIN(LIST_TRANSFORM(LIST_TRANSFORM(GENERATE_SERIES(1,
+        |      GREATEST(LEN(tok) - 2, 1)),
+        |      j -> CONCAT_WS(' ', tok[j], tok[j+1], tok[j+2])),
+        |      x -> MD5(x))) AS bkt
+        |  FROM t)
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |  ROUND(CAST(LEN(LIST_INTERSECT(a.g, b.g)) AS DOUBLE)
         |    / (LEN(a.g) + LEN(b.g) - LEN(LIST_INTERSECT(a.g, b.g))), 6)
         |    AS jaccard
         |FROM sh a JOIN sh b
-        |  ON a.lang = b.lang AND a.source = b.source
-        |  AND a.doc_id < b.doc_id
-        |ORDER BY jaccard DESC, id_a, id_b LIMIT 100""".stripMargin) {
-      (s, dir) =>
+        |  ON a.bkt = b.bkt AND a.doc_id < b.doc_id
+        |WHERE CAST(LEN(LIST_INTERSECT(a.g, b.g)) AS DOUBLE)
+        |    / (LEN(a.g) + LEN(b.g) - LEN(LIST_INTERSECT(a.g, b.g)))
+        |    >= 0.3
+        |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
       val docs = table(s, dir, "documents")
-      // hashed distinct shingles: long-array intersection is far cheaper
-      // than string arrays and the SIZES (all the oracle needs) match
-      val sh = docs
         .withColumn("toks_", TextAnalysis.tokens(lower(col("text"))))
-        .select(col("doc_id"), col("lang"), col("source"),
-          array_distinct(transform(
-            TextAnalysis.shinglesFromTokens(col("toks_"), 3),
-            x => xxhash64(x))).as("g"))
-      val a = sh.select(col("lang"), col("source"),
-        col("doc_id").as("id_a"), col("g").as("ga"))
-      val b = sh.select(col("lang"), col("source"),
-        col("doc_id").as("id_b"), col("g").as("gb"))
-      val paired = a.join(b, Seq("lang", "source"))
-        .where(col("id_a") < col("id_b"))
-        .withColumn("ni",
-          size(array_intersect(col("ga"), col("gb"))).cast("double"))
-      paired
-        .withColumn("jaccard", round(col("ni") /
-          (size(col("ga")) + size(col("gb")) - col("ni")), 6))
-        .select(col("id_a"), col("id_b"), col("jaccard"))
-        .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))
-        .limit(100)
+        .withColumn("sh_",
+          TextAnalysis.shinglesFromTokens(col("toks_"), 3))
+        .withColumn("bkt_",
+          TextAnalysis.rollingFingerprintFromShingles(col("sh_")))
+      Dedup.ngramJaccardPairs(docs, "text", "doc_id", k = 3,
+          minJaccard = 0.3, blockingCols = Seq(col("bkt_")))
+        .withColumn("jaccard", round(col("jaccard"), 6))
+        .orderBy(col("id_a"), col("id_b"))
     }
 
     // xxhash64-based scale paths: spec-tested, rows-only at the gate.

@@ -302,14 +302,29 @@ object Dedup {
       minJaccard, maxBucketSize)
   }
 
-  /** n-gram Jaccard near-dup pairs with cheap blocking (shared rolling
-    * fingerprint bucket) — the non-LSH baseline. */
+  /** n-gram Jaccard near-dup pairs: ALL pairs within each block get an
+    * exact string-shingle Jaccard — the non-LSH baseline.
+    *
+    * SCALE WARNING: work is quadratic in the largest block. With no
+    * `blockingCols` this is a full cross join; with a coarse key (e.g.
+    * language) one dominant block is O(n²). Use a fingerprint bucket
+    * ([[TextAnalysis.rollingFingerprint]] /
+    * [[TextAnalysis.rollingFingerprintFromShingles]]) whose block
+    * sizes track clone-cluster sizes, or the LSH production path
+    * [[nearDupPairs]]. */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
       k: Int = 3, minJaccard: Double = 0.3,
       blockingCols: Seq[Column] = Nil): DataFrame = {
-    val withSh = df.select(col(idCol) +:
-      TextAnalysis.wordShingles(col(textCol), k).as("sh") +:
-      blockingCols: _*)
+    require(!df.columns.contains("toks__"),
+      "input already has reserved working column toks__")
+    // materialize tokens BEFORE shingling: shinglesFromTokens over an
+    // inline split would re-evaluate the split per element (O(tokens²)
+    // per row)
+    val withSh = df
+      .withColumn("toks__", TextAnalysis.tokens(lower(col(textCol))))
+      .select(col(idCol) +:
+        TextAnalysis.shinglesFromTokens(col("toks__"), k).as("sh") +:
+        blockingCols: _*)
     val blockNames = blockingCols.indices.map(i => s"blk$i")
     val named = blockNames.zipWithIndex.foldLeft(withSh) {
       case (d, (n, i)) => d.withColumnRenamed(

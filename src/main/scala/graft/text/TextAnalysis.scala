@@ -91,6 +91,15 @@ object TextAnalysis {
     array_min(transform(sh, s => xxhash64(s)))
   }
 
+  /** [[rollingFingerprint]] over an already-materialized shingle array,
+    * with a cross-engine-portable hash (md5 hex string): two documents
+    * share the fingerprint iff they share their lexicographically
+    * minimal shingle hash — a near-dup blocking key whose block sizes
+    * track clone-cluster sizes, not corpus size. Probability two docs
+    * at jaccard j share it is ~j (the minhash identity). */
+  def rollingFingerprintFromShingles(sh: Column): Column =
+    array_min(transform(sh, s => md5(to_binary(s, lit("utf-8")))))
+
   /** Occurrence count of the most frequent element of an
     * already-materialized array column (pass a bound column, not an
     * inline expression — lambda bodies re-evaluate captures per
