@@ -319,12 +319,18 @@ object Dedup {
       "input already has reserved working column toks__")
     // materialize tokens BEFORE shingling: shinglesFromTokens over an
     // inline split would re-evaluate the split per element (O(tokens²)
-    // per row)
+    // per row). The localCheckpoint is load-bearing, not a cache hint:
+    // without it the join's isnotnull(blockKey) filter is pushed below
+    // the projections with the aliases substituted — re-deriving the
+    // whole blocking expression per row WITH the split inlined into
+    // the per-element lambdas (O(tokens²) again, 10× wall-clock at
+    // sf0.1) — and the shingle arrays are recomputed per join side.
     val withSh = df
       .withColumn("toks__", TextAnalysis.tokens(lower(col(textCol))))
       .select(col(idCol) +:
         TextAnalysis.shinglesFromTokens(col("toks__"), k).as("sh") +:
         blockingCols: _*)
+      .localCheckpoint(false)
     val blockNames = blockingCols.indices.map(i => s"blk$i")
     val named = blockNames.zipWithIndex.foldLeft(withSh) {
       case (d, (n, i)) => d.withColumnRenamed(
