@@ -80,26 +80,35 @@ object Dedup {
       .select(col("p.a").as("a"), col("p.b").as("b"))
   }
 
+  /** Exploded (idCol, s) rows — one row per (document, word-shingle),
+    * `s` the 64-bit shingle hash. This is the shared upstream of every
+    * minhash path (signatures, banding, set verification) and the
+    * expensive part of all of them (tokenize + shingle + hash +
+    * explode over the full corpus). Compute it ONCE per corpus —
+    * at ingest, or checkpointed at the head of a multi-query session —
+    * and feed the `*FromHashes` variants; every downstream hash is an
+    * 8-byte remix of `s`, never a re-scan of text. */
+  def shingleHashes(df: DataFrame, textCol: String, idCol: String,
+      k: Int = 3): DataFrame = df
+    .withColumn("toks__", TextAnalysis.tokens(lower(col(textCol))))
+    .select(col(idCol),
+      explode(TextAnalysis.shinglesFromTokens(col("toks__"), k))
+        .as("sh_str"))
+    .select(col(idCol), xxhash64(col("sh_str")).as("s"))
+
   /** Shared LSH front half: per-doc distinct hashed-shingle sets
-    * (`gh`) and banded bucket keys. Materialized once (lazy
-    * localCheckpoint) — the frame feeds the band explode and both
-    * verify sides, and Catalyst would otherwise re-plan the
-    * scan+explode+aggregate per branch (no ReuseExchange — downstream
-    * projections differ). */
-  private def signatureBands(df: DataFrame, textCol: String,
-      idCol: String, numHashes: Int, bands: Int, k: Int)
-      : (DataFrame, DataFrame) = {
+    * (`gh`) and banded bucket keys, from precomputed [[shingleHashes]]
+    * rows. Materialized once (lazy localCheckpoint) — the frame feeds
+    * the band explode and both verify sides, and Catalyst would
+    * otherwise re-plan the aggregate per branch (no ReuseExchange —
+    * downstream projections differ). */
+  private def signatureBandsFromHashes(hashed: DataFrame, idCol: String,
+      numHashes: Int, bands: Int): (DataFrame, DataFrame) = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rowsPerBand = numHashes / bands
-    val exploded = df
-      .withColumn("toks_", TextAnalysis.tokens(lower(col(textCol))))
-      .select(col(idCol),
-        explode(TextAnalysis.shinglesFromTokens(col("toks_"), k))
-          .as("sh_str"))
-      .select(col(idCol), xxhash64(col("sh_str")).as("s"))
     val minAggs = (0 until numHashes).map(i =>
       min(xxhash64(lit(i), col("s"))).as(s"h$i"))
-    val sigAndSet = exploded.groupBy(col(idCol))
+    val sigAndSet = hashed.groupBy(col(idCol))
       .agg(minAggs.head, (minAggs.tail :+
         collect_set(col("s")).as("gh")): _*)
       .localCheckpoint(false)
@@ -113,6 +122,12 @@ object Dedup {
             lit(rowsPerBand))))).as("bucket"))
     (docSets, banded)
   }
+
+  private def signatureBands(df: DataFrame, textCol: String,
+      idCol: String, numHashes: Int, bands: Int, k: Int)
+      : (DataFrame, DataFrame) =
+    signatureBandsFromHashes(shingleHashes(df, textCol, idCol, k),
+      idCol, numHashes, bands)
 
   /** Incremental near-dup detection: which DELTA documents (today's
     * ingest) near-duplicate an existing CORPUS document — the daily
@@ -139,11 +154,30 @@ object Dedup {
   def nearDupAgainstCorpus(delta: DataFrame, corpus: DataFrame,
       textCol: String, idCol: String, numHashes: Int = 128,
       bands: Int = 16, k: Int = 3, minJaccard: Double = 0.5,
-      maxBucketSize: Int = 200): DataFrame = {
-    val (dSets, dBands) = signatureBands(delta, textCol, idCol,
-      numHashes, bands, k)
-    val (cSets, cBands) = signatureBands(corpus, textCol, idCol,
-      numHashes, bands, k)
+      maxBucketSize: Int = 200): DataFrame =
+    deltaVsCorpusFromBands(
+      signatureBands(delta, textCol, idCol, numHashes, bands, k),
+      signatureBands(corpus, textCol, idCol, numHashes, bands, k),
+      idCol, minJaccard, maxBucketSize)
+
+  /** [[nearDupAgainstCorpus]] over precomputed [[shingleHashes]] rows
+    * for each side (per-doc hashes are independent, so filters of one
+    * shared corpus frame work) — the true incremental shape: corpus
+    * hashes computed once at ingest, only the delta is new text. */
+  def nearDupAgainstCorpusFromHashes(deltaHashed: DataFrame,
+      corpusHashed: DataFrame, idCol: String, numHashes: Int = 128,
+      bands: Int = 16, minJaccard: Double = 0.5,
+      maxBucketSize: Int = 200): DataFrame =
+    deltaVsCorpusFromBands(
+      signatureBandsFromHashes(deltaHashed, idCol, numHashes, bands),
+      signatureBandsFromHashes(corpusHashed, idCol, numHashes, bands),
+      idCol, minJaccard, maxBucketSize)
+
+  private def deltaVsCorpusFromBands(d: (DataFrame, DataFrame),
+      c: (DataFrame, DataFrame), idCol: String, minJaccard: Double,
+      maxBucketSize: Int): DataFrame = {
+    val (dSets, dBands) = d
+    val (cSets, cBands) = c
     val cCapped = cBands.groupBy(col("bucket"))
       .agg(sort_array(collect_set(col(idCol))).as("ids"))
       .select(col("bucket"),
@@ -169,9 +203,22 @@ object Dedup {
 
   def minhashCandidates(df: DataFrame, textCol: String, idCol: String,
       numHashes: Int = 128, bands: Int = 16, k: Int = 3,
-      minJaccard: Double = 0.5, maxBucketSize: Int = 200): DataFrame = {
-    val (docSets, banded) = signatureBands(df, textCol, idCol,
-      numHashes, bands, k)
+      minJaccard: Double = 0.5, maxBucketSize: Int = 200): DataFrame =
+    candidatesFromBands(signatureBands(df, textCol, idCol, numHashes,
+      bands, k), idCol, minJaccard, maxBucketSize)
+
+  /** [[minhashCandidates]] over precomputed [[shingleHashes]] rows —
+    * skips the corpus text scan entirely. */
+  def minhashCandidatesFromHashes(hashed: DataFrame, idCol: String,
+      numHashes: Int = 128, bands: Int = 16,
+      minJaccard: Double = 0.5, maxBucketSize: Int = 200): DataFrame =
+    candidatesFromBands(signatureBandsFromHashes(hashed, idCol,
+      numHashes, bands), idCol, minJaccard, maxBucketSize)
+
+  private def candidatesFromBands(sets: (DataFrame, DataFrame),
+      idCol: String, minJaccard: Double, maxBucketSize: Int)
+      : DataFrame = {
+    val (docSets, banded) = sets
     val buckets = banded.groupBy(col("bucket"))
       .agg(sort_array(collect_list(col(idCol))).as("ids"))
       .where(size(col("ids")) >= 2)
@@ -293,13 +340,22 @@ object Dedup {
     * 0.3 -> 64 bands of 2). */
   def nearDupPairs(df: DataFrame, textCol: String, idCol: String,
       k: Int = 3, minJaccard: Double = 0.5, numHashes: Int = 128,
-      maxBucketSize: Int = 200): DataFrame = {
+      maxBucketSize: Int = 200): DataFrame =
+    minhashCandidates(df, textCol, idCol, numHashes,
+      bandsFor(numHashes, minJaccard), k, minJaccard, maxBucketSize)
+
+  /** [[nearDupPairs]] over precomputed [[shingleHashes]] rows. */
+  def nearDupPairsFromHashes(hashed: DataFrame, idCol: String,
+      minJaccard: Double = 0.5, numHashes: Int = 128,
+      maxBucketSize: Int = 200): DataFrame =
+    minhashCandidatesFromHashes(hashed, idCol, numHashes,
+      bandsFor(numHashes, minJaccard), minJaccard, maxBucketSize)
+
+  private def bandsFor(numHashes: Int, minJaccard: Double): Int = {
     val bandChoices = (1 to numHashes).filter(numHashes % _ == 0)
-    val bands = bandChoices.find { b =>
+    bandChoices.find { b =>
       math.pow(1.0 / b, b.toDouble / numHashes) <= 0.8 * minJaccard
     }.getOrElse(bandChoices.last)
-    minhashCandidates(df, textCol, idCol, numHashes, bands, k,
-      minJaccard, maxBucketSize)
   }
 
   /** n-gram Jaccard near-dup pairs: ALL pairs within each block get an
