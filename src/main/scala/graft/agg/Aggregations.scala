@@ -64,6 +64,9 @@ object Aggregations {
   def rollingTimeAgg(df: DataFrame, tsCol: String, valueCol: String,
       windowSeconds: Long, partitionCols: Seq[String] = Nil)
       : DataFrame = {
+    if (partitionCols.isEmpty)
+      graft.core.ScaleGuard.unpartitionedWindow(df,
+        "Aggregations.rollingTimeAgg")
     val w = (if (partitionCols.isEmpty)
         Window.orderBy(unix_micros(col(tsCol)))
       else Window.partitionBy(partitionCols.map(col): _*)

@@ -200,6 +200,9 @@ object Cascade {
       hourly: Boolean = true, level: Int = 9, shift: Int = 0,
       seed: Long = 42L, partitionCols: Seq[String] = Nil): DataFrame = {
     val si = if (hourly) 5 else level
+    if (partitionCols.isEmpty)
+      graft.core.ScaleGuard.unpartitionedWindow(daily,
+        "Cascade.disaggregate")
     stats match {
       case Right(l) => require(l.length == si,
         s"stats list must have $si elements")
@@ -490,6 +493,9 @@ object Cascade {
   def aggregateStep(df: DataFrame, pct: Double,
       partitionCols: Seq[String] = Nil)
       : (CascadeStatistics, DataFrame) = {
+    if (partitionCols.isEmpty)
+      graft.core.ScaleGuard.unpartitionedWindow(df,
+        "Cascade.aggregateStep")
     val pcols = partitionCols.map(col)
     val w = (if (partitionCols.isEmpty) Window.orderBy(col("idx"))
       else Window.partitionBy(pcols: _*).orderBy(col("idx")))

@@ -158,6 +158,10 @@ object TimeSeries {
       s"reserved column names: ${reserved.mkString(", ")}")
     require(!valueCols.exists(leftCols.contains),
       s"left already has ${valueCols.filter(leftCols.contains)}")
+    if (partitionCols.isEmpty) {
+      ScaleGuard.unpartitionedWindow(left, "TimeSeries.asofJoin")
+      ScaleGuard.unpartitionedWindow(right, "TimeSeries.asofJoin")
+    }
     // The matched row travels as ONE struct (its ts + its values), so
     // tolerance/distance and the emitted values always come from the
     // SAME right row — a null value in the matched row stays null
@@ -302,6 +306,8 @@ object TimeSeries {
       limit: Int, partitionCols: Seq[String] = Nil,
       byRow: Boolean = false, limitDirection: String = "forward")
       : DataFrame = {
+    if (partitionCols.isEmpty)
+      ScaleGuard.unpartitionedWindow(df, "TimeSeries.interpolateLinear")
     def base = if (partitionCols.isEmpty) Window.orderBy(col(tsCol))
       else Window.partitionBy(partitionCols.map(col): _*).orderBy(col(tsCol))
     val wPrev = base.rowsBetween(Window.unboundedPreceding, 0)
@@ -353,6 +359,8 @@ object TimeSeries {
       partitionCols: Seq[String])(
       build: (Column, Column, Column, Column, Column, Column) => Column)
       : DataFrame = {
+    if (partitionCols.isEmpty)
+      ScaleGuard.unpartitionedWindow(df, "TimeSeries null-filling")
     def base = if (partitionCols.isEmpty) Window.orderBy(col(tsCol))
       else Window.partitionBy(partitionCols.map(col): _*).orderBy(col(tsCol))
     val wPrev = base.rowsBetween(Window.unboundedPreceding, 0)

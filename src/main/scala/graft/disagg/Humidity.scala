@@ -26,6 +26,9 @@ object Humidity {
       monthHourPrecipMean: DataFrame = null,
       preserveDailyMean: Boolean = false,
       partitionCols: Seq[String] = Nil): DataFrame = {
+    if (partitionCols.isEmpty)
+      graft.core.ScaleGuard.unpartitionedWindow(daily,
+        "Humidity.disaggregate")
     val pcols = partitionCols.map(col)
     val joinKeys = partitionCols :+ "date"
 

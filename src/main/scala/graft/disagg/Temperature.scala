@@ -107,12 +107,18 @@ object Temperature {
       minMaxTime: String = "fix", modNighttime: Boolean = false,
       maxDelta: Map[Int, Double] = Map.empty,
       meanCourse: DataFrame = null,
-      partitionCols: Seq[String] = Nil): DataFrame = method match {
-    case "sine_min_max" | "sine" | "sine_mean" =>
-      sine(daily, method, minMaxTime, modNighttime, maxDelta, partitionCols)
-    case "mean_course_min_max" | "mean_course_mean" =>
-      meanCourseMethod(daily, method, meanCourse, partitionCols)
-    case other => throw new IllegalArgumentException(other)
+      partitionCols: Seq[String] = Nil): DataFrame = {
+    if (partitionCols.isEmpty)
+      graft.core.ScaleGuard.unpartitionedWindow(daily,
+        "Temperature.disaggregate")
+    method match {
+      case "sine_min_max" | "sine" | "sine_mean" =>
+        sine(daily, method, minMaxTime, modNighttime, maxDelta,
+          partitionCols)
+      case "mean_course_min_max" | "mean_course_mean" =>
+        meanCourseMethod(daily, method, meanCourse, partitionCols)
+      case other => throw new IllegalArgumentException(other)
+    }
   }
 
   private def hourlyExpand(daily: DataFrame, partitionCols: Seq[String])
