@@ -9,11 +9,13 @@ import org.apache.spark.sql.functions._
   *
   * Image payloads are REALLY decoded: `decodeImage` runs the pure-JVM
   * `javax.imageio` codecs (PNG/BMP/GIF/JPEG) and extracts pixel
-  * statistics. Payloads no JVM codec accepts — and the audio/video
-  * modalities, whose codec libraries are not in this container — fall
-  * back to `fakeDecode`, a clearly marked deterministic STUB with the
-  * same feature shape, so the pipeline is total either way and swapping
-  * in a JNI/FFI codec changes nothing Spark-side.
+  * statistics; WAV/PCM audio and the two pure-JVM video containers
+  * (animated GIF, MJPEG-in-AVI) are really parsed too. Payloads no JVM
+  * codec accepts (h264/mp4 and friends, whose codec libraries are not
+  * in this container) fall back to `fakeDecode`, a clearly marked
+  * deterministic STUB with the same feature shape, so the pipeline is
+  * total either way and swapping in a JNI/FFI codec changes nothing
+  * Spark-side.
   *
   * Scale: `mapPartitions` keeps per-batch decode state (a real codec's
   * native context) per partition, preserves partitioning, and never
@@ -268,24 +270,121 @@ object Multimodal {
     } catch { case _: Exception => None }
   }
 
-  /** Frame sampling for video rows: animated-GIF payloads go through
-    * the REAL decoder (`decodeGifFrames` — evenly-spaced frames,
-    * re-encoded PNG); payloads needing absent codecs fall back to
-    * `fps`-spaced deterministic stub slices, so the pipeline shape is
-    * identical either way. */
+  /** Real frame extraction for MJPEG-in-AVI payloads — the one true
+    * VIDEO container the JVM can decode without codec libraries: AVI
+    * is a RIFF chunk tree (the same walk as the WAV parser above) and
+    * every video chunk (`##dc`/`##db`) of an MJPEG stream is a
+    * standalone JPEG, which `javax.imageio` decodes natively. Picks up
+    * to `maxFrames` frames evenly spaced over the stream, re-encodes
+    * each as PNG (same output contract as [[decodeGifFrames]]), and
+    * stamps REAL timing from the `avih` microseconds-per-frame field.
+    * Returns None — caller falls back to the stub — for anything that
+    * is not a RIFF AVI whose chosen video chunks decode as JPEG
+    * (h264/mp4 etc. still need absent codec libraries). */
+  def decodeAviMjpegFrames(content: Array[Byte], maxFrames: Int)
+      : Option[Seq[(Double, Array[Byte])]] =
+    try decodeAviMjpegImpl(content, maxFrames)
+    catch { case scala.util.control.NonFatal(_) => None }
+
+  private def decodeAviMjpegImpl(content: Array[Byte], maxFrames: Int)
+      : Option[Seq[(Double, Array[Byte])]] = {
+    def le32(o: Int): Long =
+      ((content(o) & 0xffL)) | ((content(o + 1) & 0xffL) << 8) |
+        ((content(o + 2) & 0xffL) << 16) | ((content(o + 3) & 0xffL) << 24)
+    def tag(o: Int): String =
+      new String(content, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    if (content.length < 12 || tag(0) != "RIFF" || tag(8) != "AVI ")
+      return None
+    var usPerFrame = 0L
+    val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    // RIFF chunk walk, recursing into LISTs (hdrl carries avih, movi —
+    // possibly via nested 'rec ' lists — carries the frame chunks).
+    // All bounds in Long: a lying size must not overflow into
+    // acceptance (same hardening as the WAV parser).
+    def walk(start: Int, end: Int): Unit = {
+      var off = start
+      while (off + 8 <= end) {
+        val id = tag(off); val sz = le32(off + 4)
+        if (off + 8L + sz > end) return
+        if (id == "LIST" && sz >= 4) walk(off + 12, (off + 8L + sz).toInt)
+        else if (id == "avih") { if (sz >= 4) usPerFrame = le32(off + 8) }
+        else if (id.length == 4 && id(0).isDigit && id(1).isDigit &&
+          (id.substring(2) == "dc" || id.substring(2) == "db") && sz > 0)
+          frames += ((off + 8, sz.toInt))
+        off += 8 + sz.toInt + (sz.toInt & 1) // chunks are word-aligned
+      }
+    }
+    walk(12, content.length)
+    if (frames.isEmpty) return None
+    val take = math.min(maxFrames, frames.length)
+    val idxs = if (take == 1) Seq(0)
+      else (0 until take).map(i => i * (frames.length - 1) / (take - 1))
+    val out = idxs.map { i =>
+      val (o, sz) = frames(i)
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(content, o, sz))
+      if (img == null) return None // not MJPEG -> stub fallback
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      (i * usPerFrame / 1e6, bos.toByteArray)
+    }
+    Some(out)
+  }
+
+  /** The inverse boundary — wrap already-JPEG frames into a minimal
+    * playable MJPEG AVI (RIFF / hdrl / movi, one `00dc` chunk per
+    * frame). Lets sampled or synthesized frames ship as a video
+    * artifact, and makes the decode path round-trip-testable without
+    * external fixtures. */
+  def encodeMjpegAvi(jpegFrames: Seq[Array[Byte]], usPerFrame: Long,
+      width: Int, height: Int): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    def le32(v: Long): Array[Byte] = Array(
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def chunk(id: String, data: Array[Byte]): Array[Byte] = {
+      val pad = if (data.length % 2 == 1) Array(0.toByte)
+        else Array.empty[Byte]
+      id.getBytes("US-ASCII") ++ le32(data.length) ++ data ++ pad
+    }
+    def list(typ: String, payload: Array[Byte]): Array[Byte] =
+      chunk("LIST", typ.getBytes("US-ASCII") ++ payload)
+    // avih: dwMicroSecPerFrame, then (zeroed) rate/flags/counts plus
+    // width/height — enough structure for strict parsers to walk
+    val avih = chunk("avih", le32(usPerFrame) ++ le32(0) ++ le32(0) ++
+      le32(0) ++ le32(jpegFrames.length) ++ le32(0) ++ le32(1) ++
+      le32(0) ++ le32(width) ++ le32(height) ++ Array.fill(16)(0.toByte))
+    val movi = list("movi",
+      jpegFrames.flatMap(f => chunk("00dc", f)).toArray)
+    val body = "AVI ".getBytes("US-ASCII") ++ list("hdrl", avih) ++ movi
+    bos.write("RIFF".getBytes("US-ASCII"))
+    bos.write(le32(body.length))
+    bos.write(body)
+    bos.toByteArray
+  }
+
+  /** Frame sampling for video rows: animated-GIF and MJPEG-AVI
+    * payloads go through the REAL decoders (`decodeGifFrames` /
+    * `decodeAviMjpegFrames` — evenly-spaced frames, re-encoded PNG,
+    * AVI with container-true timing); payloads needing absent codecs
+    * fall back to `fps`-spaced deterministic stub slices, so the
+    * pipeline shape is identical either way. */
   def sampleFrames(media: Dataset[MediaRow], fps: Double = 1.0,
       maxFrames: Int = 8): Dataset[Frame] = {
     import media.sparkSession.implicits._
     media.filter(_.modality == "video").flatMap { r =>
-      decodeGifFrames(r.content, maxFrames) match {
-        case Some(frames) =>
-          frames.iterator.zipWithIndex.map { case (png, i) =>
-            Frame(r.media_id, i, i / fps, png)
-          }
-        case None =>
+      decodeGifFrames(r.content, maxFrames)
+        .map(_.zipWithIndex.map { case (png, i) =>
+          Frame(r.media_id, i, i / fps, png)
+        })
+        .orElse(decodeAviMjpegFrames(r.content, maxFrames)
+          .map(_.zipWithIndex.map { case ((off, png), i) =>
+            Frame(r.media_id, i, off, png)
+          }))
+        .getOrElse {
           val n = math.min(maxFrames, math.max(1,
             (r.duration_s * fps).toInt))
-          (0 until n).iterator.map { i =>
+          (0 until n).map { i =>
             val offset = i / fps
             val sliceStart = if (r.content.isEmpty) 0
               else (i * 7) % math.max(1, r.content.length - 1)
@@ -293,7 +392,7 @@ object Multimodal {
               r.content.slice(sliceStart,
                 math.min(r.content.length, sliceStart + 16)))
           }
-      }
+        }.iterator
     }
   }
 

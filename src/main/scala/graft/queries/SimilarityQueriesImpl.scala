@@ -190,11 +190,31 @@ object SimilarityQueriesImpl {
     registerRowsOnly("q75_video_frame_sample") { (s, dir) =>
       val spark = s
       import spark.implicits._
+      // half the video rows carry a REAL MJPEG-AVI payload (built
+      // deterministically on the driver, shipped as a literal), so the
+      // gate exercises the real container walk + JPEG decode + PNG
+      // re-encode; the rest keep text bytes and take the stub path.
+      val avi = Multimodal.encodeMjpegAvi(
+        (0 until 6).map { i =>
+          val img = new java.awt.image.BufferedImage(8, 8,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val c = Seq(0xff0000, 0x00ff00, 0x0000ff, 0xffff00,
+            0x00ffff, 0xff00ff)(i)
+          for (y <- 0 until 8; x <- 0 until 8) img.setRGB(x, y, c)
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "jpg", bos)
+          bos.toByteArray
+        }, usPerFrame = 40000L, width = 8, height = 8)
       val media = Multimodal.syntheticMediaTable(
-        table(s, dir, "documents"), "doc_id", "text")
+          table(s, dir, "documents"), "doc_id", "text")
+        .withColumn("content",
+          when(col("modality") === "video" &&
+            pmod(col("media_id"), lit(2)) === 0, lit(avi))
+            .otherwise(col("content")))
         .as[Multimodal.MediaRow]
       Multimodal.sampleFrames(media, fps = 0.5, maxFrames = 4).toDF()
-        .select(col("media_id"), col("frame_index"), col("offset_s"),
+        .select(col("media_id"), col("frame_index"),
+          round(col("offset_s"), 6).as("offset_s"),
           length(col("content")).as("n_bytes"))
         .orderBy(col("media_id"), col("frame_index"))
     }

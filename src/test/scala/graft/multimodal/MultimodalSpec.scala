@@ -213,6 +213,63 @@ class MultimodalSpec extends AnyFunSuite {
     assert(stubFrames.forall(!_.content.startsWith(pngMagic)))
   }
 
+  /** Solid-color JPEG frame. */
+  private def jpegBytes(c: Int, w: Int = 8, h: Int = 8): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, c)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
+  test("MJPEG-AVI round trip: real frames, real container timing") {
+    val avi = Multimodal.encodeMjpegAvi(
+      Seq(jpegBytes(0xff0000), jpegBytes(0x00ff00), jpegBytes(0x0000ff),
+        jpegBytes(0xffffff)),
+      usPerFrame = 40000L, width = 8, height = 8) // 25 fps
+    val all = Multimodal.decodeAviMjpegFrames(avi, maxFrames = 8).get
+    assert(all.length == 4)
+    // container-true timing: frame i at i * 40000 us
+    assert(all.map(_._1) == Seq(0.0, 0.04, 0.08, 0.12))
+    // each frame is a decodable PNG of the right color (JPEG is lossy,
+    // so assert dominance, not exact values)
+    val feats = all.map { case (_, png) => Multimodal.decodeImage(png).get }
+    assert(feats.forall(f => f(1) == 8.0f && f(2) == 8.0f))
+    assert(feats(0)(3) > 0.7f && feats(0)(4) < 0.4f) // red frame
+    assert(feats(1)(4) > 0.7f)                        // green frame
+    assert(feats(2)(5) > 0.7f)                        // blue frame
+    // even down-sampling keeps first and last frames
+    val two = Multimodal.decodeAviMjpegFrames(avi, maxFrames = 2).get
+    assert(two.map(_._1) == Seq(0.0, 0.12))
+    val f2 = two.map { case (_, png) => Multimodal.decodeImage(png).get }
+    assert(f2(0)(3) > 0.7f, "first frame is the red one")
+    assert(f2(1)(3) > 0.7f && f2(1)(4) > 0.7f && f2(1)(5) > 0.7f,
+      "last frame is the white one")
+    // rejects non-AVI and non-JPEG video chunks
+    assert(Multimodal.decodeAviMjpegFrames("not an avi".getBytes, 8).isEmpty)
+    assert(Multimodal.decodeAviMjpegFrames(
+      Multimodal.encodeMjpegAvi(Seq("not a jpeg".getBytes), 1000L, 8, 8),
+      8).isEmpty)
+  }
+
+  test("sampleFrames routes MJPEG-AVI videos through the real decoder") {
+    val avi = Multimodal.encodeMjpegAvi(
+      Seq(jpegBytes(0xff0000), jpegBytes(0x00ff00)), 40000L, 8, 8)
+    val pngMagic = Array[Byte](0x89.toByte, 'P', 'N', 'G')
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "video", avi, 8, 8, 1.0),
+      Multimodal.MediaRow(2L, "video", "raw payload".getBytes, 0, 0, 2.0))
+    val out = Multimodal.sampleFrames(rows.toDS(), fps = 1.0,
+      maxFrames = 8).collect().sortBy(r => (r.media_id, r.frame_index))
+    val aviFrames = out.filter(_.media_id == 1L)
+    assert(aviFrames.length == 2)
+    assert(aviFrames.forall(_.content.startsWith(pngMagic)))
+    assert(aviFrames.map(_.offset_s).toSeq == Seq(0.0, 0.04))
+    assert(out.filter(_.media_id == 2L)
+      .forall(!_.content.startsWith(pngMagic)))
+  }
+
   test("sampleFrames only emits for video, bounded by maxFrames") {
     val ds = media.as[Multimodal.MediaRow]
     val frames = Multimodal.sampleFrames(ds, fps = 1.0, maxFrames = 5)
