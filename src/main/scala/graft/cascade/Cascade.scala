@@ -487,6 +487,24 @@ object Cascade {
     repair(s.copy(threshold = Array(meanvol), percentile = pct))
   }
 
+  /** Paired + classified wet parents of ONE aggregation step with the
+    * wet-volume threshold SUPPLIED rather than derived — the
+    * intermediate the calibration count matrices aggregate over,
+    * exposed so a streaming twin (StreamingAgg.cascadeClassifyStream)
+    * can be proven equal to the batch classification, and so users can
+    * inspect per-pair classes. Input shape as [[aggregateStep]]
+    * (idx, v, ts). Returns one row per WET parent:
+    * (idx/pair, v, r1, r2, ba, bt). */
+  def classifiedPairs(df: DataFrame, meanvol: Double,
+      partitionCols: Seq[String] = Nil): DataFrame = {
+    val pcols = partitionCols.map(col)
+    val w = (if (partitionCols.isEmpty) Window.orderBy(col("idx"))
+      else Window.partitionBy(pcols: _*).orderBy(col("idx")))
+    classifyParents(pairChildren(df, pcols, w), w, lit(meanvol))
+      .select((pcols ++ Seq(col("pair"), col("v"), col("r1"),
+        col("r2"), col("ba"), col("bt"))): _*)
+  }
+
   /** One aggregation (halving) step over a single series: pairs children,
     * classifies parents, counts branch types and weight histogram, returns
     * (statistics, parent frame for the next level). */

@@ -15,8 +15,11 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
   * the BATCH operators — `Wind.disaggregate`, `Precipitation.equal` —
   * run unchanged on a streaming daily feed in append mode with the
   * exact same plan (StreamingAggSpec proves stream ≡ batch on them).
-  * The window-shaped methods (temperature's prev/next-day extremes,
-  * humidity, cascade) are calendar-stateful and stay batch.
+  * The window-shaped disaggregation methods (temperature's
+  * prev/next-day extremes, humidity) are calendar-stateful and stay
+  * batch; the cascade's CALIBRATION half streams via
+  * [[cascadeClassifyStream]] (given a threshold from a prior
+  * calibration), its stochastic disaggregation half stays batch.
   *
   * Hourly observations arriving as a stream roll up into the same
   * daily frame `daily_from_hourly` produces in batch — event-time
@@ -92,6 +95,99 @@ object StreamingAgg {
       : DataFrame =
     docs.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(Seq(fingerprintCol))
+
+  case class PrecipObs(station: String, ts: java.sql.Timestamp,
+      v: Option[Double])
+  case class PendingPair(idx: Long, v: Option[Double],
+      r1: Option[Double], r2: Option[Double])
+  case class CascadePairState(pendingHour: Option[Long],
+      pendingV: Option[Double], pair: Option[PendingPair],
+      prevWet: Boolean, prevNan: Boolean)
+  case class ClassifiedPair(station: String, pair: Long, v: Double,
+      r1: Double, r2: Double, ba: Int, bt: Int)
+
+  private def wetOpt(v: Option[Double]): Boolean = v.exists(_ > 0)
+
+  /** Streaming twin of the cascade calibration's classification stage
+    * (the data-scale half of `Cascade.aggregateStep`): hourly
+    * precipitation arriving as a stream is paired into 2-hour parents
+    * and every WET parent is classified into the (ba, bt) calibration
+    * cell — exactly `Cascade.classifiedPairs` with the wet-volume
+    * threshold supplied from a previous calibration (the percentile
+    * itself is a full-data quantile, calibration-scale, not part of
+    * the incremental path). Downstream, the count matrices are one
+    * streaming groupBy over these rows.
+    *
+    * State per station is O(1): the half-built pair, the last complete
+    * pair (a parent classifies once its SUCCESSOR's wetness is known —
+    * one-pair lookahead), and the predecessor's wetness/NaN flags. The
+    * numpy NaN quirk is kept: a NaN-adjacent wet parent lands in the
+    * `isolated` column.
+    *
+    * Contract (mirrors the batch positional pairing): a gap-free
+    * hourly grid starting on an even epoch hour; rows inside a batch
+    * are sorted by event time, cross-batch order follows arrival
+    * (monitor semantics, like `gapStream`); grid violations fail
+    * loudly. A bounded replay flushes its final parent by appending
+    * one dry sentinel pair past the end — equivalent to the batch
+    * operator's lead=false at the series edge. */
+  def cascadeClassifyStream(obs: Dataset[PrecipObs], meanvol: Double)
+      : Dataset[ClassifiedPair] = {
+    import obs.sparkSession.implicits._
+    // capture the box-type codes as plain Ints: a reference to the
+    // BoxTypes object would drag the (non-serializable) enclosing
+    // companion into the task closure
+    val (starting, enclosed, ending, isolated) = {
+      val t = graft.cascade.CascadeStatistics.BoxTypes
+      (t.starting, t.enclosed, t.ending, t.isolated)
+    }
+    obs.groupByKey(_.station)
+      .flatMapGroupsWithState[CascadePairState, ClassifiedPair](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (station: String, rows: Iterator[PrecipObs],
+            state: GroupState[CascadePairState]) =>
+          var st = state.getOption.getOrElse(
+            CascadePairState(None, None, None, prevWet = false,
+              prevNan = false))
+          val out = Seq.newBuilder[ClassifiedPair]
+          rows.toArray.sortBy(_.ts.getTime).foreach { o =>
+            val h = o.ts.getTime / 3600000L
+            st.pendingHour match {
+              case None =>
+                if (h % 2 != 0) throw new IllegalStateException(
+                  s"pair must start on an even epoch hour (got $h)")
+                st = st.copy(pendingHour = Some(h), pendingV = o.v)
+              case Some(ph) =>
+                if (h != ph + 1) throw new IllegalStateException(
+                  s"gap in hourly grid: hour $h after $ph")
+                val r1 = st.pendingV; val r2 = o.v
+                val v = for (a <- r1; b <- r2) yield a + b
+                val cur = PendingPair(ph / 2, v, r1, r2)
+                st.pair.foreach { q =>
+                  q.v.filter(_ > 0).foreach { qv =>
+                    val nextWet = wetOpt(cur.v)
+                    val nextNan = cur.v.isEmpty
+                    val bt =
+                      if (st.prevNan || nextNan) isolated
+                      else if (!st.prevWet && nextWet) starting
+                      else if (st.prevWet && nextWet) enclosed
+                      else if (st.prevWet && !nextWet) ending
+                      else isolated
+                    out += ClassifiedPair(station, q.idx, qv,
+                      q.r1.get, q.r2.get,
+                      if (qv > meanvol) 1 else 0, bt)
+                  }
+                  st = st.copy(prevWet = wetOpt(q.v),
+                    prevNan = q.v.isEmpty)
+                }
+                st = st.copy(pair = Some(cur), pendingHour = None,
+                  pendingV = None)
+            }
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
 
   case class Obs(station: String, ts: java.sql.Timestamp, value: Double)
   case class GapEvent(station: String, gap_start: java.sql.Timestamp,

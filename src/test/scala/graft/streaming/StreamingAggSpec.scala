@@ -285,6 +285,76 @@ class StreamingAggSpec extends AnyFunSuite {
     } finally { q1.stop(); q2.stop() }
   }
 
+  test("cascade calibration classification: stream equals batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // 12 pairs: dry runs, wet runs, a null hour (numpy NaN quirk: the
+    // NaN-adjacent wet parent p7 must land in `isolated`), and a WET
+    // FINAL pair (p11) that only the sentinel can flush.
+    val hourly: Seq[Option[Double]] = Seq(
+      Some(0.0), Some(0.0), Some(3.0), Some(2.0), Some(4.0), Some(0.0),
+      Some(0.0), Some(0.0), Some(1.0), Some(1.0), Some(0.0), Some(5.0),
+      None, Some(2.0), Some(6.0), Some(7.0), Some(0.0), Some(0.0),
+      Some(2.0), Some(3.0), Some(8.0), Some(0.0), Some(0.0), Some(9.0))
+    val meanvol = 4.5
+    def ts(h: Int) = new java.sql.Timestamp(
+      java.sql.Timestamp.valueOf("2016-01-01 00:00:00").getTime +
+        h * 3600000L)
+
+    // batch: the same series through the real cascade classification
+    val batchDf = hourly.zipWithIndex.map { case (v, i) =>
+      (i.toLong, v, ts(i))
+    }.toDF("idx", "v", "ts")
+    val batch = graft.cascade.Cascade.classifiedPairs(batchDf, meanvol)
+      .select($"pair", $"v", $"r1", $"r2", $"ba", $"bt")
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), r.getInt(4), r.getInt(5)))
+      .sortBy(_._1).toSeq
+
+    val mem = MemoryStream[StreamingAgg.PrecipObs]
+    val out = StreamingAgg.cascadeClassifyStream(mem.toDS(), meanvol)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("cascade_cls").start()
+    try {
+      def obs(range: Range) = range.map(h =>
+        StreamingAgg.PrecipObs("s1", ts(h), hourly(h)))
+      // odd split boundaries exercise the cross-batch half-pair state
+      mem.addData(obs(0 until 9)); q.processAllAvailable()
+      mem.addData(obs(9 until 17)); q.processAllAvailable()
+      mem.addData(obs(17 until 24)); q.processAllAvailable()
+      // dry sentinel pair flushes the final wet parent — the streaming
+      // equivalent of the batch operator's lead=false at the edge
+      mem.addData(Seq(
+        StreamingAgg.PrecipObs("s1", ts(24), Some(0.0)),
+        StreamingAgg.PrecipObs("s1", ts(25), Some(0.0))))
+      q.processAllAvailable()
+      // the stream indexes pairs by absolute epoch hour / 2 (a stream
+      // has no global row numbering); normalize to the series-relative
+      // index the batch positional pairing uses
+      val base = ts(0).getTime / 3600000L / 2
+      val streamed = spark.table("cascade_cls")
+        .collect()
+        .map(r => (r.getLong(1) - base, r.getDouble(2), r.getDouble(3),
+          r.getDouble(4), r.getInt(5), r.getInt(6)))
+        .sortBy(_._1).toSeq
+      assert(streamed == batch)
+      // p7 (children 6,7) follows the NaN parent -> isolated (bt 4)
+      val p7 = streamed.find(_._1 == 7L).get
+      assert(p7._5 == 1 && p7._6 == 4)
+      // the final wet pair flushed with next = dry
+      assert(streamed.exists(_._1 == 11L))
+      // calibration count matrices (nb/n01/n10/nxx per (ba, bt)) agree
+      def counts(rows: Seq[(Long, Double, Double, Double, Int, Int)]) =
+        rows.groupBy(r => (r._5, r._6)).view.mapValues { g =>
+          (g.size, g.count(r => r._3 <= 0 && r._4 > 0),
+            g.count(r => r._3 > 0 && r._4 <= 0),
+            g.count(r => r._3 > 0 && r._4 > 0))
+        }.toMap
+      assert(counts(streamed) == counts(batch))
+    } finally q.stop()
+  }
+
   test("completeness stream flags short days") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
