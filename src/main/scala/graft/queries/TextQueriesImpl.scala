@@ -3,6 +3,7 @@ package graft.queries
 import graft.QueryRegistry.{register, registerRowsOnly}
 import graft.core.Tables.table
 import graft.text.{Clusters, Dedup, TextAnalysis}
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /** Text-analysis + dedup operators over the `documents` table. The
@@ -462,28 +463,37 @@ object TextQueriesImpl {
     // recall at radius<=maxHamming is EXACT, so the Spark result
     // equals the oracle's all-pairs hamming scan over the same
     // signatures — a full hash gate on the production blocking code.
+    // Vote counting is PACKED: each of the 16 hex chars contributes
+    // its 4 bits as four 16-bit lanes of ONE per-char sum (16 long
+    // aggregates instead of 64 CASE sums; lanes can't carry below
+    // 65536 tokens/doc, far past gate scale). Bit k of the signature
+    // is set iff ones(k) * 2 > n_tokens — identical to the +-1 vote
+    // being positive. Same arithmetic in both engines.
     register("q82_simhash_neardups", {
-      // hex chars whose 4-bit value has bit j set, j = 0..3
-      val bitSets = Seq("13579bdf", "2367abef", "4567cdef", "89abcdef")
-      val votes = (0 until 64).map { k =>
-        val inList = bitSets(k % 4).map(c => s"'$c'").mkString(",")
-        s"    SUM(CASE WHEN SUBSTR(m, ${k / 4 + 1}, 1) IN ($inList)" +
-          s"\n      THEN 1 ELSE -1 END) AS v$k"
-      }.mkString(",\n")
+      val vdefs = (0 until 16).map(i =>
+        s"CAST(INSTR('0123456789abcdef', SUBSTR(m, ${i + 1}, 1)) - 1 " +
+          s"AS BIGINT) AS v$i").mkString(",\n    ")
+      val packed = (0 until 16).map(i =>
+        s"    SUM(((v$i >> 0) & 1) + (((v$i >> 1) & 1) << 16) +" +
+          s"\n      (((v$i >> 2) & 1) << 32) + (((v$i >> 3) & 1) << 48))" +
+          s" AS p$i").mkString(",\n")
       val sigTerms = (0 until 64).map { k =>
         val bit = if (k == 63) "CAST(-9223372036854775808 AS BIGINT)"
           else s"(CAST(1 AS BIGINT) << $k)"
-        s"(CASE WHEN v$k > 0 THEN $bit ELSE 0 END)"
+        s"(CASE WHEN ((p${k / 4} >> ${16 * (k % 4)}) & 65535) * 2 > n" +
+          s" THEN $bit ELSE 0 END)"
       }.mkString(" +\n    ")
       s"""WITH toks AS (
          |  SELECT doc_id,
          |    UNNEST(REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\\s+'))
          |      AS t
          |  FROM documents),
-         |m AS (SELECT doc_id, MD5(t) AS m FROM toks),
+         |m AS (SELECT doc_id,
+         |    $vdefs
+         |  FROM (SELECT doc_id, MD5(t) AS m FROM toks)),
          |votes AS (
-         |  SELECT doc_id,
-         |$votes
+         |  SELECT doc_id, COUNT(*) AS n,
+         |$packed
          |  FROM m GROUP BY doc_id),
          |sig AS (SELECT doc_id,
          |    $sigTerms AS sig
@@ -494,22 +504,26 @@ object TextQueriesImpl {
          |WHERE BIT_COUNT(XOR(a.sig, b.sig)) <= 3
          |ORDER BY id_a, id_b""".stripMargin
     }) { (s, dir) =>
-      val bitSets = Seq("13579bdf", "2367abef", "4567cdef", "89abcdef")
-        .map(_.map(_.toString))
+      def lane(v: Column, j: Int): Column =
+        shiftleft(shiftright(v, j).bitwiseAND(lit(1L)), 16 * j)
       val toks = table(s, dir, "documents")
         .select(col("doc_id"),
           explode(TextAnalysis.tokens(lower(col("text")))).as("t"))
         .select(col("doc_id"),
           md5(to_binary(col("t"), lit("utf-8"))).as("m"))
-      val voteAggs = (0 until 64).map { k =>
-        sum(when(substring(col("m"), k / 4 + 1, 1)
-          .isin(bitSets(k % 4): _*), 1).otherwise(-1)).as(s"v$k")
-      }
-      val votes = toks.groupBy(col("doc_id"))
-        .agg(voteAggs.head, voteAggs.tail: _*)
+      val vals = toks.select(col("doc_id") +: (0 until 16).map(i =>
+        (expr(s"instr('0123456789abcdef', substring(m, ${i + 1}, 1))")
+          .cast("long") - 1).as(s"v$i")): _*)
+      val packedAggs = count(lit(1)).as("n") +: (0 until 16).map(i =>
+        sum(lane(col(s"v$i"), 0) + lane(col(s"v$i"), 1) +
+          lane(col(s"v$i"), 2) + lane(col(s"v$i"), 3)).as(s"p$i"))
+      val votes = vals.groupBy(col("doc_id"))
+        .agg(packedAggs.head, packedAggs.tail: _*)
       val sigs = votes.select(col("doc_id"),
         (0 until 64).map(k =>
-          when(col(s"v$k") > 0, lit(1L << k)).otherwise(lit(0L)))
+          when(shiftright(col(s"p${k / 4}"), 16 * (k % 4))
+            .bitwiseAND(lit(65535L)) * 2 > col("n"), lit(1L << k))
+            .otherwise(lit(0L)))
           .reduce(_ + _).as("sig"))
       Dedup.simhashNearDupsFromSigs(sigs, "doc_id", "sig",
           maxHamming = 3)
