@@ -94,9 +94,42 @@ object SimilarityQueriesImpl {
         .orderBy(col("query_id"), col("rank"))
     }
 
-    registerRowsOnly("q73_embedding_neardups") { (s, dir) =>
-      graft.text.Dedup.embeddingNearDups(table(s, dir, "embeddings"),
-          "embedding", "vec_id", minCosine = 0.0)
+    // Embedding near-dup pairs through the REAL bucket-join path
+    // (embeddingNearDupsWithBucket), oracle-gated with a replicable
+    // clustering — leading-4-dimension sign bits — and the exact
+    // cross-engine cosine the q79 gate already proves. The production
+    // auto-sized-hyperplane path stays spec-tested (SimilaritySpec,
+    // ScaleSmoke).
+    register("q73_embedding_neardups", {
+      val bucket = (1 to 4).map(i =>
+        s"(CASE WHEN embedding[$i] >= 0 THEN '1' ELSE '0' END)")
+        .mkString(" || ")
+      def sumProd(x: String, y: String) =
+        s"""LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, LEN($x)),
+           |    i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)))"""
+          .stripMargin
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding AS v, $bucket AS bucket
+         |  FROM embeddings),
+         |n AS (SELECT vec_id, v, bucket,
+         |    SQRT(${sumProd("v", "v")}) AS nrm
+         |  FROM e)
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  ROUND(${sumProd("a.v", "b.v")} / (a.nrm * b.nrm), 6)
+         |    AS cosine
+         |FROM n a JOIN n b ON a.bucket = b.bucket
+         |  AND a.vec_id < b.vec_id
+         |WHERE a.nrm > 0 AND b.nrm > 0
+         |  AND ${sumProd("a.v", "b.v")} / (a.nrm * b.nrm) >= 0.4
+         |ORDER BY id_a, id_b""".stripMargin
+    }) { (s, dir) =>
+      val signBucket = concat((1 to 4).map(i =>
+        when(try_element_at(col("embedding"), lit(i)) >= 0, "1")
+          .otherwise("0")): _*)
+      graft.text.Dedup.embeddingNearDupsWithBucket(
+          table(s, dir, "embeddings"), "embedding", "vec_id",
+          minCosine = 0.4, bucket = signBucket)
+        .withColumn("cosine", round(col("cosine"), 6))
         .orderBy(col("id_a"), col("id_b"))
     }
 

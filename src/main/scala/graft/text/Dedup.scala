@@ -457,11 +457,27 @@ object Dedup {
         Similarity.hyperplaneBucketPrecomputed(v, nPlanes, seed, dmax)
       case _ => Similarity.hyperplaneBucket(v, nPlanes, seed)
     }
-    val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    embeddingNearDupsWithBucket(df, vecCol, idCol, minCosine,
+      bucketOf(col(vecCol)), maxBucketSize)
+  }
+
+  /** [[embeddingNearDups]] with a CALLER-SUPPLIED bucket expression
+    * instead of hash-derived hyperplanes — for stored cluster/bucket
+    * columns, and for replicable clusterings (e.g. leading-dimension
+    * sign bits) that a cross-engine oracle or test can reproduce.
+    * Same zero-norm filter, skew-capped pair explosion, and hoisted
+    * norms; the recall/occupancy contract moves to the caller's
+    * bucketing. */
+  def embeddingNearDupsWithBucket(df: DataFrame, vecCol: String,
+      idCol: String, minCosine: Double, bucket: Column,
+      maxBucketSize: Int = 1000): DataFrame = {
+    import graft.similarity.Similarity
+    val base = df.withColumn("bucket__", bucket)
+      .select(col(idCol).as("id"), col(vecCol).as("v"), col("bucket__"))
       .withColumn("nrm", Similarity.norm(col("v")))
       .where(col("nrm") > 0)
     val buckets = base
-      .select(col("id"), bucketOf(col("v")).as("bucket"))
+      .select(col("id"), col("bucket__").as("bucket"))
       .groupBy(col("bucket"))
       .agg(sort_array(collect_list(col("id"))).as("ids"))
       .where(size(col("ids")) >= 2)
