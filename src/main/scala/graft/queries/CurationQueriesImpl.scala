@@ -288,6 +288,55 @@ object CurationQueriesImpl {
         .orderBy(col("doc_id"), col("chunk_idx"))
     }
 
+    // Line-level boilerplate dedup (C4/RefinedWeb "drop lines repeated
+    // across documents"): the corpus has no newlines, so the gate
+    // augments every doc with boilerplate lines (q83's augmentation
+    // precedent) — an all-docs newsletter line (with leading spaces,
+    // exercising trim), a near-unique footer (2 docs, under the
+    // threshold -> kept), and a quarter-of-docs homepage line.
+    register("q94_dedup_lines",
+      """WITH aug AS (
+        |  SELECT doc_id, text || CHR(10)
+        |      || '  subscribe to our newsletter today'
+        |      || CHR(10) || 'footer id '
+        |      || CAST(doc_id % 250 AS VARCHAR)
+        |      || (CASE WHEN doc_id % 4 = 0
+        |          THEN CHR(10) || 'visit our homepage' ELSE '' END)
+        |      AS text
+        |  FROM documents),
+        |s AS (SELECT doc_id, STRING_SPLIT(text, CHR(10)) AS ls
+        |  FROM aug),
+        |l AS (SELECT doc_id, u.idx AS idx, u.line AS line,
+        |    TRIM(u.line) AS lt
+        |  FROM (SELECT doc_id,
+        |      UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(ls)),
+        |        i -> {'idx': i, 'line': ls[i]})) AS u
+        |    FROM s)),
+        |freq AS (SELECT lt, COUNT(DISTINCT doc_id) AS n FROM l
+        |  WHERE LENGTH(lt) >= 1 GROUP BY lt),
+        |boiler AS (SELECT lt FROM freq WHERE n >= 10),
+        |k AS (SELECT l.doc_id, l.idx, l.line,
+        |    (b.lt IS NOT NULL AND LENGTH(l.lt) >= 1) AS dropped
+        |  FROM l LEFT JOIN boiler b USING (lt))
+        |SELECT doc_id, COUNT(*) AS n_lines,
+        |  CAST(SUM(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dropped,
+        |  MD5(COALESCE(STRING_AGG(CASE WHEN NOT dropped THEN line END,
+        |    CHR(10) ORDER BY idx), '')) AS clean_md5
+        |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin) {
+      (s, dir) =>
+      val aug = table(s, dir, "documents")
+        .withColumn("text", concat(col("text"),
+          lit("\n  subscribe to our newsletter today\nfooter id "),
+          (col("doc_id") % 250).cast("string"),
+          when(col("doc_id") % 4 === 0, lit("\nvisit our homepage"))
+            .otherwise(lit(""))))
+      Curation.dedupLines(aug, "text", "doc_id", maxDocs = 10)
+        .select(col("doc_id"), col("n_lines"), col("n_dropped"),
+          md5(to_binary(col("text"), lit("utf-8"))).as("clean_md5"))
+        .orderBy(col("doc_id"))
+    }
+
     register("q93_semantic_decon", {
       def sumProd(x: String, y: String) =
         s"""LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, LEN($x)),

@@ -379,6 +379,51 @@ object Curation {
     }
   }
 
+  /** CCNet/RefinedWeb-style LINE-level boilerplate removal: a line
+    * (trimmed, at least `minLineChars` chars) that appears in >=
+    * `maxDocs` DISTINCT documents is boilerplate (headers, footers,
+    * cookie banners, nav text) and is dropped from EVERY document.
+    * Returns (idCol, n_lines, n_dropped, textCol) with the surviving
+    * lines rejoined in original order — documents with no boilerplate
+    * reconstruct byte-identically.
+    *
+    * Scale shape: one explode of lines; document frequency is two
+    * map-side-combined shuffles on the 64-bit line hash ((hash, doc)
+    * dedup, then count) — the shuffle carries hashes, not line text;
+    * membership applies as a join of exploded lines against the
+    * over-threshold hash set only (boilerplate is by definition a
+    * small, high-frequency set — AQE broadcasts it), then one per-doc
+    * regroup. A 64-bit hash collision could merge two line groups
+    * (over-dropping the rarer line); at curation thresholds that risk
+    * is accepted for the 10× lighter shuffle. */
+  def dedupLines(df: DataFrame, textCol: String, idCol: String,
+      maxDocs: Long = 10, minLineChars: Int = 1): DataFrame = {
+    require(maxDocs >= 2, "maxDocs < 2 would drop every repeated line")
+    requireFresh(df, "idx_", "raw_", "line_", "lh_", "bl_", "drop_")
+    val exploded = df
+      .select(col(idCol), posexplode(split(col(textCol), "\n")))
+      .withColumnRenamed("pos", "idx_")
+      .withColumnRenamed("col", "raw_")
+      .withColumn("line_", trim(col("raw_")))
+      .withColumn("lh_", xxhash64(col("line_")))
+    val boiler = exploded
+      .where(length(col("line_")) >= minLineChars)
+      .select(col("lh_"), col(idCol)).distinct()
+      .groupBy(col("lh_")).agg(count(lit(1)).as("df_"))
+      .where(col("df_") >= maxDocs)
+      .select(col("lh_"), lit(1).as("bl_"))
+    exploded.join(boiler, Seq("lh_"), "left")
+      .withColumn("drop_",
+        col("bl_").isNotNull && length(col("line_")) >= minLineChars)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("drop_").cast("long")).as("n_dropped"),
+        concat_ws("\n", transform(
+          sort_array(collect_list(when(!col("drop_"),
+            struct(col("idx_"), col("raw_"))))),
+          s => s.getField("raw_"))).as(textCol))
+  }
+
   /** CCNet-style unigram language-model score: train a unigram LM on
     * the corpus itself (count / total), then score each document by
     * its total log2 probability and bits-per-token — the standard

@@ -300,6 +300,36 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("dedupLines drops cross-document boilerplate, keeps order") {
+    val df = Seq(
+      (1L, "unique opening line\nSHARED FOOTER\nmore body text"),
+      (2L, "different content here\n  SHARED FOOTER  \ntail line"),
+      (3L, "third document body\nSHARED FOOTER"),
+      (4L, "no boilerplate at all\njust original text"))
+      .toDF("doc_id", "text")
+    val r = Curation.dedupLines(df, "text", "doc_id", maxDocs = 3)
+      .orderBy($"doc_id").collect()
+    // the footer appears (trimmed) in 3 docs >= maxDocs -> dropped
+    // everywhere, including the padded variant in doc 2
+    assert(r.map(_.getLong(2)).toSeq == Seq(1L, 1L, 1L, 0L))
+    assert(r(0).getString(3) == "unique opening line\nmore body text")
+    assert(r(1).getString(3) == "different content here\ntail line")
+    assert(r(2).getString(3) == "third document body")
+    // boilerplate-free doc reconstructs byte-identically
+    assert(r(3).getString(3) == "no boilerplate at all\njust original text")
+    assert(r.map(_.getLong(1)).toSeq == Seq(3L, 3L, 2L, 2L))
+    // below the threshold nothing is dropped
+    val loose = Curation.dedupLines(df, "text", "doc_id", maxDocs = 4)
+      .agg(sum($"n_dropped")).head().getLong(0)
+    assert(loose == 0L)
+    // empty lines never count as boilerplate
+    val blanky = Seq((1L, "a\n\nb"), (2L, "c\n\nd"), (3L, "e\n\nf"))
+      .toDF("doc_id", "text")
+    val rb = Curation.dedupLines(blanky, "text", "doc_id", maxDocs = 2)
+      .agg(sum($"n_dropped")).head().getLong(0)
+    assert(rb == 0L)
+  }
+
   test("decontaminate flags k-gram overlap with the probe set") {
     val probes = Seq((100L, "alpha beta gamma delta epsilon"))
       .toDF("doc_id", "text")
