@@ -17,18 +17,20 @@ import org.apache.spark.sql.functions._
   *     expressions, a single map pass;
   *  2. heuristic filter: Gopher/C4 document bounds (word counts,
   *     symbol/bullet/ellipsis signals, lorem/brace kill flags);
-  *  3. redact: PII scrubbing (emails/IPs/phones) — a pure map;
-  *  4. filter: per-language quality percentile (sketch + broadcast
+  *  3. deboiler: drop lines repeated across many documents
+  *     (headers/footers/banners — RefinedWeb line removal);
+  *  4. redact: PII scrubbing (emails/IPs/phones) — a pure map;
+  *  5. filter: per-language quality percentile (sketch + broadcast
   *     thresholds) and a repetition cap;
-  *  5. dedup: MinHash-LSH near-dup pairs → connected components →
+  *  6. dedup: MinHash-LSH near-dup pairs → connected components →
   *     keep one representative per duplicate family;
-  *  6. decontaminate: drop documents overlapping the (broadcast)
+  *  7. decontaminate: drop documents overlapping the (broadcast)
   *     benchmark 13-gram set;
-  *  7. semantic prune: SemDedup over the embeddings of surviving
+  *  8. semantic prune: SemDedup over the embeddings of surviving
   *     docs (auto-sized hyperplane clusters);
-  *  8. rebalance + sample: largest exact source mixture, applied as a
+  *  9. rebalance + sample: largest exact source mixture, applied as a
   *     deterministic stratified sample;
-  *  9. chunk: overlapping token windows — the training examples.
+  * 10. chunk: overlapping token windows — the training examples.
   */
 object CorpusDemo {
   def main(args: Array[String]): Unit = {
@@ -72,18 +74,26 @@ object CorpusDemo {
         Curation.HeuristicBounds(minWords = 20))
     }
 
-    // 3. PII redaction — pure map, no row survives with raw PII
-    val redacted = t("redact: emails/IPs/phones") {
-      heuristic.withColumn("text", Curation.redactPii(col("text")))
+    // 3. line-level boilerplate removal: lines repeated across >= 10
+    //    documents (headers/footers/banners) drop from every doc
+    val deboiled = t("deboiler: cross-doc repeated lines") {
+      val cleaned = Curation.dedupLines(heuristic, "text", "doc_id",
+        maxDocs = 10).select(col("doc_id"), col("text"))
+      heuristic.drop("text").join(cleaned, Seq("doc_id"))
     }
 
-    // 4. quality filter: keep the top 80% per language, cap repetition
+    // 4. PII redaction — pure map, no row survives with raw PII
+    val redacted = t("redact: emails/IPs/phones") {
+      deboiled.withColumn("text", Curation.redactPii(col("text")))
+    }
+
+    // 5. quality filter: keep the top 80% per language, cap repetition
     val filtered = t("filter: per-lang quality + repetition cap") {
       Curation.qualityFilter(redacted, "text", keepFraction = 0.8)
         .where(col("top_word_frac") <= 0.5)
     }
 
-    // 5. near-dup dedup: pairs -> components -> one keeper per family.
+    // 6. near-dup dedup: pairs -> components -> one keeper per family.
     // localCheckpoint: downstream stages and the final counts would
     // otherwise re-run the LSH join chain once per action.
     val deduped = t("dedup: LSH pairs -> clusters -> keep-first") {
@@ -91,7 +101,7 @@ object CorpusDemo {
         minJaccard = 0.5, numHashes = 32).localCheckpoint()
     }
 
-    // 6. decontaminate vs a probe set (here: the 10 lowest doc_ids)
+    // 7. decontaminate vs a probe set (here: the 10 lowest doc_ids)
     val clean = t("decontaminate vs benchmark grams") {
       val probes = docs.where(col("doc_id") < 10)
       val flags = Curation.decontaminate(
@@ -100,7 +110,7 @@ object CorpusDemo {
         .select(col("doc_id")), Seq("doc_id"), "left_semi")
     }
 
-    // 7. semantic prune on the survivors' embeddings
+    // 8. semantic prune on the survivors' embeddings
     val pruned = t("semantic prune: semdedup on embeddings") {
       val emb = Tables.table(spark, sfDir, "embeddings")
         .join(clean.select(col("doc_id").as("vec_id")), Seq("vec_id"),
@@ -112,7 +122,7 @@ object CorpusDemo {
       clean.join(drops, Seq("doc_id"), "left_anti").localCheckpoint()
     }
 
-    // 8. rebalance to a target source mixture, applied as a
+    // 9. rebalance to a target source mixture, applied as a
     //    deterministic stratified sample (weights are domain-scale:
     //    collect is one row per source)
     val sampled = t("rebalance + sample: source mixture") {
@@ -126,7 +136,7 @@ object CorpusDemo {
         idCols = Seq("doc_id"))
     }
 
-    // 9. chunk the survivors into overlapping training windows
+    // 10. chunk the survivors into overlapping training windows
     val chunks = t("chunk: token windows for training") {
       Curation.chunkTokens(sampled, "text", Seq("doc_id"),
         maxTokens = 64, stride = 48)
