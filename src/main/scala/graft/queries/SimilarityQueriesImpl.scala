@@ -4,6 +4,7 @@ import graft.QueryRegistry.{register, registerRowsOnly}
 import graft.core.Tables.table
 import graft.multimodal.Multimodal
 import graft.similarity.Similarity
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -75,14 +76,48 @@ object SimilarityQueriesImpl {
         .orderBy(col("query_id"), col("rank"))
     }
 
-    registerRowsOnly("q71_cosine_topk_lsh") { (s, dir) =>
+    // Bucket-restricted approximate top-k through the REAL candidate
+    // generation + rank path (bucketTopK = lshTopK's engine with the
+    // bucketing supplied), oracle-gated with a replicable long bucket
+    // (leading-4-dim sign bits) and real multi-probe (each of the 4
+    // bits flipped) — candidates, exact cosine, and deterministic
+    // (cosine DESC, id) ranking all hash-checked. The production
+    // hyperplane path stays spec-tested (recall spec).
+    register("q71_cosine_topk_lsh", {
+      val bucket = (1 to 4).map(i =>
+        s"(CASE WHEN embedding[$i] >= 0 THEN ${1 << (i - 1)} ELSE 0 END)")
+        .mkString(" + ")
+      def sumProd(x: String, y: String) =
+        s"""LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, LEN($x)),
+           |    i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)))"""
+          .stripMargin
+      s"""WITH e AS (SELECT vec_id, embedding AS v,
+         |    CAST($bucket AS BIGINT) AS bucket FROM embeddings),
+         |q AS (SELECT query_id, qv,
+         |    UNNEST([b, XOR(b, 1), XOR(b, 2), XOR(b, 4), XOR(b, 8)])
+         |      AS bucket
+         |  FROM (SELECT vec_id AS query_id, v AS qv, bucket AS b
+         |    FROM e WHERE vec_id < 8)),
+         |scored AS (SELECT q.query_id, c.vec_id AS corpus_id,
+         |    ${sumProd("q.qv", "c.v")}
+         |      / (SQRT(${sumProd("q.qv", "q.qv")})
+         |       * SQRT(${sumProd("c.v", "c.v")})) AS cosine
+         |  FROM q JOIN e c USING (bucket)),
+         |r AS (SELECT query_id, corpus_id, cosine,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY cosine DESC, corpus_id) AS rank
+         |  FROM scored)
+         |SELECT query_id, corpus_id, ROUND(cosine, 6) AS cosine, rank
+         |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+    }) { (s, dir) =>
       val emb = table(s, dir, "embeddings")
       val q = emb.where(col("vec_id") < 8)
-      // the driver table's embedding dim is uniform: probe it once from
-      // the tiny query side so the plane matrix precomputes to literals
-      val dim = q.select(size(col("embedding"))).head().getInt(0)
-      Similarity.lshTopK(emb, q, "embedding", "vec_id", "vec_id", k = 5,
-          dim = dim)
+      val signBucket = (v: Column) => (1 to 4).map(i =>
+        when(try_element_at(v, lit(i)) >= 0, lit(1L << (i - 1)))
+          .otherwise(lit(0L))).reduce(_ + _)
+      Similarity.bucketTopK(emb, q, "embedding", "vec_id", "vec_id",
+          k = 5, bucket = signBucket, probeBits = 4)
+        .withColumn("cosine", round(col("cosine"), 6))
         .orderBy(col("query_id"), col("rank"))
     }
 

@@ -200,12 +200,24 @@ object Similarity {
     val bucketOf = (v: Column) =>
       if (dim > 0) hyperplaneBucketPrecomputed(v, planes, seed, dim)
       else hyperplaneBucket(v, planes, seed)
+    bucketTopK(corpus, queries, vecCol, idCol, queryIdCol, k,
+      bucketOf, probeBits = planes)
+  }
+
+  /** [[lshTopK]] with a CALLER-SUPPLIED long bucket function instead
+    * of hash-derived hyperplanes — stored bucket columns, or
+    * replicable bucketings (leading-dimension sign bits) a
+    * cross-engine oracle or test can reproduce. Multi-probe flips
+    * each of the low `probeBits` bits of the query's bucket. */
+  def bucketTopK(corpus: DataFrame, queries: DataFrame, vecCol: String,
+      idCol: String, queryIdCol: String, k: Int,
+      bucket: Column => Column, probeBits: Int): DataFrame = {
     val c = corpus.select(col(idCol).as("corpus_id"),
       col(vecCol).as("cv"),
-      bucketOf(col(vecCol)).as("bucket"))
-    val qBucket = bucketOf(col("qv"))
+      bucket(col(vecCol)).as("bucket"))
+    val qBucket = bucket(col("qv"))
     val probes = array(
-      (qBucket +: (0 until planes).map(b =>
+      (qBucket +: (0 until probeBits).map(b =>
         qBucket.bitwiseXOR(lit(1L << b)))): _*)
     val q = queries.select(col(queryIdCol).as("query_id"),
       col(vecCol).as("qv"))
