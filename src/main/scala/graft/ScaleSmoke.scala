@@ -83,13 +83,40 @@ object ScaleSmoke {
             (pmod(xxhash64(col("seed"), i), lit(512)) + 1).cast("int"))))
           .as("text"))
       .localCheckpoint(true)
-    t("minhash near-dup pairs") {
+    // the signatures-at-ingest shape: tokenize+shingle+hash+explode
+    // runs ONCE per corpus; every dedup query downstream is 8-byte
+    // remixes of the stored hashes
+    val hashed = graft.text.Dedup.shingleHashes(docs, "text", "doc_id")
+      .localCheckpoint(false)
+    t("shingle hashes (once at ingest)") { hashed.count() }
+    t("minhash near-dups from stored hashes") {
       // numHashes=32 -> 16 bands of 2 (S-curve threshold 0.25, well
       // under 0.8*minJaccard): same recall guarantee as the 128-hash
       // default at a quarter of the signature hashing, which dominates
       // at corpus scale. Verification is exact either way.
-      graft.text.Dedup.nearDupPairs(docs, "text", "doc_id",
+      graft.text.Dedup.nearDupPairsFromHashes(hashed, "doc_id",
         minJaccard = 0.5, numHashes = 32).count()
+    }
+    t("delta-vs-corpus incremental dedup") {
+      // today's 1% ingest against the standing corpus: only the delta
+      // is new text; both sides' bands derive from the shared frame
+      // (the +1 boundary puts one clone pair astride the split at 100
+      // stations, same as the decontaminate stage below)
+      graft.text.Dedup.nearDupAgainstCorpusFromHashes(
+        hashed.where(col("doc_id") < stations * 10L + 1),
+        hashed.where(col("doc_id") >= stations * 10L + 1),
+        "doc_id", numHashes = 32, bands = 16,
+        minJaccard = 0.5).count()
+    }
+    t("line boilerplate dedup") {
+      // every 3rd doc shares a footer line; the line explode + hashed
+      // doc-frequency + regroup is linear in corpus size
+      graft.text.Curation.dedupLines(
+        docs.withColumn("text", concat(col("text"),
+          when(pmod(col("doc_id"), lit(3)) === 0,
+            lit("\nshared footer boilerplate line"))
+            .otherwise(lit("")))),
+        "text", "doc_id", maxDocs = 10).count()
     }
     t("dedup clusters + drop") {
       // pairs -> connected components -> keep one per cluster; rounds
