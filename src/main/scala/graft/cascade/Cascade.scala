@@ -497,6 +497,9 @@ object Cascade {
     * (idx/pair, v, r1, r2, ba, bt). */
   def classifiedPairs(df: DataFrame, meanvol: Double,
       partitionCols: Seq[String] = Nil): DataFrame = {
+    if (partitionCols.isEmpty)
+      graft.core.ScaleGuard.unpartitionedWindow(df,
+        "Cascade.classifiedPairs")
     val pcols = partitionCols.map(col)
     val w = (if (partitionCols.isEmpty) Window.orderBy(col("idx"))
       else Window.partitionBy(pcols: _*).orderBy(col("idx")))

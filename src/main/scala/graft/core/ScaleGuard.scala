@@ -38,6 +38,11 @@ object ScaleGuard {
   /** Call at the head of an operator that is about to build a window
     * with no partition columns. */
   def unpartitionedWindow(df: DataFrame, op: String): Unit = {
+    // the size estimate runs the optimizer over the input's lineage —
+    // skip it entirely once this operator has warned (unless a test
+    // probe wants every trip), so loops like the cascade level chain
+    // pay at most one estimation per operator
+    if (warned.contains(op) && probe == null) return
     val size = df.queryExecution.optimizedPlan.stats.sizeInBytes
     if (size > thresholdBytes) {
       val p = probe

@@ -161,9 +161,13 @@ object SimilarityQueriesImpl {
       val signBucket = concat((1 to 4).map(i =>
         when(try_element_at(col("embedding"), lit(i)) >= 0, "1")
           .otherwise("0")): _*)
+      // uncapped: the oracle is an all-pairs bucket join, and sign-
+      // bucket occupancy grows with the table (137 at sf0.1) — the
+      // default cap would silently diverge from the oracle past ~sf1
       graft.text.Dedup.embeddingNearDupsWithBucket(
           table(s, dir, "embeddings"), "embedding", "vec_id",
-          minCosine = 0.4, bucket = signBucket)
+          minCosine = 0.4, bucket = signBucket,
+          maxBucketSize = Int.MaxValue)
         .withColumn("cosine", round(col("cosine"), 6))
         .orderBy(col("id_a"), col("id_b"))
     }

@@ -18,15 +18,19 @@ object TextQueriesImpl {
     * dedup pipeline runs (signatures at ingest, queries downstream);
     * results are identical to per-query recomputation because every
     * doc's hashes are independent. Keyed by session so a fresh session
-    * (new bench/verify run) recomputes from disk. */
+    * (new bench/verify run) recomputes from disk; entries of STOPPED
+    * sessions evict on the next access, so a long-lived driver that
+    * cycles sessions doesn't pin dead checkpoint blocks forever. */
   private val shingleCache = new java.util.concurrent.ConcurrentHashMap[
     (org.apache.spark.sql.SparkSession, String),
     org.apache.spark.sql.DataFrame]
   private def docShingleHashes(s: org.apache.spark.sql.SparkSession,
-      dir: String): org.apache.spark.sql.DataFrame =
+      dir: String): org.apache.spark.sql.DataFrame = {
+    shingleCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
     shingleCache.computeIfAbsent((s, dir), _ =>
       Dedup.shingleHashes(table(s, dir, "documents"), "text", "doc_id",
         k = 3).localCheckpoint(false))
+  }
 
   def init(): Unit = {
 

@@ -400,8 +400,14 @@ object Curation {
       maxDocs: Long = 10, minLineChars: Int = 1): DataFrame = {
     require(maxDocs >= 2, "maxDocs < 2 would drop every repeated line")
     requireFresh(df, "idx_", "raw_", "line_", "lh_", "bl_", "drop_")
+    // null text folds to "" BEFORE the split: split(null) explodes to
+    // zero rows, which would silently drop the document from the
+    // output (violating one-row-per-doc; join-back callers would lose
+    // it). An empty line is never boilerplate, so the doc survives
+    // with text = "".
     val exploded = df
-      .select(col(idCol), posexplode(split(col(textCol), "\n")))
+      .select(col(idCol),
+        posexplode(split(coalesce(col(textCol), lit("")), "\n")))
       .withColumnRenamed("pos", "idx_")
       .withColumnRenamed("col", "raw_")
       .withColumn("line_", trim(col("raw_")))

@@ -328,6 +328,14 @@ class CurationSpec extends AnyFunSuite {
     val rb = Curation.dedupLines(blanky, "text", "doc_id", maxDocs = 2)
       .agg(sum($"n_dropped")).head().getLong(0)
     assert(rb == 0L)
+    // null-text docs keep their row (one row per doc is the contract;
+    // join-back callers must not lose documents)
+    val withNull = Seq((1L, "a\nb"), (2L, null), (3L, "a\nc"))
+      .toDF("doc_id", "text")
+    val rn = Curation.dedupLines(withNull, "text", "doc_id", maxDocs = 2)
+      .orderBy($"doc_id").collect()
+    assert(rn.length == 3)
+    assert(rn(1).getString(3) == "")
   }
 
   test("decontaminate flags k-gram overlap with the probe set") {
