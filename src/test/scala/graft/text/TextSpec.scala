@@ -152,6 +152,27 @@ class TextSpec extends AnyFunSuite {
     assert(secs < 60.0, s"skewed embedding bucket took ${secs}s")
   }
 
+  test("FromHashes variants equal the from-text paths exactly") {
+    val hashed = Dedup.shingleHashes(docs, "text", "doc_id")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2))
+    assert(
+      Dedup.nearDupPairsFromHashes(hashed, "doc_id", minJaccard = 0.3)
+        .collect().map(key).toSet ==
+      Dedup.nearDupPairs(docs, "text", "doc_id", minJaccard = 0.3)
+        .collect().map(key).toSet)
+    val delta = docs.where($"doc_id" < 3)
+    val corpus = docs.where($"doc_id" >= 3)
+    assert(
+      Dedup.nearDupAgainstCorpusFromHashes(
+          hashed.where($"doc_id" < 3), hashed.where($"doc_id" >= 3),
+          "doc_id", minJaccard = 0.3)
+        .collect().map(key).toSet ==
+      Dedup.nearDupAgainstCorpus(delta, corpus, "text", "doc_id",
+          minJaccard = 0.3)
+        .collect().map(key).toSet)
+  }
+
   test("nearDupPairs (LSH + exact re-rank) matches all-pairs at j>=0.3") {
     val exact = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
         minJaccard = 0.3)
