@@ -9,10 +9,12 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Similarity-search + multimodal gate queries over `embeddings` /
-  * `documents`. The oracle-matched top-k computes dot products through
-  * exact per-component integer micro-units so both engines rank the
-  * identical doubles; the xxhash-LSH / IVF scale paths are spec-tested
-  * and rows-only here. */
+  * `documents`. Every ANN path (brute force, LSH, IVF, PQ) runs its
+  * REAL candidate-generation + rank engine under a replicable model —
+  * sign-bit buckets, id-picked centroids/codebooks — whose exact
+  * sequential double arithmetic DuckDB rebuilds, so results hash-check
+  * cross-engine; the hash-hyperplane / k-means production models stay
+  * spec-tested. */
 object SimilarityQueriesImpl {
 
   def init(): Unit = {
@@ -121,11 +123,64 @@ object SimilarityQueriesImpl {
         .orderBy(col("query_id"), col("rank"))
     }
 
-    registerRowsOnly("q72_cosine_topk_ivf") { (s, dir) =>
+    // IVF through the REAL assignment / probe / rank engine
+    // (ivfTopKWithCentroids = ivfTopK's engine with the quantizer
+    // supplied), oracle-gated with a replicable coarse quantizer: the 8
+    // embedding rows vec_id 100..107 as centroids. Assignment argmin
+    // (-dot/|centroid|, tie on centroid_id), nprobe=3 probing, and the
+    // exact sequential-multiply-accumulate cosine are all rebuilt in
+    // DuckDB — bit-identical doubles, so candidates, cosine, and rank
+    // hash-check. The k-means production quantizer stays spec-tested
+    // (SimilaritySpec full-probe equivalence).
+    register("q72_cosine_topk_ivf", {
+      def sumProd(x: String, y: String) =
+        s"""LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, LEN($x)),
+           |    i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)))"""
+          .stripMargin
+      s"""WITH cent AS (
+         |  SELECT CAST(vec_id - 100 AS INT) AS centroid_id,
+         |    embedding AS cw
+         |  FROM embeddings WHERE vec_id BETWEEN 100 AND 107),
+         |e AS (SELECT vec_id AS corpus_id, embedding AS cv
+         |  FROM embeddings),
+         |ad AS (SELECT corpus_id, cv, centroid_id,
+         |    -${sumProd("cv", "cw")} / SQRT(${sumProd("cw", "cw")})
+         |      AS dist
+         |  FROM e CROSS JOIN cent),
+         |assigned AS (SELECT corpus_id, cv, centroid_id FROM (
+         |    SELECT corpus_id, cv, centroid_id, ROW_NUMBER() OVER (
+         |      PARTITION BY corpus_id ORDER BY dist, centroid_id) AS rn
+         |    FROM ad) WHERE rn = 1),
+         |q AS (SELECT vec_id AS query_id, embedding AS qv
+         |  FROM embeddings WHERE vec_id < 8),
+         |qd AS (SELECT query_id, qv, centroid_id,
+         |    -${sumProd("qv", "cw")} / SQRT(${sumProd("cw", "cw")})
+         |      AS dist
+         |  FROM q CROSS JOIN cent),
+         |qa AS (SELECT query_id, qv, centroid_id FROM (
+         |    SELECT query_id, qv, centroid_id, ROW_NUMBER() OVER (
+         |      PARTITION BY query_id ORDER BY dist, centroid_id) AS rn
+         |    FROM qd) WHERE rn <= 3),
+         |scored AS (SELECT qa.query_id, a.corpus_id,
+         |    ${sumProd("qa.qv", "a.cv")}
+         |      / (SQRT(${sumProd("qa.qv", "qa.qv")})
+         |       * SQRT(${sumProd("a.cv", "a.cv")})) AS cosine
+         |  FROM assigned a JOIN qa USING (centroid_id)),
+         |r AS (SELECT query_id, corpus_id, cosine,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY cosine DESC, corpus_id) AS rank
+         |  FROM scored)
+         |SELECT query_id, corpus_id, ROUND(cosine, 6) AS cosine, rank
+         |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+    }) { (s, dir) =>
       val emb = table(s, dir, "embeddings")
-      val q = emb.where(col("vec_id") < 8)
-      Similarity.ivfTopK(emb, q, "embedding", "vec_id", "vec_id", k = 5,
-          nlist = 8, nprobe = 3)
+      val cents = emb.where(col("vec_id").between(100, 107))
+        .orderBy(col("vec_id")).select(col("embedding")).collect()
+        .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      Similarity.ivfTopKWithCentroids(emb, emb.where(col("vec_id") < 8),
+          "embedding", "vec_id", "vec_id", k = 5, centroids = cents,
+          nprobe = 3)
+        .withColumn("cosine", round(col("cosine"), 6))
         .orderBy(col("query_id"), col("rank"))
     }
 
@@ -172,14 +227,61 @@ object SimilarityQueriesImpl {
         .orderBy(col("id_a"), col("id_b"))
     }
 
-    // PQ compressed search: codes scan + ADC lookups, no float
-    // vector arithmetic per pair. Approximate by construction
-    // (quantization error) -> rows-only; clustering correctness is
-    // spec-tested on separated clusters.
-    registerRowsOnly("q81_pq_topk") { (s, dir) =>
+    // PQ compressed search: codes scan + ADC lookups, no float vector
+    // arithmetic per pair — through the REAL encode / ADC / rank engine
+    // (pqTopKWithCodebooks = pqTopK's engine with the model supplied),
+    // oracle-gated with replicable codebooks: subspace j's 16 codewords
+    // are the j-th 8-dim slices of embedding rows vec_id 200..215.
+    // Encode argmin, the query LUT, and the j-ordered ADC fold are all
+    // rebuilt in DuckDB with the same sequential double arithmetic, so
+    // codes, distances, and rank hash-check. The k-means codebook
+    // production path stays spec-tested (SimilaritySpec).
+    register("q81_pq_topk", {
+      def sqDist(x: String, j: String, w: String) =
+        s"""LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, 8),
+           |    t -> (CAST($x[$j*8 + t] AS DOUBLE) - $w[t])
+           |       * (CAST($x[$j*8 + t] AS DOUBLE) - $w[t])))"""
+          .stripMargin
+      s"""WITH cw AS (
+         |  SELECT t.j, CAST(vec_id - 200 AS INT) AS c,
+         |    LIST_TRANSFORM(GENERATE_SERIES(1, 8),
+         |      u -> CAST(embedding[t.j*8 + u] AS DOUBLE)) AS w
+         |  FROM embeddings CROSS JOIN range(8) t(j)
+         |  WHERE vec_id BETWEEN 200 AND 215),
+         |e AS (SELECT vec_id AS corpus_id, embedding AS v
+         |  FROM embeddings),
+         |enc AS (SELECT corpus_id, j, c FROM (
+         |    SELECT e.corpus_id, cw.j, cw.c, ROW_NUMBER() OVER (
+         |      PARTITION BY e.corpus_id, cw.j
+         |      ORDER BY ${sqDist("e.v", "cw.j", "cw.w")}, cw.c) AS rn
+         |    FROM e CROSS JOIN cw) WHERE rn = 1),
+         |q AS (SELECT vec_id AS query_id, embedding AS qv
+         |  FROM embeddings WHERE vec_id < 8),
+         |lut AS (SELECT q.query_id, cw.j, cw.c,
+         |    ${sqDist("q.qv", "cw.j", "cw.w")} AS d
+         |  FROM q CROSS JOIN cw),
+         |adc AS (SELECT l.query_id, enc.corpus_id,
+         |    LIST_SUM(LIST(l.d ORDER BY l.j)) AS adc_dist
+         |  FROM enc JOIN lut l ON l.j = enc.j AND l.c = enc.c
+         |  GROUP BY l.query_id, enc.corpus_id),
+         |r AS (SELECT query_id, corpus_id, adc_dist,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY adc_dist, corpus_id) AS rank
+         |  FROM adc)
+         |SELECT query_id, corpus_id, ROUND(adc_dist, 6) AS adc_dist,
+         |  rank
+         |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+    }) { (s, dir) =>
       val emb = table(s, dir, "embeddings")
-      Similarity.pqTopK(emb, emb.where(col("vec_id") < 8), "embedding",
-          "vec_id", "vec_id", k = 5)
+      val rows = emb.where(col("vec_id").between(200, 215))
+        .orderBy(col("vec_id")).select(col("embedding")).collect()
+        .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      val books = Array.tabulate(8) { j =>
+        rows.map(_.slice(j * 8, (j + 1) * 8))
+      }
+      Similarity.pqTopKWithCodebooks(emb, emb.where(col("vec_id") < 8),
+          "embedding", "vec_id", "vec_id", k = 5, books)
+        .withColumn("adc_dist", round(col("adc_dist"), 6))
         .orderBy(col("query_id"), col("rank"))
     }
 

@@ -239,10 +239,22 @@ object Similarity {
       idCol: String, queryIdCol: String, k: Int, nlist: Int = 16,
       nprobe: Int = 4, sampleSize: Int = 2048, seed: Long = 42,
       iterations: Int = 5): DataFrame = {
-    val spark = corpus.sparkSession
     val sample = corpus.select(col(vecCol)).limit(sampleSize).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
-    val centroids = kmeans(sample, nlist, iterations, seed)
+    ivfTopKWithCentroids(corpus, queries, vecCol, idCol, queryIdCol, k,
+      kmeans(sample, nlist, iterations, seed), nprobe)
+  }
+
+  /** [[ivfTopK]] with a CALLER-SUPPLIED coarse quantizer instead of the
+    * driver k-means fit — a persisted centroid model, or a replicable
+    * quantizer (data rows picked by a deterministic id rule) that a
+    * cross-engine oracle or test can rebuild. Same assignment / probe /
+    * rank engine. */
+  def ivfTopKWithCentroids(corpus: DataFrame, queries: DataFrame,
+      vecCol: String, idCol: String, queryIdCol: String, k: Int,
+      centroids: Array[Array[Double]], nprobe: Int): DataFrame = {
+    require(centroids.nonEmpty, "ivf needs at least one centroid")
+    val spark = corpus.sparkSession
 
     val centDf = broadcast(spark.createDataFrame(
       centroids.zipWithIndex.map { case (cvec, i) =>
@@ -341,11 +353,22 @@ object Similarity {
   def pqTopK(corpus: DataFrame, queries: DataFrame, vecCol: String,
       idCol: String, queryIdCol: String, k: Int, m: Int = 8,
       ksub: Int = 16, sampleSize: Int = 2048, seed: Long = 42,
-      iterations: Int = 5): DataFrame = {
+      iterations: Int = 5): DataFrame =
+    pqTopKWithCodebooks(corpus, queries, vecCol, idCol, queryIdCol, k,
+      pqCodebooks(corpus, vecCol, m, ksub, sampleSize, seed, iterations))
+
+  /** [[pqTopK]] with CALLER-SUPPLIED codebooks — a persisted PQ model,
+    * or replicable codebooks (data subvectors picked by a deterministic
+    * id rule) a cross-engine oracle can rebuild. Same encode / ADC /
+    * rank engine. */
+  def pqTopKWithCodebooks(corpus: DataFrame, queries: DataFrame,
+      vecCol: String, idCol: String, queryIdCol: String, k: Int,
+      books: Array[Array[Array[Double]]]): DataFrame = {
+    require(books.nonEmpty && books.head.nonEmpty, "pq needs codebooks")
     val spark = corpus.sparkSession
     import spark.implicits._
-    val books = pqCodebooks(corpus, vecCol, m, ksub, sampleSize, seed,
-      iterations)
+    val m = books.length
+    val ksub = books.head.length
     val ds = books.head.head.length
     val encoded = corpus.select(col(idCol).as("corpus_id"),
       pqEncode(col(vecCol), books).as("codes"))
