@@ -382,5 +382,54 @@ object CurationQueriesImpl {
         Map("src0" -> 0.4, "src1" -> 0.3, "src2" -> 0.2, "src3" -> 0.1))
         .orderBy("source")
     }
+
+    // Linear quality-classifier apply through the REAL fastText-style
+    // feature pipeline (Curation.hashedNgramBuckets: unigrams+bigrams,
+    // hashing-trick bucketed) with a portable model: buckets come from
+    // the first 3 md5 nibbles (0..4095) and bucket k's weight is the
+    // INTEGER micro value (k*2654435761) % 1000003 - 501001 — a
+    // deterministic stand-in a cross-engine oracle can rebuild. The
+    // fold sums exact longs (order-independent), so the scores
+    // hash-check; the production float path (Curation.linearScore,
+    // xxhash64 buckets, Array[Double] model) is spec-tested against
+    // this same feature pipeline.
+    register("q96_linear_score",
+      """WITH t AS (SELECT doc_id,
+        |    REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+') AS tok
+        |  FROM documents),
+        |f AS (SELECT doc_id, LIST_CONCAT(tok,
+        |    CASE WHEN LEN(tok) >= 2 THEN
+        |      LIST_TRANSFORM(GENERATE_SERIES(1, LEN(tok) - 1),
+        |        i -> CONCAT_WS(' ', tok[i], tok[i+1]))
+        |    ELSE [] END) AS feats FROM t),
+        |b AS (SELECT doc_id, LIST_TRANSFORM(feats, x ->
+        |      (INSTR('0123456789abcdef', SUBSTR(MD5(x), 1, 1)) - 1) * 256
+        |    + (INSTR('0123456789abcdef', SUBSTR(MD5(x), 2, 1)) - 1) * 16
+        |    + (INSTR('0123456789abcdef', SUBSTR(MD5(x), 3, 1)) - 1))
+        |    AS bk FROM f),
+        |s AS (SELECT doc_id, LEN(bk) AS n_feats,
+        |    CAST(LIST_SUM(LIST_TRANSFORM(bk,
+        |      k -> (k * 2654435761) % 1000003 - 501001)) AS BIGINT)
+        |      AS score_sum_micro
+        |  FROM b)
+        |SELECT doc_id, n_feats, score_sum_micro,
+        |  CAST(ROUND(CAST(score_sum_micro AS DOUBLE) / n_feats)
+        |    AS BIGINT) AS score_micro
+        |FROM s ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val bucketOf = (f: Column, b: Int) =>
+        conv(substring(md5(f), 1, 3), 16, 10).cast("int")
+      val bk = Curation.hashedNgramBuckets(col("text"), 4096, bucketOf)
+      table(s, dir, "documents")
+        .select(col("doc_id"), bk.as("bk_"))
+        .select(col("doc_id"),
+          size(col("bk_")).cast("long").as("n_feats"),
+          aggregate(col("bk_"), lit(0L), (acc, k) =>
+            acc + (k.cast("long") * lit(2654435761L) % lit(1000003L)
+              - lit(501001L))).as("score_sum_micro"))
+        .withColumn("score_micro",
+          round(col("score_sum_micro").cast("double") / col("n_feats"))
+            .cast("long"))
+        .orderBy(col("doc_id"))
+    }
   }
 }

@@ -568,5 +568,43 @@ object TextQueriesImpl {
           docs.where(col("doc_id") < 10), "text", "doc_id", k = 13)
         .orderBy(col("doc_id"))
     }
+
+    // Exact-substring duplicate spans (ExactSubstr dedup at n-gram
+    // granularity) through the REAL explode -> count -> semi-join ->
+    // interval-union engine, gated portably by hashing each 15-token
+    // window with md5 (the production default is xxhash64 — same
+    // engine, different gramHash argument). The oracle rebuilds the
+    // identical window set, duplicate filter, and LEAST(pos - lag, n)
+    // union arithmetic, so every column hash-checks.
+    register("q95_duplicate_spans",
+      """WITH t AS (SELECT doc_id,
+        |    REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+') AS toks
+        |  FROM documents),
+        |b AS (SELECT doc_id, LEN(toks) AS nt, toks FROM t),
+        |g AS (SELECT doc_id, nt, u.i AS pos,
+        |    MD5(ARRAY_TO_STRING(toks[u.i:u.i+14], ' ')) AS h
+        |  FROM b CROSS JOIN UNNEST(RANGE(1, GREATEST(nt - 14, 0) + 1))
+        |    u(i)),
+        |dup AS (SELECT h FROM g GROUP BY h HAVING COUNT(*) >= 2),
+        |hits AS (SELECT doc_id, pos FROM g
+        |  WHERE h IN (SELECT h FROM dup)),
+        |covd AS (SELECT doc_id,
+        |    LEAST(COALESCE(pos - LAG(pos) OVER (
+        |      PARTITION BY doc_id ORDER BY pos), 15), 15) AS cov
+        |  FROM hits),
+        |agg AS (SELECT doc_id, COUNT(*) AS n_dup_grams,
+        |    CAST(SUM(cov) AS BIGINT) AS covered_tokens
+        |  FROM covd GROUP BY doc_id)
+        |SELECT b.doc_id, COALESCE(a.n_dup_grams, 0) AS n_dup_grams,
+        |  COALESCE(a.covered_tokens, 0) AS covered_tokens,
+        |  b.nt AS n_tokens,
+        |  CAST(ROUND(COALESCE(a.covered_tokens, 0) * 1e6 / b.nt)
+        |    AS BIGINT) AS dup_frac_micro
+        |FROM b LEFT JOIN agg a USING (doc_id)
+        |ORDER BY b.doc_id""".stripMargin) { (s, dir) =>
+      Dedup.duplicateSpans(table(s, dir, "documents"), "text", "doc_id",
+          n = 15, minOccurrences = 2, gramHash = md5(_))
+        .orderBy(col("doc_id"))
+    }
   }
 }

@@ -508,4 +508,54 @@ object Curation {
             col("n_docs"), 6)).as("keep_fraction"),
         floor(col("c_") * col("target_share")).cast("long").as("n_keep"))
   }
+
+  /** Hashed unigram+bigram feature buckets for a linear text
+    * classifier — the fastText-style feature pipeline (bag of words +
+    * word bigrams, hashing-trick bucketed). Returns an `array<int>` of
+    * bucket ids in document order: `tokens` then the `n-1` bigrams.
+    * `bucketOf` maps a feature string to `[0, buckets)`; the default is
+    * xxhash64 (8-byte, codegen'd) — pass an md5-composed variant for
+    * cross-engine-portable gates. */
+  def hashedNgramBuckets(text: Column, buckets: Int,
+      bucketOf: (Column, Int) => Column =
+        (f, b) => pmod(xxhash64(f), lit(b)).cast("int")): Column = {
+    require(buckets > 0, "buckets must be positive")
+    val toks = TextAnalysis.tokens(text)
+    val bigrams = when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => concat_ws(" ", slice(toks, i, lit(2)))))
+      .otherwise(array().cast("array<string>"))
+    transform(concat(toks, bigrams), f => bucketOf(f, buckets))
+  }
+
+  /** Apply a trained linear quality classifier (fastText-style:
+    * mean-pooled hashed n-gram embedding of dimension 1 + bias) to
+    * every document. `weights(k)` is the scalar weight of feature
+    * bucket `k`; the score is
+    * `bias + mean(weights(bucket(feature)))` over unigrams+bigrams.
+    * Returns (idCol, n_feats, score).
+    *
+    * Scale shape: the model rides the plan as a LITERAL array (a few
+    * KB to a few MB — fastText quality-filter models are exactly
+    * this), so scoring 100 TB is ONE codegen'd scan: no join, no
+    * shuffle, no UDF; the fold over feature buckets is a higher-order
+    * `aggregate` inside whole-stage codegen. This is the
+    * apply-the-classifier half of the standard quality-filtering
+    * loop (the training half is sklearn/fastText-offline, model
+    * shipped as an array). */
+  def linearScore(df: DataFrame, textCol: String, idCol: String,
+      weights: Array[Double], bias: Double = 0.0,
+      bucketOf: (Column, Int) => Column =
+        (f, b) => pmod(xxhash64(f), lit(b)).cast("int")): DataFrame = {
+    require(weights.nonEmpty, "weights must be non-empty")
+    requireFresh(df, "bk_", "nf_")
+    val wlit = array(weights.map(lit(_)): _*)
+    val bk = hashedNgramBuckets(col(textCol), weights.length, bucketOf)
+    df.select(col(idCol), bk.as("bk_"))
+      .withColumn("nf_", size(col("bk_")))
+      .select(col(idCol), col("nf_").cast("long").as("n_feats"),
+        (lit(bias) + aggregate(col("bk_"), lit(0.0),
+          (acc, k) => acc + element_at(wlit, k + 1)) / col("nf_"))
+          .as("score"))
+  }
 }

@@ -492,4 +492,76 @@ object Dedup {
       .where(col("cosine") >= minCosine)
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
+
+  /** Exact-substring duplicate spans at n-gram granularity — the
+    * distributed stand-in for suffix-array ExactSubstr dedup
+    * ("Deduplicating Training Data Makes Language Models Better",
+    * Lee et al. 2022): every length-`n` token window is hashed, and a
+    * window whose hash occurs >= `minOccurrences` times corpus-wide
+    * (same-doc repeats count — a doc repeating its own boilerplate is
+    * still a duplicated span) is a duplicate span. Returns one row per
+    * input doc: (idCol, n_dup_grams, covered_tokens, n_tokens,
+    * dup_frac_micro) where covered_tokens is the size of the UNION of
+    * the overlapping [pos, pos+n-1] windows — the trim/drop signal for
+    * substring-level dedup (drop docs with dup_frac above a threshold,
+    * or cut the covered spans).
+    *
+    * Scale shape: documents are scanned once; the n-gram explode hashes
+    * each window inside the mapper (gram STRINGS never shuffle — only
+    * the hash + position), then ONE map-side-combined groupBy counts
+    * occurrences per hash, a left-semi equi-join keeps positions of
+    * over-threshold grams (never a self-join), and the interval union
+    * is one window over (doc, pos): consecutive hit positions `p_prev,
+    * p` add `min(p - p_prev, n)` newly-covered tokens, the first adds
+    * `n` — no per-doc interval list materializes. The explode is
+    * ~tokens-per-doc rows, the honest cost of substring-level dedup;
+    * everything downstream of the count filter is hit-scale, not
+    * corpus-scale.
+    *
+    * `gramHash` defaults to xxhash64 (8-byte keys); pass an
+    * md5-composed hash for cross-engine-portable gates. */
+  def duplicateSpans(df: DataFrame, textCol: String, idCol: String,
+      n: Int = 50, minOccurrences: Int = 2,
+      gramHash: Column => Column = xxhash64(_)): DataFrame = {
+    require(n >= 2, "span gram size n must be >= 2")
+    require(minOccurrences >= 2, "minOccurrences must be >= 2")
+    val reserved = Seq("toks__", "nt__", "pos__", "h__")
+    val clash = reserved.filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"input already has reserved working columns: ${clash.mkString(",")}")
+
+    val base = df
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("toks__"))
+      .withColumn("nt__", size(col("toks__")))
+    // sequence(1, stop) DESCENDS when stop < 1 — short docs must map to
+    // an empty window list, not [1, 0]
+    val starts = when(col("nt__") >= n,
+      sequence(lit(1), col("nt__") - (n - 1))).otherwise(
+      array().cast("array<int>"))
+    val grams = base.select(col(idCol), col("nt__"),
+        posexplode(transform(starts,
+          i => gramHash(concat_ws(" ", slice(col("toks__"), i, lit(n)))))))
+      .select(col(idCol), col("nt__"), (col("pos") + 1).as("pos__"),
+        col("col").as("h__"))
+    val dup = grams.groupBy(col("h__"))
+      .agg(count(lit(1)).as("cnt__"))
+      .where(col("cnt__") >= minOccurrences)
+      .select(col("h__"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos__"))
+    val covered = grams.join(dup, Seq("h__"), "left_semi")
+      .withColumn("cov__", least(
+        coalesce(col("pos__") - lag(col("pos__"), 1).over(w), lit(n)),
+        lit(n)))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_dup_grams"),
+        sum(col("cov__")).cast("long").as("covered_tokens"))
+    base.select(col(idCol), col("nt__").cast("long").as("n_tokens"))
+      .join(covered, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"),
+        coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
+        col("n_tokens"),
+        round(coalesce(col("covered_tokens"), lit(0L)) * lit(1e6)
+          / col("n_tokens")).cast("long").as("dup_frac_micro"))
+  }
 }

@@ -353,4 +353,51 @@ class CurationSpec extends AnyFunSuite {
       .map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
     assert(r.toSeq == Seq((1L, 1L, 1L), (2L, 0L, 0L), (3L, 2L, 1L)))
   }
+
+  test("hashedNgramBuckets emits unigrams then bigrams, in range") {
+    val df = Seq((1L, "a b c"), (2L, "solo")).toDF("doc_id", "text")
+    val r = df.select($"doc_id",
+        Curation.hashedNgramBuckets($"text", 64).as("bk"))
+      .orderBy($"doc_id").collect()
+      .map(x => x.getSeq[Int](1))
+    assert(r(0).length == 5)          // 3 unigrams + 2 bigrams
+    assert(r(1).length == 1)          // no bigrams for one token
+    assert(r.flatten.forall(k => k >= 0 && k < 64))
+    // feature identity, not position: shared tokens share buckets
+    val Seq(b1, b2) = Seq((1L, "x y"), (2L, "y x")).toDF("doc_id", "text")
+      .select(Curation.hashedNgramBuckets($"text", 1024))
+      .collect().map(_.getSeq[Int](0)).toSeq
+    assert(b1.take(2).toSet == b2.take(2).toSet) // unigram buckets swap
+    assert(b1(2) != b2(2) || b1 == b2)           // bigrams differ (generically)
+  }
+
+  test("linearScore: mean pooling, bias, and a planted spam weight") {
+    val df = Seq(
+      (1L, "good words entirely unrelated to spam"),
+      (2L, "buy now buy now buy now"),
+      (3L, "good words entirely unrelated to spam")) // clone of 1
+      .toDF("doc_id", "text")
+    // all-zero model -> every doc scores exactly the bias
+    val zero = Curation.linearScore(df, "text", "doc_id",
+      Array.fill(128)(0.0), bias = 0.25)
+      .collect().map(_.getDouble(2))
+    assert(zero.forall(_ == 0.25))
+    // constant model -> bias + w for any text (mean of equal weights)
+    val const = Curation.linearScore(df, "text", "doc_id",
+      Array.fill(128)(0.5), bias = 1.0)
+      .collect().map(_.getDouble(2))
+    assert(const.forall(s => math.abs(s - 1.5) < 1e-12))
+    // plant a negative weight on the bucket of "buy now": doc 2 drops
+    val spamBucket = Seq(Tuple1("buy now")).toDF("f")
+      .select(pmod(xxhash64($"f"), lit(128)).cast("int")).head().getInt(0)
+    val w = Array.fill(128)(0.0); w(spamBucket) = -1.0
+    val scored = Curation.linearScore(df, "text", "doc_id", w)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(scored(2L) < scored(1L))
+    assert(scored(1L) == scored(3L)) // identical text, identical score
+    // n_feats = 2n-1
+    val nf = Curation.linearScore(df, "text", "doc_id", w)
+      .where($"doc_id" === 2L).head().getLong(1)
+    assert(nf == 11) // 6 unigrams + 5 bigrams
+  }
 }

@@ -241,6 +241,39 @@ class TextSpec extends AnyFunSuite {
     assert(star.count() == 299) // every member linked to the rep
   }
 
+  test("duplicateSpans: interval union, self-repeats, short docs") {
+    val df = Seq(
+      (1L, "a b c d e f"),            // shares [a b c],[b c d] with doc 2
+      (2L, "x y a b c d q"),          // hit positions 3,4
+      (3L, "z z z z z z"),            // self-repeating: all grams dup
+      (4L, "unique tokens only here now"),
+      (5L, "p q"))                    // shorter than n -> no grams
+      .toDF("doc_id", "text")
+    val r = Dedup.duplicateSpans(df, "text", "doc_id", n = 3)
+      .orderBy($"doc_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+    // (id, n_dup_grams, covered_tokens, n_tokens)
+    assert(r(0) == ((1L, 2L, 4L, 6L)))  // windows [1..3]+[2..4] -> 4
+    assert(r(1) == ((2L, 2L, 4L, 7L)))
+    assert(r(2) == ((3L, 4L, 6L, 6L)))  // whole doc covered
+    assert(r(3) == ((4L, 0L, 0L, 5L)))
+    assert(r(4) == ((5L, 0L, 0L, 2L)))
+    // dup_frac_micro of the fully-covered doc is exactly 1e6
+    val frac = Dedup.duplicateSpans(df, "text", "doc_id", n = 3)
+      .where($"doc_id" === 3L).head().getLong(4)
+    assert(frac == 1000000L)
+    // hash choice changes keys, not span stats: md5 gate twin == default
+    val viaMd5 = Dedup.duplicateSpans(df, "text", "doc_id", n = 3,
+      gramHash = md5(_)).orderBy($"doc_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+    assert(viaMd5.toSeq == r.toSeq)
+    // reserved working columns are guarded
+    val clash = df.withColumn("toks__", lit(1))
+    intercept[IllegalArgumentException] {
+      Dedup.duplicateSpans(clash, "text", "doc_id", n = 3)
+    }
+  }
+
   test("quality score is higher for clean prose than word soup") {
     val clean = Seq((1L, ("the cat sat on the mat and it was a good day " +
       "for all of the cats in this town") * 3)).toDF("doc_id", "text")
