@@ -33,8 +33,14 @@ object Bench {
     // residual first-run noise to a different query each round. Two
     // timed passes, min per query: single-shot numbers at this scale
     // carry multi-second JIT/GC noise that lands on arbitrary queries.
+    // Optional comma-separated filter for local iteration on specific
+    // queries; unset (the driver's mode) benches everything.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     def pass(): Seq[(String, Double)] =
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (name, _) => only.forall(_.contains(name)) }
+        .map { case (name, fn) =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         name -> (System.nanoTime() - t0) / 1e9

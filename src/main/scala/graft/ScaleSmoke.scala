@@ -118,6 +118,15 @@ object ScaleSmoke {
             .otherwise(lit("")))),
         "text", "doc_id", maxDocs = 10).count()
     }
+    t("exact-substring duplicate spans") {
+      // clone pairs share their full 60-token text -> every 15-token
+      // window in a clone is a corpus-duplicated span; hit volume
+      // tracks the fixed clone rate, so this stays linear too. The
+      // aggregate forces the span computation (a bare count of the
+      // per-doc output could prune the hit join).
+      graft.text.Dedup.duplicateSpans(docs, "text", "doc_id", n = 15)
+        .agg(sum(col("n_dup_grams"))).head().getLong(0)
+    }
     t("dedup clusters + drop") {
       // pairs -> connected components -> keep one per cluster; rounds
       // = cluster diameter (2 here), each two hash shuffles

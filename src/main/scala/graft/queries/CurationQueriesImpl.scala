@@ -418,9 +418,12 @@ object CurationQueriesImpl {
         |FROM s ORDER BY doc_id""".stripMargin) { (s, dir) =>
       val bucketOf = (f: Column, b: Int) =>
         conv(substring(md5(f), 1, 3), 16, 10).cast("int")
-      val bk = Curation.hashedNgramBuckets(col("text"), 4096, bucketOf)
       table(s, dir, "documents")
-        .select(col("doc_id"), bk.as("bk_"))
+        .select(col("doc_id"),
+          graft.text.TextAnalysis.tokens(col("text")).as("toks_"))
+        .select(col("doc_id"),
+          Curation.hashedNgramBuckets(col("toks_"), 4096, bucketOf)
+            .as("bk_"))
         .select(col("doc_id"),
           size(col("bk_")).cast("long").as("n_feats"),
           aggregate(col("bk_"), lit(0L), (acc, k) =>

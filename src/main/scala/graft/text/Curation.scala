@@ -512,15 +512,20 @@ object Curation {
   /** Hashed unigram+bigram feature buckets for a linear text
     * classifier — the fastText-style feature pipeline (bag of words +
     * word bigrams, hashing-trick bucketed). Returns an `array<int>` of
-    * bucket ids in document order: `tokens` then the `n-1` bigrams.
+    * bucket ids in document order: the tokens then the `n-1` bigrams.
     * `bucketOf` maps a feature string to `[0, buckets)`; the default is
     * xxhash64 (8-byte, codegen'd) — pass an md5-composed variant for
-    * cross-engine-portable gates. */
-  def hashedNgramBuckets(text: Column, buckets: Int,
+    * cross-engine-portable gates.
+    *
+    * Takes a MATERIALIZED token-array column (an attribute, not an
+    * inline `split(...)`): a lambda over an inline split re-evaluates
+    * the split per bigram element — O(tokens²) per row, the same trap
+    * `Dedup.ngramJaccardPairs` documents. [[linearScore]] does the
+    * two-step for you. */
+  def hashedNgramBuckets(toks: Column, buckets: Int,
       bucketOf: (Column, Int) => Column =
         (f, b) => pmod(xxhash64(f), lit(b)).cast("int")): Column = {
     require(buckets > 0, "buckets must be positive")
-    val toks = TextAnalysis.tokens(text)
     val bigrams = when(size(toks) >= 2,
       transform(sequence(lit(1), size(toks) - 1),
         i => concat_ws(" ", slice(toks, i, lit(2)))))
@@ -548,10 +553,13 @@ object Curation {
       bucketOf: (Column, Int) => Column =
         (f, b) => pmod(xxhash64(f), lit(b)).cast("int")): DataFrame = {
     require(weights.nonEmpty, "weights must be non-empty")
-    requireFresh(df, "bk_", "nf_")
+    requireFresh(df, "toks_", "bk_", "nf_")
     val wlit = array(weights.map(lit(_)): _*)
-    val bk = hashedNgramBuckets(col(textCol), weights.length, bucketOf)
-    df.select(col(idCol), bk.as("bk_"))
+    df.select(col(idCol),
+        TextAnalysis.tokens(col(textCol)).as("toks_"))
+      .select(col(idCol),
+        hashedNgramBuckets(col("toks_"), weights.length, bucketOf)
+          .as("bk_"))
       .withColumn("nf_", size(col("bk_")))
       .select(col(idCol), col("nf_").cast("long").as("n_feats"),
         (lit(bias) + aggregate(col("bk_"), lit(0.0),

@@ -96,6 +96,15 @@ object Dedup {
         .as("sh_str"))
     .select(col(idCol), xxhash64(col("sh_str")).as("s"))
 
+  /** Fixed splitmix64 finalizer — deterministic per-index constants
+    * for the min-hash remixes (NOT a per-run random source). */
+  private def splitmix64(x0: Long): Long = {
+    var z = x0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
   /** Shared LSH front half: per-doc distinct hashed-shingle sets
     * (`gh`) and banded bucket keys, from precomputed [[shingleHashes]]
     * rows. Materialized once (lazy localCheckpoint) — the frame feeds
@@ -106,8 +115,17 @@ object Dedup {
       numHashes: Int, bands: Int): (DataFrame, DataFrame) = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rowsPerBand = numHashes / bands
-    val minAggs = (0 until numHashes).map(i =>
-      min(xxhash64(lit(i), col("s"))).as(s"h$i"))
+    // The i-th min-hash remixes the ALREADY-UNIFORM 64-bit shingle
+    // hash with a splitmix64-derived multiply-add (odd multiplier,
+    // wrapping Remix64 expression): a single Java FMA per (i, row)
+    // instead of a fresh xxhash64 — the 128-wide min-agg stage is the
+    // cost center of every LSH path (q68/q77/q92), and min-wise LSH
+    // only needs per-i orderings that are independent-ish permutations
+    // of a uniform input, not a full re-hash of it.
+    val minAggs = (0 until numHashes).map { i =>
+      min(graft.functions.Remix64(col("s"),
+        splitmix64(2L * i) | 1L, splitmix64(2L * i + 1))).as(s"h$i")
+    }
     val sigAndSet = hashed.groupBy(col(idCol))
       .agg(minAggs.head, (minAggs.tail :+
         collect_set(col("s")).as("gh")): _*)

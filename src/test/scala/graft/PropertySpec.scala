@@ -232,6 +232,45 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("duplicateSpans invariants on random corpora with planted clones") {
+    import graft.text.Dedup
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh")
+    val docGen: Gen[String] = Gen.choose(2, 40).flatMap(len =>
+      Gen.listOfN(len, Gen.oneOf(vocab)).map(_.mkString(" ")))
+    val texts = samples(docGen, 30, 4242L)
+    // plant one exact clone pair so the duplicated-span path fires
+    val rows = (texts :+ texts.head).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    val df = rows.toDF("doc_id", "text")
+    val out = Dedup.duplicateSpans(df, "text", "doc_id", n = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).sortBy(_._1)
+    // one row per doc, nothing dropped
+    assert(out.length == rows.length)
+    out.foreach { case (_, nGrams, covered, nToks, fracMicro) =>
+      // coverage never exceeds the doc, never negative
+      assert(covered >= 0 && covered <= nToks)
+      // each duplicated gram adds at least 1 and at most n tokens
+      assert(covered <= 4L * nGrams)
+      assert(nGrams == 0L || covered >= nGrams + 3) // union >= n for >=1 gram
+      assert(fracMicro == math.round(covered * 1e6 / nToks))
+    }
+    // the planted clone pair is fully covered when long enough
+    val byId = out.map(r => r._1 -> r).toMap
+    val first = byId(0L); val clone = byId(rows.length - 1L)
+    if (first._4 >= 4) {
+      assert(first._3 == first._4, s"clone source not fully covered: $first")
+      assert(clone._3 == clone._4)
+    }
+    // raising minOccurrences can only shrink coverage
+    val strict = Dedup.duplicateSpans(df, "text", "doc_id", n = 4,
+      minOccurrences = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    out.foreach { case (id, _, covered, _, _) =>
+      assert(strict(id) <= covered)
+    }
+  }
+
   test("validation rejects Celsius-looking temps, accepts Kelvin") {
     val kelvin = Seq(("2016-01-01", 271.0)).toDF("d", "temp")
     Validation.assertPlausibleTemps(kelvin)

@@ -355,18 +355,19 @@ class CurationSpec extends AnyFunSuite {
   }
 
   test("hashedNgramBuckets emits unigrams then bigrams, in range") {
+    def buckets(df: org.apache.spark.sql.DataFrame, b: Int) = df
+      .withColumn("toks", TextAnalysis.tokens($"text"))
+      .select($"doc_id", Curation.hashedNgramBuckets($"toks", b).as("bk"))
     val df = Seq((1L, "a b c"), (2L, "solo")).toDF("doc_id", "text")
-    val r = df.select($"doc_id",
-        Curation.hashedNgramBuckets($"text", 64).as("bk"))
-      .orderBy($"doc_id").collect()
+    val r = buckets(df, 64).orderBy($"doc_id").collect()
       .map(x => x.getSeq[Int](1))
     assert(r(0).length == 5)          // 3 unigrams + 2 bigrams
     assert(r(1).length == 1)          // no bigrams for one token
     assert(r.flatten.forall(k => k >= 0 && k < 64))
     // feature identity, not position: shared tokens share buckets
-    val Seq(b1, b2) = Seq((1L, "x y"), (2L, "y x")).toDF("doc_id", "text")
-      .select(Curation.hashedNgramBuckets($"text", 1024))
-      .collect().map(_.getSeq[Int](0)).toSeq
+    val Seq(b1, b2) =
+      buckets(Seq((1L, "x y"), (2L, "y x")).toDF("doc_id", "text"), 1024)
+      .orderBy($"doc_id").collect().map(_.getSeq[Int](1)).toSeq
     assert(b1.take(2).toSet == b2.take(2).toSet) // unigram buckets swap
     assert(b1(2) != b2(2) || b1 == b2)           // bigrams differ (generically)
   }
