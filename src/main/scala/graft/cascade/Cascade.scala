@@ -65,10 +65,14 @@ object Cascade {
   }
 
   /** One cascade level: each box at `idx` becomes two children
-    * (idx*2, idx*2+1). `stats` supplies matrices + the level threshold. */
+    * (idx*2, idx*2+1). `stats` supplies matrices + the level threshold.
+    * `draw` maps (derived seed, key columns) to a (0,1) uniform —
+    * [[graft.disagg.Wind.uniformHash]] (xxhash64) in production; a
+    * cross-engine hash (md5) for portable oracle twins. */
   private def disaggLevel(df: DataFrame, stats: CascadeStatistics,
       meanvol: Double, level: Int, seed: Long,
-      partitionCols: Seq[String]): DataFrame = {
+      partitionCols: Seq[String],
+      draw: (Long, Seq[Column]) => Column = uniformHash): DataFrame = {
     val w = (if (partitionCols.isEmpty) Window.orderBy(col("idx"))
       else Window.partitionBy(partitionCols.map(col): _*)
         .orderBy(col("idx")))
@@ -77,10 +81,10 @@ object Cascade {
     val bt = boxType(wet, lag(wet, 1).over(w), lead(wet, 1).over(w))
     val ba = when(v > meanvol, 1).otherwise(0)
 
-    val rndp = uniformHash(seed * 31 + level,
-      (col("idx") +: partitionCols.map(col)): _*)
-    val rndw = uniformHash(seed * 31 + level + 7919,
-      (col("idx") +: partitionCols.map(col)): _*)
+    val rndp = draw(seed * 31 + level,
+      col("idx") +: partitionCols.map(col))
+    val rndw = draw(seed * 31 + level + 7919,
+      col("idx") +: partitionCols.map(col))
 
     val centers = CascadeStatistics.wClassCenters
     // first class whose cumulative weight covers the draw (break-on-first)
@@ -145,7 +149,8 @@ object Cascade {
     * lookup replaced by per-station broadcast joins. */
   private def disaggLevelMulti(df: DataFrame, thrDf: DataFrame,
       statsDf: DataFrame, level: Int, seed: Long,
-      partitionCols: Seq[String]): DataFrame = {
+      partitionCols: Seq[String],
+      draw: (Long, Seq[Column]) => Column = uniformHash): DataFrame = {
     val pcols = partitionCols.map(col)
     val w = Window.partitionBy(pcols: _*).orderBy(col("idx"))
     val keys = partitionCols.indices.map(i => s"__k$i")
@@ -154,10 +159,8 @@ object Cascade {
     val v = col("v")
     val wet = v > 0.0
     val bt = boxType(wet, lag(wet, 1).over(w), lead(wet, 1).over(w))
-    val rndp = uniformHash(seed * 31 + level,
-      (col("idx") +: pcols): _*)
-    val rndw = uniformHash(seed * 31 + level + 7919,
-      (col("idx") +: pcols): _*)
+    val rndp = draw(seed * 31 + level, col("idx") +: pcols)
+    val rndw = draw(seed * 31 + level + 7919, col("idx") +: pcols)
 
     val centers = CascadeStatistics.wClassCenters
     val w1 = coalesce(
@@ -198,7 +201,8 @@ object Cascade {
   def disaggregate(daily: DataFrame,
       stats: Either[CascadeStatistics, Seq[CascadeStatistics]],
       hourly: Boolean = true, level: Int = 9, shift: Int = 0,
-      seed: Long = 42L, partitionCols: Seq[String] = Nil): DataFrame = {
+      seed: Long = 42L, partitionCols: Seq[String] = Nil,
+      draw: (Long, Seq[Column]) => Column = uniformHash): DataFrame = {
     val si = if (hourly) 5 else level
     if (partitionCols.isEmpty)
       graft.core.ScaleGuard.unpartitionedWindow(daily,
@@ -214,7 +218,7 @@ object Cascade {
           case Left(s) => (s, s.threshold(siVar))
           case Right(list) => (list(siVar), list(siVar).threshold(0))
         }
-        disaggLevel(cur, lvlStats, meanvol, l, seed, partitionCols)
+        disaggLevel(cur, lvlStats, meanvol, l, seed, partitionCols, draw)
     }
   }
 
@@ -230,7 +234,8 @@ object Cascade {
       statsByStation: Map[Seq[String],
         Either[CascadeStatistics, Seq[CascadeStatistics]]],
       hourly: Boolean = true, level: Int = 9, shift: Int = 0,
-      seed: Long = 42L, partitionCols: Seq[String] = Nil): DataFrame = {
+      seed: Long = 42L, partitionCols: Seq[String] = Nil,
+      draw: (Long, Seq[Column]) => Column = uniformHash): DataFrame = {
     require(partitionCols.nonEmpty,
       "disaggregatePerStation needs partitionCols")
     val si = if (hourly) 5 else level
@@ -261,7 +266,8 @@ object Cascade {
         }
         val (thrDf, statsDf) =
           multiLookups(cur.sparkSession, partitionCols, entries)
-        disaggLevelMulti(cur, thrDf, statsDf, l, seed, partitionCols)
+        disaggLevelMulti(cur, thrDf, statsDf, l, seed, partitionCols,
+          draw)
     }
   }
 
