@@ -53,7 +53,10 @@ object Cascade {
   /** 8-row lookup table for one level's statistics: (ba, bt) ->
     * p01, p10, cumulative weight CDF. Broadcast-joined — tiny generated
     * code per level instead of 56-branch when-chains (whose janino
-    * compile time dominated deep cascades). */
+    * compile time dominated deep cascades). A constant-array
+    * `element_at` lookup was also tried and measured ~40% SLOWER across
+    * the four cascade gates (the literal trees grow each level's plan;
+    * the 8-row broadcast is cheap and AQE-reused), so the join stays. */
   private def statsLookup(spark: org.apache.spark.sql.SparkSession,
       stats: CascadeStatistics): DataFrame = {
     import spark.implicits._
