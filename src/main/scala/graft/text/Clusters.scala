@@ -35,8 +35,13 @@ object Clusters {
       dstCol: String = "id_b", maxIter: Int = 50): DataFrame = {
     val fwd = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"))
+    // hash-partition the edge list by join key ONCE: localCheckpoint
+    // preserves the partitioning in its LogicalRDD, so every round's
+    // edge-label join reuses it instead of re-shuffling |E| rows — the
+    // big side of the join — each iteration
     val sym = fwd.union(
       fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .repartition(col("src"))
       .localCheckpoint(false) // reused every round: scan edges once
     var labels = sym.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
