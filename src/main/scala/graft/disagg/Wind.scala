@@ -10,11 +10,17 @@ import org.apache.spark.sql.functions._
   * deterministic under any partitioning/retry (SURVEY.md §4). */
 object Wind {
 
-  /** `daily`: (date, wind). Returns (partitionCols…, timestamp, wind). */
+  /** `daily`: (date, wind). Returns (partitionCols…, timestamp, wind).
+    * `draw` maps (seed, key columns) to a (0,1) uniform for the
+    * `random` method — xxhash64 in production; oracle twins pass a
+    * cross-engine hash (md5), the same pluggable-draw pattern as
+    * [[graft.cascade.Cascade.disaggregate]]. */
   def disaggregate(daily: DataFrame, method: String = "equal",
       a: Double = Double.NaN, b: Double = Double.NaN,
       tShift: Double = Double.NaN, seed: Long = 42L,
-      partitionCols: Seq[String] = Nil): DataFrame = {
+      partitionCols: Seq[String] = Nil,
+      draw: (Long, Seq[org.apache.spark.sql.Column]) =>
+        org.apache.spark.sql.Column = uniformHash(_, _: _*)): DataFrame = {
     val pcols = partitionCols.map(col)
     val hourly = TimeSeries.explodeDays(daily, "date", 24, 3600L * 1000000L)
     val out = method match {
@@ -28,7 +34,7 @@ object Wind {
       case "random" =>
         // w̄ * (-ln U)^0.3 with U from a stable per-row hash — plan- and
         // partitioning-independent determinism, unlike rand(seed)
-        val u = uniformHash(seed, col("timestamp") +: pcols: _*)
+        val u = draw(seed, col("timestamp") +: pcols)
         hourly.withColumn("wind_disagg",
           col("wind") * pow(-log(u), 0.3))
       case other => throw new IllegalArgumentException(other)

@@ -164,15 +164,8 @@ object CascadeQueriesImpl {
     }
   }
 
-  /** Cross-engine-portable uniform draw: the first 8 md5 hex chars of
-    * `seed|key...` as a 32-bit integer, mapped into (0, 1) — the same
-    * (h+1)/(max+2) shape as `Wind.uniformHash`, rebuilt nibble-for-
-    * nibble in the DuckDB oracle. */
   private def md5Draw(seed: Long, cols: Seq[org.apache.spark.sql.Column])
-      : org.apache.spark.sql.Column =
-    (conv(substring(md5(concat_ws("|",
-        (lit(seed.toString) +: cols.map(_.cast("string"))): _*)), 1, 8),
-      16, 10).cast("double") + 1.0) / 4294967298.0
+      : org.apache.spark.sql.Column = OracleDraw.md5Draw(seed, cols)
 
   /** Generates the unrolled `nLevels`-deep cascade oracle with the
     * given statistics baked in as literals. `dailySql` must yield
@@ -188,9 +181,7 @@ object CascadeQueriesImpl {
       s"($b, $t, ${d(st.p01(b)(t - 1))}, ${d(st.p10(b)(t - 1))}, " +
         (0 until 7).map(k => d(cum(k)(b)(t - 1))).mkString(", ") + ")")
       .mkString(",\n      ")
-    def hex8(m: String) = (1 to 8).map(i =>
-      s"(INSTR('0123456789abcdef', SUBSTR($m, $i, 1)) - 1) * " +
-        s"${math.pow(16, 8 - i).toLong}.0").mkString(" + ")
+    def hex8(m: String) = OracleDraw.hex8(m)
     val w1Case = "COALESCE(CASE " +
       (1 to 7).map(k => s"WHEN y.rndw <= s.c$k THEN ${d(ctr(k - 1))}")
         .mkString(" ") + s" END, ${d(ctr(6))})"

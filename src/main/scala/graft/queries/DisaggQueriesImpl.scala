@@ -271,6 +271,30 @@ object DisaggQueriesImpl {
         .orderBy(col("ts_str"))
     }
 
+    // q47's stochastic path hash-proven: the same w̄·(-ln U)^0.3 engine
+    // with the ONE pluggable piece — the uniform draw — swapped from
+    // xxhash64 to md5 so DuckDB recomputes every draw nibble-for-nibble
+    // (the q97/q98 cascade-twin pattern). POW/LN at 6-dp rounding
+    // round-trips between the engines (q43 already proves COS does).
+    register("q99_wind_random_md5",
+      s"""WITH $duckDailyMet,
+         |locs AS (SELECT d, wind FROM daily),
+         |$duckHours,
+         |u AS (SELECT h, wind,
+         |  ((${OracleDraw.hex8(
+             "MD5(CONCAT('42', '|', STRFTIME(h, '%Y-%m-%d %H:%M:%S')))")})
+         |    + 1.0) / 4294967298.0 AS u
+         |  FROM hourly)
+         |SELECT STRFTIME(h, '%Y-%m-%d %H:%M:%S') AS ts_str,
+         |  ROUND(wind * POW(-LN(u), 0.3), 6) AS wind
+         |FROM u ORDER BY 1""".stripMargin) { (s, dir) =>
+      Wind.disaggregate(dailyMet(s, dir), "random", seed = 42L,
+          draw = OracleDraw.md5Draw)
+        .select(date_format(col("timestamp"), "yyyy-MM-dd HH:mm:ss")
+          .as("ts_str"), round(col("wind"), 6).as("wind"))
+        .orderBy(col("ts_str"))
+    }
+
     // polar overlay (temperature.py:178-240) at lat 75: deterministic, so
     // oracle-checkable — the SQL restates sun times (q32 algebra, lon 20),
     // the fix locFrame (q40 algebra), the sine curve, the polar/transition
