@@ -174,6 +174,25 @@ class GoldenDisaggSpec extends AnyFunSuite {
     assert(r1.join(r2, Seq("timestamp"))
       .where(r1("wind") =!= r2("wind")).count() == 0)
   }
+  test("wind random pluggable draw: same invariants, different draws") {
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.functions.{concat_ws, conv, lit, md5,
+      substring}
+    val md5Draw = (seed: Long, cols: Seq[Column]) =>
+      (conv(substring(md5(concat_ws("|",
+          (lit(seed.toString) +: cols.map(_.cast("string"))): _*)), 1, 8),
+        16, 10).cast("double") + 1.0) / 4294967298.0
+    val xx = Wind.disaggregate(daily, "random", seed = 7L)
+    val m1 = Wind.disaggregate(daily, "random", seed = 7L, draw = md5Draw)
+    val m2 = Wind.disaggregate(daily, "random", seed = 7L, draw = md5Draw)
+    // deterministic under the alternate draw, nonnegative, and actually
+    // a DIFFERENT stochastic realization than the xxhash production draw
+    assert(m1.join(m2, Seq("timestamp"))
+      .where(m1("wind") =!= m2("wind")).count() == 0)
+    assert(m1.where($"wind" < 0).count() == 0)
+    assert(m1.join(xx, Seq("timestamp"))
+      .where(m1("wind") =!= xx("wind")).count() > 0)
+  }
 
   // -------------------------------------------------------------- radiation
 
