@@ -35,13 +35,14 @@ object Clusters {
       dstCol: String = "id_b", maxIter: Int = 50): DataFrame = {
     val fwd = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"))
-    // hash-partition the edge list by join key ONCE: localCheckpoint
-    // preserves the partitioning in its LogicalRDD, so every round's
-    // edge-label join reuses it instead of re-shuffling |E| rows — the
-    // big side of the join — each iteration
+    // NOTE: pre-repartitioning sym by src would NOT save the per-round
+    // edge shuffle — under AQE, localCheckpoint's LogicalRDD reports
+    // UnknownPartitioning, so each round's join re-exchanges anyway and
+    // the upfront shuffle is pure overhead (ClustersSpec pins this; if
+    // a Spark upgrade starts preserving it, that test flags the
+    // opportunity to cache the edge list pre-partitioned).
     val sym = fwd.union(
       fwd.select(col("dst").as("src"), col("src").as("dst")))
-      .repartition(col("src"))
       .localCheckpoint(false) // reused every round: scan edges once
     var labels = sym.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))

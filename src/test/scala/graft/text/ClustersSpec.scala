@@ -68,6 +68,34 @@ class ClustersSpec extends AnyFunSuite {
       (3L, 1L, 3L, 0L), (4L, 4L, 1L, 1L), (9L, 9L, 1L, 1L)))
   }
 
+  test("localCheckpoint under AQE drops partitioning (why the CC loop " +
+      "does not pre-partition its edge list)") {
+    // A pre-repartition($"src") of the edge list would only pay off if
+    // localCheckpoint PRESERVED the hash partitioning into its
+    // LogicalRDD — then every round's edge-label join could skip the
+    // |E|-row exchange. Under AQE it does NOT (UnknownPartitioning),
+    // so connectedComponents deliberately skips the upfront shuffle.
+    // If a Spark upgrade makes this test fail (1 exchange instead of
+    // 2), preserve-partitioning became real: re-add the pre-partition
+    // in Clusters.connectedComponents and save a shuffle per round.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val edges = (1L to 500L).map(i => (i, i % 37))
+        .toDF("src", "dst").repartition($"src").localCheckpoint(true)
+      val labels = (1L to 500L).map(i => (i, i)).toDF("src", "label")
+      val round = edges.join(labels, Seq("src"))
+        .groupBy($"dst").agg(min($"label"))
+      val plan = round.queryExecution.executedPlan.toString
+      val srcExchanges = "Exchange hashpartitioning\\(src"
+        .r.findAllIn(plan).length
+      // the sort-merge join needs hashpartitioning(src) on BOTH sides:
+      // 2 = checkpoint lost the edge side's partitioning (today's AQE
+      // behavior); 1 would mean it survived
+      assert(srcExchanges == 2, s"partitioning behavior changed:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("dropNearDuplicates keeps one representative per dup family") {
     val base = "the quick brown fox jumps over the lazy dog and then " +
       "ran far away into the deep green forest before sunset tonight"
