@@ -434,5 +434,45 @@ object CurationQueriesImpl {
             .cast("long"))
         .orderBy(col("doc_id"))
     }
+
+    // vocabulary/merges prep before tokenizer training: top-k corpus
+    // tokens by frequency, distributed TakeOrdered (no global sort)
+    register("q100_vocab_topk",
+      """WITH toks AS (
+        |  SELECT UNNEST(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+'))
+        |    AS token
+        |  FROM documents),
+        |c AS (SELECT token, COUNT(*) AS cnt FROM toks
+        |  WHERE token <> '' GROUP BY 1)
+        |SELECT CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, token)
+        |    AS BIGINT) AS rank,
+        |  token, cnt
+        |FROM c ORDER BY cnt DESC, token LIMIT 100""".stripMargin) {
+      (s, dir) =>
+      Curation.vocabTopK(table(s, dir, "documents"), "text", k = 100)
+        .orderBy(col("rank"))
+    }
+
+    // deterministic epoch shuffle-and-shard: md5-permuted training
+    // order, reproduced shard-for-shard and position-for-position by
+    // the oracle (hex nibbles -> 32-bit int -> mod shards; md5-string
+    // sort order already proven portable by q90)
+    register("q101_training_order",
+      s"""WITH h AS (SELECT doc_id,
+         |    MD5(CONCAT_WS('|', '42', CAST(doc_id AS VARCHAR))) AS hh
+         |  FROM documents),
+         |s AS (SELECT doc_id, hh,
+         |    CAST(CAST((${OracleDraw.hex8("hh")}) AS BIGINT) % 8 AS INT)
+         |      AS shard
+         |  FROM h)
+         |SELECT doc_id, shard,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY shard
+         |    ORDER BY hh, doc_id) - 1 AS BIGINT) AS pos
+         |FROM s ORDER BY shard, pos""".stripMargin) { (s, dir) =>
+      Curation.trainingOrder(table(s, dir, "documents"), Seq("doc_id"),
+          numShards = 8, seed = 42L)
+        .select(col("doc_id"), col("shard"), col("pos"))
+        .orderBy(col("shard"), col("pos"))
+    }
   }
 }

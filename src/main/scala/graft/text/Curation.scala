@@ -285,6 +285,29 @@ object Curation {
         (-col("best_.ntf")).as("tf"))
   }
 
+  /** Corpus vocabulary builder: the top-`k` whitespace tokens by
+    * frequency with their dense rank — the vocabulary/merges-prep pass
+    * before tokenizer (BPE) training. Returns (rank, token, cnt),
+    * ties broken lexicographically.
+    *
+    * Scale shape: one explode into a map-side-combined token count
+    * (vocabulary-scale rows reach the shuffle, not corpus-scale), then
+    * `orderBy(...).limit(k)` — Spark's distributed TakeOrdered, each
+    * partition keeps k candidates and only n_partitions×k rows reach
+    * the driver-side merge, no global sort. The rank window runs over
+    * the k survivors only. */
+  def vocabTopK(df: DataFrame, textCol: String, k: Int): DataFrame = {
+    require(k > 0)
+    val counts = df
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("token"))
+      .where(col("token") =!= "")
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    val top = counts.orderBy(col("cnt").desc, col("token")).limit(k)
+    top.withColumn("rank", row_number()
+        .over(Window.orderBy(col("cnt").desc, col("token"))).cast("long"))
+      .select(col("rank"), col("token"), col("cnt"))
+  }
+
   /** Semantic decontamination: flag corpus documents whose EMBEDDING
     * is close to any probe (eval-benchmark) embedding — catches
     * paraphrased contamination that k-gram [[decontaminate]] misses.
@@ -342,6 +365,36 @@ object Curation {
     df.withColumn("rank_", row_number().over(w))
       .where(col("rank_") <= n)
       .drop("rank_")
+  }
+
+  /** Deterministic epoch shuffle-and-shard for training order: every
+    * row gets a `shard` in [0, numShards) and a dense `pos` within its
+    * shard, both derived from md5 over (seed, id columns) — a global
+    * pseudo-random permutation that is reproducible under any
+    * partitioning, AQE re-plan, or task retry, and re-drawable per
+    * epoch by bumping `seed`. The standard last step that turns a
+    * curated corpus into N training files consumed in order.
+    *
+    * Scale shape: shard assignment is a pure row expression; the only
+    * shuffle is the hash exchange on `shard` that the per-shard
+    * `row_number` needs — exactly the write path's clustering (one
+    * shard = one training file), so the sort is reused by the sink.
+    * Shards stay balanced by hash uniformity; pick numShards ≈ corpus
+    * size / file-size target. */
+  def trainingOrder(df: DataFrame, idCols: Seq[String], numShards: Int,
+      seed: Long = 42L): DataFrame = {
+    require(numShards > 0 && idCols.nonEmpty)
+    requireFresh(df, "h_")
+    val h = md5(concat_ws("|",
+      lit(seed.toString) +: idCols.map(c => col(c).cast("string")): _*))
+    val shard = pmod(conv(substring(col("h_"), 1, 8), 16, 10)
+      .cast("long"), lit(numShards.toLong)).cast("int")
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("h_") +: idCols.map(col): _*)
+    df.withColumn("h_", h)
+      .withColumn("shard", shard)
+      .withColumn("pos", row_number().over(w).cast("long") - 1)
+      .drop("h_")
   }
 
   /** Greedy next-fit sequence packing: walk each key's rows in

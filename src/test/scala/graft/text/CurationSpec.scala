@@ -401,4 +401,38 @@ class CurationSpec extends AnyFunSuite {
       .where($"doc_id" === 2L).head().getLong(1)
     assert(nf == 11) // 6 unigrams + 5 bigrams
   }
+
+  test("vocabTopK ranks by count then token, truncates to k") {
+    val df = Seq("b b b a a c", "a d d", " ").toDF("text")
+    val v = Curation.vocabTopK(df, "text", k = 3)
+      .orderBy($"rank")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // a=3, b=3 (tie -> a first), d=2; c cut at k=3; blank text adds no
+    // empty token
+    assert(v.toSeq == Seq((1L, "a", 3L), (2L, "b", 3L), (3L, "d", 2L)))
+  }
+
+  test("trainingOrder: dense per-shard positions, stable under " +
+      "repartitioning, re-drawn by seed") {
+    val df = (1L to 200L).toDF("doc_id")
+    val t1 = Curation.trainingOrder(df, Seq("doc_id"), numShards = 4)
+    // every shard's positions are exactly 0..count-1
+    val dense = t1.groupBy($"shard").agg(count(lit(1)).as("n"),
+        min($"pos").as("lo"), max($"pos").as("hi"))
+      .where($"lo" =!= 0 || $"hi" =!= $"n" - 1).count()
+    assert(dense == 0)
+    assert(t1.select($"shard").distinct().count() == 4)
+    // identical assignment regardless of input partitioning
+    val t2 = Curation.trainingOrder(df.repartition(7), Seq("doc_id"),
+      numShards = 4)
+    assert(t1.join(t2, Seq("doc_id"))
+      .where(t1("shard") =!= t2("shard") || t1("pos") =!= t2("pos"))
+      .count() == 0)
+    // a different seed is a different permutation
+    val t3 = Curation.trainingOrder(df, Seq("doc_id"), numShards = 4,
+      seed = 7L)
+    assert(t1.join(t3, Seq("doc_id"))
+      .where(t1("shard") =!= t3("shard") || t1("pos") =!= t3("pos"))
+      .count() > 0)
+  }
 }
