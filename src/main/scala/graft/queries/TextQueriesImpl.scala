@@ -32,6 +32,40 @@ object TextQueriesImpl {
         k = 3).localCheckpoint(false))
   }
 
+  /** Shared DuckDB CTE chain (already margin-stripped): 3-shingle
+    * sets → quadratic ≥0.5-Jaccard ground-truth pairs → recursive
+    * min-label closure → `cc(doc_id, cluster_id)`. q77 checks the
+    * labels directly; q102 draws its split from them. */
+  private val dupClusterCte: String =
+    """sh AS (
+      |  SELECT doc_id,
+      |    LIST_DISTINCT(LIST_TRANSFORM(GENERATE_SERIES(1,
+      |      GREATEST(LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)),
+      |        '\s+')) - 2, 1)),
+      |      j -> CONCAT_WS(' ',
+      |        REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+')[j],
+      |        REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+')[j+1],
+      |        REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+')[j+2])))
+      |      AS g
+      |  FROM documents),
+      |pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |  WHERE CAST(LEN(LIST_INTERSECT(a.g, b.g)) AS DOUBLE)
+      |    / (LEN(a.g) + LEN(b.g) - LEN(LIST_INTERSECT(a.g, b.g)))
+      |    >= 0.5),
+      |edges AS (
+      |  SELECT id_a AS src, id_b AS dst FROM pairs
+      |  UNION ALL SELECT id_b, id_a FROM pairs),
+      |reach(node, label) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT e.dst, r.label FROM reach r JOIN edges e
+      |    ON e.src = r.node
+      |  WHERE r.label < e.dst),
+      |cc AS (SELECT node AS doc_id, MIN(label) AS cluster_id
+      |       FROM reach GROUP BY node)""".stripMargin
+
   def init(): Unit = {
 
     register("q60_token_count",
@@ -371,34 +405,7 @@ object TextQueriesImpl {
     // and closes it with a recursive CTE (min-label reachability), so
     // the gate checks BOTH the LSH pair recall and the component labels.
     register("q77_dedup_clusters",
-      """WITH RECURSIVE sh AS (
-        |  SELECT doc_id,
-        |    LIST_DISTINCT(LIST_TRANSFORM(GENERATE_SERIES(1,
-        |      GREATEST(LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)),
-        |        '\s+')) - 2, 1)),
-        |      j -> CONCAT_WS(' ',
-        |        REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+')[j],
-        |        REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+')[j+1],
-        |        REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+')[j+2])))
-        |      AS g
-        |  FROM documents),
-        |pairs AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        |  WHERE CAST(LEN(LIST_INTERSECT(a.g, b.g)) AS DOUBLE)
-        |    / (LEN(a.g) + LEN(b.g) - LEN(LIST_INTERSECT(a.g, b.g)))
-        |    >= 0.5),
-        |edges AS (
-        |  SELECT id_a AS src, id_b AS dst FROM pairs
-        |  UNION ALL SELECT id_b, id_a FROM pairs),
-        |reach(node, label) AS (
-        |  SELECT doc_id, doc_id FROM documents
-        |  UNION
-        |  SELECT e.dst, r.label FROM reach r JOIN edges e
-        |    ON e.src = r.node
-        |  WHERE r.label < e.dst),
-        |cc AS (SELECT node AS doc_id, MIN(label) AS cluster_id
-        |       FROM reach GROUP BY node)
+      s"""WITH RECURSIVE $dupClusterCte
         |SELECT c.doc_id, c.cluster_id, s.n AS cluster_size,
         |  CAST(c.doc_id = c.cluster_id AS BIGINT) AS is_keeper
         |FROM cc c JOIN (SELECT cluster_id, COUNT(*) AS n FROM cc
@@ -412,6 +419,31 @@ object TextQueriesImpl {
         docShingleHashes(s, dir), "doc_id",
         minJaccard = 0.5, numHashes = 32)
       Clusters.assign(docs, "doc_id", pairs)
+        .orderBy(col("doc_id"))
+    }
+
+    // Leakage-free split on top of the same cluster closure: every
+    // near-dup family draws ONE md5 uniform (on its min-id label) and
+    // lands atomically in train/val/test — the oracle replays the
+    // label, the draw, and the thresholds exactly.
+    register("q102_coherent_split",
+      s"""WITH RECURSIVE $dupClusterCte,
+         |u AS (SELECT doc_id, cluster_id,
+         |    ((${OracleDraw.hex8(
+               "MD5(CONCAT_WS('|', '42', CAST(cluster_id AS VARCHAR)))")})
+         |      + 1.0) / 4294967298.0 AS uu
+         |  FROM cc)
+         |SELECT doc_id, cluster_id,
+         |  CASE WHEN uu < 0.1 THEN 'test' WHEN uu < 0.2 THEN 'val'
+         |       ELSE 'train' END AS split
+         |FROM u ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = table(s, dir, "documents")
+      val pairs = Dedup.nearDupPairsFromHashes(
+        docShingleHashes(s, dir), "doc_id",
+        minJaccard = 0.5, numHashes = 32)
+      Clusters.coherentSplit(docs, "doc_id", pairs,
+          valFrac = 0.1, testFrac = 0.1, seed = 42L)
+        .select(col("doc_id"), col("cluster_id"), col("split"))
         .orderBy(col("doc_id"))
     }
 

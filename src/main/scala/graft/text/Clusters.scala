@@ -92,6 +92,35 @@ object Clusters {
         (col(idCol) === col("cluster_id")).cast("long").as("is_keeper"))
   }
 
+  /** Leakage-free train/val/test split: every near-dup CLUSTER lands
+    * atomically in ONE split, so no eval example has a near-duplicate
+    * in train by construction — splitting on raw document hashes
+    * leaks, because a doc and its paraphrase draw independently.
+    * Returns [[assign]]'s columns plus `split` ∈ train/val/test.
+    *
+    * The draw is md5 over (seed, cluster label): deterministic under
+    * any partitioning/retry, portable across engines, and re-drawable
+    * by seed. Fractions are expected proportions of CLUSTERS (hash
+    * uniformity makes document proportions track them when cluster
+    * sizes are not pathological).
+    *
+    * Scale shape: one row expression on top of [[assign]]'s output —
+    * no shuffle beyond what cluster assignment already does. */
+  def coherentSplit(df: DataFrame, idCol: String, pairs: DataFrame,
+      valFrac: Double, testFrac: Double, seed: Long = 42L,
+      srcCol: String = "id_a", dstCol: String = "id_b"): DataFrame = {
+    require(valFrac >= 0 && testFrac >= 0 && valFrac + testFrac < 1,
+      "val/test fractions must be nonnegative and sum below 1")
+    val u = (conv(substring(md5(concat_ws("|", lit(seed.toString),
+        col("cluster_id").cast("string"))), 1, 8), 16, 10)
+      .cast("double") + 1.0) / 4294967298.0
+    assign(df, idCol, pairs, srcCol, dstCol)
+      .withColumn("split",
+        when(u < testFrac, "test")
+          .when(u < testFrac + valFrac, "val")
+          .otherwise("train"))
+  }
+
   /** End-to-end corpus dedup: MinHash-LSH near-dup pairs → transitive
     * clusters → keep one representative (min id) per cluster. The
     * production 100 TB path: LSH bucketing for candidates, exact

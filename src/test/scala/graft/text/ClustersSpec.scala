@@ -96,6 +96,35 @@ class ClustersSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("coherentSplit keeps every cluster in exactly one split") {
+    val df = (1L to 300L).toDF("doc_id")
+    // 100 clusters of 3: (1,2,3), (4,5,6), ...
+    val pairs = (0L until 100L).flatMap(c =>
+      Seq((c * 3 + 1, c * 3 + 2), (c * 3 + 2, c * 3 + 3)))
+      .toDF("id_a", "id_b")
+    val s1 = Clusters.coherentSplit(df, "doc_id", pairs,
+      valFrac = 0.2, testFrac = 0.2)
+    // no cluster straddles splits
+    assert(s1.groupBy($"cluster_id")
+      .agg(countDistinct($"split").as("k")).where($"k" > 1).count() == 0)
+    // all three splits are populated and fractions are in the right
+    // ballpark (100 clusters, expect ~20/20/60)
+    val bySplit = s1.groupBy($"split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySplit.keySet == Set("train", "val", "test"))
+    assert(bySplit("train") > bySplit("val")
+      && bySplit("train") > bySplit("test"))
+    // deterministic; a different seed reshuffles some clusters
+    val s2 = Clusters.coherentSplit(df, "doc_id", pairs,
+      valFrac = 0.2, testFrac = 0.2)
+    assert(s1.join(s2, Seq("doc_id"))
+      .where(s1("split") =!= s2("split")).count() == 0)
+    val s3 = Clusters.coherentSplit(df, "doc_id", pairs,
+      valFrac = 0.2, testFrac = 0.2, seed = 7L)
+    assert(s1.join(s3, Seq("doc_id"))
+      .where(s1("split") =!= s3("split")).count() > 0)
+  }
+
   test("dropNearDuplicates keeps one representative per dup family") {
     val base = "the quick brown fox jumps over the lazy dog and then " +
       "ran far away into the deep green forest before sunset tonight"
