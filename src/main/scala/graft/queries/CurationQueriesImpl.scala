@@ -435,6 +435,53 @@ object CurationQueriesImpl {
         .orderBy(col("doc_id"))
     }
 
+    // interpolated bigram LM scoring (perplexity-filter core): the
+    // oracle rebuilds bigram/context/unigram counts, the interpolated
+    // probability (lambda literals round-tripped as Scala Double
+    // .toString so both engines mix the identical doubles), and the
+    // per-pair micro-log sum — q88's technique one order up.
+    register("q103_bigram_logprob", {
+      val lam = 0.9
+      s"""WITH toks AS (SELECT doc_id,
+         |    REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\\s+') AS t
+         |  FROM documents),
+         |pr0 AS (SELECT doc_id, t,
+         |    UNNEST(GENERATE_SERIES(1, GREATEST(LEN(t) - 1, 0))) AS j
+         |  FROM toks),
+         |pr AS (SELECT doc_id, t[j] AS prev, t[j+1] AS term FROM pr0),
+         |tf2 AS (SELECT doc_id, prev, term, COUNT(*) AS tf2
+         |  FROM pr GROUP BY doc_id, prev, term),
+         |bc AS (SELECT prev, term, CAST(SUM(tf2) AS BIGINT) AS c2
+         |  FROM tf2 GROUP BY prev, term),
+         |ctx AS (SELECT prev, CAST(SUM(c2) AS BIGINT) AS cv
+         |  FROM bc GROUP BY prev),
+         |unit AS (SELECT UNNEST(t) AS term FROM toks),
+         |uni AS (SELECT term, COUNT(*) AS cw FROM unit GROUP BY term),
+         |tot AS (SELECT CAST(SUM(cw) AS DOUBLE) AS tt FROM uni),
+         |sv AS (SELECT prev, term,
+         |    CAST(ROUND(LOG2($lam * (CAST(c2 AS DOUBLE) / cv)
+         |      + ${1.0 - lam} * (CAST(cw AS DOUBLE) / tt)) * 1e6)
+         |      AS BIGINT) AS micro
+         |  FROM bc JOIN ctx USING (prev) JOIN uni USING (term)
+         |  CROSS JOIN tot),
+         |pd AS (SELECT tf2.doc_id, CAST(SUM(tf2.tf2) AS BIGINT) AS np,
+         |    CAST(SUM(tf2.tf2 * sv.micro) AS BIGINT) AS lp
+         |  FROM tf2 JOIN sv ON tf2.prev = sv.prev AND tf2.term = sv.term
+         |  GROUP BY tf2.doc_id)
+         |SELECT d.doc_id,
+         |  COALESCE(pd.np, 0) AS n_pairs,
+         |  COALESCE(pd.lp, 0) AS logprob_micro,
+         |  CASE WHEN pd.np IS NOT NULL THEN
+         |    ROUND(-CAST(pd.lp AS DOUBLE) / (pd.np * 1e6), 6)
+         |  END AS bits_per_pair
+         |FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
+         |ORDER BY d.doc_id""".stripMargin
+    }) { (s, dir) =>
+      Curation.bigramLogProb(table(s, dir, "documents"), "text",
+          "doc_id", lambda = 0.9)
+        .orderBy(col("doc_id"))
+    }
+
     // vocabulary/merges prep before tokenizer training: top-k corpus
     // tokens by frequency, distributed TakeOrdered (no global sort)
     register("q100_vocab_topk",

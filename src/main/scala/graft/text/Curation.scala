@@ -523,6 +523,68 @@ object Curation {
           (col("n_tokens") * lit(1e6)), 6).as("bits_per_token"))
   }
 
+  /** Interpolated bigram LM scoring — the distributed core of a
+    * CCNet/KenLM-style perplexity filter: every in-document bigram
+    * (v, w) scores `log2(λ·c(v,w)/c(v) + (1−λ)·c(w)/T)` against the
+    * corpus' own counts, summed per document in exact integer micros
+    * (order-independent, like [[unigramLogProb]]). Returns (idCol,
+    * n_pairs, logprob_micro, bits_per_pair); documents shorter than 2
+    * tokens get 0 pairs and null bits. High bits_per_pair = the
+    * document's word transitions are improbable under the corpus LM —
+    * the standard gibberish/boilerplate signal.
+    *
+    * Scale shape: bigrams come from zipping each token array with its
+    * own tail — a pure row expression, no window, ONE explode; then
+    * two map-side-combined counts (bigram, context), the q88-style
+    * vocabulary join (hash join at vocabulary scale, AQE broadcasts
+    * when small), and a broadcast 1-row total. */
+  def bigramLogProb(df: DataFrame, textCol: String, idCol: String,
+      lambda: Double = 0.9): DataFrame = {
+    require(lambda > 0 && lambda < 1, "lambda in (0,1)")
+    requireFresh(df, "toks_", "pv_", "wv_", "bg_", "prev_", "term_",
+      "micro_", "np_")
+    val toks = df
+      .withColumn("toks_", TextAnalysis.tokens(lower(col(textCol))))
+    val n = size(col("toks_"))
+    val pairRows = toks
+      .withColumn("pv_", slice(col("toks_"), lit(1),
+        greatest(n - 1, lit(0))))
+      .withColumn("wv_", slice(col("toks_"), lit(2),
+        greatest(n - 1, lit(0))))
+      .select(col(idCol), explode(arrays_zip(col("pv_"), col("wv_")))
+        .as("bg_"))
+      .select(col(idCol), col("bg_.pv_").as("prev_"),
+        col("bg_.wv_").as("term_"))
+    // per-doc bigram term frequencies; distinct-bigram corpus counts
+    val tf2 = pairRows.groupBy(col(idCol), col("prev_"), col("term_"))
+      .agg(count(lit(1)).as("tf2"))
+    val bc = tf2.groupBy(col("prev_"), col("term_"))
+      .agg(sum(col("tf2")).as("c2"))
+    val ctx = bc.groupBy(col("prev_")).agg(sum(col("c2")).as("cv"))
+    // unigram vocabulary over ALL positions + corpus total (q88 shape)
+    val uni = toks.select(explode(col("toks_")).as("term_"))
+      .groupBy(col("term_")).agg(count(lit(1)).as("cw"))
+    val total = uni.select(sum(col("cw")).as("t_"))
+    val scored = bc.join(ctx, "prev_").join(uni, "term_")
+      .crossJoin(broadcast(total))
+      .withColumn("micro_",
+        round(log2(lit(lambda) * (col("c2").cast("double") / col("cv")) +
+          lit(1.0 - lambda) * (col("cw").cast("double") / col("t_")))
+          * 1e6).cast("long"))
+      .select(col("prev_"), col("term_"), col("micro_"))
+    val perDoc = tf2.join(scored, Seq("prev_", "term_"))
+      .groupBy(col(idCol))
+      .agg(sum(col("tf2")).as("np_"),
+        sum(col("tf2") * col("micro_")).as("lp_"))
+    df.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("np_"), lit(0L)).cast("long").as("n_pairs"),
+        coalesce(col("lp_"), lit(0L)).cast("long").as("logprob_micro"),
+        when(col("np_").isNotNull,
+          round(-col("lp_") / (col("np_") * lit(1e6)), 6))
+          .as("bits_per_pair"))
+  }
+
   /** Largest exact-mixture rebalance: given target shares per stratum
     * (summing to 1), the biggest subsample whose composition matches the
     * target keeps `c·T_s` docs of stratum s where

@@ -402,6 +402,24 @@ class CurationSpec extends AnyFunSuite {
     assert(nf == 11) // 6 unigrams + 5 bigrams
   }
 
+  test("bigramLogProb: pair counts, repeated transitions score higher") {
+    val df = Seq(
+      (1L, "a b a b a b a b"),   // one dominant transition each way
+      (2L, "a b c d e f g h"),   // all transitions unique
+      (3L, "solo"),              // no pairs
+      (4L, "")).toDF("doc_id", "text")
+    val r = Curation.bigramLogProb(df, "text", "doc_id")
+      .orderBy($"doc_id").collect()
+    assert(r.map(_.getLong(1)).toSeq == Seq(7L, 7L, 0L, 0L))
+    // doc 1's transitions are corpus-frequent -> fewer bits per pair
+    assert(r(0).getDouble(3) < r(1).getDouble(3))
+    assert(r(2).isNullAt(3) && r(3).isNullAt(3))
+    // deterministic
+    val r2 = Curation.bigramLogProb(df, "text", "doc_id")
+      .orderBy($"doc_id").collect()
+    assert(r.map(_.getLong(2)).toSeq == r2.map(_.getLong(2)).toSeq)
+  }
+
   test("vocabTopK ranks by count then token, truncates to k") {
     val df = Seq("b b b a a c", "a d d", " ").toDF("text")
     val v = Curation.vocabTopK(df, "text", k = 3)
