@@ -30,7 +30,11 @@ import org.apache.spark.sql.functions._
   *     docs (auto-sized hyperplane clusters);
   *  9. rebalance + sample: largest exact source mixture, applied as a
   *     deterministic stratified sample;
-  * 10. chunk: overlapping token windows — the training examples.
+  * 10. chunk: overlapping token windows — the training examples;
+  * 11. split: cluster-coherent train/val/test (no val/test chunk has
+  *     a train near-duplicate, by construction);
+  * 12. shard: deterministic epoch order (md5 shard + position) for
+  *     the train chunks — the write layout IS the shuffle.
   */
 object CorpusDemo {
   def main(args: Array[String]): Unit = {
@@ -142,6 +146,26 @@ object CorpusDemo {
         maxTokens = 64, stride = 48)
     }
 
+    // 11. leakage-free split: residual sub-threshold near-dup families
+    //     (dedup kept one rep per >=0.5 family; 0.3-0.5 survives) land
+    //     atomically in one split, so no val/test chunk has a train
+    //     near-duplicate
+    val split = t("split: cluster-coherent train/val/test") {
+      val pairs = graft.text.Dedup.nearDupPairs(sampled, "text",
+        "doc_id", minJaccard = 0.3, numHashes = 32)
+      Clusters.coherentSplit(sampled, "doc_id", pairs,
+        valFrac = 0.05, testFrac = 0.05).select(col("doc_id"),
+        col("split")).localCheckpoint()
+    }
+
+    // 12. epoch order: deterministic shard + position for the train
+    //     chunks — the write layout is the shuffle
+    val sharded = t("shard: deterministic epoch order") {
+      Curation.trainingOrder(
+        chunks.join(split.where(col("split") === "train"), "doc_id"),
+        Seq("doc_id", "chunk_idx"), numShards = 16)
+    }
+
     val counts = Seq(
       "input" -> total, "heuristic-filtered" -> heuristic.count(),
       "quality-filtered" -> filtered.count(),
@@ -150,6 +174,11 @@ object CorpusDemo {
       "sampled" -> sampled.count())
     counts.foreach { case (k, v) => println(f"[corpus] $k%-22s $v%,10d") }
     println(f"[corpus] ${"training-chunks"}%-22s ${chunks.count()}%,10d")
+    val bySplit = split.groupBy(col("split")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    println(s"[corpus] split sizes          $bySplit")
+    val nShards = sharded.select(col("shard")).distinct().count()
+    println(f"[corpus] ${"train-shards"}%-22s $nShards%,10d")
     require(counts.map(_._2).sliding(2).forall(p => p(1) <= p(0)),
       "each stage must only shrink the corpus")
     spark.stop()
