@@ -147,6 +147,61 @@ object Dedup {
     signatureBandsFromHashes(shingleHashes(df, textCol, idCol, k),
       idCol, numHashes, bands)
 
+  /** Per-ROW minhash signature over a hashed-shingle ARRAY column —
+    * the stateless twin of the min-agg path (identical values: same
+    * remix constants over the same distinct-hash set), usable where a
+    * groupBy is unavailable or unwanted, e.g. append-mode streaming
+    * ingest. */
+  def minhashSigExpr(ghCol: Column, numHashes: Int = 128): Column =
+    array((0 until numHashes).map { i =>
+      array_min(transform(ghCol, h => graft.functions.Remix64(h,
+        splitmix64(2L * i) | 1L, splitmix64(2L * i + 1))))
+    }: _*)
+
+  /** Banded bucket keys of a signature array — per-row twin of the
+    * bucket explode in [[minhashCandidates]] (same xxhash64(band,
+    * slice) keys). Duplicate buckets within one row are dropped. */
+  def bandBucketsExpr(sigCol: Column, numHashes: Int = 128,
+      bands: Int = 16): Column = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val rowsPerBand = numHashes / bands
+    array_distinct(transform(sequence(lit(0), lit(bands - 1)), b =>
+      xxhash64(b, slice(sigCol, b * rowsPerBand + 1, lit(rowsPerBand)))))
+  }
+
+  /** Hashed distinct shingle set as a per-row expression — the
+    * stateless twin of [[shingleHashes]]' explode + collect_set. */
+  def shingleHashSetExpr(textCol: Column, k: Int = 3): Column =
+    array_distinct(transform(
+      TextAnalysis.shinglesFromTokens(
+        TextAnalysis.tokens(lower(textCol)), k),
+      s => xxhash64(s)))
+
+  /** Corpus-side index for STREAMING near-dup ingest
+    * ([[graft.streaming.StreamingDedup.nearDupIngestStream]]): built
+    * once in batch from [[shingleHashes]] rows, then joined
+    * stream-static by every arriving micro-batch. Returns
+    * (bucketTable(bucket, corpus_id), docTable(corpus_id, gh,
+    * cbuckets)); over-cap buckets keep their `maxBucketSize` lowest
+    * ids in BOTH tables, so the stream side's min-shared-bucket
+    * dedup stays consistent with what is joinable. */
+  def streamingCorpusIndex(corpusHashed: DataFrame, idCol: String,
+      numHashes: Int = 128, bands: Int = 16,
+      maxBucketSize: Int = 200): (DataFrame, DataFrame) = {
+    val (sets, banded) =
+      signatureBandsFromHashes(corpusHashed, idCol, numHashes, bands)
+    val capped = banded.groupBy(col("bucket"))
+      .agg(sort_array(collect_set(col(idCol))).as("ids"))
+      .select(col("bucket"),
+        explode(slice(col("ids"), 1, maxBucketSize)).as("corpus_id"))
+      .localCheckpoint(false)
+    val perDoc = capped.groupBy(col("corpus_id"))
+      .agg(collect_set(col("bucket")).as("cbuckets"))
+    (capped,
+      sets.select(col(idCol).as("corpus_id"), col("gh"))
+        .join(perDoc, "corpus_id"))
+  }
+
   /** Incremental near-dup detection: which DELTA documents (today's
     * ingest) near-duplicate an existing CORPUS document — the daily
     * shape of a continuously curated 100 TB corpus, where re-running
