@@ -42,7 +42,12 @@ object Bench {
         .filter { case (name, _) => only.forall(_.contains(name)) }
         .map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        // a failing query must not kill the whole bench, but it must
+        // not masquerade as a fast run either — flag it on stderr
+        try { fn(spark, sfDir).count() } catch {
+          case e: Throwable =>
+            System.err.println(s"BENCH ERROR $name: ${e.getClass.getSimpleName}: ${e.getMessage.linesIterator.nextOption.getOrElse("")}")
+        }
         name -> (System.nanoTime() - t0) / 1e9
       }
     val (p1, p2) = (pass(), pass())

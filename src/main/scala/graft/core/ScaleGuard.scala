@@ -47,9 +47,14 @@ object ScaleGuard {
     if (size > thresholdBytes) {
       val p = probe
       if (p != null) p(op, size)
+      // joins of sources without statistics multiply Catalyst's
+      // Long.MaxValue default, yielding absurd 40-digit estimates —
+      // report those as "unknown" instead of a meaningless number
+      val shown = if (size > BigInt(Long.MaxValue)) "unknown (>8 EiB; no reliable statistics)"
+        else s"$size bytes"
       if (warned.add(op))
         log.warn(s"$op is running UNPARTITIONED over an input " +
-          s"estimated at $size bytes: the whole input will be sorted " +
+          s"estimated at $shown: the whole input will be sorted " +
           "in ONE partition. Pass partitionCols (the station/series " +
           "id) to distribute - per-key output is identical to the " +
           "single-series run.")

@@ -2,7 +2,7 @@ package graft.core
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver's parquet tables (TESTDATA.md). */
 object Tables {
@@ -10,14 +10,21 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** The `events` table stores TIMESTAMP(NANOS), which Spark only reads
-    * with spark.sql.legacy.parquet.nanosAsLong=true (as nano longs) —
-    * normalize back to TimestampType (µs, truncating) transparently. */
+  /** Timestamp normalization: the driver's generator has shipped `ts`
+    * both as TIMESTAMP(NANOS) (readable only with
+    * spark.sql.legacy.parquet.nanosAsLong=true, as nano longs) and as
+    * unannotated micros with isAdjustedToUTC=false (which Spark 4 reads
+    * as TIMESTAMP_NTZ). Normalize BOTH to TimestampType so downstream
+    * `unix_micros`/window functions resolve: the session timezone is
+    * pinned UTC, so NTZ→TIMESTAMP is a value-identical reinterpretation
+    * of the same naive local time, and nano longs truncate to µs. */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
     df.schema.fields.foldLeft(df) { (acc, f) =>
       if (f.dataType == LongType && (f.name == "ts" || f.name.endsWith("_ts")))
         acc.withColumn(f.name, timestamp_micros(expr(s"${f.name} div 1000")))
+      else if (f.dataType == TimestampNTZType)
+        acc.withColumn(f.name, col(f.name).cast(TimestampType))
       else acc
     }
   }
