@@ -62,21 +62,30 @@ object Temperature {
             .otherwise(col("max_loc")))
       case other => throw new IllegalArgumentException(other)
     }
-    // calendar-faithful prev/next day values (pandas shift(±1,'D'))
-    def shiftJoin(offset: Int, srcCol: String, as: String): DataFrame => DataFrame = { df =>
-      val side = locs.select((partitionCols.map(col) :+
+    // The daily frame is tiny relative to the hourly plan built on it
+    // (≤ stations × days rows) but feeds FIVE consumers — the bounds
+    // aggregate, both shift-join sides, and (downstream) the hourly
+    // explode and the polar flags. Without a barrier Catalyst re-plans
+    // the whole upstream daily aggregation per consumer; one lazy
+    // localCheckpoint computes it once.
+    val locsM = locs.localCheckpoint(false)
+    // calendar-faithful prev/next day values (pandas shift(±1,'D')):
+    // one join per direction — tmin and tmax ride the same side row
+    def shiftJoin(offset: Int, minAs: String, maxAs: String)
+        : DataFrame => DataFrame = { df =>
+      val side = locsM.select((partitionCols.map(col) :+
         date_sub(col("date"), offset).as("date") :+
-        col(srcCol).as(as)): _*)
+        col("tmin").as(minAs) :+ col("tmax").as(maxAs)): _*)
       df.join(side, partitionCols :+ "date", "left")
     }
-    val bounds = locs.groupBy(partitionCols.map(col): _*)
+    val bounds = locsM.groupBy(partitionCols.map(col): _*)
       .agg(min(col("date")).as("first_date_"), max(col("date")).as("last_date_"))
     val withBounds =
-      if (partitionCols.isEmpty) locs.crossJoin(broadcast(bounds))
-      else locs.join(broadcast(bounds), partitionCols)
+      if (partitionCols.isEmpty) locsM.crossJoin(broadcast(bounds))
+      else locsM.join(broadcast(bounds), partitionCols)
     val joined = Seq(
-      shiftJoin(1, "tmin", "min_val_next_"), shiftJoin(1, "tmax", "max_val_next_"),
-      shiftJoin(-1, "tmin", "min_val_before_"), shiftJoin(-1, "tmax", "max_val_before_")
+      shiftJoin(1, "min_val_next_", "max_val_next_"),
+      shiftJoin(-1, "min_val_before_", "max_val_before_")
     ).foldLeft(withBounds) { (df, f) => f(df) }
     joined
       .withColumn("min_val_next", when(col("date") === col("last_date_"),
