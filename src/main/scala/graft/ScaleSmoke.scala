@@ -155,6 +155,33 @@ object ScaleSmoke {
       graft.text.Curation.chunkTokens(docs, "text", Seq("doc_id"),
         maxTokens = 32, stride = 16).count()
     }
+    t("pack chunks into budgets") {
+      // next-fit packing per hash shard: one shuffle on the shard key,
+      // one streaming state pass per partition — the chunk→sequence
+      // step at its production keying (shards, not documents)
+      val chunks = graft.text.Curation.chunkTokens(docs, "text",
+          Seq("doc_id"), maxTokens = 32, stride = 16)
+        .withColumn("shard", pmod(xxhash64(col("doc_id")), lit(64L)))
+      graft.text.Curation.packGreedy(chunks, "n_tokens", budget = 256,
+        keyCols = Seq("shard"), orderCols = Seq("doc_id", "chunk_idx"))
+        .count()
+    }
+    t("coherent train/val/test split") {
+      // near-dup clusters land atomically in one split; cost = the CC
+      // rounds (diameter 2 here) + one md5 row expression — no
+      // per-doc independent draw can leak a clone across splits
+      graft.text.Clusters.coherentSplit(docs, "doc_id",
+        graft.text.Dedup.nearDupPairsFromHashes(hashed, "doc_id",
+          minJaccard = 0.5, numHashes = 32),
+        valFrac = 0.1, testFrac = 0.1)
+        .groupBy(col("split")).count().count()
+    }
+    t("epoch shuffle-and-shard") {
+      // md5 permutation → shard + dense position: the one shuffle IS
+      // the training-file write clustering
+      graft.text.Curation.trainingOrder(docs, Seq("doc_id"),
+        numShards = 64).count()
+    }
     t("tf-idf top terms") {
       // two map-side-combined groupBys + a hash join on term
       graft.text.Curation.tfIdfTopTerms(docs, "text", "doc_id").count()
