@@ -46,7 +46,10 @@ object Bench {
         // not masquerade as a fast run either — flag it on stderr
         try { fn(spark, sfDir).count() } catch {
           case e: Throwable =>
-            System.err.println(s"BENCH ERROR $name: ${e.getClass.getSimpleName}: ${e.getMessage.linesIterator.nextOption.getOrElse("")}")
+            val msg = Option(e.getMessage).getOrElse("")
+              .linesIterator.nextOption.getOrElse("")
+            System.err.println(
+              s"BENCH ERROR $name: ${e.getClass.getSimpleName}: $msg")
         }
         name -> (System.nanoTime() - t0) / 1e9
       }

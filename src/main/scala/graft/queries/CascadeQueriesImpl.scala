@@ -103,8 +103,6 @@ object CascadeQueriesImpl {
         .agg((sum(round(when(col("event_type") === "purchase", col("value"))
           .otherwise(0.0) * 1e6).cast("long")) / 1e6).as("precip"))
         .limit(10)
-      val stats9 = CascadeStatistics.sampleData().copy(
-        threshold = Array(0.05, 0.08, 0.12, 0.2, 0.35, 0.6, 1.0, 1.7, 2.8))
       Cascade.disaggregate(daily, Left(stats9), hourly = false, level = 9,
           seed = 42L)
         .select(date_format(col("timestamp"), "yyyy-MM-dd HH:mm:ss")
@@ -140,22 +138,15 @@ object CascadeQueriesImpl {
     // subset is ORDER BY date LIMIT 10 in both engines; q51's bare
     // limit(10) is selection-order-dependent, fine for rows-only but
     // not for a hash gate.)
-    register("q98_precip_cascade_5min_md5", {
-      val stats9 = CascadeStatistics.sampleData().copy(
-        threshold = Array(0.05, 0.08, 0.12, 0.2, 0.35, 0.6, 1.0, 1.7,
-          2.8))
+    register("q98_precip_cascade_5min_md5",
       cascadeMd5OracleSql(stats9, nLevels = 9, eventType = "purchase",
-        limitDays = 10)
-    }) { (s, dir) =>
+        limitDays = 10)) { (s, dir) =>
       val daily = table(s, dir, "events")
         .groupBy(col("ts").cast("date").as("date"))
         .agg((sum(round(when(col("event_type") === "purchase",
           col("value")).otherwise(0.0) * 1e6).cast("long")) / 1e6)
           .as("precip"))
         .orderBy(col("date")).limit(10)
-      val stats9 = CascadeStatistics.sampleData().copy(
-        threshold = Array(0.05, 0.08, 0.12, 0.2, 0.35, 0.6, 1.0, 1.7,
-          2.8))
       Cascade.disaggregate(daily, Left(stats9), hourly = false,
           level = 9, seed = 42L, draw = md5Draw)
         .select(date_format(col("timestamp"), "yyyy-MM-dd HH:mm:ss")
@@ -163,6 +154,12 @@ object CascadeQueriesImpl {
         .orderBy(col("ts_str"))
     }
   }
+
+  /** The 9-level statistics used by BOTH q51/q98's engine side and
+    * q98's oracle literals — one definition so the engine and the
+    * oracle can never drift element-by-element. */
+  private val stats9 = CascadeStatistics.sampleData().copy(
+    threshold = Array(0.05, 0.08, 0.12, 0.2, 0.35, 0.6, 1.0, 1.7, 2.8))
 
   private def md5Draw(seed: Long, cols: Seq[org.apache.spark.sql.Column])
       : org.apache.spark.sql.Column = OracleDraw.md5Draw(seed, cols)
@@ -234,7 +231,8 @@ object CascadeQueriesImpl {
          |SELECT STRFTIME(CAST(dm.date AS TIMESTAMP)
          |    + TO_HOURS(CAST(h.hpos % 24 AS BIGINT)),
          |    '%Y-%m-%d %H:%M:%S') AS ts_str,
-         |  ROUND(h.precip_c, 6) AS precip
+         |  ROUND(CASE WHEN dm.missing THEN NULL ELSE h.precip_c END, 6)
+         |    AS precip
          |FROM h JOIN base dm ON h.hpos // 24 = dm.idx
          |ORDER BY ts_str""".stripMargin
     else {
@@ -248,7 +246,8 @@ object CascadeQueriesImpl {
          |SELECT STRFTIME(CAST(dm.date AS TIMESTAMP)
          |    + TO_SECONDS(CAST((h.hpos % 288) * 300 AS BIGINT)),
          |    '%Y-%m-%d %H:%M:%S') AS ts_str,
-         |  ROUND(h.precip_c, 6) AS precip
+         |  ROUND(CASE WHEN dm.missing THEN NULL ELSE h.precip_c END, 6)
+         |    AS precip
          |FROM h JOIN base dm ON h.hpos // 288 = dm.idx
          |ORDER BY ts_str""".stripMargin
     }
@@ -264,7 +263,7 @@ object CascadeQueriesImpl {
        |  $dailySql),
        |base AS (
        |  SELECT ROW_NUMBER() OVER (ORDER BY date) - 1 AS idx,
-       |    date, COALESCE(precip, 0.0) AS v
+       |    date, precip IS NULL AS missing, COALESCE(precip, 0.0) AS v
        |  FROM daily),
        |stats(ba, bt, p01, p10, c1, c2, c3, c4, c5, c6, c7) AS (
        |  VALUES

@@ -14,9 +14,7 @@ import org.apache.spark.sql.functions._
 private[queries] object OracleDraw {
 
   def md5Draw(seed: Long, cols: Seq[Column]): Column =
-    (conv(substring(md5(concat_ws("|",
-        (lit(seed.toString) +: cols.map(_.cast("string"))): _*)), 1, 8),
-      16, 10).cast("double") + 1.0) / 4294967298.0
+    graft.functions.Draws.md5Uniform(seed, cols)
 
   /** DuckDB expression for the 32-bit integer value of the first 8 hex
     * chars of md5 expression `m` — matches Spark's

@@ -111,9 +111,7 @@ object Clusters {
       srcCol: String = "id_a", dstCol: String = "id_b"): DataFrame = {
     require(valFrac >= 0 && testFrac >= 0 && valFrac + testFrac < 1,
       "val/test fractions must be nonnegative and sum below 1")
-    val u = (conv(substring(md5(concat_ws("|", lit(seed.toString),
-        col("cluster_id").cast("string"))), 1, 8), 16, 10)
-      .cast("double") + 1.0) / 4294967298.0
+    val u = graft.functions.Draws.md5Uniform(seed, Seq(col("cluster_id")))
     assign(df, idCol, pairs, srcCol, dstCol)
       .withColumn("split",
         when(u < testFrac, "test")

@@ -384,7 +384,10 @@ object Curation {
   def trainingOrder(df: DataFrame, idCols: Seq[String], numShards: Int,
       seed: Long = 42L): DataFrame = {
     require(numShards > 0 && idCols.nonEmpty)
-    requireFresh(df, "h_")
+    // shard/pos are OUTPUT columns: an input already carrying them
+    // (e.g. a frame pre-sharded for packing) would be silently
+    // overwritten by the md5-derived values
+    requireFresh(df, "h_", "shard", "pos")
     val h = md5(concat_ws("|",
       lit(seed.toString) +: idCols.map(c => col(c).cast("string")): _*))
     val shard = pmod(conv(substring(col("h_"), 1, 8), 16, 10)

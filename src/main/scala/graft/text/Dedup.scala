@@ -170,12 +170,22 @@ object Dedup {
   }
 
   /** Hashed distinct shingle set as a per-row expression — the
-    * stateless twin of [[shingleHashes]]' explode + collect_set. */
+    * stateless twin of [[shingleHashes]]' explode + collect_set.
+    *
+    * The token array is BOUND through a single-element transform before
+    * the shingle lambda touches it: `shinglesFromTokens` references its
+    * token expression k+1 times per shingle, and an inlined split would
+    * re-tokenize the document per reference — the O(tokens²) trap
+    * `TextAnalysis.wordShingles` documents. The lambda variable is
+    * evaluated once per row, so this stays a pure expression usable in
+    * streaming projections. */
   def shingleHashSetExpr(textCol: Column, k: Int = 3): Column =
-    array_distinct(transform(
-      TextAnalysis.shinglesFromTokens(
-        TextAnalysis.tokens(lower(textCol)), k),
-      s => xxhash64(s)))
+    element_at(
+      transform(array(TextAnalysis.tokens(lower(textCol))), toks =>
+        array_distinct(transform(
+          TextAnalysis.shinglesFromTokens(toks, k),
+          s => xxhash64(s)))),
+      1)
 
   /** Corpus-side index for STREAMING near-dup ingest
     * ([[graft.streaming.StreamingDedup.nearDupIngestStream]]): built

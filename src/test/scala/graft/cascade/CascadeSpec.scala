@@ -112,9 +112,7 @@ class CascadeSpec extends AnyFunSuite {
   test("pluggable md5 draw: same invariants, different draws") {
     import org.apache.spark.sql.Column
     val md5Draw = (seed: Long, cols: Seq[Column]) =>
-      (conv(substring(md5(concat_ws("|",
-          (lit(seed.toString) +: cols.map(_.cast("string"))): _*)), 1, 8),
-        16, 10).cast("double") + 1.0) / 4294967298.0
+      graft.functions.Draws.md5Uniform(seed, cols)
     val daily = dailyFixture
     val m = Cascade.disaggregate(daily,
       Left(CascadeStatistics.sampleData()), hourly = true, seed = 99L,

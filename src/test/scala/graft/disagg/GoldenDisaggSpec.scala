@@ -176,12 +176,8 @@ class GoldenDisaggSpec extends AnyFunSuite {
   }
   test("wind random pluggable draw: same invariants, different draws") {
     import org.apache.spark.sql.Column
-    import org.apache.spark.sql.functions.{concat_ws, conv, lit, md5,
-      substring}
     val md5Draw = (seed: Long, cols: Seq[Column]) =>
-      (conv(substring(md5(concat_ws("|",
-          (lit(seed.toString) +: cols.map(_.cast("string"))): _*)), 1, 8),
-        16, 10).cast("double") + 1.0) / 4294967298.0
+      graft.functions.Draws.md5Uniform(seed, cols)
     val xx = Wind.disaggregate(daily, "random", seed = 7L)
     val m1 = Wind.disaggregate(daily, "random", seed = 7L, draw = md5Draw)
     val m2 = Wind.disaggregate(daily, "random", seed = 7L, draw = md5Draw)
