@@ -108,15 +108,25 @@ object Clusters {
     * no shuffle beyond what cluster assignment already does. */
   def coherentSplit(df: DataFrame, idCol: String, pairs: DataFrame,
       valFrac: Double, testFrac: Double, seed: Long = 42L,
-      srcCol: String = "id_a", dstCol: String = "id_b"): DataFrame = {
+      srcCol: String = "id_a", dstCol: String = "id_b"): DataFrame =
+    splitFromClusters(assign(df, idCol, pairs, srcCol, dstCol),
+      valFrac, testFrac, seed)
+
+  /** [[coherentSplit]]'s draw over an EXISTING [[assign]] output — the
+    * stored-labels shape: a production corpus computes cluster
+    * assignment once, stores it, and every consumer (keeper drop,
+    * split, per-cluster stats) reads the stored frame instead of
+    * re-running the component closure. Expects a `cluster_id` column;
+    * all input columns pass through. */
+  def splitFromClusters(clusters: DataFrame, valFrac: Double,
+      testFrac: Double, seed: Long = 42L): DataFrame = {
     require(valFrac >= 0 && testFrac >= 0 && valFrac + testFrac < 1,
       "val/test fractions must be nonnegative and sum below 1")
     val u = graft.functions.Draws.md5Uniform(seed, Seq(col("cluster_id")))
-    assign(df, idCol, pairs, srcCol, dstCol)
-      .withColumn("split",
-        when(u < testFrac, "test")
-          .when(u < testFrac + valFrac, "val")
-          .otherwise("train"))
+    clusters.withColumn("split",
+      when(u < testFrac, "test")
+        .when(u < testFrac + valFrac, "val")
+        .otherwise("train"))
   }
 
   /** End-to-end corpus dedup: MinHash-LSH near-dup pairs → transitive
