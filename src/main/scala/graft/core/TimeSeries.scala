@@ -261,9 +261,14 @@ object TimeSeries {
     * contiguous run. One shuffle total; state is one double; a
     * partition streams its rows, so arbitrarily long series per key
     * fit. Deterministic under AQE/retries (hash partition + in-
-    * partition sort, no rand). */
+    * partition sort, no rand) — PROVIDED the sort key is total:
+    * rows of one key sharing a timestamp are visited in an arbitrary,
+    * partitioning-dependent order, and the recurrence propagates that
+    * choice to every later row. Pass `tieBreakCols` (a unique row id)
+    * whenever duplicate timestamps per key are possible. */
   def ewma(df: DataFrame, tsCol: String, valueCol: String,
-      alpha: Double, partitionCols: Seq[String]): DataFrame = {
+      alpha: Double, partitionCols: Seq[String],
+      tieBreakCols: Seq[String] = Nil): DataFrame = {
     require(alpha > 0 && alpha <= 1, "alpha in (0, 1]")
     require(partitionCols.nonEmpty,
       "ewma needs partition keys — a keyless global recurrence cannot " +
@@ -274,7 +279,8 @@ object TimeSeries {
       else r.getAs[Number](vIdx).doubleValue()
     def emit(s: Double): Seq[Any] =
       Seq(if (s.isNaN) null else (s: java.lang.Double))
-    SequentialScan.perKey[Double](df, partitionCols, Seq(tsCol),
+    SequentialScan.perKey[Double](df, partitionCols,
+      tsCol +: tieBreakCols,
       Seq(types.StructField("ewma", DoubleType))) { r =>
       val s = x(r); (s, emit(s))
     } { (st, r) =>

@@ -520,23 +520,33 @@ object TextQueriesImpl {
     // equals the oracle's all-pairs hamming scan over the same
     // signatures — a full hash gate on the production blocking code.
     // Vote counting is PACKED: each of the 16 hex chars contributes
-    // its 4 bits as four 16-bit lanes of ONE per-char sum (16 long
-    // aggregates instead of 64 CASE sums; lanes can't carry below
-    // 65536 tokens/doc, far past gate scale). Bit k of the signature
-    // is set iff ones(k) * 2 > n_tokens — identical to the +-1 vote
-    // being positive. Same arithmetic in both engines.
+    // its 4 bits as two 32-bit lanes in each of TWO per-char sums (32
+    // long aggregates instead of 64 CASE sums). 32-bit lanes, not 16:
+    // a 16-bit top lane at shift 48 crosses the SIGNED long boundary
+    // at 32768 same-bit votes — under ANSI mode Spark's sum() throws
+    // there while DuckDB's HUGEINT sum sails on, so a degenerate
+    // one-token-repeated doc would kill one engine and not the other.
+    // With shifts {0, 32} the low lane carries at 2^32 and the top
+    // lane hits the sign bit at 2^31 tokens/doc — unreachable. Bit k
+    // of the signature is set iff ones(k) * 2 > n_tokens — identical
+    // to the +-1 vote being positive. Same arithmetic in both engines
+    // (the oracle CASTs its HUGEINT sums back to BIGINT to pin the
+    // same in-range contract).
     register("q82_simhash_neardups", {
       val vdefs = (0 until 16).map(i =>
         s"CAST(INSTR('0123456789abcdef', SUBSTR(m, ${i + 1}, 1)) - 1 " +
           s"AS BIGINT) AS v$i").mkString(",\n    ")
       val packed = (0 until 16).map(i =>
-        s"    SUM(((v$i >> 0) & 1) + (((v$i >> 1) & 1) << 16) +" +
-          s"\n      (((v$i >> 2) & 1) << 32) + (((v$i >> 3) & 1) << 48))" +
-          s" AS p$i").mkString(",\n")
+        s"    CAST(SUM(((v$i >> 0) & 1) + (((v$i >> 1) & 1) << 32))" +
+          s" AS BIGINT) AS pa$i,\n" +
+        s"    CAST(SUM(((v$i >> 2) & 1) + (((v$i >> 3) & 1) << 32))" +
+          s" AS BIGINT) AS pb$i").mkString(",\n")
       val sigTerms = (0 until 64).map { k =>
         val bit = if (k == 63) "CAST(-9223372036854775808 AS BIGINT)"
           else s"(CAST(1 AS BIGINT) << $k)"
-        s"(CASE WHEN ((p${k / 4} >> ${16 * (k % 4)}) & 65535) * 2 > n" +
+        val p = if (k % 4 < 2) s"pa${k / 4}" else s"pb${k / 4}"
+        val shift = 32 * (k % 2)
+        s"(CASE WHEN (($p >> $shift) & 4294967295) * 2 > n" +
           s" THEN $bit ELSE 0 END)"
       }.mkString(" +\n    ")
       s"""WITH toks AS (
@@ -560,8 +570,8 @@ object TextQueriesImpl {
          |WHERE BIT_COUNT(XOR(a.sig, b.sig)) <= 3
          |ORDER BY id_a, id_b""".stripMargin
     }) { (s, dir) =>
-      def lane(v: Column, j: Int): Column =
-        shiftleft(shiftright(v, j).bitwiseAND(lit(1L)), 16 * j)
+      def lane(v: Column, bit: Int, slot: Int): Column =
+        shiftleft(shiftright(v, bit).bitwiseAND(lit(1L)), 32 * slot)
       val toks = table(s, dir, "documents")
         .select(col("doc_id"),
           explode(TextAnalysis.tokens(lower(col("text")))).as("t"))
@@ -570,17 +580,20 @@ object TextQueriesImpl {
       val vals = toks.select(col("doc_id") +: (0 until 16).map(i =>
         (expr(s"instr('0123456789abcdef', substring(m, ${i + 1}, 1))")
           .cast("long") - 1).as(s"v$i")): _*)
-      val packedAggs = count(lit(1)).as("n") +: (0 until 16).map(i =>
-        sum(lane(col(s"v$i"), 0) + lane(col(s"v$i"), 1) +
-          lane(col(s"v$i"), 2) + lane(col(s"v$i"), 3)).as(s"p$i"))
+      val packedAggs = count(lit(1)).as("n") +: (0 until 16).flatMap(i =>
+        Seq(sum(lane(col(s"v$i"), 0, 0) + lane(col(s"v$i"), 1, 1))
+            .as(s"pa$i"),
+          sum(lane(col(s"v$i"), 2, 0) + lane(col(s"v$i"), 3, 1))
+            .as(s"pb$i")))
       val votes = vals.groupBy(col("doc_id"))
         .agg(packedAggs.head, packedAggs.tail: _*)
       val sigs = votes.select(col("doc_id"),
-        (0 until 64).map(k =>
-          when(shiftright(col(s"p${k / 4}"), 16 * (k % 4))
-            .bitwiseAND(lit(65535L)) * 2 > col("n"), lit(1L << k))
-            .otherwise(lit(0L)))
-          .reduce(_ + _).as("sig"))
+        (0 until 64).map { k =>
+          val p = if (k % 4 < 2) s"pa${k / 4}" else s"pb${k / 4}"
+          when(shiftright(col(p), 32 * (k % 2))
+            .bitwiseAND(lit(4294967295L)) * 2 > col("n"), lit(1L << k))
+            .otherwise(lit(0L))
+        }.reduce(_ + _).as("sig"))
       Dedup.simhashNearDupsFromSigs(sigs, "doc_id", "sig",
           maxHamming = 3)
         .select(col("id_a"), col("id_b"),

@@ -484,8 +484,8 @@ object TimeSeriesQueries {
     register("q89_ewma",
       """WITH RECURSIVE s AS MATERIALIZED (
         |  SELECT event_id, event_type, value,
-        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ts)
-        |      AS rk
+        |    ROW_NUMBER() OVER (PARTITION BY event_type
+        |      ORDER BY ts, event_id) AS rk
         |  FROM events),
         |r AS (
         |  SELECT event_type, rk, event_id, value AS state
@@ -500,8 +500,11 @@ object TimeSeriesQueries {
         |SELECT event_id, CAST(ROUND(state * 1e6) AS BIGINT)
         |  AS ewma_micro
         |FROM r ORDER BY event_id""".stripMargin) { (s, dir) =>
+      // event_id tiebreak: rows sharing a ts within an event_type
+      // must visit the recurrence in ONE total order in both engines
       TimeSeries.ewma(table(s, dir, "events"), "ts", "value",
-          alpha = 0.3, partitionCols = Seq("event_type"))
+          alpha = 0.3, partitionCols = Seq("event_type"),
+          tieBreakCols = Seq("event_id"))
         .select(col("event_id"),
           round(col("ewma") * 1e6).cast("long").as("ewma_micro"))
         .orderBy(col("event_id"))

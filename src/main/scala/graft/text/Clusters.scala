@@ -122,6 +122,12 @@ object Clusters {
       testFrac: Double, seed: Long = 42L): DataFrame = {
     require(valFrac >= 0 && testFrac >= 0 && valFrac + testFrac < 1,
       "val/test fractions must be nonnegative and sum below 1")
+    require(clusters.columns.contains("cluster_id"),
+      "splitFromClusters expects an assign() output with cluster_id")
+    // `split` is an OUTPUT column: a stored-labels frame that already
+    // carries a prior split assignment would be silently overwritten
+    require(!clusters.columns.contains("split"),
+      "input already has a split column — drop or rename it first")
     val u = graft.functions.Draws.md5Uniform(seed, Seq(col("cluster_id")))
     clusters.withColumn("split",
       when(u < testFrac, "test")

@@ -443,9 +443,14 @@ object Curation {
     * lines rejoined in original order — documents with no boilerplate
     * reconstruct byte-identically.
     *
-    * Scale shape: one explode of lines; document frequency is two
-    * map-side-combined shuffles on the 64-bit line hash ((hash, doc)
-    * dedup, then count) — the shuffle carries hashes, not line text;
+    * Scale shape: one explode of lines, MATERIALIZED once (lazy
+    * localCheckpoint) — it feeds both the document-frequency branch
+    * and the regroup join, whose projections differ, so without the
+    * barrier Catalyst re-runs the split+posexplode per consumer (the
+    * multi-consumer trap `Dedup.signatureBandsFromHashes` documents).
+    * Document frequency is two map-side-combined shuffles on the
+    * 64-bit line hash ((hash, doc) dedup, then count) — the shuffle
+    * carries hashes, not line text;
     * membership applies as a join of exploded lines against the
     * over-threshold hash set only (boilerplate is by definition a
     * small, high-frequency set — AQE broadcasts it), then one per-doc
@@ -468,6 +473,7 @@ object Curation {
       .withColumnRenamed("col", "raw_")
       .withColumn("line_", trim(col("raw_")))
       .withColumn("lh_", xxhash64(col("line_")))
+      .localCheckpoint(false) // feeds DF branch + regroup join once
     val boiler = exploded
       .where(length(col("line_")) >= minLineChars)
       .select(col("lh_"), col(idCol)).distinct()

@@ -89,12 +89,17 @@ object Dedup {
     * and feed the `*FromHashes` variants; every downstream hash is an
     * 8-byte remix of `s`, never a re-scan of text. */
   def shingleHashes(df: DataFrame, textCol: String, idCol: String,
-      k: Int = 3): DataFrame = df
-    .withColumn("toks__", TextAnalysis.tokens(lower(col(textCol))))
-    .select(col(idCol),
-      explode(TextAnalysis.shinglesFromTokens(col("toks__"), k))
-        .as("sh_str"))
-    .select(col(idCol), xxhash64(col("sh_str")).as("s"))
+      k: Int = 3): DataFrame = {
+    // `s` is the output hash column and toks__/sh_str are working
+    // names — an idCol colliding with them would silently alias
+    require(!Seq("toks__", "sh_str", "s").contains(idCol),
+      s"idCol $idCol collides with a reserved working/output column")
+    df.withColumn("toks__", TextAnalysis.tokens(lower(col(textCol))))
+      .select(col(idCol),
+        explode(TextAnalysis.shinglesFromTokens(col("toks__"), k))
+          .as("sh_str"))
+      .select(col(idCol), xxhash64(col("sh_str")).as("s"))
+  }
 
   /** Fixed splitmix64 finalizer — deterministic per-index constants
     * for the min-hash remixes (NOT a per-run random source). */
@@ -589,17 +594,23 @@ object Dedup {
     * substring-level dedup (drop docs with dup_frac above a threshold,
     * or cut the covered spans).
     *
-    * Scale shape: documents are scanned once; the n-gram explode hashes
-    * each window inside the mapper (gram STRINGS never shuffle — only
-    * the hash + position), then ONE map-side-combined groupBy counts
+    * Scale shape: documents are tokenized once and the gram table is
+    * MATERIALIZED once (lazy localCheckpoint) — it feeds both the
+    * occurrence count and the position semi-join, and its projections
+    * differ per branch, so without the barrier Catalyst re-plans the
+    * tokenize+slice+hash explode per consumer (the multi-consumer trap
+    * `signatureBandsFromHashes` documents). The explode hashes each
+    * window inside the mapper (gram STRINGS never shuffle — only the
+    * hash + position), then ONE map-side-combined groupBy counts
     * occurrences per hash, a left-semi equi-join keeps positions of
     * over-threshold grams (never a self-join), and the interval union
     * is one window over (doc, pos): consecutive hit positions `p_prev,
     * p` add `min(p - p_prev, n)` newly-covered tokens, the first adds
-    * `n` — no per-doc interval list materializes. The explode is
-    * ~tokens-per-doc rows, the honest cost of substring-level dedup;
-    * everything downstream of the count filter is hit-scale, not
-    * corpus-scale.
+    * `n` — no per-doc interval list materializes. The gram table is
+    * ~tokens-per-doc rows, the honest cost of substring-level dedup
+    * (at 100 TB it is the stored artifact of the pass, exactly like
+    * the shingle-hash frame); everything downstream of the count
+    * filter is hit-scale, not corpus-scale.
     *
     * `gramHash` defaults to xxhash64 (8-byte keys); pass an
     * md5-composed hash for cross-engine-portable gates. */
@@ -613,19 +624,26 @@ object Dedup {
     require(clash.isEmpty,
       s"input already has reserved working columns: ${clash.mkString(",")}")
 
+    // tokenize ONCE: base feeds the gram explode AND the final
+    // n_tokens join; without the barrier each consumer re-runs the
+    // split (and the explode branch twice more below)
     val base = df
       .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("toks__"))
       .withColumn("nt__", size(col("toks__")))
+      .localCheckpoint(false)
     // sequence(1, stop) DESCENDS when stop < 1 — short docs must map to
     // an empty window list, not [1, 0]
     val starts = when(col("nt__") >= n,
       sequence(lit(1), col("nt__") - (n - 1))).otherwise(
       array().cast("array<int>"))
+    // gram table materializes once for its two consumers (occurrence
+    // count + position semi-join)
     val grams = base.select(col(idCol), col("nt__"),
         posexplode(transform(starts,
           i => gramHash(concat_ws(" ", slice(col("toks__"), i, lit(n)))))))
       .select(col(idCol), col("nt__"), (col("pos") + 1).as("pos__"),
         col("col").as("h__"))
+      .localCheckpoint(false)
     val dup = grams.groupBy(col("h__"))
       .agg(count(lit(1)).as("cnt__"))
       .where(col("cnt__") >= minOccurrences)
