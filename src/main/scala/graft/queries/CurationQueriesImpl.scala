@@ -521,5 +521,46 @@ object CurationQueriesImpl {
         .select(col("doc_id"), col("shard"), col("pos"))
         .orderBy(col("shard"), col("pos"))
     }
+
+    // BM25 retrieval score of every document against a probe set
+    // (docs 0-4 stand in for the domain-description queries, the q80
+    // convention). Both engines quantize each per-term score to
+    // integer micros before the per-doc sum and compute N/avgdl from
+    // exact long count/sum, so the doubles divide from identical
+    // integers and the sum is order-independent.
+    register("q104_bm25",
+      """WITH d AS (SELECT doc_id,
+        |    REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+') AS tok
+        |  FROM documents),
+        |q AS (SELECT DISTINCT UNNEST(LIST_DISTINCT(tok)) AS term
+        |  FROM d WHERE doc_id < 5),
+        |st AS (SELECT COUNT(*) AS n, SUM(LEN(tok)) AS sdl FROM d),
+        |t AS (SELECT doc_id, LEN(tok) AS dl, UNNEST(tok) AS term
+        |  FROM d),
+        |tf AS (SELECT t.doc_id, t.term, ANY_VALUE(t.dl) AS dl,
+        |    COUNT(*) AS tf
+        |  FROM t JOIN q ON t.term = q.term
+        |  GROUP BY t.doc_id, t.term),
+        |dfq AS (SELECT term, COUNT(*) AS dfr FROM tf GROUP BY term),
+        |sc AS (SELECT tf.doc_id,
+        |    CAST(ROUND(LN((st.n - dfq.dfr + 0.5) / (dfq.dfr + 0.5)
+        |        + 1.0)
+        |      * (tf.tf * (1.2 + 1)) / (tf.tf + 1.2 * (1 - 0.75
+        |      + 0.75 * tf.dl / (CAST(st.sdl AS DOUBLE) / st.n)))
+        |      * 1e6) AS BIGINT) AS m
+        |  FROM tf, dfq, st WHERE tf.term = dfq.term),
+        |agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_matched,
+        |    CAST(SUM(m) AS BIGINT) AS bm25_micro
+        |  FROM sc GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  COALESCE(agg.n_matched, 0) AS n_matched,
+        |  COALESCE(agg.bm25_micro, 0) AS bm25_micro
+        |FROM d LEFT JOIN agg USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      val docs = table(s, dir, "documents")
+      Curation.bm25Score(docs, docs.where(col("doc_id") < 5),
+          "text", "doc_id")
+        .orderBy(col("doc_id"))
+    }
   }
 }

@@ -594,6 +594,65 @@ object Curation {
           .as("bits_per_pair"))
   }
 
+  /** Okapi BM25 retrieval score of every corpus document against a
+    * probe/query set — the ranking primitive for description-driven
+    * curation ("keep documents matching this domain sketch") and a
+    * sharper complement to [[decontaminate]]'s binary k-gram overlap.
+    * Score = Σ over shared terms of
+    * `ln((N − df + 0.5)/(df + 0.5) + 1) · tf·(k1+1)/(tf + k1·(1 − b +
+    * b·dl/avgdl))` (the Lucene always-positive idf form); per-term
+    * scores quantize to integer micros before the per-doc sum, so the
+    * result is summation-order independent and cross-engine exact.
+    * Returns one row per corpus document: (idCol, n_matched,
+    * bm25_micro).
+    *
+    * Scale shape: the probe side is query-scale, so its distinct term
+    * set broadcasts and corpus tokens are filtered map-side BEFORE the
+    * (doc, term) shuffle — only matching rows ever shuffle (the
+    * decontaminate plan, plus scoring). Document frequency of a query
+    * term derives from those same matched rows (df = #docs containing
+    * the term), never from a full-vocabulary aggregation; N and the
+    * average document length come from one column-pruned count/sum
+    * pass, exact-integer so both engines divide the same values. */
+  def bm25Score(corpus: DataFrame, queries: DataFrame, textCol: String,
+      idCol: String, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k1 > 0 && b >= 0 && b <= 1, "k1 > 0, b in [0,1]")
+    requireFresh(corpus, "toks_", "dl_", "term", "micro_")
+    val qterms = queries
+      .select(explode(array_distinct(
+        TextAnalysis.tokens(lower(col(textCol))))).as("term"))
+      .distinct()
+    val toks = corpus
+      .withColumn("toks_", TextAnalysis.tokens(lower(col(textCol))))
+      .select(col(idCol), size(col("toks_")).cast("long").as("dl_"),
+        explode(col("toks_")).as("term"))
+    // N and avgdl from one pruned pass; exact long sum / long count so
+    // the double division starts from identical integers in any engine
+    val stats = corpus
+      .select(TextAnalysis.tokenCount(lower(col(textCol)))
+        .cast("long").as("dl_"))
+      .agg(count(lit(1)).as("n_"), sum(col("dl_")).as("sdl_"))
+    val tf = toks.join(broadcast(qterms), "term")
+      .groupBy(col(idCol), col("term"))
+      .agg(first(col("dl_")).as("dl_"), count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df_"))
+    val avgdl = col("sdl_").cast("double") / col("n_")
+    val scored = tf.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("micro_", round(
+        log((col("n_") - col("df_") + 0.5) / (col("df_") + 0.5) + 1.0) *
+          (col("tf") * lit(k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) +
+            lit(b) * col("dl_") / avgdl)) * 1e6).cast("long"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_matched"), sum(col("micro_")).as("bm_"))
+    corpus.select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_matched"), lit(0L)).as("n_matched"),
+        coalesce(col("bm_"), lit(0L)).as("bm25_micro"))
+  }
+
   /** Largest exact-mixture rebalance: given target shares per stratum
     * (summing to 1), the biggest subsample whose composition matches the
     * target keeps `c·T_s` docs of stratum s where

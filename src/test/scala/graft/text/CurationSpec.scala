@@ -453,4 +453,36 @@ class CurationSpec extends AnyFunSuite {
       .where(t1("shard") =!= t3("shard") || t1("pos") =!= t3("pos"))
       .count() > 0)
   }
+
+  test("bm25Score: closed-form check, tf saturation, zero for " +
+      "no-overlap docs") {
+    // corpus: 4 docs of 4 tokens each (avgdl = 4, N = 4)
+    val corpus = Seq(
+      (1L, "spark query plan join"),   // both query terms, tf 1 each
+      (2L, "spark spark spark run"),   // tf saturation on "spark"
+      (3L, "pandas numpy scipy frame"),// no overlap -> 0
+      (4L, "query engine spark fast")  // both terms again
+    ).toDF("doc_id", "text")
+    val queries = Seq("spark query").toDF("text")
+    val r = Curation.bm25Score(corpus, queries, "text", "doc_id")
+      .orderBy($"doc_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    // closed form: df(spark)=3, df(query)=2, N=4, dl=avgdl=4 so the
+    // length norm is 1 and score(term) = ln((N-df+.5)/(df+.5)+1)
+    //   * tf*2.2/(tf+1.2)
+    def s(df: Int, tf: Int) =
+      math.log((4 - df + 0.5) / (df + 0.5) + 1.0) * (tf * 2.2) /
+        (tf + 1.2)
+    def micro(x: Double) = math.round(x * 1e6)
+    val both = micro(s(3, 1)) + micro(s(2, 1))
+    assert(r(0) == (1L, 2L, both))
+    assert(r(1) == (2L, 1L, micro(s(3, 3))))
+    assert(r(2) == (3L, 0L, 0L))
+    assert(r(3) == (4L, 2L, both))
+    // tf saturation: tripled tf scores higher, but far below 3x
+    assert(micro(s(3, 3)) > micro(s(3, 1)) &&
+      micro(s(3, 3)) < 3 * micro(s(3, 1)))
+    // rare term ("query") outscores common ("spark") at equal tf
+    assert(micro(s(2, 1)) > micro(s(3, 1)))
+  }
 }
