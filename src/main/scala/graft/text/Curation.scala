@@ -632,9 +632,14 @@ object Curation {
       .select(TextAnalysis.tokenCount(lower(col(textCol)))
         .cast("long").as("dl_"))
       .agg(count(lit(1)).as("n_"), sum(col("dl_")).as("sdl_"))
+    // tf feeds BOTH the scoring join and the df aggregation — without
+    // a barrier Catalyst re-plans the corpus explode per consumer (two
+    // full scans); the materialized frame is matched-pairs-scale, tiny
+    // for a real probe set
     val tf = toks.join(broadcast(qterms), "term")
       .groupBy(col(idCol), col("term"))
       .agg(first(col("dl_")).as("dl_"), count(lit(1)).as("tf"))
+      .localCheckpoint(false)
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df_"))
     val avgdl = col("sdl_").cast("double") / col("n_")
     val scored = tf.join(broadcast(dfreq), "term")
