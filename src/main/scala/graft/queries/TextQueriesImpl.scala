@@ -32,6 +32,24 @@ object TextQueriesImpl {
         k = 3).localCheckpoint(false))
   }
 
+  /** One shared 128-hash [[Dedup.signatureTable]] per (session, sfDir)
+    * — the stored signatures-at-ingest artifact one level past the
+    * shingle cache: the 128-wide min-agg stage is the cost center of
+    * every minhash path, and q68/q77/q92 all draw their band layouts
+    * from the same signature family (q77's 32-hash signature IS the
+    * first 32 columns — the remix constants are indexed, so the slice
+    * equals a fresh 32-hash table value-for-value). Each query still
+    * pays its own banding, bucket groupBy, and verify join. */
+  private val sigTableCache = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, String),
+    org.apache.spark.sql.DataFrame]
+  private def docSignatures(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    sigTableCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    sigTableCache.computeIfAbsent((s, dir), _ =>
+      Dedup.signatureTable(docShingleHashes(s, dir), "doc_id", 128))
+  }
+
   /** Stored cluster labels per (session, sfDir) — the input shape of
     * [[graft.text.Clusters.splitFromClusters]]: a curated corpus
     * computes its dedup clusters once, stores them, and split/keeper/
@@ -49,8 +67,8 @@ object TextQueriesImpl {
       dir: String): org.apache.spark.sql.DataFrame = {
     clusterCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
     clusterCache.computeIfAbsent((s, dir), _ => {
-      val pairs = Dedup.nearDupPairsFromHashes(
-        docShingleHashes(s, dir), "doc_id",
+      val pairs = Dedup.nearDupPairsFromSigTable(
+        docSignatures(s, dir), "doc_id",
         minJaccard = 0.5, numHashes = 32)
       Clusters.assign(table(s, dir, "documents"), "doc_id", pairs)
         .localCheckpoint(false)
@@ -369,7 +387,7 @@ object TextQueriesImpl {
         |    / (LEN(a.g) + LEN(b.g) - LEN(LIST_INTERSECT(a.g, b.g)))
         |    >= 0.2
         |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
-      Dedup.nearDupPairsFromHashes(docShingleHashes(s, dir), "doc_id",
+      Dedup.nearDupPairsFromSigTable(docSignatures(s, dir), "doc_id",
           minJaccard = 0.2, numHashes = 128)
         .withColumn("jaccard", round(col("jaccard"), 6))
         .orderBy(col("id_a"), col("id_b"))
@@ -439,8 +457,8 @@ object TextQueriesImpl {
       // computes the closure itself (no cluster-cache read): this gate
       // MEASURES cluster assignment; q102 is the one whose operator
       // reads stored labels
-      val pairs = Dedup.nearDupPairsFromHashes(
-        docShingleHashes(s, dir), "doc_id",
+      val pairs = Dedup.nearDupPairsFromSigTable(
+        docSignatures(s, dir), "doc_id",
         minJaccard = 0.5, numHashes = 32)
       Clusters.assign(table(s, dir, "documents"), "doc_id", pairs)
         .orderBy(col("doc_id"))
@@ -502,10 +520,10 @@ object TextQueriesImpl {
         |    / (LEN(a.g) + LEN(b.g) - LEN(LIST_INTERSECT(a.g, b.g)))
         |    >= 0.3
         |ORDER BY delta_id, corpus_id""".stripMargin) { (s, dir) =>
-      val hashed = docShingleHashes(s, dir)
-      Dedup.nearDupAgainstCorpusFromHashes(
-          hashed.where(col("doc_id") < 100),
-          hashed.where(col("doc_id") >= 100),
+      val sigs = docSignatures(s, dir)
+      Dedup.nearDupAgainstCorpusFromSigTables(
+          sigs.where(col("doc_id") < 100),
+          sigs.where(col("doc_id") >= 100),
           "doc_id", minJaccard = 0.3)
         .withColumn("jaccard", round(col("jaccard"), 6))
         .orderBy(col("delta_id"), col("corpus_id"))

@@ -110,33 +110,46 @@ object Dedup {
     z ^ (z >>> 31)
   }
 
-  /** Shared LSH front half: per-doc distinct hashed-shingle sets
-    * (`gh`) and banded bucket keys, from precomputed [[shingleHashes]]
-    * rows. Materialized once (lazy localCheckpoint) — the frame feeds
-    * the band explode and both verify sides, and Catalyst would
-    * otherwise re-plan the aggregate per branch (no ReuseExchange —
-    * downstream projections differ). */
-  private def signatureBandsFromHashes(hashed: DataFrame, idCol: String,
-      numHashes: Int, bands: Int): (DataFrame, DataFrame) = {
-    require(numHashes % bands == 0, "numHashes must divide into bands")
-    val rowsPerBand = numHashes / bands
-    // The i-th min-hash remixes the ALREADY-UNIFORM 64-bit shingle
-    // hash with a splitmix64-derived multiply-add (odd multiplier,
-    // wrapping Remix64 expression): a single Java FMA per (i, row)
-    // instead of a fresh xxhash64 — the 128-wide min-agg stage is the
-    // cost center of every LSH path (q68/q77/q92), and min-wise LSH
-    // only needs per-i orderings that are independent-ish permutations
-    // of a uniform input, not a full re-hash of it.
+  /** Per-doc signature-plus-shingle-set table — THE stored artifact of
+    * signatures-at-ingest: one groupBy over [[shingleHashes]] rows
+    * computing all `numHashes` min-hash columns (h0..h[n-1]) AND the
+    * distinct hash set (`gh`), lazily localCheckpointed. Every LSH
+    * band layout derives from it by slicing signature columns — a
+    * band family over `m <= numHashes` hashes uses h0..h[m-1], whose
+    * values are IDENTICAL to a fresh m-hash table (the remix constants
+    * are indexed, not width-dependent) — so one stored table serves
+    * intra-corpus pair detection, delta-vs-corpus, and clustering at
+    * different hash widths.
+    *
+    * The i-th min-hash remixes the ALREADY-UNIFORM 64-bit shingle
+    * hash with a splitmix64-derived multiply-add (odd multiplier,
+    * wrapping Remix64 expression): a single Java FMA per (i, row)
+    * instead of a fresh xxhash64 — this min-agg stage is the cost
+    * center of every LSH path, and min-wise LSH only needs per-i
+    * orderings that are independent-ish permutations of a uniform
+    * input, not a full re-hash of it. */
+  def signatureTable(hashed: DataFrame, idCol: String,
+      numHashes: Int = 128): DataFrame = {
     val minAggs = (0 until numHashes).map { i =>
       min(graft.functions.Remix64(col("s"),
         splitmix64(2L * i) | 1L, splitmix64(2L * i + 1))).as(s"h$i")
     }
-    val sigAndSet = hashed.groupBy(col(idCol))
+    hashed.groupBy(col(idCol))
       .agg(minAggs.head, (minAggs.tail :+
         collect_set(col("s")).as("gh")): _*)
       .localCheckpoint(false)
-    val docSets = sigAndSet.select(col(idCol), col("gh"))
-    val banded = sigAndSet
+  }
+
+  /** (docSets, banded) band layout off a [[signatureTable]]: `banded`
+    * explodes each doc's `bands` bucket keys from the first
+    * `numHashes` signature columns; `docSets` carries the verify-side
+    * shingle sets. The table may be wider than `numHashes`. */
+  private def bandsFromSigTable(sigTable: DataFrame, idCol: String,
+      numHashes: Int, bands: Int): (DataFrame, DataFrame) = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val rowsPerBand = numHashes / bands
+    val docSets = sigTable.select(col(idCol), col("gh"))
+    val banded = sigTable
       .select(col(idCol),
         array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
       .select(col(idCol),
@@ -145,6 +158,14 @@ object Dedup {
             lit(rowsPerBand))))).as("bucket"))
     (docSets, banded)
   }
+
+  /** Shared LSH front half: per-doc distinct hashed-shingle sets
+    * (`gh`) and banded bucket keys, from precomputed [[shingleHashes]]
+    * rows — builds a fresh [[signatureTable]] then bands it. */
+  private def signatureBandsFromHashes(hashed: DataFrame, idCol: String,
+      numHashes: Int, bands: Int): (DataFrame, DataFrame) =
+    bandsFromSigTable(signatureTable(hashed, idCol, numHashes), idCol,
+      numHashes, bands)
 
   private def signatureBands(df: DataFrame, textCol: String,
       idCol: String, numHashes: Int, bands: Int, k: Int)
@@ -302,6 +323,36 @@ object Dedup {
       minJaccard: Double = 0.5, maxBucketSize: Int = 200): DataFrame =
     candidatesFromBands(signatureBandsFromHashes(hashed, idCol,
       numHashes, bands), idCol, minJaccard, maxBucketSize)
+
+  /** [[minhashCandidates]] over a STORED [[signatureTable]] — the
+    * fully-incremental shape: signatures live as a table, each pair
+    * query only bands, buckets, and verifies. `numHashes` may be
+    * narrower than the stored width (prefix slice, identical values
+    * to a fresh narrow table). */
+  def minhashCandidatesFromSigTable(sigTable: DataFrame, idCol: String,
+      numHashes: Int = 128, bands: Int = 16,
+      minJaccard: Double = 0.5, maxBucketSize: Int = 200): DataFrame =
+    candidatesFromBands(bandsFromSigTable(sigTable, idCol, numHashes,
+      bands), idCol, minJaccard, maxBucketSize)
+
+  /** [[nearDupPairs]]' auto-banding over a stored [[signatureTable]]. */
+  def nearDupPairsFromSigTable(sigTable: DataFrame, idCol: String,
+      minJaccard: Double = 0.5, numHashes: Int = 128,
+      maxBucketSize: Int = 200): DataFrame =
+    minhashCandidatesFromSigTable(sigTable, idCol, numHashes,
+      bandsFor(numHashes, minJaccard), minJaccard, maxBucketSize)
+
+  /** [[nearDupAgainstCorpusFromHashes]] over stored
+    * [[signatureTable]] slices — per-doc rows are independent, so the
+    * delta/corpus sides may be filters of ONE shared table. */
+  def nearDupAgainstCorpusFromSigTables(deltaSig: DataFrame,
+      corpusSig: DataFrame, idCol: String, numHashes: Int = 128,
+      bands: Int = 16, minJaccard: Double = 0.5,
+      maxBucketSize: Int = 200): DataFrame =
+    deltaVsCorpusFromBands(
+      bandsFromSigTable(deltaSig, idCol, numHashes, bands),
+      bandsFromSigTable(corpusSig, idCol, numHashes, bands),
+      idCol, minJaccard, maxBucketSize)
 
   private def candidatesFromBands(sets: (DataFrame, DataFrame),
       idCol: String, minJaccard: Double, maxBucketSize: Int)

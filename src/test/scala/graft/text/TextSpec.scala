@@ -173,6 +173,38 @@ class TextSpec extends AnyFunSuite {
         .collect().map(key).toSet)
   }
 
+  test("SigTable variants equal FromHashes, incl. narrow prefix slices") {
+    val hashed = Dedup.shingleHashes(docs, "text", "doc_id")
+    val sigs = Dedup.signatureTable(hashed, "doc_id", numHashes = 128)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2))
+    // full-width band family off the stored table = fresh table
+    assert(
+      Dedup.nearDupPairsFromSigTable(sigs, "doc_id", minJaccard = 0.3)
+        .collect().map(key).toSet ==
+      Dedup.nearDupPairsFromHashes(hashed, "doc_id", minJaccard = 0.3)
+        .collect().map(key).toSet)
+    // a 32-hash family sliced from the 128 table = a fresh 32 table
+    // (remix constants are indexed, not width-dependent)
+    assert(
+      Dedup.nearDupPairsFromSigTable(sigs, "doc_id", minJaccard = 0.5,
+          numHashes = 32)
+        .collect().map(key).toSet ==
+      Dedup.nearDupPairsFromHashes(hashed, "doc_id", minJaccard = 0.5,
+          numHashes = 32)
+        .collect().map(key).toSet)
+    // delta/corpus sides as filters of ONE shared table
+    assert(
+      Dedup.nearDupAgainstCorpusFromSigTables(
+          sigs.where($"doc_id" < 3), sigs.where($"doc_id" >= 3),
+          "doc_id", minJaccard = 0.3)
+        .collect().map(key).toSet ==
+      Dedup.nearDupAgainstCorpusFromHashes(
+          hashed.where($"doc_id" < 3), hashed.where($"doc_id" >= 3),
+          "doc_id", minJaccard = 0.3)
+        .collect().map(key).toSet)
+  }
+
   test("nearDupPairs (LSH + exact re-rank) matches all-pairs at j>=0.3") {
     val exact = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
         minJaccard = 0.3)
