@@ -97,6 +97,15 @@ object ScaleSmoke {
       graft.text.Dedup.nearDupPairsFromHashes(hashed, "doc_id",
         minJaccard = 0.5, numHashes = 32).count()
     }
+    // one stored signature table, one level past stored hashes: the
+    // min-agg stage runs once and every pair query only bands+verifies
+    val sigs = graft.text.Dedup.signatureTable(hashed, "doc_id",
+      numHashes = 32)
+    t("signature table (once at ingest)") { sigs.count() }
+    t("minhash near-dups from stored signatures") {
+      graft.text.Dedup.nearDupPairsFromSigTable(sigs, "doc_id",
+        minJaccard = 0.5, numHashes = 32).count()
+    }
     t("delta-vs-corpus incremental dedup") {
       // today's 1% ingest against the standing corpus: only the delta
       // is new text; both sides' bands derive from the shared frame
