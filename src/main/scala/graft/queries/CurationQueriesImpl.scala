@@ -562,5 +562,48 @@ object CurationQueriesImpl {
           "text", "doc_id")
         .orderBy(col("doc_id"))
     }
+
+    // Per-query BM25 top-k retrieval (docs 0-2 as queries, k=5): the
+    // lexical twin of the ANN top-k gates. Clone documents tie on the
+    // exact integer-micro score and break deterministically on doc_id
+    // in both engines.
+    register("q105_bm25_topk",
+      """WITH d AS (SELECT doc_id,
+        |    REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+') AS tok
+        |  FROM documents),
+        |q AS (SELECT DISTINCT a.doc_id AS qid,
+        |    UNNEST(LIST_DISTINCT(a.tok)) AS term
+        |  FROM d a WHERE a.doc_id < 3),
+        |st AS (SELECT COUNT(*) AS n, SUM(LEN(tok)) AS sdl FROM d),
+        |t AS (SELECT doc_id, LEN(tok) AS dl, UNNEST(tok) AS term
+        |  FROM d),
+        |tf AS (SELECT q.qid, t.doc_id, t.term, ANY_VALUE(t.dl) AS dl,
+        |    COUNT(*) AS tf
+        |  FROM t JOIN q ON t.term = q.term
+        |  GROUP BY q.qid, t.doc_id, t.term),
+        |dfq AS (SELECT term, COUNT(*) AS dfr
+        |  FROM (SELECT DISTINCT doc_id, term FROM tf) GROUP BY term),
+        |sc AS (SELECT tf.qid, tf.doc_id,
+        |    CAST(COUNT(*) AS BIGINT) AS n_matched,
+        |    CAST(SUM(CAST(ROUND(LN((st.n - dfq.dfr + 0.5)
+        |        / (dfq.dfr + 0.5) + 1.0)
+        |      * (tf.tf * (1.2 + 1)) / (tf.tf + 1.2 * (1 - 0.75
+        |      + 0.75 * tf.dl / (CAST(st.sdl AS DOUBLE) / st.n)))
+        |      * 1e6) AS BIGINT)) AS BIGINT) AS bm
+        |  FROM tf, dfq, st WHERE tf.term = dfq.term
+        |  GROUP BY tf.qid, tf.doc_id),
+        |r AS (SELECT qid, doc_id, n_matched, bm,
+        |    ROW_NUMBER() OVER (PARTITION BY qid
+        |      ORDER BY bm DESC, doc_id) AS rank
+        |  FROM sc)
+        |SELECT qid AS query_id, doc_id, n_matched, bm AS bm25_micro,
+        |  CAST(rank AS BIGINT) AS rank
+        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin) {
+      (s, dir) =>
+      val docs = table(s, dir, "documents")
+      Curation.bm25TopK(docs, docs.where(col("doc_id") < 3),
+          "text", "doc_id", "doc_id", k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }
   }
 }

@@ -658,6 +658,68 @@ object Curation {
         coalesce(col("bm_"), lit(0L)).as("bm25_micro"))
   }
 
+  /** Per-query BM25 top-k retrieval — the lexical twin of the ANN
+    * top-k family ([[graft.similarity.Similarity]]): for every query
+    * row, the `k` best-scoring corpus documents under the same
+    * integer-micro BM25 arithmetic as [[bm25Score]], ranked with a
+    * deterministic (score desc, doc id asc) tiebreak. Returns
+    * (query_id, idCol, n_matched, bm25_micro, rank).
+    *
+    * Scale shape: the distinct (query, term) probe set broadcasts and
+    * filters corpus tokens map-side (only matching rows shuffle); the
+    * matched (query, doc, term) frequency frame materializes ONCE and
+    * feeds document frequency (distinct docs per term, query-
+    * independent) and scoring; the final top-k is a window
+    * partitioned by query — few queries × ≤ matched docs each, never
+    * corpus-wide. */
+  def bm25TopK(corpus: DataFrame, queries: DataFrame, textCol: String,
+      idCol: String, queryIdCol: String, k: Int, k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(k > 0, "k must be positive")
+    require(k1 > 0 && b >= 0 && b <= 1, "k1 > 0, b in [0,1]")
+    requireFresh(corpus, "toks_", "dl_", "term", "micro_", "qid_")
+    val qterms = queries
+      .select(col(queryIdCol).as("qid_"),
+        explode(array_distinct(
+          TextAnalysis.tokens(lower(col(textCol))))).as("term"))
+      .distinct()
+    val toks = corpus
+      .withColumn("toks_", TextAnalysis.tokens(lower(col(textCol))))
+      .select(col(idCol), size(col("toks_")).cast("long").as("dl_"),
+        explode(col("toks_")).as("term"))
+    val stats = corpus
+      .select(TextAnalysis.tokenCount(lower(col(textCol)))
+        .cast("long").as("dl_"))
+      .agg(count(lit(1)).as("n_"), sum(col("dl_")).as("sdl_"))
+    // matched tf feeds df AND scoring — materialize once
+    val tf = toks.join(broadcast(qterms), "term")
+      .groupBy(col("qid_"), col(idCol), col("term"))
+      .agg(first(col("dl_")).as("dl_"), count(lit(1)).as("tf"))
+      .localCheckpoint(false)
+    // df(term) counts DISTINCT docs containing the term — query-
+    // independent, so the per-query rows dedupe on (doc, term) first
+    val dfreq = tf.select(col(idCol), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df_"))
+    val avgdl = col("sdl_").cast("double") / col("n_")
+    val scored = tf.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("micro_", round(
+        log((col("n_") - col("df_") + 0.5) / (col("df_") + 0.5) + 1.0) *
+          (col("tf") * lit(k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) +
+            lit(b) * col("dl_") / avgdl)) * 1e6).cast("long"))
+      .groupBy(col("qid_"), col(idCol))
+      .agg(count(lit(1)).as("n_matched"),
+        sum(col("micro_")).as("bm25_micro"))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid_"))
+          .orderBy(col("bm25_micro").desc, col(idCol))).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("qid_").as("query_id"), col(idCol),
+        col("n_matched"), col("bm25_micro"), col("rank"))
+  }
+
   /** Largest exact-mixture rebalance: given target shares per stratum
     * (summing to 1), the biggest subsample whose composition matches the
     * target keeps `c·T_s` docs of stratum s where

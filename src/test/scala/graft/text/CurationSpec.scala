@@ -485,4 +485,28 @@ class CurationSpec extends AnyFunSuite {
     // rare term ("query") outscores common ("spark") at equal tf
     assert(micro(s(2, 1)) > micro(s(3, 1)))
   }
+
+  test("bm25TopK: self-retrieval first, k truncation, per-query ranks") {
+    val corpus = Seq(
+      (1L, "spark query plan join"),
+      (2L, "spark spark spark run"),
+      (3L, "pandas numpy scipy frame"),
+      (4L, "query engine spark fast"),
+      (5L, "unrelated words entirely here")).toDF("doc_id", "text")
+    val queries = Seq((10L, "spark query plan join"),
+      (20L, "pandas numpy")).toDF("qid", "text")
+    val r = Curation.bm25TopK(corpus, queries, "text", "doc_id",
+        "qid", k = 2)
+      .orderBy($"query_id", $"rank").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(4)))
+    // query 10 = doc 1's text: doc 1 matches all 4 terms -> rank 1;
+    // k=2 truncates the remaining matches to one more row
+    assert(r.count(_._1 == 10L) == 2 && r.head == (10L, 1L, 1L))
+    // query 20 matches only doc 3
+    assert(r.filter(_._1 == 20L).toSeq == Seq((20L, 3L, 1L)))
+    // ranks are dense from 1 within each query
+    r.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq ==
+        (1 to rows.length).map(_.toLong)) }
+  }
 }
