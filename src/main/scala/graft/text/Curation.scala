@@ -665,11 +665,13 @@ object Curation {
     * deterministic (score desc, doc id asc) tiebreak. Returns
     * (query_id, idCol, n_matched, bm25_micro, rank).
     *
-    * Scale shape: the distinct (query, term) probe set broadcasts and
+    * Scale shape: the distinct union of query terms broadcasts and
     * filters corpus tokens map-side (only matching rows shuffle); the
-    * matched (query, doc, term) frequency frame materializes ONCE and
-    * feeds document frequency (distinct docs per term, query-
-    * independent) and scoring; the final top-k is a window
+    * matched (doc, term) frequency frame aggregates ONCE at token
+    * scale, materializes, and feeds document frequency AND all
+    * queries — the per-query expansion joins qids onto the AGGREGATED
+    * frame (matched-vocabulary scale), so adding queries never
+    * re-touches corpus tokens; the final top-k is a window
     * partitioned by query — few queries × ≤ matched docs each, never
     * corpus-wide. */
   def bm25TopK(corpus: DataFrame, queries: DataFrame, textCol: String,
@@ -691,15 +693,18 @@ object Curation {
       .select(TextAnalysis.tokenCount(lower(col(textCol)))
         .cast("long").as("dl_"))
       .agg(count(lit(1)).as("n_"), sum(col("dl_")).as("sdl_"))
-    // matched tf feeds df AND scoring — materialize once
-    val tf = toks.join(broadcast(qterms), "term")
-      .groupBy(col("qid_"), col(idCol), col("term"))
+    // per-(doc, term) tf aggregates the token explode ONCE for every
+    // query (the union of query terms filters map-side); materialized
+    // because it feeds df and the per-query expansion
+    val tfDoc = toks
+      .join(broadcast(qterms.select(col("term")).distinct()), "term")
+      .groupBy(col(idCol), col("term"))
       .agg(first(col("dl_")).as("dl_"), count(lit(1)).as("tf"))
       .localCheckpoint(false)
-    // df(term) counts DISTINCT docs containing the term — query-
-    // independent, so the per-query rows dedupe on (doc, term) first
-    val dfreq = tf.select(col(idCol), col("term")).distinct()
-      .groupBy(col("term")).agg(count(lit(1)).as("df_"))
+    // (doc, term) rows are already distinct -> df is a direct count
+    val dfreq = tfDoc.groupBy(col("term")).agg(count(lit(1)).as("df_"))
+    // expand to queries at matched-VOCABULARY scale, not token scale
+    val tf = tfDoc.join(broadcast(qterms), "term")
     val avgdl = col("sdl_").cast("double") / col("n_")
     val scored = tf.join(broadcast(dfreq), "term")
       .crossJoin(broadcast(stats))
