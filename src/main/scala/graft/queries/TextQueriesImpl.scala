@@ -521,10 +521,13 @@ object TextQueriesImpl {
         |    >= 0.3
         |ORDER BY delta_id, corpus_id""".stripMargin) { (s, dir) =>
       val sigs = docSignatures(s, dir)
+      // bands pinned to the FromHashes sibling's 16 (the shape the
+      // oracle comment's collision bound describes); the operator's
+      // default would auto-size to 64 bands of 2 for minJaccard 0.3
       Dedup.nearDupAgainstCorpusFromSigTables(
           sigs.where(col("doc_id") < 100),
           sigs.where(col("doc_id") >= 100),
-          "doc_id", minJaccard = 0.3)
+          "doc_id", bands = 16, minJaccard = 0.3)
         .withColumn("jaccard", round(col("jaccard"), 6))
         .orderBy(col("delta_id"), col("corpus_id"))
     }

@@ -614,41 +614,69 @@ object Curation {
     * the term), never from a full-vocabulary aggregation; N and the
     * average document length come from one column-pruned count/sum
     * pass, exact-integer so both engines divide the same values. */
-  def bm25Score(corpus: DataFrame, queries: DataFrame, textCol: String,
-      idCol: String, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    require(k1 > 0 && b >= 0 && b <= 1, "k1 > 0, b in [0,1]")
-    requireFresh(corpus, "toks_", "dl_", "term", "micro_")
-    val qterms = queries
-      .select(explode(array_distinct(
-        TextAnalysis.tokens(lower(col(textCol))))).as("term"))
-      .distinct()
+  /** Every working and output name the BM25 pair of operators can
+    * inject — an `idCol`/`queryIdCol` equal to one of these would be
+    * silently replaced (e.g. by the final `rank` withColumn) or die
+    * with an ambiguous-reference error far from the cause. */
+  private val bm25Reserved = Seq("toks_", "dl_", "term", "micro_",
+    "qid_", "tf", "df_", "n_", "sdl_", "bm_", "n_matched",
+    "bm25_micro", "rank", "query_id")
+
+  /** Shared BM25 front half: (matched per-(doc, term) frequencies,
+    * per-term document frequency, corpus stats). The union of probe
+    * terms filters corpus tokens map-side before the only token-scale
+    * shuffle; the matched frame materializes once (it feeds df and
+    * scoring); N/avgdl are exact long count/sum from one pruned pass
+    * so both engines' doubles divide identical integers. */
+  private def bm25Matched(corpus: DataFrame, probeTerms: DataFrame,
+      textCol: String, idCol: String)
+      : (DataFrame, DataFrame, DataFrame) = {
     val toks = corpus
       .withColumn("toks_", TextAnalysis.tokens(lower(col(textCol))))
       .select(col(idCol), size(col("toks_")).cast("long").as("dl_"),
         explode(col("toks_")).as("term"))
-    // N and avgdl from one pruned pass; exact long sum / long count so
-    // the double division starts from identical integers in any engine
     val stats = corpus
       .select(TextAnalysis.tokenCount(lower(col(textCol)))
         .cast("long").as("dl_"))
       .agg(count(lit(1)).as("n_"), sum(col("dl_")).as("sdl_"))
-    // tf feeds BOTH the scoring join and the df aggregation — without
-    // a barrier Catalyst re-plans the corpus explode per consumer (two
-    // full scans); the materialized frame is matched-pairs-scale, tiny
-    // for a real probe set
-    val tf = toks.join(broadcast(qterms), "term")
+    val tfDoc = toks.join(broadcast(probeTerms), "term")
       .groupBy(col(idCol), col("term"))
       .agg(first(col("dl_")).as("dl_"), count(lit(1)).as("tf"))
       .localCheckpoint(false)
-    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df_"))
+    // (doc, term) rows are already distinct -> df is a direct count
+    val dfreq = tfDoc.groupBy(col("term")).agg(count(lit(1)).as("df_"))
+    (tfDoc, dfreq, stats)
+  }
+
+  /** The per-term integer-micro BM25 score over a frame carrying
+    * (tf, dl_, df_, n_, sdl_) — ONE definition so [[bm25Score]] and
+    * [[bm25TopK]] can never drift on the arithmetic or its operation
+    * order (which the DuckDB oracles replay expression-for-
+    * expression). */
+  private def bm25Micro(k1: Double, b: Double): Column = {
     val avgdl = col("sdl_").cast("double") / col("n_")
-    val scored = tf.join(broadcast(dfreq), "term")
+    round(
+      log((col("n_") - col("df_") + 0.5) / (col("df_") + 0.5) + 1.0) *
+        (col("tf") * lit(k1 + 1)) /
+        (col("tf") + lit(k1) * (lit(1.0 - b) +
+          lit(b) * col("dl_") / avgdl)) * 1e6).cast("long")
+  }
+
+  def bm25Score(corpus: DataFrame, queries: DataFrame, textCol: String,
+      idCol: String, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k1 > 0 && b >= 0 && b <= 1, "k1 > 0, b in [0,1]")
+    requireFresh(corpus, bm25Reserved: _*)
+    require(!bm25Reserved.contains(idCol),
+      s"idCol $idCol collides with a reserved BM25 working/output name")
+    val qterms = queries
+      .select(explode(array_distinct(
+        TextAnalysis.tokens(lower(col(textCol))))).as("term"))
+      .distinct()
+    val (tfDoc, dfreq, stats) =
+      bm25Matched(corpus, qterms, textCol, idCol)
+    val scored = tfDoc.join(broadcast(dfreq), "term")
       .crossJoin(broadcast(stats))
-      .withColumn("micro_", round(
-        log((col("n_") - col("df_") + 0.5) / (col("df_") + 0.5) + 1.0) *
-          (col("tf") * lit(k1 + 1)) /
-          (col("tf") + lit(k1) * (lit(1.0 - b) +
-            lit(b) * col("dl_") / avgdl)) * 1e6).cast("long"))
+      .withColumn("micro_", bm25Micro(k1, b))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_matched"), sum(col("micro_")).as("bm_"))
     corpus.select(col(idCol))
@@ -679,40 +707,22 @@ object Curation {
       b: Double = 0.75): DataFrame = {
     require(k > 0, "k must be positive")
     require(k1 > 0 && b >= 0 && b <= 1, "k1 > 0, b in [0,1]")
-    requireFresh(corpus, "toks_", "dl_", "term", "micro_", "qid_")
+    requireFresh(corpus, bm25Reserved: _*)
+    require(!bm25Reserved.contains(idCol) &&
+      !bm25Reserved.contains(queryIdCol),
+      s"idCol/queryIdCol collides with a reserved BM25 name")
     val qterms = queries
       .select(col(queryIdCol).as("qid_"),
         explode(array_distinct(
           TextAnalysis.tokens(lower(col(textCol))))).as("term"))
       .distinct()
-    val toks = corpus
-      .withColumn("toks_", TextAnalysis.tokens(lower(col(textCol))))
-      .select(col(idCol), size(col("toks_")).cast("long").as("dl_"),
-        explode(col("toks_")).as("term"))
-    val stats = corpus
-      .select(TextAnalysis.tokenCount(lower(col(textCol)))
-        .cast("long").as("dl_"))
-      .agg(count(lit(1)).as("n_"), sum(col("dl_")).as("sdl_"))
-    // per-(doc, term) tf aggregates the token explode ONCE for every
-    // query (the union of query terms filters map-side); materialized
-    // because it feeds df and the per-query expansion
-    val tfDoc = toks
-      .join(broadcast(qterms.select(col("term")).distinct()), "term")
-      .groupBy(col(idCol), col("term"))
-      .agg(first(col("dl_")).as("dl_"), count(lit(1)).as("tf"))
-      .localCheckpoint(false)
-    // (doc, term) rows are already distinct -> df is a direct count
-    val dfreq = tfDoc.groupBy(col("term")).agg(count(lit(1)).as("df_"))
+    val (tfDoc, dfreq, stats) = bm25Matched(corpus,
+      qterms.select(col("term")).distinct(), textCol, idCol)
     // expand to queries at matched-VOCABULARY scale, not token scale
-    val tf = tfDoc.join(broadcast(qterms), "term")
-    val avgdl = col("sdl_").cast("double") / col("n_")
-    val scored = tf.join(broadcast(dfreq), "term")
+    val scored = tfDoc.join(broadcast(qterms), "term")
+      .join(broadcast(dfreq), "term")
       .crossJoin(broadcast(stats))
-      .withColumn("micro_", round(
-        log((col("n_") - col("df_") + 0.5) / (col("df_") + 0.5) + 1.0) *
-          (col("tf") * lit(k1 + 1)) /
-          (col("tf") + lit(k1) * (lit(1.0 - b) +
-            lit(b) * col("dl_") / avgdl)) * 1e6).cast("long"))
+      .withColumn("micro_", bm25Micro(k1, b))
       .groupBy(col("qid_"), col(idCol))
       .agg(count(lit(1)).as("n_matched"),
         sum(col("micro_")).as("bm25_micro"))

@@ -344,15 +344,24 @@ object Dedup {
 
   /** [[nearDupAgainstCorpusFromHashes]] over stored
     * [[signatureTable]] slices — per-doc rows are independent, so the
-    * delta/corpus sides may be filters of ONE shared table. */
+    * delta/corpus sides may be filters of ONE shared table.
+    *
+    * `bands = 0` (the default) auto-sizes the band count from
+    * `minJaccard` exactly like [[nearDupPairsFromSigTable]] — the
+    * S-curve threshold lands at or below 0.8·minJaccard, so pairs
+    * just above the cutoff still collide with high probability. A
+    * fixed band count (e.g. the `FromHashes` sibling's 16) at a low
+    * minJaccard silently drops true pairs near the cutoff. */
   def nearDupAgainstCorpusFromSigTables(deltaSig: DataFrame,
       corpusSig: DataFrame, idCol: String, numHashes: Int = 128,
-      bands: Int = 16, minJaccard: Double = 0.5,
-      maxBucketSize: Int = 200): DataFrame =
+      bands: Int = 0, minJaccard: Double = 0.5,
+      maxBucketSize: Int = 200): DataFrame = {
+    val nb = if (bands > 0) bands else bandsFor(numHashes, minJaccard)
     deltaVsCorpusFromBands(
-      bandsFromSigTable(deltaSig, idCol, numHashes, bands),
-      bandsFromSigTable(corpusSig, idCol, numHashes, bands),
+      bandsFromSigTable(deltaSig, idCol, numHashes, nb),
+      bandsFromSigTable(corpusSig, idCol, numHashes, nb),
       idCol, minJaccard, maxBucketSize)
+  }
 
   private def candidatesFromBands(sets: (DataFrame, DataFrame),
       idCol: String, minJaccard: Double, maxBucketSize: Int)

@@ -193,16 +193,26 @@ class TextSpec extends AnyFunSuite {
       Dedup.nearDupPairsFromHashes(hashed, "doc_id", minJaccard = 0.5,
           numHashes = 32)
         .collect().map(key).toSet)
-    // delta/corpus sides as filters of ONE shared table
-    assert(
-      Dedup.nearDupAgainstCorpusFromSigTables(
-          sigs.where($"doc_id" < 3), sigs.where($"doc_id" >= 3),
-          "doc_id", minJaccard = 0.3)
-        .collect().map(key).toSet ==
+    // delta/corpus sides as filters of ONE shared table (bands pinned
+    // to the FromHashes sibling's fixed 16 for the comparison; the
+    // SigTable default auto-sizes from minJaccard)
+    val fixedBands = Dedup.nearDupAgainstCorpusFromSigTables(
+        sigs.where($"doc_id" < 3), sigs.where($"doc_id" >= 3),
+        "doc_id", bands = 16, minJaccard = 0.3)
+      .collect().map(key).toSet
+    assert(fixedBands ==
       Dedup.nearDupAgainstCorpusFromHashes(
           hashed.where($"doc_id" < 3), hashed.where($"doc_id" >= 3),
           "doc_id", minJaccard = 0.3)
         .collect().map(key).toSet)
+    // the auto-banded default (64 bands of 2 at minJaccard 0.3) can
+    // only ADD candidate recall over fixed 16-of-8; verification is
+    // exact either way, so its verified pairs are a superset
+    val autoBands = Dedup.nearDupAgainstCorpusFromSigTables(
+        sigs.where($"doc_id" < 3), sigs.where($"doc_id" >= 3),
+        "doc_id", minJaccard = 0.3)
+      .collect().map(key).toSet
+    assert(fixedBands.subsetOf(autoBands))
   }
 
   test("nearDupPairs (LSH + exact re-rank) matches all-pairs at j>=0.3") {
