@@ -126,6 +126,15 @@ object CorpusDemo {
       clean.join(drops, Seq("doc_id"), "left_anti").localCheckpoint()
     }
 
+    // 8b. BM25 relevance probe: rank the survivors against a domain
+    //     sketch (here: the probe docs double as the sketch) — the
+    //     retrieval signal a curation pass uses to up-weight on-domain
+    //     documents; only the per-query top hits materialize
+    t("retrieve: BM25 top-k vs domain sketch") {
+      Curation.bm25TopK(pruned, docs.where(col("doc_id") < 3),
+        "text", "doc_id", "doc_id", k = 5).count()
+    }
+
     // 9. rebalance to a target source mixture, applied as a
     //    deterministic stratified sample (weights are domain-scale:
     //    collect is one row per source)
