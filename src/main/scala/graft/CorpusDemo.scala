@@ -91,10 +91,15 @@ object CorpusDemo {
       deboiled.withColumn("text", Curation.redactPii(col("text")))
     }
 
-    // 5. quality filter: keep the top 80% per language, cap repetition
+    // 5. quality filter: keep the top 80% per language, cap repetition.
+    // The barrier matters: the dedup stage consumes this frame from
+    // several branches (shingle scan, label join-back, keeper join)
+    // and would otherwise re-run the whole score->deboiler->filter
+    // chain per consumer.
     val filtered = t("filter: per-lang quality + repetition cap") {
       Curation.qualityFilter(redacted, "text", keepFraction = 0.8)
         .where(col("top_word_frac") <= 0.5)
+        .localCheckpoint(false)
     }
 
     // 6. near-dup dedup: pairs -> components -> one keeper per family.
