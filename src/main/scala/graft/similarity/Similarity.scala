@@ -330,6 +330,14 @@ object Similarity {
       val sub = slice(vec, j * ds + 1, ds)
       val cands = array(codebooks(j).zipWithIndex.map { case (cent, c) =>
         val w = array(cent.map(lit): _*)
+        // MEASURED NEGATIVE RESULT: replacing this interpreted HOF
+        // with a native codegen'd subtract-square expression (a
+        // DotProduct-style loop) made q81 1.7x SLOWER — m×ksub = 128
+        // inlined loops per row blow the generated method past the
+        // JIT's huge-method limit, so the "codegen" runs
+        // deoptimized; the interpreter with its cached literal
+        // arrays wins at this expression count. Revisit only if the
+        // encode becomes one or a few expression instances.
         struct(
           aggregate(zip_with(sub, w, (x, cj) =>
             (x.cast("double") - cj) * (x.cast("double") - cj)),
