@@ -605,5 +605,34 @@ object CurationQueriesImpl {
           "text", "doc_id", "doc_id", k = 5)
         .orderBy(col("query_id"), col("rank"))
     }
+
+    // Stratified sampling through the q99 oracle-twin pattern: the
+    // production draw is xxhash64 (spec-locked for partitioning
+    // invariance); this gate swaps ONLY the per-row uniform for the
+    // shared md5 draw, so the keep/drop decision of every row — and
+    // the absent-stratum drop path (sources >= src10 have no
+    // fraction) — replays exactly in DuckDB.
+    register("q106_stratified_sample_md5", {
+      val fracRows = (0 until 10).map(i =>
+        s"('src$i', ${if (i % 2 == 0) "0.6" else "0.25"})")
+        .mkString(", ")
+      s"""WITH f(source, frac) AS (VALUES $fracRows),
+         |u AS (SELECT doc_id, source,
+         |    ((${OracleDraw.hex8(
+               "MD5(CONCAT_WS('|', '42', CAST(doc_id AS VARCHAR)))")})
+         |      + 1.0) / 4294967298.0 AS uu
+         |  FROM documents)
+         |SELECT u.doc_id, u.source
+         |FROM u JOIN f USING (source) WHERE u.uu < f.frac
+         |ORDER BY u.doc_id""".stripMargin
+    }) { (s, dir) =>
+      val fractions = (0 until 10).map(i =>
+        s"src$i" -> (if (i % 2 == 0) 0.6 else 0.25)).toMap
+      Curation.stratifiedSample(table(s, dir, "documents"), "source",
+          fractions, Seq("doc_id"), seed = 42L,
+          draw = graft.functions.Draws.md5Uniform)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    }
   }
 }

@@ -58,7 +58,8 @@ object Curation {
     * (they seed the hash). */
   def stratifiedSample(df: DataFrame, strataCol: String,
       fractions: Map[String, Double], idCols: Seq[String],
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L,
+      draw: (Long, Seq[Column]) => Column = xxUniform): DataFrame = {
     require(idCols.nonEmpty, "idCols must identify rows")
     require(fractions.values.forall(f => f >= 0 && f <= 1),
       "fractions in [0,1]")
@@ -66,13 +67,21 @@ object Curation {
     val frac = fractions.foldLeft(lit(null).cast("double")) {
       case (acc, (k, f)) => when(col(strataCol) === k, lit(f)).otherwise(acc)
     }
-    val u = (pmod(xxhash64(lit(seed) +: idCols.map(col): _*),
-      lit(Long.MaxValue)).cast("double") + 0.5) /
-      (Long.MaxValue.toDouble + 1.0)
+    val u = draw(seed, idCols.map(col))
     df.withColumn("frac_", frac)
       .where(col("frac_").isNotNull && u < col("frac_"))
       .drop("frac_")
   }
+
+  /** [[stratifiedSample]]'s default per-row uniform: xxhash64 of
+    * (seed, id columns) into (0, 1) — one 64-bit hash, Spark-only.
+    * Pass [[graft.functions.Draws.md5Uniform]] as `draw` instead for
+    * a cross-engine-replayable sample (the q99 oracle-twin pattern);
+    * both are deterministic under any partitioning or retry. */
+  def xxUniform(seed: Long, cols: Seq[Column]): Column =
+    (pmod(xxhash64(lit(seed) +: cols: _*),
+      lit(Long.MaxValue)).cast("double") + 0.5) /
+      (Long.MaxValue.toDouble + 1.0)
 
   /** Bounds for [[heuristicStats]]' keep decision — the published
     * Gopher/C4 document-level defaults. */

@@ -65,6 +65,18 @@ class CurationSpec extends AnyFunSuite {
       seed = 7L)
     assert(s3.select($"id").collect().map(_.getLong(0)).sorted.toSeq !=
       s1.select($"id").collect().map(_.getLong(0)).sorted.toSeq)
+    // the portable md5 draw keeps the same semantics (rates, dropped
+    // strata, partitioning invariance) with a different permutation
+    val m1 = Curation.stratifiedSample(df, "lang", fractions, Seq("id"),
+      draw = graft.functions.Draws.md5Uniform)
+    val m2 = Curation.stratifiedSample(df.repartition(17), "lang",
+      fractions, Seq("id"), draw = graft.functions.Draws.md5Uniform)
+    assert(m1.select($"id").collect().map(_.getLong(0)).sorted.toSeq ==
+      m2.select($"id").collect().map(_.getLong(0)).sorted.toSeq)
+    val mRates = m1.groupBy($"lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1) / 6667.0).toMap
+    assert(!mRates.contains("fr"))
+    assert(math.abs(mRates("en") - 0.5) < 0.05)
   }
 
   test("heuristicStats computes Gopher/C4 signals and keep verdict") {
