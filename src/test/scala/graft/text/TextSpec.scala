@@ -213,6 +213,18 @@ class TextSpec extends AnyFunSuite {
         "doc_id", minJaccard = 0.3)
       .collect().map(key).toSet
     assert(fixedBands.subsetOf(autoBands))
+    // the table IS a storable artifact: parquet round-trip feeds the
+    // same band/verify machinery with identical results (the
+    // signatures-at-ingest contract — compute once, store, query)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-sigtable").toString + "/sigs"
+    sigs.write.parquet(dir)
+    val back = spark.read.parquet(dir)
+    assert(
+      Dedup.nearDupPairsFromSigTable(back, "doc_id", minJaccard = 0.3)
+        .collect().map(key).toSet ==
+      Dedup.nearDupPairsFromSigTable(sigs, "doc_id", minJaccard = 0.3)
+        .collect().map(key).toSet)
   }
 
   test("nearDupPairs (LSH + exact re-rank) matches all-pairs at j>=0.3") {
