@@ -271,6 +271,73 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("packGreedy invariants on random size sequences") {
+    import graft.text.Curation
+    val sizeGen: Gen[List[Long]] = Gen.choose(5, 40).flatMap(n =>
+      Gen.listOfN(n, Gen.frequency(
+        (6, Gen.choose(1L, 90L)),
+        (1, Gen.choose(150L, 300L)), // oversized: own pack
+        (1, Gen.const(0L)))))
+    samples(sizeGen, 8, 7700L).foreach { sizes =>
+      val budget = 100L
+      val df = sizes.zipWithIndex
+        .map { case (s, i) => ("k", i.toLong, s) }
+        .toDF("key", "pos", "n_tokens")
+      val out = Curation.packGreedy(df, "n_tokens", budget,
+          Seq("key"), Seq("pos"))
+        .orderBy($"pos").collect()
+        .map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4))) // (pos, size, pack_id, offset)
+      // pack ids are nondecreasing in walk order, starting at 0
+      assert(out.head._3 == 0L)
+      out.sliding(2).foreach { case Array(a, b) =>
+        assert(b._3 == a._3 || b._3 == a._3 + 1)
+      case _ => }
+      // offset = running fill; fill within budget unless the pack is
+      // a single oversized row
+      out.groupBy(_._3).foreach { case (_, rows) =>
+        val sorted = rows.sortBy(_._1)
+        var fill = 0L
+        sorted.foreach { case (_, s, _, off) =>
+          assert(off == fill, s"offset $off != running fill $fill")
+          fill += s
+        }
+        assert(fill <= budget ||
+          (sorted.length == 1 && sorted.head._2 > budget))
+      }
+      // conservation: every row appears exactly once
+      assert(out.map(_._1).toSeq == sizes.indices.map(_.toLong))
+      // determinism under repartitioning
+      val out2 = Curation.packGreedy(df.repartition(7), "n_tokens",
+          budget, Seq("key"), Seq("pos"))
+        .orderBy($"pos").collect()
+        .map(r => (r.getLong(1), r.getLong(3), r.getLong(4)))
+      assert(out.map(r => (r._1, r._3, r._4)).toSeq == out2.toSeq)
+    }
+  }
+
+  test("asofJoin backward equals a brute-force scan on random series") {
+    import graft.core.TimeSeries
+    val tsGen: Gen[(List[Long], List[Long])] = Gen.zip(
+      Gen.listOfN(20, Gen.choose(0L, 500L)).map(_.distinct),
+      Gen.listOfN(12, Gen.choose(0L, 500L)).map(_.distinct))
+    samples(tsGen, 8, 8800L).foreach { case (lts, rts) =>
+      val left = lts.map(t =>
+        ("k", new java.sql.Timestamp(t * 1000L), t)).toDF("key", "ts", "l")
+      val right = rts.map(t =>
+        ("k", new java.sql.Timestamp(t * 1000L), t * 10))
+        .toDF("key", "ts", "r")
+      val got = TimeSeries.asofJoin(left, right, "ts", Seq("r"),
+          direction = "backward", partitionCols = Seq("key"))
+        .orderBy($"ts").collect()
+        .map(r => (r.getLong(2), if (r.isNullAt(3)) None
+          else Some(r.getLong(3))))
+      val want = lts.sorted.map { t =>
+        (t, rts.filter(_ <= t).sorted.lastOption.map(_ * 10)) }
+      assert(got.toSeq == want.toSeq)
+    }
+  }
+
   test("validation rejects Celsius-looking temps, accepts Kelvin") {
     val kelvin = Seq(("2016-01-01", 271.0)).toDF("d", "temp")
     Validation.assertPlausibleTemps(kelvin)
