@@ -21,8 +21,15 @@ import org.apache.spark.sql.functions._
   * broadcast) and rides the plan as a literal array; the overlap count
   * is one `array_intersect` per row.
   *
-  * Scale shape: per event, O(tokens) expression work — a pure map over
-  * any micro-batch size; nothing is corpus-proportional. */
+  * Scale shape: per event, O(tokens + |probe grams|) expression work —
+  * a pure map over any micro-batch size; nothing is
+  * corpus-proportional. The literal-array shape is right for probe
+  * suites up to ~10^5 distinct grams (8 B/gram in the plan,
+  * `array_intersect` scans the probe side per row); a full benchmark
+  * battery with 10^6+ grams should instead ship a Bloom bitset
+  * literal for the stream-side flag (bounded plan size, per-gram O(k)
+  * probes) and re-check flagged documents exactly with the batch
+  * [[Curation.decontaminate]] downstream. */
 object StreamingCuration {
 
   /** Distinct lowercased word `k`-gram hashes of the probe/benchmark
@@ -44,11 +51,24 @@ object StreamingCuration {
       probeHashes: Array[Long], k: Int = 13,
       bounds: Curation.HeuristicBounds = Curation.HeuristicBounds())
       : DataFrame = {
+    // output columns would silently clobber same-named caller columns
+    // (the requireFresh convention of the batch Curation APIs)
+    val outNames = Seq("lang_pred", "quality", "n_shared",
+      "contaminated", "text_redacted")
+    val clash = outNames.filter(stream.columns.contains)
+    require(clash.isEmpty,
+      s"stream already has output column(s): ${clash.mkString(", ")}")
     val probeLit: Column =
       if (probeHashes.isEmpty) array().cast("array<bigint>")
       else array(probeHashes.map(lit(_)): _*)
-    val nShared = size(array_intersect(
-      Dedup.shingleHashSetExpr(col(textCol), k), probeLit)).cast("long")
+    // null text makes the gram expression null and size() then yields
+    // null (or -1 under legacy sizeOfNull) — the batch twin coalesces
+    // to a defined clean verdict, and the admit gate needs one too
+    val nShared = greatest(coalesce(
+      size(array_intersect(
+        Dedup.shingleHashSetExpr(col(textCol), k), probeLit))
+        .cast("long"),
+      lit(0L)), lit(0L))
     Curation.heuristicStats(stream, textCol, bounds)
       .withColumn("lang_pred", TextAnalysis.languageId(col(textCol)))
       .withColumn("quality", TextAnalysis.qualityScore(col(textCol)))

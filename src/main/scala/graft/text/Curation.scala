@@ -428,19 +428,28 @@ object Curation {
     // a task
     def size(r: org.apache.spark.sql.Row): Long =
       if (r.isNullAt(sIdx)) 0L else r.getAs[Number](sIdx).longValue()
-    graft.core.SequentialScan.perKey[(Long, Long)](df, keyCols,
+    // state = (pack, fill, rows-in-pack). The split guard keys on the
+    // ROW count, not fill > 0: a zero-size (null) row opening a pack
+    // leaves fill at 0, and a fill-based guard would then let a
+    // following over-budget row JOIN that pack — a multi-row pack
+    // exceeding the budget, violating the oversized-rows-stand-alone
+    // contract. For all-positive sizes the two guards are identical
+    // (every non-empty pack has fill >= 1), which is why the q91
+    // recursive-CTE oracle's fill > 0 walk still matches over chunked
+    // text (chunks are never 0 tokens).
+    graft.core.SequentialScan.perKey[(Long, Long, Long)](df, keyCols,
       orderCols,
       Seq(org.apache.spark.sql.types.StructField("pack_id",
           org.apache.spark.sql.types.LongType),
         org.apache.spark.sql.types.StructField("pack_offset",
           org.apache.spark.sql.types.LongType))) { r =>
-      ((0L, size(r)), Seq(0L, 0L))
-    } { case ((pack, fill), r) =>
+      ((0L, size(r), 1L), Seq(0L, 0L))
+    } { case ((pack, fill, nRows), r) =>
       val s = size(r)
-      val (p2, off) =
-        if (fill > 0 && fill + s > budget) (pack + 1, 0L)
-        else (pack, fill)
-      ((p2, off + s), Seq(p2, off))
+      val (p2, off, n2) =
+        if (nRows > 0 && fill + s > budget) (pack + 1, 0L, 0L)
+        else (pack, fill, nRows)
+      ((p2, off + s, n2 + 1), Seq(p2, off))
     }
   }
 

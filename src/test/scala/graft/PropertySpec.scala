@@ -278,7 +278,12 @@ class PropertySpec extends AnyFunSuite {
         (6, Gen.choose(1L, 90L)),
         (1, Gen.choose(150L, 300L)), // oversized: own pack
         (1, Gen.const(0L)))))
-    samples(sizeGen, 8, 7700L).foreach { sizes =>
+    // the planted head case caught a real bug: a zero-size row opening
+    // a pack left fill at 0, and the old fill-based split guard then
+    // let the NEXT oversized row JOIN that pack (multi-row pack over
+    // budget) — the guard must key on the pack's ROW count
+    val planted = List(150L, 0L, 250L, 10L, 0L, 300L)
+    (samples(sizeGen, 8, 7700L) :+ planted).foreach { sizes =>
       val budget = 100L
       val df = sizes.zipWithIndex
         .map { case (s, i) => ("k", i.toLong, s) }

@@ -39,8 +39,16 @@ class StreamingCurationSpec extends AnyFunSuite {
       mem.addData(docRows.take(2))
       q.processAllAvailable()
       mem.addData(docRows.drop(2)) // later micro-batch
+      mem.addData(Seq((4L, null.asInstanceOf[String]))) // null text
       q.processAllAvailable()
-      val got = spark.table("curation_ingest").orderBy($"doc_id")
+      // the null-text row must land with a DEFINED clean verdict, not
+      // a null/-1 n_shared (the admit gate reads these columns)
+      val nullRow = spark.table("curation_ingest")
+        .where($"doc_id" === 4L).collect()
+      assert(nullRow.length == 1 &&
+        nullRow.head.getLong(2) == 0L && nullRow.head.getLong(3) == 0L)
+      val got = spark.table("curation_ingest")
+        .where($"doc_id" <= 3L).orderBy($"doc_id")
         .collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
           r.getLong(3), r.getString(5)))
