@@ -19,18 +19,29 @@ object TextQueriesImpl {
     * results are identical to per-query recomputation because every
     * doc's hashes are independent. Keyed by session so a fresh session
     * (new bench/verify run) recomputes from disk; entries of STOPPED
-    * sessions evict on the next access, so a long-lived driver that
-    * cycles sessions doesn't pin dead checkpoint blocks forever. */
+    * sessions evict on the next access, and so does any entry of the
+    * SAME session for a different sfDir (the harness works one dir at
+    * a time, so each cache holds at most one frame per live session
+    * instead of growing per dir and pinning checkpoint blocks). */
+  private def evictAndGet(
+      cache: java.util.concurrent.ConcurrentHashMap[
+        (org.apache.spark.sql.SparkSession, String),
+        org.apache.spark.sql.DataFrame],
+      s: org.apache.spark.sql.SparkSession, dir: String)(
+      build: => org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    cache.keySet.removeIf(k => k._1.sparkContext.isStopped ||
+      ((k._1 eq s) && k._2 != dir))
+    cache.computeIfAbsent((s, dir), _ => build)
+  }
   private val shingleCache = new java.util.concurrent.ConcurrentHashMap[
     (org.apache.spark.sql.SparkSession, String),
     org.apache.spark.sql.DataFrame]
   private def docShingleHashes(s: org.apache.spark.sql.SparkSession,
-      dir: String): org.apache.spark.sql.DataFrame = {
-    shingleCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
-    shingleCache.computeIfAbsent((s, dir), _ =>
+      dir: String): org.apache.spark.sql.DataFrame =
+    evictAndGet(shingleCache, s, dir)(
       Dedup.shingleHashes(table(s, dir, "documents"), "text", "doc_id",
         k = 3).localCheckpoint(false))
-  }
 
   /** One shared 128-hash [[Dedup.signatureTable]] per (session, sfDir)
     * — the stored signatures-at-ingest artifact one level past the
@@ -44,11 +55,9 @@ object TextQueriesImpl {
     (org.apache.spark.sql.SparkSession, String),
     org.apache.spark.sql.DataFrame]
   private def docSignatures(s: org.apache.spark.sql.SparkSession,
-      dir: String): org.apache.spark.sql.DataFrame = {
-    sigTableCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
-    sigTableCache.computeIfAbsent((s, dir), _ =>
+      dir: String): org.apache.spark.sql.DataFrame =
+    evictAndGet(sigTableCache, s, dir)(
       Dedup.signatureTable(docShingleHashes(s, dir), "doc_id", 128))
-  }
 
   /** Stored cluster labels per (session, sfDir) — the input shape of
     * [[graft.text.Clusters.splitFromClusters]]: a curated corpus
@@ -64,16 +73,14 @@ object TextQueriesImpl {
     (org.apache.spark.sql.SparkSession, String),
     org.apache.spark.sql.DataFrame]
   private def docClusters(s: org.apache.spark.sql.SparkSession,
-      dir: String): org.apache.spark.sql.DataFrame = {
-    clusterCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
-    clusterCache.computeIfAbsent((s, dir), _ => {
+      dir: String): org.apache.spark.sql.DataFrame =
+    evictAndGet(clusterCache, s, dir) {
       val pairs = Dedup.nearDupPairsFromSigTable(
         docSignatures(s, dir), "doc_id",
         minJaccard = 0.5, numHashes = 32)
       Clusters.assign(table(s, dir, "documents"), "doc_id", pairs)
         .localCheckpoint(false)
-    })
-  }
+    }
 
   /** Shared DuckDB CTE chain (already margin-stripped): 3-shingle
     * sets → quadratic ≥0.5-Jaccard ground-truth pairs → recursive

@@ -45,14 +45,16 @@ object StreamingCuration {
     * [[Curation.heuristicStats]] columns + `keep`, `n_shared` /
     * `contaminated` (distinct k-gram overlap with the probe hashes,
     * [[Curation.decontaminate]] semantics modulo 64-bit hashing), and
-    * `text_redacted`. Append-mode safe; admit = keep && !contaminated
-    * is the caller's one-line gate. */
+    * `text_redacted`. Append-mode safe; both verdicts are 0/1 longs,
+    * so the caller's one-line admit gate is
+    * `col("keep") === 1 && col("contaminated") === 0`. */
   def curationIngestStream(stream: DataFrame, textCol: String,
       probeHashes: Array[Long], k: Int = 13,
       bounds: Curation.HeuristicBounds = Curation.HeuristicBounds())
       : DataFrame = {
     // output columns would silently clobber same-named caller columns
-    // (the requireFresh convention of the batch Curation APIs)
+    // (the requireFresh convention of the batch Curation APIs);
+    // heuristicStats guards its own output names (n_words .. keep)
     val outNames = Seq("lang_pred", "quality", "n_shared",
       "contaminated", "text_redacted")
     val clash = outNames.filter(stream.columns.contains)

@@ -9,23 +9,113 @@ import org.apache.spark.sql.functions._
   * group" survives chains (A~B, B~C but A!~C must still collapse to
   * one keeper).
   *
-  * Algorithm: distributed min-label propagation. Every node starts
-  * labelled with its own id; each round every node takes the minimum
-  * label among itself and its neighbors; at fixpoint each node carries
-  * the minimum node id of its component. Each round is two hash
-  * shuffles (edge-label join + min groupBy), both map-side combined,
-  * and rounds needed = graph diameter.
+  * Two algorithms, identical output (each node labelled with the
+  * minimum node id of its component):
   *
-  * Scale: near-dup similarity graphs are unions of small dense
-  * clusters (duplicate families), so the diameter — and hence the
-  * round count — is small and independent of corpus size; each round
-  * touches only |V| label rows and |E| edge rows, hash-partitioned.
-  * Label state is re-materialized per round via localCheckpoint so the
+  *  - [[connectedComponentsStar]] (the default under [[assign]]):
+  *    alternating large-star/small-star contraction (Kiveris et al.,
+  *    "Connected Components in MapReduce and Beyond", SoCC 2014).
+  *    Round count is O(log n) in practice and provably polylog in the
+  *    worst case, INDEPENDENT of component diameter — a chain of
+  *    length d collapses in ~log d rounds, not d. Per round: two
+  *    map-side-combined min groupBys, two equi-joins, two distincts.
+  *  - [[connectedComponents]]: min-label propagation. Two hash
+  *    shuffles per round (edge-label join + min groupBy), but rounds
+  *    needed = component diameter — cheaper per round, so it wins
+  *    when duplicate families are known to be blob-shaped (diameter
+  *    2-3); loses badly on chain-shaped families (templated page
+  *    sequences, the classic LSH chain).
+  *
+  * Scale: each round of either algorithm touches only |E| edge rows
+  * (and |V| label rows for propagation), hash-partitioned, nothing
+  * collected to the driver. Min-aggregations combine map-side, so a
+  * giant component's root (degree ≈ component size) never
+  * concentrates rows on one task the way a partition-window would.
+  * Per-round state is re-materialized via localCheckpoint so the
   * plan/lineage doesn't grow with iterations (the same guard the
-  * cascade levels use). For adversarially chain-shaped graphs raise
-  * `maxIter`; the loop stops as soon as a round changes nothing.
+  * cascade levels use). Both fail loudly at `maxIter` rather than
+  * silently splitting a true duplicate family into several keepers.
   */
 object Clusters {
+
+  /** Component label (min member id) per node appearing in `edges`,
+    * by alternating large-star/small-star contraction — O(log n)
+    * rounds regardless of component diameter (see object doc).
+    * Input: an undirected pair list, one row per pair, any
+    * orientation; self-loops tolerated. Output: (node, label) for
+    * every distinct endpoint in `edges` (self-loop-only nodes label
+    * as themselves), matching [[connectedComponents]] row-for-row. */
+  def connectedComponentsStar(edges: DataFrame, srcCol: String = "id_a",
+      dstCol: String = "id_b", maxIter: Int = 30): DataFrame =
+    starWithRounds(edges, srcCol, dstCol, maxIter)._1
+
+  /** [[connectedComponentsStar]] plus the round count it took —
+    * package-private so ClustersSpec can assert the O(log n) bound
+    * (a 64-chain must converge in ~log rounds, not 64). */
+  private[text] def starWithRounds(edges: DataFrame, srcCol: String,
+      dstCol: String, maxIter: Int): (DataFrame, Int) = {
+    val raw = edges.select(col(srcCol).cast("long").as("a"),
+      col(dstCol).cast("long").as("b"))
+      .localCheckpoint(false) // feeds the node set AND the edge seed
+    // every input endpoint gets a label row (parity with the
+    // propagation variant, where a self-loop-only node emits itself)
+    val nodes = raw.select(explode(array(col("a"), col("b"))).as("node"))
+      .distinct()
+    // canonical (lo < hi) distinct edge set; the loop preserves this
+    // invariant, so `distinct` is set equality throughout
+    var e = raw.where(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("lo"),
+        greatest(col("a"), col("b")).as("hi"))
+      .distinct()
+      .localCheckpoint() // eager: scanned from blocks every round
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      // LARGE-STAR: per node u over the symmetric view, attach every
+      // strictly larger neighbor v to m = min(Γ(u) ∪ {u}). m <= u < v,
+      // so the output is already canonical and self-loop-free.
+      val sym = e.select(col("lo").as("u"), col("hi").as("v"))
+        .union(e.select(col("hi").as("u"), col("lo").as("v")))
+      val mn = sym.groupBy("u").agg(min(col("v")).as("mn"))
+      val large = sym.join(mn, Seq("u"))
+        .where(col("v") > col("u"))
+        .select(least(col("u"), col("mn")).as("lo"), col("v").as("hi"))
+        .distinct()
+        .localCheckpoint() // two consumers below: min groupBy + join
+      // SMALL-STAR: per node hi, attach hi and all its smaller
+      // neighbors to m = min of those neighbors. Both emissions have
+      // m strictly smallest, so canonical again.
+      val mn2 = large.groupBy("hi").agg(min(col("lo")).as("m"))
+      val e2 = large.join(mn2, Seq("hi"))
+        .where(col("lo") =!= col("m"))
+        .select(col("m").as("x"), col("lo").as("y"))
+        .union(mn2.select(col("m").as("x"), col("hi").as("y")))
+        .select(col("x").as("lo"), col("y").as("hi"))
+        .distinct()
+        .localCheckpoint()
+      // fixpoint ⇔ e2 is a star forest (no lo ever appears as a hi):
+      // large-star and small-star are both identities on star forests,
+      // and the paper shows only depth-1 forests are fixed points. One
+      // left-semi + limit(1) — no full-count action, short-circuits.
+      converged = e2.join(
+        e2.select(col("lo").as("hi")).distinct(), Seq("hi"), "left_semi")
+        .limit(1).count() == 0L
+      e = e2
+      iter += 1
+    }
+    require(converged,
+      s"connectedComponentsStar did not converge in $maxIter rounds — " +
+        "raise maxIter (polylog bound makes this astronomically " +
+        "unlikely on real duplicate graphs)")
+    // e is now (root, member) star edges with root = component min
+    val starLabels = e.select(col("hi").as("node"), col("lo").as("label"))
+      .union(e.select(col("lo").as("node"), col("lo").as("label")))
+      .distinct()
+    val labels = nodes.join(starLabels, Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("label"), col("node")).as("label"))
+    (labels, iter)
+  }
 
   /** Component label (min member id) per node appearing in `edges`.
     * Input: an undirected pair list, one row per pair, any orientation.
@@ -76,10 +166,13 @@ object Clusters {
   /** Cluster assignment for every row of `df`: transitive closure over
     * near-dup `pairs`, singletons labelled with their own id.
     * Returns (idCol, cluster_id, cluster_size, is_keeper) where the
-    * keeper is the minimum id of the cluster. */
+    * keeper is the minimum id of the cluster. Uses the star
+    * contraction closure — O(log n) rounds even if a duplicate family
+    * is chain-shaped, which is the failure mode a 100 TB corpus can't
+    * rule out up front; both closures produce identical labels. */
   def assign(df: DataFrame, idCol: String, pairs: DataFrame,
       srcCol: String = "id_a", dstCol: String = "id_b"): DataFrame = {
-    val cc = connectedComponents(pairs, srcCol, dstCol)
+    val cc = connectedComponentsStar(pairs, srcCol, dstCol)
       .withColumnRenamed("node", idCol)
     val labelled = df.select(col(idCol))
       .join(cc, Seq(idCol), "left")

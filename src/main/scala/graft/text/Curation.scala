@@ -104,7 +104,13 @@ object Curation {
     * pure map over any partitioning of a 100 TB corpus. */
   def heuristicStats(df: DataFrame, textCol: String,
       bounds: HeuristicBounds = HeuristicBounds()): DataFrame = {
-    requireFresh(df, "toks_", "lines_")
+    // guard the OUTPUT names too: `keep` lands via withColumn and the
+    // stats land via select-append, either of which would silently
+    // clobber / duplicate a same-named caller column
+    requireFresh(df, "toks_", "lines_", "n_words", "mean_word_len",
+      "symbol_word_ratio", "n_lines", "frac_lines_end_punct",
+      "frac_bullet_lines", "frac_ellipsis_lines", "frac_alpha_words",
+      "has_lorem", "has_brace", "keep")
     val t = col(textCol)
     val withArr = df
       .withColumn("toks_", TextAnalysis.tokens(t))
@@ -428,28 +434,27 @@ object Curation {
     // a task
     def size(r: org.apache.spark.sql.Row): Long =
       if (r.isNullAt(sIdx)) 0L else r.getAs[Number](sIdx).longValue()
-    // state = (pack, fill, rows-in-pack). The split guard keys on the
-    // ROW count, not fill > 0: a zero-size (null) row opening a pack
-    // leaves fill at 0, and a fill-based guard would then let a
-    // following over-budget row JOIN that pack — a multi-row pack
-    // exceeding the budget, violating the oversized-rows-stand-alone
-    // contract. For all-positive sizes the two guards are identical
-    // (every non-empty pack has fill >= 1), which is why the q91
-    // recursive-CTE oracle's fill > 0 walk still matches over chunked
-    // text (chunks are never 0 tokens).
-    graft.core.SequentialScan.perKey[(Long, Long, Long)](df, keyCols,
+    // state = (pack, fill). In the step case the current pack is by
+    // construction non-empty (init handled the first row), so the
+    // split guard is plain `fill + s > budget` — the earlier bug was
+    // an extra `fill > 0` PREcondition that let an over-budget row
+    // join a pack opened by a zero-size (null) row, violating the
+    // oversized-rows-stand-alone contract. For all-positive sizes the
+    // guards are identical (every non-empty pack has fill >= 1), which
+    // is why the q91 recursive-CTE oracle's fill > 0 walk still
+    // matches over chunked text (chunks are never 0 tokens).
+    graft.core.SequentialScan.perKey[(Long, Long)](df, keyCols,
       orderCols,
       Seq(org.apache.spark.sql.types.StructField("pack_id",
           org.apache.spark.sql.types.LongType),
         org.apache.spark.sql.types.StructField("pack_offset",
           org.apache.spark.sql.types.LongType))) { r =>
-      ((0L, size(r), 1L), Seq(0L, 0L))
-    } { case ((pack, fill, nRows), r) =>
+      ((0L, size(r)), Seq(0L, 0L))
+    } { case ((pack, fill), r) =>
       val s = size(r)
-      val (p2, off, n2) =
-        if (nRows > 0 && fill + s > budget) (pack + 1, 0L, 0L)
-        else (pack, fill, nRows)
-      ((p2, off + s, n2 + 1), Seq(p2, off))
+      val (p2, off) =
+        if (fill + s > budget) (pack + 1, 0L) else (pack, fill)
+      ((p2, off + s), Seq(p2, off))
     }
   }
 

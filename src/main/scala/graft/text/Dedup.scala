@@ -509,18 +509,44 @@ object Dedup {
   /** n-gram Jaccard near-dup pairs: ALL pairs within each block get an
     * exact string-shingle Jaccard — the non-LSH baseline.
     *
-    * SCALE WARNING: work is quadratic in the largest block. With no
-    * `blockingCols` this is a full cross join; with a coarse key (e.g.
-    * language) one dominant block is O(n²). Use a fingerprint bucket
-    * ([[TextAnalysis.rollingFingerprint]] /
+    * SCALE WARNING: work is quadratic in the largest block; a coarse
+    * key (e.g. language) makes one dominant block O(n²). Use a
+    * fingerprint bucket ([[TextAnalysis.rollingFingerprint]] /
     * [[TextAnalysis.rollingFingerprintFromShingles]]) whose block
     * sizes track clone-cluster sizes, or the LSH production path
-    * [[nearDupPairs]]. */
+    * [[nearDupPairs]].
+    *
+    * `blockingCols` must be non-empty: an unblocked call is a FULL
+    * CROSS JOIN of the corpus with itself, which no cluster survives —
+    * the same plan-time stance [[graft.core.ScaleGuard]] takes on
+    * unpartitioned windows. A small corpus that genuinely wants exact
+    * all-pairs opts in explicitly via `allPairsUnblocked = true`
+    * (gated to [[allPairsMaxRows]] input rows, counted before the
+    * join is built, so the opt-in cannot silently quadratic-bomb
+    * either). */
+  /** Input-row cap for [[ngramJaccardPairs]]' explicit
+    * `allPairsUnblocked` opt-in: 100k rows ≈ 5·10⁹ candidate pairs,
+    * the most a deliberate exact-baseline run should ever mean. */
+  val allPairsMaxRows: Long = 100000L
+
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
       k: Int = 3, minJaccard: Double = 0.3,
-      blockingCols: Seq[Column] = Nil): DataFrame = {
+      blockingCols: Seq[Column] = Nil,
+      allPairsUnblocked: Boolean = false): DataFrame = {
     require(!df.columns.contains("toks__"),
       "input already has reserved working column toks__")
+    require(blockingCols.nonEmpty || allPairsUnblocked,
+      "ngramJaccardPairs with empty blockingCols is a full O(n²) " +
+        "cross join; pass blocking columns (rollingFingerprint is the " +
+        "usual choice) or opt in with allPairsUnblocked = true for a " +
+        s"small (< $allPairsMaxRows row) corpus")
+    if (blockingCols.isEmpty) {
+      val n = df.count()
+      require(n <= allPairsMaxRows,
+        s"allPairsUnblocked on $n rows would build ~${n * n / 2} " +
+          s"candidate pairs (cap $allPairsMaxRows rows); block the " +
+          "corpus or use nearDupPairs")
+    }
     // materialize tokens BEFORE shingling: shinglesFromTokens over an
     // inline split would re-evaluate the split per element (O(tokens²)
     // per row). The localCheckpoint is load-bearing, not a cache hint:

@@ -57,6 +57,54 @@ class ClustersSpec extends AnyFunSuite {
     assert(ok.map(_.getLong(0)).toSeq == Seq(0L))
   }
 
+  test("connectedComponentsStar: chain, triangle, pair, mixed orientation, " +
+      "self-loop-only node — identical to propagation output") {
+    val edges = Seq((2L, 1L), (2L, 3L), (4L, 3L),
+      (10L, 11L), (12L, 10L), (11L, 12L), (21L, 20L), (30L, 30L))
+      .toDF("id_a", "id_b")
+    val star = Clusters.connectedComponentsStar(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val prop = Clusters.connectedComponents(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L,
+      30L -> 30L))
+    assert(star == prop)
+  }
+
+  test("connectedComponentsStar matches propagation on random graphs " +
+      "(sparse, dense, forest)") {
+    val rnd = new scala.util.Random(13)
+    for ((n, m) <- Seq((120, 60), (120, 200), (40, 400))) {
+      val edges = Seq.fill(m)(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .toDF("id_a", "id_b")
+        .localCheckpoint() // one dataset, two algorithms
+      val star = Clusters.connectedComponentsStar(edges).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val prop = Clusters.connectedComponents(edges, maxIter = 200)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(star == prop, s"divergence on n=$n m=$m")
+    }
+  }
+
+  test("connectedComponentsStar converges in O(log n) rounds on a " +
+      "64-chain (propagation would need ~63)") {
+    val chain = (0L until 63L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val (labels, rounds) =
+      Clusters.starWithRounds(chain, "id_a", "id_b", maxIter = 30)
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(got.length == 64 && got.forall(_._2 == 0L))
+    assert(rounds <= 12, s"took $rounds rounds on a 64-chain")
+  }
+
+  test("connectedComponentsStar fails loudly when maxIter truncates") {
+    val chain = (0L until 63L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    intercept[IllegalArgumentException] {
+      Clusters.connectedComponentsStar(chain, maxIter = 1)
+    }
+  }
+
   test("assign labels singletons with own id and sizes clusters") {
     val df = Seq(1L, 2L, 3L, 4L, 9L).toDF("doc_id")
     val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")

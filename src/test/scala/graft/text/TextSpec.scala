@@ -229,7 +229,7 @@ class TextSpec extends AnyFunSuite {
 
   test("nearDupPairs (LSH + exact re-rank) matches all-pairs at j>=0.3") {
     val exact = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
-        minJaccard = 0.3)
+        minJaccard = 0.3, allPairsUnblocked = true)
       .collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
     val lsh = Dedup.nearDupPairs(docs, "text", "doc_id",
@@ -254,11 +254,29 @@ class TextSpec extends AnyFunSuite {
 
   test("ngram jaccard pairs rank the true near-dup highest") {
     val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
-      minJaccard = 0.0)
+      minJaccard = 0.0, allPairsUnblocked = true)
       .orderBy($"jaccard".desc).collect()
     val top = pairs.filter(r => r.getDouble(2) < 1.0).head
     assert(Set(top.getLong(0), top.getLong(1)) == Set(1L, 3L) ||
       Set(top.getLong(0), top.getLong(1)) == Set(3L, 7L))
+  }
+
+  test("ngramJaccardPairs refuses a silent unblocked cross join") {
+    // empty blockingCols without the opt-in must fail at plan-build
+    // time, before any job runs — the ScaleGuard stance
+    val e = intercept[IllegalArgumentException] {
+      Dedup.ngramJaccardPairs(docs, "text", "doc_id")
+    }
+    assert(e.getMessage.contains("cross join"))
+    // and the opt-in is itself bounded: the row-count cap fires even
+    // when the caller asked for all pairs explicitly
+    val big = spark.range(Dedup.allPairsMaxRows + 1)
+      .select($"id".as("doc_id"), lit("text words here").as("text"))
+    val e2 = intercept[IllegalArgumentException] {
+      Dedup.ngramJaccardPairs(big, "text", "doc_id",
+        allPairsUnblocked = true)
+    }
+    assert(e2.getMessage.contains("cap"))
   }
 
   test("simhashNearDups: pigeonhole blocks find all close pairs") {
