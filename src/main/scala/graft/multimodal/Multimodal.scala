@@ -363,6 +363,65 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Minimal truecolor PNG encoder — hand-rolled, STORED (uncompressed)
+    * deflate blocks, so the byte length is a pure function of the
+    * dimensions: `h*(1+3*w) + 68` (8 signature + 25 IHDR + raw+23 IDAT
+    * + 12 IEND). That determinism is the point: a fixture built here
+    * has a size the correctness oracle can state as a design constant,
+    * unlike `ImageIO.write` output whose length is encoder-version
+    * trivia. Solid `rgb` fill; one stored block, so raw payload is
+    * capped at 64 KiB — a fixture encoder, not a production sink. */
+  def encodePngRgb(width: Int, height: Int,
+      rgb: (Int, Int, Int)): Array[Byte] = {
+    val raw = Array.ofDim[Byte](height * (1 + 3 * width))
+    var o = 0
+    (0 until height).foreach { _ =>
+      raw(o) = 0 // per-scanline filter byte: None
+      o += 1
+      (0 until width).foreach { _ =>
+        raw(o) = rgb._1.toByte; raw(o + 1) = rgb._2.toByte
+        raw(o + 2) = rgb._3.toByte; o += 3
+      }
+    }
+    require(raw.length <= 0xffff, "fixture encoder: one stored block")
+    def be32(v: Long): Array[Byte] = Array((v >> 24).toByte,
+      (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val crc = new java.util.zip.CRC32()
+      val t = typ.getBytes("US-ASCII")
+      crc.update(t); crc.update(data)
+      be32(data.length) ++ t ++ data ++ be32(crc.getValue)
+    }
+    val ihdr = chunk("IHDR", be32(width) ++ be32(height) ++
+      Array[Byte](8, 2, 0, 0, 0)) // 8-bit, truecolor, no interlace
+    val adler = new java.util.zip.Adler32(); adler.update(raw)
+    val zlib = Array[Byte](0x78, 0x01, // deflate, no preset dict
+      0x01, // final stored block
+      (raw.length & 0xff).toByte, ((raw.length >> 8) & 0xff).toByte,
+      (~raw.length & 0xff).toByte, ((~raw.length >> 8) & 0xff).toByte) ++
+      raw ++ be32(adler.getValue)
+    Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
+      ihdr ++ chunk("IDAT", zlib) ++ chunk("IEND", Array.empty)
+  }
+
+  /** Minimal PCM WAV encoder — 16-bit little-endian, hand-rolled, so
+    * the byte length is the design constant `44 + 2*samples*channels`
+    * (same rationale as [[encodePngRgb]]). Interleaved input. */
+  def encodePcm16Wav(sampleRate: Int, channels: Int,
+      samples: Array[Short]): Array[Byte] = {
+    def le32(v: Int): Array[Byte] = Array(v.toByte, (v >> 8).toByte,
+      (v >> 16).toByte, (v >> 24).toByte)
+    def le16(v: Int): Array[Byte] = Array(v.toByte, (v >> 8).toByte)
+    val data = samples.flatMap(s => le16(s & 0xffff))
+    "RIFF".getBytes("US-ASCII") ++ le32(36 + data.length) ++
+      "WAVE".getBytes("US-ASCII") ++
+      "fmt ".getBytes("US-ASCII") ++ le32(16) ++ le16(1) ++
+      le16(channels) ++ le32(sampleRate) ++
+      le32(sampleRate * channels * 2) ++ le16(channels * 2) ++
+      le16(16) ++
+      "data".getBytes("US-ASCII") ++ le32(data.length) ++ data
+  }
+
   /** Frame sampling for video rows: animated-GIF and MJPEG-AVI
     * payloads go through the REAL decoders (`decodeGifFrames` /
     * `decodeAviMjpegFrames` — evenly-spaced frames, re-encoded PNG,

@@ -326,15 +326,56 @@ object SimilarityQueriesImpl {
         .orderBy(col("vec_id"))
     }
 
-    registerRowsOnly("q74_multimodal_features") { (s, dir) =>
+    // Full oracle over the DETERMINISTIC half of the decode contract
+    // (the q97-q99 split applied to multimodal): even rows of the
+    // image/audio modalities carry hand-rolled fixture payloads whose
+    // byte sizes (82 = 2*(1+3*2)+68 PNG, 60 = 44+2*8 WAV) and decoded
+    // facts (width/height, sample rate/channels) are DESIGN CONSTANTS
+    // of graft.multimodal.Multimodal.encodePngRgb/encodePcm16Wav — the
+    // oracle restates the construction parameters and the gate proves
+    // the REAL javax.imageio / RIFF decoders recover them. decode_path
+    // (features[0]: 1=image codec, 2=WAV parser, 0=stub) proves which
+    // branch ran; pixel-stat FLOATS (float32 accumulation order is
+    // JVM-side) stay out of the oracle and are spec-verified instead.
+    register("q74_multimodal_features",
+      """SELECT doc_id AS media_id,
+        |  (['image', 'audio', 'video'])[CAST(doc_id % 3 AS INT) + 1]
+        |    AS modality,
+        |  CASE WHEN doc_id % 3 = 0 AND doc_id % 2 = 0 THEN 82
+        |       WHEN doc_id % 3 = 1 AND doc_id % 2 = 0 THEN 60
+        |       ELSE STRLEN(text) END AS n_bytes,
+        |  CASE WHEN doc_id % 3 = 0 AND doc_id % 2 = 0 THEN 1
+        |       WHEN doc_id % 3 = 1 AND doc_id % 2 = 0 THEN 2
+        |       ELSE 0 END AS decode_path,
+        |  CASE WHEN doc_id % 3 = 0 AND doc_id % 2 = 0 THEN 2
+        |       WHEN doc_id % 3 = 1 AND doc_id % 2 = 0 THEN 8000
+        |       END AS d1,
+        |  CASE WHEN doc_id % 3 = 0 AND doc_id % 2 = 0 THEN 2
+        |       WHEN doc_id % 3 = 1 AND doc_id % 2 = 0 THEN 1
+        |       END AS d2
+        |FROM documents ORDER BY media_id""".stripMargin) { (s, dir) =>
       val spark = s
       import spark.implicits._
+      val png = Multimodal.encodePngRgb(2, 2, (255, 0, 0))
+      val wav = Multimodal.encodePcm16Wav(8000, 1,
+        Array.fill[Short](8)(0x4000.toShort))
       val media = Multimodal.syntheticMediaTable(
-        table(s, dir, "documents"), "doc_id", "text")
+          table(s, dir, "documents"), "doc_id", "text")
+        .withColumn("content",
+          when(col("modality") === "image" &&
+            pmod(col("media_id"), lit(2)) === 0, lit(png))
+          .when(col("modality") === "audio" &&
+            pmod(col("media_id"), lit(2)) === 0, lit(wav))
+          .otherwise(col("content")))
         .as[Multimodal.MediaRow]
+      val isReal = element_at(col("features"), 1) >= 1.0f
       Multimodal.extractFeatures(media).toDF()
         .select(col("media_id"), col("modality"), col("n_bytes"),
-          round(element_at(col("features"), 1), 6).as("f0"))
+          element_at(col("features"), 1).cast("int").as("decode_path"),
+          when(isReal, element_at(col("features"), 2).cast("int"))
+            .as("d1"),
+          when(isReal, element_at(col("features"), 3).cast("int"))
+            .as("d2"))
         .orderBy(col("media_id"))
     }
 
@@ -361,7 +402,46 @@ object SimilarityQueriesImpl {
         .orderBy(col("media_id"))
     }
 
-    registerRowsOnly("q75_video_frame_sample") { (s, dir) =>
+    // Same deterministic-half split for video: frame COUNTS, indices,
+    // and container-true TIMINGS of the real MJPEG-AVI walk are pure
+    // functions of the fixture's construction parameters (6 encoded
+    // frames, 40000 µs/frame, maxFrames=4 → source indices i*5/3,
+    // offsets i_src*0.04), and the stub branch's slice arithmetic is
+    // byte math over STRLEN(text) — all restated independently by the
+    // oracle. Only the re-encoded PNG payload size (ImageIO-version
+    // trivia) is excluded: n_bytes is NULL on real-decode rows and is
+    // round-trip-checked in MultimodalSpec instead.
+    register("q75_video_frame_sample",
+      """WITH vids AS (
+        |  SELECT doc_id AS media_id, STRLEN(text) AS len,
+        |    CAST(doc_id % 30 + 1 AS DOUBLE) AS dur
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |stub AS (
+        |  SELECT media_id,
+        |    UNNEST(GENERATE_SERIES(0, LEAST(4, GREATEST(1,
+        |      CAST(FLOOR(dur * 0.5) AS INT))) - 1)) AS frame_index,
+        |    len
+        |  FROM vids WHERE media_id % 2 = 1),
+        |stub2 AS (
+        |  SELECT media_id, frame_index,
+        |    ROUND(CAST(frame_index AS DOUBLE) / 0.5, 6) AS offset_s,
+        |    LEAST(len, ((frame_index * 7) % GREATEST(1, len - 1)) + 16)
+        |      - ((frame_index * 7) % GREATEST(1, len - 1)) AS n_bytes,
+        |    CAST(0 AS BIGINT) AS real_decode
+        |  FROM stub),
+        |real AS (
+        |  SELECT media_id,
+        |    UNNEST(GENERATE_SERIES(0, 3)) AS frame_index
+        |  FROM vids WHERE media_id % 2 = 0),
+        |real2 AS (
+        |  SELECT media_id, frame_index,
+        |    ROUND(CAST((frame_index * 5) // 3 * 40000 AS DOUBLE)
+        |      / 1000000.0, 6) AS offset_s,
+        |    CAST(NULL AS BIGINT) AS n_bytes,
+        |    CAST(1 AS BIGINT) AS real_decode
+        |  FROM real)
+        |SELECT * FROM stub2 UNION ALL SELECT * FROM real2
+        |ORDER BY media_id, frame_index""".stripMargin) { (s, dir) =>
       val spark = s
       import spark.implicits._
       // half the video rows carry a REAL MJPEG-AVI payload (built
@@ -386,10 +466,13 @@ object SimilarityQueriesImpl {
             pmod(col("media_id"), lit(2)) === 0, lit(avi))
             .otherwise(col("content")))
         .as[Multimodal.MediaRow]
+      val isReal = pmod(col("media_id"), lit(2)) === 0
       Multimodal.sampleFrames(media, fps = 0.5, maxFrames = 4).toDF()
         .select(col("media_id"), col("frame_index"),
           round(col("offset_s"), 6).as("offset_s"),
-          length(col("content")).as("n_bytes"))
+          when(!isReal, length(col("content")).cast("long"))
+            .as("n_bytes"),
+          isReal.cast("long").as("real_decode"))
         .orderBy(col("media_id"), col("frame_index"))
     }
   }

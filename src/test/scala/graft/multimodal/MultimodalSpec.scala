@@ -281,6 +281,37 @@ class MultimodalSpec extends AnyFunSuite {
     assert(perMedia.agg(max($"count")).head().getLong(0) <= 5)
   }
 
+  test("encodePngRgb: design-constant length, real decode round trip") {
+    // length contract: h*(1+3w) + 68 — the constant the q74 oracle
+    // restates (2x2 -> 82); ImageIO (the REAL decoder) must accept the
+    // stored-deflate stream and recover dimensions and exact stats
+    val png = Multimodal.encodePngRgb(2, 2, (255, 0, 0))
+    assert(png.length == 2 * (1 + 3 * 2) + 68 && png.length == 82)
+    val f = Multimodal.decodeImage(png).get
+    assert(f(0) == 1.0f && f(1) == 2.0f && f(2) == 2.0f)
+    assert(f(3) == 1.0f && f(4) == 0.0f && f(5) == 0.0f) // solid red
+    val png2 = Multimodal.encodePngRgb(5, 3, (0, 128, 255))
+    assert(png2.length == 3 * (1 + 3 * 5) + 68)
+    val f2 = Multimodal.decodeImage(png2).get
+    assert(f2(1) == 5.0f && f2(2) == 3.0f && f2(3) == 0.0f)
+  }
+
+  test("encodePcm16Wav: design-constant length, real parse round trip") {
+    val wav = Multimodal.encodePcm16Wav(8000, 1,
+      Array.fill[Short](8)(0x4000.toShort))
+    assert(wav.length == 44 + 2 * 8 && wav.length == 60)
+    val f = Multimodal.decodeAudioWav(wav).get
+    assert(f(0) == 2.0f && f(1) == 8000.0f && f(2) == 1.0f)
+    assert(f(13) == 16.0f) // bit depth
+    assert(math.abs(f(4) - 0.5f) < 1e-4) // |0x4000/0x8000| mean amp
+    // stereo: length 44 + 2*samples, channels recovered
+    val st = Multimodal.encodePcm16Wav(44100, 2,
+      Array[Short](100, -100, 200, -200))
+    assert(st.length == 44 + 8)
+    val fs = Multimodal.decodeAudioWav(st).get
+    assert(fs(1) == 44100.0f && fs(2) == 2.0f)
+  }
+
   test("resizePlan computes scales") {
     val r = Multimodal.resizePlan(media, 224, 224)
       .select($"width", $"target_width", $"scale_x").limit(1).head()
