@@ -343,6 +343,70 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("asofJoin forward equals a brute-force scan on random series") {
+    import graft.core.TimeSeries
+    val tsGen: Gen[(List[Long], List[Long])] = Gen.zip(
+      Gen.listOfN(20, Gen.choose(0L, 500L)).map(_.distinct),
+      Gen.listOfN(12, Gen.choose(0L, 500L)).map(_.distinct))
+    samples(tsGen, 8, 9900L).foreach { case (lts, rts) =>
+      val left = lts.map(t =>
+        ("k", new java.sql.Timestamp(t * 1000L), t)).toDF("key", "ts", "l")
+      val right = rts.map(t =>
+        ("k", new java.sql.Timestamp(t * 1000L), t * 10))
+        .toDF("key", "ts", "r")
+      val got = TimeSeries.asofJoin(left, right, "ts", Seq("r"),
+          direction = "forward", partitionCols = Seq("key"))
+        .orderBy($"ts").collect()
+        .map(r => (r.getLong(2), if (r.isNullAt(3)) None
+          else Some(r.getLong(3))))
+      val want = lts.sorted.map { t =>
+        (t, rts.filter(_ >= t).sorted.headOption.map(_ * 10)) }
+      assert(got.toSeq == want.toSeq)
+    }
+  }
+
+  test("asofJoin tolerance equals brute force in all three directions") {
+    import graft.core.TimeSeries
+    val tsGen: Gen[(List[Long], List[Long], Long)] = for {
+      lts <- Gen.listOfN(18, Gen.choose(0L, 400L)).map(_.distinct)
+      rts <- Gen.listOfN(10, Gen.choose(0L, 400L)).map(_.distinct)
+      tol <- Gen.choose(5L, 80L)
+    } yield (lts, rts, tol)
+    samples(tsGen, 8, 11000L).foreach { case (lts, rts, tolS) =>
+      val left = lts.map(t =>
+        ("k", new java.sql.Timestamp(t * 1000L), t)).toDF("key", "ts", "l")
+      val right = rts.map(t =>
+        ("k", new java.sql.Timestamp(t * 1000L), t * 10))
+        .toDF("key", "ts", "r")
+      def run(dir: String) =
+        TimeSeries.asofJoin(left, right, "ts", Seq("r"), dir,
+            Seq("key"), toleranceMicros = Some(tolS * 1000000L))
+          .orderBy($"ts").collect()
+          .map(r => (r.getLong(2), if (r.isNullAt(3)) None
+            else Some(r.getLong(3)))).toSeq
+      def brute(dir: String) = lts.sorted.map { t =>
+        val m = dir match {
+          case "backward" =>
+            rts.filter(rt => rt <= t && t - rt <= tolS)
+              .sorted.lastOption
+          case "forward" =>
+            rts.filter(rt => rt >= t && rt - t <= tolS)
+              .sorted.headOption
+          case "nearest" =>
+            // min |dt|, tie -> smaller right ts (backward preference)
+            val in = rts.filter(rt => math.abs(rt - t) <= tolS)
+            if (in.isEmpty) None
+            else Some(in.minBy(rt => (math.abs(rt - t), rt)))
+        }
+        (t, m.map(_ * 10))
+      }
+      Seq("backward", "forward", "nearest").foreach { dir =>
+        assert(run(dir) == brute(dir),
+          s"direction=$dir tol=$tolS lts=$lts rts=$rts")
+      }
+    }
+  }
+
   test("validation rejects Celsius-looking temps, accepts Kelvin") {
     val kelvin = Seq(("2016-01-01", 271.0)).toDF("d", "temp")
     Validation.assertPlausibleTemps(kelvin)
