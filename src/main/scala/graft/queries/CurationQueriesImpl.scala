@@ -198,7 +198,8 @@ object CurationQueriesImpl {
         |SELECT doc_id, term AS top_term, micro AS tfidf_micro, tf
         |FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin) {
       (s, dir) =>
-        Curation.tfIdfTopTerms(table(s, dir, "documents"), "text", "doc_id")
+        Curation.tfIdfTopTermsFromTokens(
+            TextQueriesImpl.docTokens(s, dir), "toks_low", "doc_id")
           .orderBy("doc_id")
     }
 
@@ -224,8 +225,9 @@ object CurationQueriesImpl {
         |FROM tf JOIN sv ON tf.term = sv.term
         |GROUP BY tf.doc_id ORDER BY tf.doc_id""".stripMargin) {
       (s, dir) =>
-        Curation.unigramLogProb(table(s, dir, "documents"), "text",
-          "doc_id").orderBy("doc_id")
+        Curation.unigramLogProbFromTokens(
+            TextQueriesImpl.docTokens(s, dir), "toks_low", "doc_id")
+          .orderBy("doc_id")
     }
 
     register("q90_exact_sample",
@@ -418,9 +420,8 @@ object CurationQueriesImpl {
         |FROM s ORDER BY doc_id""".stripMargin) { (s, dir) =>
       val bucketOf = (f: Column, b: Int) =>
         conv(substring(md5(f), 1, 3), 16, 10).cast("int")
-      table(s, dir, "documents")
-        .select(col("doc_id"),
-          graft.text.TextAnalysis.tokens(col("text")).as("toks_"))
+      TextQueriesImpl.docTokens(s, dir)
+        .select(col("doc_id"), col("toks_raw").as("toks_"))
         .select(col("doc_id"),
           Curation.hashedNgramBuckets(col("toks_"), 4096, bucketOf)
             .as("bk_"))
@@ -477,8 +478,9 @@ object CurationQueriesImpl {
          |FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
          |ORDER BY d.doc_id""".stripMargin
     }) { (s, dir) =>
-      Curation.bigramLogProb(table(s, dir, "documents"), "text",
-          "doc_id", lambda = 0.9)
+      Curation.bigramLogProbFromTokens(
+          TextQueriesImpl.docTokens(s, dir), "toks_low", "doc_id",
+          lambda = 0.9)
         .orderBy(col("doc_id"))
     }
 
@@ -496,7 +498,8 @@ object CurationQueriesImpl {
         |  token, cnt
         |FROM c ORDER BY cnt DESC, token LIMIT 100""".stripMargin) {
       (s, dir) =>
-      Curation.vocabTopK(table(s, dir, "documents"), "text", k = 100)
+      Curation.vocabTopKFromTokens(
+          TextQueriesImpl.docTokens(s, dir), "toks_raw", k = 100)
         .orderBy(col("rank"))
     }
 
@@ -557,8 +560,9 @@ object CurationQueriesImpl {
         |  COALESCE(agg.bm25_micro, 0) AS bm25_micro
         |FROM d LEFT JOIN agg USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
-      val docs = table(s, dir, "documents")
-      Curation.bm25Score(docs, docs.where(col("doc_id") < 5),
+      val docs = TextQueriesImpl.docTokens(s, dir)
+      Curation.bm25ScoreFromTokens(docs, "toks_low",
+          docs.where(col("doc_id") < 5).select("doc_id", "text"),
           "text", "doc_id")
         .orderBy(col("doc_id"))
     }
@@ -600,8 +604,9 @@ object CurationQueriesImpl {
         |  CAST(rank AS BIGINT) AS rank
         |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin) {
       (s, dir) =>
-      val docs = table(s, dir, "documents")
-      Curation.bm25TopK(docs, docs.where(col("doc_id") < 3),
+      val docs = TextQueriesImpl.docTokens(s, dir)
+      Curation.bm25TopKFromTokens(docs, "toks_low",
+          docs.where(col("doc_id") < 3).select("doc_id", "text"),
           "text", "doc_id", "doc_id", k = 5)
         .orderBy(col("query_id"), col("rank"))
     }

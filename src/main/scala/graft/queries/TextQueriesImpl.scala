@@ -34,6 +34,27 @@ object TextQueriesImpl {
       ((k._1 eq s) && k._2 != dir))
     cache.computeIfAbsent((s, dir), _ => build)
   }
+  /** One shared TOKENIZATION artifact per (session, sfDir): the
+    * documents table plus materialized raw and lowercased token
+    * arrays. Same stored-ingest-artifact argument as the shingle /
+    * signature caches — a production corpus tokenizes once at ingest
+    * and every token-driven consumer (TF-IDF, LM scoring, BM25,
+    * vocabulary, classifier features) reads the stored arrays; each
+    * gate still pays its own explodes, counts, joins, and windows.
+    * Results are identical to per-query re-tokenization because the
+    * split is a pure per-row function of `text`. */
+  private val tokenCache = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, String),
+    org.apache.spark.sql.DataFrame]
+  private[queries] def docTokens(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    evictAndGet(tokenCache, s, dir)(
+      table(s, dir, "documents")
+        .withColumn("toks_raw", TextAnalysis.tokens(col("text")))
+        .withColumn("toks_low",
+          TextAnalysis.tokens(lower(col("text"))))
+        .localCheckpoint(false))
+
   private val shingleCache = new java.util.concurrent.ConcurrentHashMap[
     (org.apache.spark.sql.SparkSession, String),
     org.apache.spark.sql.DataFrame]

@@ -278,12 +278,25 @@ object Curation {
     * a sort-key struct, not a window. */
   def tfIdfTopTerms(df: DataFrame, textCol: String,
       idCol: String): DataFrame = {
-    requireFresh(df, "toks_", "dl_", "micro_")
+    requireFresh(df, "toks_")
+    tfIdfTopTermsFromTokens(
+      df.withColumn("toks_", TextAnalysis.tokens(lower(col(textCol)))),
+      "toks_", idCol)
+  }
+
+  /** [[tfIdfTopTerms]] over a frame that already carries the
+    * lowercased token array in `toksCol` — the stored-ingest-artifact
+    * entry point (a production corpus tokenizes once at ingest; every
+    * token-driven consumer reads the stored arrays instead of
+    * re-splitting the text), same pattern as
+    * [[graft.text.Dedup.nearDupPairsFromSigTable]]. */
+  def tfIdfTopTermsFromTokens(df: DataFrame, toksCol: String,
+      idCol: String): DataFrame = {
+    requireFresh(df.drop(toksCol), "dl_", "micro_")
     val n = df.select(count(lit(1)).as("n_"))
     val terms = df
-      .withColumn("toks_", TextAnalysis.tokens(lower(col(textCol))))
-      .select(col(idCol), size(col("toks_")).as("dl_"),
-        explode(col("toks_")).as("term"))
+      .select(col(idCol), size(col(toksCol)).as("dl_"),
+        explode(col(toksCol)).as("term"))
     val tf = terms.groupBy(col(idCol), col("term"))
       .agg(first(col("dl_")).as("dl_"), count(lit(1)).as("tf"))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df_"))
@@ -311,10 +324,19 @@ object Curation {
     * partition keeps k candidates and only n_partitions×k rows reach
     * the driver-side merge, no global sort. The rank window runs over
     * the k survivors only. */
-  def vocabTopK(df: DataFrame, textCol: String, k: Int): DataFrame = {
+  def vocabTopK(df: DataFrame, textCol: String, k: Int): DataFrame =
+    vocabTopKFromTokens(
+      df.select(TextAnalysis.tokens(col(textCol)).as("toks_")),
+      "toks_", k)
+
+  /** [[vocabTopK]] over a pre-tokenized frame (RAW tokens — vocabulary
+    * building is case-preserving) — see [[tfIdfTopTermsFromTokens]]
+    * for the stored-artifact rationale. */
+  def vocabTopKFromTokens(df: DataFrame, toksCol: String,
+      k: Int): DataFrame = {
     require(k > 0)
     val counts = df
-      .select(explode(TextAnalysis.tokens(col(textCol))).as("token"))
+      .select(explode(col(toksCol)).as("token"))
       .where(col("token") =!= "")
       .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
     val top = counts.orderBy(col("cnt").desc, col("token")).limit(k)
@@ -531,11 +553,20 @@ object Curation {
     * a broadcast one-row total. */
   def unigramLogProb(df: DataFrame, textCol: String,
       idCol: String): DataFrame = {
-    requireFresh(df, "toks_", "dl_", "micro_")
+    requireFresh(df, "toks_")
+    unigramLogProbFromTokens(
+      df.withColumn("toks_", TextAnalysis.tokens(lower(col(textCol)))),
+      "toks_", idCol)
+  }
+
+  /** [[unigramLogProb]] over a pre-tokenized (lowercased) frame — see
+    * [[tfIdfTopTermsFromTokens]] for the stored-artifact rationale. */
+  def unigramLogProbFromTokens(df: DataFrame, toksCol: String,
+      idCol: String): DataFrame = {
+    requireFresh(df.drop(toksCol), "dl_", "micro_")
     val terms = df
-      .withColumn("toks_", TextAnalysis.tokens(lower(col(textCol))))
-      .select(col(idCol), size(col("toks_")).as("dl_"),
-        explode(col("toks_")).as("term"))
+      .select(col(idCol), size(col(toksCol)).as("dl_"),
+        explode(col(toksCol)).as("term"))
     val tf = terms.groupBy(col(idCol), col("term"))
       .agg(first(col("dl_")).as("dl_"), count(lit(1)).as("tf"))
     val vocab = tf.groupBy(col("term")).agg(sum(col("tf")).as("c_"))
@@ -572,16 +603,25 @@ object Curation {
     * when small), and a broadcast 1-row total. */
   def bigramLogProb(df: DataFrame, textCol: String, idCol: String,
       lambda: Double = 0.9): DataFrame = {
+    requireFresh(df, "toks_")
+    bigramLogProbFromTokens(
+      df.withColumn("toks_", TextAnalysis.tokens(lower(col(textCol)))),
+      "toks_", idCol, lambda)
+  }
+
+  /** [[bigramLogProb]] over a pre-tokenized (lowercased) frame — see
+    * [[tfIdfTopTermsFromTokens]] for the stored-artifact rationale. */
+  def bigramLogProbFromTokens(df: DataFrame, toksCol: String,
+      idCol: String, lambda: Double = 0.9): DataFrame = {
     require(lambda > 0 && lambda < 1, "lambda in (0,1)")
-    requireFresh(df, "toks_", "pv_", "wv_", "bg_", "prev_", "term_",
-      "micro_", "np_")
+    requireFresh(df.drop(toksCol), "pv_", "wv_", "bg_", "prev_",
+      "term_", "micro_", "np_")
     val toks = df
-      .withColumn("toks_", TextAnalysis.tokens(lower(col(textCol))))
-    val n = size(col("toks_"))
+    val n = size(col(toksCol))
     val pairRows = toks
-      .withColumn("pv_", slice(col("toks_"), lit(1),
+      .withColumn("pv_", slice(col(toksCol), lit(1),
         greatest(n - 1, lit(0))))
-      .withColumn("wv_", slice(col("toks_"), lit(2),
+      .withColumn("wv_", slice(col(toksCol), lit(2),
         greatest(n - 1, lit(0))))
       .select(col(idCol), explode(arrays_zip(col("pv_"), col("wv_")))
         .as("bg_"))
@@ -594,7 +634,7 @@ object Curation {
       .agg(sum(col("tf2")).as("c2"))
     val ctx = bc.groupBy(col("prev_")).agg(sum(col("c2")).as("cv"))
     // unigram vocabulary over ALL positions + corpus total (q88 shape)
-    val uni = toks.select(explode(col("toks_")).as("term_"))
+    val uni = toks.select(explode(col(toksCol)).as("term_"))
       .groupBy(col("term_")).agg(count(lit(1)).as("cw"))
     val total = uni.select(sum(col("cw")).as("t_"))
     val scored = bc.join(ctx, "prev_").join(uni, "term_")
@@ -653,14 +693,20 @@ object Curation {
     * so both engines' doubles divide identical integers. */
   private def bm25Matched(corpus: DataFrame, probeTerms: DataFrame,
       textCol: String, idCol: String)
+      : (DataFrame, DataFrame, DataFrame) =
+    bm25MatchedFromTokens(
+      corpus.select(col(idCol),
+        TextAnalysis.tokens(lower(col(textCol))).as("toks_")),
+      "toks_", probeTerms, idCol)
+
+  private def bm25MatchedFromTokens(corpus: DataFrame, toksCol: String,
+      probeTerms: DataFrame, idCol: String)
       : (DataFrame, DataFrame, DataFrame) = {
     val toks = corpus
-      .withColumn("toks_", TextAnalysis.tokens(lower(col(textCol))))
-      .select(col(idCol), size(col("toks_")).cast("long").as("dl_"),
-        explode(col("toks_")).as("term"))
+      .select(col(idCol), size(col(toksCol)).cast("long").as("dl_"),
+        explode(col(toksCol)).as("term"))
     val stats = corpus
-      .select(TextAnalysis.tokenCount(lower(col(textCol)))
-        .cast("long").as("dl_"))
+      .select(size(col(toksCol)).cast("long").as("dl_"))
       .agg(count(lit(1)).as("n_"), sum(col("dl_")).as("sdl_"))
     val tfDoc = toks.join(broadcast(probeTerms), "term")
       .groupBy(col(idCol), col("term"))
@@ -687,16 +733,30 @@ object Curation {
 
   def bm25Score(corpus: DataFrame, queries: DataFrame, textCol: String,
       idCol: String, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    requireFresh(corpus, "toks_")
+    bm25ScoreFromTokens(
+      corpus.select(col(idCol),
+        TextAnalysis.tokens(lower(col(textCol))).as("toks_")),
+      "toks_", queries, textCol, idCol, k1, b)
+  }
+
+  /** [[bm25Score]] with the CORPUS side pre-tokenized (lowercased) —
+    * see [[tfIdfTopTermsFromTokens]] for the stored-artifact
+    * rationale; the query side is query-scale and tokenizes inline. */
+  def bm25ScoreFromTokens(corpus: DataFrame, toksCol: String,
+      queries: DataFrame, queryTextCol: String, idCol: String,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(k1 > 0 && b >= 0 && b <= 1, "k1 > 0, b in [0,1]")
-    requireFresh(corpus, bm25Reserved: _*)
+    requireFresh(corpus.drop(toksCol),
+      bm25Reserved.filterNot(_ == "toks_"): _*)
     require(!bm25Reserved.contains(idCol),
       s"idCol $idCol collides with a reserved BM25 working/output name")
     val qterms = queries
       .select(explode(array_distinct(
-        TextAnalysis.tokens(lower(col(textCol))))).as("term"))
+        TextAnalysis.tokens(lower(col(queryTextCol))))).as("term"))
       .distinct()
     val (tfDoc, dfreq, stats) =
-      bm25Matched(corpus, qterms, textCol, idCol)
+      bm25MatchedFromTokens(corpus, toksCol, qterms, idCol)
     val scored = tfDoc.join(broadcast(dfreq), "term")
       .crossJoin(broadcast(stats))
       .withColumn("micro_", bm25Micro(k1, b))
@@ -728,19 +788,34 @@ object Curation {
   def bm25TopK(corpus: DataFrame, queries: DataFrame, textCol: String,
       idCol: String, queryIdCol: String, k: Int, k1: Double = 1.2,
       b: Double = 0.75): DataFrame = {
+    requireFresh(corpus, "toks_")
+    bm25TopKFromTokens(
+      corpus.select(col(idCol),
+        TextAnalysis.tokens(lower(col(textCol))).as("toks_")),
+      "toks_", queries, textCol, idCol, queryIdCol, k, k1, b)
+  }
+
+  /** [[bm25TopK]] with the corpus side pre-tokenized (lowercased) —
+    * see [[tfIdfTopTermsFromTokens]] for the stored-artifact
+    * rationale. */
+  def bm25TopKFromTokens(corpus: DataFrame, toksCol: String,
+      queries: DataFrame, queryTextCol: String, idCol: String,
+      queryIdCol: String, k: Int, k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
     require(k > 0, "k must be positive")
     require(k1 > 0 && b >= 0 && b <= 1, "k1 > 0, b in [0,1]")
-    requireFresh(corpus, bm25Reserved: _*)
+    requireFresh(corpus.drop(toksCol),
+      bm25Reserved.filterNot(_ == "toks_"): _*)
     require(!bm25Reserved.contains(idCol) &&
       !bm25Reserved.contains(queryIdCol),
       s"idCol/queryIdCol collides with a reserved BM25 name")
     val qterms = queries
       .select(col(queryIdCol).as("qid_"),
         explode(array_distinct(
-          TextAnalysis.tokens(lower(col(textCol))))).as("term"))
+          TextAnalysis.tokens(lower(col(queryTextCol))))).as("term"))
       .distinct()
-    val (tfDoc, dfreq, stats) = bm25Matched(corpus,
-      qterms.select(col("term")).distinct(), textCol, idCol)
+    val (tfDoc, dfreq, stats) = bm25MatchedFromTokens(corpus, toksCol,
+      qterms.select(col("term")).distinct(), idCol)
     // expand to queries at matched-VOCABULARY scale, not token scale
     val scored = tfDoc.join(broadcast(qterms), "term")
       .join(broadcast(dfreq), "term")
