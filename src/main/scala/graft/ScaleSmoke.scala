@@ -106,6 +106,34 @@ object ScaleSmoke {
       graft.text.Dedup.nearDupPairsFromSigTable(sigs, "doc_id",
         minJaccard = 0.5, numHashes = 32).count()
     }
+    t("planted-clone recall (must be 100%)") {
+      // ground truth is the construction: every doc_id ≡ 0 (mod 7),
+      // id > 0, reuses its neighbor's seed → an exact clone pair
+      // (id-1, id). A left-anti against the found pairs must be empty.
+      val found = graft.text.Dedup.nearDupPairsFromSigTable(sigs,
+        "doc_id", minJaccard = 0.5, numHashes = 32)
+      val expected = docs
+        .where(pmod(col("doc_id"), lit(7)) === 0 && col("doc_id") > 0)
+        .select((col("doc_id") - 1).as("id_a"), col("doc_id").as("id_b"))
+      val missed = expected
+        .join(found, Seq("id_a", "id_b"), "left_anti").count()
+      require(missed == 0,
+        s"recall < 100%: $missed planted clone pairs missed")
+      expected.count()
+    }
+    // stored cluster labels, one level past stored signatures: assign
+    // runs the star-contraction closure ONCE; split/keeper/stats
+    // consumers read the stored frame (the q102 shape)
+    val labels = graft.text.Clusters.assign(docs, "doc_id",
+      graft.text.Dedup.nearDupPairsFromSigTable(sigs, "doc_id",
+        minJaccard = 0.5, numHashes = 32))
+      .localCheckpoint(false)
+    t("cluster labels (once at ingest)") { labels.count() }
+    t("split from stored labels") {
+      graft.text.Clusters.splitFromClusters(labels,
+        valFrac = 0.1, testFrac = 0.1)
+        .groupBy(col("split")).count().count()
+    }
     t("delta-vs-corpus incremental dedup") {
       // today's 1% ingest against the standing corpus: only the delta
       // is new text; both sides' bands derive from the shared frame
@@ -137,8 +165,9 @@ object ScaleSmoke {
         .agg(sum(col("n_dup_grams"))).head().getLong(0)
     }
     t("dedup clusters + drop") {
-      // pairs -> connected components -> keep one per cluster; rounds
-      // = cluster diameter (2 here), each two hash shuffles
+      // pairs -> star-contraction components -> keep one per cluster;
+      // O(log n) rounds regardless of family shape, each round two
+      // map-side-combined min groupBys + joins
       graft.text.Clusters.dropNearDuplicates(docs, "text", "doc_id",
         minJaccard = 0.5, numHashes = 32).count()
     }

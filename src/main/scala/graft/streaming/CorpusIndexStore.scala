@@ -1,0 +1,176 @@
+package graft.streaming
+
+import graft.text.{Clusters, Dedup}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** A standing near-dup corpus index that GROWS at ingest: the
+  * continuous-curation closure of [[StreamingDedup]]. The stream-static
+  * gate checks arrivals against a batch-built index that never changes
+  * within a run; this store adds the missing half — every micro-batch's
+  * ACCEPTED documents fold their signatures back into the stored index,
+  * so a clone arriving five minutes after its original is rejected even
+  * though neither was in the initial corpus.
+  *
+  * Storage layout (all parquet under `path`, partitioned by
+  * `ingest_batch`):
+  *  - `buckets/` (bucket, corpus_id) — the band-bucket equi-join side
+  *  - `docs/` (corpus_id, gh, cbuckets) — verify-side shingle-hash sets
+  *  - `accepted/` (idCol, text) — the curated corpus itself
+  *
+  * Exactly-once/idempotence: each micro-batch writes to
+  * `ingest_batch=<batchId>` directories with OVERWRITE — a replayed
+  * batch (foreachBatch redelivery after failure) rewrites the same
+  * directories instead of appending duplicates, the standard
+  * idempotent-sink pattern for foreachBatch.
+  *
+  * Scale shape: per batch, signature work is per-row expressions over
+  * the arrivals; the corpus check is the same banded equi-join as the
+  * static gate (only bucket collisions verified); the intra-batch pass
+  * is bucket-join + star-contraction components over BATCH-scale
+  * survivors; the append writes batch-scale rows. Nothing
+  * corpus-proportional is recomputed per batch. Caveat, documented: the
+  * initial build caps degenerate buckets at `maxBucketSize`, while
+  * incremental appends cannot re-cap ACROSS batches — a pathological
+  * bucket degrades join fan-out gradually; run [[compact]]
+  * (rebuild-with-global-caps) on a maintenance cadence, exactly like
+  * compaction in any LSM-shaped store.
+  */
+final class CorpusIndexStore(spark: SparkSession, path: String,
+    idCol: String = "doc_id", numHashes: Int = 128, bands: Int = 16,
+    k: Int = 3, maxBucketSize: Int = 200) {
+
+  private val bucketPath = s"$path/buckets"
+  private val docPath = s"$path/docs"
+  private val acceptedPath = s"$path/accepted"
+
+  /** Batch-build the index (and seed the accepted corpus) from an
+    * initial corpus — lands as `ingest_batch=-1`, wiping any prior
+    * state under `path`. */
+  def initialize(corpus: DataFrame, textCol: String): Unit = {
+    val hashed = Dedup.shingleHashes(corpus, textCol, idCol, k)
+    val (buckets, docs) = Dedup.streamingCorpusIndex(hashed, idCol,
+      numHashes, bands, maxBucketSize)
+    Seq(bucketPath, docPath, acceptedPath).foreach { p =>
+      val dir = new java.io.File(p)
+      if (dir.exists()) {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+        }
+        rm(dir)
+      }
+    }
+    buckets.write.mode("overwrite").parquet(s"$bucketPath/ingest_batch=-1")
+    docs.write.mode("overwrite").parquet(s"$docPath/ingest_batch=-1")
+    corpus.select(col(idCol), col(textCol).as("text"))
+      .write.mode("overwrite").parquet(s"$acceptedPath/ingest_batch=-1")
+  }
+
+  /** Current band-bucket table across the base build and every folded
+    * batch. */
+  def bucketTable: DataFrame =
+    spark.read.parquet(bucketPath).drop("ingest_batch")
+
+  /** Current verify-side doc table. */
+  def docTable: DataFrame =
+    spark.read.parquet(docPath).drop("ingest_batch")
+
+  /** The curated corpus so far: base docs + every accepted arrival. */
+  def accepted: DataFrame =
+    spark.read.parquet(acceptedPath).drop("ingest_batch")
+
+  /** Start the growing ingest gate over a streaming (idCol, textCol)
+    * frame. Per micro-batch: reject arrivals near-duplicating the
+    * CURRENT index, dedup survivors within the batch (star-contraction
+    * keepers), fold the accepted signatures into the index, and append
+    * the accepted documents to the corpus — all idempotent per batch
+    * id. */
+  def ingest(stream: DataFrame, textCol: String,
+      minJaccard: Double = 0.5,
+      checkpointLocation: Option[String] = None): StreamingQuery = {
+    val w = stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(batch, textCol, minJaccard, batchId)
+      }
+    checkpointLocation.foreach(w.option("checkpointLocation", _))
+    w.start()
+  }
+
+  /** One micro-batch of the gate — package-visible so the spec can
+    * replay a batch id and prove idempotence directly. */
+  private[streaming] def processBatch(batch: DataFrame, textCol: String,
+      minJaccard: Double, batchId: Long): Unit = {
+    // per-row signature expressions (the streaming-safe shapes used by
+    // the static gate); materialized once — feeds the corpus check,
+    // the intra-batch pass, and the append
+    val withSig = batch
+      .select(col(idCol).as("delta_id"), col(textCol).as("text"))
+      .withColumn("gh_", Dedup.shingleHashSetExpr(col("text"), k))
+      .withColumn("bks_", Dedup.bandBucketsExpr(
+        Dedup.minhashSigExpr(col("gh_"), numHashes), numHashes, bands))
+      .localCheckpoint(false)
+    // (1) against the standing (grown) index — the SAME join as the
+    // static gate. CRITICAL for replay correctness: exclude THIS batch
+    // id's own partitions, so a redelivered batch sees the index
+    // exactly as it stood before its first attempt — otherwise every
+    // replayed doc near-dups its own folded signature and the
+    // overwrite empties the partition (caught by the idempotence
+    // spec). Partition pruning makes the exclusion free.
+    val dupOfCorpus = StreamingDedup.nearDupIngestFromSig(withSig,
+        spark.read.parquet(bucketPath)
+          .where(col("ingest_batch") =!= batchId).drop("ingest_batch"),
+        spark.read.parquet(docPath)
+          .where(col("ingest_batch") =!= batchId).drop("ingest_batch"),
+        minJaccard)
+      .select(col("delta_id")).distinct()
+    val survivors = withSig
+      .join(dupOfCorpus, Seq("delta_id"), "left_anti")
+      .localCheckpoint(false)
+    // (2) within-batch: bucket-join candidates among survivors (batch
+    // scale), exact verify, min-id keeper per duplicate component —
+    // two clones arriving in the SAME micro-batch admit only one
+    val ex = survivors.select(col("delta_id").as("id"), col("gh_"),
+      col("bks_"), explode(col("bks_")).as("bucket"))
+    val cand = ex.as("a").join(ex.as("b"),
+        col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .where(col("a.bucket") === array_min(
+        array_intersect(col("a.bks_"), col("b.bks_"))))
+      .withColumn("ni", size(array_intersect(col("a.gh_"),
+        col("b.gh_"))).cast("double"))
+      .withColumn("jaccard", col("ni") / (size(col("a.gh_")) +
+        size(col("b.gh_")) - col("ni")))
+      .where(col("jaccard") >= minJaccard)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    val keepers = Clusters.assign(survivors.select(col("delta_id")),
+        "delta_id", cand)
+      .where(col("is_keeper") === 1).select(col("delta_id"))
+    val acceptedBatch = survivors
+      .join(keepers, Seq("delta_id"), "left_semi")
+      .localCheckpoint(false)
+    // (3) idempotent fold-back: overwrite this batch id's partitions
+    acceptedBatch
+      .select(col("delta_id").as("corpus_id"), explode(col("bks_"))
+        .as("bucket"))
+      .select(col("bucket"), col("corpus_id"))
+      .write.mode("overwrite")
+      .parquet(s"$bucketPath/ingest_batch=$batchId")
+    acceptedBatch
+      .select(col("delta_id").as("corpus_id"), col("gh_").as("gh"),
+        col("bks_").as("cbuckets"))
+      .write.mode("overwrite")
+      .parquet(s"$docPath/ingest_batch=$batchId")
+    acceptedBatch.select(col("delta_id").as(idCol), col("text"))
+      .write.mode("overwrite")
+      .parquet(s"$acceptedPath/ingest_batch=$batchId")
+  }
+
+  /** Maintenance compaction: rebuild the index from the accepted
+    * corpus with GLOBAL bucket caps (the per-batch appends cannot cap
+    * across batches) — lands as a fresh base build. */
+  def compact(textCol: String = "text"): Unit = {
+    val corpus = accepted.localCheckpoint()
+    initialize(corpus, textCol)
+  }
+}

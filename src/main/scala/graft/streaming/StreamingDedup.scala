@@ -42,9 +42,20 @@ object StreamingDedup {
       .withColumn("gh_", Dedup.shingleHashSetExpr(col(textCol), k))
       .withColumn("bks_", Dedup.bandBucketsExpr(
         Dedup.minhashSigExpr(col("gh_"), numHashes), numHashes, bands))
-      .select(col(idCol).as("delta_id"), col("gh_"), col("bks_"),
-        explode(col("bks_")).as("bucket"))
+      .select(col(idCol).as("delta_id"), col("gh_"), col("bks_"))
+    nearDupIngestFromSig(withSig, corpusBuckets, corpusDocs, minJaccard)
+  }
+
+  /** The corpus-check join with the delta side ALREADY signed:
+    * (delta_id, gh_ shingle-hash set, bks_ band buckets) — shared by
+    * the stream above and [[CorpusIndexStore]]'s per-batch gate, so
+    * the two can never drift on the verify arithmetic or the
+    * exactly-once bucket guard. */
+  def nearDupIngestFromSig(withSig: DataFrame, corpusBuckets: DataFrame,
+      corpusDocs: DataFrame, minJaccard: Double): DataFrame =
     withSig
+      .select(col("delta_id"), col("gh_"), col("bks_"),
+        explode(col("bks_")).as("bucket"))
       .join(corpusBuckets, "bucket")
       .join(corpusDocs, "corpus_id")
       // exactly-once per (delta, corpus): of all shared buckets, only
@@ -57,5 +68,4 @@ object StreamingDedup {
         (size(col("gh_")) + size(col("gh")) - col("ni")))
       .where(col("jaccard") >= minJaccard)
       .select(col("delta_id"), col("corpus_id"), col("jaccard"))
-  }
 }
