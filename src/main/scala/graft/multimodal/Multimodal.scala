@@ -363,6 +363,228 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Real frame extraction for Motion-JPEG-in-MP4 payloads — the
+    * ISO-BMFF (MP4) container carrying the `jpeg` sample-entry codec,
+    * where every video sample is a standalone JPEG that
+    * `javax.imageio` decodes natively (the MP4 twin of
+    * [[decodeAviMjpegFrames]]; h264-in-mp4 still needs absent codec
+    * libraries and falls back to the stub). Walks the box tree
+    * (`moov/trak/mdia/{mdhd,hdlr,minf/stbl/{stsd,stsz,stsc,stco,
+    * stts}}`), reconstructs per-sample file offsets from the
+    * sample-to-chunk and chunk-offset tables, and stamps REAL timing
+    * from the time-to-sample deltas over the media timescale. Picks up
+    * to `maxFrames` evenly spaced samples, re-encodes each as PNG
+    * (the [[decodeGifFrames]] output contract). All bounds checked in
+    * Long — a lying box size must not overflow into acceptance. */
+  def decodeMp4JpegFrames(content: Array[Byte], maxFrames: Int)
+      : Option[Seq[(Double, Array[Byte])]] =
+    try decodeMp4JpegImpl(content, maxFrames)
+    catch { case scala.util.control.NonFatal(_) => None }
+
+  private final case class Mp4Box(typ: String, start: Int, end: Int)
+
+  private def decodeMp4JpegImpl(content: Array[Byte], maxFrames: Int)
+      : Option[Seq[(Double, Array[Byte])]] = {
+    def be32(o: Int): Long =
+      ((content(o) & 0xffL) << 24) | ((content(o + 1) & 0xffL) << 16) |
+        ((content(o + 2) & 0xffL) << 8) | (content(o + 3) & 0xffL)
+    def be64(o: Int): Long = (be32(o) << 32) | be32(o + 4)
+    def tag(o: Int): String =
+      new String(content, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    // payload-bounded child walk; size==1 -> 64-bit largesize,
+    // size==0 -> box extends to the enclosing end
+    def children(start: Int, end: Int): Seq[Mp4Box] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[Mp4Box]
+      var off = start
+      var ok = true
+      while (ok && off + 8 <= end) {
+        val sz = be32(off)
+        val typ = tag(off + 4)
+        val (hdr, size): (Int, Long) =
+          if (sz == 1 && off + 16 <= end) (16, be64(off + 8))
+          else if (sz == 0) (8, (end - off).toLong)
+          else (8, sz)
+        if (size < hdr || off + size > end) ok = false
+        else {
+          out += Mp4Box(typ, off + hdr, (off + size).toInt)
+          off = (off + size).toInt
+        }
+      }
+      out.toSeq
+    }
+    def kids(b: Mp4Box): Seq[Mp4Box] = children(b.start, b.end)
+    def find(bs: Seq[Mp4Box], t: String): Option[Mp4Box] =
+      bs.find(_.typ == t)
+
+    if (content.length < 8) return None
+    val top = children(0, content.length)
+    if (!top.exists(b => b.typ == "moov") ||
+        !top.exists(b => b.typ == "mdat" || b.typ == "moov")) return None
+    val moov = find(top, "moov").getOrElse(return None)
+    // first video track whose sample description is JPEG
+    val trackTables = kids(moov).filter(_.typ == "trak").flatMap { trak =>
+      for {
+        mdia <- find(kids(trak), "mdia")
+        mk = kids(mdia)
+        hdlr <- find(mk, "hdlr")
+        if hdlr.end - hdlr.start >= 12 && tag(hdlr.start + 8) == "vide"
+        mdhd <- find(mk, "mdhd")
+        timescale = if (content(mdhd.start) == 0) be32(mdhd.start + 12)
+          else be32(mdhd.start + 20) // version 1: 64-bit times
+        if timescale > 0
+        minf <- find(mk, "minf")
+        stbl <- find(kids(minf), "stbl")
+        sk = kids(stbl)
+        stsd <- find(sk, "stsd")
+        // ver/flags(4) + entry_count(4) + first entry: size(4)+format
+        if stsd.end - stsd.start >= 16 &&
+          Set("jpeg", "mjpa", "MJPG").contains(tag(stsd.start + 12))
+        stsz <- find(sk, "stsz"); stco <- find(sk, "stco")
+          .orElse(find(sk, "co64"))
+        stsc <- find(sk, "stsc"); stts <- find(sk, "stts")
+      } yield (timescale, stsz, stco, stsc, stts)
+    }
+    val (timescale, stsz, stco, stsc, stts) =
+      trackTables.headOption.getOrElse(return None)
+
+    // sample sizes: uniform sample_size or per-sample table
+    val uniform = be32(stsz.start + 4)
+    val nSamples = be32(stsz.start + 8).toInt
+    if (nSamples <= 0) return None
+    def sampleSize(i: Int): Long =
+      if (uniform != 0) uniform else be32(stsz.start + 12 + 4 * i)
+    // chunk offsets (stco 32-bit / co64 64-bit — by box type)
+    val nChunks = be32(stco.start + 4).toInt
+    val co64 = stco.typ == "co64"
+    def chunkOffset(c: Int): Long =
+      if (co64) be64(stco.start + 8 + 8 * c)
+      else be32(stco.start + 8 + 4 * c)
+    // sample-to-chunk runs -> samples per chunk
+    val nRuns = be32(stsc.start + 4).toInt
+    val runs = (0 until nRuns).map { r =>
+      (be32(stsc.start + 8 + 12 * r),      // first_chunk (1-based)
+        be32(stsc.start + 8 + 12 * r + 4)) // samples_per_chunk
+    }
+    if (runs.isEmpty) return None
+    // absolute file offset of every sample
+    val offsets = Array.ofDim[Long](nSamples)
+    var s = 0
+    var run = 0
+    var c = 1
+    while (s < nSamples && c <= nChunks) {
+      while (run + 1 < runs.length && runs(run + 1)._1 <= c) run += 1
+      var within = 0L
+      var inChunk = 0L
+      while (s < nSamples && inChunk < runs(run)._2) {
+        offsets(s) = chunkOffset(c - 1) + within
+        within += sampleSize(s)
+        s += 1; inChunk += 1
+      }
+      c += 1
+    }
+    if (s < nSamples) return None
+    // decode timestamps from time-to-sample runs
+    val nTts = be32(stts.start + 4).toInt
+    val times = Array.ofDim[Long](nSamples)
+    var t = 0L
+    var idx = 0
+    var r = 0
+    while (r < nTts && idx < nSamples) {
+      val cnt = be32(stts.start + 8 + 8 * r)
+      val delta = be32(stts.start + 8 + 8 * r + 4)
+      var j = 0L
+      while (j < cnt && idx < nSamples) {
+        times(idx) = t; t += delta; idx += 1; j += 1
+      }
+      r += 1
+    }
+    val take = math.min(maxFrames, nSamples)
+    val idxs = if (take == 1) Seq(0)
+      else (0 until take).map(i => i * (nSamples - 1) / (take - 1))
+    val out = idxs.map { i =>
+      val o = offsets(i); val sz = sampleSize(i)
+      if (o < 0 || o + sz > content.length) return None
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(content, o.toInt, sz.toInt))
+      if (img == null) return None // not JPEG samples -> stub fallback
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      (times(i).toDouble / timescale, bos.toByteArray)
+    }
+    Some(out)
+  }
+
+  /** The MP4 inverse boundary — wrap already-JPEG frames into a
+    * minimal ISO-BMFF file (`ftyp` + `mdat` + `moov` with one `jpeg`
+    * video track: mvhd/tkhd/mdhd/hdlr/vmhd/dinf/stbl with full
+    * stsd/stts/stsc/stsz/stco tables, one chunk). Same rationale as
+    * [[encodeMjpegAvi]]: sampled frames ship as a real video artifact
+    * and the decode path round-trips without external fixtures. Frame
+    * `i` lands at media time `i * sampleDelta / timescale`. */
+  def encodeMjpegMp4(jpegFrames: Seq[Array[Byte]], timescale: Long,
+      sampleDelta: Long, width: Int, height: Int): Array[Byte] = {
+    require(jpegFrames.nonEmpty && timescale > 0 && sampleDelta > 0)
+    def be32(v: Long): Array[Byte] = Array((v >> 24).toByte,
+      (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    def be16(v: Int): Array[Byte] = Array((v >> 8).toByte, v.toByte)
+    def box(typ: String, payload: Array[Byte]): Array[Byte] =
+      be32(8L + payload.length) ++ typ.getBytes("US-ASCII") ++ payload
+    def full(typ: String, payload: Array[Byte]): Array[Byte] =
+      box(typ, Array[Byte](0, 0, 0, 0) ++ payload) // version 0, flags 0
+    val n = jpegFrames.length
+    val duration = sampleDelta * n
+    val ftyp = box("ftyp", "isom".getBytes("US-ASCII") ++ be32(0) ++
+      "isom".getBytes("US-ASCII"))
+    val mdatPayload = jpegFrames.flatten.toArray
+    val mdat = box("mdat", mdatPayload)
+    val firstSample = ftyp.length + 8L // into mdat payload
+    val mvhd = full("mvhd", be32(0) ++ be32(0) ++ be32(timescale) ++
+      be32(duration) ++ be32(0x00010000L) ++ be16(0x0100) ++ be16(0) ++
+      be32(0) ++ be32(0) ++
+      // identity matrix
+      be32(0x00010000L) ++ be32(0) ++ be32(0) ++ be32(0) ++
+      be32(0x00010000L) ++ be32(0) ++ be32(0) ++ be32(0) ++
+      be32(0x40000000L) ++
+      Array.fill(24)(0.toByte) ++ be32(2)) // pre_defined + next track
+    val tkhd = box("tkhd", Array[Byte](0, 0, 0, 7) ++ // enabled+in movie
+      be32(0) ++ be32(0) ++ be32(1) ++ be32(0) ++ be32(duration) ++
+      be32(0) ++ be32(0) ++ be32(0) ++ be16(0) ++ be16(0) ++
+      be32(0x00010000L) ++ be32(0) ++ be32(0) ++ be32(0) ++
+      be32(0x00010000L) ++ be32(0) ++ be32(0) ++ be32(0) ++
+      be32(0x40000000L) ++
+      be32(width.toLong << 16) ++ be32(height.toLong << 16))
+    val mdhd = full("mdhd", be32(0) ++ be32(0) ++ be32(timescale) ++
+      be32(duration) ++ be16(0x55c4) ++ be16(0)) // lang 'und'
+    val hdlr = full("hdlr", be32(0) ++
+      "vide".getBytes("US-ASCII") ++ Array.fill(12)(0.toByte) ++
+      Array(0.toByte)) // empty name
+    // VisualSampleEntry 'jpeg': 6 reserved + data_ref_index, then the
+    // fixed visual fields
+    val sampleEntry = box("jpeg",
+      Array.fill(6)(0.toByte) ++ be16(1) ++
+        be16(0) ++ be16(0) ++ be32(0) ++ be32(0) ++ be32(0) ++
+        be16(width) ++ be16(height) ++
+        be32(0x00480000L) ++ be32(0x00480000L) ++ be32(0) ++ be16(1) ++
+        Array.fill(32)(0.toByte) ++ be16(24) ++ be16(0xffff))
+    val stsd = full("stsd", be32(1) ++ sampleEntry)
+    val stts = full("stts", be32(1) ++ be32(n) ++ be32(sampleDelta))
+    val stsc = full("stsc", be32(1) ++ be32(1) ++ be32(n) ++ be32(1))
+    val stsz = full("stsz", be32(0) ++ be32(n) ++
+      jpegFrames.flatMap(f => be32(f.length)).toArray)
+    val stco = full("stco", be32(1) ++ be32(firstSample))
+    val stbl = box("stbl", stsd ++ stts ++ stsc ++ stsz ++ stco)
+    val vmhd = box("vmhd", Array[Byte](0, 0, 0, 1) ++ be16(0) ++
+      be16(0) ++ be16(0) ++ be16(0))
+    val dref = full("dref", be32(1) ++
+      box("url ", Array[Byte](0, 0, 0, 1))) // self-contained
+    val dinf = box("dinf", dref)
+    val minf = box("minf", vmhd ++ dinf ++ stbl)
+    val mdia = box("mdia", mdhd ++ hdlr ++ minf)
+    val trak = box("trak", tkhd ++ mdia)
+    val moov = box("moov", mvhd ++ trak)
+    ftyp ++ mdat ++ moov
+  }
+
   /** Minimal truecolor PNG encoder — hand-rolled, STORED (uncompressed)
     * deflate blocks, so the byte length is a pure function of the
     * dimensions: `h*(1+3*w) + 68` (8 signature + 25 IHDR + raw+23 IDAT
@@ -422,12 +644,14 @@ object Multimodal {
       "data".getBytes("US-ASCII") ++ le32(data.length) ++ data
   }
 
-  /** Frame sampling for video rows: animated-GIF and MJPEG-AVI
-    * payloads go through the REAL decoders (`decodeGifFrames` /
-    * `decodeAviMjpegFrames` — evenly-spaced frames, re-encoded PNG,
-    * AVI with container-true timing); payloads needing absent codecs
-    * fall back to `fps`-spaced deterministic stub slices, so the
-    * pipeline shape is identical either way. */
+  /** Frame sampling for video rows: animated-GIF, MJPEG-AVI, and
+    * MJPEG-MP4 payloads go through the REAL decoders
+    * (`decodeGifFrames` / `decodeAviMjpegFrames` /
+    * `decodeMp4JpegFrames` — evenly-spaced frames, re-encoded PNG,
+    * container-true timing for both video containers); payloads
+    * needing absent codecs (h264 proper) fall back to `fps`-spaced
+    * deterministic stub slices, so the pipeline shape is identical
+    * either way. */
   def sampleFrames(media: Dataset[MediaRow], fps: Double = 1.0,
       maxFrames: Int = 8): Dataset[Frame] = {
     import media.sparkSession.implicits._
@@ -437,6 +661,10 @@ object Multimodal {
           Frame(r.media_id, i, i / fps, png)
         })
         .orElse(decodeAviMjpegFrames(r.content, maxFrames)
+          .map(_.zipWithIndex.map { case ((off, png), i) =>
+            Frame(r.media_id, i, off, png)
+          }))
+        .orElse(decodeMp4JpegFrames(r.content, maxFrames)
           .map(_.zipWithIndex.map { case ((off, png), i) =>
             Frame(r.media_id, i, off, png)
           }))

@@ -403,14 +403,17 @@ object SimilarityQueriesImpl {
     }
 
     // Same deterministic-half split for video: frame COUNTS, indices,
-    // and container-true TIMINGS of the real MJPEG-AVI walk are pure
-    // functions of the fixture's construction parameters (6 encoded
-    // frames, 40000 µs/frame, maxFrames=4 → source indices i*5/3,
-    // offsets i_src*0.04), and the stub branch's slice arithmetic is
-    // byte math over STRLEN(text) — all restated independently by the
-    // oracle. Only the re-encoded PNG payload size (ImageIO-version
-    // trivia) is excluded: n_bytes is NULL on real-decode rows and is
-    // round-trip-checked in MultimodalSpec instead.
+    // and container-true TIMINGS of the real MJPEG-AVI and MJPEG-MP4
+    // walks are pure functions of the fixtures' construction
+    // parameters (6 encoded frames; AVI 40000 µs/frame, MP4 40/1000
+    // media-timescale ticks — the SAME 0.04 s real ratio, so IEEE
+    // division yields the identical double; maxFrames=4 → source
+    // indices i*5/3, offsets i_src*0.04), and the stub branch's slice
+    // arithmetic is byte math over STRLEN(text) — all restated
+    // independently by the oracle. Only the re-encoded PNG payload
+    // size (ImageIO-version trivia) is excluded: n_bytes is NULL on
+    // real-decode rows and is round-trip-checked in MultimodalSpec
+    // instead.
     register("q75_video_frame_sample",
       """WITH vids AS (
         |  SELECT doc_id AS media_id, STRLEN(text) AS len,
@@ -421,7 +424,7 @@ object SimilarityQueriesImpl {
         |    UNNEST(GENERATE_SERIES(0, LEAST(4, GREATEST(1,
         |      CAST(FLOOR(dur * 0.5) AS INT))) - 1)) AS frame_index,
         |    len
-        |  FROM vids WHERE media_id % 2 = 1),
+        |  FROM vids WHERE media_id % 2 = 1 AND media_id % 4 <> 3),
         |stub2 AS (
         |  SELECT media_id, frame_index,
         |    ROUND(CAST(frame_index AS DOUBLE) / 0.5, 6) AS offset_s,
@@ -432,7 +435,7 @@ object SimilarityQueriesImpl {
         |real AS (
         |  SELECT media_id,
         |    UNNEST(GENERATE_SERIES(0, 3)) AS frame_index
-        |  FROM vids WHERE media_id % 2 = 0),
+        |  FROM vids WHERE media_id % 2 = 0 OR media_id % 4 = 3),
         |real2 AS (
         |  SELECT media_id, frame_index,
         |    ROUND(CAST((frame_index * 5) // 3 * 40000 AS DOUBLE)
@@ -444,29 +447,37 @@ object SimilarityQueriesImpl {
         |ORDER BY media_id, frame_index""".stripMargin) { (s, dir) =>
       val spark = s
       import spark.implicits._
-      // half the video rows carry a REAL MJPEG-AVI payload (built
-      // deterministically on the driver, shipped as a literal), so the
-      // gate exercises the real container walk + JPEG decode + PNG
-      // re-encode; the rest keep text bytes and take the stub path.
-      val avi = Multimodal.encodeMjpegAvi(
-        (0 until 6).map { i =>
-          val img = new java.awt.image.BufferedImage(8, 8,
-            java.awt.image.BufferedImage.TYPE_INT_RGB)
-          val c = Seq(0xff0000, 0x00ff00, 0x0000ff, 0xffff00,
-            0x00ffff, 0xff00ff)(i)
-          for (y <- 0 until 8; x <- 0 until 8) img.setRGB(x, y, c)
-          val bos = new java.io.ByteArrayOutputStream()
-          javax.imageio.ImageIO.write(img, "jpg", bos)
-          bos.toByteArray
-        }, usPerFrame = 40000L, width = 8, height = 8)
+      // half the video rows carry a REAL MJPEG-AVI payload and half of
+      // the remainder a REAL MJPEG-MP4 (both built deterministically
+      // on the driver, shipped as literals), so the gate exercises the
+      // RIFF walk AND the ISO-BMFF sample-table walk + JPEG decode +
+      // PNG re-encode; the rest keep text bytes and take the stub
+      // path. Same 6 frames and 0.04 s spacing in both containers.
+      val jpegs = (0 until 6).map { i =>
+        val img = new java.awt.image.BufferedImage(8, 8,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val c = Seq(0xff0000, 0x00ff00, 0x0000ff, 0xffff00,
+          0x00ffff, 0xff00ff)(i)
+        for (y <- 0 until 8; x <- 0 until 8) img.setRGB(x, y, c)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "jpg", bos)
+        bos.toByteArray
+      }
+      val avi = Multimodal.encodeMjpegAvi(jpegs, usPerFrame = 40000L,
+        width = 8, height = 8)
+      val mp4 = Multimodal.encodeMjpegMp4(jpegs, timescale = 1000L,
+        sampleDelta = 40L, width = 8, height = 8)
       val media = Multimodal.syntheticMediaTable(
           table(s, dir, "documents"), "doc_id", "text")
         .withColumn("content",
           when(col("modality") === "video" &&
             pmod(col("media_id"), lit(2)) === 0, lit(avi))
+          .when(col("modality") === "video" &&
+            pmod(col("media_id"), lit(4)) === 3, lit(mp4))
             .otherwise(col("content")))
         .as[Multimodal.MediaRow]
-      val isReal = pmod(col("media_id"), lit(2)) === 0
+      val isReal = pmod(col("media_id"), lit(2)) === 0 ||
+        pmod(col("media_id"), lit(4)) === 3
       Multimodal.sampleFrames(media, fps = 0.5, maxFrames = 4).toDF()
         .select(col("media_id"), col("frame_index"),
           round(col("offset_s"), 6).as("offset_s"),

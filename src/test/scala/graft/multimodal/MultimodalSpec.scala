@@ -270,6 +270,51 @@ class MultimodalSpec extends AnyFunSuite {
       .forall(!_.content.startsWith(pngMagic)))
   }
 
+  test("MJPEG-MP4 round trip: real frames, real sample-table timing") {
+    val mp4 = Multimodal.encodeMjpegMp4(
+      Seq(jpegBytes(0xff0000), jpegBytes(0x00ff00), jpegBytes(0x0000ff),
+        jpegBytes(0xffffff)),
+      timescale = 1000L, sampleDelta = 40L, width = 8, height = 8)
+    val all = Multimodal.decodeMp4JpegFrames(mp4, maxFrames = 8).get
+    assert(all.length == 4)
+    // stts-true timing: sample i at i * 40 / 1000 s
+    assert(all.map(_._1) == Seq(0.0, 0.04, 0.08, 0.12))
+    val feats = all.map { case (_, png) => Multimodal.decodeImage(png).get }
+    assert(feats.forall(f => f(1) == 8.0f && f(2) == 8.0f))
+    assert(feats(0)(3) > 0.7f && feats(0)(4) < 0.4f) // red frame
+    assert(feats(1)(4) > 0.7f)                        // green frame
+    assert(feats(2)(5) > 0.7f)                        // blue frame
+    // even down-sampling keeps first and last
+    val two = Multimodal.decodeMp4JpegFrames(mp4, maxFrames = 2).get
+    assert(two.map(_._1) == Seq(0.0, 0.12))
+    // container discrimination both ways + non-JPEG rejection
+    assert(Multimodal.decodeMp4JpegFrames("not an mp4".getBytes, 8).isEmpty)
+    assert(Multimodal.decodeAviMjpegFrames(mp4, 8).isEmpty)
+    assert(Multimodal.decodeMp4JpegFrames(
+      Multimodal.encodeMjpegAvi(Seq(jpegBytes(0xff0000)), 1000L, 8, 8),
+      8).isEmpty)
+    assert(Multimodal.decodeMp4JpegFrames(
+      Multimodal.encodeMjpegMp4(Seq("not a jpeg".getBytes), 1000L, 40L,
+        8, 8), 8).isEmpty)
+  }
+
+  test("sampleFrames routes MJPEG-MP4 videos through the real decoder") {
+    val mp4 = Multimodal.encodeMjpegMp4(
+      Seq(jpegBytes(0xff0000), jpegBytes(0x00ff00)), 1000L, 40L, 8, 8)
+    val pngMagic = Array[Byte](0x89.toByte, 'P', 'N', 'G')
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "video", mp4, 8, 8, 1.0),
+      Multimodal.MediaRow(2L, "video", "raw payload".getBytes, 0, 0, 2.0))
+    val out = Multimodal.sampleFrames(rows.toDS(), fps = 1.0,
+      maxFrames = 8).collect().sortBy(r => (r.media_id, r.frame_index))
+    val mp4Frames = out.filter(_.media_id == 1L)
+    assert(mp4Frames.length == 2)
+    assert(mp4Frames.forall(_.content.startsWith(pngMagic)))
+    assert(mp4Frames.map(_.offset_s).toSeq == Seq(0.0, 0.04))
+    assert(out.filter(_.media_id == 2L)
+      .forall(!_.content.startsWith(pngMagic)))
+  }
+
   test("sampleFrames only emits for video, bounded by maxFrames") {
     val ds = media.as[Multimodal.MediaRow]
     val frames = Multimodal.sampleFrames(ds, fps = 1.0, maxFrames = 5)
