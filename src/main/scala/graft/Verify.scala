@@ -16,11 +16,13 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    // dev-loop filter (same contract as Bench's): the driver sets no
-    // env, so it always dumps the full registry
+    // dev-loop filter, exact full names, the same contract as Bench's
+    // (a prefix match here would silently verify a wider scope than
+    // Bench runs); the driver sets no env, so it always dumps the
+    // full registry
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    def wanted(name: String) = only.forall(_.exists(name.startsWith))
+    def wanted(name: String) = only.forall(_.contains(name))
     SparkEntry.queries.filter(q => wanted(q._1)).foreach {
       case (name, fn) =>
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

@@ -418,8 +418,9 @@ object Multimodal {
 
     if (content.length < 8) return None
     val top = children(0, content.length)
-    if (!top.exists(b => b.typ == "moov") ||
-        !top.exists(b => b.typ == "mdat" || b.typ == "moov")) return None
+    // moov presence is the gate; sample payloads are bounds-checked
+    // per sample against content.length below, which covers the
+    // missing-mdat case too
     val moov = find(top, "moov").getOrElse(return None)
     // first video track whose sample description is JPEG
     val trackTables = kids(moov).filter(_.typ == "trak").flatMap { trak =>
@@ -447,20 +448,33 @@ object Multimodal {
     val (timescale, stsz, stco, stsc, stts) =
       trackTables.headOption.getOrElse(return None)
 
-    // sample sizes: uniform sample_size or per-sample table
+    // sample sizes: uniform sample_size or per-sample table. Every
+    // count is bounded by its TABLE'S byte capacity (and the payload
+    // size) BEFORE any allocation or loop sized by it: a lying
+    // sample_count near Int.MaxValue would otherwise drive multi-GB
+    // array allocations whose OutOfMemoryError is fatal — NOT caught
+    // by the NonFatal fallback wrapper — and kill the task instead of
+    // falling back to the stub.
     val uniform = be32(stsz.start + 4)
     val nSamples = be32(stsz.start + 8).toInt
-    if (nSamples <= 0) return None
+    if (nSamples <= 0 || nSamples > content.length) return None
+    if (uniform == 0 &&
+      12L + 4L * nSamples > stsz.end - stsz.start) return None
     def sampleSize(i: Int): Long =
       if (uniform != 0) uniform else be32(stsz.start + 12 + 4 * i)
-    // chunk offsets (stco 32-bit / co64 64-bit — by box type)
+    // chunk offsets (stco 32-bit / co64 64-bit — by box type),
+    // capacity-bounded like the other tables
     val nChunks = be32(stco.start + 4).toInt
     val co64 = stco.typ == "co64"
+    if (nChunks < 0 || 8L + (if (co64) 8L else 4L) * nChunks >
+      stco.end - stco.start) return None
     def chunkOffset(c: Int): Long =
       if (co64) be64(stco.start + 8 + 8 * c)
       else be32(stco.start + 8 + 4 * c)
-    // sample-to-chunk runs -> samples per chunk
+    // sample-to-chunk runs -> samples per chunk (capacity-bounded)
     val nRuns = be32(stsc.start + 4).toInt
+    if (nRuns < 0 || 8L + 12L * nRuns > stsc.end - stsc.start)
+      return None
     val runs = (0 until nRuns).map { r =>
       (be32(stsc.start + 8 + 12 * r),      // first_chunk (1-based)
         be32(stsc.start + 8 + 12 * r + 4)) // samples_per_chunk
@@ -483,8 +497,9 @@ object Multimodal {
       c += 1
     }
     if (s < nSamples) return None
-    // decode timestamps from time-to-sample runs
+    // decode timestamps from time-to-sample runs (capacity-bounded)
     val nTts = be32(stts.start + 4).toInt
+    if (nTts < 0 || 8L + 8L * nTts > stts.end - stts.start) return None
     val times = Array.ofDim[Long](nSamples)
     var t = 0L
     var idx = 0

@@ -23,7 +23,15 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * `ingest_batch=<batchId>` directories with OVERWRITE — a replayed
   * batch (foreachBatch redelivery after failure) rewrites the same
   * directories instead of appending duplicates, the standard
-  * idempotent-sink pattern for foreachBatch.
+  * idempotent-sink pattern for foreachBatch. That keying is only
+  * sound while batch ids stay unique across the store's lifetime, so
+  * the stream's checkpoint is OWNED BY THE STORE by default
+  * (`path/checkpoint`): a restarted [[ingest]] resumes the batch
+  * counter instead of restarting at 0 and silently overwriting (and
+  * being hidden from) earlier accepted batches. Pass a custom
+  * `checkpointLocation` only if it is equally stable for the life of
+  * this store path; deleting the checkpoint while keeping the data
+  * breaks the contract.
   *
   * Scale shape: per batch, signature work is per-row expressions over
   * the arrivals; the corpus check is the same banded equi-join as the
@@ -52,7 +60,8 @@ final class CorpusIndexStore(spark: SparkSession, path: String,
     val hashed = Dedup.shingleHashes(corpus, textCol, idCol, k)
     val (buckets, docs) = Dedup.streamingCorpusIndex(hashed, idCol,
       numHashes, bands, maxBucketSize)
-    Seq(bucketPath, docPath, acceptedPath).foreach { p =>
+    Seq(bucketPath, docPath, acceptedPath,
+        s"$path/checkpoint").foreach { p =>
       val dir = new java.io.File(p)
       if (dir.exists()) {
         def rm(f: java.io.File): Unit = {
@@ -88,14 +97,16 @@ final class CorpusIndexStore(spark: SparkSession, path: String,
     * id. */
   def ingest(stream: DataFrame, textCol: String,
       minJaccard: Double = 0.5,
-      checkpointLocation: Option[String] = None): StreamingQuery = {
-    val w = stream.writeStream
+      checkpointLocation: Option[String] = None): StreamingQuery =
+    stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processBatch(batch, textCol, minJaccard, batchId)
       }
-    checkpointLocation.foreach(w.option("checkpointLocation", _))
-    w.start()
-  }
+      // store-owned checkpoint: batch ids must be unique for the LIFE
+      // of the store, not one query run (see class doc)
+      .option("checkpointLocation",
+        checkpointLocation.getOrElse(s"$path/checkpoint"))
+      .start()
 
   /** One micro-batch of the gate — package-visible so the spec can
     * replay a batch id and prove idempotence directly. */

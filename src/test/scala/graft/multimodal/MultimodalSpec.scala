@@ -298,6 +298,33 @@ class MultimodalSpec extends AnyFunSuite {
         8, 8), 8).isEmpty)
   }
 
+  test("decodeMp4JpegFrames survives lying sample-table counts") {
+    // a valid tree whose stsz claims ~2^31 samples must be REJECTED
+    // before any allocation sized by it — OutOfMemoryError is fatal
+    // and would escape the NonFatal fallback
+    val mp4 = Multimodal.encodeMjpegMp4(
+      Seq(jpegBytes(0xff0000), jpegBytes(0x00ff00)), 1000L, 40L, 8, 8)
+    def patched(tableTag: String, countOff: Int): Array[Byte] = {
+      val t = tableTag.getBytes("US-ASCII")
+      val i = mp4.indices.indexWhere(j => j + 4 <= mp4.length &&
+        mp4(j) == t(0) && mp4(j + 1) == t(1) && mp4(j + 2) == t(2) &&
+        mp4(j + 3) == t(3))
+      assert(i > 0, s"$tableTag not found")
+      val bad = mp4.clone()
+      bad(i + countOff) = 0x7f.toByte
+      bad(i + countOff + 1) = 0xff.toByte
+      bad(i + countOff + 2) = 0xff.toByte
+      bad(i + countOff + 3) = 0xf0.toByte
+      bad
+    }
+    // stsz payload: ver/flags(4) sample_size(4) COUNT at tag+12;
+    // stsc/stts/stco payload: ver/flags(4) COUNT at tag+8
+    assert(Multimodal.decodeMp4JpegFrames(patched("stsz", 12), 4).isEmpty)
+    assert(Multimodal.decodeMp4JpegFrames(patched("stsc", 8), 4).isEmpty)
+    assert(Multimodal.decodeMp4JpegFrames(patched("stts", 8), 4).isEmpty)
+    assert(Multimodal.decodeMp4JpegFrames(patched("stco", 8), 4).isEmpty)
+  }
+
   test("sampleFrames routes MJPEG-MP4 videos through the real decoder") {
     val mp4 = Multimodal.encodeMjpegMp4(
       Seq(jpegBytes(0xff0000), jpegBytes(0x00ff00)), 1000L, 40L, 8, 8)

@@ -99,6 +99,43 @@ class CorpusIndexStoreSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("a restarted ingest resumes batch numbering from the " +
+      "store-owned checkpoint (no overwrite of earlier batches)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files
+      .createTempDirectory("corpus_index_restart").toString
+    val store = newStore(tmp)
+    store.initialize(corpusRows.toDF("doc_id", "text"), "text")
+    val mem1 = MemoryStream[(Long, String)]
+    val q1 = store.ingest(mem1.toDF().toDF("doc_id", "text"), "text")
+    try {
+      mem1.addData(Seq((1L, docA)))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    assert(store.accepted.where(col("doc_id") === 1L).count() == 1)
+    // a SECOND query on the same store: without the store-owned
+    // checkpoint its first micro-batch would reuse batchId 0 —
+    // hiding doc 1 from the corpus check AND overwriting its
+    // partition, so its clone would be admitted and doc 1 destroyed
+    val mem2 = MemoryStream[(Long, String)]
+    val q2 = store.ingest(mem2.toDF().toDF("doc_id", "text"), "text")
+    try {
+      // recovery treats the new source's offsets up to the committed
+      // checkpoint as already processed — this first addData is
+      // swallowed by design; the second fires as the NEXT batch id
+      mem2.addData(Seq((8L, "placeholder row consumed by recovery")))
+      mem2.addData(Seq((9L, docA.replace("genuinely", "truly")),
+        (10L, docB)))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val ids = store.accepted.select(col("doc_id"))
+      .as[Long].collect().toSet
+    assert(ids.contains(10L), "liveness: second query's batch ran")
+    assert(ids.contains(1L), "doc 1 was destroyed by a batch-id clash")
+    assert(!ids.contains(9L), "clone of accepted doc 1 was admitted")
+  }
+
   test("replaying a micro-batch id is idempotent") {
     import spark.implicits._
     val tmp = java.nio.file.Files
