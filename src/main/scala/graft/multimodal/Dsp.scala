@@ -1,0 +1,154 @@
+package graft.multimodal
+
+/** Pure-JVM DSP kernel for the audio half of the multimodal surface:
+  * an iterative radix-2 FFT plus the window/spectrum helpers
+  * [[Multimodal.extractAudioSpectral]] builds on. Hand-rolled because
+  * no FFT library ships in this environment — and deterministic by
+  * construction (StrictMath trig, fixed iteration order), so spectral
+  * features are identical under any partitioning, retry, or JVM.
+  */
+object Dsp {
+
+  /** In-place iterative radix-2 Cooley–Tukey FFT. `re`/`im` length
+    * must be a power of two. O(n log n), no allocation beyond the
+    * caller's arrays. */
+  def fft(re: Array[Double], im: Array[Double]): Unit = {
+    val n = re.length
+    require(n == im.length && (n & (n - 1)) == 0,
+      "fft length must be a power of two")
+    if (n <= 1) return
+    // bit-reversal permutation
+    var i = 1
+    var j = 0
+    while (i < n) {
+      var bit = n >> 1
+      while ((j & bit) != 0) { j ^= bit; bit >>= 1 }
+      j |= bit
+      if (i < j) {
+        val tr = re(i); re(i) = re(j); re(j) = tr
+        val ti = im(i); im(i) = im(j); im(j) = ti
+      }
+      i += 1
+    }
+    // butterflies
+    var len = 2
+    while (len <= n) {
+      val ang = -2.0 * math.Pi / len
+      val wr = StrictMath.cos(ang)
+      val wi = StrictMath.sin(ang)
+      var base = 0
+      while (base < n) {
+        var cr = 1.0
+        var ci = 0.0
+        var k = 0
+        while (k < len / 2) {
+          val ar = re(base + k); val ai = im(base + k)
+          val br = re(base + k + len / 2); val bi = im(base + k + len / 2)
+          val tr = br * cr - bi * ci
+          val ti = br * ci + bi * cr
+          re(base + k) = ar + tr; im(base + k) = ai + ti
+          re(base + k + len / 2) = ar - tr; im(base + k + len / 2) = ai - ti
+          val ncr = cr * wr - ci * wi
+          ci = cr * wi + ci * wr
+          cr = ncr
+          k += 1
+        }
+        base += len
+      }
+      len <<= 1
+    }
+  }
+
+  /** Hann window coefficients (periodic form), length `n`. */
+  def hann(n: Int): Array[Double] =
+    Array.tabulate(n)(i =>
+      0.5 - 0.5 * StrictMath.cos(2.0 * math.Pi * i / n))
+
+  /** Power spectrum (|X_k|², bins 0..n/2) of up to `maxWindows`
+    * Hann-windowed frames of `fftSize` samples evenly spaced over the
+    * signal, averaged across frames. Signals shorter than `fftSize`
+    * are zero-padded into a single frame. */
+  def averagePowerSpectrum(samples: Array[Double], fftSize: Int,
+      maxWindows: Int): Array[Double] = {
+    require(fftSize > 1 && (fftSize & (fftSize - 1)) == 0)
+    val w = hann(fftSize)
+    val half = fftSize / 2
+    val acc = Array.ofDim[Double](half + 1)
+    val nFrames =
+      if (samples.length <= fftSize) 1
+      else math.min(maxWindows,
+        math.max(1, samples.length / fftSize))
+    val lastStart = math.max(0, samples.length - fftSize)
+    var f = 0
+    while (f < nFrames) {
+      val start = if (nFrames == 1) 0
+        else f * lastStart / math.max(1, nFrames - 1)
+      val re = Array.ofDim[Double](fftSize)
+      val im = Array.ofDim[Double](fftSize)
+      var i = 0
+      while (i < fftSize) {
+        val s = if (start + i < samples.length) samples(start + i) else 0.0
+        re(i) = s * w(i)
+        i += 1
+      }
+      fft(re, im)
+      var k = 0
+      while (k <= half) {
+        acc(k) += re(k) * re(k) + im(k) * im(k)
+        k += 1
+      }
+      f += 1
+    }
+    var k = 0
+    while (k <= half) { acc(k) /= nFrames; k += 1 }
+    acc
+  }
+
+  /** Spectral summary of a power spectrum over bins 1..n/2 (DC
+    * excluded everywhere): (dominantBin, centroidHz, rolloffHz,
+    * flatness, bandEnergies). `rolloff` is the lowest frequency below
+    * which `rolloffFrac` of the non-DC energy lies; `flatness` is the
+    * geometric/arithmetic mean ratio (1 = white, →0 = tonal);
+    * `bandEnergies` are energy fractions over `bands` equal-width
+    * bins. Ties in the peak resolve to the LOWEST bin. */
+  def spectralSummary(power: Array[Double], sampleRate: Int,
+      fftSize: Int, bands: Int, rolloffFrac: Double = 0.85)
+      : (Int, Double, Double, Double, Array[Double]) = {
+    val half = fftSize / 2
+    val binHz = sampleRate.toDouble / fftSize
+    var dom = 1
+    var total = 0.0
+    var centNum = 0.0
+    var logSum = 0.0
+    var k = 1
+    while (k <= half) {
+      val p = power(k)
+      if (p > power(dom)) dom = k
+      total += p
+      centNum += k * binHz * p
+      logSum += StrictMath.log(p + 1e-300)
+      k += 1
+    }
+    val centroid = if (total > 0) centNum / total else 0.0
+    var cum = 0.0
+    var roll = half
+    var found = false
+    k = 1
+    while (k <= half && !found) {
+      cum += power(k)
+      if (cum >= rolloffFrac * total && total > 0) { roll = k; found = true }
+      k += 1
+    }
+    val flat = if (total > 0)
+      StrictMath.exp(logSum / half) / (total / half) else 0.0
+    val be = Array.ofDim[Double](bands)
+    k = 1
+    while (k <= half) {
+      val b = math.min(bands - 1, (k - 1) * bands / half)
+      be(b) += power(k)
+      k += 1
+    }
+    if (total > 0) { var b = 0; while (b < bands) { be(b) /= total; b += 1 } }
+    (dom, centroid, roll * binHz, flat, be)
+  }
+}

@@ -486,5 +486,41 @@ object SimilarityQueriesImpl {
           isReal.cast("long").as("real_decode"))
         .orderBy(col("media_id"), col("frame_index"))
     }
+
+    // The FFT path's construction-restating oracle: every audio row
+    // carries a synthesized pure tone at EXACTLY bin k = 10 + id % 50
+    // of a 1024-point spectrum at 8 kHz (frequency k·8000/1024 —
+    // both factors powers-of-two-exact in binary, so the dominant
+    // frequency the engine reports from the hand-rolled radix-2 FFT
+    // must equal k·7.8125 bit-for-bit). The oracle restates the
+    // construction; the engine proves the FFT, Hann windowing, and
+    // argmax found the planted tone. Centroid/rolloff/flatness floats
+    // (accumulation-order-sensitive) stay spec-only in DspSpec.
+    register("q107_audio_spectral",
+      """SELECT doc_id AS media_id,
+        |  8000 AS sample_rate,
+        |  CAST(2048 AS BIGINT) AS n_samples,
+        |  CAST(10 + doc_id % 50 AS INT) AS dom_bin,
+        |  (10 + doc_id % 50) * 7.8125 AS dominant_hz
+        |FROM documents WHERE doc_id % 3 = 1
+        |ORDER BY media_id""".stripMargin) { (s, dir) =>
+      val spark = s
+      import spark.implicits._
+      val media = table(s, dir, "documents")
+        .where(pmod(col("doc_id"), lit(3)) === 1)
+        .select(col("doc_id")).as[Long]
+        .map { id =>
+          val k = (10 + id % 50).toInt
+          val wav = Multimodal.encodePcm16Wav(8000, 1,
+            Array.tabulate[Short](2048)(i =>
+              (StrictMath.sin(2.0 * math.Pi * k * i / 1024.0)
+                * 12000).toShort))
+          Multimodal.MediaRow(id, "audio", wav, 0, 0, 0.0)
+        }
+      Multimodal.extractAudioSpectral(media).toDF()
+        .select(col("media_id"), col("sample_rate"), col("n_samples"),
+          col("dom_bin"), col("dominant_hz"))
+        .orderBy(col("media_id"))
+    }
   }
 }
