@@ -694,27 +694,31 @@ object Multimodal {
     ftyp ++ mdat ++ moov
   }
 
-  /** Minimal truecolor PNG encoder — hand-rolled, STORED (uncompressed)
+  /** Truecolor PNG encoder — hand-rolled, STORED (uncompressed)
     * deflate blocks, so the byte length is a pure function of the
-    * dimensions: `h*(1+3*w) + 68` (8 signature + 25 IHDR + raw+23 IDAT
-    * + 12 IEND). That determinism is the point: a fixture built here
-    * has a size the correctness oracle can state as a design constant,
-    * unlike `ImageIO.write` output whose length is encoder-version
-    * trivia. Solid `rgb` fill; one stored block, so raw payload is
-    * capped at 64 KiB — a fixture encoder, not a production sink. */
-  def encodePngRgb(width: Int, height: Int,
-      rgb: (Int, Int, Int)): Array[Byte] = {
+    * dimensions: with `raw = h*(1+3*w)` scanline bytes split into
+    * `nb = ceil(raw/65535)` stored blocks, total = `raw + 5*nb + 63`
+    * (8 signature + 25 IHDR + IDAT 12+2+5·nb+raw+4 + 12 IEND). That
+    * determinism is the point: anything built here — fixtures AND
+    * [[resizeImage]] output — has a size the correctness oracle can
+    * state as a design formula, unlike `ImageIO.write` output whose
+    * length is encoder-version trivia. `rgbAt(x, y)` returns packed
+    * 0xRRGGBB. */
+  def encodePng(width: Int, height: Int,
+      rgbAt: (Int, Int) => Int): Array[Byte] = {
     val raw = Array.ofDim[Byte](height * (1 + 3 * width))
     var o = 0
-    (0 until height).foreach { _ =>
+    (0 until height).foreach { y =>
       raw(o) = 0 // per-scanline filter byte: None
       o += 1
-      (0 until width).foreach { _ =>
-        raw(o) = rgb._1.toByte; raw(o + 1) = rgb._2.toByte
-        raw(o + 2) = rgb._3.toByte; o += 3
+      (0 until width).foreach { x =>
+        val c = rgbAt(x, y)
+        raw(o) = ((c >> 16) & 0xff).toByte
+        raw(o + 1) = ((c >> 8) & 0xff).toByte
+        raw(o + 2) = (c & 0xff).toByte
+        o += 3
       }
     }
-    require(raw.length <= 0xffff, "fixture encoder: one stored block")
     def be32(v: Long): Array[Byte] = Array((v >> 24).toByte,
       (v >> 16).toByte, (v >> 8).toByte, v.toByte)
     def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
@@ -726,13 +730,94 @@ object Multimodal {
     val ihdr = chunk("IHDR", be32(width) ++ be32(height) ++
       Array[Byte](8, 2, 0, 0, 0)) // 8-bit, truecolor, no interlace
     val adler = new java.util.zip.Adler32(); adler.update(raw)
-    val zlib = Array[Byte](0x78, 0x01, // deflate, no preset dict
-      0x01, // final stored block
-      (raw.length & 0xff).toByte, ((raw.length >> 8) & 0xff).toByte,
-      (~raw.length & 0xff).toByte, ((~raw.length >> 8) & 0xff).toByte) ++
-      raw ++ be32(adler.getValue)
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write(Array[Byte](0x78, 0x01)) // zlib: deflate, no preset dict
+    var off = 0
+    while (off < raw.length) {
+      val len = math.min(0xffff, raw.length - off)
+      val fin = if (off + len >= raw.length) 1 else 0
+      bos.write(Array[Byte](fin.toByte, // stored block, final flag
+        (len & 0xff).toByte, ((len >> 8) & 0xff).toByte,
+        (~len & 0xff).toByte, ((~len >> 8) & 0xff).toByte))
+      bos.write(raw, off, len)
+      off += len
+    }
+    bos.write(be32(adler.getValue))
     Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
-      ihdr ++ chunk("IDAT", zlib) ++ chunk("IEND", Array.empty)
+      ihdr ++ chunk("IDAT", bos.toByteArray) ++
+      chunk("IEND", Array.empty)
+  }
+
+  /** Solid-fill convenience over [[encodePng]] (the fixture shape the
+    * q74 oracle's 82-byte constant refers to). */
+  def encodePngRgb(width: Int, height: Int,
+      rgb: (Int, Int, Int)): Array[Byte] =
+    encodePng(width, height,
+      (_, _) => (rgb._1 << 16) | (rgb._2 << 8) | rgb._3)
+
+  /** REAL image resize: decode any ImageIO-supported payload,
+    * bilinear-resample to `tw`×`th` (half-pixel-center mapping, edge
+    * clamp), re-encode via [[encodePng]] — so the output size is the
+    * design formula above, not codec trivia. None when no codec
+    * accepts the payload. Deterministic: integer-rounded double
+    * arithmetic, no AWT rescale ops. */
+  def resizeImage(content: Array[Byte], tw: Int,
+      th: Int): Option[Array[Byte]] = {
+    require(tw > 0 && th > 0)
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
+      catch { case _: Exception => null }
+    if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
+    else {
+      val sw = img.getWidth; val sh = img.getHeight
+      val sx = sw.toDouble / tw; val sy = sh.toDouble / th
+      def channel(c: Int, shift: Int): Int = (c >> shift) & 0xff
+      val out = encodePng(tw, th, (x, y) => {
+        val fx = (x + 0.5) * sx - 0.5
+        val fy = (y + 0.5) * sy - 0.5
+        val x0 = math.max(0, math.min(sw - 1, math.floor(fx).toInt))
+        val y0 = math.max(0, math.min(sh - 1, math.floor(fy).toInt))
+        val x1 = math.min(sw - 1, x0 + 1)
+        val y1 = math.min(sh - 1, y0 + 1)
+        val wx = math.max(0.0, math.min(1.0, fx - x0))
+        val wy = math.max(0.0, math.min(1.0, fy - y0))
+        val p00 = img.getRGB(x0, y0); val p10 = img.getRGB(x1, y0)
+        val p01 = img.getRGB(x0, y1); val p11 = img.getRGB(x1, y1)
+        def lerp(shift: Int): Int = {
+          val top = channel(p00, shift) * (1 - wx) +
+            channel(p10, shift) * wx
+          val bot = channel(p01, shift) * (1 - wx) +
+            channel(p11, shift) * wx
+          math.max(0, math.min(255,
+            math.round(top * (1 - wy) + bot * wy).toInt))
+        }
+        (lerp(16) << 16) | (lerp(8) << 8) | lerp(0)
+      })
+      Some(out)
+    }
+  }
+
+  /** [[resizePlan]] made REAL for image rows: decode, bilinear
+    * resample, PNG re-encode via `mapPartitions`; rows no codec
+    * accepts keep a null payload but still carry the plan columns, so
+    * the stage is total like [[extractFeatures]]. Returns
+    * (media_id, width, height, target_width, target_height,
+    * resized_png, resized_bytes). */
+  def resizeMedia(media: Dataset[MediaRow], targetW: Int,
+      targetH: Int): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { r =>
+        val png = if (r.modality == "image")
+          resizeImage(r.content, targetW, targetH).orNull
+        else null
+        (r.media_id, r.width, r.height, targetW, targetH, png,
+          if (png == null) null
+          else java.lang.Integer.valueOf(png.length))
+      }
+    }.toDF("media_id", "width", "height", "target_width",
+      "target_height", "resized_png", "resized_bytes")
   }
 
   /** Minimal PCM WAV encoder — 16-bit little-endian, hand-rolled, so

@@ -496,6 +496,41 @@ object SimilarityQueriesImpl {
     // construction; the engine proves the FFT, Hann windowing, and
     // argmax found the planted tone. Centroid/rolloff/flatness floats
     // (accumulation-order-sensitive) stay spec-only in DspSpec.
+    // resizePlan's REAL twin: every image row carries a solid PNG of
+    // construction-determined dimensions; the gate decodes it,
+    // bilinear-resamples to 5x4, and re-encodes through the
+    // stored-deflate encoder — so the source dims AND the resized
+    // byte count (4*(1+3*5)+5+63 = 132) are design constants the
+    // oracle restates. A null resized_bytes anywhere would mean the
+    // real decode-resample-encode path did not run. Pixel-level
+    // bilinear correctness (exact ramp values) is spec-territory
+    // (MultimodalSpec).
+    register("q108_resize_real",
+      """SELECT doc_id AS media_id,
+        |  CAST(2 + doc_id % 5 AS INT) AS width,
+        |  CAST(2 + doc_id % 2 AS INT) AS height,
+        |  5 AS target_width, 4 AS target_height,
+        |  132 AS resized_bytes
+        |FROM documents WHERE doc_id % 3 = 0
+        |ORDER BY media_id""".stripMargin) { (s, dir) =>
+      val spark = s
+      import spark.implicits._
+      val media = table(s, dir, "documents")
+        .where(pmod(col("doc_id"), lit(3)) === 0)
+        .select(col("doc_id")).as[Long]
+        .map { id =>
+          val w0 = (2 + id % 5).toInt
+          val h0 = (2 + id % 2).toInt
+          Multimodal.MediaRow(id, "image",
+            Multimodal.encodePngRgb(w0, h0, (200, 30, 60)), w0, h0, 0.0)
+        }
+      Multimodal.resizeMedia(media, 5, 4)
+        .select(col("media_id"), col("width"), col("height"),
+          col("target_width"), col("target_height"),
+          col("resized_bytes"))
+        .orderBy(col("media_id"))
+    }
+
     register("q107_audio_spectral",
       """SELECT doc_id AS media_id,
         |  8000 AS sample_rate,

@@ -384,6 +384,49 @@ class MultimodalSpec extends AnyFunSuite {
     assert(fs(1) == 44100.0f && fs(2) == 2.0f)
   }
 
+  test("resizeImage: real bilinear resample, design-formula bytes") {
+    // solid color stays solid at any size; output length is the
+    // stored-deflate formula raw + 5*ceil(raw/65535) + 63
+    val red = Multimodal.encodePngRgb(2, 2, (255, 0, 0))
+    val up = Multimodal.resizeImage(red, 5, 4).get
+    assert(up.length == 4 * (1 + 3 * 5) + 5 + 63)
+    val f = Multimodal.decodeImage(up).get
+    assert(f(1) == 5.0f && f(2) == 4.0f)
+    assert(f(3) == 1.0f && f(4) == 0.0f && f(5) == 0.0f)
+    // exact bilinear values: a 2x1 [0, 255] red ramp to 4x1 under
+    // half-pixel-center mapping gives reds [0, 64, 191, 255]
+    val ramp = Multimodal.encodePng(2, 1,
+      (x, _) => if (x == 0) 0x000000 else 0xff0000)
+    val out = Multimodal.resizeImage(ramp, 4, 1).get
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(out))
+    val reds = (0 until 4).map(x => (img.getRGB(x, 0) >> 16) & 0xff)
+    assert(reds == Seq(0, 64, 191, 255), s"got $reds")
+    // multi-block path: 224x224 raw = 150752 -> 3 stored blocks
+    val big = Multimodal.resizeImage(red, 224, 224).get
+    assert(big.length == 224 * (1 + 3 * 224) + 5 * 3 + 63)
+    assert(Multimodal.decodeImage(big).get(1) == 224.0f)
+    // undecodable payloads yield None, never throw
+    assert(Multimodal.resizeImage("not an image".getBytes, 4, 4).isEmpty)
+  }
+
+  test("resizeMedia resizes image rows, passes undecodable as null") {
+    val png = Multimodal.encodePngRgb(3, 2, (0, 255, 0))
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "image", png, 3, 2, 0.0),
+      Multimodal.MediaRow(2L, "image", "garbage".getBytes, 0, 0, 0.0),
+      Multimodal.MediaRow(3L, "audio", png, 0, 0, 1.0))
+    val out = Multimodal.resizeMedia(rows.toDS(), 6, 4)
+      .orderBy($"media_id").collect()
+    assert(out.length == 3)
+    assert(out(0).getAs[Int]("resized_bytes") ==
+      4 * (1 + 3 * 6) + 5 + 63)
+    assert(Multimodal.decodeImage(
+      out(0).getAs[Array[Byte]]("resized_png")).get(4) == 1.0f)
+    assert(out(1).isNullAt(out(1).fieldIndex("resized_bytes")))
+    assert(out(2).isNullAt(out(2).fieldIndex("resized_png")))
+  }
+
   test("resizePlan computes scales") {
     val r = Multimodal.resizePlan(media, 224, 224)
       .select($"width", $"target_width", $"scale_x").limit(1).head()
