@@ -104,6 +104,48 @@ object Dsp {
     acc
   }
 
+  /** Mel scale (HTK convention): `2595·log10(1 + f/700)`. */
+  def hzToMel(f: Double): Double =
+    2595.0 * StrictMath.log10(1.0 + f / 700.0)
+
+  def melToHz(m: Double): Double =
+    700.0 * (StrictMath.pow(10.0, m / 2595.0) - 1.0)
+
+  /** Log-mel band energies — the standard audio-ML front end one step
+    * short of MFCC (no DCT): `nMels` triangular filters spaced evenly
+    * on the mel scale from 0 to Nyquist, applied to the power
+    * spectrum, then `ln(e + 1e-12)`. Same deterministic arithmetic
+    * discipline as the rest of [[Dsp]]. */
+  def logMelEnergies(power: Array[Double], sampleRate: Int,
+      fftSize: Int, nMels: Int): Array[Double] = {
+    require(nMels > 0)
+    val half = fftSize / 2
+    val binHz = sampleRate.toDouble / fftSize
+    val maxMel = hzToMel(sampleRate / 2.0)
+    // filter m spans mel centers m-1 .. m+1 on an nMels+2 point grid
+    val centers = Array.tabulate(nMels + 2)(i =>
+      melToHz(i * maxMel / (nMels + 1)))
+    val out = Array.ofDim[Double](nMels)
+    var m = 0
+    while (m < nMels) {
+      val lo = centers(m); val c = centers(m + 1); val hi = centers(m + 2)
+      var e = 0.0
+      var k = 1
+      while (k <= half) {
+        val f = k * binHz
+        val w =
+          if (f <= lo || f >= hi) 0.0
+          else if (f <= c) (f - lo) / (c - lo)
+          else (hi - f) / (hi - c)
+        e += w * power(k)
+        k += 1
+      }
+      out(m) = StrictMath.log(e + 1e-12)
+      m += 1
+    }
+    out
+  }
+
   /** Spectral summary of a power spectrum over bins 1..n/2 (DC
     * excluded everywhere): (dominantBin, centroidHz, rolloffHz,
     * flatness, bandEnergies). `rolloff` is the lowest frequency below

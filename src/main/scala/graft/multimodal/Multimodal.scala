@@ -250,7 +250,7 @@ object Multimodal {
   case class AudioSpectral(media_id: Long, sample_rate: Int,
       n_samples: Long, dom_bin: Int, dominant_hz: Double,
       centroid_hz: Double, rolloff_hz: Double, flatness: Double,
-      band_energy: Array[Double])
+      band_energy: Array[Double], log_mel: Array[Double])
 
   /** REAL spectral audio features — per row: parse WAV PCM, run the
     * hand-rolled radix-2 FFT ([[Dsp]]) over up to `maxWindows`
@@ -267,8 +267,8 @@ object Multimodal {
     * parallel. Deterministic: StrictMath trig, fixed window
     * placement, ties to the lowest bin. */
   def extractAudioSpectral(media: Dataset[MediaRow],
-      fftSize: Int = 1024, maxWindows: Int = 8, bands: Int = 8)
-      : Dataset[AudioSpectral] = {
+      fftSize: Int = 1024, maxWindows: Int = 8, bands: Int = 8,
+      nMels: Int = 16): Dataset[AudioSpectral] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.flatMap { r =>
@@ -278,7 +278,8 @@ object Multimodal {
           val (dom, cent, roll, flat, be) =
             Dsp.spectralSummary(pow, sr, fftSize, bands)
           AudioSpectral(r.media_id, sr, samples.length.toLong, dom,
-            dom.toDouble * sr / fftSize, cent, roll, flat, be)
+            dom.toDouble * sr / fftSize, cent, roll, flat, be,
+            Dsp.logMelEnergies(pow, sr, fftSize, nMels))
         }
       }
     }

@@ -73,6 +73,30 @@ class DspSpec extends AnyFunSuite {
     assert(flat(noise) > 0.3 && flat(tone) < 1e-6)
   }
 
+  test("logMelEnergies: a tone peaks in the band containing its mel") {
+    val sr = 8000
+    val n = 1024
+    for (k <- Seq(30, 120, 400)) { // 234 Hz, 937 Hz, 3125 Hz
+      val tone = Array.tabulate(4096)(i =>
+        StrictMath.sin(2.0 * math.Pi * k * i / n))
+      val pow = Dsp.averagePowerSpectrum(tone, n, 4)
+      val mel = Dsp.logMelEnergies(pow, sr, n, 16)
+      val fHz = k.toDouble * sr / n
+      // the winning band's center must be the closest (or adjacent)
+      // to the tone on the mel scale
+      val maxMel = Dsp.hzToMel(sr / 2.0)
+      val centers = Array.tabulate(16)(m =>
+        Dsp.melToHz((m + 1) * maxMel / 17))
+      val win = mel.indices.maxBy(mel(_))
+      val nearest = centers.indices.minBy(m =>
+        math.abs(Dsp.hzToMel(centers(m)) - Dsp.hzToMel(fHz)))
+      assert(math.abs(win - nearest) <= 1,
+        s"k=$k tone ${fHz}Hz won band $win, nearest center $nearest")
+    }
+    // monotone mel scale round-trip
+    assert(math.abs(Dsp.melToHz(Dsp.hzToMel(1234.5)) - 1234.5) < 1e-6)
+  }
+
   test("wavSamples round-trips encodePcm16Wav, folds stereo") {
     val mono = Multimodal.encodePcm16Wav(8000, 1,
       Array[Short](0, 16384, -16384, 32767))
