@@ -798,6 +798,75 @@ object Multimodal {
     }
   }
 
+  /** Perceptual difference hash (dHash, 64-bit): decode, bilinear-
+    * sample a 9×8 luminance grid (the same half-pixel-center kernel
+    * as [[resizeImage]]), set bit `r·8+c` when cell (r,c) is strictly
+    * darker than its right neighbor. Robust to re-encoding, global
+    * brightness shifts, and mild resampling — the standard cheap
+    * image-near-dup signature (LAION-style image dedup). None when no
+    * codec accepts the payload. */
+  def dHash(content: Array[Byte]): Option[Long] = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
+      catch { case _: Exception => null }
+    if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
+    else {
+      val sw = img.getWidth; val sh = img.getHeight
+      val gw = 9; val gh = 8
+      val sx = sw.toDouble / gw; val sy = sh.toDouble / gh
+      def lum(x: Int, y: Int): Double = {
+        val p = img.getRGB(x, y)
+        0.299 * ((p >> 16) & 0xff) + 0.587 * ((p >> 8) & 0xff) +
+          0.114 * (p & 0xff)
+      }
+      def gray(gx: Int, gy: Int): Double = {
+        val fx = (gx + 0.5) * sx - 0.5
+        val fy = (gy + 0.5) * sy - 0.5
+        val x0 = math.max(0, math.min(sw - 1, math.floor(fx).toInt))
+        val y0 = math.max(0, math.min(sh - 1, math.floor(fy).toInt))
+        val x1 = math.min(sw - 1, x0 + 1)
+        val y1 = math.min(sh - 1, y0 + 1)
+        val wx = math.max(0.0, math.min(1.0, fx - x0))
+        val wy = math.max(0.0, math.min(1.0, fy - y0))
+        (lum(x0, y0) * (1 - wx) + lum(x1, y0) * wx) * (1 - wy) +
+          (lum(x0, y1) * (1 - wx) + lum(x1, y1) * wx) * wy
+      }
+      var sig = 0L
+      var r = 0
+      while (r < gh) {
+        var c = 0
+        while (c < 8) {
+          if (gray(c, r) < gray(c + 1, r)) sig |= 1L << (r * 8 + c)
+          c += 1
+        }
+        r += 1
+      }
+      Some(sig)
+    }
+  }
+
+  /** Image near-duplicate pairs: one `mapPartitions` dHash pass over
+    * the image rows, then the SAME pigeonhole block join the text
+    * module uses for simhash ([[graft.text.Dedup
+    * .simhashNearDupsFromSigs]] — guaranteed recall at the radius,
+    * skew-capped, one shuffle per block). Undecodable rows drop out
+    * of pairing. The cross-modality reuse is the point: a 64-bit
+    * Hamming signature is the same scale problem whether it came from
+    * tokens or pixels. */
+  def imageNearDups(media: Dataset[MediaRow], maxHamming: Int = 3,
+      maxBucketSize: Int = 1000): DataFrame = {
+    import media.sparkSession.implicits._
+    val sigs = media.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.flatMap { r =>
+        if (r.modality != "image") None
+        else dHash(r.content).map(h => (r.media_id, h))
+      }
+    }.toDF("media_id", "dhash")
+    graft.text.Dedup.simhashNearDupsFromSigs(sigs, "media_id",
+      "dhash", maxHamming, bits = 64, maxBucketSize = maxBucketSize)
+  }
+
   /** [[resizePlan]] made REAL for image rows: decode, bilinear
     * resample, PNG re-encode via `mapPartitions`; rows no codec
     * accepts keep a null payload but still carry the plan columns, so

@@ -531,6 +531,40 @@ object SimilarityQueriesImpl {
         .orderBy(col("media_id"))
     }
 
+    // Image near-dup through the REAL perceptual-hash path: image
+    // rows carry 9x8 pattern PNGs where ids (6m, 6m+3) share a
+    // pattern with a +2 global brightness shift — dHash is invariant
+    // to the shift by construction (strict inequalities between cells
+    // survive a constant offset), so exactly those twins pair at
+    // Hamming 0, and distinct patterns sit ~32 bits apart (collision
+    // odds at radius 3 are ~1e-9 across all pairs). The oracle
+    // restates the construction's pair list; the engine must decode,
+    // hash, and run the pigeonhole block join to reproduce it.
+    register("q109_image_neardups",
+      """SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(0 AS INT) AS hamming
+        |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 3
+        |WHERE a.doc_id % 6 = 0
+        |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+      val spark = s
+      import spark.implicits._
+      val media = table(s, dir, "documents")
+        .where(pmod(col("doc_id"), lit(3)) === 0)
+        .select(col("doc_id")).as[Long]
+        .map { id =>
+          val p = (id / 6L).toInt
+          val offset = if (id % 6L == 3L) 2 else 0
+          val png = Multimodal.encodePng(9, 8, (x, y) => {
+            val v = (math.abs((x * 7 + y * 13 + p * 37) * 1103515245
+              + 12345) >> 16) % 201 + offset
+            (v << 16) | (v << 8) | v
+          })
+          Multimodal.MediaRow(id, "image", png, 9, 8, 0.0)
+        }
+      Multimodal.imageNearDups(media, maxHamming = 3)
+        .orderBy(col("id_a"), col("id_b"))
+    }
+
     register("q107_audio_spectral",
       """SELECT doc_id AS media_id,
         |  8000 AS sample_rate,

@@ -427,6 +427,43 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out(2).isNullAt(out(2).fieldIndex("resized_png")))
   }
 
+  def patternPng(p: Int, offset: Int): Array[Byte] =
+    Multimodal.encodePng(9, 8, (x, y) => {
+      val v = math.abs((x * 7 + y * 13 + p * 37) * 1103515245 + 12345)
+        .>>(16) % 201 + offset
+      (v << 16) | (v << 8) | v
+    })
+
+  test("dHash: brightness-invariant, pattern-discriminating") {
+    val a = Multimodal.dHash(patternPng(1, 0)).get
+    val b = Multimodal.dHash(patternPng(1, 2)).get  // +2 brightness
+    val c = Multimodal.dHash(patternPng(2, 0)).get  // different pattern
+    assert(a == b, "global brightness shift must not change dHash")
+    assert(java.lang.Long.bitCount(a ^ c) > 16,
+      s"distinct patterns too close: ${java.lang.Long.bitCount(a ^ c)}")
+    // survives a lossy JPEG re-encode within a small radius
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(patternPng(1, 0)))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    val j = Multimodal.dHash(bos.toByteArray).get
+    assert(java.lang.Long.bitCount(a ^ j) <= 10,
+      s"jpeg re-encode drifted ${java.lang.Long.bitCount(a ^ j)} bits")
+    assert(Multimodal.dHash("not an image".getBytes).isEmpty)
+  }
+
+  test("imageNearDups pairs planted twins via the pigeonhole join") {
+    val rows = (0 until 12).map { i =>
+      // twins (2m, 2m+1): same pattern, +2 brightness on the odd one
+      Multimodal.MediaRow(i.toLong, "image",
+        patternPng(i / 2, (i % 2) * 2), 9, 8, 0.0)
+    } :+ Multimodal.MediaRow(99L, "image", "garbage".getBytes, 0, 0, 0.0)
+    val pairs = Multimodal.imageNearDups(rows.toDS(), maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(pairs.toSeq ==
+      (0 until 6).map(m => (2L * m, 2L * m + 1)).toSeq)
+  }
+
   test("resizePlan computes scales") {
     val r = Multimodal.resizePlan(media, 224, 224)
       .select($"width", $"target_width", $"scale_x").limit(1).head()
