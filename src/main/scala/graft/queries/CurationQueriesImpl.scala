@@ -639,5 +639,87 @@ object CurationQueriesImpl {
         .select(col("doc_id"), col("source"))
         .orderBy(col("doc_id"))
     }
+
+    // DSIR importance weighting + resampling (Xie et al. 2023),
+    // target = src0 documents, raw = the rest. The oracle rebuilds
+    // the whole estimator: md5 hashed-ngram buckets (q96's portable
+    // bucket), add-one-smoothed bucket distributions over exact long
+    // totals, per-bucket log-ratio micros, per-doc tf-weighted sums —
+    // and, for q111, the Gumbel-top-k key weight_micro +
+    // round(−ln(−ln u)·1e6) over the shared md5 draw (a LONG sum —
+    // overflow-safe for any log-ratio), so the exact sampled SET
+    // replays cross-engine.
+    locally {
+      val bkSql = Seq(256, 16, 1).zipWithIndex.map { case (m, i) =>
+        s"(INSTR('0123456789abcdef', SUBSTR(MD5(x), ${i + 1}, 1)) - 1)" +
+          (if (m == 1) "" else s" * $m")
+      }.mkString(" + ")
+      val wCte =
+        s"""t AS (SELECT doc_id, source,
+           |    REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\\s+') AS tok
+           |  FROM documents),
+           |f AS (SELECT doc_id, source, LIST_CONCAT(tok,
+           |    CASE WHEN LEN(tok) >= 2 THEN
+           |      LIST_TRANSFORM(GENERATE_SERIES(1, LEN(tok) - 1),
+           |        i -> CONCAT_WS(' ', tok[i], tok[i+1]))
+           |    ELSE [] END) AS feats FROM t),
+           |b AS (SELECT doc_id, source,
+           |    UNNEST(LIST_TRANSFORM(feats, x -> $bkSql)) AS bk
+           |  FROM f),
+           |cr AS (SELECT bk, COUNT(*) AS c FROM b
+           |  WHERE source <> 'src0' GROUP BY bk),
+           |ct AS (SELECT bk, COUNT(*) AS c FROM b
+           |  WHERE source = 'src0' GROUP BY bk),
+           |nr AS (SELECT CAST(SUM(c) AS BIGINT) AS nr FROM cr),
+           |nt AS (SELECT CAST(SUM(c) AS BIGINT) AS nt FROM ct),
+           |ratio AS (SELECT COALESCE(cr.bk, ct.bk) AS bk,
+           |    CAST(ROUND((LN((COALESCE(ct.c, 0) + 1.0)
+           |        / (nt.nt + 4096))
+           |      - LN((COALESCE(cr.c, 0) + 1.0) / (nr.nr + 4096)))
+           |      * 1e6) AS BIGINT) AS micro
+           |  FROM cr FULL JOIN ct ON cr.bk = ct.bk, nr, nt),
+           |pd AS (SELECT b.doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats,
+           |    CAST(SUM(r.micro) AS BIGINT) AS weight_micro
+           |  FROM b JOIN ratio r ON b.bk = r.bk
+           |  WHERE b.source <> 'src0' GROUP BY b.doc_id),
+           |w AS (SELECT d.doc_id,
+           |    COALESCE(pd.n_feats, 0) AS n_feats,
+           |    COALESCE(pd.weight_micro, 0) AS weight_micro
+           |  FROM documents d LEFT JOIN pd USING (doc_id)
+           |  WHERE d.source <> 'src0')""".stripMargin
+      val bucketOf = (f: Column, b: Int) =>
+        conv(substring(md5(f), 1, 3), 16, 10).cast("int")
+      def weights(s: SparkSession, dir: String): DataFrame = {
+        val docs = table(s, dir, "documents")
+        Curation.importanceWeights(
+          docs.where(col("source") =!= "src0"),
+          docs.where(col("source") === "src0"),
+          "text", "doc_id", buckets = 4096, bucketOf = bucketOf)
+      }
+
+      register("q110_dsir_weights",
+        s"WITH $wCte SELECT * FROM w ORDER BY doc_id") { (s, dir) =>
+        weights(s, dir).orderBy(col("doc_id"))
+      }
+
+      register("q111_dsir_sample", {
+        val u = s"((${OracleDraw.hex8(
+          "MD5(CONCAT_WS('|', '42', CAST(doc_id AS VARCHAR)))")}) " +
+          "+ 1.0) / 4294967298.0"
+        s"""WITH $wCte,
+           |k AS (SELECT doc_id, n_feats, weight_micro,
+           |    weight_micro
+           |      + CAST(ROUND(-LN(-LN($u)) * 1e6) AS BIGINT) AS key
+           |  FROM w)
+           |SELECT doc_id, n_feats, weight_micro FROM k
+           |ORDER BY key DESC, doc_id LIMIT 50""".stripMargin
+      }) { (s, dir) =>
+        Curation.weightedSample(weights(s, dir), "weight_micro",
+            Seq("doc_id"), n = 50, seed = 42L,
+            draw = graft.functions.Draws.md5Uniform)
+          .select(col("doc_id"), col("n_feats"), col("weight_micro"))
+          .orderBy(col("doc_id"))
+      }
+    }
   }
 }

@@ -833,6 +833,95 @@ object Curation {
         col("n_matched"), col("bm25_micro"), col("rank"))
   }
 
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): estimate each
+    * raw document's target-vs-raw log-likelihood ratio under hashed
+    * n-gram bag-of-features models. Features are
+    * [[hashedNgramBuckets]] (unigrams + bigrams hashed into `buckets`
+    * bins); each distribution is the add-one-smoothed bucket
+    * frequency of its corpus; per-BUCKET log-ratios quantize to
+    * integer micros so the per-document sum
+    * `Σ_f log(p_target(f)/p_raw(f))` is summation-order independent
+    * and cross-engine exact. Returns (idCol, n_feats, weight_micro);
+    * docs with no features get 0/0.
+    *
+    * Scale shape: the raw side's feature arrays materialize once
+    * (they feed the raw bucket counts AND the per-doc scoring); both
+    * count aggregations are map-side-combined explodes whose shuffle
+    * carries at most `buckets` rows; the bucket-ratio table is ≤
+    * `buckets` rows by construction, so it BROADCASTS to the scoring
+    * join regardless of corpus size. One token-scale shuffle total. */
+  def importanceWeights(raw: DataFrame, target: DataFrame,
+      textCol: String, idCol: String, buckets: Int = 4096,
+      bucketOf: (Column, Int) => Column =
+        (f, b) => pmod(xxhash64(f), lit(b)).cast("int")): DataFrame = {
+    require(buckets > 0)
+    requireFresh(raw, "bk_", "b_", "micro_", "n_feats", "weight_micro")
+    def feats(df: DataFrame, cols: Seq[Column]): DataFrame =
+      df.select(cols :+ hashedNgramBuckets(
+        TextAnalysis.tokens(col(textCol)), buckets, bucketOf)
+        .as("bk_"): _*)
+    val rawFeats = feats(raw, Seq(col(idCol))).localCheckpoint(false)
+    def counts(df: DataFrame) =
+      df.select(explode(col("bk_")).as("b_"))
+        .groupBy(col("b_")).agg(count(lit(1)).as("c"))
+    val cr = counts(rawFeats)
+    val ct = counts(feats(target, Nil))
+    // exact long totals -> both engines' doubles divide identical ints
+    val nr = cr.agg(sum(col("c")).as("nr"))
+    val nt = ct.agg(sum(col("c")).as("nt"))
+    val ratio = cr.withColumnRenamed("c", "cr")
+      .join(ct.withColumnRenamed("c", "ct"), Seq("b_"), "full")
+      .crossJoin(broadcast(nr)).crossJoin(broadcast(nt))
+      .select(col("b_"),
+        round((log((coalesce(col("ct"), lit(0L)) + 1.0) /
+            (col("nt") + lit(buckets))) -
+          log((coalesce(col("cr"), lit(0L)) + 1.0) /
+            (col("nr") + lit(buckets)))) * 1e6)
+          .cast("long").as("micro_"))
+    val perDoc = rawFeats
+      .select(col(idCol), explode(col("bk_")).as("b_"))
+      .join(broadcast(ratio), "b_")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_feats"),
+        sum(col("micro_")).as("weight_micro"))
+    raw.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_feats"), lit(0L)).as("n_feats"),
+        coalesce(col("weight_micro"), lit(0L)).as("weight_micro"))
+  }
+
+  /** Gumbel-top-k weighted sampling without replacement (equivalent
+    * to Efraimidis–Spirakis A-Res): each row draws
+    * `u = uniform(seed, idCols)` and the `n` largest
+    * `logWeight + Gumbel(u)` keys win, where `Gumbel(u) =
+    * −ln(−ln u)` — inclusion odds scale with `exp(logWeight)`.
+    * Built to consume [[importanceWeights]]' `weight_micro` (a
+    * LOG-ratio in micros) directly — the DSIR resampling step — and
+    * deliberately stays in LOG space: exponentiating a log-ratio
+    * before keying (the literal A-Res key `ln(u)·w^{-1}`) overflows
+    * any fixed-point representation for strongly off-domain
+    * documents. The key is `weight_micro + round(Gumbel·1e6)` — a
+    * LONG sum of the stored weight and the micro-quantized noise, so
+    * the draw is deterministic under any partitioning, overflow-safe
+    * across the whole log-ratio range, and replayable cross-engine.
+    * One distributed TakeOrdered with an id tiebreak — no global
+    * sort. */
+  def weightedSample(df: DataFrame, logWeightMicroCol: String,
+      idCols: Seq[String], n: Int, seed: Long = 42L,
+      draw: (Long, Seq[Column]) => Column =
+        graft.functions.Draws.md5Uniform): DataFrame = {
+    require(n > 0 && idCols.nonEmpty)
+    requireFresh(df, "key_")
+    val u = draw(seed, idCols.map(col))
+    val key = col(logWeightMicroCol) +
+      round(-log(-log(u)) * 1e6).cast("long")
+    df.withColumn("key_", key)
+      .orderBy(col("key_").desc +: idCols.map(col): _*)
+      .limit(n)
+      .drop("key_")
+  }
+
   /** Largest exact-mixture rebalance: given target shares per stratum
     * (summing to 1), the biggest subsample whose composition matches the
     * target keeps `c·T_s` docs of stratum s where

@@ -521,4 +521,57 @@ class CurationSpec extends AnyFunSuite {
       assert(rows.map(_._3).sorted.toSeq ==
         (1 to rows.length).map(_.toLong)) }
   }
+
+  test("importanceWeights rank target-like raw docs above off-domain") {
+    val medical = Seq("patient dose trial clinical symptom therapy",
+      "dose trial outcome patient clinical remission therapy",
+      "clinical patient symptom dose therapy trial screening")
+    val code = Seq("compile linker segfault pointer mutex thread heap",
+      "pointer heap mutex compile segfault linker stack thread")
+    val target = medical.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val raw = Seq(
+      (10L, "trial dose patient clinical therapy symptom remission"),
+      (11L, "segfault mutex pointer linker compile thread heap stack"),
+      (12L, "weather tomorrow sunny rain forecast breeze cloud"))
+      .toDF("doc_id", "text")
+    val w = Curation.importanceWeights(raw, target, "text", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2))).toMap
+    // n_feats = unigrams + bigrams = 2*len - 1
+    assert(w(10L)._1 == 13 && w(11L)._1 == 15)
+    // the in-domain doc must out-weigh both off-domain docs
+    assert(w(10L)._2 > w(11L)._2 && w(10L)._2 > w(12L)._2,
+      s"weights: $w")
+    // deterministic under repartitioning
+    val w2 = Curation.importanceWeights(raw.repartition(5),
+        target.repartition(3), "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(w.map { case (k, v) => k -> v._2 } == w2)
+    val _ = code // anchors the off-domain vocabulary used above
+  }
+
+  test("weightedSample prefers heavy rows, exact n, deterministic") {
+    // 20 light rows (log-weight 0) + 5 heavy rows (log-ratio ln(20)
+    // in micros): across seeds, heavies appear far above their 20%
+    // head-count share
+    val df = ((0L until 20L).map(i => (i, 0L)) ++
+      (100L until 105L).map(i => (i, math.round(math.log(20.0) * 1e6))))
+      .toDF("doc_id", "weight_micro")
+    val heavyRates = (1L to 30L).map { seed =>
+      val got = Curation.weightedSample(df, "weight_micro",
+        Seq("doc_id"), n = 5, seed = seed)
+        .select($"doc_id").as[Long].collect()
+      assert(got.length == 5 && got.distinct.length == 5)
+      got.count(_ >= 100L)
+    }
+    // E[heavies] ≈ 5 * (5*20)/(5*20+20) ≈ 4.2 of 5; demand > 3 on avg
+    assert(heavyRates.sum > 3 * 30, s"heavy picks: ${heavyRates.sum}")
+    // deterministic under repartitioning at fixed seed
+    val a = Curation.weightedSample(df, "weight_micro", Seq("doc_id"),
+      5, 7L).select($"doc_id").as[Long].collect().sorted
+    val b = Curation.weightedSample(df.repartition(7), "weight_micro",
+      Seq("doc_id"), 5, 7L).select($"doc_id").as[Long].collect().sorted
+    assert(a.toSeq == b.toSeq)
+  }
 }
