@@ -640,6 +640,24 @@ object CurationQueriesImpl {
         .orderBy(col("doc_id"))
     }
 
+    // C4/Dolma-style per-domain cap: at most 20 docs per source,
+    // longest first, doc_id tiebreak — the oracle is the same keyed
+    // ROW_NUMBER.
+    register("q112_domain_cap",
+      """WITH r AS (SELECT doc_id, source, n_chars,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY n_chars DESC, doc_id) AS BIGINT) AS domain_rank
+        |  FROM documents)
+        |SELECT doc_id, source, n_chars, domain_rank FROM r
+        |WHERE domain_rank <= 20 ORDER BY doc_id""".stripMargin) {
+      (s, dir) =>
+        Curation.capPerKey(table(s, dir, "documents"), Seq("source"),
+            n = 20, order = Seq(col("n_chars").desc, col("doc_id")))
+          .select(col("doc_id"), col("source"), col("n_chars"),
+            col("domain_rank"))
+          .orderBy(col("doc_id"))
+    }
+
     // DSIR importance weighting + resampling (Xie et al. 2023),
     // target = src0 documents, raw = the rest. The oracle rebuilds
     // the whole estimator: md5 hashed-ngram buckets (q96's portable

@@ -833,6 +833,25 @@ object Curation {
         col("n_matched"), col("bm25_micro"), col("rank"))
   }
 
+  /** Per-domain document cap (the C4/Dolma curation step): keep at
+    * most `n` rows per `keyCols` group, preferring `order` (e.g.
+    * quality desc) — callers append a unique id to `order` for a
+    * deterministic cut. Guards against a single template-heavy domain
+    * dominating the mixture. One keyed window; a mega-domain
+    * concentrates its rows in one sort partition, so at fleet scale
+    * pair this with an upstream exact/near dedup (which removes most
+    * of a degenerate domain's mass) — the window itself spills rather
+    * than fails. Adds `domain_rank` (1-based) to the kept rows. */
+  def capPerKey(df: DataFrame, keyCols: Seq[String], n: Int,
+      order: Seq[Column]): DataFrame = {
+    require(n > 0 && keyCols.nonEmpty && order.nonEmpty)
+    requireFresh(df, "domain_rank")
+    df.withColumn("domain_rank", row_number().over(
+        Window.partitionBy(keyCols.map(col): _*).orderBy(order: _*))
+        .cast("long"))
+      .where(col("domain_rank") <= n)
+  }
+
   /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
     * for Language Models via Importance Resampling"): estimate each
     * raw document's target-vs-raw log-likelihood ratio under hashed

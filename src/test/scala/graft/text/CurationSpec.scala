@@ -522,6 +522,20 @@ class CurationSpec extends AnyFunSuite {
         (1 to rows.length).map(_.toLong)) }
   }
 
+  test("capPerKey keeps the n best per key with dense 1-based ranks") {
+    val df = Seq(
+      ("a", 1L, 50L), ("a", 2L, 90L), ("a", 3L, 70L), ("a", 4L, 90L),
+      ("b", 5L, 10L))
+      .toDF("source", "doc_id", "quality")
+    val kept = Curation.capPerKey(df, Seq("source"), 2,
+        Seq($"quality".desc, $"doc_id"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3)))
+      .sortBy(_._2)
+    // a: quality-90 docs 2 and 4 win (tiebreak doc_id); b: under cap
+    assert(kept.toSeq == Seq(("a", 2L, 1L), ("a", 4L, 2L),
+      ("b", 5L, 1L)))
+  }
+
   test("importanceWeights rank target-like raw docs above off-domain") {
     val medical = Seq("patient dose trial clinical symptom therapy",
       "dose trial outcome patient clinical remission therapy",
