@@ -27,7 +27,10 @@ import org.apache.spark.sql.functions._
   *  7. decontaminate: drop documents overlapping the (broadcast)
   *     benchmark 13-gram set;
   *  8. semantic prune: SemDedup over the embeddings of surviving
-  *     docs (auto-sized hyperplane clusters);
+  *     docs (auto-sized hyperplane clusters), then a per-source
+  *     document cap (C4/Dolma) and DSIR importance resampling toward
+  *     a target-domain sketch (hashed-ngram log-ratios +
+  *     Gumbel-top-k);
   *  9. rebalance + sample: largest exact source mixture, applied as a
   *     deterministic stratified sample;
   * 10. chunk: overlapping token windows — the training examples;
@@ -140,17 +143,40 @@ object CorpusDemo {
         "text", "doc_id", "doc_id", k = 5).count()
     }
 
+    // 8c. per-domain cap: no single source may dominate the mixture
+    //     the later stages balance (C4/Dolma step; longest-first cut)
+    val capped = t("cap: per-source document limit") {
+      Curation.capPerKey(pruned, Seq("source"), n = 40,
+        order = Seq(col("n_chars").desc, col("doc_id")))
+        .drop("domain_rank")
+    }
+
+    // 8d. DSIR data selection toward a target domain: importance
+    //     weights from hashed-ngram target/raw log-ratios (src0 docs
+    //     double as the target sketch), then Gumbel-top-k resampling
+    //     — keeps the corpus-sized half of the selection distributed;
+    //     only the ≤4096-bucket ratio table is small
+    val selected = t("select: DSIR importance resample") {
+      val target = capped.where(col("source") === "src0")
+      val w = Curation.importanceWeights(capped, target, "text",
+        "doc_id")
+      Curation.weightedSample(
+        capped.join(w, Seq("doc_id")), "weight_micro",
+        Seq("doc_id"), n = (capped.count() * 4 / 5).toInt.max(1))
+        .drop("n_feats", "weight_micro")
+    }
+
     // 9. rebalance to a target source mixture, applied as a
     //    deterministic stratified sample (weights are domain-scale:
     //    collect is one row per source)
     val sampled = t("rebalance + sample: source mixture") {
-      val srcs = pruned.select(col("source")).distinct()
+      val srcs = selected.select(col("source")).distinct()
         .collect().map(_.getString(0)).sorted
       val target = srcs.map(_ -> 1.0 / srcs.length).toMap
-      val weights = Curation.mixtureWeights(pruned, "source", target)
+      val weights = Curation.mixtureWeights(selected, "source", target)
         .select(col("source"), col("keep_fraction"))
         .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
-      Curation.stratifiedSample(pruned, "source", weights,
+      Curation.stratifiedSample(selected, "source", weights,
         idCols = Seq("doc_id"))
     }
 
@@ -185,6 +211,8 @@ object CorpusDemo {
       "quality-filtered" -> filtered.count(),
       "deduped" -> deduped.count(), "decontaminated" -> clean.count(),
       "semantically-pruned" -> pruned.count(),
+      "domain-capped" -> capped.count(),
+      "dsir-selected" -> selected.count(),
       "sampled" -> sampled.count())
     counts.foreach { case (k, v) => println(f"[corpus] $k%-22s $v%,10d") }
     println(f"[corpus] ${"training-chunks"}%-22s ${chunks.count()}%,10d")
