@@ -708,7 +708,13 @@ object CurationQueriesImpl {
       val bucketOf = (f: Column, b: Int) =>
         conv(substring(md5(f), 1, 3), 16, 10).cast("int")
       def weights(s: SparkSession, dir: String): DataFrame = {
+        // the fixture is one parquet file (1-2 scan partitions); md5
+        // feature hashing is the cost center, so spread the raw side
+        // before it — at fleet scale the scan is already parallel and
+        // this exchange is a no-op choice
         val docs = table(s, dir, "documents")
+          .repartition(s.sparkContext.defaultParallelism,
+            col("doc_id"))
         Curation.importanceWeights(
           docs.where(col("source") =!= "src0"),
           docs.where(col("source") === "src0"),

@@ -875,17 +875,27 @@ object Curation {
       bucketOf: (Column, Int) => Column =
         (f, b) => pmod(xxhash64(f), lit(b)).cast("int")): DataFrame = {
     require(buckets > 0)
-    requireFresh(raw, "bk_", "b_", "micro_", "n_feats", "weight_micro")
+    requireFresh(raw, "bk_", "b_", "toks__", "micro_", "n_feats",
+      "weight_micro")
+    // alias the token array BEFORE feature building: passing the
+    // split expression straight into hashedNgramBuckets inlines it
+    // into the per-bigram lambdas (O(tokens²) per doc — measured 10×
+    // on this very operator); the multi-referenced alias blocks
+    // CollapseProject, the same barrier the q96 gate uses
     def feats(df: DataFrame, cols: Seq[Column]): DataFrame =
-      df.select(cols :+ hashedNgramBuckets(
-        TextAnalysis.tokens(col(textCol)), buckets, bucketOf)
-        .as("bk_"): _*)
+      df.select(cols :+
+        TextAnalysis.tokens(col(textCol)).as("toks__"): _*)
+        .select(cols :+ hashedNgramBuckets(col("toks__"), buckets,
+          bucketOf).as("bk_"): _*)
     val rawFeats = feats(raw, Seq(col(idCol))).localCheckpoint(false)
     def counts(df: DataFrame) =
       df.select(explode(col("bk_")).as("b_"))
         .groupBy(col("b_")).agg(count(lit(1)).as("c"))
-    val cr = counts(rawFeats)
-    val ct = counts(feats(target, Nil))
+    val cr = counts(rawFeats).localCheckpoint(false)
+    // both count frames feed two consumers each (their total and the
+    // ratio join); ≤ `buckets` rows, so the barrier is cheap and the
+    // target corpus is tokenized+hashed once instead of twice
+    val ct = counts(feats(target, Nil)).localCheckpoint(false)
     // exact long totals -> both engines' doubles divide identical ints
     val nr = cr.agg(sum(col("c")).as("nr"))
     val nt = ct.agg(sum(col("c")).as("nt"))
