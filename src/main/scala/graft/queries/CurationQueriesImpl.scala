@@ -745,5 +745,197 @@ object CurationQueriesImpl {
           .orderBy(col("doc_id"))
       }
     }
+
+    // CCNet head/middle/tail perplexity split, stratified by source.
+    // The engine buckets via the hierarchical prefix sum (histogram →
+    // bin cumsum → within-bin cumsum); the oracle needs only the plain
+    // per-stratum running sum — cum totals are identical by
+    // construction, so every bucket label hash-checks.
+    register("q113_perplexity_buckets",
+      """WITH toks AS (SELECT doc_id, source,
+        |    REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+') AS t
+        |  FROM documents),
+        |terms AS (SELECT doc_id, LEN(t) AS dl, UNNEST(t) AS term
+        |  FROM toks),
+        |tf AS (SELECT doc_id, term, ANY_VALUE(dl) AS dl, COUNT(*) AS tf
+        |  FROM terms GROUP BY doc_id, term),
+        |vocab AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS c
+        |  FROM tf GROUP BY term),
+        |tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS t FROM vocab),
+        |sv AS (SELECT term, CAST(ROUND(LOG2(c / t) * 1e6) AS BIGINT)
+        |    AS micro
+        |  FROM vocab CROSS JOIN tot),
+        |lm AS (SELECT tf.doc_id,
+        |    CAST(ROUND(-CAST(SUM(tf.tf * sv.micro) AS DOUBLE)
+        |      / ANY_VALUE(tf.dl)) AS BIGINT) AS bits_micro
+        |  FROM tf JOIN sv ON tf.term = sv.term GROUP BY tf.doc_id),
+        |s AS (SELECT d.doc_id, d.source, lm.bits_micro
+        |  FROM documents d JOIN lm USING (doc_id)),
+        |hist AS (SELECT source, bits_micro, COUNT(*) AS c
+        |  FROM s GROUP BY source, bits_micro),
+        |cum AS (SELECT source, bits_micro,
+        |    SUM(c) OVER (PARTITION BY source ORDER BY bits_micro)
+        |      AS cum
+        |  FROM hist),
+        |st AS (SELECT source, CAST(SUM(c) AS BIGINT) AS tot
+        |  FROM hist GROUP BY source),
+        |lab AS (SELECT cum.source, cum.bits_micro,
+        |    CASE WHEN cum.cum <= (CAST(1 AS DOUBLE) / 3) * st.tot
+        |        THEN 'head'
+        |      WHEN cum.cum <= (CAST(2 AS DOUBLE) / 3) * st.tot
+        |        THEN 'middle'
+        |      ELSE 'tail' END AS ppl_bucket
+        |  FROM cum JOIN st USING (source))
+        |SELECT s.doc_id, s.source, s.bits_micro, lab.ppl_bucket
+        |FROM s JOIN lab
+        |  ON s.source = lab.source AND s.bits_micro = lab.bits_micro
+        |ORDER BY s.doc_id""".stripMargin) { (s, dir) =>
+      Curation.perplexityBucketsFromTokens(
+          TextQueriesImpl.docTokens(s, dir), "toks_low", "doc_id",
+          Seq("source"))
+        .withColumnRenamed("bucket", "ppl_bucket")
+        .select(col("doc_id"), col("source"), col("bits_micro"),
+          col("ppl_bucket"))
+        .orderBy(col("doc_id"))
+    }
+
+    // Distill the LM bits-per-token signal into a cheap linear plane
+    // over (n_chars, n_tokens) — the distributed closed-form training
+    // half of the q96 apply-only scorer. The oracle recomputes the
+    // SAME nine exact integer Gram sums (HUGEINT there, decimal(38,0)
+    // here) and the SAME fixed-order Cramer solve, so the fitted
+    // doubles — and every per-doc yhat/residual micro — agree
+    // bit-for-bit.
+    register("q114_distill_score",
+      """WITH toks AS (SELECT doc_id,
+        |    REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+') AS t
+        |  FROM documents),
+        |terms AS (SELECT doc_id, LEN(t) AS dl, UNNEST(t) AS term
+        |  FROM toks),
+        |tf AS (SELECT doc_id, term, ANY_VALUE(dl) AS dl, COUNT(*) AS tf
+        |  FROM terms GROUP BY doc_id, term),
+        |vocab AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS c
+        |  FROM tf GROUP BY term),
+        |tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS t FROM vocab),
+        |sv AS (SELECT term, CAST(ROUND(LOG2(c / t) * 1e6) AS BIGINT)
+        |    AS micro
+        |  FROM vocab CROSS JOIN tot),
+        |lm AS (SELECT tf.doc_id,
+        |    CAST(ANY_VALUE(tf.dl) AS BIGINT) AS n_tokens,
+        |    CAST(ROUND(-CAST(SUM(tf.tf * sv.micro) AS DOUBLE)
+        |      / ANY_VALUE(tf.dl)) AS BIGINT) AS bits_micro
+        |  FROM tf JOIN sv ON tf.term = sv.term GROUP BY tf.doc_id),
+        |feat AS (SELECT d.doc_id, d.n_chars, lm.n_tokens,
+        |    lm.bits_micro
+        |  FROM documents d JOIN lm USING (doc_id)),
+        |g AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(SUM(CAST(n_chars AS HUGEINT)) AS DOUBLE) AS sx1,
+        |    CAST(SUM(CAST(n_tokens AS HUGEINT)) AS DOUBLE) AS sx2,
+        |    CAST(SUM(CAST(bits_micro AS HUGEINT)) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(n_chars AS HUGEINT) * n_chars) AS DOUBLE)
+        |      AS s11,
+        |    CAST(SUM(CAST(n_chars AS HUGEINT) * n_tokens) AS DOUBLE)
+        |      AS s12,
+        |    CAST(SUM(CAST(n_tokens AS HUGEINT) * n_tokens) AS DOUBLE)
+        |      AS s22,
+        |    CAST(SUM(CAST(n_chars AS HUGEINT) * bits_micro) AS DOUBLE)
+        |      AS s1y,
+        |    CAST(SUM(CAST(n_tokens AS HUGEINT) * bits_micro)
+        |      AS DOUBLE) AS s2y
+        |  FROM feat),
+        |w AS (SELECT *,
+        |    n * (s11 * s22 - s12 * s12) - sx1 * (sx1 * s22 - s12 * sx2)
+        |      + sx2 * (sx1 * s12 - s11 * sx2) AS det
+        |  FROM g),
+        |coef AS (SELECT
+        |    (sy * (s11 * s22 - s12 * s12)
+        |      - sx1 * (s1y * s22 - s12 * s2y)
+        |      + sx2 * (s1y * s12 - s11 * s2y)) / det AS b0,
+        |    (n * (s1y * s22 - s12 * s2y)
+        |      - sy * (sx1 * s22 - s12 * sx2)
+        |      + sx2 * (sx1 * s2y - s1y * sx2)) / det AS b1,
+        |    (n * (s11 * s2y - s1y * s12)
+        |      - sx1 * (sx1 * s2y - s1y * sx2)
+        |      + sy * (sx1 * s12 - s11 * sx2)) / det AS b2
+        |  FROM w)
+        |SELECT f.doc_id, f.n_chars, f.n_tokens, f.bits_micro,
+        |  CAST(ROUND(c.b0 + c.b1 * f.n_chars + c.b2 * f.n_tokens)
+        |    AS BIGINT) AS yhat_micro,
+        |  f.bits_micro - CAST(ROUND(c.b0 + c.b1 * f.n_chars
+        |    + c.b2 * f.n_tokens) AS BIGINT) AS resid_micro
+        |FROM feat f CROSS JOIN coef c ORDER BY f.doc_id""".stripMargin) {
+      (s, dir) =>
+        val docs = TextQueriesImpl.docTokens(s, dir)
+        val feat = Curation.unigramLogProbFromTokens(docs, "toks_low",
+            "doc_id")
+          .join(docs.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+          .select(col("doc_id"), col("n_chars"), col("n_tokens"),
+            round(-col("logprob_micro").cast("double") / col("n_tokens"))
+              .cast("long").as("bits_micro"))
+        Curation.distillScore(feat, "doc_id", "n_chars", "n_tokens",
+            "bits_micro")._2
+          .orderBy(col("doc_id"))
+    }
+
+    // Graded contamination: same probe split as q80 (docs 0-9 are the
+    // eval suite), but reporting each corpus doc's distinct-13-gram
+    // total and shared fraction — the evidence used to SET q80's
+    // drop threshold.
+    register("q115_contamination_report", {
+      val terms = (0 until 13).map(o => s"tok[j+$o]").mkString(", ")
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\\s+') AS tok
+         |  FROM documents),
+         |g AS (
+         |  SELECT doc_id,
+         |    UNNEST(LIST_DISTINCT(LIST_TRANSFORM(
+         |      GENERATE_SERIES(1, GREATEST(LEN(tok) - 12, 1)),
+         |      j -> CONCAT_WS(' ', $terms)))) AS gram
+         |  FROM t),
+         |p AS (SELECT DISTINCT gram FROM g WHERE doc_id < 10),
+         |tot AS (SELECT doc_id, COUNT(*) AS n_grams FROM g
+         |  WHERE doc_id >= 10 GROUP BY doc_id),
+         |s AS (
+         |  SELECT d.doc_id, COUNT(*) AS n_shared
+         |  FROM g d JOIN p USING (gram)
+         |  WHERE d.doc_id >= 10 GROUP BY d.doc_id)
+         |SELECT t.doc_id, t.n_grams, COALESCE(s.n_shared, 0) AS n_shared,
+         |  CAST(ROUND(COALESCE(s.n_shared, 0) * 1e6 / t.n_grams)
+         |    AS BIGINT) AS contamination_micro
+         |FROM tot t LEFT JOIN s USING (doc_id)
+         |ORDER BY t.doc_id""".stripMargin
+    }) { (s, dir) =>
+      val docs = table(s, dir, "documents")
+      Curation.contaminationReport(
+          docs.where(col("doc_id") >= 10),
+          docs.where(col("doc_id") < 10), "text", "doc_id", k = 13)
+        .orderBy(col("doc_id"))
+    }
+
+    // mT5-style alpha = 0.3 temperature sampling over sources. POW is
+    // transcendental like the LOG/LN gates — micro rounding is the
+    // established tolerance contract.
+    register("q116_temperature_mixture",
+      """WITH c AS (SELECT source, COUNT(*) AS n_docs
+        |  FROM documents GROUP BY source),
+        |w AS (SELECT source, n_docs,
+        |    CAST(ROUND(POW(CAST(n_docs AS DOUBLE), 0.3) * 1e6)
+        |      AS BIGINT) AS w
+        |  FROM c),
+        |t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS tn,
+        |    CAST(SUM(w) AS BIGINT) AS tw
+        |  FROM w)
+        |SELECT w.source, w.n_docs,
+        |  CAST(ROUND(w.n_docs * 1e6 / t.tn) AS BIGINT) AS p_raw_micro,
+        |  CAST(ROUND(w.w * 1e6 / t.tw) AS BIGINT) AS p_alpha_micro,
+        |  CAST(ROUND((CAST(w.w AS DOUBLE) / t.tw)
+        |    / (CAST(w.n_docs AS DOUBLE) / t.tn) * 1e6) AS BIGINT)
+        |    AS boost_micro
+        |FROM w, t ORDER BY w.source""".stripMargin) { (s, dir) =>
+      Curation.temperatureMixture(table(s, dir, "documents"), "source",
+          alpha = 0.3)
+        .orderBy(col("source"))
+    }
   }
 }

@@ -239,6 +239,59 @@ object Fitting {
       Array(a, c)
     }
 
+  /** Distributed CLOSED-FORM least squares of `y` on (1, x1, x2) —
+    * unlike the collect-and-optimize fits above, this one never
+    * collects data: the 3×3 normal-equation Gram matrix is NINE exact
+    * integer sums computed in ONE map-side-combined aggregation over
+    * the full frame, and only that single row reaches the driver. At
+    * 100 TB the plan is a scan + one 9-column partial-agg reduce —
+    * the cheapest possible shape for model fitting.
+    *
+    * Inputs must be integral columns (micro-quantized upstream);
+    * per-row products are computed in long (callers keep |x|,|y|
+    * below ~3e9 so products fit) and summed in decimal(38,0), so the
+    * sums are EXACT at any row count and the derived weights are
+    * bit-reproducible across partitionings and engines: both sides
+    * convert the same exact integers to doubles and run the same
+    * fixed-order Cramer formulas. `ridge` adds to the x1/x2 diagonal
+    * (intercept unpenalized).
+    *
+    * Returns (b0, b1, b2): yhat = b0 + b1·x1 + b2·x2. */
+  def fitPlaneMicro(df: DataFrame, x1Col: String, x2Col: String,
+      yCol: String, ridge: Double = 0.0): (Double, Double, Double) = {
+    val x1 = col(x1Col).cast("long")
+    val x2 = col(x2Col).cast("long")
+    val y = col(yCol).cast("long")
+    def dsum(c: org.apache.spark.sql.Column) =
+      sum(c.cast("decimal(38,0)"))
+    val r = df.agg(
+      count(lit(1)).as("n"),
+      dsum(x1).as("sx1"), dsum(x2).as("sx2"), dsum(y).as("sy"),
+      dsum(x1 * x1).as("s11"), dsum(x1 * x2).as("s12"),
+      dsum(x2 * x2).as("s22"),
+      dsum(x1 * y).as("s1y"), dsum(x2 * y).as("s2y")).head()
+    val n = r.getLong(0).toDouble
+    def d(i: Int) = r.getDecimal(i).doubleValue()
+    val (sx1, sx2, sy) = (d(1), d(2), d(3))
+    val s11 = d(4) + ridge
+    val s12 = d(5)
+    val s22 = d(6) + ridge
+    val (s1y, s2y) = (d(7), d(8))
+    // Cramer's rule in a FIXED operation order — the DuckDB oracle
+    // spells out the same expressions, so the doubles agree bit-for-bit
+    val det = n * (s11 * s22 - s12 * s12) -
+      sx1 * (sx1 * s22 - s12 * sx2) + sx2 * (sx1 * s12 - s11 * sx2)
+    require(det != 0.0,
+      "singular normal equations — x1/x2 are collinear or constant")
+    val b0 = (sy * (s11 * s22 - s12 * s12) -
+      sx1 * (s1y * s22 - s12 * s2y) + sx2 * (s1y * s12 - s11 * s2y)) / det
+    val b1 = (n * (s1y * s22 - s12 * s2y) -
+      sy * (sx1 * s22 - s12 * sx2) + sx2 * (sx1 * s2y - s1y * sx2)) / det
+    val b2 = (n * (s11 * s2y - s1y * s12) -
+      sx1 * (sx1 * s2y - s1y * sx2) + sy * (sx1 * s12 - s11 * sx2)) / det
+    (b0, b1, b2)
+  }
+
   private def bristowCore(dates: Array[java.time.LocalDate],
       tmin: Array[Double], tmax: Array[Double], pot: Array[Double],
       obs: Array[Double], mon: Array[Int]): (Double, Double) = {

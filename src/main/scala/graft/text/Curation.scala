@@ -186,11 +186,8 @@ object Curation {
       textCol: String, idCol: String, k: Int = 13): DataFrame = {
     requireFresh(corpus, "tok_", "gram_", "n_shared")
     requireFresh(probes, "tok_", "gram_")
-    def grams(df: DataFrame, keep: Seq[String]) = df
-      .withColumn("tok_", TextAnalysis.tokens(lower(col(textCol))))
-      .select(keep.map(col) :+
-        explode(array_distinct(
-          TextAnalysis.shinglesFromTokens(col("tok_"), k))).as("gram_"): _*)
+    def grams(df: DataFrame, keep: Seq[String]) =
+      distinctGrams(df, textCol, keep, k)
     val probeGrams = grams(probes, Nil).distinct()
     val shared = grams(corpus, Seq(idCol))
       .join(broadcast(probeGrams), Seq("gram_"))
@@ -202,6 +199,56 @@ object Curation {
         coalesce(col("n_shared"), lit(0L)).as("n_shared"),
         (coalesce(col("n_shared"), lit(0L)) > 0).cast("long")
           .as("contaminated"))
+  }
+
+  /** One row per distinct word `k`-gram of each document (lowercased
+    * whitespace tokens; texts shorter than `k` yield their one
+    * truncated shingle, matching [[TextAnalysis.shinglesFromTokens]]).
+    * Shared front half of [[decontaminate]] / [[contaminationReport]]. */
+  private def distinctGrams(df: DataFrame, textCol: String,
+      keep: Seq[String], k: Int): DataFrame = df
+    .withColumn("tok_", TextAnalysis.tokens(lower(col(textCol))))
+    .select(keep.map(col) :+
+      explode(array_distinct(
+        TextAnalysis.shinglesFromTokens(col("tok_"), k))).as("gram_"): _*)
+
+  /** Graded contamination report — [[decontaminate]]'s boolean flag is
+    * the DECISION; this is the evidence used to SET the threshold:
+    * per corpus document, how many of its distinct word `k`-grams
+    * appear anywhere in the probe/eval set, and what fraction of the
+    * document that is. Returns (idCol, n_grams, n_shared,
+    * contamination_micro) where contamination_micro =
+    * round(n_shared·1e6/n_grams) — an exact integer, so the gate
+    * hash-checks without float-order caveats. The standard workflow
+    * (e.g. GPT-3 appendix C, PaLM contamination analysis) bins this
+    * fraction to choose between dropping a document and merely
+    * flagging it.
+    *
+    * Scale shape: identical to [[decontaminate]] — probe grams
+    * broadcast, corpus matches die map-side, PLUS one extra
+    * map-side-combined count of each document's distinct-gram total
+    * (corpus-token scale, the same cost as the match scan). */
+  def contaminationReport(corpus: DataFrame, probes: DataFrame,
+      textCol: String, idCol: String, k: Int = 13): DataFrame = {
+    requireFresh(corpus, "tok_", "gram_", "n_grams", "n_shared",
+      "contamination_micro")
+    requireFresh(probes, "tok_", "gram_")
+    val corpusGrams = distinctGrams(corpus, textCol, Seq(idCol), k)
+      // two consumers (total + matched counts): materialize the
+      // tokenize+shingle work once instead of re-scanning the corpus
+      .localCheckpoint(false)
+    val totals = corpusGrams.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"))
+    val probeGrams = distinctGrams(probes, textCol, Nil, k).distinct()
+    val shared = corpusGrams
+      .join(broadcast(probeGrams), Seq("gram_"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shared"))
+    totals.join(shared, Seq(idCol), "left")
+      .select(col(idCol), col("n_grams"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        round(coalesce(col("n_shared"), lit(0L)) * lit(1e6) /
+          col("n_grams")).cast("long").as("contamination_micro"))
   }
 
   /** PII patterns. Deliberately restricted to syntax with identical
@@ -990,6 +1037,36 @@ object Curation {
         floor(col("c_") * col("target_share")).cast("long").as("n_keep"))
   }
 
+  /** Distill an expensive per-document quality signal into a cheap
+    * linear scorer — the missing TRAINING half of [[linearScore]]'s
+    * apply-only story: fit `y ≈ b0 + b1·x1 + b2·x2` by distributed
+    * closed-form least squares ([[graft.stats.Fitting.fitPlaneMicro]]
+    * — one 9-sum aggregation, nothing collected but the Gram row),
+    * then score every row with the fitted plane as a pure row
+    * expression. The canonical use: y = LM bits-per-token (two
+    * corpus-scale shuffles to compute), x = cheap scan-only
+    * heuristics — after fitting once, a 100 TB rescore is a single
+    * codegen'd scan. All columns integral micros; returns the id,
+    * the inputs, `yhat_micro` and `resid_micro` (exact longs).
+    *
+    * Returns the fitted (b0, b1, b2) alongside the scored frame so
+    * callers can ship the weights to [[linearScore]]-style appliers
+    * without refitting. */
+  def distillScore(df: DataFrame, idCol: String, x1Col: String,
+      x2Col: String, yCol: String, ridge: Double = 0.0)
+      : ((Double, Double, Double), DataFrame) = {
+    requireFresh(df, "yhat_micro", "resid_micro")
+    val (b0, b1, b2) =
+      graft.stats.Fitting.fitPlaneMicro(df, x1Col, x2Col, yCol, ridge)
+    val yhat = round(lit(b0) +
+      lit(b1) * col(x1Col).cast("double") +
+      lit(b2) * col(x2Col).cast("double")).cast("long")
+    ((b0, b1, b2), df
+      .withColumn("yhat_micro", yhat)
+      .withColumn("resid_micro",
+        col(yCol).cast("long") - col("yhat_micro")))
+  }
+
   /** Hashed unigram+bigram feature buckets for a linear text
     * classifier — the fastText-style feature pipeline (bag of words +
     * word bigrams, hashing-trick bucketed). Returns an `array<int>` of
@@ -1029,6 +1106,159 @@ object Curation {
     * apply-the-classifier half of the standard quality-filtering
     * loop (the training half is sklearn/fastText-offline, model
     * shipped as an array). */
+  /** Exact per-stratum quantile bucketing of an INTEGER score column
+    * (CCNet's head/middle/tail perplexity split generalized): row r
+    * lands in bucket `labels(j)` for the first `j` with
+    * `cum(r) <= fracs(j) · total(stratum)`, where `cum` counts rows of
+    * the stratum scoring <= r's score — so ties (equal scores) always
+    * share a bucket and the result is independent of partitioning and
+    * engine. Returns the input plus a `bucket` column.
+    *
+    * Scale shape — a hierarchical prefix sum, NOT a corpus sort:
+    * (1) per-(stratum, score) histogram: one map-side-combined groupBy
+    *     whose output is distinct-score scale, not row scale;
+    * (2) scores coarse-binned by `score >> binShift`; bin subtotals
+    *     prefix-summed per stratum (a window over <= 2^(63-binShift)
+    *     bin rows — thousands, never data-scale);
+    * (3) within-bin prefix sums, partitioned by (stratum, bin), each
+    *     partition holding only one bin's distinct scores;
+    * (4) bucket labels join back to rows by (stratum, score) — a hash
+    *     join at distinct-score scale.
+    * No task ever sorts more than one bin of one stratum, so the
+    * operator survives a stratum with billions of rows — the case
+    * where "window over the stratum" (the naive plan) is a one-task
+    * sort cliff. */
+  def quantileBuckets(df: DataFrame, scoreCol: String,
+      strataCols: Seq[String], fracs: Seq[Double], labels: Seq[String],
+      binShift: Int = 20): DataFrame = {
+    require(strataCols.nonEmpty, "strataCols must be non-empty")
+    require(fracs.nonEmpty && labels.length == fracs.length + 1,
+      "need labels.length == fracs.length + 1")
+    require(fracs.head > 0 && fracs.last < 1 &&
+      fracs.zip(fracs.tail).forall { case (a, b) => a < b },
+      "fracs must be strictly increasing within (0, 1)")
+    require(binShift >= 0 && binShift < 63)
+    requireFresh(df, "s_", "bin_", "cnt_", "bc_", "base_", "cum_",
+      "tot_", "bucket")
+    val sCols = strataCols.map(col)
+    val hist = df.groupBy(sCols :+ col(scoreCol).cast("long").as("s_"): _*)
+      .agg(count(lit(1)).as("cnt_"))
+      // three consumers (bin totals, within-bin cumsum, stratum
+      // totals): materialize the distinct-score histogram once
+      .localCheckpoint(false)
+    // arithmetic shift: preserves score order for negative micros too
+    val binned = hist.withColumn("bin_", shiftright(col("s_"), binShift))
+    val binBase = binned
+      .groupBy(sCols :+ col("bin_"): _*).agg(sum(col("cnt_")).as("bc_"))
+      .withColumn("base_", coalesce(
+        sum(col("bc_")).over(Window.partitionBy(sCols: _*)
+          .orderBy(col("bin_"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(sCols :+ col("bin_") :+ col("base_"): _*)
+    val cum = binned.join(binBase, strataCols :+ "bin_")
+      .withColumn("cum_", col("base_") +
+        sum(col("cnt_")).over(
+          Window.partitionBy(sCols :+ col("bin_"): _*)
+            .orderBy(col("s_"))))
+    // stratum totals are strata-scale — broadcast to the label step
+    val tot = hist.groupBy(sCols: _*).agg(sum(col("cnt_")).as("tot_"))
+    val first = when(col("cum_") <= lit(fracs.head) * col("tot_"),
+      lit(labels.head))
+    val labelExpr = fracs.tail.zip(labels.tail.init).foldLeft(first) {
+      case (acc, (f, lab)) =>
+        acc.when(col("cum_") <= lit(f) * col("tot_"), lit(lab))
+    }.otherwise(lit(labels.last))
+    val scoreBuckets = cum.join(broadcast(tot), strataCols)
+      .select(sCols :+ col("s_") :+ labelExpr.as("bucket"): _*)
+    df.withColumn("s_", col(scoreCol).cast("long"))
+      .join(scoreBuckets, strataCols :+ "s_")
+      .drop("s_")
+  }
+
+  /** CCNet-style perplexity bucketing: score every document by the
+    * corpus' own unigram LM ([[unigramLogProb]]), quantize to integer
+    * micro-bits-per-token, and split each stratum (CCNet: the
+    * language) into head/middle/tail at the 1/3 and 2/3 quantiles —
+    * head = most fluent under the LM. The tail bucket is what
+    * CCNet-derived pipelines drop or down-weight. Documents with zero
+    * tokens have no LM score and are omitted. Returns
+    * (idCol, strataCols…, bits_micro, bucket).
+    *
+    * Scale shape: [[unigramLogProb]]'s two token-scale shuffles plus
+    * [[quantileBuckets]]' distinct-score-scale bucketing — no corpus
+    * sort anywhere. */
+  def perplexityBuckets(df: DataFrame, textCol: String, idCol: String,
+      strataCols: Seq[String], fracs: Seq[Double] = Seq(1.0 / 3, 2.0 / 3),
+      labels: Seq[String] = Seq("head", "middle", "tail"),
+      binShift: Int = 20): DataFrame = {
+    requireFresh(df, "toks_")
+    perplexityBucketsFromTokens(
+      df.withColumn("toks_", TextAnalysis.tokens(lower(col(textCol)))),
+      "toks_", idCol, strataCols, fracs, labels, binShift)
+  }
+
+  /** [[perplexityBuckets]] over a pre-tokenized (lowercased) frame —
+    * see [[tfIdfTopTermsFromTokens]] for the stored-artifact
+    * rationale. */
+  def perplexityBucketsFromTokens(df: DataFrame, toksCol: String,
+      idCol: String, strataCols: Seq[String],
+      fracs: Seq[Double] = Seq(1.0 / 3, 2.0 / 3),
+      labels: Seq[String] = Seq("head", "middle", "tail"),
+      binShift: Int = 20): DataFrame = {
+    requireFresh(df.drop(toksCol), "bits_micro")
+    val lm = unigramLogProbFromTokens(df, toksCol, idCol)
+      // exact integer micro-bits per token: LONG division through
+      // double is deterministic and replayed identically by the oracle
+      .select(col(idCol),
+        round(-col("logprob_micro").cast("double") / col("n_tokens"))
+          .cast("long").as("bits_micro"))
+    val scored = df.select(col(idCol) +: strataCols.map(col): _*)
+      .join(lm, Seq(idCol))
+    quantileBuckets(scored, "bits_micro", strataCols, fracs, labels,
+      binShift)
+  }
+
+  /** Temperature-scaled mixture weights (the multilingual /
+    * multi-domain alpha-sampling rule of mBERT/XLM-R/mT5): stratum s
+    * with n_s documents is sampled with probability
+    * `p_s ∝ n_s^alpha` — alpha = 1 keeps the natural mixture, alpha →
+    * 0 approaches uniform over strata, the published sweet spots are
+    * 0.3 (mT5) / 0.7 (XLM-R). Returns one row per stratum:
+    * (stratum, n_docs, p_raw_micro, p_alpha_micro, boost_micro) where
+    * boost = p_alpha / p_raw is the per-document up/down-sampling
+    * factor a sampler should apply (micros, round(x·1e6) — the
+    * transcendental pow rounds at micro precision like every other
+    * gate). Feed the boosts to [[stratifiedSample]] (boost <= 1) or an
+    * epoch-repeat plan (boost > 1).
+    *
+    * Scale shape: one count aggregation; the normalizing sums ride a
+    * broadcast 1-row frame — the output is strata-scale. */
+  def temperatureMixture(df: DataFrame, strataCol: String,
+      alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha <= 1, "alpha in (0, 1]")
+    requireFresh(df, "n_docs", "w_", "tn_", "tw_", "p_raw_micro",
+      "p_alpha_micro", "boost_micro")
+    // the pow itself quantizes to micros per stratum BEFORE the
+    // normalizing sum, so the total is an exact long — a double sum
+    // over strata would depend on partial-aggregation order
+    val counts = df.groupBy(col(strataCol))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("w_",
+        round(pow(col("n_docs").cast("double"), lit(alpha)) * 1e6)
+          .cast("long"))
+    val tots = counts.agg(sum(col("n_docs")).as("tn_"),
+      sum(col("w_")).as("tw_"))
+    counts.crossJoin(broadcast(tots))
+      .select(col(strataCol), col("n_docs"),
+        round(col("n_docs") * lit(1e6) / col("tn_")).cast("long")
+          .as("p_raw_micro"),
+        round(col("w_") * lit(1e6) / col("tw_")).cast("long")
+          .as("p_alpha_micro"),
+        round((col("w_").cast("double") / col("tw_")) /
+          (col("n_docs").cast("double") / col("tn_")) * lit(1e6))
+          .cast("long").as("boost_micro"))
+  }
+
   def linearScore(df: DataFrame, textCol: String, idCol: String,
       weights: Array[Double], bias: Double = 0.0,
       bucketOf: (Column, Int) => Column =

@@ -588,4 +588,160 @@ class CurationSpec extends AnyFunSuite {
       Seq("doc_id"), 5, 7L).select($"doc_id").as[Long].collect().sorted
     assert(a.toSeq == b.toSeq)
   }
+
+  test("quantileBuckets: exact tercile cuts, ties share a bucket, " +
+      "hierarchical cumsum matches the naive single-window plan") {
+    // stratum A: scores 1..9 -> terciles {1,2,3}/{4,5,6}/{7,8,9};
+    // stratum B: a tie block straddling the 1/3 cut must land whole
+    val rows = (1 to 9).map(i => ("A", i.toLong)) ++
+      Seq(("B", 1L), ("B", 5L), ("B", 5L), ("B", 5L), ("B", 9L),
+        ("B", 9L))
+    val df = rows.toDF("s", "score")
+    val got = Curation.quantileBuckets(df, "score", Seq("s"),
+        Seq(1.0 / 3, 2.0 / 3), Seq("head", "middle", "tail"))
+      .select($"s", $"score", $"bucket")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getString(2))
+      .toMap
+    assert((1 to 3).forall(i => got(("A", i.toLong)) == "head"))
+    assert((4 to 6).forall(i => got(("A", i.toLong)) == "middle"))
+    assert((7 to 9).forall(i => got(("A", i.toLong)) == "tail"))
+    // B: tot=6, cuts at 2 and 4. cum(1)=1 head; cum(5)=4 -> the whole
+    // tie block is middle (<= 2/3*6); cum(9)=6 tail
+    assert(got(("B", 1L)) == "head" && got(("B", 5L)) == "middle" &&
+      got(("B", 9L)) == "tail")
+    // random data: hierarchical prefix sum == naive per-stratum window,
+    // including negative scores across bin boundaries (binShift 2 ->
+    // many bins exercised), invariant under partitioning
+    val rnd = new scala.util.Random(7)
+    val big = (1 to 400).map(i =>
+      (s"s${i % 3}", (rnd.nextInt(200) - 100).toLong))
+      .toDF("s", "score")
+    def naive(df0: org.apache.spark.sql.DataFrame) = {
+      import org.apache.spark.sql.expressions.Window
+      val cum = df0.groupBy($"s", $"score").count()
+        .withColumn("cum", sum($"count").over(
+          Window.partitionBy($"s").orderBy($"score")))
+        .withColumn("tot", sum($"count").over(Window.partitionBy($"s")))
+        .select($"s", $"score",
+          when($"cum" <= lit(1.0 / 3) * $"tot", "head")
+            .when($"cum" <= lit(2.0 / 3) * $"tot", "middle")
+            .otherwise("tail").as("bucket"))
+      df0.join(cum, Seq("s", "score"))
+    }
+    def key(df0: org.apache.spark.sql.DataFrame) = df0
+      .select($"s", $"score", $"bucket")
+      .collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getString(2))).sorted.toSeq
+    val fast = Curation.quantileBuckets(big, "score", Seq("s"),
+      Seq(1.0 / 3, 2.0 / 3), Seq("head", "middle", "tail"), binShift = 2)
+    assert(key(fast) == key(naive(big)))
+    val fast2 = Curation.quantileBuckets(big.repartition(11), "score",
+      Seq("s"), Seq(1.0 / 3, 2.0 / 3), Seq("head", "middle", "tail"),
+      binShift = 2)
+    assert(key(fast2) == key(naive(big)))
+  }
+
+  test("perplexityBuckets: per-source thirds, head more fluent than tail") {
+    val got = Curation.perplexityBuckets(docs, "text", "doc_id",
+      Seq("source")).cache()
+    val n = got.count()
+    assert(n == docs.count()) // every doc has tokens in this corpus
+    // per (source, bucket) counts stay within one of a perfect third
+    val counts = got.groupBy($"source", $"bucket").count()
+      .collect().map(r =>
+        (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val perSource = counts.keys.map(_._1).toSeq.distinct
+    perSource.foreach { s =>
+      val tot = counts.collect { case ((`s`, _), c) => c }.sum
+      Seq("head", "middle", "tail").foreach { b =>
+        val c = counts.getOrElse((s, b), 0L)
+        assert(math.abs(c - tot / 3.0) <= tot / 3.0 * 0.2 + 2,
+          s"$s/$b: $c of $tot")
+      }
+    }
+    // fluency ordering: mean bits head < middle < tail, globally
+    val m = got.groupBy($"bucket").agg(avg($"bits_micro").as("b"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(m("head") < m("middle") && m("middle") < m("tail"))
+    got.unpersist()
+  }
+
+  test("temperatureMixture: alpha=1 is the natural mixture, small " +
+      "alpha boosts rare strata, shares sum to 1") {
+    val df = (Seq.fill(90)("big") ++ Seq.fill(10)("small"))
+      .zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("id", "s")
+    val nat = Curation.temperatureMixture(df, "s", alpha = 1.0)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // alpha = 1: p_alpha == p_raw, boost == 1 (micros)
+    nat.values.foreach { case (praw, palpha, boost) =>
+      assert(praw == palpha && boost == 1000000L)
+    }
+    val t = Curation.temperatureMixture(df, "s", alpha = 0.3)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(t("small")._3 > 1000000L, "rare stratum must up-boost")
+    assert(t("big")._3 < 1000000L, "dominant stratum must down-boost")
+    // normalized shares sum to ~1e6 in micros (rounding slack)
+    assert(math.abs(t.values.map(_._2).sum - 1000000L) <= 2)
+  }
+
+  test("contaminationReport: graded fraction consistent with " +
+      "decontaminate's boolean flag") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "completely unrelated text about spark catalyst engines"),
+      (3L, "the quick brown fox jumps over entirely different words"))
+      .toDF("doc_id", "text")
+    val probes = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog today"))
+      .toDF("doc_id", "text")
+    val rep = Curation.contaminationReport(corpus, probes, "text",
+        "doc_id", k = 5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // doc 1 IS a probe: every gram shared -> fraction exactly 1e6
+    assert(rep(1L) == ((6L, 6L, 1000000L)))
+    // doc 2 shares nothing
+    assert(rep(2L)._2 == 0L && rep(2L)._3 == 0L)
+    // doc 3 shares a proper prefix: strictly between
+    assert(rep(3L)._2 > 0L && rep(3L)._3 > 0L && rep(3L)._3 < 1000000L)
+    // graded report agrees with the boolean operator
+    val flags = Curation.decontaminate(corpus, probes, "text",
+        "doc_id", k = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    rep.foreach { case (id, (_, shared, _)) =>
+      assert((shared > 0) == (flags(id) == 1L))
+    }
+  }
+
+  test("fitPlaneMicro recovers a planted plane exactly and is " +
+      "partitioning-invariant; distillScore zeroes its residuals") {
+    val rnd = new scala.util.Random(3)
+    val rows = (1 to 300).map { i =>
+      val x1 = rnd.nextInt(1000).toLong
+      val x2 = rnd.nextInt(500).toLong
+      (i.toLong, x1, x2, 3000000L + 2L * x1 - 7L * x2)
+    }
+    val df = rows.toDF("id", "x1", "x2", "y")
+    val (b0, b1, b2) =
+      graft.stats.Fitting.fitPlaneMicro(df, "x1", "x2", "y")
+    assert(math.abs(b0 - 3000000.0) < 1e-3 &&
+      math.abs(b1 - 2.0) < 1e-9 && math.abs(b2 + 7.0) < 1e-9,
+      s"got ($b0, $b1, $b2)")
+    val again =
+      graft.stats.Fitting.fitPlaneMicro(df.repartition(13), "x1", "x2", "y")
+    assert((b0, b1, b2) == again, "exact sums must kill order effects")
+    val (w, scored) = Curation.distillScore(df, "id", "x1", "x2", "y")
+    assert(w == ((b0, b1, b2)))
+    assert(scored.where($"resid_micro" =!= 0L).count() == 0,
+      "a perfectly planar y must leave zero residual micros")
+    // collinear features fail loudly instead of emitting NaN weights
+    val bad = rows.map { case (i, x1, _, y) => (i, x1, 2L * x1, y) }
+      .toDF("id", "x1", "x2", "y")
+    intercept[IllegalArgumentException] {
+      graft.stats.Fitting.fitPlaneMicro(bad, "x1", "x2", "y")
+    }
+  }
 }
