@@ -286,9 +286,10 @@ object Multimodal {
   }
 
   /** STUB decode: deterministic feature vector from payload bytes — the
-    * fallback for video (codec libs absent here) and undecodable
-    * payloads. Replace with a real codec (??? boundary) — signature and
-    * batch shape stay identical. */
+    * fallback for codec-requiring video (h264 proper; MPEG-1 now
+    * decodes for real via [[Mpeg1]]) and undecodable payloads. Replace
+    * with a real codec (??? boundary) — signature and batch shape stay
+    * identical. */
   def fakeDecode(content: Array[Byte]): Array[Float] = {
     // ??? real implementation would decode samples/frames here
     val out = Array.ofDim[Float](FeatureDim)
@@ -307,8 +308,9 @@ object Multimodal {
   /** Feature extraction over media batches: one decoder context per
     * partition, rows streamed through it. Image rows go through the real
     * `javax.imageio` decoder, audio rows through the real WAV/PCM
-    * parser; anything they reject — and the stubbed video modality —
-    * falls back to `fakeDecode`. */
+    * parser, MPEG-1 video rows through the real [[Mpeg1]] DCT codec;
+    * anything they reject — and codec video (h264) — falls back to
+    * `fakeDecode`. */
   def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
@@ -321,6 +323,14 @@ object Multimodal {
             decodeImage(r.content).getOrElse(fakeDecode(r.content))
           case "audio" =>
             decodeAudioWav(r.content).getOrElse(fakeDecode(r.content))
+          case "video" =>
+            // MPEG-1 video: REAL codec decode of the first I-picture,
+            // image-stat features over its pixels (modality flag 3);
+            // other video payloads (h264 proper) stay stubbed
+            Mpeg1.decodeFrames(r.content, 1)
+              .flatMap(f => decodeImage(f.head._2))
+              .map { a => a(0) = 3.0f; a }
+              .getOrElse(fakeDecode(r.content))
           case _ => fakeDecode(r.content)
         }
         MediaFeatures(r.media_id, r.modality, r.content.length, feats)
@@ -908,11 +918,12 @@ object Multimodal {
       "data".getBytes("US-ASCII") ++ le32(data.length) ++ data
   }
 
-  /** Frame sampling for video rows: animated-GIF, MJPEG-AVI, and
-    * MJPEG-MP4 payloads go through the REAL decoders
-    * (`decodeGifFrames` / `decodeAviMjpegFrames` /
-    * `decodeMp4JpegFrames` — evenly-spaced frames, re-encoded PNG,
-    * container-true timing for both video containers); payloads
+  /** Frame sampling for video rows: animated-GIF, MJPEG-AVI,
+    * MJPEG-MP4, and MPEG-1 video payloads go through the REAL
+    * decoders (`decodeGifFrames` / `decodeAviMjpegFrames` /
+    * `decodeMp4JpegFrames` / [[Mpeg1.decodeFrames]] — evenly-spaced
+    * frames, re-encoded PNG, container-true timing; the MPEG-1 path
+    * is a full DCT codec decode, not a container walk); payloads
     * needing absent codecs (h264 proper) fall back to `fps`-spaced
     * deterministic stub slices, so the pipeline shape is identical
     * either way. */
@@ -929,6 +940,10 @@ object Multimodal {
             Frame(r.media_id, i, off, png)
           }))
         .orElse(decodeMp4JpegFrames(r.content, maxFrames)
+          .map(_.zipWithIndex.map { case ((off, png), i) =>
+            Frame(r.media_id, i, off, png)
+          }))
+        .orElse(Mpeg1.decodeFrames(r.content, maxFrames)
           .map(_.zipWithIndex.map { case ((off, png), i) =>
             Frame(r.media_id, i, off, png)
           }))

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.QueryRegistry.{register, registerRowsOnly}
 import graft.core.Tables.table
-import graft.multimodal.Multimodal
+import graft.multimodal.{Mpeg1, Multimodal}
 import graft.similarity.Similarity
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
@@ -403,17 +403,18 @@ object SimilarityQueriesImpl {
     }
 
     // Same deterministic-half split for video: frame COUNTS, indices,
-    // and container-true TIMINGS of the real MJPEG-AVI and MJPEG-MP4
-    // walks are pure functions of the fixtures' construction
-    // parameters (6 encoded frames; AVI 40000 µs/frame, MP4 40/1000
-    // media-timescale ticks — the SAME 0.04 s real ratio, so IEEE
-    // division yields the identical double; maxFrames=4 → source
-    // indices i*5/3, offsets i_src*0.04), and the stub branch's slice
-    // arithmetic is byte math over STRLEN(text) — all restated
-    // independently by the oracle. Only the re-encoded PNG payload
-    // size (ImageIO-version trivia) is excluded: n_bytes is NULL on
-    // real-decode rows and is round-trip-checked in MultimodalSpec
-    // instead.
+    // and container-true TIMINGS of the real MJPEG-AVI, MJPEG-MP4, and
+    // MPEG-1 CODEC walks are pure functions of the fixtures'
+    // construction parameters (6 encoded frames; AVI 40000 µs/frame,
+    // MP4 40/1000 media-timescale ticks, MPEG-1 frame_rate_code 3 =
+    // 25 fps — the SAME 0.04 s real ratio three ways, and IEEE
+    // division is correctly rounded so i/25.0 and i*40000/1e6 are the
+    // identical double; maxFrames=4 → source indices i*5/3, offsets
+    // i_src*0.04), and the stub branch's slice arithmetic is byte math
+    // over STRLEN(text) — all restated independently by the oracle.
+    // Only the re-encoded PNG payload size (ImageIO-version trivia) is
+    // excluded: n_bytes is NULL on real-decode rows and is
+    // round-trip-checked in MultimodalSpec / Mpeg1Spec instead.
     register("q75_video_frame_sample",
       """WITH vids AS (
         |  SELECT doc_id AS media_id, STRLEN(text) AS len,
@@ -424,7 +425,8 @@ object SimilarityQueriesImpl {
         |    UNNEST(GENERATE_SERIES(0, LEAST(4, GREATEST(1,
         |      CAST(FLOOR(dur * 0.5) AS INT))) - 1)) AS frame_index,
         |    len
-        |  FROM vids WHERE media_id % 2 = 1 AND media_id % 4 <> 3),
+        |  FROM vids WHERE media_id % 2 = 1 AND media_id % 4 <> 3
+        |    AND media_id % 8 <> 1),
         |stub2 AS (
         |  SELECT media_id, frame_index,
         |    ROUND(CAST(frame_index AS DOUBLE) / 0.5, 6) AS offset_s,
@@ -435,7 +437,8 @@ object SimilarityQueriesImpl {
         |real AS (
         |  SELECT media_id,
         |    UNNEST(GENERATE_SERIES(0, 3)) AS frame_index
-        |  FROM vids WHERE media_id % 2 = 0 OR media_id % 4 = 3),
+        |  FROM vids WHERE media_id % 2 = 0 OR media_id % 4 = 3
+        |    OR media_id % 8 = 1),
         |real2 AS (
         |  SELECT media_id, frame_index,
         |    ROUND(CAST((frame_index * 5) // 3 * 40000 AS DOUBLE)
@@ -467,6 +470,12 @@ object SimilarityQueriesImpl {
         width = 8, height = 8)
       val mp4 = Multimodal.encodeMjpegMp4(jpegs, timescale = 1000L,
         sampleDelta = 40L, width = 8, height = 8)
+      // a REAL MPEG-1 intra stream (full DCT codec decode, not a
+      // container walk): 6 graded-gray I-pictures at 25 fps — the
+      // same 0.04 s frame spacing as the two MJPEG containers
+      val mpg = Mpeg1.encodeIntra((0 until 6).map(i =>
+        Mpeg1.grayPicture(16, 16, (_, _) => 30 + i * 35)),
+        frameRateCode = 3)
       val media = Multimodal.syntheticMediaTable(
           table(s, dir, "documents"), "doc_id", "text")
         .withColumn("content",
@@ -474,10 +483,13 @@ object SimilarityQueriesImpl {
             pmod(col("media_id"), lit(2)) === 0, lit(avi))
           .when(col("modality") === "video" &&
             pmod(col("media_id"), lit(4)) === 3, lit(mp4))
+          .when(col("modality") === "video" &&
+            pmod(col("media_id"), lit(8)) === 1, lit(mpg))
             .otherwise(col("content")))
         .as[Multimodal.MediaRow]
       val isReal = pmod(col("media_id"), lit(2)) === 0 ||
-        pmod(col("media_id"), lit(4)) === 3
+        pmod(col("media_id"), lit(4)) === 3 ||
+        pmod(col("media_id"), lit(8)) === 1
       Multimodal.sampleFrames(media, fps = 0.5, maxFrames = 4).toDF()
         .select(col("media_id"), col("frame_index"),
           round(col("offset_s"), 6).as("offset_s"),
