@@ -913,6 +913,91 @@ object CurationQueriesImpl {
         .orderBy(col("doc_id"))
     }
 
+    // Distributed BPE tokenizer training: 4 merges over the [a-z]
+    // vocabulary of docs 0-19. The oracle replays the whole trainer —
+    // each round's adjacent-pair histogram, the (freq DESC, pair ASC)
+    // argmax, and the greedy non-overlapping merge scan (a
+    // LIST_REDUCE fold carrying "merged-prefix|held" state, the SQL
+    // twin of the engine's aggregate() fold) — unrolled like the
+    // cascade-level oracles, so every learned merge and its frequency
+    // hash-checks.
+    locally {
+      def mergeStep(k: Int): String =
+        s"""p$k AS (
+           |  SELECT l[i] || ' ' || l[i+1] AS pair,
+           |    CAST(SUM(freq) AS BIGINT) AS c
+           |  FROM (SELECT STRING_SPLIT(ws, ' ') AS l, freq
+           |    FROM w${k - 1}) t,
+           |       UNNEST(GENERATE_SERIES(1, LEN(l) - 1)) u(i)
+           |  GROUP BY 1),
+           |b$k AS (SELECT pair, c, SPLIT_PART(pair, ' ', 1) AS la,
+           |    SPLIT_PART(pair, ' ', 2) AS rb
+           |  FROM p$k ORDER BY c DESC, pair LIMIT 1),
+           |w$k AS (
+           |  SELECT freq,
+           |    CASE WHEN SPLIT_PART(st, '|', 2) = ''
+           |         THEN SPLIT_PART(st, '|', 1)
+           |         ELSE CASE WHEN SPLIT_PART(st, '|', 1) = ''
+           |              THEN SPLIT_PART(st, '|', 2)
+           |              ELSE SPLIT_PART(st, '|', 1) || ' ' ||
+           |                   SPLIT_PART(st, '|', 2)
+           |              END
+           |    END AS ws
+           |  FROM (
+           |    SELECT w.freq,
+           |      LIST_REDUCE(['|'] || STRING_SPLIT(w.ws, ' '),
+           |        (acc, x) ->
+           |        CASE WHEN SPLIT_PART(acc, '|', 2) = b.la
+           |            AND x = b.rb THEN
+           |          (CASE WHEN SPLIT_PART(acc, '|', 1) = ''
+           |                THEN b.la || b.rb
+           |                ELSE SPLIT_PART(acc, '|', 1) || ' ' ||
+           |                     b.la || b.rb
+           |           END) || '|'
+           |        ELSE
+           |          (CASE WHEN SPLIT_PART(acc, '|', 2) = ''
+           |                THEN SPLIT_PART(acc, '|', 1)
+           |                ELSE CASE WHEN SPLIT_PART(acc, '|', 1) = ''
+           |                     THEN SPLIT_PART(acc, '|', 2)
+           |                     ELSE SPLIT_PART(acc, '|', 1) || ' ' ||
+           |                          SPLIT_PART(acc, '|', 2) END
+           |           END) || '|' || x
+           |        END) AS st
+           |    FROM w${k - 1} w CROSS JOIN b$k b))""".stripMargin
+      register("q117_bpe_merges",
+        s"""WITH w0 AS (
+           |  SELECT TRIM(REGEXP_REPLACE(word, '(.)', '\\1 ', 'g'))
+           |    AS ws, CAST(COUNT(*) AS BIGINT) AS freq
+           |  FROM (SELECT UNNEST(REGEXP_SPLIT_TO_ARRAY(
+           |      TRIM(LOWER(text)), '\\s+')) AS word
+           |    FROM documents WHERE doc_id < 20)
+           |  WHERE REGEXP_MATCHES(word, '^[a-z]+$$')
+           |    AND LENGTH(word) >= 2
+           |  GROUP BY word),
+           |${(1 to 4).map(mergeStep).mkString(",\n")}
+           |SELECT * FROM (
+           |  SELECT CAST(1 AS BIGINT) AS rank, la AS lhs, rb AS rhs,
+           |    la || rb AS merged, c AS freq FROM b1
+           |  UNION ALL SELECT 2, la, rb, la || rb, c FROM b2
+           |  UNION ALL SELECT 3, la, rb, la || rb, c FROM b3
+           |  UNION ALL SELECT 4, la, rb, la || rb, c FROM b4)
+           |ORDER BY rank""".stripMargin) { (s, dir) =>
+        val words = table(s, dir, "documents")
+          .where(col("doc_id") < 20)
+          .select(explode(graft.text.TextAnalysis.tokens(
+            lower(col("text")))).as("word"))
+          .where(col("word").rlike("^[a-z]+$") &&
+            length(col("word")) >= 2)
+          .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+        val m = graft.text.Bpe.trainFromWordCounts(words, "word",
+          "freq", numMerges = 4, minFreq = 1L)
+        graft.text.Bpe.mergesToDf(s, m)
+          .select(col("rank"), col("left").as("lhs"),
+            col("right").as("rhs"), col("merged"), col("freq"))
+          .orderBy(col("rank"))
+      }
+    }
+
     // mT5-style alpha = 0.3 temperature sampling over sources. POW is
     // transcendental like the LOG/LN gates — micro rounding is the
     // established tolerance contract.

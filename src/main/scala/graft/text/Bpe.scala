@@ -1,0 +1,189 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row}
+import org.apache.spark.sql.functions._
+
+/** Distributed byte-pair-encoding tokenizer TRAINING (Sennrich et al.
+  * 2016) and application — the tokenizer-prep step of a training-data
+  * pipeline, beyond the word-level [[Curation.vocabTopK]].
+  *
+  * Scale shape — the key property is that everything after the first
+  * pass is CORPUS-SIZE INDEPENDENT:
+  *  - one token-scale count builds the word histogram (map-side
+  *    combined, the q100 shape);
+  *  - each merge round then works on DISTINCT WORDS only: one explode
+  *    + sum(freq) groupBy over adjacent symbol pairs (shuffle carries
+  *    distinct-pair rows), a 1-row argmax to the driver (calibration
+  *    scale, like every fit), and a pure row-expression greedy merge
+  *    (an `aggregate` fold — no UDF). `localCheckpoint` per round
+  *    bounds plan growth exactly like the cascade level chain.
+  *  - applying the learned merges ([[encode]]) is `mapPartitions`
+  *    with the rank table broadcast and a per-partition memo over
+  *    repeated words — tokenizers are imperative library code, the
+  *    same contract as the multimodal codecs.
+  *
+  * Determinism: the argmax tiebreak is (freq DESC, "left right" ASC) —
+  * binary string order, identical in Spark and DuckDB — so the merge
+  * sequence is unique under any partitioning.
+  */
+object Bpe {
+
+  /** One space between every character — the default symbolizer
+    * (exactly replayable in SQL via the same regexp). Callers with
+    * non-ASCII corpora can pass their own `symbolize`. */
+  def charSymbols(word: Column): Column =
+    split(trim(regexp_replace(word, "(.)", "$1 ")), " ")
+
+  /** Greedy left-to-right single-pair merge as a pure fold expression:
+    * [a, a, a] with pair (a, a) becomes [aa, a] — the non-overlapping
+    * scan BPE training uses. State = (merged prefix, held symbol);
+    * "" is a safe hold-sentinel because symbols are never empty. */
+  def mergePairExpr(syms: Column, a: String, b: String): Column = {
+    val folded = aggregate(syms,
+      struct(array().cast("array<string>").as("out"), lit("").as("held")),
+      (acc, s) => {
+        val out = acc.getField("out")
+        val held = acc.getField("held")
+        when(held === lit(a) && s === lit(b),
+          struct(concat(out, array(lit(a + b))).as("out"),
+            lit("").as("held")))
+          .otherwise(struct(
+            when(held === lit(""), out)
+              .otherwise(concat(out, array(held))).as("out"),
+            s.as("held")))
+      },
+      acc => when(acc.getField("held") === lit(""), acc.getField("out"))
+        .otherwise(concat(acc.getField("out"),
+          array(acc.getField("held")))))
+    folded
+  }
+
+  /** Learned merge table: rank (1-based, merge order), the pair, the
+    * merged symbol, and the pair's frequency at merge time. */
+  final case class Merge(rank: Int, left: String, right: String,
+      merged: String, freq: Long)
+
+  /** Train `numMerges` BPE merges over a word-frequency table
+    * (`wordCol`, `freqCol`). Stops early when no pair reaches
+    * `minFreq`. See object doc for the per-round plan shape. */
+  def trainFromWordCounts(words: DataFrame, wordCol: String,
+      freqCol: String, numMerges: Int, minFreq: Long = 2L,
+      symbolize: Column => Column = charSymbols): Seq[Merge] = {
+    require(numMerges > 0 && minFreq >= 1)
+    var w = words
+      .select(col(freqCol).cast("long").as("freq"),
+        symbolize(col(wordCol)).as("syms"))
+      .where(size(col("syms")) >= 2)
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
+    var done = false
+    while (!done && merges.length < numMerges) {
+      val n = size(col("syms"))
+      val best = w
+        .select(col("freq"),
+          slice(col("syms"), lit(1), greatest(n - 1, lit(0))).as("pv_"),
+          slice(col("syms"), lit(2), greatest(n - 1, lit(0))).as("wv_"))
+        .select(col("freq"),
+          explode(arrays_zip(col("pv_"), col("wv_"))).as("p_"))
+        .select(col("p_.pv_").as("l_"), col("p_.wv_").as("r_"),
+          col("freq"))
+        .groupBy(col("l_"), col("r_")).agg(sum(col("freq")).as("c_"))
+        .orderBy(col("c_").desc, concat_ws(" ", col("l_"), col("r_")))
+        .limit(1)
+        .collect()
+      if (best.isEmpty || best.head.getLong(2) < minFreq) done = true
+      else {
+        val (l, r, c) = (best.head.getString(0), best.head.getString(1),
+          best.head.getLong(2))
+        merges += Merge(merges.length + 1, l, r, l + r, c)
+        // eager checkpoint: each round's fold otherwise nests inside
+        // the previous round's plan (the cascade-chain guard)
+        w = w.select(col("freq"),
+          mergePairExpr(col("syms"), l, r).as("syms"))
+          .localCheckpoint()
+      }
+    }
+    merges.toSeq
+  }
+
+  /** [[trainFromWordCounts]] straight from a corpus text column: one
+    * token-scale histogram count, then distinct-word-scale rounds. */
+  def train(df: DataFrame, textCol: String, numMerges: Int,
+      minFreq: Long = 2L,
+      symbolize: Column => Column = charSymbols): Seq[Merge] = {
+    val counts = df
+      .select(explode(TextAnalysis.tokens(lower(col(textCol))))
+        .as("word"))
+      .where(col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+    trainFromWordCounts(counts, "word", "freq", numMerges, minFreq,
+      symbolize)
+  }
+
+  /** The merge table as a DataFrame (rank, left, right, merged, freq)
+    * — the stored-artifact form consumers gate and ship. */
+  def mergesToDf(spark: org.apache.spark.sql.SparkSession,
+      merges: Seq[Merge]): DataFrame = {
+    import spark.implicits._
+    merges.toDF()
+      .select(col("rank").cast("long").as("rank"), col("left"),
+        col("right"), col("merged"), col("freq"))
+  }
+
+  /** Imperative single-word tokenizer: apply merges in RANK order,
+    * each as a greedy left-to-right pass — the exact replay of
+    * training, so encoding a training word reproduces its final
+    * training symbolization. */
+  private[text] def encodeWord(word: String,
+      merges: IndexedSeq[(String, String)]): Array[String] = {
+    var syms = word.map(_.toString).toArray
+    var k = 0
+    while (k < merges.length && syms.length >= 2) {
+      val (a, b) = merges(k)
+      val out = new scala.collection.mutable.ArrayBuffer[String](
+        syms.length)
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+          out += a + b
+          i += 2
+        } else {
+          out += syms(i)
+          i += 1
+        }
+      }
+      syms = out.toArray
+      k += 1
+    }
+    syms
+  }
+
+  /** Tokenize every document with a trained merge list: returns
+    * (idCol, pieces array<string>, n_pieces). `mapPartitions` with
+    * the rank table broadcast; a per-partition memo collapses the
+    * Zipfian word repetition (the standard tokenizer-cache shape). */
+  def encode(df: DataFrame, textCol: String, idCol: String,
+      merges: Seq[Merge]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val table: IndexedSeq[(String, String)] =
+      merges.sortBy(_.rank).map(m => (m.left, m.right)).toIndexedSeq
+    val bc = spark.sparkContext.broadcast(table)
+    val src: Dataset[(Long, String)] = df
+      .select(col(idCol).cast("long"), lower(col(textCol)))
+      .as[(Long, String)]
+    src.mapPartitions { rows =>
+      val t = bc.value
+      val memo = new java.util.HashMap[String, Array[String]]()
+      rows.map { case (id, text) =>
+        val toks = text.trim.split("\\s+").filter(_.nonEmpty)
+        val pieces = toks.flatMap { w =>
+          var p = memo.get(w)
+          if (p == null) { p = encodeWord(w, t); memo.put(w, p) }
+          p
+        }
+        (id, pieces, pieces.length.toLong)
+      }
+    }.toDF(idCol, "pieces", "n_pieces")
+  }
+}

@@ -1,0 +1,80 @@
+package graft.text
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class BpeSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // the Sennrich toy vocabulary (char symbols, no end-marker):
+  // pair counts -> es/st tie at 9 broken lexicographically, then
+  // est at 9, then lo/ow tie at 7
+  lazy val toy = Seq(("low", 5L), ("lower", 2L), ("newest", 6L),
+    ("widest", 3L)).toDF("word", "freq")
+
+  test("training reproduces the classic merge sequence with " +
+      "deterministic tie-breaks") {
+    val m = Bpe.trainFromWordCounts(toy, "word", "freq", numMerges = 4)
+    assert(m.map(x => (x.left, x.right)) ==
+      Seq(("e", "s"), ("es", "t"), ("l", "o"), ("lo", "w")))
+    assert(m.map(_.freq) == Seq(9L, 9L, 7L, 7L))
+    assert(m.map(_.merged) == Seq("es", "est", "lo", "low"))
+  }
+
+  test("training is invariant under input partitioning") {
+    val a = Bpe.trainFromWordCounts(toy, "word", "freq", 4)
+    val b = Bpe.trainFromWordCounts(toy.repartition(7), "word", "freq", 4)
+    assert(a == b)
+  }
+
+  test("minFreq stops the merge loop early") {
+    val m = Bpe.trainFromWordCounts(toy, "word", "freq",
+      numMerges = 100, minFreq = 8L)
+    // only the two frequency-9 merges clear the bar
+    assert(m.map(_.merged) == Seq("es", "est"))
+  }
+
+  test("mergePairExpr is the greedy non-overlapping scan") {
+    val df = Seq(Seq("a", "a", "a"), Seq("a", "a", "a", "a"),
+      Seq("b", "a", "a"), Seq("a")).toDF("syms")
+    val got = df.select(Bpe.mergePairExpr($"syms", "a", "a").as("m"))
+      .as[Seq[String]].collect().toSeq
+    assert(got == Seq(Seq("aa", "a"), Seq("aa", "aa"),
+      Seq("b", "aa"), Seq("a")))
+  }
+
+  test("encode replays training: training words reach their final " +
+      "symbolization, novel words compose learned pieces") {
+    val m = Bpe.trainFromWordCounts(toy, "word", "freq", 4)
+    val docs = Seq((1L, "newest low"), (2L, "lowest"))
+      .toDF("doc_id", "text")
+    val got = Bpe.encode(docs, "text", "doc_id", m)
+      .orderBy($"doc_id")
+      .select($"pieces").as[Seq[String]].collect()
+    // newest -> n e w est ; low -> low (exact training replays);
+    // lowest (unseen) -> low + est
+    assert(got(0) == Seq("n", "e", "w", "est", "low"))
+    assert(got(1) == Seq("low", "est"))
+  }
+
+  test("end-to-end train on a text column counts every occurrence") {
+    val docs = Seq((1L, "aa ab aa"), (2L, "ab aa")).toDF("id", "text")
+    // pairs: a-a freq 3 (from aa ×3), a-b freq 2 -> first merge (a,a)
+    val m = Bpe.train(docs, "text", numMerges = 1, minFreq = 1L)
+    assert(m.head.left == "a" && m.head.right == "a" &&
+      m.head.freq == 3L)
+  }
+
+  test("encode memo and partitioning do not change output") {
+    val m = Bpe.trainFromWordCounts(toy, "word", "freq", 4)
+    val docs = (0L until 50L).map(i =>
+      (i, s"newest widest lower low token$i")).toDF("doc_id", "text")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Bpe.encode(df, "text", "doc_id", m)
+        .orderBy($"doc_id")
+        .select($"n_pieces").as[Long].collect().toSeq
+    assert(run(docs) == run(docs.repartition(11)))
+  }
+}
