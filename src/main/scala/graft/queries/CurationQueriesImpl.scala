@@ -707,19 +707,28 @@ object CurationQueriesImpl {
            |  WHERE d.source <> 'src0')""".stripMargin
       val bucketOf = (f: Column, b: Int) =>
         conv(substring(md5(f), 1, 3), 16, 10).cast("int")
-      def weights(s: SparkSession, dir: String): DataFrame = {
-        // the fixture is one parquet file (1-2 scan partitions); md5
-        // feature hashing is the cost center, so spread the raw side
-        // before it — at fleet scale the scan is already parallel and
-        // this exchange is a no-op choice
-        val docs = table(s, dir, "documents")
-          .repartition(s.sparkContext.defaultParallelism,
-            col("doc_id"))
-        Curation.importanceWeights(
-          docs.where(col("source") =!= "src0"),
-          docs.where(col("source") === "src0"),
-          "text", "doc_id", buckets = 4096, bucketOf = bucketOf)
-      }
+      // shared per (session, sfDir) like the signature/cluster caches:
+      // DSIR weights are a stored ingest artifact (estimate once,
+      // sample many times downstream), so q111 reads the stored frame
+      // while q110 is the gate that MEASURES the estimator — the same
+      // division of labor as q77 (closure) vs q102 (stored labels)
+      val weightsCache = new java.util.concurrent.ConcurrentHashMap[
+        (SparkSession, String), DataFrame]
+      def weights(s: SparkSession, dir: String): DataFrame =
+        TextQueriesImpl.evictAndGet(weightsCache, s, dir) {
+          // the fixture is one parquet file (1-2 scan partitions); md5
+          // feature hashing is the cost center, so spread the raw side
+          // before it — at fleet scale the scan is already parallel
+          // and this exchange is a no-op choice
+          val docs = table(s, dir, "documents")
+            .repartition(s.sparkContext.defaultParallelism,
+              col("doc_id"))
+          Curation.importanceWeights(
+            docs.where(col("source") =!= "src0"),
+            docs.where(col("source") === "src0"),
+            "text", "doc_id", buckets = 4096, bucketOf = bucketOf)
+            .localCheckpoint(false)
+        }
 
       register("q110_dsir_weights",
         s"WITH $wCte SELECT * FROM w ORDER BY doc_id") { (s, dir) =>

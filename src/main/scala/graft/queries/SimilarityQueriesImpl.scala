@@ -603,5 +603,66 @@ object SimilarityQueriesImpl {
           col("dom_bin"), col("dominant_hz"))
         .orderBy(col("media_id"))
     }
+
+    // Int8 scalar-quantized top-k (FAISS SQ8): per-vector symmetric
+    // scales cancel out of cosine, so scoring is a pure INTEGER dot
+    // over the codes — exact long sums both engines, one double
+    // division at the end. The oracle requantizes identically
+    // (max|x|/127, ROUND to int) and replays the integer ranking, so
+    // every code-level rounding decision is hash-checked.
+    register("q118_sq8_topk",
+      """WITH q0 AS (SELECT vec_id AS query_id, embedding AS v
+        |  FROM embeddings WHERE vec_id < 8),
+        |c0 AS (SELECT vec_id AS corpus_id, embedding AS v
+        |  FROM embeddings),
+        |cq AS (SELECT corpus_id,
+        |    LIST_TRANSFORM(v, x -> CASE WHEN s = 0 THEN 0
+        |      ELSE CAST(ROUND(CAST(x AS DOUBLE) / s) AS INTEGER)
+        |      END) AS cd
+        |  FROM (SELECT corpus_id, v,
+        |      LIST_MAX(LIST_TRANSFORM(v,
+        |        x -> ABS(CAST(x AS DOUBLE)))) / 127.0 AS s
+        |    FROM c0)),
+        |qq AS (SELECT query_id,
+        |    LIST_TRANSFORM(v, x -> CASE WHEN s = 0 THEN 0
+        |      ELSE CAST(ROUND(CAST(x AS DOUBLE) / s) AS INTEGER)
+        |      END) AS qd
+        |  FROM (SELECT query_id, v,
+        |      LIST_MAX(LIST_TRANSFORM(v,
+        |        x -> ABS(CAST(x AS DOUBLE)))) / 127.0 AS s
+        |    FROM q0)),
+        |cn AS (SELECT corpus_id, cd,
+        |    LIST_AGGREGATE(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(cd)),
+        |      i -> CAST(cd[i] * cd[i] AS BIGINT)), 'sum') AS n
+        |  FROM cq),
+        |qn AS (SELECT query_id, qd,
+        |    LIST_AGGREGATE(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(qd)),
+        |      i -> CAST(qd[i] * qd[i] AS BIGINT)), 'sum') AS n
+        |  FROM qq),
+        |scored AS (SELECT query_id, corpus_id,
+        |    CASE WHEN cn.n = 0 OR qn.n = 0 THEN 0.0
+        |      ELSE CAST(LIST_AGGREGATE(LIST_TRANSFORM(
+        |          GENERATE_SERIES(1, LEN(cd)),
+        |          i -> CAST(cd[i] * qd[i] AS BIGINT)), 'sum')
+        |        AS DOUBLE)
+        |        / (SQRT(CAST(cn.n AS DOUBLE))
+        |          * SQRT(CAST(qn.n AS DOUBLE)))
+        |      END AS cos
+        |  FROM cn CROSS JOIN qn),
+        |ranked AS (SELECT query_id, corpus_id,
+        |    ROUND(cos, 6) AS cosine_q,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY cos DESC, corpus_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, corpus_id, cosine_q, CAST(rank AS BIGINT)
+        |  AS rank
+        |FROM ranked WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
+      val emb = table(s, dir, "embeddings")
+      Similarity.sq8TopK(emb, emb.where(col("vec_id") < 8),
+          "embedding", "vec_id", "vec_id", k = 5)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy(col("query_id"), col("rank"))
+    }
   }
 }

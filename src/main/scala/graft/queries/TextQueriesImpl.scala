@@ -23,7 +23,7 @@ object TextQueriesImpl {
     * SAME session for a different sfDir (the harness works one dir at
     * a time, so each cache holds at most one frame per live session
     * instead of growing per dir and pinning checkpoint blocks). */
-  private def evictAndGet(
+  private[queries] def evictAndGet(
       cache: java.util.concurrent.ConcurrentHashMap[
         (org.apache.spark.sql.SparkSession, String),
         org.apache.spark.sql.DataFrame],
@@ -489,6 +489,33 @@ object TextQueriesImpl {
         docSignatures(s, dir), "doc_id",
         minJaccard = 0.5, numHashes = 32)
       Clusters.assign(table(s, dir, "documents"), "doc_id", pairs)
+        .orderBy(col("doc_id"))
+    }
+
+    // Keep-the-BEST-copy dedup: same cluster closure, but the keeper
+    // is the longest document (n_chars DESC, doc_id tiebreak) instead
+    // of the minimum id — what production dedup actually ships. The
+    // oracle reuses the recursive closure and replays the keyed
+    // ROW_NUMBER.
+    register("q119_dedup_keep_best",
+      s"""WITH RECURSIVE $dupClusterCte,
+         |r AS (SELECT c.doc_id, c.cluster_id,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+         |      ORDER BY d.n_chars DESC, c.doc_id) AS BIGINT)
+         |      AS keeper_rank,
+         |    CAST(COUNT(*) OVER (PARTITION BY c.cluster_id)
+         |      AS BIGINT) AS cluster_size
+         |  FROM cc c JOIN documents d USING (doc_id))
+         |SELECT doc_id, cluster_id, cluster_size, keeper_rank,
+         |  CAST(keeper_rank = 1 AS BIGINT) AS is_keeper
+         |FROM r ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val pairs = Dedup.nearDupPairsFromSigTable(
+        docSignatures(s, dir), "doc_id",
+        minJaccard = 0.5, numHashes = 32)
+      Clusters.assignKeepBest(table(s, dir, "documents"), "doc_id",
+          pairs, order = Seq(col("n_chars").desc))
+        .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+          col("keeper_rank"), col("is_keeper"))
         .orderBy(col("doc_id"))
     }
 

@@ -168,6 +168,66 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
+  /** Int8 scalar-quantization scale (the FAISS SQ8 shape): per-vector
+    * symmetric scale `max|x| / 127`, so codes span [-127, 127]. */
+  def sq8Scale(vec: Column): Column =
+    array_max(transform(vec, x => abs(x.cast("double")))) / 127.0
+
+  /** Quantized codes for [[sq8Scale]]'s scale: `round(x / scale)`.
+    * Zero vectors (scale 0) code to all-zeros instead of dividing by
+    * zero. Cast the result to `array<tinyint>` when persisting — at
+    * rest that is 1 byte per dimension, a 4× memory cut vs float32,
+    * which is the entire point of SQ8 at corpus scale. Codes stay
+    * `int` in-plan here so the integer dot below needs no widening. */
+  def sq8Codes(vec: Column, scale: Column): Column =
+    when(scale === 0.0,
+      transform(vec, _ => lit(0)))
+      .otherwise(transform(vec,
+        x => round(x.cast("double") / scale).cast("int")))
+
+  /** Top-k cosine over int8-quantized vectors — the memory-scaling
+    * variant of [[bruteForceTopK]]: per-vector symmetric scales cancel
+    * out of cosine, so scoring is a pure INTEGER dot product over the
+    * codes (exact long sums — no float accumulation order anywhere)
+    * with one final double division. Quantization error shifts
+    * near-tied ranks (the SQ8 recall trade); SimilaritySpec pins
+    * recall vs the exact ranking on the gate corpus.
+    *
+    * Scale shape: identical to brute force — quantized queries
+    * broadcast, ONE corpus scan, per-query top-k window over scored
+    * rows — but the corpus side can read stored `array<tinyint>`
+    * codes instead of float32 embeddings: 4× less I/O, and the hot
+    * inner loop is integer multiply-adds. */
+  def sq8TopK(corpus: DataFrame, queries: DataFrame, vecCol: String,
+      idCol: String, queryIdCol: String, k: Int): DataFrame = {
+    def quantized(df: DataFrame, id: String, outId: String) =
+      df.select(col(id).as(outId), col(vecCol).as("v_"))
+        .withColumn("s_", sq8Scale(col("v_")))
+        .withColumn("cd_", sq8Codes(col("v_"), col("s_")))
+        .withColumn("n_", aggregate(col("cd_"),
+          lit(0L), (acc, c) => acc + (c * c).cast("long")))
+        .select(col(outId), col("cd_"), col("n_"))
+    val c = quantized(corpus, idCol, "corpus_id")
+      .withColumnRenamed("cd_", "ccd_").withColumnRenamed("n_", "cn_")
+    val q = quantized(queries, queryIdCol, "query_id")
+      .withColumnRenamed("cd_", "qcd_").withColumnRenamed("n_", "qn_")
+    val idot = aggregate(
+      zip_with(col("ccd_"), col("qcd_"), (a, b) => (a * b).cast("long")),
+      lit(0L), (acc, v) => acc + v)
+    val scored = c.crossJoin(broadcast(q))
+      .withColumn("cosine_q",
+        when(col("cn_") === 0L || col("qn_") === 0L, lit(0.0))
+          .otherwise(idot.cast("double") /
+            (sqrt(col("cn_").cast("double")) *
+              sqrt(col("qn_").cast("double")))))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine_q").desc, col("corpus_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("corpus_id"),
+        round(col("cosine_q"), 6).as("cosine_q"), col("rank"))
+  }
+
   /** Brute-force cosine top-k: per query vector, the k nearest corpus
     * vectors. `queries` is broadcast — one corpus scan total. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,

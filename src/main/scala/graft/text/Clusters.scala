@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Connected components over near-duplicate pair lists — turns pairwise
@@ -183,6 +183,37 @@ object Clusters {
     labelled.join(sizes, Seq("cluster_id"))
       .select(col(idCol), col("cluster_id"), col("cluster_size"),
         (col(idCol) === col("cluster_id")).cast("long").as("is_keeper"))
+  }
+
+  /** [[assign]] with a caller-chosen keeper: production dedup keeps
+    * the BEST copy of a duplicate family (longest text, highest
+    * quality score, newest crawl), not the lowest id. `order` ranks
+    * rows within each cluster (idCol is appended as the final
+    * tiebreak, so the choice is always deterministic). Returns the
+    * input columns plus cluster_id, cluster_size, keeper_rank
+    * (1-based) and is_keeper.
+    *
+    * Scale shape: [[assign]]'s closure plus ONE window partitioned by
+    * cluster_id — partition sizes are duplicate-family sizes, bounded
+    * by construction (and families large enough to skew a task are
+    * exactly what upstream exact-dedup removes first). */
+  def assignKeepBest(df: DataFrame, idCol: String, pairs: DataFrame,
+      order: Seq[Column], srcCol: String = "id_a",
+      dstCol: String = "id_b"): DataFrame = {
+    require(order.nonEmpty, "pass at least one ordering column")
+    val clash = Seq("cluster_id", "cluster_size", "keeper_rank",
+      "is_keeper").filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"input already has reserved column(s): ${clash.mkString(", ")}")
+    val labels = assign(df, idCol, pairs, srcCol, dstCol)
+      .select(col(idCol), col("cluster_id"), col("cluster_size"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_id"))
+      .orderBy(order :+ col(idCol): _*)
+    df.join(labels, Seq(idCol))
+      .withColumn("keeper_rank", row_number().over(w).cast("long"))
+      .withColumn("is_keeper",
+        (col("keeper_rank") === 1L).cast("long"))
   }
 
   /** Leakage-free train/val/test split: every near-dup CLUSTER lands

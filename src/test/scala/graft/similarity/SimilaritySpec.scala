@@ -163,4 +163,40 @@ class SimilaritySpec extends AnyFunSuite {
       minCosine = 0.95, planes = 4)
     assert(auto.count() == 5)
   }
+
+  test("sq8 quantization: exact scale/codes, zero-vector guard") {
+    val df = Seq(
+      (1L, Array(127.0f, -254.0f, 63.5f)),
+      (2L, Array(0.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val got = df.select($"vec_id",
+        Similarity.sq8Scale($"embedding").as("s"),
+        Similarity.sq8Codes($"embedding",
+          Similarity.sq8Scale($"embedding")).as("c"))
+      .orderBy($"vec_id").collect()
+    assert(got(0).getDouble(1) == 2.0)
+    assert(got(0).getSeq[Int](2) == Seq(64, -127, 32)) // 63.5/2 -> 32
+    assert(got(1).getDouble(1) == 0.0)
+    assert(got(1).getSeq[Int](2) == Seq(0, 0, 0))
+  }
+
+  test("sq8TopK: self-retrieval first, high recall vs exact ranking") {
+    val q = emb.where($"vec_id" < 10)
+    val sq = Similarity.sq8TopK(emb, q, "embedding", "vec_id",
+      "vec_id", k = 5).cache()
+    // a vector's quantized cosine with itself is exactly 1 -> rank 1
+    // (id tiebreak favors itself only if no other vector also hits 1,
+    // so assert membership of self in the top ranks instead)
+    val self = sq.where($"query_id" === $"corpus_id")
+    assert(self.count() == 10)
+    assert(self.where($"cosine_q" < 0.999999).count() == 0)
+    // recall@5 vs the exact float ranking: int8 on unit-ish vectors
+    // shifts only near-ties
+    val exact = Similarity.bruteForceTopK(emb, q, "embedding",
+      "vec_id", "vec_id", k = 5)
+    val overlap = sq.select($"query_id", $"corpus_id")
+      .intersect(exact.select($"query_id", $"corpus_id")).count()
+    assert(overlap >= 40L, s"recall@5 overlap $overlap of 50")
+    sq.unpersist()
+  }
 }

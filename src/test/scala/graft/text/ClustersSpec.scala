@@ -173,6 +173,33 @@ class ClustersSpec extends AnyFunSuite {
       .where(s1("split") =!= s3("split")).count() > 0)
   }
 
+  test("assignKeepBest: keeper is the best-ranked copy, dense ranks, " +
+      "singletons keep themselves, labels match assign") {
+    val df = Seq(
+      (1L, 10L), (2L, 50L), (3L, 30L), // cluster {1,2,3}: 2 is best
+      (4L, 99L),                       // singleton
+      (5L, 7L), (6L, 7L))              // cluster {5,6}: tie -> id 5
+      .toDF("doc_id", "quality")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val got = Clusters.assignKeepBest(df, "doc_id", pairs,
+        order = Seq($"quality".desc))
+      .orderBy($"doc_id")
+      .collect().map(r => (r.getLong(0),
+        r.getAs[Long]("cluster_id"), r.getAs[Long]("cluster_size"),
+        r.getAs[Long]("keeper_rank"), r.getAs[Long]("is_keeper")))
+    assert(got.toSeq == Seq(
+      (1L, 1L, 3L, 3L, 0L), (2L, 1L, 3L, 1L, 1L), (3L, 1L, 3L, 2L, 0L),
+      (4L, 4L, 1L, 1L, 1L),
+      (5L, 5L, 2L, 1L, 1L), (6L, 5L, 2L, 2L, 0L)))
+    // cluster labels agree with assign()'s
+    val a = Clusters.assign(df, "doc_id", pairs)
+      .select($"doc_id", $"cluster_id".as("a_cid"))
+    assert(Clusters.assignKeepBest(df, "doc_id", pairs,
+        Seq($"quality".desc))
+      .join(a, Seq("doc_id"))
+      .where($"cluster_id" =!= $"a_cid").count() == 0)
+  }
+
   test("dropNearDuplicates keeps one representative per dup family") {
     val base = "the quick brown fox jumps over the lazy dog and then " +
       "ran far away into the deep green forest before sunset tonight"
