@@ -251,6 +251,28 @@ object ScaleSmoke {
         "vec_id", minCosine = 0.95)
         .where(col("dropped") === 1).count()
     }
+    t("sq8 quantized top-5 (64 queries)") {
+      // int8 codes: one corpus scan of integer multiply-adds; queries
+      // broadcast. Wall time tracks the scan like brute force, at a
+      // quarter of the at-rest bytes when codes are the stored form.
+      graft.similarity.Similarity.sq8TopK(embs,
+        embs.where(col("vec_id") < 64), "embedding", "vec_id",
+        "vec_id", k = 5).count()
+    }
+    t("perplexity buckets (per 8-way stratum)") {
+      // unigram LM (two token-scale map-side-combined shuffles) +
+      // hierarchical prefix-sum bucketing: no task ever sorts more
+      // than one coarse bin of one stratum, so a giant stratum cannot
+      // cliff a single sort task
+      graft.text.Curation.perplexityBuckets(
+        docs.withColumn("src", pmod(col("doc_id"), lit(8))),
+        "text", "doc_id", Seq("src")).count()
+    }
+    t("bpe train 16 merges (vocab-scale)") {
+      // rounds run on the DISTINCT-WORD frame: corpus size only
+      // affects the initial histogram pass
+      graft.text.Bpe.train(docs, "text", numMerges = 16).length.toLong
+    }
     spark.stop()
   }
 }

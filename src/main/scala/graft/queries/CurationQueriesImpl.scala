@@ -931,6 +931,45 @@ object CurationQueriesImpl {
     // cascade-level oracles, so every learned merge and its frequency
     // hash-checks.
     locally {
+      // the LIST_REDUCE greedy-merge fold over a space-joined symbol
+      // string, parameterized by the b$k scalar pair (b.la, b.rb);
+      // state string is "merged-prefix|held"
+      val foldLambda =
+        """(acc, x) ->
+          |        CASE WHEN SPLIT_PART(acc, '|', 2) = b.la
+          |            AND x = b.rb THEN
+          |          (CASE WHEN SPLIT_PART(acc, '|', 1) = ''
+          |                THEN b.la || b.rb
+          |                ELSE SPLIT_PART(acc, '|', 1) || ' ' ||
+          |                     b.la || b.rb
+          |           END) || '|'
+          |        ELSE
+          |          (CASE WHEN SPLIT_PART(acc, '|', 2) = ''
+          |                THEN SPLIT_PART(acc, '|', 1)
+          |                ELSE CASE WHEN SPLIT_PART(acc, '|', 1) = ''
+          |                     THEN SPLIT_PART(acc, '|', 2)
+          |                     ELSE SPLIT_PART(acc, '|', 1) || ' ' ||
+          |                          SPLIT_PART(acc, '|', 2) END
+          |           END) || '|' || x
+          |        END""".stripMargin
+      val unpackState =
+        """CASE WHEN SPLIT_PART(st, '|', 2) = ''
+          |         THEN SPLIT_PART(st, '|', 1)
+          |         ELSE CASE WHEN SPLIT_PART(st, '|', 1) = ''
+          |              THEN SPLIT_PART(st, '|', 2)
+          |              ELSE SPLIT_PART(st, '|', 1) || ' ' ||
+          |                   SPLIT_PART(st, '|', 2)
+          |              END
+          |    END""".stripMargin
+      // apply merge b$k to every (doc_id, i, ws) token row of `src`
+      def encStep(k: Int, src: String): String =
+        s"""e$k AS (
+           |  SELECT doc_id, i, $unpackState AS ws
+           |  FROM (
+           |    SELECT w.doc_id, w.i,
+           |      LIST_REDUCE(['|'] || STRING_SPLIT(w.ws, ' '),
+           |        $foldLambda) AS st
+           |    FROM $src w CROSS JOIN b$k b))""".stripMargin
       def mergeStep(k: Int): String =
         s"""p$k AS (
            |  SELECT l[i] || ' ' || l[i+1] AS pair,
@@ -1004,6 +1043,57 @@ object CurationQueriesImpl {
           .select(col("rank"), col("left").as("lhs"),
             col("right").as("rhs"), col("merged"), col("freq"))
           .orderBy(col("rank"))
+      }
+
+      // The ENCODE half through the same replay: tokenize docs 0-9
+      // with the 4 learned merges (applied in rank order, each a
+      // greedy left-to-right pass — training replay semantics). The
+      // oracle chains four more LIST_REDUCE folds over every token
+      // and reassembles pieces in token order, so both the piece
+      // COUNT and an md5 over the exact piece sequence hash-check.
+      register("q120_bpe_encode",
+        s"""WITH w0 AS (
+           |  SELECT TRIM(REGEXP_REPLACE(word, '(.)', '\\1 ', 'g'))
+           |    AS ws, CAST(COUNT(*) AS BIGINT) AS freq
+           |  FROM (SELECT UNNEST(REGEXP_SPLIT_TO_ARRAY(
+           |      TRIM(LOWER(text)), '\\s+')) AS word
+           |    FROM documents WHERE doc_id < 20)
+           |  WHERE REGEXP_MATCHES(word, '^[a-z]+$$')
+           |    AND LENGTH(word) >= 2
+           |  GROUP BY word),
+           |${(1 to 4).map(mergeStep).mkString(",\n")},
+           |toks AS (
+           |  SELECT doc_id, i,
+           |    TRIM(REGEXP_REPLACE(t[i], '(.)', '\\1 ', 'g')) AS ws
+           |  FROM (SELECT doc_id,
+           |      REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\\s+') AS t
+           |    FROM documents WHERE doc_id < 10),
+           |    UNNEST(GENERATE_SERIES(1, LEN(t))) u(i)
+           |  WHERE t[i] <> ''),
+           |${(1 to 4).map(k => encStep(k, if (k == 1) "toks" else s"e${k - 1}")).mkString(",\n")},
+           |per_doc AS (
+           |  SELECT doc_id,
+           |    CAST(SUM(LEN(STRING_SPLIT(ws, ' '))) AS BIGINT)
+           |      AS n_pieces,
+           |    MD5(STRING_AGG(ws, ' ' ORDER BY i)) AS pieces_md5
+           |  FROM e4 GROUP BY doc_id)
+           |SELECT doc_id, n_pieces, pieces_md5 FROM per_doc
+           |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+        val words = table(s, dir, "documents")
+          .where(col("doc_id") < 20)
+          .select(explode(graft.text.TextAnalysis.tokens(
+            lower(col("text")))).as("word"))
+          .where(col("word").rlike("^[a-z]+$") &&
+            length(col("word")) >= 2)
+          .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+        val m = graft.text.Bpe.trainFromWordCounts(words, "word",
+          "freq", numMerges = 4, minFreq = 1L)
+        graft.text.Bpe.encode(
+            table(s, dir, "documents").where(col("doc_id") < 10),
+            "text", "doc_id", m)
+          .select(col("doc_id"), col("n_pieces"),
+            md5(concat_ws(" ", col("pieces"))).as("pieces_md5"))
+          .orderBy(col("doc_id"))
       }
     }
 
