@@ -21,9 +21,12 @@ import org.apache.spark.sql.functions._
   *     (headers/footers/banners — RefinedWeb line removal);
   *  4. redact: PII scrubbing (emails/IPs/phones) — a pure map;
   *  5. filter: per-language quality percentile (sketch + broadcast
-  *     thresholds) and a repetition cap;
+  *     thresholds) and a repetition cap, then the CCNet perplexity
+  *     split per language — the tail third under the corpus' own LM
+  *     drops;
   *  6. dedup: MinHash-LSH near-dup pairs → connected components →
-  *     keep one representative per duplicate family;
+  *     keep the BEST copy per duplicate family (quality order, not
+  *     min-id);
   *  7. decontaminate: drop documents overlapping the (broadcast)
   *     benchmark 13-gram set;
   *  8. semantic prune: SemDedup over the embeddings of surviving
@@ -105,12 +108,32 @@ object CorpusDemo {
         .localCheckpoint(false)
     }
 
-    // 6. near-dup dedup: pairs -> components -> one keeper per family.
-    // localCheckpoint: downstream stages and the final counts would
-    // otherwise re-run the LSH join chain once per action.
-    val deduped = t("dedup: LSH pairs -> clusters -> keep-first") {
-      Clusters.dropNearDuplicates(filtered, "text", "doc_id",
-        minJaccard = 0.5, numHashes = 32).localCheckpoint()
+    // 5b. CCNet perplexity split per language: the corpus' own unigram
+    //     LM scores every document; the least-fluent third (the tail
+    //     bucket) drops. Hierarchical prefix-sum bucketing — no
+    //     per-language sort task.
+    val fluent = t("ppl: drop the CCNet tail bucket per language") {
+      val keep = Curation.perplexityBuckets(filtered, "text", "doc_id",
+          Seq("lang_pred"))
+        .where(col("bucket") =!= "tail")
+        .select(col("doc_id"))
+      filtered.join(keep, Seq("doc_id"), "left_semi")
+        .localCheckpoint(false)
+    }
+
+    // 6. near-dup dedup: pairs -> components -> keep the BEST copy per
+    // family (quality desc, id tiebreak) — the production keeper
+    // choice, not min-id. localCheckpoint: downstream stages and the
+    // final counts would otherwise re-run the LSH join chain once per
+    // action.
+    val deduped = t("dedup: LSH pairs -> clusters -> keep best copy") {
+      val pairs = graft.text.Dedup.nearDupPairs(fluent, "text",
+        "doc_id", minJaccard = 0.5, numHashes = 32)
+      Clusters.assignKeepBest(fluent, "doc_id", pairs,
+          order = Seq(col("quality").desc))
+        .where(col("is_keeper") === 1)
+        .drop("cluster_id", "cluster_size", "keeper_rank", "is_keeper")
+        .localCheckpoint()
     }
 
     // 7. decontaminate vs a probe set (here: the 10 lowest doc_ids)
@@ -132,6 +155,17 @@ object CorpusDemo {
         .where(col("dropped") === 1)
         .select(col("vec_id").as("doc_id"))
       clean.join(drops, Seq("doc_id"), "left_anti").localCheckpoint()
+    }
+
+    // 8a'. int8-quantized ANN probe over the survivors' embeddings:
+    //      the memory-scaling retrieval form — integer dots over
+    //      SQ8 codes, scales cancel out of cosine
+    t("ann probe: sq8 top-5 over surviving embeddings") {
+      val emb = Tables.table(spark, sfDir, "embeddings")
+        .join(pruned.select(col("doc_id").as("vec_id")), Seq("vec_id"),
+          "left_semi").localCheckpoint(false)
+      Similarity.sq8TopK(emb, emb.orderBy(col("vec_id")).limit(4),
+        "embedding", "vec_id", "vec_id", k = 5).count()
     }
 
     // 8b. BM25 relevance probe: rank the survivors against a domain
@@ -180,6 +214,16 @@ object CorpusDemo {
         idCols = Seq("doc_id"))
     }
 
+    // 9b. tokenizer prep on the FINAL mixture: BPE merges learned at
+    //     distinct-word scale, then every document tokenized with the
+    //     broadcast rank table — the fertility number (pieces/token)
+    //     is the signal tokenizer teams tune against
+    t("tokenize: 16 BPE merges + corpus piece count") {
+      val merges = graft.text.Bpe.train(sampled, "text", numMerges = 16)
+      graft.text.Bpe.encode(sampled, "text", "doc_id", merges)
+        .agg(sum(col("n_pieces"))).head().getLong(0)
+    }
+
     // 10. chunk the survivors into overlapping training windows
     val chunks = t("chunk: token windows for training") {
       Curation.chunkTokens(sampled, "text", Seq("doc_id"),
@@ -209,6 +253,7 @@ object CorpusDemo {
     val counts = Seq(
       "input" -> total, "heuristic-filtered" -> heuristic.count(),
       "quality-filtered" -> filtered.count(),
+      "ppl-head+middle" -> fluent.count(),
       "deduped" -> deduped.count(), "decontaminated" -> clean.count(),
       "semantically-pruned" -> pruned.count(),
       "domain-capped" -> capped.count(),
