@@ -146,6 +146,32 @@ object Dsp {
     out
   }
 
+  /** MFCCs — the DCT-II of the log-mel energies, the classic compact
+    * audio-ML feature (the step [[logMelEnergies]] stops short of).
+    * Orthonormal DCT-II with fixed-order StrictMath arithmetic, so
+    * coefficients are bit-deterministic like everything else here.
+    * `nCoeffs` ≤ nMels; coefficient 0 carries overall log-energy. */
+  def mfcc(logMel: Array[Double], nCoeffs: Int): Array[Double] = {
+    val n = logMel.length
+    require(nCoeffs > 0 && nCoeffs <= n)
+    val out = Array.ofDim[Double](nCoeffs)
+    var k = 0
+    while (k < nCoeffs) {
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        s += logMel(i) *
+          StrictMath.cos(StrictMath.PI * k * (2 * i + 1) / (2.0 * n))
+        i += 1
+      }
+      val scale = if (k == 0) StrictMath.sqrt(1.0 / n)
+        else StrictMath.sqrt(2.0 / n)
+      out(k) = s * scale
+      k += 1
+    }
+    out
+  }
+
   /** Spectral summary of a power spectrum over bins 1..n/2 (DC
     * excluded everywhere): (dominantBin, centroidHz, rolloffHz,
     * flatness, bandEnergies). `rolloff` is the lowest frequency below

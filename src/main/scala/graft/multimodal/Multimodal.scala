@@ -250,7 +250,8 @@ object Multimodal {
   case class AudioSpectral(media_id: Long, sample_rate: Int,
       n_samples: Long, dom_bin: Int, dominant_hz: Double,
       centroid_hz: Double, rolloff_hz: Double, flatness: Double,
-      band_energy: Array[Double], log_mel: Array[Double])
+      band_energy: Array[Double], log_mel: Array[Double],
+      mfcc: Array[Double])
 
   /** REAL spectral audio features — per row: parse WAV PCM, run the
     * hand-rolled radix-2 FFT ([[Dsp]]) over up to `maxWindows`
@@ -277,9 +278,10 @@ object Multimodal {
           val pow = Dsp.averagePowerSpectrum(samples, fftSize, maxWindows)
           val (dom, cent, roll, flat, be) =
             Dsp.spectralSummary(pow, sr, fftSize, bands)
+          val lm = Dsp.logMelEnergies(pow, sr, fftSize, nMels)
           AudioSpectral(r.media_id, sr, samples.length.toLong, dom,
-            dom.toDouble * sr / fftSize, cent, roll, flat, be,
-            Dsp.logMelEnergies(pow, sr, fftSize, nMels))
+            dom.toDouble * sr / fftSize, cent, roll, flat, be, lm,
+            Dsp.mfcc(lm, math.min(13, nMels)))
         }
       }
     }

@@ -564,11 +564,36 @@ object SimilarityQueriesImpl {
         .where(pmod(col("doc_id"), lit(3)) === 0)
         .select(col("doc_id")).as[Long]
         .map { id =>
-          val p = (id / 6L).toInt
+          val p = id / 6L
           val offset = if (id % 6L == 3L) 2 else 0
+          // collision-PROOF pattern: the 9×8 image maps 1:1 onto the
+          // dHash grid, and each row's 8 horizontal gradient signs
+          // encode 8 bits of a SplitMix64-mixed word of p — so a
+          // non-twin pair's hashes differ in ~32 bits and the planted
+          // Hamming-0 twins are the ONLY pairs within any small
+          // radius at ANY corpus scale (an earlier pseudo-random
+          // fixture produced correlated gradients between nearby p
+          // and spurious sub-radius pairs at sf0.1). The engine still
+          // earns every row: PNG decode, bilinear grid, sign bits,
+          // pigeonhole block join.
+          var z = p + 0x9E3779B97F4A7C15L
+          z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+          z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+          val bits = z ^ (z >>> 31)
+          val lumRow = Array.tabulate(8) { r =>
+            val row = Array.ofDim[Int](9)
+            var v = 128
+            row(0) = v
+            var c = 0
+            while (c < 8) {
+              v += (if (((bits >>> (r * 8 + c)) & 1L) == 1L) 10 else -10)
+              row(c + 1) = v
+              c += 1
+            }
+            row
+          }
           val png = Multimodal.encodePng(9, 8, (x, y) => {
-            val v = (math.abs((x * 7 + y * 13 + p * 37) * 1103515245
-              + 12345) >> 16) % 201 + offset
+            val v = lumRow(y)(x) + offset
             (v << 16) | (v << 8) | v
           })
           Multimodal.MediaRow(id, "image", png, 9, 8, 0.0)

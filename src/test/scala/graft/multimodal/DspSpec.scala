@@ -135,5 +135,25 @@ class DspSpec extends AnyFunSuite {
       rows.toDS().repartition(3)).collect().sortBy(_.media_id)
     assert(out.map(r => (r.media_id, r.dom_bin, r.centroid_hz)).toSeq ==
       out2.map(r => (r.media_id, r.dom_bin, r.centroid_hz)).toSeq)
+    // mfcc column rides along: 13 coefficients, bit-deterministic
+    assert(out.forall(_.mfcc.length == 13))
+    assert(out.map(_.mfcc.toSeq).toSeq == out2.map(_.mfcc.toSeq).toSeq)
+  }
+
+  test("mfcc: orthonormal DCT-II — constant input excites only c0, " +
+      "full transform preserves energy, tonal vs flat separation") {
+    val const = Array.fill(16)(2.5)
+    val c = Dsp.mfcc(const, 16)
+    assert(math.abs(c(0) - 2.5 * StrictMath.sqrt(16.0)) < 1e-12)
+    assert(c.drop(1).forall(x => math.abs(x) < 1e-12))
+    // Parseval for the orthonormal DCT: ||x||^2 == ||X||^2
+    val rnd = new scala.util.Random(5)
+    val x = Array.fill(16)(rnd.nextDouble() * 4 - 2)
+    val full = Dsp.mfcc(x, 16)
+    assert(math.abs(x.map(v => v * v).sum -
+      full.map(v => v * v).sum) < 1e-9)
+    // truncation yields the leading coefficients unchanged
+    val head = Dsp.mfcc(x, 4)
+    assert(head.toSeq == full.take(4).toSeq)
   }
 }
