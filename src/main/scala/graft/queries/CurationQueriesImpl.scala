@@ -1097,6 +1097,50 @@ object CurationQueriesImpl {
       }
     }
 
+    // CCNet-style text normalization before hashing/dedup: smart
+    // quotes, en/em dashes, ellipsis, NBSP fold to ASCII; whitespace
+    // runs collapse. The fixture injects every special char keyed by
+    // doc_id; the oracle rebuilds the identical LOWER -> TRANSLATE ->
+    // REGEXP_REPLACE -> TRIM chain, so the md5 of every normalized
+    // document hash-checks byte-for-byte.
+    register("q121_normalize_text",
+      """WITH aug AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN chr(8220) || 'Smart' ||
+        |      chr(8221) || ' ' || chr(8216) || 'quotes' || chr(8217)
+        |      || '  ' ELSE '' END ||
+        |    text ||
+        |    CASE WHEN doc_id % 4 = 0 THEN ' ' || chr(8212) ||
+        |      ' dash' || chr(8230) ELSE '' END ||
+        |    CASE WHEN doc_id % 5 = 0 THEN chr(160) || 'NBSP' ||
+        |      chr(9) || 'Tab' || chr(10) || chr(10) || 'End   '
+        |      ELSE '' END AS text
+        |  FROM documents),
+        |n AS (SELECT doc_id,
+        |    TRIM(REGEXP_REPLACE(TRANSLATE(LOWER(text),
+        |      chr(8217) || chr(8216) || chr(8220) || chr(8221) ||
+        |        chr(8211) || chr(8212) || chr(8230) || chr(160),
+        |      CONCAT(chr(39), chr(39), '""--. ')),
+        |      '\s+', ' ', 'g')) AS t
+        |  FROM aug)
+        |SELECT doc_id, MD5(t) AS norm_md5,
+        |  CAST(LENGTH(t) AS BIGINT) AS n_chars_norm
+        |FROM n ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val aug = table(s, dir, "documents").withColumn("text", concat(
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          lit("\u201CSmart\u201D \u2018quotes\u2019  "))
+          .otherwise(lit("")),
+        col("text"),
+        when(pmod(col("doc_id"), lit(4)) === 0,
+          lit(" \u2014 dash\u2026")).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(5)) === 0,
+          lit("\u00A0NBSP\tTab\n\nEnd   ")).otherwise(lit(""))))
+      aug.select(col("doc_id"),
+          graft.text.TextAnalysis.normalizeText(col("text")).as("t_"))
+        .select(col("doc_id"), md5(col("t_")).as("norm_md5"),
+          length(col("t_")).cast("long").as("n_chars_norm"))
+        .orderBy(col("doc_id"))
+    }
+
     // mT5-style alpha = 0.3 temperature sampling over sources. POW is
     // transcendental like the LOG/LN gates — micro rounding is the
     // established tolerance contract.

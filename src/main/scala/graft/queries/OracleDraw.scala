@@ -22,4 +22,15 @@ private[queries] object OracleDraw {
   def hex8(m: String): String = (1 to 8).map(i =>
     s"(INSTR('0123456789abcdef', SUBSTR($m, $i, 1)) - 1) * " +
       s"${math.pow(16, 8 - i).toLong}.0").mkString(" + ")
+
+  /** DuckDB expression for the EXACT BIGINT value of the first `n`
+    * hex chars of md5 expression `m` — matches Spark's
+    * `conv(substring(m, 1, n), 16, 10).cast("long")`. n <= 15 keeps
+    * the value inside a signed 64-bit long. */
+  def hexLong(m: String, n: Int): String = {
+    require(n >= 1 && n <= 15)
+    (1 to n).map(i =>
+      s"CAST(INSTR('0123456789abcdef', SUBSTR($m, $i, 1)) - 1 " +
+        s"AS BIGINT) * ${BigInt(16).pow(n - i)}").mkString(" + ")
+  }
 }

@@ -492,6 +492,41 @@ object TextQueriesImpl {
         .orderBy(col("doc_id"))
     }
 
+    // Winnowing fingerprints (MOSS): every w-window of 5-gram hashes
+    // contributes its min, ties to the rightmost position. The
+    // (hash, rightmost) pair packs into one long, so the oracle is the
+    // SAME integer window-min over the same 40-bit md5-derived hashes
+    // — selection positions and hashes replay exactly.
+    register("q122_winnow_fingerprints", {
+      val h = OracleDraw.hexLong(
+        "MD5(ARRAY_TO_STRING(toks[u.i:u.i+4], ' '))", 10)
+      s"""WITH t AS (SELECT doc_id,
+         |    REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\\s+') AS toks
+         |  FROM documents),
+         |b AS (SELECT doc_id, LEN(toks) AS nt, toks FROM t),
+         |g AS (SELECT doc_id, GREATEST(nt - 4, 0) AS m, u.i AS pos,
+         |    $h AS h
+         |  FROM b CROSS JOIN
+         |    UNNEST(RANGE(1, GREATEST(nt - 4, 0) + 1)) u(i)),
+         |keyed AS (SELECT doc_id, m, pos,
+         |    MIN(h * 1048576 + (1048575 - pos)) OVER (
+         |      PARTITION BY doc_id ORDER BY pos
+         |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS key
+         |  FROM g),
+         |fp AS (SELECT DISTINCT doc_id,
+         |    CAST(1048575 - (key % 1048576) AS BIGINT) AS pos,
+         |    CAST(key // 1048576 AS BIGINT) AS gram_hash
+         |  FROM keyed WHERE pos <= GREATEST(m - 3, 1))
+         |SELECT doc_id, pos, gram_hash FROM fp
+         |ORDER BY doc_id, pos""".stripMargin
+    }) { (s, dir) =>
+      Dedup.winnowFingerprints(table(s, dir, "documents"), "text",
+          "doc_id", k = 5, w = 4,
+          gramHash = g => conv(substring(md5(g), 1, 10), 16, 10)
+            .cast("long"))
+        .orderBy(col("doc_id"), col("pos"))
+    }
+
     // Keep-the-BEST-copy dedup: same cluster closure, but the keeper
     // is the longest document (n_chars DESC, doc_id tiebreak) instead
     // of the minimum id — what production dedup actually ships. The

@@ -751,4 +751,69 @@ object Dedup {
         round(coalesce(col("covered_tokens"), lit(0L)) * lit(1e6)
           / col("n_tokens")).cast("long").as("dup_frac_micro"))
   }
+
+  /** Winnowing fingerprints (Schleimer, Wilkerson, Aiken 2003 — the
+    * MOSS algorithm): per document, the selected (position, hash)
+    * pairs where each window of `w` consecutive word-`k`-gram hashes
+    * contributes its MINIMUM hash, ties resolved to the RIGHTMOST
+    * position. Guarantee: any substring match of at least `w + k - 1`
+    * tokens between two documents shares at least one fingerprint
+    * hash — the local, position-robust dedup/plagiarism signature
+    * that a single global min ([[TextAnalysis.rollingFingerprint]])
+    * cannot give. Expected density ~ 2/(w+1) fingerprints per gram.
+    *
+    * Returns (idCol, pos, gram_hash) distinct, pos 1-based. Hashes
+    * are folded to 40 bits so (hash, tiebreak-position) packs into
+    * ONE long window-min — no struct comparators, identical min
+    * semantics in any engine. Documents are limited to 2^20 - 1
+    * grams (a ~1M-token doc; chunk longer docs upstream) — enforced
+    * loudly, never truncated silently.
+    *
+    * Scale shape: one explode (gram hashing map-side), ONE window
+    * partitioned by document ordered by position with a `w`-row
+    * frame, one distinct — all document-bounded; no corpus-wide sort
+    * or join anywhere. `gramHash` defaults to xxhash64; pass an
+    * md5-composed hash for cross-engine-portable gates. */
+  def winnowFingerprints(df: DataFrame, textCol: String, idCol: String,
+      k: Int = 5, w: Int = 4,
+      gramHash: Column => Column = xxhash64(_)): DataFrame = {
+    require(k >= 1 && w >= 1)
+    val reserved = Seq("toks__", "nt__", "m__", "pos__", "h__", "key__",
+      "win__")
+    val clash = reserved.filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"input already has reserved working columns: ${clash.mkString(",")}")
+    val maxPos = (1 << 20) - 1
+    val base = df
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("toks__"))
+      .withColumn("nt__", size(col("toks__")))
+      .withColumn("m__",
+        when(col("nt__") - (k - 1) > maxPos,
+          raise_error(concat(lit(s"winnowFingerprints: document "),
+            col(idCol).cast("string"),
+            lit(s" exceeds $maxPos grams — chunk it upstream"))))
+          .otherwise(greatest(col("nt__") - (k - 1), lit(0))))
+    val starts = when(col("m__") >= 1,
+      sequence(lit(1), col("m__"))).otherwise(array().cast("array<int>"))
+    val grams = base.select(col(idCol), col("m__"),
+        posexplode(transform(starts,
+          i => gramHash(concat_ws(" ", slice(col("toks__"), i, lit(k)))))))
+      .select(col(idCol), col("m__"), (col("pos") + 1).as("pos__"),
+        col("col").bitwiseAND(lit((1L << 40) - 1)).as("h__"))
+    // (hash, rightmost-tiebreak) as one long: smaller key == smaller
+    // hash, or equal hash and LARGER position
+    val key = shiftleft(col("h__"), 20) + (lit(maxPos) - col("pos__"))
+    val win = Window.partitionBy(col(idCol)).orderBy(col("pos__"))
+      .rowsBetween(Window.currentRow, w - 1)
+    // documents shorter than k tokens have no grams and emit nothing
+    grams.withColumn("key__", min(key).over(win))
+      // valid window starts only; a doc with fewer than w grams has
+      // the single degenerate window starting at position 1
+      .where(col("pos__") <= greatest(col("m__") - (w - 1), lit(1)))
+      .select(col(idCol),
+        (lit(maxPos) - col("key__").bitwiseAND(lit(maxPos.toLong)))
+          .cast("long").as("pos"),
+        shiftright(col("key__"), 20).as("gram_hash"))
+      .distinct()
+  }
 }

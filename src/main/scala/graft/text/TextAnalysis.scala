@@ -20,6 +20,21 @@ object TextAnalysis {
     size(filter(split(text, "(?<=[^\\p{L}\\p{N}])|(?=[^\\p{L}\\p{N}])"),
       t => length(trim(t)) > 0))
 
+  /** CCNet-style text normalization BEFORE hashing/dedup: lowercase,
+    * fold typographic punctuation onto ASCII (curly quotes, en/em
+    * dashes, ellipsis, NBSP), collapse whitespace runs to one space,
+    * trim. Two near-duplicate pages that differ only in smart-quote
+    * rendering or spacing normalize to the SAME bytes, which is what
+    * makes exact/minhash dedup robust on web text. A pure codegen'd
+    * row expression; the char fold is a 1:1 `translate`, replayable
+    * verbatim in SQL. */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(
+      translate(lower(text),
+        "\u2019\u2018\u201C\u201D\u2013\u2014\u2026\u00A0",
+        "''\"\"--. "),
+      "\\s+", " "))
+
   private val punctClass = "[.,!?;:'\"()\\-]"
 
   def punctCount(text: Column): Column =

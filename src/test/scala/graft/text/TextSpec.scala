@@ -346,6 +346,62 @@ class TextSpec extends AnyFunSuite {
     }
   }
 
+  test("normalizeText: punctuation fold, whitespace collapse, " +
+      "dedup-robustness of the normalized bytes") {
+    val df = Seq(
+      (1L, "“Hello” — the caf…  World\t\n"),
+      (2L, "\"hello\" -  the caf. world"),
+      (3L, "it’s ‘fine’"),
+      (4L, "it's 'fine'"))
+      .toDF("id", "text")
+    val got = df.select($"id",
+        TextAnalysis.normalizeText($"text").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "\"hello\" - the caf. world")
+    assert(got(1L) == got(2L).replaceAll("\\s+", " "),
+      "typographic and ASCII renderings must normalize alike")
+    assert(got(3L) == "it's 'fine'" && got(3L) == got(4L))
+  }
+
+  test("winnowFingerprints: window-min selection, rightmost ties, " +
+      "shared-substring guarantee, density") {
+    // constant-hash tie case: every window's min key is its RIGHTMOST
+    // position, so fingerprints are exactly positions w..m
+    val words = (1 to 12).map(i => s"t$i").mkString(" ")
+    val const = Seq((1L, words)).toDF("doc_id", "text")
+    val fpTie = Dedup.winnowFingerprints(const, "text", "doc_id",
+        k = 3, w = 4, gramHash = _ => lit(7L))
+      .select($"pos").as[Long].collect().sorted.toSeq
+    // m = 12-2 = 10 grams; windows 1..7 pick their last position
+    assert(fpTie == (4L to 10L))
+    // real hashes: identical docs -> identical fingerprint sets;
+    // a long shared substring must share at least one hash
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota " +
+      "kappa lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val docs = Seq((1L, base), (2L, base),
+      (3L, s"PREFIX words here $base SUFFIX tail"),
+      (4L, "entirely different vocabulary with nothing in common " +
+        "whatsoever about winnowing text selection")).toDF("doc_id", "text")
+    val fp = Dedup.winnowFingerprints(docs, "text", "doc_id",
+      k = 5, w = 4).cache()
+    def hashes(id: Long) = fp.where($"doc_id" === id)
+      .select($"gram_hash").as[Long].collect().toSet
+    assert(hashes(1L) == hashes(2L))
+    assert((hashes(1L) & hashes(3L)).nonEmpty,
+      "a shared >= w+k-1 token substring must share a fingerprint")
+    assert((hashes(1L) & hashes(4L)).isEmpty)
+    // density ~ 2/(w+1): for w=4 expect ~40%, loosely bounded
+    val m = 20 - 4 // grams in base
+    val n1 = fp.where($"doc_id" === 1L).count()
+    assert(n1 >= m / 5 && n1 <= m * 4 / 5, s"density off: $n1 of $m")
+    // partitioning invariance
+    val again = Dedup.winnowFingerprints(docs.repartition(5), "text",
+      "doc_id", k = 5, w = 4)
+    assert(fp.select($"doc_id", $"pos", $"gram_hash").except(again)
+      .isEmpty && again.except(fp).isEmpty)
+    fp.unpersist()
+  }
+
   test("quality score is higher for clean prose than word soup") {
     val clean = Seq((1L, ("the cat sat on the mat and it was a good day " +
       "for all of the cats in this town") * 3)).toDF("doc_id", "text")
