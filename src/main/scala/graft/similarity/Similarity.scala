@@ -199,18 +199,37 @@ object Similarity {
     * codes instead of float32 embeddings: 4× less I/O, and the hot
     * inner loop is integer multiply-adds. */
   def sq8TopK(corpus: DataFrame, queries: DataFrame, vecCol: String,
-      idCol: String, queryIdCol: String, k: Int): DataFrame = {
-    def quantized(df: DataFrame, id: String, outId: String) =
-      df.select(col(id).as(outId), col(vecCol).as("v_"))
-        .withColumn("s_", sq8Scale(col("v_")))
-        .withColumn("cd_", sq8Codes(col("v_"), col("s_")))
-        .withColumn("n_", aggregate(col("cd_"),
-          lit(0L), (acc, c) => acc + (c * c).cast("long")))
-        .select(col(outId), col("cd_"), col("n_"))
-    val c = quantized(corpus, idCol, "corpus_id")
-      .withColumnRenamed("cd_", "ccd_").withColumnRenamed("n_", "cn_")
-    val q = quantized(queries, queryIdCol, "query_id")
-      .withColumnRenamed("cd_", "qcd_").withColumnRenamed("n_", "qn_")
+      idCol: String, queryIdCol: String, k: Int): DataFrame =
+    sq8TopKFromCodes(
+      sq8CodeTable(corpus, vecCol, idCol), queries, vecCol, idCol,
+      queryIdCol, k)
+
+  /** The stored-codes ingest artifact: (idCol, codes, norm) — quantize
+    * ONCE when the corpus lands (persist `codes` as `array<tinyint>`
+    * for the 4× at-rest cut), and every retrieval reads the stored
+    * table instead of re-reading float32 and re-quantizing. The same
+    * division of labor as `shingleHashes`/`signatureTable` for the
+    * text dedup family. */
+  def sq8CodeTable(df: DataFrame, vecCol: String,
+      idCol: String): DataFrame =
+    df.select(col(idCol), col(vecCol).as("v_"))
+      .withColumn("s_", sq8Scale(col("v_")))
+      .withColumn("codes", sq8Codes(col("v_"), col("s_")))
+      .withColumn("norm", aggregate(col("codes"),
+        lit(0L), (acc, c) => acc + (c * c).cast("long")))
+      .select(col(idCol), col("codes"), col("norm"))
+
+  /** [[sq8TopK]] with the CORPUS side read from a stored
+    * [[sq8CodeTable]] — the production shape: the scan touches int8
+    * codes only; queries (small) quantize on the fly. */
+  def sq8TopKFromCodes(corpusCodes: DataFrame, queries: DataFrame,
+      vecCol: String, idCol: String, queryIdCol: String,
+      k: Int): DataFrame = {
+    val c = corpusCodes.select(col(idCol).as("corpus_id"),
+      col("codes").as("ccd_"), col("norm").as("cn_"))
+    val q = sq8CodeTable(queries, vecCol, queryIdCol)
+      .select(col(queryIdCol).as("query_id"),
+        col("codes").as("qcd_"), col("norm").as("qn_"))
     val idot = aggregate(
       zip_with(col("ccd_"), col("qcd_"), (a, b) => (a * b).cast("long")),
       lit(0L), (acc, v) => acc + v)

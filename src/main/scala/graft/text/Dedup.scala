@@ -777,15 +777,28 @@ object Dedup {
   def winnowFingerprints(df: DataFrame, textCol: String, idCol: String,
       k: Int = 5, w: Int = 4,
       gramHash: Column => Column = xxhash64(_)): DataFrame = {
+    require(!df.columns.contains("toks__"),
+      "input already has reserved working column toks__")
+    winnowFingerprintsFromTokens(
+      df.select(col(idCol),
+        TextAnalysis.tokens(col(textCol)).as("toks__")),
+      "toks__", idCol, k, w, gramHash)
+  }
+
+  /** [[winnowFingerprints]] over a pre-tokenized frame — the
+    * stored-tokenization-artifact entry point, same contract as the
+    * other `*FromTokens` operators. */
+  def winnowFingerprintsFromTokens(df: DataFrame, toksCol: String,
+      idCol: String, k: Int = 5, w: Int = 4,
+      gramHash: Column => Column = xxhash64(_)): DataFrame = {
     require(k >= 1 && w >= 1)
-    val reserved = Seq("toks__", "nt__", "m__", "pos__", "h__", "key__",
-      "win__")
+    val reserved = Seq("nt__", "m__", "pos__", "h__", "key__", "win__")
     val clash = reserved.filter(df.columns.contains)
     require(clash.isEmpty,
       s"input already has reserved working columns: ${clash.mkString(",")}")
     val maxPos = (1 << 20) - 1
     val base = df
-      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("toks__"))
+      .select(col(idCol), col(toksCol).as("toks__"))
       .withColumn("nt__", size(col("toks__")))
       .withColumn("m__",
         when(col("nt__") - (k - 1) > maxPos,

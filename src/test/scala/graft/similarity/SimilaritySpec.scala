@@ -199,4 +199,27 @@ class SimilaritySpec extends AnyFunSuite {
     assert(overlap >= 40L, s"recall@5 overlap $overlap of 50")
     sq.unpersist()
   }
+
+  test("sq8 stored-code table round-trips through array<tinyint> " +
+      "parquet with identical retrieval") {
+    val q = emb.where($"vec_id" < 5)
+    val dir = java.nio.file.Files
+      .createTempDirectory("sq8codes").toString
+    // persist the ingest artifact in its 1-byte-per-dim at-rest form
+    Similarity.sq8CodeTable(emb, "embedding", "vec_id")
+      .withColumn("codes", $"codes".cast("array<tinyint>"))
+      .write.mode("overwrite").parquet(dir)
+    val stored = spark.read.parquet(dir)
+      .withColumn("codes", $"codes".cast("array<int>"))
+    val a = Similarity.sq8TopKFromCodes(stored, q, "embedding",
+        "vec_id", "vec_id", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+      .sortBy(x => (x._1, x._3))
+    val b = Similarity.sq8TopK(emb, q, "embedding", "vec_id",
+        "vec_id", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+      .sortBy(x => (x._1, x._3))
+    assert(a.toSeq == b.toSeq,
+      "codes must fit int8 exactly — the tinyint round-trip is lossless")
+  }
 }
