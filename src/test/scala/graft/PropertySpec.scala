@@ -407,6 +407,38 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("winnowing guarantee: any shared substring of >= w+k-1 tokens " +
+      "shares a fingerprint hash; selections are consistent across docs") {
+    // random word soup around a random planted shared run — the MOSS
+    // theorem says w + k - 1 shared tokens force >= 1 shared selected
+    // hash, for EVERY (k, w) and placement
+    val wordGen = Gen.choose(0, 400).map(i => s"w$i")
+    val caseGen = for {
+      k <- Gen.choose(2, 6)
+      w <- Gen.choose(2, 6)
+      shared <- Gen.listOfN(k + w - 1, wordGen) // exactly the bound
+      pre1 <- Gen.listOfN(8, wordGen)
+      post1 <- Gen.listOfN(8, wordGen)
+      pre2 <- Gen.listOfN(13, wordGen)
+      post2 <- Gen.listOfN(3, wordGen)
+    } yield (k, w,
+      (pre1 ++ shared ++ post1).mkString(" "),
+      (pre2 ++ shared ++ post2).mkString(" "))
+    samples(caseGen, 25, 4242L).zipWithIndex.foreach {
+      case ((k, w, d1, d2), i) =>
+        val docs = Seq((1L, d1), (2L, d2)).toDF("doc_id", "text")
+        val fp = graft.text.Dedup.winnowFingerprints(docs, "text",
+          "doc_id", k = k, w = w)
+        val h1 = fp.where($"doc_id" === 1L).select($"gram_hash")
+          .as[Long].collect().toSet
+        val h2 = fp.where($"doc_id" === 2L).select($"gram_hash")
+          .as[Long].collect().toSet
+        assert((h1 & h2).nonEmpty,
+          s"case $i (k=$k w=$w): shared ${k + w - 1}-token run " +
+            "selected no common fingerprint")
+    }
+  }
+
   test("validation rejects Celsius-looking temps, accepts Kelvin") {
     val kelvin = Seq(("2016-01-01", 271.0)).toDF("d", "temp")
     Validation.assertPlausibleTemps(kelvin)
