@@ -209,18 +209,27 @@ object Mpeg1 {
   // VLC machinery
   // ------------------------------------------------------------------
 
-  private def decodeVlc(br: BitReader,
-      table: Seq[(Int, Int, Int)]): Option[Int] = {
-    val maxBits = table.map(_._1).max
-    val buf = br.peek(maxBits)
-    // longest-prefix scan: tables are prefix-free so the unique match
-    // wins; try shortest first for speed
-    var best: Option[(Int, Int)] = None
-    table.foreach { case (bits, code, value) =>
-      if (best.isEmpty && (buf >>> (maxBits - bits)) == code)
-        best = Some((bits, value))
+  /** Prefix-free VLC with precomputed maxBits and flat arrays — the
+    * decode runs per macroblock/block, so no per-call Seq reductions
+    * or boxing (the same treatment [[AcTableArr]] gets). */
+  private final class Vlc(table: Seq[(Int, Int, Int)]) {
+    private val bits = table.map(_._1).toArray
+    private val codes = table.map(_._2).toArray
+    private val values = table.map(_._3).toArray
+    private val maxBits = bits.max
+    /** returns the decoded value, or Int.MinValue on no match */
+    def decode(br: BitReader): Int = {
+      val buf = br.peek(maxBits)
+      var i = 0
+      while (i < bits.length) {
+        if ((buf >>> (maxBits - bits(i))) == codes(i)) {
+          br.pos += bits(i)
+          return values(i)
+        }
+        i += 1
+      }
+      Int.MinValue
     }
-    best.map { case (bits, value) => br.pos += bits; value }
   }
 
   // ------------------------------------------------------------------
@@ -413,6 +422,12 @@ object Mpeg1 {
           decodeSlice(br, code, mbW, mbH, intraQuant,
             yPlane, cbPlane, crPlane)
           sawSlice = true
+        } else if (code == 0xb2 || code == 0xb5) {
+          // user_data / extension between the picture header and the
+          // first slice is legal picture() syntax — skip the start
+          // code and keep scanning for slices instead of dropping the
+          // whole picture
+          br.pos = (off + 4).toLong * 8
         } else done = true // next picture/sequence-level code
       }
     }
@@ -464,9 +479,9 @@ object Mpeg1 {
             br.pos += AddrIncEscape._1; inc += 33
           } else escaping = false
         }
-        decodeVlc(br, AddrIncTable) match {
-          case None => endOfSlice = true
-          case Some(v) =>
+        AddrIncVlc.decode(br) match {
+          case Int.MinValue => endOfSlice = true
+          case v =>
             inc += v
             // skipped macroblocks cannot occur in I-pictures (inc>1
             // after the first MB is a spec violation) — but tolerate
@@ -512,8 +527,10 @@ object Mpeg1 {
       dcPred: Int, qScale: Int, intraQuant: Array[Int],
       coeffs: Array[Double]): Int = {
     java.util.Arrays.fill(coeffs, 0.0)
-    val size = decodeVlc(br,
-      if (isLuma) DcSizeLuma else DcSizeChroma).getOrElse(0)
+    val size = {
+      val v = (if (isLuma) DcSizeLumaVlc else DcSizeChromaVlc).decode(br)
+      if (v == Int.MinValue) 0 else v
+    }
     var dcDiff = 0
     if (size > 0) {
       val bits = br.read(size)
@@ -583,6 +600,10 @@ object Mpeg1 {
   // ordered shortest-code-first so the prefix scan is correct & fast
   private val AcTableArr: Array[(Int, Int, Int, Int)] =
     AcTable.sortBy(_._1).toArray
+
+  private val AddrIncVlc = new Vlc(AddrIncTable)
+  private val DcSizeLumaVlc = new Vlc(DcSizeLuma)
+  private val DcSizeChromaVlc = new Vlc(DcSizeChroma)
 
   private def emitBlock(pixels: Array[Double], blk: Int, mbX: Int,
       mbY: Int, mbW: Int, yPlane: Array[Int], cbPlane: Array[Int],
@@ -803,7 +824,10 @@ object Mpeg1 {
     * (documented approximation of the display clock). */
   def decodeFrames(content: Array[Byte], maxFrames: Int)
       : Option[Seq[(Double, Array[Byte])]] =
-    decodeIPictures(content, maxPictures = 64).map {
+    // maxFrames == 1 always selects pics(0): stop decoding after the
+    // first I-picture instead of paying for up to 64 full decodes
+    decodeIPictures(content,
+      maxPictures = if (maxFrames == 1) 1 else 64).map {
       case (rate, pics) =>
         val take = math.min(maxFrames, pics.length)
         val idxs = if (take == 1) Seq(0)

@@ -973,6 +973,8 @@ object CurationQueriesImpl {
            |      LIST_REDUCE(['|'] || STRING_SPLIT(w.ws, ' '),
            |        $foldLambda) AS st
            |    FROM $src w CROSS JOIN b$k b))""".stripMargin
+      // the same fold + unpack fragments as encStep — ONE definition
+      // feeds both q117's trainer replay and q120's encode replay
       def mergeStep(k: Int): String =
         s"""p$k AS (
            |  SELECT l[i] || ' ' || l[i+1] AS pair,
@@ -985,35 +987,11 @@ object CurationQueriesImpl {
            |    SPLIT_PART(pair, ' ', 2) AS rb
            |  FROM p$k ORDER BY c DESC, pair LIMIT 1),
            |w$k AS (
-           |  SELECT freq,
-           |    CASE WHEN SPLIT_PART(st, '|', 2) = ''
-           |         THEN SPLIT_PART(st, '|', 1)
-           |         ELSE CASE WHEN SPLIT_PART(st, '|', 1) = ''
-           |              THEN SPLIT_PART(st, '|', 2)
-           |              ELSE SPLIT_PART(st, '|', 1) || ' ' ||
-           |                   SPLIT_PART(st, '|', 2)
-           |              END
-           |    END AS ws
+           |  SELECT freq, $unpackState AS ws
            |  FROM (
            |    SELECT w.freq,
            |      LIST_REDUCE(['|'] || STRING_SPLIT(w.ws, ' '),
-           |        (acc, x) ->
-           |        CASE WHEN SPLIT_PART(acc, '|', 2) = b.la
-           |            AND x = b.rb THEN
-           |          (CASE WHEN SPLIT_PART(acc, '|', 1) = ''
-           |                THEN b.la || b.rb
-           |                ELSE SPLIT_PART(acc, '|', 1) || ' ' ||
-           |                     b.la || b.rb
-           |           END) || '|'
-           |        ELSE
-           |          (CASE WHEN SPLIT_PART(acc, '|', 2) = ''
-           |                THEN SPLIT_PART(acc, '|', 1)
-           |                ELSE CASE WHEN SPLIT_PART(acc, '|', 1) = ''
-           |                     THEN SPLIT_PART(acc, '|', 2)
-           |                     ELSE SPLIT_PART(acc, '|', 1) || ' ' ||
-           |                          SPLIT_PART(acc, '|', 2) END
-           |           END) || '|' || x
-           |        END) AS st
+           |        $foldLambda) AS st
            |    FROM w${k - 1} w CROSS JOIN b$k b))""".stripMargin
       register("q117_bpe_merges",
         s"""WITH w0 AS (

@@ -133,10 +133,23 @@ object Bpe {
   /** Imperative single-word tokenizer: apply merges in RANK order,
     * each as a greedy left-to-right pass — the exact replay of
     * training, so encoding a training word reproduces its final
-    * training symbolization. */
+    * training symbolization. Splits by CODE POINT, matching
+    * [[charSymbols]]' regex semantics (Java regex `.` matches a code
+    * point) — a UTF-16 unit split would symbolize supplementary-plane
+    * text differently than training and emit lone-surrogate pieces. */
   private[text] def encodeWord(word: String,
       merges: IndexedSeq[(String, String)]): Array[String] = {
-    var syms = word.map(_.toString).toArray
+    var syms = {
+      val out = new scala.collection.mutable.ArrayBuffer[String](
+        word.length)
+      var i = 0
+      while (i < word.length) {
+        val cp = word.codePointAt(i)
+        out += new String(Character.toChars(cp))
+        i += Character.charCount(cp)
+      }
+      out.toArray
+    }
     var k = 0
     while (k < merges.length && syms.length >= 2) {
       val (a, b) = merges(k)

@@ -1112,7 +1112,9 @@ object Curation {
     * `cum(r) <= fracs(j) · total(stratum)`, where `cum` counts rows of
     * the stratum scoring <= r's score — so ties (equal scores) always
     * share a bucket and the result is independent of partitioning and
-    * engine. Returns the input plus a `bucket` column.
+    * engine. Returns the input plus a `bucket` column; rows whose
+    * score or stratum is NULL keep their row with a NULL bucket
+    * (they can't rank) rather than silently vanishing.
     *
     * Scale shape — a hierarchical prefix sum, NOT a corpus sort:
     * (1) per-(stratum, score) histogram: one map-side-combined groupBy
@@ -1170,8 +1172,10 @@ object Curation {
     }.otherwise(lit(labels.last))
     val scoreBuckets = cum.join(broadcast(tot), strataCols)
       .select(sCols :+ col("s_") :+ labelExpr.as("bucket"): _*)
+    // LEFT join: a null score/stratum key matches nothing, so those
+    // rows surface with bucket = null instead of being dropped
     df.withColumn("s_", col(scoreCol).cast("long"))
-      .join(scoreBuckets, strataCols :+ "s_")
+      .join(scoreBuckets, strataCols :+ "s_", "left")
       .drop("s_")
   }
 
@@ -1180,8 +1184,10 @@ object Curation {
     * micro-bits-per-token, and split each stratum (CCNet: the
     * language) into head/middle/tail at the 1/3 and 2/3 quantiles —
     * head = most fluent under the LM. The tail bucket is what
-    * CCNet-derived pipelines drop or down-weight. Documents with zero
-    * tokens have no LM score and are omitted. Returns
+    * CCNet-derived pipelines drop or down-weight. Whitespace-only
+    * documents carry one empty pseudo-token under the whitespace
+    * split (matching the SQL split semantics the oracles replay), so
+    * they score and bucket like any other document. Returns
     * (idCol, strataCols…, bits_micro, bucket).
     *
     * Scale shape: [[unigramLogProb]]'s two token-scale shuffles plus

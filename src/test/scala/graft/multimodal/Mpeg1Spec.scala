@@ -110,6 +110,26 @@ class Mpeg1Spec extends AnyFunSuite {
     assert(cut.isEmpty || cut.get._2.nonEmpty) // no crash either way
   }
 
+  test("user_data between picture header and first slice is skipped, " +
+      "not fatal") {
+    val p = Mpeg1.grayPicture(16, 16, (x, y) => 50 + 3 * x + 2 * y)
+    val stream = Mpeg1.encodeIntra(Seq(p), qScale = 2)
+    // splice a user_data unit (00 00 01 B2 + payload) in front of the
+    // first slice start code (00 00 01 01) — legal picture() syntax
+    val sliceAt = stream.indices.indexWhere(i =>
+      i + 3 < stream.length && stream(i) == 0 && stream(i + 1) == 0 &&
+        stream(i + 2) == 1 && stream(i + 3) == 0x01)
+    assert(sliceAt > 0)
+    val userData = Array[Byte](0, 0, 1, 0xb2.toByte, 'h', 'i', 7)
+    val spliced = stream.take(sliceAt) ++ userData ++
+      stream.drop(sliceAt)
+    val Some((_, pics)) = Mpeg1.decodeIPictures(spliced, 4)
+    val clean = Mpeg1.decodeIPictures(stream, 4).get._2.head
+    assert(pics.length == 1 &&
+      java.util.Arrays.equals(pics.head.y, clean.y),
+      "user_data must be transparent to the decode")
+  }
+
   test("decode is deterministic bit-for-bit") {
     val p = Mpeg1.grayPicture(32, 32,
       (x, y) => 128 + (((x * 13 + y * 7) % 31) - 15))

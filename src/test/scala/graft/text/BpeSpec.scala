@@ -67,6 +67,27 @@ class BpeSpec extends AnyFunSuite {
       m.head.freq == 3L)
   }
 
+  test("supplementary-plane text: train and encode symbolize by code " +
+      "point, never by UTF-16 unit") {
+    // U+1F600 (a surrogate pair in UTF-16) repeated: the dominant pair
+    // is (😀, 😀); encode must replay it and emit whole-code-point
+    // pieces, not lone surrogates
+    val smile = new String(Character.toChars(0x1F600))
+    val words = Seq((smile * 3, 5L), (s"a$smile", 2L))
+      .toDF("word", "freq")
+    val m = Bpe.trainFromWordCounts(words, "word", "freq", numMerges = 1,
+      minFreq = 1L)
+    assert(m.head.left == smile && m.head.right == smile &&
+      m.head.freq == 10L)
+    val docs = Seq((1L, smile * 3)).toDF("doc_id", "text")
+    val pieces = Bpe.encode(docs, "text", "doc_id", m)
+      .select($"pieces").as[Seq[String]].head()
+    assert(pieces == Seq(smile + smile, smile))
+    assert(pieces.forall(p => !p.exists(Character.isSurrogate) ||
+      p.codePoints().toArray.forall(Character.isValidCodePoint)),
+      "no lone surrogates in emitted pieces")
+  }
+
   test("encode memo and partitioning do not change output") {
     val m = Bpe.trainFromWordCounts(toy, "word", "freq", 4)
     val docs = (0L until 50L).map(i =>

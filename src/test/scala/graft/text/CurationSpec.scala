@@ -641,6 +641,18 @@ class CurationSpec extends AnyFunSuite {
     assert(key(fast2) == key(naive(big)))
   }
 
+  test("quantileBuckets preserves null-keyed rows with a null bucket") {
+    val df = Seq((Some("A"), Some(1L)), (Some("A"), Some(2L)),
+      (Some("A"), Some(3L)), (None, Some(9L)), (Some("A"), None))
+      .toDF("s", "score")
+    val got = Curation.quantileBuckets(df, "score", Seq("s"),
+      Seq(1.0 / 3, 2.0 / 3), Seq("head", "middle", "tail"))
+    assert(got.count() == 5, "null stratum/score rows must survive")
+    assert(got.where($"s".isNull || $"score".isNull)
+      .where($"bucket".isNotNull).count() == 0)
+    assert(got.where($"bucket".isNotNull).count() == 3)
+  }
+
   test("perplexityBuckets: per-source thirds, head more fluent than tail") {
     val got = Curation.perplexityBuckets(docs, "text", "doc_id",
       Seq("source")).cache()
