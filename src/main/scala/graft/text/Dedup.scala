@@ -785,6 +785,57 @@ object Dedup {
       "toks__", idCol, k, w, gramHash)
   }
 
+  /** [[winnowFingerprints]] as a PURE ROW EXPRESSION — identical
+    * selection (same packed keys, same window mins), computed with
+    * sliding `array_min` windows over an in-row key array instead of
+    * a keyed window function. Two consequences: the plan has NO
+    * exchange at all (the window form shuffles by document), and the
+    * operator is Structured-Streaming append-mode compatible (window
+    * functions are not). The trade: the whole document's gram-key
+    * array materializes in the row (~8 MB at the 2^20-gram cap), so
+    * the window form remains for callers who prefer spill-friendly
+    * per-gram rows. WinnowSpec proves both forms emit the same set. */
+  def winnowFingerprintsInRow(df: DataFrame, textCol: String,
+      idCol: String, k: Int = 5, w: Int = 4,
+      gramHash: Column => Column = xxhash64(_)): DataFrame = {
+    require(k >= 1 && w >= 1)
+    val reserved = Seq("toks__", "nt__", "m__", "keys__", "win__")
+    val clash = reserved.filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"input already has reserved working columns: ${clash.mkString(",")}")
+    val maxPos = (1 << 20) - 1
+    val base = df
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("toks__"))
+      .withColumn("nt__", size(col("toks__")))
+      .withColumn("m__",
+        when(col("nt__") - (k - 1) > maxPos,
+          raise_error(concat(lit(s"winnowFingerprintsInRow: document "),
+            col(idCol).cast("string"),
+            lit(s" exceeds $maxPos grams — chunk it upstream"))))
+          .otherwise(greatest(col("nt__") - (k - 1), lit(0))))
+    val keyOf = (i: Column) => shiftleft(
+      gramHash(concat_ws(" ", slice(col("toks__"), i, lit(k))))
+        .bitwiseAND(lit((1L << 40) - 1)), 20) +
+      (lit(maxPos) - i).cast("long")
+    val keyed = base
+      .withColumn("keys__", when(col("m__") >= 1,
+        transform(sequence(lit(1), col("m__")), keyOf))
+        .otherwise(array().cast("array<long>")))
+    val wins = when(col("m__") >= 1,
+      array_distinct(transform(
+        sequence(lit(1), greatest(col("m__") - (w - 1), lit(1))),
+        s => array_min(slice(col("keys__"), s, lit(w))))))
+      .otherwise(array().cast("array<long>"))
+    // array_distinct already dedupes within the document and ids are
+    // unique across documents, so NO trailing distinct — the whole
+    // plan stays stateless (what makes it streaming-append legal)
+    keyed.select(col(idCol), explode(wins).as("win__"))
+      .select(col(idCol),
+        (lit(maxPos) - col("win__").bitwiseAND(lit(maxPos.toLong)))
+          .cast("long").as("pos"),
+        shiftright(col("win__"), 20).as("gram_hash"))
+  }
+
   /** [[winnowFingerprints]] over a pre-tokenized frame — the
     * stored-tokenization-artifact entry point, same contract as the
     * other `*FromTokens` operators. */
