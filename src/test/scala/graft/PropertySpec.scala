@@ -439,6 +439,42 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("sq8 quantized cosine tracks exact cosine within the int8 " +
+      "error bound on random vectors") {
+    // per-component quantization error <= scale/2 = max|x|/254; the
+    // cosine error is bounded by ~2*sqrt(d)/127 for unit-ish vectors —
+    // assert a loose 3x margin over random data, plus sign fidelity
+    for (d <- Seq(8, 32, 64)) {
+      val vecGen = for {
+        a <- Gen.listOfN(d, Gen.choose(-1000, 1000).map(_ / 1000.0f))
+        b <- Gen.listOfN(d, Gen.choose(-1000, 1000).map(_ / 1000.0f))
+      } yield (a.toArray, b.toArray)
+      val cases = samples(vecGen, 10, 777L + d)
+        .filter { case (a, b) =>
+          a.exists(_ != 0.0f) && b.exists(_ != 0.0f) }
+      val df = cases.zipWithIndex.flatMap { case ((a, b), i) =>
+        Seq((2L * i, a), (2L * i + 1, b)) }.toDF("vec_id", "embedding")
+      val q = graft.similarity.Similarity.sq8TopK(df, df, "embedding",
+          "vec_id", "vec_id", k = df.count().toInt)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+        .toMap
+      cases.zipWithIndex.foreach { case ((a, b), i) =>
+        def cos(x: Array[Float], y: Array[Float]): Double = {
+          val dot = x.zip(y).map { case (p, r) => p.toDouble * r }.sum
+          val nx = math.sqrt(x.map(v => v.toDouble * v).sum)
+          val ny = math.sqrt(y.map(v => v.toDouble * v).sum)
+          dot / (nx * ny)
+        }
+        val exact = cos(a, b)
+        val quant = q((2L * i + 1, 2L * i))
+        val bound = 6.0 * math.sqrt(d) / 127.0
+        assert(math.abs(quant - exact) <= bound,
+          s"case $i (d=$d): |$quant - $exact| > $bound")
+      }
+    }
+  }
+
   test("validation rejects Celsius-looking temps, accepts Kelvin") {
     val kelvin = Seq(("2016-01-01", 271.0)).toDF("d", "temp")
     Validation.assertPlausibleTemps(kelvin)
