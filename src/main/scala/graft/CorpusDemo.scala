@@ -21,12 +21,13 @@ import org.apache.spark.sql.functions._
   *     (headers/footers/banners — RefinedWeb line removal);
   *  4. redact: PII scrubbing (emails/IPs/phones) — a pure map;
   *  5. filter: per-language quality percentile (sketch + broadcast
-  *     thresholds) and a repetition cap, then the CCNet perplexity
-  *     split per language — the tail third under the corpus' own LM
-  *     drops;
-  *  6. dedup: MinHash-LSH near-dup pairs → connected components →
-  *     keep the BEST copy per duplicate family (quality order, not
-  *     min-id);
+  *     thresholds) and a repetition cap;
+  *  6. dedup, then perplexity-cut (the CCNet order — dedup first so
+  *     duplicates can't double-count in the corpus LM): MinHash-LSH
+  *     near-dup pairs → connected components → keep the BEST copy
+  *     per duplicate family (quality order, not min-id), then drop
+  *     the least-fluent third per language under the corpus' own
+  *     unigram LM;
   *  7. decontaminate: drop documents overlapping the (broadcast)
   *     benchmark 13-gram set;
   *  8. semantic prune: SemDedup over the embeddings of surviving
@@ -108,40 +109,42 @@ object CorpusDemo {
         .localCheckpoint(false)
     }
 
-    // 5b. CCNet perplexity split per language: the corpus' own unigram
-    //     LM scores every document; the least-fluent third (the tail
-    //     bucket) drops. Hierarchical prefix-sum bucketing — no
-    //     per-language sort task.
-    val fluent = t("ppl: drop the CCNet tail bucket per language") {
-      val keep = Curation.perplexityBuckets(filtered, "text", "doc_id",
-          Seq("lang_pred"))
-        .where(col("bucket") =!= "tail")
-        .select(col("doc_id"))
-      filtered.join(keep, Seq("doc_id"), "left_semi")
-        .localCheckpoint(false)
-    }
-
-    // 6. near-dup dedup: pairs -> components -> keep the BEST copy per
-    // family (quality desc, id tiebreak) — the production keeper
-    // choice, not min-id. localCheckpoint: downstream stages and the
-    // final counts would otherwise re-run the LSH join chain once per
-    // action.
+    // 6. near-dup dedup BEFORE the LM cut (the CCNet order — dedup
+    // first so duplicated text cannot double-count in the corpus LM):
+    // pairs -> components -> keep the BEST copy per family (quality
+    // desc, id tiebreak) — the production keeper choice, not min-id.
+    // localCheckpoint: downstream stages and the final counts would
+    // otherwise re-run the LSH join chain once per action.
     val deduped = t("dedup: LSH pairs -> clusters -> keep best copy") {
-      val pairs = graft.text.Dedup.nearDupPairs(fluent, "text",
+      val pairs = graft.text.Dedup.nearDupPairs(filtered, "text",
         "doc_id", minJaccard = 0.5, numHashes = 32)
-      Clusters.assignKeepBest(fluent, "doc_id", pairs,
+      Clusters.assignKeepBest(filtered, "doc_id", pairs,
           order = Seq(col("quality").desc))
         .where(col("is_keeper") === 1)
         .drop("cluster_id", "cluster_size", "keeper_rank", "is_keeper")
         .localCheckpoint()
     }
 
+    // 6b. CCNet perplexity split per language over the DEDUPED corpus
+    //     (duplicates would otherwise inflate their own n-gram
+    //     probabilities): the least-fluent third per language — the
+    //     tail bucket — drops. Hierarchical prefix-sum bucketing, no
+    //     per-language sort task.
+    val fluent = t("ppl: drop the CCNet tail bucket per language") {
+      val keep = Curation.perplexityBuckets(deduped, "text", "doc_id",
+          Seq("lang_pred"))
+        .where(col("bucket") =!= "tail")
+        .select(col("doc_id"))
+      deduped.join(keep, Seq("doc_id"), "left_semi")
+        .localCheckpoint(false)
+    }
+
     // 7. decontaminate vs a probe set (here: the 10 lowest doc_ids)
     val clean = t("decontaminate vs benchmark grams") {
       val probes = docs.where(col("doc_id") < 10)
       val flags = Curation.decontaminate(
-        deduped.where(col("doc_id") >= 10), probes, "text", "doc_id")
-      deduped.join(flags.where(col("contaminated") === 0)
+        fluent.where(col("doc_id") >= 10), probes, "text", "doc_id")
+      fluent.join(flags.where(col("contaminated") === 0)
         .select(col("doc_id")), Seq("doc_id"), "left_semi")
     }
 
@@ -253,8 +256,9 @@ object CorpusDemo {
     val counts = Seq(
       "input" -> total, "heuristic-filtered" -> heuristic.count(),
       "quality-filtered" -> filtered.count(),
+      "deduped" -> deduped.count(),
       "ppl-head+middle" -> fluent.count(),
-      "deduped" -> deduped.count(), "decontaminated" -> clean.count(),
+      "decontaminated" -> clean.count(),
       "semantically-pruned" -> pruned.count(),
       "domain-capped" -> capped.count(),
       "dsir-selected" -> selected.count(),
