@@ -34,6 +34,19 @@ object Bpe {
   def charSymbols(word: Column): Column =
     split(trim(regexp_replace(word, "(.)", "$1 ")), " ")
 
+  /** End-of-word marker reserved by [[charSymbolsEow]] — symbols from
+    * [[charSymbols]] are single code points, so the multi-char marker
+    * can never collide with corpus text. */
+  val EndOfWord = "</w>"
+
+  /** [[charSymbols]] plus the `</w>` end-of-word marker — Sennrich's
+    * ORIGINAL symbolization: word-final merges (e.g. `est</w>`) learn
+    * separately from word-internal ones (`est` inside "established"),
+    * and a piece sequence detokenizes unambiguously. Pair with
+    * `encode(..., appendEow = true)`. */
+  def charSymbolsEow(word: Column): Column =
+    concat(charSymbols(word), array(lit(EndOfWord)))
+
   /** Greedy left-to-right single-pair merge as a pure fold expression:
     * [a, a, a] with pair (a, a) becomes [aa, a] — the non-overlapping
     * scan BPE training uses. State = (merged prefix, held symbol);
@@ -138,16 +151,18 @@ object Bpe {
     * point) — a UTF-16 unit split would symbolize supplementary-plane
     * text differently than training and emit lone-surrogate pieces. */
   private[text] def encodeWord(word: String,
-      merges: IndexedSeq[(String, String)]): Array[String] = {
+      merges: IndexedSeq[(String, String)],
+      appendEow: Boolean = false): Array[String] = {
     var syms = {
       val out = new scala.collection.mutable.ArrayBuffer[String](
-        word.length)
+        word.length + 1)
       var i = 0
       while (i < word.length) {
         val cp = word.codePointAt(i)
         out += new String(Character.toChars(cp))
         i += Character.charCount(cp)
       }
+      if (appendEow) out += EndOfWord
       out.toArray
     }
     var k = 0
@@ -174,9 +189,12 @@ object Bpe {
   /** Tokenize every document with a trained merge list: returns
     * (idCol, pieces array<string>, n_pieces). `mapPartitions` with
     * the rank table broadcast; a per-partition memo collapses the
-    * Zipfian word repetition (the standard tokenizer-cache shape). */
+    * Zipfian word repetition (the standard tokenizer-cache shape).
+    * Set `appendEow` when the merges were trained with
+    * [[charSymbolsEow]] — the symbolizations must match or word-final
+    * merges never fire. */
   def encode(df: DataFrame, textCol: String, idCol: String,
-      merges: Seq[Merge]): DataFrame = {
+      merges: Seq[Merge], appendEow: Boolean = false): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val table: IndexedSeq[(String, String)] =
@@ -192,7 +210,9 @@ object Bpe {
         val toks = text.trim.split("\\s+").filter(_.nonEmpty)
         val pieces = toks.flatMap { w =>
           var p = memo.get(w)
-          if (p == null) { p = encodeWord(w, t); memo.put(w, p) }
+          if (p == null) {
+            p = encodeWord(w, t, appendEow); memo.put(w, p)
+          }
           p
         }
         (id, pieces, pieces.length.toLong)

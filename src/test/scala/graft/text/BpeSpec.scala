@@ -67,6 +67,34 @@ class BpeSpec extends AnyFunSuite {
       m.head.freq == 3L)
   }
 
+  test("end-of-word marker: Sennrich's original symbolization learns " +
+      "word-final merges and detokenizable pieces") {
+    val m = Bpe.trainFromWordCounts(toy, "word", "freq", numMerges = 5,
+      symbolize = Bpe.charSymbolsEow)
+    // counts with </w>: e-s 9, s-t 9, t-</w> 9 tie -> lexicographic
+    // "e s" < "s t" < "t </w>"; then es-t 9 < t-</w>? recompute each
+    // round — just pin the canonical outcome of the classic corpus
+    assert(m.head.left == "e" && m.head.right == "s")
+    assert(m.map(_.merged).contains("est</w>") ||
+      m.map(_.merged).contains("est"),
+      s"expected an est-family merge, got ${m.map(_.merged)}")
+    // every learned symbol either carries no marker or ENDS with it —
+    // </w> can never appear word-internal
+    assert(m.forall(x =>
+      !x.merged.contains(Bpe.EndOfWord) ||
+        x.merged.endsWith(Bpe.EndOfWord)))
+    // encode with the matching symbolization: last piece of each word
+    // carries the marker; mismatched encode (appendEow=false) would
+    // never fire word-final merges
+    val docs = Seq((1L, "newest low")).toDF("doc_id", "text")
+    val pieces = Bpe.encode(docs, "text", "doc_id", m, appendEow = true)
+      .select($"pieces").as[Seq[String]].head()
+    assert(pieces.nonEmpty && pieces.last.endsWith(Bpe.EndOfWord))
+    // exactly one marker per word across the piece stream
+    assert(pieces.map(p =>
+      Bpe.EndOfWord.r.findAllIn(p).length).sum == 2)
+  }
+
   test("supplementary-plane text: train and encode symbolize by code " +
       "point, never by UTF-16 unit") {
     // U+1F600 (a surrogate pair in UTF-16) repeated: the dominant pair
