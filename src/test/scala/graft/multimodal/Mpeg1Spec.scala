@@ -130,6 +130,25 @@ class Mpeg1Spec extends AnyFunSuite {
       "user_data must be transparent to the decode")
   }
 
+  test("fuzz: random corruption of a valid stream never throws") {
+    val p = Mpeg1.grayPicture(32, 32,
+      (x, y) => 128 + (((x * 11 + y * 5) % 37) - 18))
+    val stream = Mpeg1.encodeIntra(Seq(p, p), qScale = 3)
+    val rnd = new scala.util.Random(11)
+    (0 until 200).foreach { trial =>
+      val bad = stream.clone()
+      // flip 1-8 random bytes (headers, tables, coefficients alike)
+      (0 until 1 + rnd.nextInt(8)).foreach { _ =>
+        bad(rnd.nextInt(bad.length)) = rnd.nextInt(256).toByte
+      }
+      // must return Some or None, never throw — a corrupt payload in
+      // a 100 TB corpus cannot be allowed to kill the task
+      Mpeg1.decodeIPictures(bad, 4)
+      val cut = bad.take(rnd.nextInt(bad.length))
+      Mpeg1.decodeIPictures(cut, 4)
+    }
+  }
+
   test("decode is deterministic bit-for-bit") {
     val p = Mpeg1.grayPicture(32, 32,
       (x, y) => 128 + (((x * 13 + y * 7) % 31) - 15))

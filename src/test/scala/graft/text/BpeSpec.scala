@@ -116,6 +116,34 @@ class BpeSpec extends AnyFunSuite {
       "no lone surrogates in emitted pieces")
   }
 
+  test("encode runs unchanged over a structured stream, " +
+      "stream equals batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val m = Bpe.trainFromWordCounts(toy, "word", "freq", 4)
+    val rows = Seq((1L, "newest widest low"), (2L, "lower lowest"),
+      (3L, "unrelated tokens entirely"))
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val q = Bpe.encode(mem.toDF().toDF("doc_id", "text"), "text",
+        "doc_id", m)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("bpe_stream").start()
+    try {
+      mem.addData(rows.take(2))
+      q.processAllAvailable()
+      mem.addData(rows.drop(2))
+      q.processAllAvailable()
+      val got = spark.table("bpe_stream")
+        .collect().map(r => r.getLong(0) ->
+          (r.getSeq[String](1), r.getLong(2))).toMap
+      val want = Bpe.encode(rows.toDF("doc_id", "text"), "text",
+          "doc_id", m)
+        .collect().map(r => r.getLong(0) ->
+          (r.getSeq[String](1), r.getLong(2))).toMap
+      assert(got == want)
+    } finally q.stop()
+  }
+
   test("encode memo and partitioning do not change output") {
     val m = Bpe.trainFromWordCounts(toy, "word", "freq", 4)
     val docs = (0L until 50L).map(i =>
