@@ -27,13 +27,18 @@ object TextAnalysis {
     * rendering or spacing normalize to the SAME bytes, which is what
     * makes exact/minhash dedup robust on web text. A pure codegen'd
     * row expression; the char fold is a 1:1 `translate`, replayable
-    * verbatim in SQL. */
-  def normalizeText(text: Column): Column =
-    trim(regexp_replace(
+    * verbatim in SQL. `foldDigits` additionally maps every ASCII
+    * digit to '0' \u2014 CCNet's number normalization for DEDUP KEYS
+    * (pages differing only in dates/counters hash together); keep it
+    * off when the normalized text is the stored body. */
+  def normalizeText(text: Column, foldDigits: Boolean = false): Column = {
+    val base = trim(regexp_replace(
       translate(lower(text),
         "\u2019\u2018\u201C\u201D\u2013\u2014\u2026\u00A0",
         "''\"\"--. "),
       "\\s+", " "))
+    if (foldDigits) regexp_replace(base, "[0-9]", "0") else base
+  }
 
   private val punctClass = "[.,!?;:'\"()\\-]"
 

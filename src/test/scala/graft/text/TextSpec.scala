@@ -361,6 +361,14 @@ class TextSpec extends AnyFunSuite {
     assert(got(1L) == got(2L).replaceAll("\\s+", " "),
       "typographic and ASCII renderings must normalize alike")
     assert(got(3L) == "it's 'fine'" && got(3L) == got(4L))
+    // digit folding: dedup-key mode hashes date/counter variants alike
+    val dated = Seq((1L, "posted 2024-01-05, 1,234 views"),
+      (2L, "posted 1999-12-31, 5,678 views")).toDF("id", "text")
+    val folded = dated.select(
+        TextAnalysis.normalizeText($"text", foldDigits = true))
+      .as[String].collect()
+    assert(folded(0) == folded(1) &&
+      folded(0) == "posted 0000-00-00, 0,000 views")
   }
 
   test("winnowFingerprints: window-min selection, rightmost ties, " +
