@@ -30,9 +30,11 @@ object Bench {
     }
     // Sorted order: SparkEntry.queries is a HashMap, whose iteration
     // order shifts whenever a query is added — which would hand the
-    // residual first-run noise to a different query each round. Two
-    // timed passes, min per query: single-shot numbers at this scale
-    // carry multi-second JIT/GC noise that lands on arbitrary queries.
+    // residual first-run noise to a different query each round. Three
+    // timed passes, min per query (the ScaleSmoke convention):
+    // single-shot numbers at this scale carry multi-second JIT/GC —
+    // and on a contended box 1.5-2× ambient — noise that lands on
+    // arbitrary queries and poisons round-over-round comparison.
     // Optional comma-separated filter for local iteration on specific
     // queries; unset (the driver's mode) benches everything.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
@@ -53,9 +55,11 @@ object Bench {
         }
         name -> (System.nanoTime() - t0) / 1e9
       }
-    val (p1, p2) = (pass(), pass())
-    val results = p1.zip(p2).map { case ((n, a), (_, b)) =>
-      n -> math.min(a, b) }
+    val nPasses =
+      sys.env.get("SPARK_GRAFT_PASSES").map(_.toInt).getOrElse(3)
+    val passes = (1 to nPasses).map(_ => pass())
+    val results = passes.head.indices.map { i =>
+      passes.head(i)._1 -> passes.map(_(i)._2).min }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum

@@ -937,31 +937,35 @@ object CurationQueriesImpl {
       // the LIST_REDUCE greedy-merge fold over a space-joined symbol
       // string, parameterized by the b$k scalar pair (b.la, b.rb);
       // state string is "merged-prefix|held"
+      // state delimiter is CHR(1) (unprintable, cannot appear in any
+      // token — q120 encodes arbitrary document tokens, so a literal
+      // '|' delimiter would corrupt SPLIT_PART state unpacking for
+      // tokens containing '|')
       val foldLambda =
         """(acc, x) ->
-          |        CASE WHEN SPLIT_PART(acc, '|', 2) = b.la
+          |        CASE WHEN SPLIT_PART(acc, CHR(1), 2) = b.la
           |            AND x = b.rb THEN
-          |          (CASE WHEN SPLIT_PART(acc, '|', 1) = ''
+          |          (CASE WHEN SPLIT_PART(acc, CHR(1), 1) = ''
           |                THEN b.la || b.rb
-          |                ELSE SPLIT_PART(acc, '|', 1) || ' ' ||
+          |                ELSE SPLIT_PART(acc, CHR(1), 1) || ' ' ||
           |                     b.la || b.rb
-          |           END) || '|'
+          |           END) || CHR(1)
           |        ELSE
-          |          (CASE WHEN SPLIT_PART(acc, '|', 2) = ''
-          |                THEN SPLIT_PART(acc, '|', 1)
-          |                ELSE CASE WHEN SPLIT_PART(acc, '|', 1) = ''
-          |                     THEN SPLIT_PART(acc, '|', 2)
-          |                     ELSE SPLIT_PART(acc, '|', 1) || ' ' ||
-          |                          SPLIT_PART(acc, '|', 2) END
-          |           END) || '|' || x
+          |          (CASE WHEN SPLIT_PART(acc, CHR(1), 2) = ''
+          |                THEN SPLIT_PART(acc, CHR(1), 1)
+          |                ELSE CASE WHEN SPLIT_PART(acc, CHR(1), 1) = ''
+          |                     THEN SPLIT_PART(acc, CHR(1), 2)
+          |                     ELSE SPLIT_PART(acc, CHR(1), 1) || ' ' ||
+          |                          SPLIT_PART(acc, CHR(1), 2) END
+          |           END) || CHR(1) || x
           |        END""".stripMargin
       val unpackState =
-        """CASE WHEN SPLIT_PART(st, '|', 2) = ''
-          |         THEN SPLIT_PART(st, '|', 1)
-          |         ELSE CASE WHEN SPLIT_PART(st, '|', 1) = ''
-          |              THEN SPLIT_PART(st, '|', 2)
-          |              ELSE SPLIT_PART(st, '|', 1) || ' ' ||
-          |                   SPLIT_PART(st, '|', 2)
+        """CASE WHEN SPLIT_PART(st, CHR(1), 2) = ''
+          |         THEN SPLIT_PART(st, CHR(1), 1)
+          |         ELSE CASE WHEN SPLIT_PART(st, CHR(1), 1) = ''
+          |              THEN SPLIT_PART(st, CHR(1), 2)
+          |              ELSE SPLIT_PART(st, CHR(1), 1) || ' ' ||
+          |                   SPLIT_PART(st, CHR(1), 2)
           |              END
           |    END""".stripMargin
       // apply merge b$k to every (doc_id, i, ws) token row of `src`
@@ -970,7 +974,7 @@ object CurationQueriesImpl {
            |  SELECT doc_id, i, $unpackState AS ws
            |  FROM (
            |    SELECT w.doc_id, w.i,
-           |      LIST_REDUCE(['|'] || STRING_SPLIT(w.ws, ' '),
+           |      LIST_REDUCE([CHR(1)] || STRING_SPLIT(w.ws, ' '),
            |        $foldLambda) AS st
            |    FROM $src w CROSS JOIN b$k b))""".stripMargin
       // the same fold + unpack fragments as encStep — ONE definition
@@ -990,7 +994,7 @@ object CurationQueriesImpl {
            |  SELECT freq, $unpackState AS ws
            |  FROM (
            |    SELECT w.freq,
-           |      LIST_REDUCE(['|'] || STRING_SPLIT(w.ws, ' '),
+           |      LIST_REDUCE([CHR(1)] || STRING_SPLIT(w.ws, ' '),
            |        $foldLambda) AS st
            |    FROM w${k - 1} w CROSS JOIN b$k b))""".stripMargin
       register("q117_bpe_merges",

@@ -47,6 +47,85 @@ object Bpe {
   def charSymbolsEow(word: Column): Column =
     concat(charSymbols(word), array(lit(EndOfWord)))
 
+  // ---------------------------------------------------------------
+  // Byte-level BPE (the GPT-2 BBPE variant): train and encode over
+  // the UTF-8 BYTES of the text, each byte bijectively mapped to a
+  // printable BMP character so merges stay plain string symbols. No
+  // input is unrepresentable — emoji, CJK, control bytes, mixed
+  // encodings all reduce to the same 256-symbol base alphabet.
+  // ---------------------------------------------------------------
+
+  /** GPT-2's byte↔unicode bijection: printable latin-1 bytes
+    * (`!`..`~`, `¡`..`¬`, `®`..`ÿ`) map to themselves; the other 68
+    * (controls, space, DEL, C1, NBSP, SHY) shift to U+0100+i in
+    * ascending byte order — so byte 0x20 becomes `Ġ` (U+0120), the
+    * marker GPT-2 vocabularies are famous for. Closed form:
+    * b<=32 → 256+b; 127<=b<=160 → 162+b; 173 → 323; else b. */
+  val byteToChar: IndexedSeq[Char] = (0 until 256).map { b =>
+    if (b <= 32) (256 + b).toChar
+    else if (b >= 127 && b <= 160) (162 + b).toChar
+    else if (b == 173) 323.toChar
+    else b.toChar
+  }
+
+  /** Inverse of [[byteToChar]] (a bijection, so total on its image). */
+  val charToByte: Map[Char, Int] =
+    byteToChar.zipWithIndex.map { case (c, b) => c -> b }.toMap
+
+  // translate() source/target strings for the 68 remapped bytes —
+  // the printable bytes pass through translate untouched
+  private val remapFrom: String =
+    (0 until 256).filter(b => byteToChar(b) != b.toChar)
+      .map(_.toChar).mkString
+  private val remapTo: String =
+    (0 until 256).filter(b => byteToChar(b) != b.toChar)
+      .map(byteToChar(_)).mkString
+
+  /** Byte-level symbolizer as a pure Column expression: UTF-8 bytes
+    * of the word, each mapped through [[byteToChar]], one symbol per
+    * byte. `decode(…,'ISO-8859-1')` turns each byte into the
+    * U+00–U+FF char of the same value, then one `translate` applies
+    * the bijection — all codegen'd builtins, no UDF. Drop-in
+    * `symbolize` for [[trainFromWordCounts]]. */
+  def byteSymbols(word: Column): Column =
+    charSymbols(translate(
+      decode(org.apache.spark.sql.functions.encode(word, "UTF-8"),
+        "ISO-8859-1"),
+      remapFrom, remapTo))
+
+  /** Imperative twin of [[byteSymbols]] for the encode path. */
+  private[text] def symbolizeBytes(word: String): Array[String] = {
+    val bytes = word.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val out = new Array[String](bytes.length)
+    var i = 0
+    while (i < bytes.length) {
+      out(i) = String.valueOf(byteToChar(bytes(i) & 0xff))
+      i += 1
+    }
+    out
+  }
+
+  /** Inverse of the byte-level encode: map every piece's chars back
+    * through [[charToByte]], concatenate the bytes, decode UTF-8.
+    * Pieces in `specialTokens` pass through verbatim (they were never
+    * byte-mapped). Exact round-trip of [[encodeBytes]]' output. */
+  def decodePieces(pieces: Seq[String],
+      specialTokens: Set[String] = Set.empty): String = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val sb = new StringBuilder
+    def flush(): Unit = if (bos.size() > 0) {
+      sb.append(new String(bos.toByteArray,
+        java.nio.charset.StandardCharsets.UTF_8))
+      bos.reset()
+    }
+    pieces.foreach { p =>
+      if (specialTokens.contains(p)) { flush(); sb.append(p) }
+      else p.foreach(c => bos.write(charToByte(c)))
+    }
+    flush()
+    sb.toString
+  }
+
   /** Greedy left-to-right single-pair merge as a pure fold expression:
     * [a, a, a] with pair (a, a) becomes [aa, a] — the non-overlapping
     * scan BPE training uses. State = (merged prefix, held symbol);
@@ -133,6 +212,118 @@ object Bpe {
       symbolize)
   }
 
+  /** Byte-level training (GPT-2 BBPE) from a corpus text column:
+    * CASE-PRESERVING whitespace word histogram (byte-level's point is
+    * that no input needs normalizing away), then the same
+    * distinct-word-scale merge rounds over [[byteSymbols]]. Words
+    * equal to a reserved `specialTokens` entry are excluded from the
+    * histogram — specials are vocabulary entries, never merge fodder.
+    * Plan shape identical to [[train]]. */
+  def trainBytes(df: DataFrame, textCol: String, numMerges: Int,
+      minFreq: Long = 2L,
+      specialTokens: Seq[String] = Nil): Seq[Merge] = {
+    val counts = df
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("word"))
+      .where(col("word") =!= "" &&
+        !col("word").isin(specialTokens: _*))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+    trainFromWordCounts(counts, "word", "freq", numMerges, minFreq,
+      byteSymbols)
+  }
+
+  /** GPT-2's pre-tokenizer shape, simplified to the part that matters
+    * for lossless round-trips: ` ?\S+` (a run of non-space, keeping
+    * ONE preceding space — the `Ġ`-prefix convention), else a
+    * whitespace run that donates its last space to a following
+    * non-space run (`\s+(?!\S)|\s+`). Concatenating the tokens
+    * reproduces the input byte-for-byte. */
+  private val Gpt2PreTok =
+    java.util.regex.Pattern.compile(""" ?\S+|\s+(?!\S)|\s+""")
+
+  private[text] def preTokenizeGpt2(text: String): Iterator[String] = {
+    val m = Gpt2PreTok.matcher(text)
+    new Iterator[String] {
+      private var has = m.find()
+      def hasNext: Boolean = has
+      def next(): String = { val g = m.group(); has = m.find(); g }
+    }
+  }
+
+  /** Byte-level tokenize (GPT-2 BBPE): returns (idCol, pieces
+    * array<string>, n_pieces). Case-preserving and LOSSLESS —
+    * [[decodePieces]] of the output reproduces the input text
+    * exactly, whatever bytes it holds. `specialTokens` are matched
+    * verbatim (leftmost, longest-first) before any splitting and
+    * emitted as single unsplit pieces — the `<|endoftext|>`
+    * reservation. `preTokenizer`: "gpt2" (default — space-prefix
+    * convention, lossless on any whitespace) or "whitespace" (the
+    * library's standard split; lossless only up to single-space
+    * joining, but exactly replayable in SQL — the q123/q124 oracle
+    * path). Same mapPartitions + broadcast + memo shape as
+    * [[encode]]. */
+  def encodeBytes(df: DataFrame, textCol: String, idCol: String,
+      merges: Seq[Merge], specialTokens: Seq[String] = Nil,
+      preTokenizer: String = "gpt2"): DataFrame = {
+    require(preTokenizer == "gpt2" || preTokenizer == "whitespace",
+      s"unknown preTokenizer: $preTokenizer")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val table: IndexedSeq[(String, String)] =
+      merges.sortBy(_.rank).map(m => (m.left, m.right)).toIndexedSeq
+    val bc = spark.sparkContext.broadcast(table)
+    // longest-first so an overlapping shorter special can't shadow a
+    // longer one at the same position
+    val specials = specialTokens.sortBy(-_.length).toArray
+    val ws = preTokenizer == "whitespace"
+    val src: Dataset[(java.lang.Long, String)] = df
+      .select(col(idCol).cast("long"),
+        coalesce(col(textCol), lit("")))
+      .as[(java.lang.Long, String)]
+    src.mapPartitions { rows =>
+      val t = bc.value
+      val memo = new java.util.HashMap[String, Array[String]]()
+      def enc(word: String): Array[String] = {
+        var p = memo.get(word)
+        if (p == null) {
+          p = applyMerges(symbolizeBytes(word), t)
+          memo.put(word, p)
+        }
+        p
+      }
+      def segPieces(seg: String): Iterator[Array[String]] =
+        if (ws) seg.trim.split("\\s+").iterator
+          .filter(_.nonEmpty).map(enc)
+        else preTokenizeGpt2(seg).map(enc)
+      rows.map { case (id, text) =>
+        val pieces = scala.collection.mutable.ArrayBuffer.empty[String]
+        var pos = 0
+        while (pos < text.length) {
+          // next special occurrence at or after pos, if any
+          var bestAt = -1; var bestTok: String = null
+          var si = 0
+          while (si < specials.length) {
+            val at = text.indexOf(specials(si), pos)
+            if (at >= 0 && (bestAt < 0 || at < bestAt)) {
+              bestAt = at; bestTok = specials(si)
+            }
+            si += 1
+          }
+          if (bestAt < 0) {
+            segPieces(text.substring(pos)).foreach(pieces ++= _)
+            pos = text.length
+          } else {
+            if (bestAt > pos)
+              segPieces(text.substring(pos, bestAt))
+                .foreach(pieces ++= _)
+            pieces += bestTok
+            pos = bestAt + bestTok.length
+          }
+        }
+        (id, pieces.toArray, pieces.length.toLong)
+      }
+    }.toDF(idCol, "pieces", "n_pieces")
+  }
+
   /** The merge table as a DataFrame (rank, left, right, merged, freq)
     * — the stored-artifact form consumers gate and ship. */
   def mergesToDf(spark: org.apache.spark.sql.SparkSession,
@@ -165,6 +356,15 @@ object Bpe {
       if (appendEow) out += EndOfWord
       out.toArray
     }
+    applyMerges(syms, merges)
+  }
+
+  /** Apply merges in RANK order, each as a greedy left-to-right
+    * non-overlapping pass — the exact replay of training. Shared by
+    * the char-level and byte-level encoders. */
+  private[text] def applyMerges(syms0: Array[String],
+      merges: IndexedSeq[(String, String)]): Array[String] = {
+    var syms = syms0
     var k = 0
     while (k < merges.length && syms.length >= 2) {
       val (a, b) = merges(k)
@@ -200,9 +400,12 @@ object Bpe {
     val table: IndexedSeq[(String, String)] =
       merges.sortBy(_.rank).map(m => (m.left, m.right)).toIndexedSeq
     val bc = spark.sparkContext.broadcast(table)
-    val src: Dataset[(Long, String)] = df
-      .select(col(idCol).cast("long"), lower(col(textCol)))
-      .as[(Long, String)]
+    // null-tolerant like the library's SQL operators: a NULL text
+    // encodes to zero pieces, a NULL id passes through as null
+    val src: Dataset[(java.lang.Long, String)] = df
+      .select(col(idCol).cast("long"),
+        coalesce(lower(col(textCol)), lit("")))
+      .as[(java.lang.Long, String)]
     src.mapPartitions { rows =>
       val t = bc.value
       val memo = new java.util.HashMap[String, Array[String]]()

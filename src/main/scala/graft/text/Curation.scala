@@ -1143,7 +1143,14 @@ object Curation {
     requireFresh(df, "s_", "bin_", "cnt_", "bc_", "base_", "cum_",
       "tot_", "bucket")
     val sCols = strataCols.map(col)
-    val hist = df.groupBy(sCols :+ col(scoreCol).cast("long").as("s_"): _*)
+    // rows with a NULL score or NULL stratum can't rank — keep them
+    // OUT of the histogram so they don't inflate tot_ or (sorting
+    // first in the ascending window) shift every real bin's base_
+    // prefix sum; the final LEFT join restores them with bucket=null
+    val rankable = (col(scoreCol).isNotNull +: sCols.map(_.isNotNull))
+      .reduce(_ && _)
+    val hist = df.where(rankable)
+      .groupBy(sCols :+ col(scoreCol).cast("long").as("s_"): _*)
       .agg(count(lit(1)).as("cnt_"))
       // three consumers (bin totals, within-bin cumsum, stratum
       // totals): materialize the distinct-score histogram once

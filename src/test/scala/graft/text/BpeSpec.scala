@@ -144,6 +144,121 @@ class BpeSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("byteToChar is the GPT-2 bijection: 256 distinct printable " +
+      "symbols, exact inverse") {
+    assert(Bpe.byteToChar.length == 256)
+    assert(Bpe.byteToChar.distinct.length == 256)
+    // the famous anchors: space -> Ġ (U+0120), newline -> Ċ (U+010A),
+    // printable ASCII maps to itself
+    assert(Bpe.byteToChar(0x20) == 'Ġ')
+    assert(Bpe.byteToChar(0x0a) == 'Ċ')
+    assert(Bpe.byteToChar('a'.toInt) == 'a')
+    assert(Bpe.byteToChar(0xff) == 'ÿ')
+    (0 until 256).foreach(b =>
+      assert(Bpe.charToByte(Bpe.byteToChar(b)) == b))
+    // no symbol is whitespace and none is the oracle fold delimiter
+    assert(Bpe.byteToChar.forall(c =>
+      !Character.isWhitespace(c) && c != '\u0001'))
+  }
+
+  test("byteSymbols (Column) equals symbolizeBytes (imperative) on " +
+      "mixed-plane text") {
+    val smile = new String(Character.toChars(0x1F600))
+    val words = Seq("hello", "héllo", "日本語", smile, s"a${smile}b",
+      "ab\u0000cd", "ÿ~!")
+    val got = words.toDF("w")
+      .select(Bpe.byteSymbols($"w").as("s"))
+      .as[Seq[String]].collect().toSeq
+    words.zip(got).foreach { case (w, g) =>
+      assert(g == Bpe.symbolizeBytes(w).toSeq, s"word: $w") }
+  }
+
+  test("byte-level encode round-trips arbitrary UTF-8: emoji, CJK, " +
+      "control bytes, pipes, multi-space") {
+    val smile = new String(Character.toChars(0x1F600))
+    val texts = Seq(
+      "Plain ASCII with  double  spaces and\ttabs\nnewlines",
+      s"emoji $smile$smile and CJK 日本語のテキスト mixed",
+      "control\u0001bytes\u0007and\u0000nul",
+      "pipes | and || delimiters |||",
+      "UPPER Case Preserved",
+      "   leading and trailing   ",
+      "")
+    val m = Bpe.trainBytes(
+      texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text"), "text", numMerges = 6, minFreq = 1L)
+    val got = Bpe.encodeBytes(
+        texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+          .toDF("doc_id", "text"), "text", "doc_id", m)
+      .orderBy($"doc_id").select($"pieces").as[Seq[String]].collect()
+    texts.zip(got).foreach { case (t, pieces) =>
+      assert(Bpe.decodePieces(pieces) == t,
+        s"round-trip failed for: ${t.take(40)}") }
+  }
+
+  test("byte-level merges learn across case and non-ASCII (no " +
+      "lowercasing, no alphabet restriction)") {
+    val docs = Seq((1L, "ÉÉ ÉÉ ÉÉ xy"), (2L, "ÉÉ xy xy"))
+      .toDF("doc_id", "text")
+    val m = Bpe.trainBytes(docs, "text", numMerges = 1, minFreq = 1L)
+    // É is 2 UTF-8 bytes (C3 89): the dominant pair is its own byte
+    // pair, seen twice per "ÉÉ" occurrence... adjacent-pair count:
+    // [Ã,ĉ,Ã,ĉ] has (Ã,ĉ)x2 + (ĉ,Ã)x1 per word occurrence -> 8 vs 4
+    val eBytes = Bpe.symbolizeBytes("É")
+    assert((m.head.left, m.head.right) == (eBytes(0), eBytes(1)),
+      s"got ${m.head}")
+    assert(m.head.freq == 8L)
+  }
+
+  test("special tokens are reserved: never split, never merged, " +
+      "survive round-trip") {
+    val eot = "<|endoftext|>"
+    val docs = Seq(
+      (1L, s"doc one$eot doc two ${eot}tail"),
+      (2L, eot), (3L, s"no specials here"))
+      .toDF("doc_id", "text")
+    val m = Bpe.trainBytes(docs, "text", numMerges = 3, minFreq = 1L,
+      specialTokens = Seq(eot))
+    val got = Bpe.encodeBytes(docs, "text", "doc_id", m,
+        specialTokens = Seq(eot))
+      .orderBy($"doc_id").select($"pieces").as[Seq[String]].collect()
+    // the special appears as a verbatim piece exactly as often as in
+    // the text, and round-trip is exact
+    assert(got(0).count(_ == eot) == 2)
+    assert(got(1).toSeq == Seq(eot))
+    val texts = Seq(s"doc one$eot doc two ${eot}tail", eot,
+      "no specials here")
+    texts.zip(got).foreach { case (t, p) =>
+      assert(Bpe.decodePieces(p, Set(eot)) == t) }
+  }
+
+  test("gpt2 pre-tokenizer: concatenation reproduces input, words " +
+      "carry one leading space") {
+    val t = "a  bb   c\n\nd "
+    val toks = Bpe.preTokenizeGpt2(t).toSeq
+    assert(toks.mkString == t)
+    // only a SPACE attaches to a following word (the Ġ convention);
+    // newlines stay their own tokens
+    assert(toks == Seq("a", " ", " bb", "  ", " c", "\n", "\n", "d",
+      " "))
+  }
+
+  test("byte-level encode is deterministic under repartitioning and " +
+      "null-tolerant") {
+    val docs = (0L until 40L).map(i => (i, s"word$i common tokens"))
+      .toDF("doc_id", "text")
+    val m = Bpe.trainBytes(docs, "text", 3, minFreq = 1L)
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Bpe.encodeBytes(df, "text", "doc_id", m)
+        .orderBy($"doc_id").select($"n_pieces").as[Long].collect().toSeq
+    assert(run(docs) == run(docs.repartition(11)))
+    val withNull = Seq((1L, "ok"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = Bpe.encodeBytes(withNull, "text", "doc_id", m)
+      .orderBy($"doc_id").select($"n_pieces").as[Long].collect().toSeq
+    assert(got == Seq(1L, 0L) || got.head >= 1L && got(1) == 0L)
+  }
+
   test("encode memo and partitioning do not change output") {
     val m = Bpe.trainFromWordCounts(toy, "word", "freq", 4)
     val docs = (0L until 50L).map(i =>

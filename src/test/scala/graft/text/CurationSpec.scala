@@ -536,6 +536,29 @@ class CurationSpec extends AnyFunSuite {
       ("b", 5L, 1L)))
   }
 
+  test("capPerKey plan keeps the rank-limit pushdown (WindowGroupLimit)") {
+    // the per-domain cap is only skew-safe because Spark's
+    // InferWindowGroupLimit prunes each map partition to n rows per
+    // key BEFORE the shuffle — without it a mega-domain lands
+    // corpus-scale on one reducer. Pin the plan shape so an optimizer
+    // regression (or an operator rewrite that blocks the rule, e.g. a
+    // projection between the filter and the window) fails loudly.
+    val df = Seq(("a", 1L, 50L), ("a", 2L, 90L), ("b", 3L, 10L))
+      .toDF("source", "doc_id", "quality")
+    val plan = Curation.capPerKey(df, Seq("source"), 2,
+        Seq($"quality".desc, $"doc_id"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
+  test("exactSamplePerStratum plan keeps the rank-limit pushdown") {
+    val df = Seq(("a", 1L), ("a", 2L), ("b", 3L))
+      .toDF("src", "id")
+    val plan = Curation.exactSamplePerStratum(df, "src", 1, Seq("id"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
   test("importanceWeights rank target-like raw docs above off-domain") {
     val medical = Seq("patient dose trial clinical symptom therapy",
       "dose trial outcome patient clinical remission therapy",
