@@ -1080,6 +1080,110 @@ object CurationQueriesImpl {
             md5(concat_ws(" ", col("pieces"))).as("pieces_md5"))
           .orderBy(col("doc_id"))
       }
+
+      // Byte-level (GPT-2 BBPE) twins: the SAME trainer and fold
+      // replay, but over UTF-8 BYTE symbols mapped through GPT-2's
+      // byte<->unicode bijection (closed form: b<=32 -> 256+b,
+      // 127<=b<=160 -> 162+b, 173 -> 323, else b — space becomes the
+      // famous Ġ). Case-preserving, NO alphabet restriction: every
+      // whitespace token of the fixture, whatever bytes it holds,
+      // flows through training and encode. Symbols are never
+      // whitespace and never CHR(1), so the shared fold fragments
+      // apply unchanged.
+      val byteMapSql =
+        """bm AS (SELECT CAST(b AS INTEGER) AS b,
+          |    CHR(CAST(CASE WHEN b <= 32 THEN 256 + b
+          |      WHEN b BETWEEN 127 AND 160 THEN 162 + b
+          |      WHEN b = 173 THEN 323 ELSE b END AS INTEGER)) AS sym
+          |  FROM RANGE(0, 256) t(b))""".stripMargin
+      // hex-pair byte value -> bm.b join condition over column `hx`
+      def byteOf(idx: String) =
+        s"""16 * (STRPOS('0123456789ABCDEF',
+           |        SUBSTR(hx, CAST(2 * $idx + 1 AS INTEGER), 1)) - 1) +
+           |      (STRPOS('0123456789ABCDEF',
+           |        SUBSTR(hx, CAST(2 * $idx + 2 AS INTEGER), 1)) - 1)""".stripMargin
+      // the w0 twin: space-joined byte symbols of every
+      // case-preserved whitespace token of docs < 20, >= 2 bytes
+      val byteW0 =
+        s"""words AS (
+           |  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+           |  FROM (SELECT UNNEST(REGEXP_SPLIT_TO_ARRAY(TRIM(text),
+           |      '\\s+')) AS word
+           |    FROM documents WHERE doc_id < 20)
+           |  WHERE word <> '' GROUP BY word),
+           |wsym AS (
+           |  SELECT word, freq, t.i, bm.sym
+           |  FROM (SELECT word, freq, HEX(ENCODE(word)) AS hx
+           |    FROM words) h,
+           |    UNNEST(GENERATE_SERIES(0, LEN(hx) // 2 - 1)) t(i), bm
+           |  WHERE bm.b = ${byteOf("t.i")}),
+           |w0 AS (
+           |  SELECT STRING_AGG(sym, ' ' ORDER BY i) AS ws,
+           |    MAX(freq) AS freq
+           |  FROM wsym GROUP BY word HAVING COUNT(*) >= 2)""".stripMargin
+      def bbpeWordCounts(s: SparkSession, dir: String): DataFrame =
+        table(s, dir, "documents")
+          .where(col("doc_id") < 20)
+          .select(explode(graft.text.TextAnalysis.tokens(col("text")))
+            .as("word"))
+          .where(col("word") =!= "")
+          .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      register("q123_bbpe_merges",
+        s"""WITH $byteMapSql,
+           |$byteW0,
+           |${(1 to 4).map(mergeStep).mkString(",\n")}
+           |SELECT * FROM (
+           |  SELECT CAST(1 AS BIGINT) AS rank, la AS lhs, rb AS rhs,
+           |    la || rb AS merged, c AS freq FROM b1
+           |  UNION ALL SELECT 2, la, rb, la || rb, c FROM b2
+           |  UNION ALL SELECT 3, la, rb, la || rb, c FROM b3
+           |  UNION ALL SELECT 4, la, rb, la || rb, c FROM b4)
+           |ORDER BY rank""".stripMargin) { (s, dir) =>
+        val m = graft.text.Bpe.trainFromWordCounts(
+          bbpeWordCounts(s, dir), "word", "freq", numMerges = 4,
+          minFreq = 1L, symbolize = graft.text.Bpe.byteSymbols)
+        graft.text.Bpe.mergesToDf(s, m)
+          .select(col("rank"), col("left").as("lhs"),
+            col("right").as("rhs"), col("merged"), col("freq"))
+          .orderBy(col("rank"))
+      }
+
+      register("q124_bbpe_encode",
+        s"""WITH $byteMapSql,
+           |$byteW0,
+           |${(1 to 4).map(mergeStep).mkString(",\n")},
+           |toksym AS (
+           |  SELECT doc_id, i, v.j, bm.sym
+           |  FROM (SELECT doc_id, i, HEX(ENCODE(t[i])) AS hx
+           |    FROM (SELECT doc_id,
+           |        REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\\s+') AS t
+           |      FROM documents WHERE doc_id < 10),
+           |      UNNEST(GENERATE_SERIES(1, LEN(t))) u(i)
+           |    WHERE t[i] <> '') h,
+           |    UNNEST(GENERATE_SERIES(0, LEN(hx) // 2 - 1)) v(j), bm
+           |  WHERE bm.b = ${byteOf("v.j")}),
+           |toks AS (
+           |  SELECT doc_id, i, STRING_AGG(sym, ' ' ORDER BY j) AS ws
+           |  FROM toksym GROUP BY doc_id, i),
+           |${(1 to 4).map(k => encStep(k, if (k == 1) "toks" else s"e${k - 1}")).mkString(",\n")},
+           |per_doc AS (
+           |  SELECT doc_id,
+           |    CAST(SUM(LEN(STRING_SPLIT(ws, ' '))) AS BIGINT)
+           |      AS n_pieces,
+           |    MD5(STRING_AGG(ws, ' ' ORDER BY i)) AS pieces_md5
+           |  FROM e4 GROUP BY doc_id)
+           |SELECT doc_id, n_pieces, pieces_md5 FROM per_doc
+           |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+        val m = graft.text.Bpe.trainFromWordCounts(
+          bbpeWordCounts(s, dir), "word", "freq", numMerges = 4,
+          minFreq = 1L, symbolize = graft.text.Bpe.byteSymbols)
+        graft.text.Bpe.encodeBytes(
+            table(s, dir, "documents").where(col("doc_id") < 10),
+            "text", "doc_id", m, preTokenizer = "whitespace")
+          .select(col("doc_id"), col("n_pieces"),
+            md5(concat_ws(" ", col("pieces"))).as("pieces_md5"))
+          .orderBy(col("doc_id"))
+      }
     }
 
     // CCNet-style text normalization before hashing/dedup: smart
