@@ -12,11 +12,21 @@ import org.apache.spark.sql.functions._
   * and print row counts + timings. `runMain graft.ScaleSmoke [stations]
   * [years]`. This is the shape that scales to a 1000-executor cluster:
   * all windows keyed by station_id, no driver loops, no collects beyond
-  * tiny matrices. */
+  * tiny matrices.
+  *
+  * `runMain graft.ScaleSmoke <stations> <years> dedup-store` runs the
+  * DEDUP CHAIN ONLY with every ingest artifact written to and re-read
+  * from parquet (`SPARK_GRAFT_STORE`, default /tmp/graft_store) instead
+  * of `localCheckpoint` — the real production shape, where signatures/
+  * labels are stored tables and no artifact pins executor memory. This
+  * is what lets the chain run at 10M docs in a modest-heap local JVM
+  * (the in-memory harness pins all artifacts simultaneously and needs
+  * 24g at 1M docs; the stored path streams each stage through disk). */
 object ScaleSmoke {
   def main(args: Array[String]): Unit = {
     val stations = args.headOption.map(_.toInt).getOrElse(100)
     val years = args.lift(1).map(_.toInt).getOrElse(3)
+    val mode = args.lift(2).getOrElse("all")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -32,6 +42,12 @@ object ScaleSmoke {
       val n = f
       println(f"$label%-28s ${(System.nanoTime() - t0) / 1e9}%7.1f s  " +
         f"$n%,d rows")
+    }
+
+    if (mode == "dedup-store") {
+      dedupStored(spark, stations)
+      spark.stop()
+      return
     }
 
     val dailyMet = spark.range(0, stations.toLong * days, 1, 32)
@@ -274,5 +290,89 @@ object ScaleSmoke {
       graft.text.Bpe.train(docs, "text", numMerges = 16).length.toLong
     }
     spark.stop()
+  }
+
+  /** The dedup chain with STORED artifacts: each ingest product (docs,
+    * shingle hashes, signature table, cluster labels) is written to
+    * parquet and the next stage reads the stored table — nothing
+    * corpus-scale is pinned in executor or driver memory, so the chain
+    * runs at 10M docs where the in-memory harness needs a 24g heap at
+    * 1M. Same operators, same 100%-recall gate. */
+  private def dedupStored(spark: SparkSession, stations: Int): Unit = {
+    def t(label: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"$label%-34s ${(System.nanoTime() - t0) / 1e9}%7.1f s  " +
+        f"$n%,d rows")
+    }
+    val store = sys.env.getOrElse("SPARK_GRAFT_STORE", "/tmp/graft_store")
+    val words = array((0 until 512).map(i => lit(s"w$i")): _*)
+    val nDocs = stations * 1000L
+    println(f"dedup-store mode: $nDocs%,d docs, artifacts under $store")
+    t("write docs table") {
+      spark.range(0, nDocs, 1, 64)
+        .select(col("id").as("doc_id"),
+          when(pmod(col("id"), lit(7)) === 0, col("id") - 1)
+            .otherwise(col("id")).as("seed"))
+        .select(col("doc_id"), concat_ws(" ",
+          transform(sequence(lit(1), lit(60)), i =>
+            element_at(words,
+              (pmod(xxhash64(col("seed"), i), lit(512)) + 1).cast("int"))))
+            .as("text"))
+        .write.mode("overwrite").parquet(s"$store/docs")
+      spark.read.parquet(s"$store/docs").count()
+    }
+    val docs = spark.read.parquet(s"$store/docs")
+    t("write shingle hashes (ingest)") {
+      graft.text.Dedup.shingleHashes(docs, "text", "doc_id")
+        .write.mode("overwrite").parquet(s"$store/hashes")
+      spark.read.parquet(s"$store/hashes").count()
+    }
+    val hashed = spark.read.parquet(s"$store/hashes")
+    t("write signature table (ingest)") {
+      graft.text.Dedup.signatureTable(hashed, "doc_id", numHashes = 32)
+        .write.mode("overwrite").parquet(s"$store/sigs")
+      spark.read.parquet(s"$store/sigs").count()
+    }
+    val sigs = spark.read.parquet(s"$store/sigs")
+    t("near-dup pairs from stored sigs") {
+      graft.text.Dedup.nearDupPairsFromSigTable(sigs, "doc_id",
+        minJaccard = 0.5, numHashes = 32).count()
+    }
+    t("planted-clone recall (must be 100%)") {
+      val found = graft.text.Dedup.nearDupPairsFromSigTable(sigs,
+        "doc_id", minJaccard = 0.5, numHashes = 32)
+      val expected = docs
+        .where(pmod(col("doc_id"), lit(7)) === 0 && col("doc_id") > 0)
+        .select((col("doc_id") - 1).as("id_a"), col("doc_id").as("id_b"))
+      val missed = expected
+        .join(found, Seq("id_a", "id_b"), "left_anti").count()
+      require(missed == 0,
+        s"recall < 100%: $missed planted clone pairs missed")
+      expected.count()
+    }
+    t("write cluster labels (ingest)") {
+      graft.text.Clusters.assign(docs, "doc_id",
+          graft.text.Dedup.nearDupPairsFromSigTable(sigs, "doc_id",
+            minJaccard = 0.5, numHashes = 32))
+        .write.mode("overwrite").parquet(s"$store/labels")
+      spark.read.parquet(s"$store/labels").count()
+    }
+    val labels = spark.read.parquet(s"$store/labels")
+    t("split from stored labels") {
+      graft.text.Clusters.splitFromClusters(labels,
+        valFrac = 0.1, testFrac = 0.1)
+        .groupBy(col("split")).count().count()
+    }
+    t("keep-best from stored labels") {
+      // the q119 keeper window directly over the STORED labels (no
+      // closure recompute): one cluster-keyed window, family-bounded
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("cluster_id"))
+        .orderBy(length(col("text")).desc, col("doc_id"))
+      labels.join(docs, "doc_id")
+        .withColumn("keeper_rank", row_number().over(w))
+        .where(col("keeper_rank") === 1).count()
+    }
   }
 }

@@ -288,12 +288,13 @@ object Multimodal {
   }
 
   /** STUB decode: deterministic feature vector from payload bytes — the
-    * fallback for codec-requiring video (h264 proper; MPEG-1 now
-    * decodes for real via [[Mpeg1]]) and undecodable payloads. Replace
-    * with a real codec (??? boundary) — signature and batch shape stay
-    * identical. */
+    * fallback for UNDECODABLE payloads only (MPEG-1 decodes for real
+    * via [[Mpeg1]], baseline H.264 intra via [[H264]]; what remains is
+    * codec video outside those profiles — CABAC/main-profile h264,
+    * HEVC, VP9 — and corrupt bytes). Replace with further codecs (???
+    * boundary) — signature and batch shape stay identical. */
   def fakeDecode(content: Array[Byte]): Array[Float] = {
-    // ??? real implementation would decode samples/frames here
+    // ??? further codecs (CABAC h264, HEVC) would decode here
     val out = Array.ofDim[Float](FeatureDim)
     var i = 0
     while (i < content.length) {
@@ -326,12 +327,16 @@ object Multimodal {
           case "audio" =>
             decodeAudioWav(r.content).getOrElse(fakeDecode(r.content))
           case "video" =>
-            // MPEG-1 video: REAL codec decode of the first I-picture,
-            // image-stat features over its pixels (modality flag 3);
-            // other video payloads (h264 proper) stay stubbed
+            // MPEG-1 / baseline H.264 video: REAL codec decode of the
+            // first I-picture, image-stat features over its pixels
+            // (modality flag 3 = MPEG-1, 4 = H.264); video outside
+            // those codecs stays stubbed
             Mpeg1.decodeFrames(r.content, 1)
               .flatMap(f => decodeImage(f.head._2))
               .map { a => a(0) = 3.0f; a }
+              .orElse(H264.decodeFrames(r.content, 1)
+                .flatMap(f => decodeImage(f.head._2))
+                .map { a => a(0) = 4.0f; a })
               .getOrElse(fakeDecode(r.content))
           case _ => fakeDecode(r.content)
         }
@@ -921,12 +926,14 @@ object Multimodal {
   }
 
   /** Frame sampling for video rows: animated-GIF, MJPEG-AVI,
-    * MJPEG-MP4, and MPEG-1 video payloads go through the REAL
-    * decoders (`decodeGifFrames` / `decodeAviMjpegFrames` /
-    * `decodeMp4JpegFrames` / [[Mpeg1.decodeFrames]] — evenly-spaced
-    * frames, re-encoded PNG, container-true timing; the MPEG-1 path
-    * is a full DCT codec decode, not a container walk); payloads
-    * needing absent codecs (h264 proper) fall back to `fps`-spaced
+    * MJPEG-MP4, MPEG-1, and baseline H.264 payloads go through the
+    * REAL decoders (`decodeGifFrames` / `decodeAviMjpegFrames` /
+    * `decodeMp4JpegFrames` / [[Mpeg1.decodeFrames]] /
+    * [[H264.decodeFrames]] — evenly-spaced frames, re-encoded PNG,
+    * container/VUI-true timing; MPEG-1 and H.264 are full codec
+    * decodes — Huffman/CAVLC entropy, intra prediction, IDCT — not
+    * container walks); payloads needing still-absent codecs
+    * (CABAC/main-profile h264, HEVC) fall back to `fps`-spaced
     * deterministic stub slices, so the pipeline shape is identical
     * either way. */
   def sampleFrames(media: Dataset[MediaRow], fps: Double = 1.0,
@@ -946,6 +953,10 @@ object Multimodal {
             Frame(r.media_id, i, off, png)
           }))
         .orElse(Mpeg1.decodeFrames(r.content, maxFrames)
+          .map(_.zipWithIndex.map { case ((off, png), i) =>
+            Frame(r.media_id, i, off, png)
+          }))
+        .orElse(H264.decodeFrames(r.content, maxFrames)
           .map(_.zipWithIndex.map { case ((off, png), i) =>
             Frame(r.media_id, i, off, png)
           }))

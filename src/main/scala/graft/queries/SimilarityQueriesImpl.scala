@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.QueryRegistry.{register, registerRowsOnly}
 import graft.core.Tables.table
-import graft.multimodal.{Mpeg1, Multimodal}
+import graft.multimodal.{H264, Mpeg1, Multimodal}
 import graft.similarity.Similarity
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
@@ -333,25 +333,30 @@ object SimilarityQueriesImpl {
     // facts (width/height, sample rate/channels) are DESIGN CONSTANTS
     // of graft.multimodal.Multimodal.encodePngRgb/encodePcm16Wav — the
     // oracle restates the construction parameters and the gate proves
-    // the REAL javax.imageio / RIFF decoders recover them. decode_path
-    // (features[0]: 1=image codec, 2=WAV parser, 0=stub) proves which
-    // branch ran; pixel-stat FLOATS (float32 accumulation order is
-    // JVM-side) stay out of the oracle and are spec-verified instead.
+    // the REAL javax.imageio / RIFF / H.264 decoders recover them.
+    // decode_path (features[0]: 1=image codec, 2=WAV parser, 4=H.264
+    // codec, 0=stub) proves which branch ran; pixel-stat FLOATS
+    // (float32 accumulation order is JVM-side) stay out of the oracle
+    // and are spec-verified instead.
     register("q74_multimodal_features",
       """SELECT doc_id AS media_id,
         |  (['image', 'audio', 'video'])[CAST(doc_id % 3 AS INT) + 1]
         |    AS modality,
         |  CASE WHEN doc_id % 3 = 0 AND doc_id % 2 = 0 THEN 82
         |       WHEN doc_id % 3 = 1 AND doc_id % 2 = 0 THEN 60
+        |       WHEN doc_id % 3 = 2 AND doc_id % 2 = 0 THEN 424
         |       ELSE STRLEN(text) END AS n_bytes,
         |  CASE WHEN doc_id % 3 = 0 AND doc_id % 2 = 0 THEN 1
         |       WHEN doc_id % 3 = 1 AND doc_id % 2 = 0 THEN 2
+        |       WHEN doc_id % 3 = 2 AND doc_id % 2 = 0 THEN 4
         |       ELSE 0 END AS decode_path,
         |  CASE WHEN doc_id % 3 = 0 AND doc_id % 2 = 0 THEN 2
         |       WHEN doc_id % 3 = 1 AND doc_id % 2 = 0 THEN 8000
+        |       WHEN doc_id % 3 = 2 AND doc_id % 2 = 0 THEN 16
         |       END AS d1,
         |  CASE WHEN doc_id % 3 = 0 AND doc_id % 2 = 0 THEN 2
         |       WHEN doc_id % 3 = 1 AND doc_id % 2 = 0 THEN 1
+        |       WHEN doc_id % 3 = 2 AND doc_id % 2 = 0 THEN 16
         |       END AS d2
         |FROM documents ORDER BY media_id""".stripMargin) { (s, dir) =>
       val spark = s
@@ -359,6 +364,16 @@ object SimilarityQueriesImpl {
       val png = Multimodal.encodePngRgb(2, 2, (255, 0, 0))
       val wav = Multimodal.encodePcm16Wav(8000, 1,
         Array.fill[Short](8)(0x4000.toShort))
+      // REAL baseline-H.264 fixture: one 16x16 I_PCM IDR frame.
+      // I_PCM stores samples verbatim (byte-aligned, all values > 3
+      // so no emulation bytes), so the 424-byte stream size is a
+      // closed-form design constant: 3 NALs (start code 4 + header 1
+      // each) + SPS 9 + PPS 4 + slice header/type bytes + 384 PCM
+      // samples; decode_path 4 = H.264 codec, d1/d2 = decoded dims
+      val h264 = H264.encodeIntra(Seq(Mpeg1.Picture(16, 16,
+        Array.tabulate(256)(i => 100 + (i % 16) * 2 + i / 16),
+        Array.fill(64)(90), Array.fill(64)(160))),
+        qp = 26, mbMode = "pcm")
       val media = Multimodal.syntheticMediaTable(
           table(s, dir, "documents"), "doc_id", "text")
         .withColumn("content",
@@ -366,6 +381,8 @@ object SimilarityQueriesImpl {
             pmod(col("media_id"), lit(2)) === 0, lit(png))
           .when(col("modality") === "audio" &&
             pmod(col("media_id"), lit(2)) === 0, lit(wav))
+          .when(col("modality") === "video" &&
+            pmod(col("media_id"), lit(2)) === 0, lit(h264))
           .otherwise(col("content")))
         .as[Multimodal.MediaRow]
       val isReal = element_at(col("features"), 1) >= 1.0f
@@ -403,11 +420,12 @@ object SimilarityQueriesImpl {
     }
 
     // Same deterministic-half split for video: frame COUNTS, indices,
-    // and container-true TIMINGS of the real MJPEG-AVI, MJPEG-MP4, and
-    // MPEG-1 CODEC walks are pure functions of the fixtures'
-    // construction parameters (6 encoded frames; AVI 40000 µs/frame,
-    // MP4 40/1000 media-timescale ticks, MPEG-1 frame_rate_code 3 =
-    // 25 fps — the SAME 0.04 s real ratio three ways, and IEEE
+    // and container-true TIMINGS of the real MJPEG-AVI, MJPEG-MP4,
+    // MPEG-1 and baseline-H.264 decodes are pure functions of the
+    // fixtures' construction parameters (6 encoded frames; AVI
+    // 40000 µs/frame, MP4 40/1000 media-timescale ticks, MPEG-1
+    // frame_rate_code 3 = 25 fps, H.264 VUI timing 1/50 field ticks =
+    // 25 fps — the SAME 0.04 s real ratio four ways, and IEEE
     // division is correctly rounded so i/25.0 and i*40000/1e6 are the
     // identical double; maxFrames=4 → source indices i*5/3, offsets
     // i_src*0.04), and the stub branch's slice arithmetic is byte math
@@ -426,7 +444,7 @@ object SimilarityQueriesImpl {
         |      CAST(FLOOR(dur * 0.5) AS INT))) - 1)) AS frame_index,
         |    len
         |  FROM vids WHERE media_id % 2 = 1 AND media_id % 4 <> 3
-        |    AND media_id % 8 <> 1),
+        |    AND media_id % 8 <> 1 AND media_id % 16 <> 5),
         |stub2 AS (
         |  SELECT media_id, frame_index,
         |    ROUND(CAST(frame_index AS DOUBLE) / 0.5, 6) AS offset_s,
@@ -438,7 +456,7 @@ object SimilarityQueriesImpl {
         |  SELECT media_id,
         |    UNNEST(GENERATE_SERIES(0, 3)) AS frame_index
         |  FROM vids WHERE media_id % 2 = 0 OR media_id % 4 = 3
-        |    OR media_id % 8 = 1),
+        |    OR media_id % 8 = 1 OR media_id % 16 = 5),
         |real2 AS (
         |  SELECT media_id, frame_index,
         |    ROUND(CAST((frame_index * 5) // 3 * 40000 AS DOUBLE)
@@ -450,12 +468,14 @@ object SimilarityQueriesImpl {
         |ORDER BY media_id, frame_index""".stripMargin) { (s, dir) =>
       val spark = s
       import spark.implicits._
-      // half the video rows carry a REAL MJPEG-AVI payload and half of
-      // the remainder a REAL MJPEG-MP4 (both built deterministically
-      // on the driver, shipped as literals), so the gate exercises the
-      // RIFF walk AND the ISO-BMFF sample-table walk + JPEG decode +
-      // PNG re-encode; the rest keep text bytes and take the stub
-      // path. Same 6 frames and 0.04 s spacing in both containers.
+      // half the video rows carry a REAL MJPEG-AVI payload, then a
+      // REAL MJPEG-MP4, a REAL MPEG-1 codec stream, and a REAL
+      // baseline-H.264 stream split the remainder (all built
+      // deterministically on the driver, shipped as literals), so the
+      // gate exercises the RIFF walk, the ISO-BMFF sample-table walk,
+      // and BOTH full codec decodes; only media_id % 16 == 13 rows
+      // keep text bytes and take the stub path. Same 6 frames and
+      // 0.04 s spacing in all four real paths.
       val jpegs = (0 until 6).map { i =>
         val img = new java.awt.image.BufferedImage(8, 8,
           java.awt.image.BufferedImage.TYPE_INT_RGB)
@@ -476,6 +496,13 @@ object SimilarityQueriesImpl {
       val mpg = Mpeg1.encodeIntra((0 until 6).map(i =>
         Mpeg1.grayPicture(16, 16, (_, _) => 30 + i * 35)),
         frameRateCode = 3)
+      // and a REAL baseline-H.264 Annex-B stream (CAVLC + intra
+      // prediction + IDCT, mixed I_16x16/I_4x4/I_PCM macroblocks):
+      // VUI timing signals the default 25 fps, so the same offset
+      // formula covers its rows too
+      val h264 = H264.encodeIntra((0 until 6).map(i =>
+        Mpeg1.grayPicture(16, 16, (_, _) => 30 + i * 35)),
+        qp = 20, mbMode = "mixed")
       val media = Multimodal.syntheticMediaTable(
           table(s, dir, "documents"), "doc_id", "text")
         .withColumn("content",
@@ -485,11 +512,14 @@ object SimilarityQueriesImpl {
             pmod(col("media_id"), lit(4)) === 3, lit(mp4))
           .when(col("modality") === "video" &&
             pmod(col("media_id"), lit(8)) === 1, lit(mpg))
+          .when(col("modality") === "video" &&
+            pmod(col("media_id"), lit(16)) === 5, lit(h264))
             .otherwise(col("content")))
         .as[Multimodal.MediaRow]
       val isReal = pmod(col("media_id"), lit(2)) === 0 ||
         pmod(col("media_id"), lit(4)) === 3 ||
-        pmod(col("media_id"), lit(8)) === 1
+        pmod(col("media_id"), lit(8)) === 1 ||
+        pmod(col("media_id"), lit(16)) === 5
       Multimodal.sampleFrames(media, fps = 0.5, maxFrames = 4).toDF()
         .select(col("media_id"), col("frame_index"),
           round(col("offset_s"), 6).as("offset_s"),

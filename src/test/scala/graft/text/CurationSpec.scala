@@ -2,6 +2,7 @@ package graft.text
 
 import graft.TestSpark
 import graft.core.Tables
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -586,6 +587,50 @@ class CurationSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(w.map { case (k, v) => k -> v._2 } == w2)
     val _ = code // anchors the off-domain vocabulary used above
+  }
+
+  test("importanceWeights: xxhash production default == md5-portable " +
+      "bucketer (weights and ranking)") {
+    // q110 gates the md5-PORTABLE bucketer (the one DuckDB can
+    // replay); production runs the 2.5x-cheaper xxhash64 default.
+    // With per-feature bucket counts, the add-one log-ratio of a
+    // bucket depends only on its counts, not its index — so absent
+    // collisions the two bucketers produce IDENTICAL weight_micro.
+    // This planted corpus has ~80 distinct features; at 4096 buckets
+    // the xxhash assignment DOES collide (measured: docs 10/11 shift
+    // by the same 405466 micros), so the exact check runs at 65536
+    // buckets where both assignments are collision-free, and the
+    // induced ranking is asserted independently so a future fixture
+    // edit that introduces a collision still has to preserve the
+    // ordering evidence.
+    val target = Seq(
+      (0L, "patient dose trial clinical symptom therapy"),
+      (1L, "dose trial outcome patient clinical remission therapy"),
+      (2L, "clinical patient symptom dose therapy trial screening"))
+      .toDF("doc_id", "text")
+    val raw = Seq(
+      (10L, "trial dose patient clinical therapy symptom remission"),
+      (11L, "patient trial dose outcome screening clinical"),
+      (12L, "segfault mutex pointer linker compile thread heap stack"),
+      (13L, "weather tomorrow sunny rain forecast breeze cloud"))
+      .toDF("doc_id", "text")
+    // 4 hex chars = 0..65535 (the q110 gate's 3-hex form at its 4096)
+    val md5Portable = (f: Column, b: Int) =>
+      conv(substring(md5(f), 1, 4), 16, 10).cast("int")
+    def weights(bucketOf: (Column, Int) => Column) =
+      Curation.importanceWeights(raw, target, "text", "doc_id",
+          buckets = 65536, bucketOf = bucketOf)
+        .collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+        .toMap
+    val prod = weights((f, b) =>
+      pmod(xxhash64(f), lit(b)).cast("int"))
+    val port = weights(md5Portable)
+    assert(prod == port, s"prod=$prod port=$port")
+    // ranking evidence in its own right: in-domain docs above every
+    // off-domain doc under BOTH bucketers
+    for (w <- Seq(prod, port); in <- Seq(10L, 11L); out <- Seq(12L, 13L))
+      assert(w(in)._2 > w(out)._2, s"doc $in !> doc $out in $w")
   }
 
   test("weightedSample prefers heavy rows, exact n, deterministic") {
