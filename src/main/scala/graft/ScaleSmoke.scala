@@ -330,7 +330,8 @@ object ScaleSmoke {
     }
     val hashed = spark.read.parquet(s"$store/hashes")
     t("write signature table (ingest)") {
-      graft.text.Dedup.signatureTable(hashed, "doc_id", numHashes = 32)
+      graft.text.Dedup.signatureTable(hashed, "doc_id", numHashes = 32,
+          checkpoint = false) // one consumer: the parquet write
         .write.mode("overwrite").parquet(s"$store/sigs")
       spark.read.parquet(s"$store/sigs").count()
     }

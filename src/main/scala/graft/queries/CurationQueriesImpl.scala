@@ -16,6 +16,23 @@ import org.apache.spark.sql.functions._
   * actually fires at the gate. */
 object CurationQueriesImpl {
 
+  /** doc_id-keyed paragraph suffixes for the q125/q126 dedup gates:
+    * an all-docs viral paragraph (whitespace-padded on a third of
+    * docs — the trim branch) and a doc_id%50-cohort quote block on a
+    * fifth of docs. Mirrored literally in the oracle CTE `aug`. */
+  private def augmentParagraphs(df: DataFrame): DataFrame =
+    df.withColumn("text", concat(
+      col("text"), lit("\n\n"),
+      when(pmod(col("doc_id"), lit(3)) === 0, lit("  "))
+        .otherwise(lit("")),
+      lit("the viral shared paragraph"),
+      when(pmod(col("doc_id"), lit(3)) === 0, lit("  "))
+        .otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(5)) === 0,
+        concat(lit("\n\nquote block "),
+          pmod(col("doc_id"), lit(50)).cast("string")))
+        .otherwise(lit(""))))
+
   /** doc_id-keyed multi-line suffix exercising every heuristic branch. */
   private def augmentLines(df: DataFrame): DataFrame = df.withColumn(
     "text",
@@ -335,6 +352,113 @@ object CurationQueriesImpl {
             .otherwise(lit(""))))
       Curation.dedupLines(aug, "text", "doc_id", maxDocs = 10)
         .select(col("doc_id"), col("n_lines"), col("n_dropped"),
+          md5(to_binary(col("text"), lit("utf-8"))).as("clean_md5"))
+        .orderBy(col("doc_id"))
+    }
+
+    // Dolma-style paragraph dedup (corpus keeps the FIRST copy of
+    // every distinct paragraph, later copies die): the gate augments
+    // each doc with an all-docs viral paragraph (whitespace-padded on
+    // a third of docs, exercising trim), and a quote block shared by
+    // doc_id % 50 cohorts — so both the keeper (lowest (doc_id, idx))
+    // and the drop branch fire on every cohort. Oracle replays
+    // first-wins with a ROW_NUMBER over (pt) ordered by (doc_id, idx)
+    // — the SQL twin of the engine's min(struct(id, idx)) keeper.
+    register("q125_dedup_paragraphs",
+      """WITH aug AS (
+        |  SELECT doc_id, text || CHR(10) || CHR(10)
+        |      || (CASE WHEN doc_id % 3 = 0 THEN '  ' ELSE '' END)
+        |      || 'the viral shared paragraph'
+        |      || (CASE WHEN doc_id % 3 = 0 THEN '  ' ELSE '' END)
+        |      || (CASE WHEN doc_id % 5 = 0
+        |          THEN CHR(10) || CHR(10) || 'quote block '
+        |            || CAST(doc_id % 50 AS VARCHAR) ELSE '' END)
+        |      AS text
+        |  FROM documents),
+        |s AS (SELECT doc_id,
+        |    STRING_SPLIT(text, CHR(10) || CHR(10)) AS ps
+        |  FROM aug),
+        |p AS (SELECT doc_id, u.idx AS idx, u.para AS para,
+        |    TRIM(u.para) AS pt
+        |  FROM (SELECT doc_id,
+        |      UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(ps)),
+        |        i -> {'idx': i, 'para': ps[i]})) AS u
+        |    FROM s)),
+        |keeper AS (SELECT pt, doc_id AS kid, idx AS kidx
+        |  FROM (SELECT pt, doc_id, idx, ROW_NUMBER() OVER (
+        |      PARTITION BY pt ORDER BY doc_id, idx) AS rn
+        |    FROM p WHERE LENGTH(pt) >= 1)
+        |  WHERE rn = 1),
+        |k AS (SELECT p.doc_id, p.idx, p.para,
+        |    (kp.pt IS NOT NULL AND NOT (p.doc_id = kp.kid
+        |      AND p.idx = kp.kidx)) AS dropped
+        |  FROM p LEFT JOIN keeper kp USING (pt))
+        |SELECT doc_id, COUNT(*) AS n_paras,
+        |  CAST(SUM(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dropped,
+        |  MD5(COALESCE(STRING_AGG(CASE WHEN NOT dropped THEN para END,
+        |    CHR(10) || CHR(10) ORDER BY idx), '')) AS clean_md5
+        |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin) {
+      (s, dir) =>
+      Curation.dedupParagraphs(augmentParagraphs(table(s, dir,
+          "documents")), "text", "doc_id")
+        .select(col("doc_id"), col("n_paras"), col("n_dropped"),
+          md5(to_binary(col("text"), lit("utf-8"))).as("clean_md5"))
+        .orderBy(col("doc_id"))
+    }
+
+    // Incremental paragraph dedup: docs < 250 are the STORED corpus
+    // (its paragraphHashes table is the ingest artifact), docs >= 250
+    // the delta. Oracle = membership against the stored paragraphs
+    // UNION delta-internal first-wins; the spec proves two-step ingest
+    // ≡ one corpus-wide pass, the gate hash-checks the delta output.
+    register("q126_dedup_paragraphs_delta",
+      """WITH aug AS (
+        |  SELECT doc_id, text || CHR(10) || CHR(10)
+        |      || (CASE WHEN doc_id % 3 = 0 THEN '  ' ELSE '' END)
+        |      || 'the viral shared paragraph'
+        |      || (CASE WHEN doc_id % 3 = 0 THEN '  ' ELSE '' END)
+        |      || (CASE WHEN doc_id % 5 = 0
+        |          THEN CHR(10) || CHR(10) || 'quote block '
+        |            || CAST(doc_id % 50 AS VARCHAR) ELSE '' END)
+        |      AS text
+        |  FROM documents),
+        |s AS (SELECT doc_id,
+        |    STRING_SPLIT(text, CHR(10) || CHR(10)) AS ps
+        |  FROM aug),
+        |p AS (SELECT doc_id, u.idx AS idx, u.para AS para,
+        |    TRIM(u.para) AS pt
+        |  FROM (SELECT doc_id,
+        |      UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(ps)),
+        |        i -> {'idx': i, 'para': ps[i]})) AS u
+        |    FROM s)),
+        |known AS (SELECT DISTINCT pt FROM p
+        |  WHERE doc_id < 250 AND LENGTH(pt) >= 1),
+        |d AS (SELECT * FROM p WHERE doc_id >= 250),
+        |keeper AS (SELECT pt, doc_id AS kid, idx AS kidx
+        |  FROM (SELECT pt, doc_id, idx, ROW_NUMBER() OVER (
+        |      PARTITION BY pt ORDER BY doc_id, idx) AS rn
+        |    FROM d WHERE LENGTH(pt) >= 1)
+        |  WHERE rn = 1),
+        |k AS (SELECT d.doc_id, d.idx, d.para,
+        |    (kn.pt IS NOT NULL OR (kp.pt IS NOT NULL
+        |      AND NOT (d.doc_id = kp.kid AND d.idx = kp.kidx)))
+        |      AS dropped
+        |  FROM d LEFT JOIN keeper kp USING (pt)
+        |    LEFT JOIN known kn USING (pt))
+        |SELECT doc_id, COUNT(*) AS n_paras,
+        |  CAST(SUM(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dropped,
+        |  MD5(COALESCE(STRING_AGG(CASE WHEN NOT dropped THEN para END,
+        |    CHR(10) || CHR(10) ORDER BY idx), '')) AS clean_md5
+        |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin) {
+      (s, dir) =>
+      val aug = augmentParagraphs(table(s, dir, "documents"))
+      val stored = Curation.paragraphHashes(
+        aug.where(col("doc_id") < 250), "text", "doc_id")
+      Curation.dedupParagraphsAgainst(aug.where(col("doc_id") >= 250),
+          stored, "text", "doc_id")
+        .select(col("doc_id"), col("n_paras"), col("n_dropped"),
           md5(to_binary(col("text"), lit("utf-8"))).as("clean_md5"))
         .orderBy(col("doc_id"))
     }
@@ -1184,6 +1308,62 @@ object CurationQueriesImpl {
             md5(concat_ws(" ", col("pieces"))).as("pieces_md5"))
           .orderBy(col("doc_id"))
       }
+
+      // Token IDS off the same byte-level encode: the GPT-2 id
+      // convention is closed-form (byte symbols = ids 0..255 in byte
+      // order, merge results = 256+rank-1, specials last), so the
+      // oracle derives every id from the replayed vocabulary alone —
+      // no id table ships. Gates `vocabBytes`/`encodeBytesToIds`:
+      // the id SEQUENCE md5- and sum-checks per document.
+      register("q127_bbpe_ids",
+        s"""WITH $byteMapSql,
+           |$byteW0,
+           |${(1 to 4).map(mergeStep).mkString(",\n")},
+           |toksym AS (
+           |  SELECT doc_id, i, v.j, bm.sym
+           |  FROM (SELECT doc_id, i, HEX(ENCODE(t[i])) AS hx
+           |    FROM (SELECT doc_id,
+           |        REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\\s+') AS t
+           |      FROM documents WHERE doc_id < 10),
+           |      UNNEST(GENERATE_SERIES(1, LEN(t))) u(i)
+           |    WHERE t[i] <> '') h,
+           |    UNNEST(GENERATE_SERIES(0, LEN(hx) // 2 - 1)) v(j), bm
+           |  WHERE bm.b = ${byteOf("v.j")}),
+           |toks AS (
+           |  SELECT doc_id, i, STRING_AGG(sym, ' ' ORDER BY j) AS ws
+           |  FROM toksym GROUP BY doc_id, i),
+           |${(1 to 4).map(k => encStep(k, if (k == 1) "toks" else s"e${k - 1}")).mkString(",\n")},
+           |vocab AS (SELECT sym AS piece, b AS id FROM bm
+           |  UNION ALL SELECT la || rb, 256 FROM b1
+           |  UNION ALL SELECT la || rb, 257 FROM b2
+           |  UNION ALL SELECT la || rb, 258 FROM b3
+           |  UNION ALL SELECT la || rb, 259 FROM b4),
+           |pieces AS (
+           |  SELECT doc_id, i, u.j AS j, ps[j] AS piece
+           |  FROM (SELECT doc_id, i, STRING_SPLIT(ws, ' ') AS ps
+           |    FROM e4),
+           |    UNNEST(GENERATE_SERIES(1, LEN(ps))) u(j)),
+           |ids AS (SELECT p.doc_id, p.i, p.j, v.id
+           |  FROM pieces p JOIN vocab v ON v.piece = p.piece)
+           |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_pieces,
+           |  CAST(SUM(id) AS BIGINT) AS id_sum,
+           |  MD5(STRING_AGG(CAST(id AS VARCHAR), ' ' ORDER BY i, j))
+           |    AS ids_md5
+           |FROM ids GROUP BY doc_id ORDER BY doc_id""".stripMargin) {
+        (s, dir) =>
+        val m = graft.text.Bpe.trainFromWordCounts(
+          bbpeWordCounts(s, dir), "word", "freq", numMerges = 4,
+          minFreq = 1L, symbolize = graft.text.Bpe.byteSymbols)
+        graft.text.Bpe.encodeBytesToIds(
+            table(s, dir, "documents").where(col("doc_id") < 10),
+            "text", "doc_id", m, preTokenizer = "whitespace")
+          .select(col("doc_id"), col("n_pieces"),
+            aggregate(col("ids"), lit(0L),
+              (acc, x) => acc + x.cast("long")).as("id_sum"),
+            md5(concat_ws(" ",
+              transform(col("ids"), _.cast("string")))).as("ids_md5"))
+          .orderBy(col("doc_id"))
+      }
     }
 
     // CCNet-style text normalization before hashing/dedup: smart
@@ -1253,6 +1433,131 @@ object CurationQueriesImpl {
       Curation.temperatureMixture(table(s, dir, "documents"), "source",
           alpha = 0.3)
         .orderBy(col("source"))
+    }
+
+    // ---------------------------------------------------------------
+    // Unigram-LM tokenizer (Kudo 2018 / SentencePiece): q128 gates the
+    // substring seed vocabulary + MLE micro-log2 scores; q129 gates
+    // Viterbi maximum-likelihood segmentation by replaying the exact
+    // lattice DP in unrolled SQL — one CTE per lattice boundary, the
+    // winning (score DESC, longer-piece) candidate carried forward
+    // with its segmentation prefix, so the piece SEQUENCE, count, and
+    // total micro-score all hash-check. Tokens are restricted to
+    // ^[a-z]{1,16}$ on BOTH sides (the q117 restriction pattern) so
+    // the DP unroll is bounded at 16 boundaries.
+    {
+      val maxLen = 16
+      val maxPiece = 3
+      // shared: word histogram (docs < 20), substring seed vocab
+      // (all single chars + top-40 multi), micro-log2 MLE scores
+      val vocabSql =
+        s"""wc AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+           |  FROM (SELECT UNNEST(REGEXP_SPLIT_TO_ARRAY(
+           |      TRIM(LOWER(text)), '\\s+')) AS word
+           |    FROM documents WHERE doc_id < 20)
+           |  WHERE REGEXP_MATCHES(word, '^[a-z]+$$')
+           |  GROUP BY word),
+           |subs AS MATERIALIZED (SELECT SUBSTR(wc.word, u.s, v.l) AS piece,
+           |    CAST(SUM(wc.freq) AS BIGINT) AS freq
+           |  FROM wc,
+           |    UNNEST(GENERATE_SERIES(1, LEN(wc.word))) u(s),
+           |    UNNEST(GENERATE_SERIES(1,
+           |      LEAST($maxPiece, LEN(wc.word) - u.s + 1))) v(l)
+           |  GROUP BY 1),
+           |vocab AS (
+           |  SELECT piece, freq FROM subs WHERE LENGTH(piece) = 1
+           |  UNION ALL
+           |  SELECT piece, freq FROM (
+           |    SELECT piece, freq FROM subs WHERE LENGTH(piece) >= 2
+           |    ORDER BY freq DESC, piece LIMIT 40)),
+           |scored AS MATERIALIZED (SELECT piece, freq,
+           |    CAST(ROUND(LOG2(CAST(freq AS DOUBLE) / t.tot) * 1e6)
+           |      AS BIGINT) AS logp_micros
+           |  FROM vocab,
+           |    (SELECT CAST(SUM(freq) AS DOUBLE) AS tot FROM vocab) t)"""
+          .stripMargin
+      def wordCounts(s: SparkSession, dir: String): DataFrame =
+        table(s, dir, "documents").where(col("doc_id") < 20)
+          .select(explode(graft.text.TextAnalysis.tokens(
+            lower(col("text")))).as("word"))
+          .where(col("word").rlike("^[a-z]+$"))
+          .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+
+      register("q128_unigram_seed",
+        s"""WITH $vocabSql
+           |SELECT piece, freq, logp_micros FROM scored
+           |ORDER BY piece""".stripMargin) { (s, dir) =>
+        graft.text.Unigram.mleScoresDf(
+            graft.text.Unigram.seedVocab(wordCounts(s, dir), "word",
+              "freq", seedSize = 40, maxPieceLen = maxPiece))
+          .orderBy(col("piece"))
+      }
+
+      // one DP boundary: best (score, longer last piece) over the
+      // ≤ maxPiece candidate pieces ending at j, prefix carried along
+      def dpStep(j: Int): String = {
+        val branches = (1 to math.min(maxPiece, j)).map { k =>
+          s"""      SELECT p.word, p.score + v.logp_micros AS score,
+             |        $k AS plen, p.segp || ' ' || v.piece AS segp
+             |      FROM b${j - k} p JOIN scored v
+             |        ON v.piece = SUBSTR(p.word, ${j - k + 1}, $k)
+             |      WHERE LEN(p.word) >= $j""".stripMargin
+        }.mkString("\n      UNION ALL\n")
+        s"""b$j AS MATERIALIZED (
+           |  SELECT word, score, segp FROM (
+           |    SELECT word, score, segp,
+           |      ROW_NUMBER() OVER (PARTITION BY word
+           |        ORDER BY score DESC, plen DESC) AS rn
+           |    FROM (
+           |$branches
+           |    ))
+           |  WHERE rn = 1)""".stripMargin
+      }
+      val finals = (1 to maxLen).map(j =>
+        s"SELECT word, score, TRIM(segp) AS seg FROM b$j " +
+          s"WHERE LEN(word) = $j").mkString("\n  UNION ALL ")
+      register("q129_unigram_encode",
+        s"""WITH $vocabSql,
+           |toks0 AS MATERIALIZED (SELECT doc_id, LIST_FILTER(
+           |    REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\\s+'),
+           |    w -> REGEXP_MATCHES(w, '^[a-z]{1,$maxLen}$$')) AS arr
+           |  FROM documents WHERE doc_id < 10),
+           |wtok AS (SELECT DISTINCT arr[i] AS word
+           |  FROM toks0, UNNEST(GENERATE_SERIES(1, LEN(arr))) u(i)),
+           |b0 AS MATERIALIZED (SELECT word, CAST(0 AS BIGINT) AS score, '' AS segp
+           |  FROM wtok),
+           |${(1 to maxLen).map(dpStep).mkString(",\n")},
+           |wseg AS (
+           |  $finals),
+           |occur AS (SELECT doc_id, u.i AS i, arr[u.i] AS word
+           |  FROM toks0, UNNEST(GENERATE_SERIES(1, LEN(arr))) u(i)),
+           |perdoc AS (
+           |  SELECT o.doc_id,
+           |    CAST(SUM(LEN(STRING_SPLIT(w.seg, ' '))) AS BIGINT)
+           |      AS n_pieces,
+           |    CAST(SUM(w.score) AS BIGINT) AS score_micros,
+           |    MD5(STRING_AGG(w.seg, ' ' ORDER BY o.i)) AS pieces_md5
+           |  FROM occur o JOIN wseg w USING (word)
+           |  GROUP BY o.doc_id)
+           |SELECT d.doc_id, COALESCE(p.n_pieces, 0) AS n_pieces,
+           |  COALESCE(p.score_micros, 0) AS score_micros,
+           |  COALESCE(p.pieces_md5, MD5('')) AS pieces_md5
+           |FROM (SELECT doc_id FROM documents WHERE doc_id < 10) d
+           |LEFT JOIN perdoc p USING (doc_id)
+           |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+        val model = graft.text.Unigram.mleScores(
+          graft.text.Unigram.seedVocab(wordCounts(s, dir), "word",
+            "freq", seedSize = 40, maxPieceLen = maxPiece))
+        val docs = table(s, dir, "documents").where(col("doc_id") < 10)
+          .select(col("doc_id"), concat_ws(" ",
+            filter(graft.text.TextAnalysis.tokens(lower(col("text"))),
+              t => t.rlike(s"^[a-z]{1,$maxLen}$$"))).as("text"))
+        graft.text.Unigram.encode(docs, "text", "doc_id", model,
+            maxPieceLen = maxPiece)
+          .select(col("doc_id"), col("n_pieces"), col("score_micros"),
+            md5(concat_ws(" ", col("pieces"))).as("pieces_md5"))
+          .orderBy(col("doc_id"))
+      }
     }
   }
 }

@@ -1,0 +1,105 @@
+package graft.streaming
+
+import graft.text.Curation
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Paragraph-level dedup at ingest with a GROWING stored hash index —
+  * the [[CorpusIndexStore]] recipe applied to `Curation`'s Dolma-style
+  * paragraph dedup: every micro-batch's documents lose any paragraph
+  * already kept by the corpus (or by an earlier document of the same
+  * batch), and the paragraphs they KEEP fold back into the stored
+  * index — so a quote arriving five minutes after its original is
+  * dropped even though neither was in the initial corpus, and the
+  * corpus converges to one canonical copy per distinct paragraph under
+  * any batch slicing.
+  *
+  * Storage layout (parquet under `path`, partitioned by
+  * `ingest_batch`):
+  *  - `paragraphs/` — `Curation.paragraphHashes` rows of every KEPT
+  *    paragraph (narrow (id, idx, chars, hash))
+  *  - `cleaned/` (idCol, n_paras, n_dropped, text) — the deduped
+  *    corpus itself
+  *
+  * Idempotence / restart: identical to [[CorpusIndexStore]] — each
+  * batch OVERWRITES its own `ingest_batch=<id>` partitions, the
+  * membership check excludes the current batch id (a redelivered
+  * batch sees the index as it stood before its first attempt), and
+  * the checkpoint is store-owned by default so batch ids stay unique
+  * for the store's lifetime.
+  *
+  * Scale shape per batch: the membership check is
+  * [[Curation.dedupParagraphsAgainst]] — one equi-join of the batch's
+  * exploded paragraphs against the stored hash table, co-partitioned
+  * on the 64-bit hash, plus the batch-internal first-wins keeper at
+  * batch scale; the fold-back writes batch-scale rows. Nothing
+  * corpus-proportional is recomputed per batch. When even the stored
+  * hash join is too heavy per micro-batch, front it with
+  * [[Curation.paragraphBloom]] + `flagMaybeKnownParagraphs` (no false
+  * negatives) and reserve the exact join for flagged rows. */
+final class ParagraphIndexStore(spark: SparkSession, path: String,
+    idCol: String = "doc_id", sep: String = "\n\n",
+    minParaChars: Int = 1) {
+
+  private val paraPath = s"$path/paragraphs"
+  private val cleanedPath = s"$path/cleaned"
+
+  /** Batch-build: corpus-wide [[Curation.dedupParagraphs]] seeds the
+    * cleaned corpus; its kept paragraphs seed the index. Lands as
+    * `ingest_batch=-1`, wiping prior state under `path`. */
+  def initialize(corpus: DataFrame, textCol: String): Unit = {
+    Seq(paraPath, cleanedPath, s"$path/checkpoint").foreach { p =>
+      val dir = new java.io.File(p)
+      if (dir.exists()) {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+        }
+        rm(dir)
+      }
+    }
+    val cleaned = Curation.dedupParagraphs(corpus, textCol, idCol,
+      sep, minParaChars).localCheckpoint(false)
+    cleaned.write.mode("overwrite")
+      .parquet(s"$cleanedPath/ingest_batch=-1")
+    Curation.paragraphHashes(cleaned, textCol, idCol, sep)
+      .write.mode("overwrite").parquet(s"$paraPath/ingest_batch=-1")
+  }
+
+  /** Kept-paragraph hash table across the base build and every folded
+    * batch. */
+  def paragraphTable: DataFrame =
+    spark.read.parquet(paraPath).drop("ingest_batch")
+
+  /** The deduped corpus so far. */
+  def cleaned: DataFrame =
+    spark.read.parquet(cleanedPath).drop("ingest_batch")
+
+  /** Start the growing ingest over a streaming (idCol, textCol)
+    * frame. */
+  def ingest(stream: DataFrame, textCol: String,
+      checkpointLocation: Option[String] = None): StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(batch, textCol, batchId)
+      }
+      .option("checkpointLocation",
+        checkpointLocation.getOrElse(s"$path/checkpoint"))
+      .start()
+
+  /** One micro-batch — package-visible so the spec can replay a batch
+    * id and prove idempotence directly. */
+  private[streaming] def processBatch(batch: DataFrame,
+      textCol: String, batchId: Long): Unit = {
+    val stored = spark.read.parquet(paraPath)
+      .where(col("ingest_batch") =!= batchId).drop("ingest_batch")
+    val cleanedBatch = Curation.dedupParagraphsAgainst(batch, stored,
+        textCol, idCol, sep, minParaChars)
+      .localCheckpoint(false) // feeds the fold-back AND the append
+    Curation.paragraphHashes(cleanedBatch, textCol, idCol, sep)
+      .write.mode("overwrite")
+      .parquet(s"$paraPath/ingest_batch=$batchId")
+    cleanedBatch.write.mode("overwrite")
+      .parquet(s"$cleanedPath/ingest_batch=$batchId")
+  }
+}

@@ -334,6 +334,60 @@ object Bpe {
         col("right"), col("merged"), col("freq"))
   }
 
+  /** GPT-2-convention vocabulary off a byte-level merge list: ids
+    * 0..255 are the 256 base byte symbols in byte order, then one id
+    * per merge RESULT in rank order, then the reserved specials LAST
+    * (`<|endoftext|>` = 50256 in the published GPT-2 vocab — after
+    * every merge). Deterministic and closed-form: the id of any piece
+    * is derivable from (byte value | merge rank | special index)
+    * alone, which is what lets a SQL oracle replay ids without
+    * shipping the map. */
+  def vocabBytes(merges: Seq[Merge],
+      specialTokens: Seq[String] = Nil): Map[String, Int] = {
+    val base = (0 until 256).map(b => String.valueOf(byteToChar(b)))
+    val merged = merges.sortBy(_.rank).map(_.merged)
+    require(merged.distinct.length == merged.length,
+      "merge results must be unique")
+    val specials = specialTokens.distinct
+    ((base ++ merged ++ specials).zipWithIndex).toMap
+  }
+
+  /** [[vocabBytes]] as a (id, piece) DataFrame — the stored-artifact
+    * form a tokenizer ships with its model. */
+  def vocabBytesDf(spark: org.apache.spark.sql.SparkSession,
+      merges: Seq[Merge],
+      specialTokens: Seq[String] = Nil): DataFrame = {
+    import spark.implicits._
+    vocabBytes(merges, specialTokens).toSeq.sortBy(_._2)
+      .map { case (p, id) => (id, p) }.toDF("id", "piece")
+  }
+
+  /** Map an encoded `pieces` array to vocabulary ids as a pure Column
+    * expression: the vocab rides the plan as a literal map (vocab
+    * size is model-scale, thousands of entries — the `linearScore`
+    * model-as-literal convention), so the lookup is one codegen'd
+    * `element_at` per piece — no join, no shuffle, no UDF. A piece
+    * outside the vocab (impossible for byte-level output encoded with
+    * the SAME merges/specials) fails loudly. */
+  def idsFromPieces(pieces: Column, vocab: Map[String, Int]): Column = {
+    val m = typedLit(vocab)
+    transform(pieces, p =>
+      when(element_at(m, p).isNull,
+        raise_error(concat(lit("piece not in vocab: "), p)))
+        .otherwise(element_at(m, p)))
+  }
+
+  /** [[encodeBytes]] + [[idsFromPieces]]: the training-ready token-id
+    * stream (idCol, pieces, n_pieces, ids). One mapPartitions scan
+    * plus a codegen'd projection — nothing extra moves. */
+  def encodeBytesToIds(df: DataFrame, textCol: String, idCol: String,
+      merges: Seq[Merge], specialTokens: Seq[String] = Nil,
+      preTokenizer: String = "gpt2"): DataFrame =
+    encodeBytes(df, textCol, idCol, merges, specialTokens, preTokenizer)
+      .withColumn("ids",
+        idsFromPieces(col("pieces"),
+          vocabBytes(merges, specialTokens)))
+
   /** Imperative single-word tokenizer: apply merges in RANK order,
     * each as a greedy left-to-right pass — the exact replay of
     * training, so encoding a training word reproduces its final

@@ -584,6 +584,168 @@ object Curation {
           s => s.getField("raw_"))).as(textCol))
   }
 
+  /** Dolma-style PARAGRAPH-level dedup: the corpus keeps exactly ONE
+    * copy of every distinct (trimmed) paragraph — the FIRST occurrence
+    * in (idCol, position) order — and every later occurrence is
+    * dropped from its document's text. This is the other half of
+    * line-level curation: [[dedupLines]] removes high-frequency
+    * boilerplate (df ≥ threshold, ALL copies die); paragraph dedup
+    * removes REPEATED CONTENT (every duplicate after the first dies,
+    * the canonical copy survives) — the Dolma/BFF recipe for memorized
+    * spans that document-level near-dup misses because the containing
+    * documents differ.
+    *
+    * Scale shape: the first-occurrence keeper per paragraph hash is
+    * ONE map-side-combined `min(struct(id, idx))` groupBy whose
+    * shuffle carries (hash, id, idx) — never paragraph text; the
+    * keeper table is distinct-paragraph-scale and flows back through a
+    * hash-partitioned equi-join on the 64-bit hash (NOT a broadcast —
+    * it is corpus-proportional), then one per-doc regroup. No window
+    * over the corpus, nothing driver-side. A 64-bit collision merges
+    * two paragraph groups (the rarer one over-dropped); at curation
+    * scale that risk buys text-free shuffles, same trade as
+    * [[dedupLines]].
+    *
+    * `sep` is a LITERAL separator (regex-quoted before the split),
+    * default blank-line paragraphs; paragraphs shorter than
+    * `minParaChars` after trim are never deduped (empty/whitespace
+    * fragments are structure, not content). Returns one row per doc:
+    * (idCol, n_paras, n_dropped, textCol rebuilt with `sep`). */
+  def dedupParagraphs(df: DataFrame, textCol: String, idCol: String,
+      sep: String = "\n\n", minParaChars: Int = 1): DataFrame = {
+    requireFresh(df, "idx_", "raw_", "para_", "ph_", "kid_", "kidx_",
+      "drop_")
+    val exploded = explodeParagraphs(df, textCol, idCol, sep)
+      // feeds the keeper branch + the join-back once (the
+      // multi-consumer re-execution trap dedupLines documents)
+      .localCheckpoint(false)
+    val keeper = exploded
+      .where(length(col("para_")) >= minParaChars)
+      .groupBy(col("ph_"))
+      .agg(min(struct(col(idCol).as("kid_"), col("idx_").as("kidx_")))
+        .as("k_"))
+      .select(col("ph_"), col("k_.kid_").as("kid_"),
+        col("k_.kidx_").as("kidx_"))
+    exploded.join(keeper, Seq("ph_"), "left")
+      .withColumn("drop_", col("kid_").isNotNull &&
+        !(col(idCol) === col("kid_") && col("idx_") === col("kidx_")))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_paras"),
+        sum(col("drop_").cast("long")).as("n_dropped"),
+        concat_ws(sep, transform(
+          sort_array(collect_list(when(!col("drop_"),
+            struct(col("idx_"), col("raw_"))))),
+          s => s.getField("raw_"))).as(textCol))
+  }
+
+  /** The stored-artifact half of paragraph dedup: one row per
+    * (idCol, paragraph position) with the trimmed paragraph's 64-bit
+    * hash — computed ONCE at ingest and persisted, so incremental
+    * dedup ([[dedupParagraphsAgainst]]) and membership filters read a
+    * narrow (id, idx, hash) table instead of re-splitting corpus text
+    * (the `shingleHashes` / `signatureTable` convention). */
+  def paragraphHashes(df: DataFrame, textCol: String, idCol: String,
+      sep: String = "\n\n"): DataFrame =
+    explodeParagraphs(df, textCol, idCol, sep)
+      .select(col(idCol), col("idx_").as("para_idx"),
+        length(col("para_")).as("para_chars"), col("ph_").as("para_hash"))
+
+  private def explodeParagraphs(df: DataFrame, textCol: String,
+      idCol: String, sep: String): DataFrame = df
+    // null text folds to "" BEFORE the split — split(null) explodes to
+    // zero rows and would silently lose the document (dedupLines doc)
+    .select(col(idCol),
+      posexplode(split(coalesce(col(textCol), lit("")),
+        java.util.regex.Pattern.quote(sep))))
+    .withColumnRenamed("pos", "idx_")
+    .withColumnRenamed("col", "raw_")
+    .withColumn("para_", trim(col("raw_")))
+    .withColumn("ph_", xxhash64(col("para_")))
+
+  /** Incremental paragraph dedup for a delta batch against a STORED
+    * corpus: any incoming paragraph whose hash exists in
+    * `storedHashes` (a [[paragraphHashes]] table, `para_chars >=
+    * minParaChars`) is dropped, and within the delta itself the
+    * corpus-wide first-occurrence rule applies — so ingest order
+    * never changes what the merged corpus would have kept. EXACT
+    * membership via a hash-partitioned left-anti-style join (the
+    * stored side projected to distinct hashes — narrow, co-partitioned
+    * on the join key); same shape as `Dedup.nearDupsAgainstCorpus`.
+    * Returns the [[dedupParagraphs]] schema for the delta rows. */
+  def dedupParagraphsAgainst(delta: DataFrame, storedHashes: DataFrame,
+      textCol: String, idCol: String, sep: String = "\n\n",
+      minParaChars: Int = 1): DataFrame = {
+    requireFresh(delta, "idx_", "raw_", "para_", "ph_", "kid_",
+      "kidx_", "drop_", "known_")
+    val exploded = explodeParagraphs(delta, textCol, idCol, sep)
+      .localCheckpoint(false)
+    val known = storedHashes
+      .where(col("para_chars") >= minParaChars)
+      .select(col("para_hash").as("ph_")).distinct()
+      .withColumn("known_", lit(1))
+    val keeper = exploded
+      .where(length(col("para_")) >= minParaChars)
+      .groupBy(col("ph_"))
+      .agg(min(struct(col(idCol).as("kid_"), col("idx_").as("kidx_")))
+        .as("k_"))
+      .select(col("ph_"), col("k_.kid_").as("kid_"),
+        col("k_.kidx_").as("kidx_"))
+    exploded.join(keeper, Seq("ph_"), "left")
+      .join(known, Seq("ph_"), "left")
+      .withColumn("drop_", col("known_").isNotNull ||
+        (col("kid_").isNotNull &&
+          !(col(idCol) === col("kid_") && col("idx_") === col("kidx_"))))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_paras"),
+        sum(col("drop_").cast("long")).as("n_dropped"),
+        concat_ws(sep, transform(
+          sort_array(collect_list(when(!col("drop_"),
+            struct(col("idx_"), col("raw_"))))),
+          s => s.getField("raw_"))).as(textCol))
+  }
+
+  /** Build a Bloom filter over a stored [[paragraphHashes]] table —
+    * the BFF ("Bloom filter filtering") fast path for ingest-time
+    * paragraph membership when even the narrow hash table is too big
+    * to join per micro-batch. Mergeable per-partition filters
+    * tree-aggregate to one driver-side sketch of ~1.2 bytes/item at
+    * 1% fpp (10⁹ stored paragraphs ≈ 1.2 GB — size `expectedItems`
+    * deliberately); broadcast it to [[flagMaybeKnownParagraphs]].
+    * NO false negatives: a stored paragraph is always flagged. */
+  def paragraphBloom(storedHashes: DataFrame, expectedItems: Long,
+      fpp: Double = 0.01): org.apache.spark.util.sketch.BloomFilter =
+    storedHashes.stat.bloomFilter("para_hash", expectedItems, fpp)
+
+  /** Flag each delta paragraph that MIGHT exist in the corpus the
+    * Bloom filter was built over ([[paragraphBloom]]): the approximate
+    * twin of [[dedupParagraphsAgainst]]'s exact join — one broadcast
+    * sketch probe per row, NO shuffle and NO stored-table scan at
+    * apply time, at the price of `fpp` over-dropping (never
+    * under-dropping: no false negatives, the guarantee dedup cares
+    * about). `mapPartitions` over the hashed rows, like `Bpe.encode` —
+    * not a UDF. Returns the [[paragraphHashes]] schema plus
+    * `maybe_known`; paragraphs under `minParaChars` are never
+    * flagged. */
+  def flagMaybeKnownParagraphs(delta: DataFrame, textCol: String,
+      idCol: String, bloom: org.apache.spark.util.sketch.BloomFilter,
+      sep: String = "\n\n", minParaChars: Int = 1): DataFrame = {
+    val spark = delta.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(bloom)
+    paragraphHashes(delta, textCol, idCol, sep)
+      .select(col(idCol).cast("long"), col("para_idx"),
+        col("para_chars"), col("para_hash"))
+      .as[(java.lang.Long, Int, Int, Long)]
+      .mapPartitions { rows =>
+        val b = bc.value
+        rows.map { case (id, idx, chars, h) =>
+          (id, idx, chars, h,
+            chars >= minParaChars && b.mightContainLong(h))
+        }
+      }
+      .toDF(idCol, "para_idx", "para_chars", "para_hash", "maybe_known")
+  }
+
   /** CCNet-style unigram language-model score: train a unigram LM on
     * the corpus itself (count / total), then score each document by
     * its total log2 probability and bits-per-token — the standard

@@ -129,15 +129,20 @@ object Dedup {
     * orderings that are independent-ish permutations of a uniform
     * input, not a full re-hash of it. */
   def signatureTable(hashed: DataFrame, idCol: String,
-      numHashes: Int = 128): DataFrame = {
+      numHashes: Int = 128, checkpoint: Boolean = true): DataFrame = {
     val minAggs = (0 until numHashes).map { i =>
       min(graft.functions.Remix64(col("s"),
         splitmix64(2L * i) | 1L, splitmix64(2L * i + 1))).as(s"h$i")
     }
-    hashed.groupBy(col(idCol))
+    val sigs = hashed.groupBy(col(idCol))
       .agg(minAggs.head, (minAggs.tail :+
         collect_set(col("s")).as("gh")): _*)
-      .localCheckpoint(false)
+    // the barrier serves MULTI-consumer in-memory use (band + verify
+    // branches would otherwise recompute the agg); an ingest that
+    // writes the table straight to parquet has ONE consumer and must
+    // not pin a corpus-scale artifact in the block manager —
+    // checkpoint = false is the stored-ingest shape
+    if (checkpoint) sigs.localCheckpoint(false) else sigs
   }
 
   /** (docSets, banded) band layout off a [[signatureTable]]: `banded`

@@ -1,0 +1,396 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed UNIGRAM language-model tokenizer (Kudo 2018, the
+  * SentencePiece "unigram" algorithm) — the other major subword
+  * family next to [[Bpe]]: instead of greedily merging pairs, hold a
+  * vocabulary of candidate pieces with probabilities and segment each
+  * word by maximum likelihood (Viterbi over the segmentation
+  * lattice); train the probabilities by EM over ALL segmentations and
+  * prune the vocabulary down to the target size.
+  *
+  * Scale shape — same contract as [[Bpe]]: everything after one
+  * token-scale histogram pass is CORPUS-SIZE INDEPENDENT.
+  *  - the seed vocabulary is one substring explode + map-side-combined
+  *    sum over DISTINCT words, then a distributed top-k (TakeOrdered,
+  *    no global sort);
+  *  - each EM round is one mapPartitions pass over the distinct-word
+  *    histogram (forward–backward per word against a BROADCAST piece
+  *    table) followed by one vocab-scale groupBy sum; the model
+  *    (piece → probability) is calibration-scale and collects like
+  *    every fit in `stats/Fitting`;
+  *  - [[encode]] is mapPartitions + broadcast + per-partition memo —
+  *    tokenizers are imperative library code, the multimodal-codec
+  *    contract.
+  *
+  * Determinism — the reason scores are INTEGER MICROS end to end:
+  *  - piece scores are `round(log2(freq / total) * 1e6)` longs (the
+  *    q88/q103 micro-log convention, proven to match DuckDB);
+  *  - per-word expected counts in the E-step round to micro longs
+  *    BEFORE the cross-word sum, so the aggregate is an exact integer
+  *    sum — identical under any partitioning;
+  *  - the Viterbi tie-break is (score DESC, last piece LONGER first),
+  *    applied at every lattice boundary — unique segmentation under
+  *    any partitioning, and replayable in SQL.
+  */
+object Unigram {
+
+  /** One vocabulary entry: the piece and its log2-probability in
+    * integer micros (round(log2(p) * 1e6)). */
+  final case class Piece(piece: String, logpMicros: Long)
+
+  /** Substring seed vocabulary over a word-frequency table: every
+    * substring of length ≤ `maxPieceLen` of every distinct word,
+    * weighted by word frequency; the vocabulary is ALL single
+    * characters (segmentation must never fail on corpus text) plus
+    * the top `seedSize` multi-character substrings by
+    * (freq DESC, piece ASC). Shuffle carries (piece, freq) — never
+    * documents; the top-k is a TakeOrdered, no global sort. Returns
+    * (piece, freq). */
+  def seedVocab(words: DataFrame, wordCol: String, freqCol: String,
+      seedSize: Int, maxPieceLen: Int = 4): DataFrame = {
+    require(seedSize > 0 && maxPieceLen >= 2)
+    val w = col(wordCol)
+    val counted = words
+      .where(length(w) >= 1)
+      .select(explode(flatten(transform(
+        sequence(lit(1), length(w)),
+        s => transform(
+          sequence(lit(1), least(lit(maxPieceLen), length(w) - s + 1)),
+          l => w.substr(s, l))))).as("piece"),
+        col(freqCol).cast("long").as("f_"))
+      .groupBy(col("piece")).agg(sum(col("f_")).as("freq"))
+    val chars = counted.where(length(col("piece")) === 1)
+    val multi = counted.where(length(col("piece")) >= 2)
+      .orderBy(col("freq").desc, col("piece"))
+      .limit(seedSize)
+    chars.unionByName(multi)
+  }
+
+  /** MLE piece scores off a (piece, freq) vocabulary: log2(freq /
+    * total) in integer micros, computed as a Spark SQL expression (the
+    * proven q103 log path, NOT driver-side math). Returns (piece,
+    * freq, logp_micros). */
+  def mleScoresDf(vocab: DataFrame): DataFrame = {
+    val tot = vocab.agg(sum(col("freq"))).head.getLong(0)
+    vocab.select(col("piece"), col("freq"),
+      round(log2(col("freq").cast("double") / lit(tot.toDouble)) *
+        lit(1e6)).cast("long").as("logp_micros"))
+  }
+
+  /** [[mleScoresDf]] collected to the model form (vocab is
+    * model-scale — thousands of pieces — the `linearScore`
+    * model-as-data convention). */
+  def mleScores(vocab: DataFrame): Seq[Piece] =
+    mleScoresDf(vocab).select(col("piece"), col("logp_micros"))
+      .collect().map(r => Piece(r.getString(0), r.getLong(1))).toSeq
+      .sortBy(p => (-p.logpMicros, p.piece))
+
+  // ---------------------------------------------------------------
+  // Viterbi encode
+  // ---------------------------------------------------------------
+
+  /** Maximum-likelihood segmentation of one word: DP over lattice
+    * boundaries, best[j] = max over pieces w[i..j) in vocab of
+    * best[i] + logp. Tie-break: higher score, then LONGER last piece
+    * (smaller i). Characters absent from the vocabulary fall back to
+    * a single-char piece at `unkLogpMicros`, so segmentation is
+    * total. Returns the piece sequence. */
+  private[text] def viterbiWord(word: String,
+      vocab: java.util.HashMap[String, java.lang.Long],
+      maxPieceLen: Int, unkLogpMicros: Long): Array[String] = {
+    val n = word.length
+    if (n == 0) return Array.empty
+    val best = new Array[Long](n + 1)
+    val plen = new Array[Int](n + 1)
+    java.util.Arrays.fill(best, Long.MinValue)
+    best(0) = 0L
+    var j = 1
+    while (j <= n) {
+      var k = 1
+      val kMax = math.min(maxPieceLen, j)
+      while (k <= kMax) {
+        if (best(j - k) != Long.MinValue) {
+          val piece = word.substring(j - k, j)
+          val boxed = vocab.get(piece)
+          val lp =
+            if (boxed != null) boxed.longValue()
+            else if (k == 1) unkLogpMicros
+            else Long.MinValue
+          if (lp != Long.MinValue) {
+            val s = best(j - k) + lp
+            // strict > : ties keep the earlier (LONGER, since k
+            // iterates ascending we must prefer larger k on equal
+            // score → use >= when k grows, i.e. overwrite on equal
+            if (s > best(j) || (s == best(j) && k > plen(j))) {
+              best(j) = s; plen(j) = k
+            }
+          }
+        }
+        k += 1
+      }
+      j += 1
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var p = n
+    while (p > 0) {
+      out += word.substring(p - plen(p), p)
+      p -= plen(p)
+    }
+    out.reverseIterator.toArray
+  }
+
+  /** Total micro-score of [[viterbiWord]]'s segmentation (for specs
+    * and the oracle's score check). */
+  private[text] def viterbiScore(pieces: Array[String],
+      vocab: java.util.HashMap[String, java.lang.Long],
+      unkLogpMicros: Long): Long =
+    pieces.map { p =>
+      val boxed = vocab.get(p)
+      if (boxed != null) boxed.longValue() else unkLogpMicros
+    }.sum
+
+  /** Viterbi-encode a corpus: lowercased whitespace tokens (the
+    * [[Bpe.train]] histogram convention), each segmented by maximum
+    * likelihood under `pieces`. Returns (idCol, pieces array<string>,
+    * n_pieces, score_micros). mapPartitions with the vocabulary
+    * broadcast and a per-partition word memo — one scan, nothing else
+    * moves. */
+  def encode(df: DataFrame, textCol: String, idCol: String,
+      pieces: Seq[Piece], maxPieceLen: Int = 4,
+      unkLogpMicros: Long = -100000000L): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(
+      pieces.map(p => (p.piece, p.logpMicros)).toArray)
+    val src = df
+      .select(col(idCol).cast("long"),
+        TextAnalysis.tokens(lower(coalesce(col(textCol), lit("")))))
+      .as[(java.lang.Long, Seq[String])]
+    src.mapPartitions { rows =>
+      val vocab = new java.util.HashMap[String, java.lang.Long]()
+      bc.value.foreach { case (p, lp) =>
+        vocab.put(p, java.lang.Long.valueOf(lp))
+      }
+      val memo = new java.util.HashMap[String, Array[String]]()
+      def enc(wd: String): Array[String] = {
+        var r = memo.get(wd)
+        if (r == null) {
+          r = viterbiWord(wd, vocab, maxPieceLen, unkLogpMicros)
+          memo.put(wd, r)
+        }
+        r
+      }
+      rows.map { case (id, toks) =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        toks.filter(_.nonEmpty).foreach(w => out ++= enc(w))
+        val arr = out.toArray
+        (id, arr, arr.length.toLong,
+          viterbiScore(arr, vocab, unkLogpMicros))
+      }
+    }.toDF(idCol, "pieces", "n_pieces", "score_micros")
+  }
+
+  // ---------------------------------------------------------------
+  // EM training
+  // ---------------------------------------------------------------
+
+  /** One E-step over the distinct-word histogram: per word,
+    * forward–backward over the segmentation lattice under the current
+    * piece log-probabilities (broadcast), emitting each piece's
+    * expected count × word frequency, ROUNDED TO MICRO LONGS per word
+    * before the cross-word sum — the aggregate is exact integer
+    * arithmetic, identical under any partitioning. Also returns the
+    * corpus log-likelihood (micro long, same rounding) for the
+    * monotonicity contract. Lattice math is StrictMath in plain
+    * doubles WITHIN one word (single task, deterministic order). */
+  private[text] def expectedCounts(words: DataFrame, wordCol: String,
+      freqCol: String, pieces: Seq[(String, Double)],
+      maxPieceLen: Int): (Map[String, Long], Long) = {
+    val spark = words.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(pieces.toArray)
+    val perWord = words
+      .select(col(wordCol).cast("string"), col(freqCol).cast("long"))
+      .as[(String, Long)]
+      .mapPartitions { rows =>
+        val lp = new java.util.HashMap[String, java.lang.Double]()
+        bc.value.foreach { case (p, v) => lp.put(p, v) }
+        rows.flatMap { case (word, freq) =>
+          val n = word.length
+          if (n == 0) Iterator.empty
+          else {
+            // forward: alpha(j) = logsumexp over i of alpha(i)+lp
+            val NEG = Double.NegativeInfinity
+            def lse(a: Double, b: Double): Double =
+              if (a == NEG) b else if (b == NEG) a
+              else if (a > b) a + StrictMath.log1p(StrictMath.exp(b - a))
+              else b + StrictMath.log1p(StrictMath.exp(a - b))
+            val alpha = Array.fill(n + 1)(NEG); alpha(0) = 0.0
+            val beta = Array.fill(n + 1)(NEG); beta(n) = 0.0
+            var j = 1
+            while (j <= n) {
+              var k = 1; val kM = math.min(maxPieceLen, j)
+              while (k <= kM) {
+                val v = lp.get(word.substring(j - k, j))
+                if (v != null && alpha(j - k) != NEG)
+                  alpha(j) = lse(alpha(j), alpha(j - k) + v)
+                k += 1
+              }
+              j += 1
+            }
+            var i = n - 1
+            while (i >= 0) {
+              var k = 1; val kM = math.min(maxPieceLen, n - i)
+              while (k <= kM) {
+                val v = lp.get(word.substring(i, i + k))
+                if (v != null && beta(i + k) != NEG)
+                  beta(i) = lse(beta(i), v + beta(i + k))
+                k += 1
+              }
+              i -= 1
+            }
+            val z = alpha(n)
+            if (z == NEG) Iterator.empty // unsegmentable: contributes 0
+            else {
+              // expected count of a piece in THIS word = sum of its
+              // occurrence posteriors — accumulated in doubles within
+              // the word (one task, fixed s,k order), rounded to
+              // micros ONCE per (word, piece)
+              val acc = new java.util.LinkedHashMap[String,
+                java.lang.Double]()
+              var s = 0
+              while (s < n) {
+                var k = 1; val kM = math.min(maxPieceLen, n - s)
+                while (k <= kM) {
+                  val piece = word.substring(s, s + k)
+                  val v = lp.get(piece)
+                  if (v != null && alpha(s) != NEG &&
+                      beta(s + k) != NEG) {
+                    val e = StrictMath.exp(alpha(s) + v + beta(s + k) - z)
+                    val prev = acc.get(piece)
+                    acc.put(piece, if (prev == null) e
+                      else prev.doubleValue() + e)
+                  }
+                  k += 1
+                }
+                s += 1
+              }
+              val out = scala.collection.mutable.ArrayBuffer
+                .empty[(String, Long)]
+              acc.forEach { (piece, e) =>
+                val micros = StrictMath.round(e.doubleValue() * freq * 1e6)
+                if (micros > 0L) out += ((piece, micros))
+              }
+              out += ((" LL", StrictMath.round(z * freq * 1e6)))
+              out.iterator
+            }
+          }
+        }
+      }
+      .toDF("piece", "micros")
+      .groupBy(col("piece")).agg(sum(col("micros")).as("m"))
+      .collect()
+    val ll = perWord.collectFirst {
+      case r if r.getString(0) == " LL" => r.getLong(1)
+    }.getOrElse(0L)
+    val counts = perWord.iterator
+      .filter(_.getString(0) != " LL")
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    (counts, ll)
+  }
+
+  /** EM + prune training over a word-frequency table (Kudo 2018
+    * §3.2, the standard practical loop): seed from
+    * [[seedVocab]]/[[mleScoresDf]], then alternate `emIters` EM
+    * updates with pruning the lowest-expected-count multi-character
+    * pieces (single characters are never pruned — segmentation must
+    * stay total) by `pruneFrac` until the vocabulary is ≤ `vocabSize`,
+    * then run one final EM round. The M-step renormalizes the exact
+    * integer expected counts into micro-log2 scores via one
+    * vocab-scale Spark expression (the same log path as
+    * [[mleScoresDf]]). Pruning approximates the loss-increase
+    * criterion by expected count — the common practical shortcut,
+    * deterministic by (count ASC, piece DESC). */
+  def trainFromWordCounts(words: DataFrame, wordCol: String,
+      freqCol: String, vocabSize: Int, seedSize: Int = 4096,
+      maxPieceLen: Int = 4, emIters: Int = 2,
+      pruneFrac: Double = 0.2): Seq[Piece] = {
+    require(vocabSize > 0 && emIters >= 1)
+    require(pruneFrac > 0 && pruneFrac < 1)
+    val spark = words.sparkSession
+    val w = words
+      .select(col(wordCol), col(freqCol).cast("long").as("freq"))
+      .where(length(col(wordCol)) >= 1)
+      .localCheckpoint()
+    // seed scores: MLE over substring counts
+    var model: Seq[Piece] =
+      mleScores(seedVocab(w, wordCol, "freq", seedSize, maxPieceLen))
+    var lastLl = Long.MinValue
+    def emRound(): Unit = {
+      val lp = model.map(p => (p.piece, p.logpMicros / 1e6 *
+        StrictMath.log(2.0))) // micro-log2 → natural log for lattice
+      val (counts, ll) = expectedCounts(w, wordCol, "freq", lp,
+        maxPieceLen)
+      lastLl = ll
+      // M-step: renormalize through the proven Spark log2 path
+      import spark.implicits._
+      val cdf = counts.toSeq.toDF("piece", "freq")
+      model = mleScores(cdf.where(col("freq") > 0))
+    }
+    var iter = 0
+    while (iter < emIters) { emRound(); iter += 1 }
+    while (model.count(_.piece.length >= 2) >
+        math.max(0, vocabSize - model.count(_.piece.length == 1))) {
+      val multi = model.filter(_.piece.length >= 2)
+      val chars = model.filter(_.piece.length == 1)
+      val target = math.max(vocabSize - chars.length,
+        math.min(multi.length - 1,
+          (multi.length * (1 - pruneFrac)).toInt))
+      val kept = multi
+        .sortBy(p => (-p.logpMicros, p.piece)) // count order = prob order
+        .take(math.max(target, 0))
+      model = chars ++ kept
+      emRound()
+    }
+    model.sortBy(p => (-p.logpMicros, p.piece))
+  }
+
+  /** [[trainFromWordCounts]] straight from a corpus text column — one
+    * token-scale lowercased histogram (the [[Bpe.train]] shape), then
+    * distinct-word-scale EM rounds. */
+  def train(df: DataFrame, textCol: String, vocabSize: Int,
+      seedSize: Int = 4096, maxPieceLen: Int = 4, emIters: Int = 2,
+      pruneFrac: Double = 0.2): Seq[Piece] = {
+    val counts = df
+      .select(explode(TextAnalysis.tokens(lower(col(textCol))))
+        .as("word"))
+      .where(col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+    trainFromWordCounts(counts, "word", "freq", vocabSize, seedSize,
+      maxPieceLen, emIters, pruneFrac)
+  }
+
+  /** Corpus log-likelihood (micro long) under a model — the EM
+    * monotonicity probe for specs. */
+  def corpusLogLikelihoodMicros(df: DataFrame, textCol: String,
+      pieces: Seq[Piece], maxPieceLen: Int = 4): Long = {
+    val counts = df
+      .select(explode(TextAnalysis.tokens(lower(col(textCol))))
+        .as("word"))
+      .where(col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+    val lp = pieces.map(p => (p.piece,
+      p.logpMicros / 1e6 * StrictMath.log(2.0)))
+    expectedCounts(counts, "word", "freq", lp, maxPieceLen)._2
+  }
+
+  /** The model as a DataFrame (piece, logp_micros) — the
+    * stored-artifact form a tokenizer ships. */
+  def piecesToDf(spark: SparkSession, pieces: Seq[Piece]): DataFrame = {
+    import spark.implicits._
+    pieces.toDF("piece", "logp_micros")
+  }
+}

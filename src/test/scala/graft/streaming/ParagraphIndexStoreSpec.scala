@@ -1,0 +1,90 @@
+package graft.streaming
+
+import graft.TestSpark
+import graft.text.Curation
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class ParagraphIndexStoreSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  // ids FOLLOW arrival order (corpus 1-2, then 10-11, then 20-21):
+  // the stream keeps the first ARRIVAL of each paragraph, the batch
+  // twin keeps the lowest (id, idx) — the two agree exactly when ids
+  // are arrival-ordered, which is the ingest contract (monotone ids).
+  val corpusRows = Seq(
+    (1L, "original reporting paragraph\n\nthe famous quote"),
+    (2L, "independent corpus text\n\nsecond original paragraph"))
+  // batch 1: doc 10 repeats a corpus paragraph (drop) + brings a new
+  // one; doc 11 repeats doc 10's NEW paragraph within the same batch
+  // (intra-batch first-wins). batch 2: doc 20 repeats doc 10's
+  // accepted paragraph — the GROWING-index proof (neither copy was in
+  // the initial corpus); doc 21 is all fresh.
+  val batches = Seq(
+    Seq((10L, "the famous quote\n\nbrand new analysis"),
+      (11L, "brand new analysis\n\nits own commentary")),
+    Seq((20L, "late arriving copy of\n\nbrand new analysis"),
+      (21L, "entirely fresh paragraph\n\nand another one")))
+
+  test("growing paragraph dedup at ingest: stream equals the " +
+      "corpus-wide batch pass, later-arriving copies die") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files
+      .createTempDirectory("para_index").toString
+    val store = new ParagraphIndexStore(spark, tmp)
+    store.initialize(corpusRows.toDF("doc_id", "text"), "text")
+    val mem = MemoryStream[(Long, String)]
+    val q = store.ingest(mem.toDF().toDF("doc_id", "text"), "text")
+    try {
+      batches.foreach { b => mem.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    val got = store.cleaned.orderBy(col("doc_id"))
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().toSeq
+    // the batch twin: one corpus-wide pass over everything, in id
+    // order (= arrival order here)
+    val want = Curation.dedupParagraphs(
+        (corpusRows ++ batches.flatten).toDF("doc_id", "text"),
+        "text", "doc_id")
+      .orderBy(col("doc_id")).select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().toSeq
+    assert(got == want, s"stream=$got batch=$want")
+    // the growing-index proof specifically: doc 20 lost the paragraph
+    // doc 10 introduced, though neither was in the initial corpus
+    val d20 = got.find(_._1 == 20L).get._2
+    assert(d20 == "late arriving copy of")
+    // intra-batch first-wins: doc 11 lost its repeat of doc 10's new
+    // paragraph in the SAME micro-batch
+    assert(got.find(_._1 == 11L).get._2 == "its own commentary")
+    // the stored index covers exactly the kept paragraphs
+    val keptHashes = Curation.paragraphHashes(store.cleaned, "text",
+      "doc_id").select(col("para_hash")).as[Long].collect().sorted
+    val indexHashes = store.paragraphTable.select(col("para_hash"))
+      .as[Long].collect().sorted
+    assert(indexHashes.toSeq == keptHashes.toSeq)
+  }
+
+  test("replaying a micro-batch id is idempotent") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files
+      .createTempDirectory("para_index_replay").toString
+    val store = new ParagraphIndexStore(spark, tmp)
+    store.initialize(corpusRows.toDF("doc_id", "text"), "text")
+    val b1 = batches.head.toDF("doc_id", "text")
+    store.processBatch(b1, "text", 0L)
+    val once = store.cleaned.orderBy(col("doc_id"))
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().toSeq
+    // redelivery of the SAME batch id must see the index as it stood
+    // before the first attempt — not drop its own folded paragraphs
+    store.processBatch(b1, "text", 0L)
+    val twice = store.cleaned.orderBy(col("doc_id"))
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().toSeq
+    assert(once == twice)
+    assert(store.paragraphTable.count() ==
+      Curation.paragraphHashes(store.cleaned, "text", "doc_id").count())
+  }
+}

@@ -269,4 +269,43 @@ class BpeSpec extends AnyFunSuite {
         .select($"n_pieces").as[Long].collect().toSeq
     assert(run(docs) == run(docs.repartition(11)))
   }
+
+  test("vocabBytes: GPT-2 id convention — bytes 0..255, merges by " +
+      "rank, specials last; encodeBytesToIds maps the piece stream") {
+    val eot = "<|endoftext|>"
+    val docs = Seq(
+      (1L, s"the cat sat$eot the hat"),
+      (2L, "the bat the mat"))
+      .toDF("doc_id", "text")
+    val m = Bpe.trainBytes(docs, "text", numMerges = 3, minFreq = 1L,
+      specialTokens = Seq(eot))
+    val v = Bpe.vocabBytes(m, Seq(eot))
+    assert(v.size == 256 + 3 + 1)
+    // base ids are the byte values themselves
+    for (b <- Seq(0, 32, 65, 173, 255))
+      assert(v(String.valueOf(Bpe.byteToChar(b))) == b)
+    // merges follow in rank order; the special is last
+    m.sortBy(_.rank).zipWithIndex.foreach { case (mg, i) =>
+      assert(v(mg.merged) == 256 + i, s"merge ${mg.merged}") }
+    assert(v(eot) == 259)
+    // the id stream is exactly the piece stream mapped through v
+    val r = Bpe.encodeBytesToIds(docs, "text", "doc_id", m, Seq(eot))
+      .orderBy($"doc_id")
+      .select($"pieces", $"ids").as[(Seq[String], Seq[Int])].collect()
+    r.foreach { case (pieces, ids) =>
+      assert(ids == pieces.map(v), s"$pieces -> $ids") }
+    // every emitted id round-trips through the stored vocab frame
+    val df = Bpe.vocabBytesDf(spark, m, Seq(eot))
+    assert(df.count() == 260)
+    val back = df.orderBy($"id").select($"piece").as[String]
+      .collect()
+    r.foreach { case (pieces, ids) =>
+      assert(ids.map(back) == pieces) }
+    // a piece outside the vocab fails loudly, not silently-null
+    val ex = intercept[Exception] {
+      docs.select(Bpe.idsFromPieces(
+        typedLit(Seq("not-a-piece")), v)).collect()
+    }
+    assert(ex.getMessage.contains("piece not in vocab"))
+  }
 }

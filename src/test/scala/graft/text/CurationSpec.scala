@@ -824,4 +824,99 @@ class CurationSpec extends AnyFunSuite {
       graft.stats.Fitting.fitPlaneMicro(bad, "x1", "x2", "y")
     }
   }
+
+  test("dedupParagraphs keeps the corpus-wide first occurrence only") {
+    val df = Seq(
+      (1L, "intro one\n\nTHE VIRAL QUOTE\n\nclosing one"),
+      (2L, "THE VIRAL QUOTE\n\nintro two\n\n  THE VIRAL QUOTE  "),
+      (3L, "intro three\n\nTHE VIRAL QUOTE"),
+      (4L, "all original\n\nnothing shared"))
+      .toDF("doc_id", "text")
+    val r = Curation.dedupParagraphs(df, "text", "doc_id")
+      .orderBy($"doc_id").collect()
+    // first occurrence = (doc 1, idx 1); every later copy dies,
+    // including the whitespace-padded one (hash is over trim)
+    assert(r.map(_.getLong(2)).toSeq == Seq(0L, 2L, 1L, 0L))
+    assert(r(0).getString(3) ==
+      "intro one\n\nTHE VIRAL QUOTE\n\nclosing one")
+    assert(r(1).getString(3) == "intro two")
+    assert(r(2).getString(3) == "intro three")
+    assert(r(3).getString(3) == "all original\n\nnothing shared")
+    assert(r.map(_.getLong(1)).toSeq == Seq(3L, 3L, 2L, 2L))
+    // result is partitioning-independent (first-wins is (id, idx)
+    // order, not encounter order)
+    val again = Curation.dedupParagraphs(df.repartition(7), "text",
+      "doc_id").orderBy($"doc_id").collect()
+    assert(r.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+    // short/empty paragraphs are structure, not content: never deduped
+    val blanky = Seq((1L, "a\n\n\n\nb"), (2L, "c\n\n\n\nd"))
+      .toDF("doc_id", "text")
+    val rb = Curation.dedupParagraphs(blanky, "text", "doc_id",
+      minParaChars = 2).agg(sum($"n_dropped")).head().getLong(0)
+    assert(rb == 0L)
+    // null-text docs keep their row
+    val withNull = Seq((1L, "aa\n\nbb"), (2L, null), (3L, "aa\n\ncc"))
+      .toDF("doc_id", "text")
+    val rn = Curation.dedupParagraphs(withNull, "text", "doc_id")
+      .orderBy($"doc_id").collect()
+    assert(rn.length == 3 && rn(1).getString(3) == "")
+    assert(rn(2).getString(3) == "cc")
+  }
+
+  test("dedupParagraphsAgainst: stored corpus wins, then delta " +
+      "first-wins — ingest order invariant") {
+    val corpus = Seq(
+      (1L, "old news paragraph\n\nshared history"),
+      (2L, "other old content"))
+      .toDF("doc_id", "text")
+    val stored = Curation.paragraphHashes(corpus, "text", "doc_id")
+    assert(stored.columns.toSeq ==
+      Seq("doc_id", "para_idx", "para_chars", "para_hash"))
+    assert(stored.count() == 3)
+    val delta = Seq(
+      (10L, "fresh take\n\nold news paragraph\n\nnew quote"),
+      (11L, "new quote\n\nanother fresh one"))
+      .toDF("doc_id", "text")
+    val r = Curation.dedupParagraphsAgainst(delta, stored, "text",
+      "doc_id").orderBy($"doc_id").collect()
+    // doc 10 loses the corpus-known paragraph; doc 11 loses "new
+    // quote" to doc 10's earlier copy (delta-internal first-wins)
+    assert(r(0).getString(3) == "fresh take\n\nnew quote")
+    assert(r(1).getString(3) == "another fresh one")
+    assert(r.map(_.getLong(2)).toSeq == Seq(1L, 1L))
+    // equivalence with the batch operator: dedup(corpus ++ delta)
+    // restricted to delta ids gives the SAME surviving text — ingest
+    // in two steps ≡ one corpus-wide pass
+    val whole = Curation.dedupParagraphs(corpus.unionByName(delta),
+        "text", "doc_id")
+      .where($"doc_id" >= 10L).orderBy($"doc_id").collect()
+    assert(whole.map(_.getString(3)).toSeq ==
+      r.map(_.getString(3)).toSeq)
+  }
+
+  test("paragraphBloom flags every stored paragraph (no false " +
+      "negatives), fpp-bounded false positives") {
+    val corpus = spark.range(0, 2000)
+      .selectExpr("id AS doc_id",
+        "concat('stored para ', id, '\n\nstored tail ', id) AS text")
+    val stored = Curation.paragraphHashes(corpus, "text", "doc_id")
+    val bloom = Curation.paragraphBloom(stored, expectedItems = 4000,
+      fpp = 0.01)
+    // every stored paragraph must flag — the dedup guarantee
+    val self = Curation.flagMaybeKnownParagraphs(corpus, "text",
+      "doc_id", bloom)
+    assert(self.where(!$"maybe_known").count() == 0)
+    // fresh paragraphs flag at ~fpp, not en masse
+    val fresh = spark.range(0, 2000)
+      .selectExpr("id AS doc_id",
+        "concat('brand new para ', id) AS text")
+    val fp = Curation.flagMaybeKnownParagraphs(fresh, "text",
+      "doc_id", bloom).where($"maybe_known").count()
+    assert(fp <= 2000 * 0.05, s"false-positive count $fp")
+    // sub-minParaChars paragraphs never flag
+    val tiny = Seq((1L, "a\n\nstored para 7")).toDF("doc_id", "text")
+    val ft = Curation.flagMaybeKnownParagraphs(tiny, "text", "doc_id",
+      bloom, minParaChars = 2).orderBy($"para_idx").collect()
+    assert(!ft(0).getBoolean(4) && ft(1).getBoolean(4))
+  }
 }
