@@ -33,6 +33,45 @@ object CurationQueriesImpl {
           pmod(col("doc_id"), lit(50)).cast("string")))
         .otherwise(lit(""))))
 
+  /** doc_id-keyed synthetic URL for the q130/q131 gates: every
+    * canonicalization branch fires on some cohort — scheme case/www
+    * (%3), default vs explicit port (%11/%13 × scheme %2), trailing
+    * slash (%3), tracking params + param order (%2), fragment (%19).
+    * The ORACLE never parses it: it derives the canonical form from
+    * the same doc_id arithmetic — an independent ground truth. */
+  private def augmentUrl(df: DataFrame): DataFrame = df.withColumn(
+    "url",
+    concat(
+      when(pmod(col("doc_id"), lit(2)) === 0, lit("HTTP://"))
+        .otherwise(lit("https://")),
+      when(pmod(col("doc_id"), lit(3)) === 0, lit("WWW."))
+        .otherwise(lit("")),
+      lit("Site"), pmod(col("doc_id"), lit(7)).cast("string"),
+      lit(".example"),
+      when(pmod(col("doc_id"), lit(5)) === 0, lit(".co.uk"))
+        .otherwise(lit(".com")),
+      when(pmod(col("doc_id"), lit(11)) === 0, lit(":80"))
+        .otherwise(when(pmod(col("doc_id"), lit(13)) === 0,
+          lit(":8080")).otherwise(lit(""))),
+      lit("/path/"), pmod(col("doc_id"), lit(17)).cast("string"),
+      when(pmod(col("doc_id"), lit(3)) === 0, lit("/"))
+        .otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(2)) === 0,
+        lit("?utm_source=feed&b=2&a=1")).otherwise(lit("?a=1&b=2")),
+      when(pmod(col("doc_id"), lit(19)) === 0, lit("#frag"))
+        .otherwise(lit(""))))
+
+  /** The q130/q131 oracle's closed-form canonical URL off doc_id —
+    * mirrors [[augmentUrl]]'s arithmetic, NOT the parser. */
+  private val oracleCanonicalSql: String =
+    "CASE WHEN doc_id % 2 = 0 THEN 'http://' ELSE 'https://' END || " +
+      "'site' || CAST(doc_id % 7 AS VARCHAR) || '.example' || " +
+      "CASE WHEN doc_id % 5 = 0 THEN '.co.uk' ELSE '.com' END || " +
+      "CASE WHEN doc_id % 11 = 0 AND doc_id % 2 = 1 THEN ':80' " +
+      "WHEN doc_id % 11 <> 0 AND doc_id % 13 = 0 THEN ':8080' " +
+      "ELSE '' END || " +
+      "'/path/' || CAST(doc_id % 17 AS VARCHAR) || '?a=1&b=2'"
+
   /** doc_id-keyed multi-line suffix exercising every heuristic branch. */
   private def augmentLines(df: DataFrame): DataFrame = df.withColumn(
     "text",
@@ -1558,6 +1597,108 @@ object CurationQueriesImpl {
             md5(concat_ws(" ", col("pieces"))).as("pieces_md5"))
           .orderBy(col("doc_id"))
       }
+
+      // Unigram vocabulary IDS (the q127 property at unigram level):
+      // ids are closed-form off the scored vocab — rank by
+      // (logp DESC, piece ASC), most probable = 0 — so the oracle
+      // re-derives every id from the replayed vocabulary itself and
+      // the id SEQUENCE md5- and sum-checks per document.
+      register("q132_unigram_ids",
+        s"""WITH $vocabSql,
+           |vid AS (SELECT piece,
+           |    CAST(ROW_NUMBER() OVER (ORDER BY logp_micros DESC,
+           |      piece) - 1 AS BIGINT) AS vocab_id
+           |  FROM scored),
+           |toks0 AS MATERIALIZED (SELECT doc_id, LIST_FILTER(
+           |    REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\\s+'),
+           |    w -> REGEXP_MATCHES(w, '^[a-z]{1,$maxLen}$$')) AS arr
+           |  FROM documents WHERE doc_id < 10),
+           |wtok AS (SELECT DISTINCT arr[i] AS word
+           |  FROM toks0, UNNEST(GENERATE_SERIES(1, LEN(arr))) u(i)),
+           |b0 AS MATERIALIZED (SELECT word, CAST(0 AS BIGINT)
+           |    AS score, '' AS segp
+           |  FROM wtok),
+           |${(1 to maxLen).map(dpStep).mkString(",\n")},
+           |wseg AS (
+           |  $finals),
+           |occur AS (SELECT doc_id, u.i AS i, arr[u.i] AS word
+           |  FROM toks0, UNNEST(GENERATE_SERIES(1, LEN(arr))) u(i)),
+           |wp AS (SELECT word, STRING_SPLIT(seg, ' ') AS ps FROM wseg),
+           |pieces AS (SELECT o.doc_id, o.i, v.j AS j, wp.ps[j] AS piece
+           |  FROM occur o JOIN wp USING (word),
+           |    UNNEST(GENERATE_SERIES(1, LEN(wp.ps))) v(j)),
+           |ids AS (SELECT p.doc_id, p.i, p.j, vid.vocab_id
+           |  FROM pieces p JOIN vid ON vid.piece = p.piece)
+           |SELECT d.doc_id,
+           |  COALESCE(x.n_pieces, 0) AS n_pieces,
+           |  COALESCE(x.id_sum, 0) AS id_sum,
+           |  COALESCE(x.ids_md5, MD5('')) AS ids_md5
+           |FROM (SELECT doc_id FROM documents WHERE doc_id < 10) d
+           |LEFT JOIN (
+           |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_pieces,
+           |    CAST(SUM(vocab_id) AS BIGINT) AS id_sum,
+           |    MD5(STRING_AGG(CAST(vocab_id AS VARCHAR), ' '
+           |      ORDER BY i, j)) AS ids_md5
+           |  FROM ids GROUP BY doc_id) x USING (doc_id)
+           |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+        val model = graft.text.Unigram.mleScores(
+          graft.text.Unigram.seedVocab(wordCounts(s, dir), "word",
+            "freq", seedSize = 40, maxPieceLen = maxPiece))
+        val docs = table(s, dir, "documents").where(col("doc_id") < 10)
+          .select(col("doc_id"), concat_ws(" ",
+            filter(graft.text.TextAnalysis.tokens(lower(col("text"))),
+              t => t.rlike(s"^[a-z]{1,$maxLen}$$"))).as("text"))
+        graft.text.Unigram.encodeToIds(docs, "text", "doc_id", model,
+            maxPieceLen = maxPiece)
+          .select(col("doc_id"), col("n_pieces"),
+            aggregate(col("ids"), lit(0L),
+              (acc, x) => acc + x.cast("long")).as("id_sum"),
+            md5(concat_ws(" ",
+              transform(col("ids"), _.cast("string")))).as("ids_md5"))
+          .orderBy(col("doc_id"))
+      }
+    }
+
+    // URL canonicalization + URL-level dedup (the C4/RefinedWeb
+    // ingest step): the fixture builds a doc_id-keyed URL exercising
+    // every branch (case/www folds, default-vs-explicit ports per
+    // scheme, trailing slash, tracking-param strip, param sort,
+    // fragment drop), and the oracle DERIVES the expected canonical
+    // form from the same doc_id arithmetic — it never parses the URL,
+    // so engine parsing is checked against independent ground truth.
+    register("q130_url_canonicalize",
+      s"""SELECT doc_id,
+         |  $oracleCanonicalSql AS canonical_url,
+         |  CASE WHEN doc_id % 5 = 0 THEN 'example.co.uk'
+         |       ELSE 'example.com' END AS url_domain
+         |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val aug = augmentUrl(table(s, dir, "documents"))
+      aug.select(col("doc_id"),
+          graft.text.Urls.canonicalizeUrl(col("url"))
+            .as("canonical_url"),
+          graft.text.Urls.registrableDomain(
+            when(graft.text.Urls.urlHost(col("url"))
+                .startsWith("www."),
+              graft.text.Urls.urlHost(col("url")).substr(lit(5),
+                length(graft.text.Urls.urlHost(col("url")))))
+              .otherwise(graft.text.Urls.urlHost(col("url"))))
+            .as("url_domain"))
+        .orderBy(col("doc_id"))
+    }
+
+    register("q131_url_dedup",
+      s"""WITH c AS (SELECT doc_id,
+         |    $oracleCanonicalSql AS cu
+         |  FROM documents),
+         |k AS (SELECT cu, MIN(doc_id) AS keeper FROM c GROUP BY cu)
+         |SELECT c.doc_id, c.cu AS canonical_url,
+         |  c.doc_id <> k.keeper AS is_url_dup
+         |FROM c JOIN k USING (cu) ORDER BY c.doc_id""".stripMargin) {
+      (s, dir) =>
+      graft.text.Urls.dedupByCanonicalUrl(
+          augmentUrl(table(s, dir, "documents")), "url", "doc_id")
+        .select(col("doc_id"), col("canonical_url"), col("is_url_dup"))
+        .orderBy(col("doc_id"))
     }
   }
 }

@@ -1,0 +1,108 @@
+package graft.streaming
+
+import graft.text.Urls
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** URL-level dedup at ingest with a GROWING stored canonical-URL
+  * index — the [[CorpusIndexStore]] recipe at the cheapest
+  * granularity there is: a crawl firehose re-delivers the same page
+  * under scheme/case/port/tracking variants, and dropping those by
+  * canonical URL BEFORE any content hashing removes whole documents
+  * for the cost of one string expression + one narrow equi-join per
+  * micro-batch.
+  *
+  * Storage layout (parquet under `path`, partitioned by
+  * `ingest_batch`):
+  *  - `urls/` — one row per ACCEPTED canonical URL (canonical_url)
+  *  - `accepted/` — the surviving documents (all input columns +
+  *    canonical_url)
+  *
+  * Idempotence / restart: the [[CorpusIndexStore]] contract — each
+  * batch OVERWRITES its own `ingest_batch=<id>` partitions and the
+  * membership check excludes the current batch id, so a redelivered
+  * batch sees the index exactly as before its first attempt.
+  *
+  * Per batch: canonicalization is a pure row expression; batch-
+  * internal first-wins is one batch-scale min groupBy; the corpus
+  * check is one equi-join against the stored canonical table
+  * (narrow strings, co-partitioned on the join key). Rows whose URL
+  * doesn't canonicalize (null/scheme-less) are always accepted and
+  * never indexed. */
+final class UrlIndexStore(spark: SparkSession, path: String,
+    idCol: String = "doc_id", urlCol: String = "url",
+    trackingParams: Seq[String] = Urls.DefaultTrackingParams) {
+
+  private val urlsPath = s"$path/urls"
+  private val acceptedPath = s"$path/accepted"
+
+  /** Batch-build: URL-dedup the seed corpus ([[Urls
+    * .dedupByCanonicalUrl]] keepers); accepted rows and their
+    * canonicals land as `ingest_batch=-1`, wiping prior state. */
+  def initialize(corpus: DataFrame): Unit = {
+    Seq(urlsPath, acceptedPath, s"$path/checkpoint").foreach { p =>
+      val dir = new java.io.File(p)
+      if (dir.exists()) {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+        }
+        rm(dir)
+      }
+    }
+    val kept = Urls.dedupByCanonicalUrl(corpus, urlCol, idCol,
+        trackingParams)
+      .where(!col("is_url_dup"))
+      .drop("is_url_dup", "url_domain")
+      .localCheckpoint(false)
+    kept.write.mode("overwrite")
+      .parquet(s"$acceptedPath/ingest_batch=-1")
+    kept.select(col("canonical_url"))
+      .where(col("canonical_url").isNotNull).distinct()
+      .write.mode("overwrite").parquet(s"$urlsPath/ingest_batch=-1")
+  }
+
+  /** Canonical URLs accepted so far (base build + every batch). */
+  def urlTable: DataFrame =
+    spark.read.parquet(urlsPath).drop("ingest_batch")
+
+  /** The URL-deduped corpus so far. */
+  def accepted: DataFrame =
+    spark.read.parquet(acceptedPath).drop("ingest_batch")
+
+  /** Start the growing ingest over a streaming frame carrying
+    * (idCol, urlCol, …payload). */
+  def ingest(stream: DataFrame,
+      checkpointLocation: Option[String] = None): StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(batch, batchId)
+      }
+      .option("checkpointLocation",
+        checkpointLocation.getOrElse(s"$path/checkpoint"))
+      .start()
+
+  /** One micro-batch — package-visible so the spec can replay a
+    * batch id and prove idempotence. */
+  private[streaming] def processBatch(batch: DataFrame,
+      batchId: Long): Unit = {
+    val stored = spark.read.parquet(urlsPath)
+      .where(col("ingest_batch") =!= batchId).drop("ingest_batch")
+      .withColumn("known_", lit(1))
+    // batch-internal first-wins, then the corpus membership join
+    val kept = Urls.dedupByCanonicalUrl(batch, urlCol, idCol,
+        trackingParams)
+      .where(!col("is_url_dup"))
+      .drop("is_url_dup", "url_domain")
+      .join(stored, Seq("canonical_url"), "left")
+      .where(col("canonical_url").isNull || col("known_").isNull)
+      .drop("known_")
+      .localCheckpoint(false) // feeds the fold-back AND the append
+    kept.write.mode("overwrite")
+      .parquet(s"$acceptedPath/ingest_batch=$batchId")
+    kept.select(col("canonical_url"))
+      .where(col("canonical_url").isNotNull).distinct()
+      .write.mode("overwrite")
+      .parquet(s"$urlsPath/ingest_batch=$batchId")
+  }
+}

@@ -393,4 +393,28 @@ object Unigram {
     import spark.implicits._
     pieces.toDF("piece", "logp_micros")
   }
+
+  /** Closed-form vocabulary ids: pieces ranked by (logp_micros DESC,
+    * piece ASC) get ids 0..n-1 — most probable piece = id 0, the
+    * SentencePiece convention modulo reserved specials. Closed form
+    * means a SQL oracle re-derives every id from the scored vocab
+    * alone (the q127 property). */
+  def vocabIds(pieces: Seq[Piece]): Map[String, Int] =
+    pieces.sortBy(p => (-p.logpMicros, p.piece)).map(_.piece)
+      .zipWithIndex.toMap
+
+  /** [[encode]] + id lookup: the training-ready token-id stream
+    * (idCol, pieces, n_pieces, score_micros, ids). The vocab rides
+    * the plan as a literal map — one codegen'd `element_at` per
+    * piece, no join, no shuffle, no UDF (the `Bpe.idsFromPieces`
+    * convention); unknown single-char fallback pieces get id -1
+    * (callers reserve a real unk id by adding the piece). */
+  def encodeToIds(df: DataFrame, textCol: String, idCol: String,
+      pieces: Seq[Piece], maxPieceLen: Int = 4,
+      unkLogpMicros: Long = -100000000L): DataFrame = {
+    val m = typedLit(vocabIds(pieces))
+    encode(df, textCol, idCol, pieces, maxPieceLen, unkLogpMicros)
+      .withColumn("ids", transform(col("pieces"),
+        p => coalesce(element_at(m, p), lit(-1))))
+  }
 }

@@ -1,0 +1,154 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** URL normalization and URL-level dedup — the ingest step web-corpus
+  * pipelines (C4, RefinedWeb, Dolma) run BEFORE any content dedup:
+  * the same page is crawled under scheme/case/port/fragment/tracking
+  * variants, and collapsing those by CANONICAL URL is orders of
+  * magnitude cheaper than discovering the duplicates by text.
+  *
+  * Everything here is a pure Column expression over string/array
+  * builtins — codegen'd, shuffle-free per row, zero UDF — so
+  * canonicalization rides the ingest scan for free; the only shuffle
+  * in [[dedupByCanonicalUrl]] is one map-side-combined groupBy on the
+  * canonical string.
+  *
+  * Canonical form (the common-denominator rules; each is a plain
+  * string law so the whole chain is replayable in SQL):
+  *  - scheme and host lowercase; `www.` prefix dropped
+  *  - default ports stripped (`:80` for http, `:443` for https)
+  *  - fragment (`#…`) dropped
+  *  - tracking parameters dropped (utm_*, fbclid, gclid, msclkid,
+  *    ref, ref_src) — the list is a parameter
+  *  - remaining query parameters SORTED (byte order) so param
+  *    permutations collapse; empty query drops its `?`
+  *  - trailing `/` dropped from non-root paths; empty path → `/`
+  */
+object Urls {
+
+  /** Default tracking-parameter names stripped by [[canonicalizeUrl]]
+    * (matched on the part before `=`, case-sensitive lowercase). */
+  val DefaultTrackingParams: Seq[String] =
+    Seq("utm_source", "utm_medium", "utm_campaign", "utm_term",
+      "utm_content", "fbclid", "gclid", "msclkid", "ref", "ref_src")
+
+  /** Scheme, lowercased ("" when the URL has none). */
+  def urlScheme(url: Column): Column =
+    lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+
+  /** Host (authority minus port), lowercased, `www.` kept. */
+  def urlHost(url: Column): Column =
+    lower(regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]+)", 1))
+
+  /** Explicit port digits ("" when absent). */
+  def urlPort(url: Column): Column =
+    regexp_extract(url,
+      "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#:]*:(\\d+)", 1)
+
+  /** Path as written ("" when absent — [[canonicalizeUrl]] folds that
+    * to `/`). Stops at `?` or `#`. */
+  def urlPath(url: Column): Column =
+    regexp_extract(url,
+      "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(/[^?#]*)", 1)
+
+  /** Query string without the `?` ("" when absent). */
+  def urlQuery(url: Column): Column =
+    regexp_extract(url, "\\?([^#]*)", 1)
+
+  /** Registrable-domain APPROXIMATION without a public-suffix list:
+    * the last two host labels, or the last three when the middle one
+    * is a well-known second-level suffix (co/com/net/org/gov/ac/edu
+    * under a 2-letter TLD — `example.co.uk` → `example.co.uk`). A PSL
+    * pass is a broadcast-join refinement; this closed form is what
+    * the oracle can replay and what per-domain caps/stats need. */
+  def registrableDomain(host: Column): Column = {
+    val labels = split(host, "\\.")
+    val n = size(labels)
+    val lastTwo = concat_ws(".",
+      element_at(labels, -2), element_at(labels, -1))
+    val lastThree = concat_ws(".", element_at(labels, -3),
+      element_at(labels, -2), element_at(labels, -1))
+    val secondLevel = element_at(labels, -2)
+      .isin("co", "com", "net", "org", "gov", "ac", "edu")
+    when(n <= 2, concat_ws(".", labels))
+      .otherwise(when(secondLevel &&
+        length(element_at(labels, -1)) === 2, lastThree)
+        .otherwise(lastTwo))
+  }
+
+  /** Canonical URL as a pure expression — see object doc for the
+    * rules. Null/scheme-less input canonicalizes to null (web corpora
+    * treat those rows as undeduplicatable and keep them). */
+  def canonicalizeUrl(url: Column,
+      trackingParams: Seq[String] = DefaultTrackingParams): Column = {
+    val scheme = urlScheme(url)
+    val host0 = urlHost(url)
+    val host = when(host0.startsWith("www."),
+      expr_substr(host0, lit(5))).otherwise(host0)
+    val path0 = urlPath(url)
+    // non-root trailing slash dropped; absent/empty path → "/"
+    val path = when(path0 === "" || path0 === "/", lit("/"))
+      .otherwise(when(path0.endsWith("/"),
+        expr_substr2(path0, lit(1), length(path0) - 1))
+        .otherwise(path0))
+    val query0 = urlQuery(url)
+    val kept = array_sort(filter(
+      split(query0, "&"),
+      p => p =!= "" && !split(p, "=").getItem(0)
+        .isin(trackingParams: _*)))
+    val query = array_join(kept, "&")
+    // default ports vanish; any other explicit port is a DIFFERENT
+    // resource and survives canonicalization
+    val port0 = urlPort(url)
+    val port = when(port0 === "" ||
+        (scheme === "http" && port0 === "80") ||
+        (scheme === "https" && port0 === "443"), lit(""))
+      .otherwise(concat(lit(":"), port0))
+    val base = concat(scheme, lit("://"), host, port, path)
+    when(scheme === "" || host0 === "", lit(null).cast("string"))
+      .otherwise(when(query === "", base)
+        .otherwise(concat(base, lit("?"), query)))
+  }
+
+  // substring(col, pos) / substring(col, pos, len) with Column args —
+  // the functions.substring overloads take Int literals only
+  private def expr_substr(c: Column, from: Column): Column =
+    c.substr(from, length(c))
+  private def expr_substr2(c: Column, from: Column, len: Column)
+      : Column = c.substr(from, len)
+
+  /** URL-level dedup: one keeper per canonical URL — the FIRST
+    * occurrence by `idCol` (the q125 first-wins rule at URL
+    * granularity). Rows whose URL doesn't canonicalize (null/no
+    * scheme) are always kept. Returns the input plus `canonical_url`,
+    * `url_domain`, and `is_url_dup` (true = a later copy). ONE
+    * map-side-combined min groupBy on the canonical string + an
+    * equi-join back, co-partitioned on the key; nothing else moves. */
+  def dedupByCanonicalUrl(df: DataFrame, urlCol: String,
+      idCol: String,
+      trackingParams: Seq[String] = DefaultTrackingParams)
+      : DataFrame = {
+    require(!df.columns.contains("canonical_url") &&
+      !df.columns.contains("url_domain") &&
+      !df.columns.contains("is_url_dup") &&
+      !df.columns.contains("keeper_id_"),
+      "input already has a reserved url working column")
+    val withCanon = df
+      .withColumn("canonical_url",
+        canonicalizeUrl(col(urlCol), trackingParams))
+      .withColumn("url_domain",
+        registrableDomain(when(urlHost(col(urlCol)).startsWith("www."),
+          expr_substr(urlHost(col(urlCol)), lit(5)))
+          .otherwise(urlHost(col(urlCol)))))
+    val keeper = withCanon
+      .where(col("canonical_url").isNotNull)
+      .groupBy(col("canonical_url"))
+      .agg(min(col(idCol)).as("keeper_id_"))
+    withCanon.join(keeper, Seq("canonical_url"), "left")
+      .withColumn("is_url_dup", col("keeper_id_").isNotNull &&
+        col(idCol) =!= col("keeper_id_"))
+      .drop("keeper_id_")
+  }
+}

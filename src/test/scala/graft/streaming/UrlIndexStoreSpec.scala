@@ -1,0 +1,78 @@
+package graft.streaming
+
+import graft.TestSpark
+import graft.text.Urls
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class UrlIndexStoreSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  // ids follow arrival order (the ingest contract, like
+  // ParagraphIndexStoreSpec): stream keeps the first ARRIVAL per
+  // canonical URL, the batch twin the lowest id.
+  val corpusRows = Seq(
+    (1L, "http://www.news.org/story?utm_source=a", "seed story"),
+    (2L, "https://blog.example.com/post/", "seed post"),
+    (3L, "not a url", "unparseable seed"))
+  val batches = Seq(
+    // 10: tracking/case variant of the seed story -> dropped;
+    // 11: new page; 12: same-batch variant of 11 -> dropped
+    Seq((10L, "HTTP://NEWS.ORG/story#top", "dup of seed"),
+      (11L, "https://shop.example.com/item?b=2&a=1", "new page"),
+      (12L, "https://shop.example.com/item?a=1&b=2&fbclid=x",
+        "same-batch dup")),
+    // 20: late variant of the page 11 introduced (GROWING index);
+    // 21: fresh; 22: unparseable, always kept
+    Seq((20L, "https://shop.example.com/item/?a=1&b=2", "late dup"),
+      (21L, "https://docs.example.com/guide", "fresh"),
+      (22L, "also not a url", "unparseable late")))
+
+  test("growing url dedup at ingest equals the batch " +
+      "dedupByCanonicalUrl keepers; unparseable urls always pass") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files
+      .createTempDirectory("url_index").toString
+    val store = new UrlIndexStore(spark, tmp)
+    store.initialize(corpusRows.toDF("doc_id", "url", "text"))
+    val mem = MemoryStream[(Long, String, String)]
+    val q = store.ingest(mem.toDF().toDF("doc_id", "url", "text"))
+    try {
+      batches.foreach { b => mem.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    val got = store.accepted.select(col("doc_id")).orderBy("doc_id")
+      .as[Long].collect().toSeq
+    val want = Urls.dedupByCanonicalUrl(
+        (corpusRows ++ batches.flatten).toDF("doc_id", "url", "text"),
+        "url", "doc_id")
+      .where(!col("is_url_dup")).select(col("doc_id"))
+      .orderBy("doc_id").as[Long].collect().toSeq
+    assert(got == want, s"stream=$got batch=$want")
+    assert(got == Seq(1L, 2L, 3L, 11L, 21L, 22L))
+    // the index holds exactly the accepted canonicals
+    val idx = store.urlTable.select(col("canonical_url"))
+      .as[String].collect().toSet
+    val acc = store.accepted.select(col("canonical_url"))
+      .where(col("canonical_url").isNotNull)
+      .as[String].collect().toSet
+    assert(idx == acc)
+  }
+
+  test("replaying a micro-batch id is idempotent") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files
+      .createTempDirectory("url_index_replay").toString
+    val store = new UrlIndexStore(spark, tmp)
+    store.initialize(corpusRows.toDF("doc_id", "url", "text"))
+    val b1 = batches.head.toDF("doc_id", "url", "text")
+    store.processBatch(b1, 0L)
+    val once = store.accepted.select(col("doc_id")).orderBy("doc_id")
+      .as[Long].collect().toSeq
+    store.processBatch(b1, 0L)
+    val twice = store.accepted.select(col("doc_id")).orderBy("doc_id")
+      .as[Long].collect().toSeq
+    assert(once == twice)
+  }
+}

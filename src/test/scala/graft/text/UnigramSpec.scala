@@ -192,6 +192,30 @@ class UnigramSpec extends AnyFunSuite {
     assert(enc(0).count(_ == "xy") == 6)
   }
 
+  test("vocabIds rank by (logp desc, piece asc) and encodeToIds " +
+      "round-trips pieces through the literal map") {
+    val model = Unigram.mleScores(
+      Unigram.seedVocab(toy, "word", "freq", 50, 4))
+    val ids = Unigram.vocabIds(model)
+    // most probable piece = id 0; ids are dense 0..n-1
+    assert(ids.values.toSeq.sorted == (0 until model.size))
+    val byRank = model.sortBy(p => (-p.logpMicros, p.piece))
+    assert(ids(byRank.head.piece) == 0)
+    assert(ids(byRank.last.piece) == model.size - 1)
+    val docs = Seq((1L, "newest low")).toDF("doc_id", "text")
+    val got = Unigram.encodeToIds(docs, "text", "doc_id", model)
+      .select($"pieces", $"ids")
+      .as[(Seq[String], Seq[Int])].collect().head
+    assert(got._2 == got._1.map(ids))
+    // unknown fallback piece -> -1
+    val unkModel = Seq(Unigram.Piece("a", -1000000L))
+    val got2 = Unigram.encodeToIds(
+        Seq((1L, "axa")).toDF("doc_id", "text"), "text", "doc_id",
+        unkModel)
+      .select($"ids").as[Seq[Int]].collect().head
+    assert(got2 == Seq(0, -1, 0))
+  }
+
   test("train is invariant under corpus partitioning") {
     val corpus = Seq((1L, "low lower newest"), (2L, "newest widest"),
       (3L, "low newest low low")).toDF("doc_id", "text")

@@ -1,0 +1,125 @@
+package graft.text
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class UrlsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  def canon(urls: String*): Seq[String] =
+    urls.toDF("url")
+      .select(Urls.canonicalizeUrl($"url").as("c"))
+      .as[String].collect().toSeq
+
+  test("canonicalization rules: case, www, ports, fragment, " +
+      "tracking params, param order, trailing slash") {
+    assert(canon(
+      "HTTP://WWW.Example.COM/Path/",
+      "http://example.com:80/Path",
+      "https://example.com:443/",
+      "https://example.com:8443/",
+      "http://example.com/a#frag",
+      "http://example.com/a?utm_source=x&id=2&b=1",
+      "http://example.com/a?b=1&id=2",
+      "http://example.com",
+      "http://example.com/?ref=tw") == Seq(
+      "http://example.com/Path", // scheme+host fold, path case kept
+      "http://example.com/Path", // default port dropped
+      "https://example.com/",
+      "https://example.com:8443/", // non-default port SURVIVES
+      "http://example.com/a",
+      "http://example.com/a?b=1&id=2", // tracking dropped, sorted
+      "http://example.com/a?b=1&id=2", // permutation collapses
+      "http://example.com/",
+      "http://example.com/"))
+  }
+
+  test("variants of the same page share one canonical form; " +
+      "different resources don't") {
+    val same = canon(
+      "http://www.news.org/story?utm_campaign=a&page=2",
+      "HTTP://NEWS.ORG/story/?page=2#top",
+      "http://news.org:80/story?page=2&fbclid=zzz")
+    assert(same.distinct.size == 1, same.toString)
+    val diff = canon(
+      "http://news.org/story?page=2",
+      "http://news.org/story?page=3",
+      "https://news.org/story?page=2",
+      "http://news.org:8080/story?page=2")
+    assert(diff.distinct.size == 4, diff.toString)
+  }
+
+  test("null and scheme-less urls canonicalize to null") {
+    val got = Seq[String](null, "not a url", "example.com/a",
+        "ftp://files.example.com/x")
+      .toDF("url").select(Urls.canonicalizeUrl($"url").as("c"))
+      .as[String].collect().toSeq
+    assert(got(0) == null && got(1) == null && got(2) == null)
+    assert(got(3) == "ftp://files.example.com/x") // any scheme://host ok
+  }
+
+  test("registrableDomain: two labels, known second-level under " +
+      "2-letter tld, deep subdomains") {
+    val got = Seq("example.com", "a.b.example.com", "example.co.uk",
+        "a.example.co.uk", "example.com.au", "sub.example.org",
+        "localhost")
+      .toDF("h").select(Urls.registrableDomain($"h").as("d"))
+      .as[String].collect().toSeq
+    assert(got == Seq("example.com", "example.com", "example.co.uk",
+      "example.co.uk", "example.com.au", "example.org", "localhost"))
+  }
+
+  test("dedupByCanonicalUrl keeps the first id per canonical url, " +
+      "unparseable urls always survive") {
+    val df = Seq(
+      (1L, "http://www.example.com/a?utm_source=x"),
+      (2L, "http://example.com/a"),
+      (3L, "http://example.com/b"),
+      (4L, "no scheme here"),
+      (5L, "also not a url")).toDF("doc_id", "url")
+    val got = Urls.dedupByCanonicalUrl(df, "url", "doc_id")
+      .orderBy($"doc_id")
+      .select($"doc_id", $"is_url_dup", $"url_domain")
+      .as[(Long, Boolean, String)].collect().toSeq
+    assert(got.map(x => (x._1, x._2)) ==
+      Seq((1L, false), (2L, true), (3L, false), (4L, false),
+        (5L, false)))
+    assert(got.head._3 == "example.com")
+  }
+
+  test("dedup is invariant under partitioning") {
+    val rows = (0L until 200L).map { i =>
+      (i, s"http://www.site${i % 7}.com/p${i % 11}?utm_source=$i" +
+        s"&q=${i % 3}")
+    }
+    val df = rows.toDF("doc_id", "url")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Urls.dedupByCanonicalUrl(d, "url", "doc_id")
+        .orderBy($"doc_id")
+        .select($"doc_id", $"canonical_url", $"is_url_dup")
+        .as[(Long, String, Boolean)].collect().toSeq
+    assert(run(df) == run(df.repartition(13)))
+    // 7 sites x 11 paths x 3 q-values = 231 canonicals > 200 rows;
+    // dup iff an earlier doc hit the same (site, path, q) triple
+    val canonFirst = scala.collection.mutable.Map[String, Long]()
+    val expectDups = rows.count { case (i, _) =>
+      val key = s"${i % 7}|${i % 11}|${i % 3}"
+      val dup = canonFirst.contains(key)
+      if (!dup) canonFirst(key) = i
+      dup
+    }
+    assert(run(df).count(_._3) == expectDups)
+  }
+
+  test("the keeper groupBy map-side combines (no corpus-wide window)") {
+    val df = (0L until 50L).map(i =>
+      (i, s"http://x.com/p${i % 5}")).toDF("doc_id", "url")
+    val plan = Urls.dedupByCanonicalUrl(df, "url", "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("partial_min") || plan.contains("HashAggregate"),
+      plan)
+  }
+}
