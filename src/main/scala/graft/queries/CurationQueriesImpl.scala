@@ -72,6 +72,31 @@ object CurationQueriesImpl {
       "ELSE '' END || " +
       "'/path/' || CAST(doc_id % 17 AS VARCHAR) || '?a=1&b=2'"
 
+  /** doc_id-keyed synthetic page for the q133 html-extraction gate:
+    * script/style/comment scrub, a link-dense nav div (must drop),
+    * the doc text as body prose (must survive), a short block (%3),
+    * an entity block (%5), a comment (%7), and a link-farm footer.
+    * Mirrored literally in the oracle CTE `aug`. */
+  private def augmentHtml(df: DataFrame): DataFrame = df.withColumn(
+    "html",
+    concat(
+      lit("<html><head><script>var x = '<p>no</p>';</script>" +
+        "<style>.c { color: red }</style></head><body>" +
+        "<div class=\"nav\"><a href=\"/\">Home</a> " +
+        "<a href=\"/a\">About pages</a></div>"),
+      when(pmod(col("doc_id"), lit(7)) === 0,
+        lit("<!-- hidden <p>fake para</p> -->")).otherwise(lit("")),
+      lit("<h1>Headline number "),
+      pmod(col("doc_id"), lit(13)).cast("string"),
+      lit(" of the page</h1><p>"), col("text"), lit("</p>"),
+      when(pmod(col("doc_id"), lit(3)) === 0, lit("<p>tiny</p>"))
+        .otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(5)) === 0,
+        lit("<p>Entities decode here: AT&amp;T &lt;3 &quot;ok&quot;" +
+          " &nbsp;and &amp;lt; once</p>")).otherwise(lit("")),
+      lit("<div class=\"footer\"><a href=\"/p\">Privacy policy</a>" +
+        "<a href=\"/t\">Terms of use</a></div></body></html>")))
+
   /** doc_id-keyed multi-line suffix exercising every heuristic branch. */
   private def augmentLines(df: DataFrame): DataFrame = df.withColumn(
     "text",
@@ -1684,6 +1709,74 @@ object CurationQueriesImpl {
               .otherwise(graft.text.Urls.urlHost(col("url"))))
             .as("url_domain"))
         .orderBy(col("doc_id"))
+    }
+
+    // HTML main-content extraction (q133): the oracle replays the
+    // exact regex chain — scrub, block split, tag strip + entity
+    // decode, link-density keep rule, ordered reassembly — over the
+    // mirrored fixture page (both engines run RE2-compatible
+    // patterns; every REGEXP_REPLACE carries 'g' since DuckDB is
+    // first-match by default where Spark is global).
+    {
+      def strip(x: String): String = {
+        val noTags = s"REGEXP_REPLACE($x, '<[^>]*>', ' ', 'g')"
+        val folded = Seq(
+          "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+          "&#39;" -> "''", "&apos;" -> "''", "&nbsp;" -> " ")
+          .foldLeft(noTags) { case (c, (e, ch)) =>
+            s"REGEXP_REPLACE($c, '$e', '$ch', 'g')"
+          }
+        s"REGEXP_REPLACE($folded, '&amp;', '&', 'g')"
+      }
+      val blockRe = "(?i)</?(?:p|div|br|li|h[1-6]|tr|td|th|ul|ol|" +
+        "table|section|article|header|footer|nav|blockquote)" +
+        "\\b[^>]*>"
+      register("q133_html_extract",
+        s"""WITH aug AS (SELECT doc_id,
+           |    '<html><head><script>var x = ''<p>no</p>'';</script><style>.c { color: red }</style></head><body><div class="nav"><a href="/">Home</a> <a href="/a">About pages</a></div>'
+           |    || CASE WHEN doc_id % 7 = 0 THEN '<!-- hidden <p>fake para</p> -->' ELSE '' END
+           |    || '<h1>Headline number ' || CAST(doc_id % 13 AS VARCHAR) || ' of the page</h1><p>' || text || '</p>'
+           |    || CASE WHEN doc_id % 3 = 0 THEN '<p>tiny</p>' ELSE '' END
+           |    || CASE WHEN doc_id % 5 = 0 THEN '<p>Entities decode here: AT&amp;T &lt;3 &quot;ok&quot; &nbsp;and &amp;lt; once</p>' ELSE '' END
+           |    || '<div class="footer"><a href="/p">Privacy policy</a><a href="/t">Terms of use</a></div></body></html>' AS html
+           |  FROM documents),
+           |scrubbed AS (SELECT doc_id,
+           |    REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(html,
+           |      '(?is)<script\\b[^>]*>.*?</script>', ' ', 'g'),
+           |      '(?is)<style\\b[^>]*>.*?</style>', ' ', 'g'),
+           |      '(?s)<!--.*?-->', ' ', 'g') AS h
+           |  FROM aug),
+           |blk AS (SELECT doc_id, u.i - 1 AS block_idx, arr[u.i] AS frag
+           |  FROM (SELECT doc_id, REGEXP_SPLIT_TO_ARRAY(h, '$blockRe') AS arr
+           |    FROM scrubbed),
+           |    UNNEST(GENERATE_SERIES(1, LEN(arr))) u(i)),
+           |scored_blk AS (SELECT doc_id, block_idx,
+           |    TRIM(REGEXP_REPLACE(${strip("frag")}, '\\s+', ' ', 'g'))
+           |      AS vis,
+           |    LENGTH(TRIM(${strip("frag")})) AS vl,
+           |    LENGTH(TRIM(${strip(
+          "REGEXP_REPLACE(frag, '(?is)<a\\b[^>]*>.*?</a>', '', 'g')")}))
+           |      AS vnl
+           |  FROM blk),
+           |kept AS (SELECT doc_id, block_idx, vis,
+           |    LENGTH(vis) >= 20 AND
+           |      (CASE WHEN vl = 0 THEN 0
+           |        ELSE CAST(ROUND(GREATEST(vl - vnl, 0) * 1e6 / vl)
+           |          AS BIGINT) END) <= 500000 AS keep
+           |  FROM scored_blk)
+           |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_blocks,
+           |  CAST(COALESCE(SUM(CASE WHEN keep THEN 1 ELSE 0 END), 0)
+           |    AS BIGINT) AS n_kept,
+           |  MD5(COALESCE(STRING_AGG(CASE WHEN keep THEN vis END,
+           |    CHR(10) ORDER BY block_idx), '')) AS text_md5
+           |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin) {
+        (s, dir) =>
+        graft.text.Html.mainContent(
+            augmentHtml(table(s, dir, "documents")), "html", "doc_id")
+          .select(col("doc_id"), col("n_blocks"), col("n_kept"),
+            md5(col("text")).as("text_md5"))
+          .orderBy(col("doc_id"))
+      }
     }
 
     register("q131_url_dedup",

@@ -1,0 +1,116 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** HTML → main-content extraction — the step a web corpus runs
+  * BEFORE any text curation: strip non-content subtrees, split the
+  * page into text blocks at block-level tags, score each block by
+  * LINK DENSITY (the jusText/trafilatura core signal: navigation,
+  * footers and link farms are mostly anchor text; body prose isn't),
+  * and keep the prose.
+  *
+  * Everything is a pure Column expression over RE2 regexes and string
+  * builtins — codegen'd, shuffle-free, zero UDF — so extraction rides
+  * the ingest scan; and because BOTH Spark and DuckDB compile RE2,
+  * the whole chain is replayable by the SQL oracle (the q121
+  * normalize-chain pattern). A streaming ingest can apply it per row
+  * with no state.
+  *
+  * Pipeline:
+  *  1. scrub: `<script>…</script>`, `<style>…</style>` and comments
+  *     removed wholesale (their text is code, not content)
+  *  2. block split at block-level tags (p, div, br, li, headings,
+  *     table/list structure, section/article/header/footer/nav)
+  *  3. per block: visible text = inline tags stripped + entities
+  *     decoded; link density = anchor-text chars / visible chars
+  *  4. keep blocks with ≥ `minChars` visible chars and link density
+  *     ≤ `maxLinkDensity`; main content = kept blocks joined with
+  *     `\n` in page order
+  */
+object Html {
+
+  private val BlockTagRe =
+    "(?i)</?(?:p|div|br|li|h[1-6]|tr|td|th|ul|ol|table|section|" +
+      "article|header|footer|nav|blockquote)\\b[^>]*>"
+
+  /** Drop script/style subtrees and comments (dot-all, lazy). */
+  def scrub(html: Column): Column = {
+    val noScript = regexp_replace(html,
+      "(?is)<script\\b[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript,
+      "(?is)<style\\b[^>]*>.*?</style>", " ")
+    regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+  }
+
+  /** Remaining tags → space, then the common entities decode. (Tags
+    * become SPACES, not "", so `a</p><p>b` keeps a word boundary.) */
+  def stripTags(fragment: Column): Column = {
+    val noTags = regexp_replace(fragment, "<[^>]*>", " ")
+    val ampLast = Seq(
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&apos;" -> "'", "&nbsp;" -> " ")
+      .foldLeft(noTags) { case (c, (e, ch)) =>
+        regexp_replace(c, java.util.regex.Pattern.quote(e), ch)
+      }
+    // &amp; LAST so "&amp;lt;" decodes to "&lt;" (one level), the
+    // standard single-pass rule
+    regexp_replace(ampLast, java.util.regex.Pattern.quote("&amp;"), "&")
+  }
+
+  /** Whitespace-collapsed trim (the visible text of a block). */
+  def visibleText(fragment: Column): Column =
+    trim(regexp_replace(stripTags(fragment), "\\s+", " "))
+
+  /** One row per text block: (idCol, block_idx, block_text,
+    * block_chars, link_chars, link_density_micro, keep). Everything
+    * downstream of the posexplode is a row expression. */
+  def blocks(df: DataFrame, htmlCol: String, idCol: String,
+      minChars: Int = 20, maxLinkDensityMicro: Long = 500000L)
+      : DataFrame = {
+    require(!df.columns.contains("frag_"),
+      "input already has reserved working column frag_")
+    val exploded = df
+      .select(col(idCol),
+        posexplode(split(scrub(col(htmlCol)), BlockTagRe)))
+      .withColumnRenamed("pos", "block_idx")
+      .withColumnRenamed("col", "frag_")
+    val vis = visibleText(col("frag_"))
+    // anchor-text chars = visible length lost when <a>…</a> subtrees
+    // are removed (lengths compared pre-collapse so internal spacing
+    // can't skew the ratio)
+    val noAnchor = regexp_replace(col("frag_"),
+      "(?is)<a\\b[^>]*>.*?</a>", "")
+    val visLen = length(trim(stripTags(col("frag_"))))
+    val visNoAnchorLen = length(trim(stripTags(noAnchor)))
+    exploded
+      .withColumn("block_text", vis)
+      .withColumn("block_chars", length(col("block_text")))
+      .withColumn("link_chars",
+        greatest(visLen - visNoAnchorLen, lit(0)))
+      .withColumn("link_density_micro",
+        when(visLen === 0, lit(0L))
+          .otherwise(round(col("link_chars") * lit(1e6) /
+            visLen).cast("long")))
+      .withColumn("keep",
+        col("block_chars") >= minChars &&
+          col("link_density_micro") <= maxLinkDensityMicro)
+      .drop("frag_")
+  }
+
+  /** Main content per document: kept blocks joined with `\n` in page
+    * order, plus block bookkeeping. One posexplode + one per-doc
+    * regroup — the q125 reassembly shape; block order rides a
+    * sort_array of (idx, text) structs, no window. */
+  def mainContent(df: DataFrame, htmlCol: String, idCol: String,
+      minChars: Int = 20, maxLinkDensityMicro: Long = 500000L)
+      : DataFrame =
+    blocks(df, htmlCol, idCol, minChars, maxLinkDensityMicro)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(col("keep").cast("long")).as("n_kept"),
+        concat_ws("\n", transform(
+          sort_array(collect_list(when(col("keep"),
+            struct(col("block_idx"), col("block_text"))))),
+          s => s.getField("block_text"))).as("text"))
+}
