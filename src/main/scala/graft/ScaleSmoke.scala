@@ -21,7 +21,14 @@ import org.apache.spark.sql.functions._
   * labels are stored tables and no artifact pins executor memory. This
   * is what lets the chain run at 10M docs in a modest-heap local JVM
   * (the in-memory harness pins all artifacts simultaneously and needs
-  * 24g at 1M docs; the stored path streams each stage through disk). */
+  * 24g at 1M docs; the stored path streams each stage through disk).
+  *
+  * `runMain graft.ScaleSmoke <stations> <years> curation` runs the
+  * WEB-INGEST chain (stations × 1000 synthesized HTML pages → html
+  * main-content extraction → url canonicalize/dedup → paragraph dedup
+  * → unigram seed + Viterbi encode) with planted URL-variant and
+  * shared-paragraph cohorts whose drop counts are checked
+  * in-harness. */
 object ScaleSmoke {
   def main(args: Array[String]): Unit = {
     val stations = args.headOption.map(_.toInt).getOrElse(100)
@@ -46,6 +53,11 @@ object ScaleSmoke {
 
     if (mode == "dedup-store") {
       dedupStored(spark, stations)
+      spark.stop()
+      return
+    }
+    if (mode == "curation") {
+      curationChain(spark, stations)
       spark.stop()
       return
     }
@@ -290,6 +302,109 @@ object ScaleSmoke {
       graft.text.Bpe.train(docs, "text", numMerges = 16).length.toLong
     }
     spark.stop()
+  }
+
+  /** The web-ingest curation chain at corpus scale (stations × 1000
+    * docs): synthesized HTML pages → main-content extraction → URL
+    * canonicalize + dedup → paragraph dedup → unigram seed/encode.
+    * Every stage is the operator under its gate, measured end to end;
+    * planted duplicate cohorts make the drop counts verifiable. */
+  private def curationChain(spark: SparkSession, stations: Int): Unit = {
+    def t(label: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"$label%-34s ${(System.nanoTime() - t0) / 1e9}%7.1f s  " +
+        f"$n%,d rows")
+    }
+    val nDocs = stations * 1000L
+    println(f"curation mode: $nDocs%,d synthesized pages")
+    val words = array((0 until 512).map(i => lit(s"w$i")): _*)
+    // every 7th page is a URL variant of its predecessor (same
+    // canonical); every doc carries a shared viral paragraph on a
+    // third of pages; nav/footer boilerplate everywhere
+    val pages = spark.range(0, nDocs, 1, 64)
+      .select(col("id").as("doc_id"),
+        when(pmod(col("id"), lit(7)) === 0, col("id") - 1)
+          .otherwise(col("id")).as("urlseed"),
+        concat_ws(" ",
+          transform(sequence(lit(1), lit(40)), i =>
+            element_at(words,
+              (pmod(xxhash64(col("id"), i), lit(512)) + 1)
+                .cast("int")))).as("body"))
+      .select(col("doc_id"),
+        concat(lit("http://"),
+          when(pmod(col("urlseed"), lit(2)) === 0, lit("www."))
+            .otherwise(lit("")),
+          lit("site"), pmod(col("urlseed"), lit(997)).cast("string"),
+          lit(".example.com/page/"),
+          (col("urlseed") / lit(7)).cast("long").cast("string"),
+          when(pmod(col("doc_id"), lit(7)) === 0,
+            lit("?utm_source=feed")).otherwise(lit(""))).as("url"),
+        concat(
+          lit("<html><head><script>var x=1;</script></head><body>" +
+            "<div><a href=\"/\">Home</a> <a href=\"/a\">About the " +
+            "site</a></div><p>"),
+          col("body"), lit("</p>"),
+          when(pmod(col("doc_id"), lit(3)) === 0,
+            lit("<p>the shared viral paragraph that repeats across " +
+              "a third of all pages in the corpus</p>"))
+            .otherwise(lit("")),
+          lit("<div><a href=\"/p\">Privacy policy</a>" +
+            "<a href=\"/t\">Terms of use</a></div></body></html>"))
+          .as("html"))
+      .localCheckpoint()
+    var extracted: org.apache.spark.sql.DataFrame = null
+    t("html main-content extraction") {
+      extracted = graft.text.Html.mainContent(pages, "html", "doc_id")
+        .join(pages.select(col("doc_id"), col("url")), "doc_id")
+        .localCheckpoint()
+      extracted.count()
+    }
+    var urlKept: org.apache.spark.sql.DataFrame = null
+    t("url canonicalize + dedup") {
+      urlKept = graft.text.Urls.dedupByCanonicalUrl(extracted, "url",
+          "doc_id")
+        .where(!col("is_url_dup")).localCheckpoint()
+      urlKept.count()
+    }
+    var paraKept: org.apache.spark.sql.DataFrame = null
+    t("paragraph dedup (corpus-wide)") {
+      paraKept = graft.text.Curation.dedupParagraphs(
+          urlKept.select(col("doc_id"), col("text")), "text",
+          "doc_id", "\n")
+        .localCheckpoint()
+      paraKept.count()
+    }
+    t("unigram seed vocab (4096 pieces)") {
+      val counts = paraKept
+        .select(explode(graft.text.TextAnalysis.tokens(
+          lower(col("text")))).as("word"))
+        .where(col("word") =!= "")
+        .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      graft.text.Unigram.seedVocab(counts, "word", "freq",
+        seedSize = 4096, maxPieceLen = 4).count()
+    }
+    t("unigram viterbi encode (seed MLE)") {
+      val counts = paraKept
+        .select(explode(graft.text.TextAnalysis.tokens(
+          lower(col("text")))).as("word"))
+        .where(col("word") =!= "")
+        .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      val model = graft.text.Unigram.mleScores(
+        graft.text.Unigram.seedVocab(counts, "word", "freq", 4096, 4))
+      graft.text.Unigram.encode(paraKept, "text", "doc_id", model)
+        .agg(sum(col("n_pieces"))).head.getLong(0)
+    }
+    // verifiable drops: every 7th page was a URL variant; the viral
+    // paragraph survives exactly once
+    val urlDropped = nDocs - urlKept.count()
+    require(urlDropped == (nDocs - 1) / 7,
+      s"url dedup dropped $urlDropped, expected ${(nDocs - 1) / 7}")
+    val viral = paraKept
+      .where(col("text").contains("shared viral paragraph")).count()
+    require(viral == 1L, s"viral paragraph kept $viral times")
+    println(s"url variants dropped: $urlDropped; viral paragraph " +
+      "kept exactly once")
   }
 
   /** The dedup chain with STORED artifacts: each ingest product (docs,

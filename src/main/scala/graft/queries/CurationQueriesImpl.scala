@@ -1623,6 +1623,45 @@ object CurationQueriesImpl {
           .orderBy(col("doc_id"))
       }
 
+      // One HARD-EM (Viterbi-EM) TRAINING round replayed end to end:
+      // the oracle runs the same lattice DP over the (len ≤ 16)
+      // distinct-word histogram, counts each piece's occurrences in
+      // every word's best segmentation weighted by word frequency,
+      // and renormalizes to micro-log2 — the full M-step hash-checks.
+      // (Soft EM's forward–backward posterior is not SQL-expressible;
+      // the hard variant is the practical fast path AND the provable
+      // one — soft EM is spec-verified in UnigramSpec.)
+      register("q134_unigram_hard_em",
+        s"""WITH $vocabSql,
+           |wtok AS (SELECT word, freq FROM wc
+           |  WHERE LEN(word) <= $maxLen),
+           |b0 AS MATERIALIZED (SELECT word, CAST(0 AS BIGINT)
+           |    AS score, '' AS segp
+           |  FROM wtok),
+           |${(1 to maxLen).map(dpStep).mkString(",\n")},
+           |wseg AS (
+           |  $finals),
+           |wp AS (SELECT w.word, w.freq, STRING_SPLIT(g.seg, ' ')
+           |      AS ps
+           |  FROM wtok w JOIN wseg g USING (word)),
+           |cnt AS (SELECT ps[u.j] AS piece,
+           |    CAST(SUM(freq) AS BIGINT) AS freq
+           |  FROM wp, UNNEST(GENERATE_SERIES(1, LEN(ps))) u(j)
+           |  GROUP BY 1),
+           |tot2 AS (SELECT CAST(SUM(freq) AS DOUBLE) AS t FROM cnt)
+           |SELECT piece, freq,
+           |  CAST(ROUND(LOG2(CAST(freq AS DOUBLE) / tot2.t) * 1e6)
+           |    AS BIGINT) AS logp_micros
+           |FROM cnt, tot2 ORDER BY piece""".stripMargin) { (s, dir) =>
+        val model = graft.text.Unigram.mleScores(
+          graft.text.Unigram.seedVocab(wordCounts(s, dir), "word",
+            "freq", seedSize = 40, maxPieceLen = maxPiece))
+        graft.text.Unigram.hardEmRoundDf(
+            wordCounts(s, dir).where(length(col("word")) <= maxLen),
+            "word", "freq", model, maxPieceLen = maxPiece)
+          .orderBy(col("piece"))
+      }
+
       // Unigram vocabulary IDS (the q127 property at unigram level):
       // ids are closed-form off the scored vocab — rank by
       // (logp DESC, piece ASC), most probable = 0 — so the oracle

@@ -394,6 +394,55 @@ object Unigram {
     pieces.toDF("piece", "logp_micros")
   }
 
+  /** One HARD-EM (Viterbi-EM) training round: counts come from each
+    * word's single BEST segmentation (the [[viterbiWord]] DP, same
+    * tie-breaks) instead of the full posterior — the fast practical
+    * variant of unigram training, and the one a SQL oracle can replay
+    * exactly (the best path is integer-deterministic; the soft
+    * posterior isn't SQL-expressible). One mapPartitions pass over
+    * the distinct-word histogram, counts are exact longs (piece
+    * occurrences × word freq), M-step renormalizes through the
+    * [[mleScoresDf]] log path. Pieces never chosen by any word drop
+    * out. Returns the re-scored model. */
+  def hardEmRound(words: DataFrame, wordCol: String, freqCol: String,
+      model: Seq[Piece], maxPieceLen: Int = 4,
+      unkLogpMicros: Long = -100000000L): Seq[Piece] =
+    hardEmRoundDf(words, wordCol, freqCol, model, maxPieceLen,
+      unkLogpMicros)
+      .select(col("piece"), col("logp_micros"))
+      .collect().map(r => Piece(r.getString(0), r.getLong(1))).toSeq
+      .sortBy(p => (-p.logpMicros, p.piece))
+
+  /** [[hardEmRound]] as the scored (piece, freq, logp_micros) frame —
+    * the gate/audit form. */
+  def hardEmRoundDf(words: DataFrame, wordCol: String,
+      freqCol: String, model: Seq[Piece], maxPieceLen: Int = 4,
+      unkLogpMicros: Long = -100000000L): DataFrame = {
+    val spark = words.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(
+      model.map(p => (p.piece, p.logpMicros)).toArray)
+    val counts = words
+      .select(col(wordCol).cast("string"), col(freqCol).cast("long"))
+      .as[(String, Long)]
+      .mapPartitions { rows =>
+        val vocab = new java.util.HashMap[String, java.lang.Long]()
+        bc.value.foreach { case (p, lp) =>
+          vocab.put(p, java.lang.Long.valueOf(lp))
+        }
+        rows.flatMap { case (word, freq) =>
+          viterbiWord(word, vocab, maxPieceLen, unkLogpMicros)
+            .iterator.map(piece => (piece, freq))
+        }
+      }
+      .toDF("piece", "freq")
+      .groupBy(col("piece")).agg(sum(col("freq")).as("freq"))
+      // vocab-scale barrier: mleScoresDf consumes counts twice (the
+      // total agg + the projection) — don't re-run the corpus scan
+      .localCheckpoint()
+    mleScoresDf(counts)
+  }
+
   /** Closed-form vocabulary ids: pieces ranked by (logp_micros DESC,
     * piece ASC) get ids 0..n-1 — most probable piece = id 0, the
     * SentencePiece convention modulo reserved specials. Closed form

@@ -825,6 +825,17 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("dedupParagraphs plan: no window, keeper groupBy map-side " +
+      "combines") {
+    val df = Seq((1L, "a\n\nb"), (2L, "b\n\nc"))
+      .toDF("doc_id", "text")
+    val plan = Curation.dedupParagraphs(df, "text", "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("partial_min") || plan.contains("partial"),
+      plan)
+  }
+
   test("dedupParagraphs keeps the corpus-wide first occurrence only") {
     val df = Seq(
       (1L, "intro one\n\nTHE VIRAL QUOTE\n\nclosing one"),

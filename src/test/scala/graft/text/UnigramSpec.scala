@@ -216,6 +216,35 @@ class UnigramSpec extends AnyFunSuite {
     assert(got2 == Seq(0, -1, 0))
   }
 
+  test("hardEmRound counts the viterbi segmentation exactly and " +
+      "is partitioning-invariant") {
+    val model = Unigram.mleScores(
+      Unigram.seedVocab(toy, "word", "freq", 50, 4))
+    val a = Unigram.hardEmRound(toy, "word", "freq", model)
+    val b = Unigram.hardEmRound(toy.repartition(7), "word", "freq",
+      model)
+    assert(a == b)
+    // hand check: each word's best segmentation under the seed MLE,
+    // counted with word freq — replicate via encode on one-word docs
+    val vm = vocabMap(model)
+    val words = Seq(("low", 5L), ("lower", 2L), ("newest", 6L),
+      ("widest", 3L))
+    val counts = scala.collection.mutable.Map[String, Long]()
+    words.foreach { case (w, f) =>
+      Unigram.viterbiWord(w, vm, 4, -100000000L)
+        .foreach(p => counts(p) = counts.getOrElse(p, 0L) + f)
+    }
+    val tot = counts.values.sum.toDouble
+    val wantPieces = counts.keySet
+    assert(a.map(_.piece).toSet == wantPieces)
+    a.foreach { p =>
+      val want = math.round(math.log(counts(p.piece) / tot) /
+        math.log(2.0) * 1e6)
+      assert(math.abs(p.logpMicros - want) <= 1L,
+        s"${p.piece}: ${p.logpMicros} vs $want")
+    }
+  }
+
   test("train is invariant under corpus partitioning") {
     val corpus = Seq((1L, "low lower newest"), (2L, "newest widest"),
       (3L, "low newest low low")).toDF("doc_id", "text")
