@@ -13,6 +13,10 @@ import org.apache.spark.sql.functions._
   * landing and tokenization, each stage one Spark job over the
   * corpus, never a driver loop:
   *
+  *  0. web ingest: pages (a real crawl starts at `io.Warc`) →
+  *     HTML main-content extraction (link-density blocks) →
+  *     canonical-URL dedup → paragraph dedup — whole documents and
+  *     repeated spans drop before any scoring touches them;
   *  1. score: language ID, quality, repetition signals — pure
   *     expressions, a single map pass;
   *  2. heuristic filter: Gopher/C4 document bounds (word counts,
@@ -62,8 +66,49 @@ object CorpusDemo {
       r
     }
 
-    val docs = Tables.table(spark, sfDir, "documents")
+    val raw = Tables.table(spark, sfDir, "documents")
+
+    // 0. web ingest: a real corpus lands as crawled pages (io.Warc
+    //    on a production crawl). Wrap each doc in a synthetic page —
+    //    nav/footer link farms, a URL with tracking params, every
+    //    11th page a URL VARIANT of its predecessor — then run the
+    //    ingest front: main-content extraction (link-density blocks)
+    //    -> canonical-URL dedup -> paragraph dedup. Metadata columns
+    //    rejoin the cleaned text.
+    val docs = t("ingest: html extract -> url dedup -> para dedup") {
+      val urlseed = when(pmod(col("doc_id"), lit(11)) === 0 &&
+        col("doc_id") > 0, col("doc_id") - 1).otherwise(col("doc_id"))
+      val crawled = raw.select(col("doc_id"),
+        concat(lit("HTTP://"),
+          when(pmod(urlseed, lit(2)) === 0, lit("www."))
+            .otherwise(lit("")),
+          lit("site"), pmod(urlseed, lit(97)).cast("string"),
+          lit(".example.com/d/"), urlseed.cast("string"),
+          when(pmod(col("doc_id"), lit(3)) === 0,
+            lit("?utm_source=crawl")).otherwise(lit("")))
+          .as("url"),
+        concat(lit("<html><head><script>nav();</script></head>" +
+          "<body><div><a href=\"/\">Home</a> <a href=\"/a\">All " +
+          "topics</a></div><p>"), col("text"),
+          lit("</p><div><a href=\"/p\">Privacy terms</a>" +
+            "<a href=\"/c\">Cookie settings</a></div></body></html>"))
+          .as("html"))
+      val extracted = graft.text.Html
+        .mainContent(crawled, "html", "doc_id")
+        .join(crawled.select(col("doc_id"), col("url")), "doc_id")
+      val urlKept = graft.text.Urls
+        .dedupByCanonicalUrl(extracted, "url", "doc_id")
+        .where(!col("is_url_dup"))
+      val paraKept = Curation.dedupParagraphs(
+        urlKept.select(col("doc_id"), col("text")), "text", "doc_id",
+        "\n")
+      raw.drop("text")
+        .join(paraKept.select(col("doc_id"), col("text")), "doc_id")
+        .localCheckpoint(false)
+    }
     val total = docs.count()
+    println(f"[corpus] ingest kept $total%,d of ${raw.count()}%,d " +
+      "crawled pages (url variants dropped)")
 
     // 1. score every document in one map pass
     val scored = t("score: lang/quality/repetition") {
