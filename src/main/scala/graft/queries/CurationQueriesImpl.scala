@@ -1723,6 +1723,63 @@ object CurationQueriesImpl {
       }
     }
 
+    // Kneser-Ney bigram scoring (q135): the q103 replay with KN
+    // quantities — continuation/fanout counts off the distinct-bigram
+    // table, count-of-counts discount, the formula written in the
+    // SAME double operation order in both engines so micro-log2
+    // scores match bit-for-bit.
+    register("q135_kn_bigram_logprob",
+      s"""WITH toks AS (SELECT doc_id,
+         |    REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\\s+') AS t
+         |  FROM documents),
+         |pr0 AS (SELECT doc_id, t,
+         |    UNNEST(GENERATE_SERIES(1, GREATEST(LEN(t) - 1, 0))) AS j
+         |  FROM toks),
+         |pr AS (SELECT doc_id, t[j] AS prev, t[j+1] AS term FROM pr0),
+         |tf2 AS (SELECT doc_id, prev, term, COUNT(*) AS tf2
+         |  FROM pr GROUP BY doc_id, prev, term),
+         |bc AS (SELECT prev, term, CAST(SUM(tf2) AS BIGINT) AS c2
+         |  FROM tf2 GROUP BY prev, term),
+         |ctx AS (SELECT prev, CAST(SUM(c2) AS BIGINT) AS cv,
+         |    CAST(COUNT(*) AS BIGINT) AS n1v
+         |  FROM bc GROUP BY prev),
+         |cont AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS n1w
+         |  FROM bc GROUP BY term),
+         |gkn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS bb,
+         |    CASE WHEN SUM(CASE WHEN c2 = 1 THEN 1 ELSE 0 END)
+         |        + 2 * SUM(CASE WHEN c2 = 2 THEN 1 ELSE 0 END) = 0
+         |      THEN 0.5
+         |      ELSE CAST(SUM(CASE WHEN c2 = 1 THEN 1 ELSE 0 END)
+         |          AS DOUBLE)
+         |        / CAST(SUM(CASE WHEN c2 = 1 THEN 1 ELSE 0 END)
+         |          + 2 * SUM(CASE WHEN c2 = 2 THEN 1 ELSE 0 END)
+         |          AS DOUBLE) END AS dd
+         |  FROM bc),
+         |sv AS (SELECT bc.prev, bc.term,
+         |    CAST(ROUND(LOG2(
+         |      (GREATEST(CAST(bc.c2 AS DOUBLE) - g.dd, 0.0)
+         |        + g.dd * CAST(ctx.n1v AS DOUBLE)
+         |          * (CAST(cont.n1w AS DOUBLE) / g.bb))
+         |      / CAST(ctx.cv AS DOUBLE)) * 1e6) AS BIGINT) AS micro
+         |  FROM bc JOIN ctx USING (prev) JOIN cont USING (term)
+         |  CROSS JOIN gkn g),
+         |pd AS (SELECT tf2.doc_id, CAST(SUM(tf2.tf2) AS BIGINT) AS np,
+         |    CAST(SUM(tf2.tf2 * sv.micro) AS BIGINT) AS lp
+         |  FROM tf2 JOIN sv ON tf2.prev = sv.prev AND tf2.term = sv.term
+         |  GROUP BY tf2.doc_id)
+         |SELECT d.doc_id,
+         |  COALESCE(pd.np, 0) AS n_pairs,
+         |  COALESCE(pd.lp, 0) AS logprob_micro,
+         |  CASE WHEN pd.np IS NOT NULL THEN
+         |    ROUND(-CAST(pd.lp AS DOUBLE) / (pd.np * 1e6), 6)
+         |  END AS bits_per_pair
+         |FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
+         |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      Curation.knBigramLogProbFromTokens(
+          TextQueriesImpl.docTokens(s, dir), "toks_low", "doc_id")
+        .orderBy(col("doc_id"))
+    }
+
     // URL canonicalization + URL-level dedup (the C4/RefinedWeb
     // ingest step): the fixture builds a doc_id-keyed URL exercising
     // every branch (case/www folds, default-vs-explicit ports per

@@ -866,6 +866,93 @@ object Curation {
           .as("bits_per_pair"))
   }
 
+  /** Interpolated KNESER-NEY bigram scoring — the smoothing the
+    * production perplexity filters actually run (CCNet's KenLM):
+    * instead of mixing in raw unigram frequency ([[bigramLogProb]]'s
+    * add-λ interpolation), the backoff weight is the CONTINUATION
+    * probability (how many distinct contexts a word follows), with an
+    * absolute discount D = n1/(n1+2·n2) estimated from the corpus'
+    * own count-of-counts:
+    *
+    *   P(w|v) = (max(c(vw) − D, 0) + D · N1+(v·) · N1+(·w)/B) / c(v·)
+    *
+    * where N1+(v·) = distinct continuations of v, N1+(·w) = distinct
+    * contexts of w, B = distinct bigrams. Every quantity is one
+    * map-side-combined groupBy over the DISTINCT-BIGRAM table (the
+    * corpus-scale tables join on their keys — nothing broadcast
+    * except the 1-row D/B aggregate); per-pair scores quantize to
+    * integer micro-log2 before the per-doc sum (q103's determinism
+    * contract — the double arithmetic is written in the same
+    * operation order as the SQL oracle, so micros match bit-for-bit).
+    * Scores observed bigrams (the q103 scope). Returns (idCol,
+    * n_pairs, logprob_micro, bits_per_pair). */
+  def knBigramLogProb(df: DataFrame, textCol: String,
+      idCol: String): DataFrame =
+    knBigramLogProbFromTokens(
+      df.select(col(idCol),
+        TextAnalysis.tokens(lower(col(textCol))).as("toks_")),
+      "toks_", idCol)
+
+  /** [[knBigramLogProb]] over a pre-tokenized frame (the stored
+    * tokenization artifact, like every `*FromTokens`). */
+  def knBigramLogProbFromTokens(df: DataFrame, toksCol: String,
+      idCol: String): DataFrame = {
+    requireFresh(df.drop(toksCol), "pv_", "wv_", "bg_", "prev_",
+      "term_", "micro_", "np_")
+    val n = size(col(toksCol))
+    val pairRows = df
+      .withColumn("pv_", slice(col(toksCol), lit(1),
+        greatest(n - 1, lit(0))))
+      .withColumn("wv_", slice(col(toksCol), lit(2),
+        greatest(n - 1, lit(0))))
+      .select(col(idCol), explode(arrays_zip(col("pv_"), col("wv_")))
+        .as("bg_"))
+      .select(col(idCol), col("bg_.pv_").as("prev_"),
+        col("bg_.wv_").as("term_"))
+    val tf2 = pairRows.groupBy(col(idCol), col("prev_"), col("term_"))
+      .agg(count(lit(1)).as("tf2"))
+    val bc = tf2.groupBy(col("prev_"), col("term_"))
+      .agg(sum(col("tf2")).as("c2"))
+      .localCheckpoint(false) // five consumers below
+    val ctx = bc.groupBy(col("prev_"))
+      .agg(sum(col("c2")).as("cv"),
+        count(lit(1)).as("n1v")) // N1+(v·): distinct continuations
+    val cont = bc.groupBy(col("term_"))
+      .agg(count(lit(1)).as("n1w")) // N1+(·w): distinct contexts
+    // global: distinct-bigram total + count-of-counts discount
+    val glob = bc.agg(
+        count(lit(1)).cast("double").as("bb_"),
+        sum(when(col("c2") === 1, 1L).otherwise(0L)).as("nn1_"),
+        sum(when(col("c2") === 2, 1L).otherwise(0L)).as("nn2_"))
+      .select(col("bb_"),
+        // degenerate corpora (no count-1/2 bigrams) fall back to the
+        // conventional D = 0.5 — mirrored in the oracle CASE
+        when(col("nn1_") + lit(2L) * col("nn2_") === 0L, lit(0.5))
+          .otherwise(col("nn1_").cast("double") /
+            (col("nn1_") + lit(2L) * col("nn2_")).cast("double"))
+          .as("dd_"))
+    val scored = bc.join(ctx, "prev_").join(cont, "term_")
+      .crossJoin(broadcast(glob))
+      .withColumn("micro_",
+        round(log2(
+          (greatest(col("c2").cast("double") - col("dd_"), lit(0.0)) +
+            col("dd_") * col("n1v").cast("double") *
+              (col("n1w").cast("double") / col("bb_"))) /
+            col("cv").cast("double")) * 1e6).cast("long"))
+      .select(col("prev_"), col("term_"), col("micro_"))
+    val perDoc = tf2.join(scored, Seq("prev_", "term_"))
+      .groupBy(col(idCol))
+      .agg(sum(col("tf2")).as("np_"),
+        sum(col("tf2") * col("micro_")).as("lp_"))
+    df.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("np_"), lit(0L)).cast("long").as("n_pairs"),
+        coalesce(col("lp_"), lit(0L)).cast("long").as("logprob_micro"),
+        when(col("np_").isNotNull,
+          round(-col("lp_") / (col("np_") * lit(1e6)), 6))
+          .as("bits_per_pair"))
+  }
+
   /** Okapi BM25 retrieval score of every corpus document against a
     * probe/query set — the ranking primitive for description-driven
     * curation ("keep documents matching this domain sketch") and a

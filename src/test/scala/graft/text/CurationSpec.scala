@@ -825,6 +825,47 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("knBigramLogProb: hand-computed Kneser-Ney on a two-context " +
+      "toy corpus") {
+    // corpus pairs: (a b) x2, (a c) x1, (b a) x1  ->
+    // bigram counts: ab=2, ac=1, ba=1; B=3; n1=2, n2=1 -> D=2/4=0.5
+    // ctx a: cv=3, n1v=2; ctx b: cv=1, n1v=1
+    // cont: a follows 1 distinct ctx, b follows 1, c follows 1
+    val df = Seq((1L, "a b"), (2L, "a b"), (3L, "a c"), (4L, "b a"))
+      .toDF("doc_id", "text")
+    val got = Curation.knBigramLogProb(df, "text", "doc_id")
+      .orderBy($"doc_id")
+      .select($"doc_id", $"n_pairs", $"logprob_micro")
+      .as[(Long, Long, Long)].collect().toSeq
+    val d = 0.5; val b = 3.0
+    def p(c2: Double, cv: Double, n1v: Double, n1w: Double) =
+      (math.max(c2 - d, 0.0) + d * n1v * (n1w / b)) / cv
+    def micro(x: Double) =
+      math.round(math.log(x) / math.log(2.0) * 1e6)
+    assert(got(0) == ((1L, 1L, micro(p(2, 3, 2, 1)))))
+    assert((got(1)._2, got(1)._3) == ((got(0)._2, got(0)._3)))
+    assert(got(2) == ((3L, 1L, micro(p(1, 3, 2, 1)))))
+    assert(got(3) == ((4L, 1L, micro(p(1, 1, 1, 1)))))
+    // discounted mass flows to high-continuation words: within the
+    // same context, the count-2 bigram outscores the count-1
+    assert(got(0)._3 > got(2)._3)
+  }
+
+  test("knBigramLogProb is invariant under partitioning and " +
+      "tolerates empty/null docs") {
+    val df = Seq((1L, "x y z x y"), (2L, "y z y z"), (3L, null),
+      (4L, "solo")).toDF("doc_id", "text")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Curation.knBigramLogProb(d, "text", "doc_id")
+        .orderBy($"doc_id")
+        .select($"doc_id", $"n_pairs", $"logprob_micro")
+        .as[(Long, Long, Long)].collect().toSeq
+    val a = run(df)
+    assert(a == run(df.repartition(7)))
+    assert(a.find(_._1 == 3L).get._2 == 0L) // null text: zero pairs
+    assert(a.find(_._1 == 4L).get._2 == 0L) // one-token doc
+  }
+
   test("dedupParagraphs plan: no window, keeper groupBy map-side " +
       "combines") {
     val df = Seq((1L, "a\n\nb"), (2L, "b\n\nc"))
