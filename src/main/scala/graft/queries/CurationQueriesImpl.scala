@@ -1780,6 +1780,84 @@ object CurationQueriesImpl {
         .orderBy(col("doc_id"))
     }
 
+    // Trigram Kneser-Ney (q136): the q135 replay with the recursive
+    // backoff — raw counts at order 3, CONTINUATION counts at order
+    // 2, each with its own count-of-counts discount; same
+    // operation-order contract for bit-exact micros.
+    register("q136_kn_trigram_logprob",
+      s"""WITH toks AS (SELECT doc_id,
+         |    REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\\s+') AS t
+         |  FROM documents),
+         |tr0 AS (SELECT doc_id, t,
+         |    UNNEST(GENERATE_SERIES(1, GREATEST(LEN(t) - 2, 0))) AS j
+         |  FROM toks),
+         |tr AS (SELECT doc_id, t[j] AS u, t[j+1] AS v, t[j+2] AS w
+         |  FROM tr0),
+         |tf3 AS (SELECT doc_id, u, v, w, COUNT(*) AS tf3
+         |  FROM tr GROUP BY doc_id, u, v, w),
+         |tc AS (SELECT u, v, w, CAST(SUM(tf3) AS BIGINT) AS c3
+         |  FROM tf3 GROUP BY u, v, w),
+         |ctx3 AS (SELECT u, v, CAST(SUM(c3) AS BIGINT) AS cuv,
+         |    CAST(COUNT(*) AS BIGINT) AS n1uv
+         |  FROM tc GROUP BY u, v),
+         |cb AS (SELECT v, w, CAST(COUNT(*) AS BIGINT) AS chat
+         |  FROM tc GROUP BY v, w),
+         |ctx2 AS (SELECT v, CAST(SUM(chat) AS BIGINT) AS chv,
+         |    CAST(COUNT(*) AS BIGINT) AS n1cv
+         |  FROM cb GROUP BY v),
+         |cont2 AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n1cw
+         |  FROM cb GROUP BY w),
+         |g3 AS (SELECT CASE WHEN SUM(CASE WHEN c3 = 1 THEN 1 ELSE 0
+         |        END) + 2 * SUM(CASE WHEN c3 = 2 THEN 1 ELSE 0 END)
+         |        = 0 THEN 0.5
+         |      ELSE CAST(SUM(CASE WHEN c3 = 1 THEN 1 ELSE 0 END)
+         |          AS DOUBLE)
+         |        / CAST(SUM(CASE WHEN c3 = 1 THEN 1 ELSE 0 END)
+         |          + 2 * SUM(CASE WHEN c3 = 2 THEN 1 ELSE 0 END)
+         |          AS DOUBLE) END AS d3
+         |  FROM tc),
+         |g2 AS (SELECT CAST(COUNT(*) AS DOUBLE) AS bhat,
+         |    CASE WHEN SUM(CASE WHEN chat = 1 THEN 1 ELSE 0 END)
+         |        + 2 * SUM(CASE WHEN chat = 2 THEN 1 ELSE 0 END) = 0
+         |      THEN 0.5
+         |      ELSE CAST(SUM(CASE WHEN chat = 1 THEN 1 ELSE 0 END)
+         |          AS DOUBLE)
+         |        / CAST(SUM(CASE WHEN chat = 1 THEN 1 ELSE 0 END)
+         |          + 2 * SUM(CASE WHEN chat = 2 THEN 1 ELSE 0 END)
+         |          AS DOUBLE) END AS d2
+         |  FROM cb),
+         |sv AS (SELECT tc.u, tc.v, tc.w,
+         |    CAST(ROUND(LOG2(
+         |      (GREATEST(CAST(tc.c3 AS DOUBLE) - g3.d3, 0.0)
+         |        + g3.d3 * CAST(ctx3.n1uv AS DOUBLE)
+         |          * ((GREATEST(CAST(cb.chat AS DOUBLE) - g2.d2, 0.0)
+         |            + g2.d2 * CAST(ctx2.n1cv AS DOUBLE)
+         |              * (CAST(cont2.n1cw AS DOUBLE) / g2.bhat))
+         |            / CAST(ctx2.chv AS DOUBLE)))
+         |      / CAST(ctx3.cuv AS DOUBLE)) * 1e6) AS BIGINT) AS micro
+         |  FROM tc JOIN ctx3 ON tc.u = ctx3.u AND tc.v = ctx3.v
+         |    JOIN cb ON tc.v = cb.v AND tc.w = cb.w
+         |    JOIN ctx2 ON tc.v = ctx2.v
+         |    JOIN cont2 ON tc.w = cont2.w
+         |  CROSS JOIN g3 CROSS JOIN g2),
+         |pd AS (SELECT tf3.doc_id, CAST(SUM(tf3.tf3) AS BIGINT) AS np,
+         |    CAST(SUM(tf3.tf3 * sv.micro) AS BIGINT) AS lp
+         |  FROM tf3 JOIN sv ON tf3.u = sv.u AND tf3.v = sv.v
+         |    AND tf3.w = sv.w
+         |  GROUP BY tf3.doc_id)
+         |SELECT d.doc_id,
+         |  COALESCE(pd.np, 0) AS n_triples,
+         |  COALESCE(pd.lp, 0) AS logprob_micro,
+         |  CASE WHEN pd.np IS NOT NULL THEN
+         |    ROUND(-CAST(pd.lp AS DOUBLE) / (pd.np * 1e6), 6)
+         |  END AS bits_per_triple
+         |FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
+         |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      Curation.knTrigramLogProbFromTokens(
+          TextQueriesImpl.docTokens(s, dir), "toks_low", "doc_id")
+        .orderBy(col("doc_id"))
+    }
+
     // URL canonicalization + URL-level dedup (the C4/RefinedWeb
     // ingest step): the fixture builds a doc_id-keyed URL exercising
     // every branch (case/www folds, default-vs-explicit ports per

@@ -953,6 +953,111 @@ object Curation {
           .as("bits_per_pair"))
   }
 
+  /** TRIGRAM Kneser-Ney — [[knBigramLogProb]] with the proper
+    * recursive backoff (Chen & Goodman 1998): the highest order uses
+    * raw counts, the bigram level uses CONTINUATION counts
+    * ĉ(vw) = N1+(·vw) (how many distinct contexts the bigram
+    * completes — the "novel continuation" estimate), each with its
+    * own count-of-counts discount:
+    *
+    *   P3(w|uv) = (max(c(uvw)−D3, 0) + D3·N1+(uv·)·P2(w|v)) / c(uv·)
+    *   P2(w|v)  = (max(ĉ(vw)−D2, 0) + D2·N1c(v·)·(N1c(·w)/B̂)) / ĉ(v·)
+    *
+    * with N1c/B̂ counted over the continuation-bigram space. Every
+    * quantity is a map-side-combined groupBy over the distinct
+    * trigram/bigram tables; only the 1-row (D3, D2, B̂) global
+    * broadcasts. Scores observed trigrams (every referenced
+    * denominator is ≥ 1 by construction: the trigram's own existence
+    * puts mass in each table). Double arithmetic is written in the
+    * same operation order as the SQL oracle — micro-log2 scores match
+    * bit-for-bit. Returns (idCol, n_triples, logprob_micro,
+    * bits_per_triple). */
+  def knTrigramLogProb(df: DataFrame, textCol: String,
+      idCol: String): DataFrame =
+    knTrigramLogProbFromTokens(
+      df.select(col(idCol),
+        TextAnalysis.tokens(lower(col(textCol))).as("toks_")),
+      "toks_", idCol)
+
+  /** [[knTrigramLogProb]] over a pre-tokenized frame. */
+  def knTrigramLogProbFromTokens(df: DataFrame, toksCol: String,
+      idCol: String): DataFrame = {
+    requireFresh(df.drop(toksCol), "u_", "v_", "w_", "tg_", "micro_",
+      "np_")
+    val n = size(col(toksCol))
+    val tripleRows = df
+      .withColumn("uv_", slice(col(toksCol), lit(1),
+        greatest(n - 2, lit(0))))
+      .withColumn("vv_", slice(col(toksCol), lit(2),
+        greatest(n - 2, lit(0))))
+      .withColumn("wv_", slice(col(toksCol), lit(3),
+        greatest(n - 2, lit(0))))
+      .select(col(idCol), explode(arrays_zip(col("uv_"), col("vv_"),
+        col("wv_"))).as("tg_"))
+      .select(col(idCol), col("tg_.uv_").as("u_"),
+        col("tg_.vv_").as("v_"), col("tg_.wv_").as("w_"))
+    val tf3 = tripleRows.groupBy(col(idCol), col("u_"), col("v_"),
+        col("w_"))
+      .agg(count(lit(1)).as("tf3"))
+    // distinct trigrams with counts — everything derives from this
+    val tc = tf3.groupBy(col("u_"), col("v_"), col("w_"))
+      .agg(sum(col("tf3")).as("c3"))
+      .localCheckpoint(false)
+    val ctx3 = tc.groupBy(col("u_"), col("v_"))
+      .agg(sum(col("c3")).as("cuv"), count(lit(1)).as("n1uv"))
+    // continuation bigram table: ĉ(vw) = distinct u per (v, w)
+    val cb = tc.groupBy(col("v_"), col("w_"))
+      .agg(count(lit(1)).as("chat"))
+      .localCheckpoint(false)
+    val ctx2 = cb.groupBy(col("v_"))
+      .agg(sum(col("chat")).as("chv"), count(lit(1)).as("n1cv"))
+    val cont2 = cb.groupBy(col("w_")).agg(count(lit(1)).as("n1cw"))
+    val glob3 = tc.agg(
+        sum(when(col("c3") === 1, 1L).otherwise(0L)).as("a1_"),
+        sum(when(col("c3") === 2, 1L).otherwise(0L)).as("a2_"))
+      .select(when(col("a1_") + lit(2L) * col("a2_") === 0L, lit(0.5))
+        .otherwise(col("a1_").cast("double") /
+          (col("a1_") + lit(2L) * col("a2_")).cast("double"))
+        .as("d3_"))
+    val glob2 = cb.agg(
+        count(lit(1)).cast("double").as("bhat_"),
+        sum(when(col("chat") === 1, 1L).otherwise(0L)).as("b1_"),
+        sum(when(col("chat") === 2, 1L).otherwise(0L)).as("b2_"))
+      .select(col("bhat_"),
+        when(col("b1_") + lit(2L) * col("b2_") === 0L, lit(0.5))
+          .otherwise(col("b1_").cast("double") /
+            (col("b1_") + lit(2L) * col("b2_")).cast("double"))
+          .as("d2_"))
+    val scored = tc
+      .join(ctx3, Seq("u_", "v_"))
+      .join(cb, Seq("v_", "w_"))
+      .join(ctx2, Seq("v_"))
+      .join(cont2, Seq("w_"))
+      .crossJoin(broadcast(glob3)).crossJoin(broadcast(glob2))
+      .withColumn("p2_",
+        (greatest(col("chat").cast("double") - col("d2_"), lit(0.0)) +
+          col("d2_") * col("n1cv").cast("double") *
+            (col("n1cw").cast("double") / col("bhat_"))) /
+          col("chv").cast("double"))
+      .withColumn("micro_",
+        round(log2(
+          (greatest(col("c3").cast("double") - col("d3_"), lit(0.0)) +
+            col("d3_") * col("n1uv").cast("double") * col("p2_")) /
+            col("cuv").cast("double")) * 1e6).cast("long"))
+      .select(col("u_"), col("v_"), col("w_"), col("micro_"))
+    val perDoc = tf3.join(scored, Seq("u_", "v_", "w_"))
+      .groupBy(col(idCol))
+      .agg(sum(col("tf3")).as("np_"),
+        sum(col("tf3") * col("micro_")).as("lp_"))
+    df.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("np_"), lit(0L)).cast("long").as("n_triples"),
+        coalesce(col("lp_"), lit(0L)).cast("long").as("logprob_micro"),
+        when(col("np_").isNotNull,
+          round(-col("lp_") / (col("np_") * lit(1e6)), 6))
+          .as("bits_per_triple"))
+  }
+
   /** Okapi BM25 retrieval score of every corpus document against a
     * probe/query set — the ranking primitive for description-driven
     * curation ("keep documents matching this domain sketch") and a

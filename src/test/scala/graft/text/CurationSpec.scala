@@ -866,6 +866,61 @@ class CurationSpec extends AnyFunSuite {
     assert(a.find(_._1 == 4L).get._2 == 0L) // one-token doc
   }
 
+  test("knTrigramLogProb matches an independent reimplementation " +
+      "and is partitioning-invariant") {
+    val df = Seq((1L, "a b c a b d"), (2L, "a b c c"),
+      (3L, "b c a b c"), (4L, "x y"), (5L, null))
+      .toDF("doc_id", "text")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Curation.knTrigramLogProb(d, "text", "doc_id")
+        .orderBy($"doc_id")
+        .select($"doc_id", $"n_triples", $"logprob_micro")
+        .as[(Long, Long, Long)].collect().toSeq
+    val got = run(df)
+    assert(got == run(df.repartition(9)))
+    assert(got.find(_._1 == 4L).get._2 == 0L) // too short for triples
+    assert(got.find(_._1 == 5L).get._2 == 0L)
+
+    // independent reimplementation straight from count maps
+    val docs = Seq(1L -> "a b c a b d", 2L -> "a b c c",
+      3L -> "b c a b c")
+    val triples = docs.flatMap { case (id, t) =>
+      t.split(" ").sliding(3).map(s => (id, s(0), s(1), s(2)))
+    }
+    val c3 = triples.groupBy(x => (x._2, x._3, x._4))
+      .view.mapValues(_.size.toDouble).toMap
+    val cuv = c3.groupBy(k => (k._1._1, k._1._2))
+      .view.mapValues(_.values.sum).toMap
+    val n1uv = c3.keys.groupBy(k => (k._1, k._2))
+      .view.mapValues(_.size.toDouble).toMap
+    val chat = c3.keys.groupBy(k => (k._2, k._3))
+      .view.mapValues(_.size.toDouble).toMap
+    val chv = chat.groupBy(_._1._1).view
+      .mapValues(_.values.sum).toMap
+    val n1cv = chat.keys.groupBy(_._1).view
+      .mapValues(_.size.toDouble).toMap
+    val n1cw = chat.keys.groupBy(_._2).view
+      .mapValues(_.size.toDouble).toMap
+    val bhat = chat.size.toDouble
+    def disc(counts: Iterable[Double]) = {
+      val n1 = counts.count(_ == 1.0); val n2 = counts.count(_ == 2.0)
+      if (n1 + 2 * n2 == 0) 0.5 else n1.toDouble / (n1 + 2 * n2)
+    }
+    val d3 = disc(c3.values); val d2 = disc(chat.values)
+    def p3(u: String, v: String, w: String): Double = {
+      val p2 = (math.max(chat((v, w)) - d2, 0.0) +
+        d2 * n1cv(v) * (n1cw(w) / bhat)) / chv(v)
+      (math.max(c3((u, v, w)) - d3, 0.0) + d3 * n1uv((u, v)) * p2) /
+        cuv((u, v))
+    }
+    def micro(x: Double) =
+      math.round(math.log(x) / math.log(2.0) * 1e6)
+    val wantDoc1 = Seq(("a","b","c"), ("b","c","a"), ("c","a","b"),
+      ("a","b","d")).map(t => micro(p3(t._1, t._2, t._3))).sum
+    assert(got.find(_._1 == 1L).get._3 == wantDoc1)
+    assert(got.find(_._1 == 1L).get._2 == 4L)
+  }
+
   test("dedupParagraphs plan: no window, keeper groupBy map-side " +
       "combines") {
     val df = Seq((1L, "a\n\nb"), (2L, "b\n\nc"))
