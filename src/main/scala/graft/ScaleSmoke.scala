@@ -395,6 +395,18 @@ object ScaleSmoke {
       graft.text.Unigram.encode(paraKept, "text", "doc_id", model)
         .agg(sum(col("n_pieces"))).head.getLong(0)
     }
+    t("unigram hard-EM round (distinct words)") {
+      val counts = paraKept
+        .select(explode(graft.text.TextAnalysis.tokens(
+          lower(col("text")))).as("word"))
+        .where(col("word") =!= "")
+        .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+        .localCheckpoint()
+      val model = graft.text.Unigram.mleScores(
+        graft.text.Unigram.seedVocab(counts, "word", "freq", 4096, 4))
+      graft.text.Unigram.hardEmRound(counts, "word", "freq", model)
+        .length.toLong
+    }
     // verifiable drops: every 7th page was a URL variant; the viral
     // paragraph survives exactly once
     val urlDropped = nDocs - urlKept.count()

@@ -388,6 +388,126 @@ object Bpe {
         idsFromPieces(col("pieces"),
           vocabBytes(merges, specialTokens)))
 
+  // ---------------------------------------------------------------
+  // tokenizer.json interop — the HuggingFace `tokenizers` on-disk
+  // format (a PUBLIC json schema: {model: {type: "BPE", vocab:
+  // {piece: id}, merges: ["l r", …]}, added_tokens: […]}). A
+  // tokenizer trained here at corpus scale exports to the file every
+  // inference stack loads; `fromTokenizerJson` round-trips it back.
+  // ---------------------------------------------------------------
+
+  private def jsonEscape(s: String): String = s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+
+  /** Serialize a byte-level model ([[trainBytes]] merges + specials)
+    * as a minimal HuggingFace-schema tokenizer.json: the [[vocabBytes]]
+    * id convention, merges in rank order, specials as added_tokens
+    * with their ids. Deterministic output (vocab sorted by id). */
+  def toTokenizerJson(merges: Seq[Merge],
+      specialTokens: Seq[String] = Nil): String = {
+    val vocab = vocabBytes(merges, specialTokens)
+    val vocabJson = vocab.toSeq.sortBy(_._2)
+      .map { case (p, id) => s""""${jsonEscape(p)}": $id""" }
+      .mkString("{", ", ", "}")
+    val mergesJson = merges.sortBy(_.rank)
+      .map(m => s""""${jsonEscape(m.left)} ${jsonEscape(m.right)}"""")
+      .mkString("[", ", ", "]")
+    val added = specialTokens.distinct.map { t =>
+      s"""{"id": ${vocab(t)}, "content": "${jsonEscape(t)}", """ +
+        """"special": true}"""
+    }.mkString("[", ", ", "]")
+    s"""{"version": "1.0", "added_tokens": $added, """ +
+      s""""model": {"type": "BPE", "vocab": $vocabJson, """ +
+      s""""merges": $mergesJson}}"""
+  }
+
+  private def jsonUnescape(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case '"' => sb.append('"'); i += 2
+          case '\\' => sb.append('\\'); i += 2
+          case 'n' => sb.append('\n'); i += 2
+          case 'r' => sb.append('\r'); i += 2
+          case 't' => sb.append('\t'); i += 2
+          case 'u' =>
+            sb.append(Integer.parseInt(s.substring(i + 2, i + 6), 16)
+              .toChar)
+            i += 6
+          case other => sb.append(other); i += 2
+        }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  // a json STRING literal (handles escapes), returning (value, end)
+  private def parseJsonString(s: String, start: Int): (String, Int) = {
+    require(s.charAt(start) == '"', s"expected string at $start")
+    var i = start + 1
+    val sb = new StringBuilder
+    while (s.charAt(i) != '"') {
+      if (s.charAt(i) == '\\') { sb.append(s.charAt(i)); i += 1 }
+      sb.append(s.charAt(i)); i += 1
+    }
+    (jsonUnescape(sb.toString), i + 1)
+  }
+
+  /** Parse a tokenizer.json produced by [[toTokenizerJson]] (or any
+    * BPE-schema file whose merges are "left right" strings): returns
+    * (merges in rank order, special tokens). The merge frequencies
+    * aren't stored by the format (they're training metadata) and come
+    * back as 0. */
+  def fromTokenizerJson(json: String): (Seq[Merge], Seq[String]) = {
+    // merges array: the "merges": [ … ] slice
+    val mKey = "\"merges\":"
+    val mAt = json.indexOf(mKey)
+    require(mAt >= 0, "no merges field")
+    var i = json.indexOf('[', mAt) + 1
+    val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
+    while ({
+      while (i < json.length && json.charAt(i) != '"' &&
+        json.charAt(i) != ']') i += 1
+      json.charAt(i) == '"'
+    }) {
+      val (pair, after) = parseJsonString(json, i)
+      i = after
+      val sp = pair.lastIndexOf(' ')
+      require(sp > 0, s"malformed merge: $pair")
+      val (l, r) = (pair.substring(0, sp), pair.substring(sp + 1))
+      merges += Merge(merges.length + 1, l, r, l + r, 0L)
+    }
+    // added_tokens contents
+    val specials = scala.collection.mutable.ArrayBuffer.empty[String]
+    val aKey = "\"added_tokens\":"
+    val aAt = json.indexOf(aKey)
+    if (aAt >= 0) {
+      var j = json.indexOf('[', aAt) + 1
+      val end = json.indexOf(']', j)
+      while (j < end) {
+        val cAt = json.indexOf("\"content\":", j)
+        if (cAt < 0 || cAt > end) j = end
+        else {
+          val vStart = json.indexOf('"', cAt + 10)
+          val (tok, after) = parseJsonString(json, vStart)
+          specials += tok
+          j = after
+        }
+      }
+    }
+    (merges.toSeq, specials.toSeq)
+  }
+
   /** Imperative single-word tokenizer: apply merges in RANK order,
     * each as a greedy left-to-right pass — the exact replay of
     * training, so encoding a training word reproduces its final

@@ -23,6 +23,38 @@ class BpeSpec extends AnyFunSuite {
     assert(m.map(_.merged) == Seq("es", "est", "lo", "low"))
   }
 
+  test("tokenizer.json interop: export round-trips merges, ids, " +
+      "specials, and the encode itself") {
+    val docs = Seq((1L, "the newest lowest the the newest test"),
+      (2L, "lower the newest")).toDF("doc_id", "text")
+    val specials = Seq("<|endoftext|>")
+    val merges = Bpe.trainBytes(docs, "text", numMerges = 8,
+      minFreq = 1L, specialTokens = specials)
+    assert(merges.nonEmpty)
+    val json = Bpe.toTokenizerJson(merges, specials)
+    // schema sanity: the public HF fields are present
+    assert(json.contains("\"type\": \"BPE\"") &&
+      json.contains("\"vocab\":") && json.contains("\"merges\":") &&
+      json.contains("\"added_tokens\":"))
+    val (back, backSpecials) = Bpe.fromTokenizerJson(json)
+    assert(backSpecials == specials)
+    assert(back.map(m => (m.rank, m.left, m.right, m.merged)) ==
+      merges.map(m => (m.rank, m.left, m.right, m.merged)))
+    // the round-tripped model tokenizes identically, ids included
+    val enc = Seq((9L, "the newest<|endoftext|>lower"))
+      .toDF("doc_id", "text")
+    val a = Bpe.encodeBytesToIds(enc, "text", "doc_id", merges,
+      specials).select($"ids").as[Seq[Int]].collect().head
+    val b = Bpe.encodeBytesToIds(enc, "text", "doc_id", back,
+      backSpecials).select($"ids").as[Seq[Int]].collect().head
+    assert(a == b && a.nonEmpty)
+    // vocab ids in the json match the vocabBytes convention
+    val vocab = Bpe.vocabBytes(merges, specials)
+    assert(json.contains(
+      s""""<|endoftext|>", "special": true""") ||
+      json.contains(s""""id": ${vocab("<|endoftext|>")}"""))
+  }
+
   test("training is invariant under input partitioning") {
     val a = Bpe.trainFromWordCounts(toy, "word", "freq", 4)
     val b = Bpe.trainFromWordCounts(toy.repartition(7), "word", "freq", 4)
