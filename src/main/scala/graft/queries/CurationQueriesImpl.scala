@@ -1428,6 +1428,68 @@ object CurationQueriesImpl {
               transform(col("ids"), _.cast("string")))).as("ids_md5"))
           .orderBy(col("doc_id"))
       }
+
+      // BPE-DROPOUT (q137): the q124 encode replay with each merge
+      // round gated per (doc, token position, rank) by the portable
+      // md5 uniform — the engine's dropout draw IS md5-based, so this
+      // gates the production augmentation path itself (no xxhash
+      // twin): every dropped merge decision and the resulting piece
+      // sequences hash-check.
+      val dropP = 0.3
+      val dropSeed = 42
+      def dropU(k: Int): String = {
+        val m = s"MD5(CONCAT_WS('|', '$dropSeed', " +
+          s"CAST(doc_id AS VARCHAR), CAST(i AS VARCHAR), '$k'))"
+        s"((${OracleDraw.hex8(m)}) + 1.0) / 4294967298.0"
+      }
+      def encStepDrop(k: Int, src: String): String =
+        s"""e$k AS (
+           |  SELECT doc_id, i,
+           |    CASE WHEN ${dropU(k)} < $dropP THEN ws
+           |         ELSE $unpackState END AS ws
+           |  FROM (
+           |    SELECT w.doc_id, w.i, w.ws,
+           |      LIST_REDUCE([CHR(1)] || STRING_SPLIT(w.ws, ' '),
+           |        $foldLambda) AS st
+           |    FROM $src w CROSS JOIN b$k b))""".stripMargin
+      register("q137_bbpe_dropout",
+        s"""WITH $byteMapSql,
+           |$byteW0,
+           |${(1 to 4).map(mergeStep).mkString(",\n")},
+           |toksym AS (
+           |  SELECT doc_id, i, v.j, bm.sym
+           |  FROM (SELECT doc_id, i, HEX(ENCODE(t[i])) AS hx
+           |    FROM (SELECT doc_id,
+           |        REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\\s+') AS t
+           |      FROM documents WHERE doc_id < 10),
+           |      UNNEST(GENERATE_SERIES(1, LEN(t))) u(i)
+           |    WHERE t[i] <> '') h,
+           |    UNNEST(GENERATE_SERIES(0, LEN(hx) // 2 - 1)) v(j), bm
+           |  WHERE bm.b = ${byteOf("v.j")}),
+           |toks AS (
+           |  SELECT doc_id, i, STRING_AGG(sym, ' ' ORDER BY j) AS ws
+           |  FROM toksym GROUP BY doc_id, i),
+           |${(1 to 4).map(k =>
+          encStepDrop(k, if (k == 1) "toks" else s"e${k - 1}"))
+          .mkString(",\n")},
+           |per_doc AS (
+           |  SELECT doc_id,
+           |    CAST(SUM(LEN(STRING_SPLIT(ws, ' '))) AS BIGINT)
+           |      AS n_pieces,
+           |    MD5(STRING_AGG(ws, ' ' ORDER BY i)) AS pieces_md5
+           |  FROM e4 GROUP BY doc_id)
+           |SELECT doc_id, n_pieces, pieces_md5 FROM per_doc
+           |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+        val m = graft.text.Bpe.trainFromWordCounts(
+          bbpeWordCounts(s, dir), "word", "freq", numMerges = 4,
+          minFreq = 1L, symbolize = graft.text.Bpe.byteSymbols)
+        graft.text.Bpe.encodeBytesDropout(
+            table(s, dir, "documents").where(col("doc_id") < 10),
+            "text", "doc_id", m, p = dropP, seed = dropSeed)
+          .select(col("doc_id"), col("n_pieces"),
+            md5(concat_ws(" ", col("pieces"))).as("pieces_md5"))
+          .orderBy(col("doc_id"))
+      }
     }
 
     // CCNet-style text normalization before hashing/dedup: smart

@@ -389,6 +389,100 @@ object Bpe {
           vocabBytes(merges, specialTokens)))
 
   // ---------------------------------------------------------------
+  // BPE-dropout (Provilkov et al. 2020): subword regularization for
+  // the BPE family — during encode, each merge is SKIPPED with
+  // probability p per (document, token position, rank), so the same
+  // word tokenizes into different valid piece sequences across
+  // occurrences and the downstream model sees segmentation variety.
+  // The draw is the library's PORTABLE md5 uniform (Draws.md5Uniform
+  // shape: first 8 md5 hex chars of "seed|doc|pos|rank", (h+1)/(2^32
+  // +2)) — dropout runs at augmentation time where the md5 cost is
+  // immaterial, and using the portable draw means the ORACLE replays
+  // the production path itself: no xxhash twin needed, every dropped
+  // merge and every piece hash-checks cross-engine (q137).
+  // ---------------------------------------------------------------
+
+  private[text] def md5UniformJvm(seed: Long, parts: Seq[Any])
+      : Double = {
+    val s = (seed.toString +: parts.map(_.toString)).mkString("|")
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var v = 0L
+    var i = 0
+    while (i < 4) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    (v.toDouble + 1.0) / 4294967298.0
+  }
+
+  private[text] def applyMergesMask(syms0: Array[String],
+      merges: IndexedSeq[(String, String)],
+      dropped: Int => Boolean): Array[String] = {
+    var syms = syms0
+    var k = 0
+    while (k < merges.length && syms.length >= 2) {
+      if (!dropped(k)) {
+        val (a, b) = merges(k)
+        val out = new scala.collection.mutable.ArrayBuffer[String](
+          syms.length)
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == a &&
+              syms(i + 1) == b) {
+            out += a + b
+            i += 2
+          } else {
+            out += syms(i)
+            i += 1
+          }
+        }
+        syms = out.toArray
+      }
+      k += 1
+    }
+    syms
+  }
+
+  /** Byte-level encode with BPE-dropout: merge rank k is skipped for
+    * the token at 1-based position `pos` of document `id` when
+    * `md5Uniform(seed, id, pos, k+1) < p`. Whitespace pre-tokenizer
+    * (trimmed `\s+` split — positions match the SQL oracle's array
+    * indices); p = 0 reproduces [[encodeBytes]]' whitespace path
+    * exactly. No memo: the mask varies per occurrence by design.
+    * Returns (idCol, pieces, n_pieces). */
+  def encodeBytesDropout(df: DataFrame, textCol: String,
+      idCol: String, merges: Seq[Merge], p: Double,
+      seed: Long): DataFrame = {
+    require(p >= 0 && p < 1, "dropout p in [0,1)")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val table: IndexedSeq[(String, String)] =
+      merges.sortBy(_.rank).map(m => (m.left, m.right)).toIndexedSeq
+    val bc = spark.sparkContext.broadcast(table)
+    val src = df
+      .select(col(idCol).cast("long"),
+        coalesce(col(textCol), lit("")))
+      .as[(java.lang.Long, String)]
+    src.mapPartitions { rows =>
+      val t = bc.value
+      rows.map { case (id, text) =>
+        val pieces = scala.collection.mutable.ArrayBuffer.empty[String]
+        val toks = text.trim.split("\\s+")
+        var pos = 0
+        while (pos < toks.length) {
+          val tok = toks(pos)
+          if (tok.nonEmpty) {
+            val docPos = pos + 1 // 1-based, the oracle's array index
+            pieces ++= applyMergesMask(symbolizeBytes(tok), t,
+              k => md5UniformJvm(seed,
+                Seq(id, docPos, k + 1)) < p)
+          }
+          pos += 1
+        }
+        (id, pieces.toArray, pieces.length.toLong)
+      }
+    }.toDF(idCol, "pieces", "n_pieces")
+  }
+
+  // ---------------------------------------------------------------
   // tokenizer.json interop — the HuggingFace `tokenizers` on-disk
   // format (a PUBLIC json schema: {model: {type: "BPE", vocab:
   // {piece: id}, merges: ["l r", …]}, added_tokens: […]}). A

@@ -70,9 +70,13 @@ object Html {
       : DataFrame = {
     require(!df.columns.contains("frag_"),
       "input already has reserved working column frag_")
+    // null html folds to "" BEFORE the split — posexplode of a null
+    // array emits ZERO rows and would silently drop the document
+    // from mainContent (the dedupLines null trap)
     val exploded = df
       .select(col(idCol),
-        posexplode(split(scrub(col(htmlCol)), BlockTagRe)))
+        posexplode(split(scrub(coalesce(col(htmlCol), lit(""))),
+          BlockTagRe)))
       .withColumnRenamed("pos", "block_idx")
       .withColumnRenamed("col", "frag_")
     val vis = visibleText(col("frag_"))

@@ -306,8 +306,11 @@ object Unigram {
     * §3.2, the standard practical loop): seed from
     * [[seedVocab]]/[[mleScoresDf]], then alternate `emIters` EM
     * updates with pruning the lowest-expected-count multi-character
-    * pieces (single characters are never pruned — segmentation must
-    * stay total) by `pruneFrac` until the vocabulary is ≤ `vocabSize`,
+    * pieces (the PRUNE step never removes single characters; a char
+    * can still drop out of the model if its expected count rounds to
+    * zero micros across the whole corpus — [[encode]]'s
+    * `unkLogpMicros` fallback keeps segmentation total regardless)
+    * by `pruneFrac` until the vocabulary is ≤ `vocabSize`,
     * then run one final EM round. The M-step renormalizes the exact
     * integer expected counts into micro-log2 scores via one
     * vocab-scale Spark expression (the same log path as

@@ -23,6 +23,46 @@ class BpeSpec extends AnyFunSuite {
     assert(m.map(_.merged) == Seq("es", "est", "lo", "low"))
   }
 
+  test("bpe-dropout: p=0 reproduces the plain encode, draws are " +
+      "seed-deterministic, bytes never lost") {
+    val docs = Seq((1L, "the newest lowest the the newest"),
+      (2L, "lower the newest"), (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val merges = Bpe.trainBytes(docs, "text", 6, minFreq = 1L)
+    def run(p: Double, seed: Long) =
+      Bpe.encodeBytesDropout(docs, "text", "doc_id", merges, p, seed)
+        .orderBy($"doc_id").select($"doc_id", $"pieces")
+        .as[(Long, Seq[String])].collect().toSeq
+    // p = 0: exactly the plain whitespace encode
+    val plain = Bpe.encodeBytes(docs, "text", "doc_id", merges,
+        preTokenizer = "whitespace")
+      .orderBy($"doc_id").select($"doc_id", $"pieces")
+      .as[(Long, Seq[String])].collect().toSeq
+    assert(run(0.0, 7L) == plain)
+    // deterministic per seed, partitioning-invariant, seeds differ
+    val a = run(0.5, 42L)
+    assert(a == Bpe.encodeBytesDropout(docs.repartition(7), "text",
+        "doc_id", merges, 0.5, 42L)
+      .orderBy($"doc_id").select($"doc_id", $"pieces")
+      .as[(Long, Seq[String])].collect().toSeq)
+    assert(a != run(0.5, 43L) || a != run(0.5, 44L))
+    // dropped merges SPLIT pieces, never lose bytes: decode restores
+    // the concatenated tokens for every seed
+    for (seed <- 1L to 5L; (id, pieces) <- run(0.5, seed)) {
+      val toks = docs.where($"doc_id" === id)
+        .select(coalesce($"text", lit(""))).as[String].collect().head
+        .trim.split("\\s+").filter(_.nonEmpty).mkString("")
+      assert(Bpe.decodePieces(pieces) == toks)
+    }
+    // dropout produces MORE pieces on average (merges skipped)
+    assert(a.map(_._2.size).sum >= plain.map(_._2.size).sum)
+    // the jvm draw is the exact portable md5Uniform column twin
+    val want = spark.range(1).select(graft.functions.Draws
+        .md5Uniform(42L, Seq(lit(7L), lit(3), lit(2))))
+      .as[Double].collect().head
+    assert(Bpe.md5UniformJvm(42L, Seq(7L, 3, 2)) == want)
+  }
+
   test("tokenizer.json interop: export round-trips merges, ids, " +
       "specials, and the encode itself") {
     val docs = Seq((1L, "the newest lowest the the newest test"),

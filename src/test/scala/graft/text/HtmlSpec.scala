@@ -77,6 +77,18 @@ class HtmlSpec extends AnyFunSuite {
     assert(!plan.contains("Window") && !plan.contains("Join"), plan)
   }
 
+  test("null html survives as an empty document, not a dropped row") {
+    val got = Html.mainContent(
+        Seq((1L, "<p>real prose long enough to keep around here</p>"),
+          (2L, null.asInstanceOf[String])).toDF("doc_id", "html"),
+        "html", "doc_id")
+      .orderBy($"doc_id")
+      .select($"doc_id", $"n_kept", $"text")
+      .as[(Long, Long, String)].collect().toSeq
+    assert(got.map(_._1) == Seq(1L, 2L)) // doc 2 still present
+    assert(got(1)._2 == 0L && got(1)._3 == "")
+  }
+
   test("mainContent is invariant under partitioning") {
     val docs = (0L until 40L).map(i =>
       (i, s"<div><a>nav$i</a><a>more$i</a></div><p>body paragraph " +
