@@ -446,6 +446,74 @@ object Unigram {
     mleScoresDf(counts)
   }
 
+  /** Serialize a model as a minimal HuggingFace-schema
+    * tokenizer.json (`model.type` "Unigram": vocab is an ORDERED
+    * [piece, log-prob] list — entry index IS the id, matching
+    * [[vocabIds]]' rank order; log probs are natural-log doubles in
+    * the HF convention, emitted from the micro-log2 scores as
+    * `micros / 1e6 * ln 2` with full precision). */
+  def toTokenizerJson(pieces: Seq[Piece]): String = {
+    def esc(s: String): String = s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+    val entries = pieces.sortBy(p => (-p.logpMicros, p.piece))
+      .map { p =>
+        val ln = p.logpMicros / 1e6 * StrictMath.log(2.0)
+        s"""["${esc(p.piece)}", $ln]"""
+      }.mkString("[", ", ", "]")
+    s"""{"version": "1.0", "model": {"type": "Unigram", """ +
+      s""""vocab": $entries}}"""
+  }
+
+  /** Parse a [[toTokenizerJson]] unigram model back: scores return to
+    * micro-log2 by the inverse rounding (exact for values that came
+    * from micros — `round(ln / ln 2 * 1e6)`). */
+  def fromTokenizerJson(json: String): Seq[Piece] = {
+    val vKey = "\"vocab\":"
+    val at = json.indexOf(vKey)
+    require(at >= 0, "no vocab field")
+    var i = json.indexOf('[', at) + 1
+    val out = scala.collection.mutable.ArrayBuffer.empty[Piece]
+    while ({
+      while (i < json.length && json.charAt(i) != '[' &&
+        json.charAt(i) != ']') i += 1
+      json.charAt(i) == '['
+    }) {
+      val qStart = json.indexOf('"', i)
+      var j = qStart + 1
+      val sb = new StringBuilder
+      while (json.charAt(j) != '"') {
+        if (json.charAt(j) == '\\') {
+          json.charAt(j + 1) match {
+            case '"' => sb.append('"'); j += 2
+            case '\\' => sb.append('\\'); j += 2
+            case 'n' => sb.append('\n'); j += 2
+            case 'r' => sb.append('\r'); j += 2
+            case 't' => sb.append('\t'); j += 2
+            case 'u' =>
+              sb.append(Integer.parseInt(
+                json.substring(j + 2, j + 6), 16).toChar)
+              j += 6
+            case other => sb.append(other); j += 2
+          }
+        } else { sb.append(json.charAt(j)); j += 1 }
+      }
+      val comma = json.indexOf(',', j)
+      val close = json.indexOf(']', comma)
+      val ln = json.substring(comma + 1, close).trim.toDouble
+      out += Piece(sb.toString,
+        StrictMath.round(ln / StrictMath.log(2.0) * 1e6))
+      i = close + 1
+    }
+    out.toSeq
+  }
+
   /** Closed-form vocabulary ids: pieces ranked by (logp_micros DESC,
     * piece ASC) get ids 0..n-1 — most probable piece = id 0, the
     * SentencePiece convention modulo reserved specials. Closed form

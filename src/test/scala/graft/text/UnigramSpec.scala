@@ -245,6 +245,26 @@ class UnigramSpec extends AnyFunSuite {
     }
   }
 
+  test("tokenizer.json interop: unigram model round-trips pieces, " +
+      "micro scores, ids, and the encode") {
+    val model = Unigram.mleScores(
+      Unigram.seedVocab(toy, "word", "freq", 50, 4))
+    val json = Unigram.toTokenizerJson(model)
+    assert(json.contains("\"type\": \"Unigram\"") &&
+      json.contains("\"vocab\":"))
+    val back = Unigram.fromTokenizerJson(json)
+    assert(back.sortBy(p => (-p.logpMicros, p.piece)) ==
+      model.sortBy(p => (-p.logpMicros, p.piece)))
+    // index order in the file IS the id order
+    assert(Unigram.vocabIds(back) == Unigram.vocabIds(model))
+    val docs = Seq((1L, "newest low lowest")).toDF("doc_id", "text")
+    val a = Unigram.encodeToIds(docs, "text", "doc_id", model)
+      .select($"ids").as[Seq[Int]].collect().head
+    val b = Unigram.encodeToIds(docs, "text", "doc_id", back)
+      .select($"ids").as[Seq[Int]].collect().head
+    assert(a == b && a.nonEmpty)
+  }
+
   test("train is invariant under corpus partitioning") {
     val corpus = Seq((1L, "low lower newest"), (2L, "newest widest"),
       (3L, "low newest low low")).toDF("doc_id", "text")
