@@ -324,8 +324,10 @@ object ScaleSmoke {
     // third of pages; nav/footer boilerplate everywhere
     val pages = spark.range(0, nDocs, 1, 64)
       .select(col("id").as("doc_id"),
-        when(pmod(col("id"), lit(7)) === 0, col("id") - 1)
-          .otherwise(col("id")).as("urlseed"),
+        // doc_id > 0 guard: doc 0 has no predecessor to be a variant
+        // of (CorpusDemo's ingest applies the same rule)
+        when(pmod(col("id"), lit(7)) === 0 && col("id") > 0,
+          col("id") - 1).otherwise(col("id")).as("urlseed"),
         concat_ws(" ",
           transform(sequence(lit(1), lit(40)), i =>
             element_at(words,

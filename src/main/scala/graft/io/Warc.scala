@@ -21,12 +21,13 @@ import org.apache.spark.sql.functions._
   * header fields surface as typed columns.
   *
   * gzip: handled transparently when the file starts with the gzip
-  * magic — a `GZIPInputStream` over the whole stream decodes
-  * concatenated members in sequence (the per-record-member layout
-  * decompresses as one stream).
+  * magic — records are parsed STRAIGHT OFF a `GZIPInputStream` over
+  * the member-concatenated stream (Java's decoder walks members in
+  * sequence), so the decompressed file is never materialized: working
+  * memory is O(one record) on top of the compressed bytes.
   *
-  * Caveat honestly stated: `binaryFile` materializes a file per row
-  * (Spark's format caps at `spark.sql.sources.binaryFile
+  * Caveat honestly stated: `binaryFile` materializes the COMPRESSED
+  * file per row (Spark's format caps at `spark.sql.sources.binaryFile
   * .maxLength`, default 2 GiB) — matched to CommonCrawl's ~1 GiB
   * target file size. A custom streaming FileFormat would lift that;
   * same boundary as the multimodal codecs. */
@@ -45,8 +46,7 @@ object Warc {
       .as[(String, Array[Byte])]
     files.mapPartitions { rows =>
       rows.flatMap { case (file, raw) =>
-        val bytes = maybeGunzip(raw)
-        parseRecords(bytes).zipWithIndex.map { case (r, i) =>
+        parseRecords(recordStream(raw)).zipWithIndex.map { case (r, i) =>
           (file, i.toLong,
             r.headers.getOrElse("warc-type", null),
             r.headers.getOrElse("warc-target-uri", null),
@@ -91,61 +91,77 @@ object Warc {
   private[io] final case class Record(headers: Map[String, String],
       payload: Array[Byte])
 
-  private[io] def maybeGunzip(raw: Array[Byte]): Array[Byte] =
+  /** Stream over a file's bytes: a buffered `GZIPInputStream` when
+    * the gzip magic is present (member-concatenated production
+    * layout decodes in sequence), the raw bytes otherwise. The
+    * decompressed file is never buffered whole. */
+  private[io] def recordStream(raw: Array[Byte]): java.io.InputStream = {
+    val base = new java.io.ByteArrayInputStream(raw)
     if (raw.length >= 2 && (raw(0) & 0xff) == 0x1f &&
-        (raw(1) & 0xff) == 0x8b) {
-      val in = new java.util.zip.GZIPInputStream(
-        new java.io.ByteArrayInputStream(raw))
-      val out = new java.io.ByteArrayOutputStream()
-      val buf = new Array[Byte](1 << 16)
-      var n = in.read(buf)
-      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
-      out.toByteArray
-    } else raw
+        (raw(1) & 0xff) == 0x8b)
+      new java.io.BufferedInputStream(
+        new java.util.zip.GZIPInputStream(base, 1 << 16), 1 << 16)
+    else base
+  }
 
-  /** Walk concatenated records; malformed trailing bytes end the
-    * walk (truncated files are a fact of crawls — read what parses,
-    * don't throw away the file). */
-  private[io] def parseRecords(bytes: Array[Byte]): Iterator[Record] =
+  /** Walk concatenated records straight off the stream — O(record)
+    * working memory. Malformed trailing bytes (truncated payload,
+    * unparseable or absent Content-Length, missing header terminator)
+    * end the walk: truncated files are a fact of crawls — read what
+    * parses, don't throw away the file (and never throw a task). */
+  private[io] def parseRecords(in: java.io.InputStream)
+      : Iterator[Record] =
     new Iterator[Record] {
-      private var pos = 0
-      private var nextRec: Record = advance()
-      private def lineAt(p: Int): (String, Int) = {
-        var e = p
-        while (e + 1 < bytes.length &&
-          !(bytes(e) == '\r' && bytes(e + 1) == '\n')) e += 1
-        (new String(bytes, p, e - p,
-          java.nio.charset.StandardCharsets.ISO_8859_1), e + 2)
+      private var eof = false
+      // reads a CRLF/LF-terminated line; null at EOF-before-any-byte
+      private def readLine(): String = {
+        val sb = new java.lang.StringBuilder(64)
+        var b = in.read()
+        if (b < 0) { eof = true; return null }
+        while (b >= 0 && b != '\n') { sb.append(b.toChar); b = in.read() }
+        if (b < 0) eof = true
+        val l = sb.length
+        if (l > 0 && sb.charAt(l - 1) == '\r') sb.setLength(l - 1)
+        sb.toString
       }
+      private def readFully(n: Int): Array[Byte] = {
+        val buf = new Array[Byte](n)
+        var off = 0
+        while (off < n) {
+          val got = in.read(buf, off, n - off)
+          if (got < 0) return null
+          off += got
+        }
+        buf
+      }
+      private var nextRec: Record = advance()
       private def advance(): Record = {
-        // seek the version line
-        while (pos < bytes.length) {
-          val (line, after) = lineAt(pos)
+        // seek the version line (skipping inter-record blank lines)
+        while (!eof) {
+          val line = readLine()
+          if (line == null) return null
           if (line.startsWith("WARC/")) {
-            var p = after
             val hs = scala.collection.mutable.Map.empty[String, String]
             var done = false
-            while (!done && p < bytes.length) {
-              val (l, a) = lineAt(p)
-              p = a
-              if (l.isEmpty) done = true
+            while (!done && !eof) {
+              val l = readLine()
+              if (l == null || l.isEmpty) done = l != null
               else {
                 val i = l.indexOf(':')
                 if (i > 0) hs(l.substring(0, i).trim.toLowerCase) =
                   l.substring(i + 1).trim
               }
             }
-            val len = hs.get("content-length").map(_.toInt)
-              .getOrElse(-1)
-            if (done && len >= 0 && p + len <= bytes.length) {
-              val payload = java.util.Arrays.copyOfRange(bytes, p,
-                p + len)
-              pos = p + len
-              return Record(hs.toMap, payload)
-            } else { pos = bytes.length; return null }
-          } else if (line.isEmpty && after > pos) pos = after
-          else if (after > pos) pos = after
-          else { pos = bytes.length }
+            // toLongOption: a corrupt non-numeric Content-Length is a
+            // truncation-equivalent, not a task failure
+            val len = hs.get("content-length")
+              .flatMap(v => v.trim.toLongOption).getOrElse(-1L)
+            if (!done || len < 0 || len > Int.MaxValue - 8) return null
+            val payload = readFully(len.toInt)
+            if (payload == null) return null
+            return Record(hs.toMap, payload)
+          }
+          // non-WARC line: skip and keep seeking
         }
         null
       }

@@ -128,9 +128,11 @@ object H264 {
     out.toByteArray
   }
 
-  /** Split an Annex-B stream into (nal_unit_type, rbsp) units. */
+  /** Split an Annex-B stream into (nal_unit_type, nal_ref_idc, rbsp)
+    * units — nal_ref_idc (header bits 5-6) gates dec_ref_pic_marking
+    * presence in slice headers (7.3.3: only when nonzero). */
   private[multimodal] def splitAnnexB(content: Array[Byte])
-      : Seq[(Int, Array[Byte])] = {
+      : Seq[(Int, Int, Array[Byte])] = {
     val starts = scala.collection.mutable.ArrayBuffer.empty[Int]
     var i = 0
     while (i + 3 <= content.length) {
@@ -144,9 +146,10 @@ object H264 {
         // unit's 00 00 01 / 00 00 00 01)
         var end = e - 3
         while (end > s && content(end - 1) == 0) end -= 1
-        (content(s) & 0x1f, unescapeRbsp(content, s + 1, end))
+        (content(s) & 0x1f, (content(s) >> 5) & 3,
+          unescapeRbsp(content, s + 1, end))
       }
-      .filter(_._2.nonEmpty)
+      .filter(_._3.nonEmpty)
   }
 
   // ------------------------------------------------------------------
@@ -1260,7 +1263,7 @@ object H264 {
       }
       val it = nals.iterator
       while (it.hasNext && pics.length < maxPictures) {
-        val (typ, rbsp) = it.next()
+        val (typ, refIdc, rbsp) = it.next()
         typ match {
           case 7 => sps = parseSps(rbsp).orElse(return None)
           case 8 => pps = parsePps(rbsp).orElse(return None)
@@ -1282,11 +1285,12 @@ object H264 {
                   if (p.redundantPicCnt && br.ue() != 0) {
                     // redundant coded picture: skip
                   } else {
-                    if (typ == 5) { br.flag(); br.flag() } // dec_ref_pic_marking
-                    else {
-                      // non-IDR I slice of a reference picture:
-                      // adaptive_ref_pic_marking_mode_flag
-                      if (br.flag()) return None // MMCO unsupported
+                    // dec_ref_pic_marking: present ONLY when
+                    // nal_ref_idc != 0 (7.3.3) — non-reference I
+                    // slices carry no marking syntax at all
+                    if (refIdc != 0) {
+                      if (typ == 5) { br.flag(); br.flag() }
+                      else if (br.flag()) return None // MMCO unsupported
                     }
                     val qpSlice = p.picInitQp + br.se()
                     if (p.deblockControl) {

@@ -36,7 +36,10 @@ object CurationQueriesImpl {
   /** doc_id-keyed synthetic URL for the q130/q131 gates: every
     * canonicalization branch fires on some cohort — scheme case/www
     * (%3), default vs explicit port (%11/%13 × scheme %2), trailing
-    * slash (%3), tracking params + param order (%2), fragment (%19).
+    * slash (%3), tracking params + param order (%2), fragment (%19),
+    * and the SPA hash-routing trap (%23): NO query, but a `?` inside
+    * the fragment — RFC 3986 says that's fragment content, so the
+    * canonical must carry no query at all.
     * The ORACLE never parses it: it derives the canonical form from
     * the same doc_id arithmetic — an independent ground truth. */
   private def augmentUrl(df: DataFrame): DataFrame = df.withColumn(
@@ -56,10 +59,13 @@ object CurationQueriesImpl {
       lit("/path/"), pmod(col("doc_id"), lit(17)).cast("string"),
       when(pmod(col("doc_id"), lit(3)) === 0, lit("/"))
         .otherwise(lit("")),
-      when(pmod(col("doc_id"), lit(2)) === 0,
-        lit("?utm_source=feed&b=2&a=1")).otherwise(lit("?a=1&b=2")),
-      when(pmod(col("doc_id"), lit(19)) === 0, lit("#frag"))
-        .otherwise(lit(""))))
+      when(pmod(col("doc_id"), lit(23)) === 0,
+        lit("#/route?tab=1&x=2"))
+        .otherwise(concat(
+          when(pmod(col("doc_id"), lit(2)) === 0,
+            lit("?utm_source=feed&b=2&a=1")).otherwise(lit("?a=1&b=2")),
+          when(pmod(col("doc_id"), lit(19)) === 0, lit("#frag"))
+            .otherwise(lit(""))))))
 
   /** The q130/q131 oracle's closed-form canonical URL off doc_id —
     * mirrors [[augmentUrl]]'s arithmetic, NOT the parser. */
@@ -70,7 +76,8 @@ object CurationQueriesImpl {
       "CASE WHEN doc_id % 11 = 0 AND doc_id % 2 = 1 THEN ':80' " +
       "WHEN doc_id % 11 <> 0 AND doc_id % 13 = 0 THEN ':8080' " +
       "ELSE '' END || " +
-      "'/path/' || CAST(doc_id % 17 AS VARCHAR) || '?a=1&b=2'"
+      "'/path/' || CAST(doc_id % 17 AS VARCHAR) || " +
+      "CASE WHEN doc_id % 23 = 0 THEN '' ELSE '?a=1&b=2' END"
 
   /** doc_id-keyed synthetic page for the q133 html-extraction gate:
     * script/style/comment scrub, a link-dense nav div (must drop),

@@ -545,41 +545,78 @@ object Bpe {
     sb.toString
   }
 
-  // a json STRING literal (handles escapes), returning (value, end)
-  private def parseJsonString(s: String, start: Int): (String, Int) = {
-    require(s.charAt(start) == '"', s"expected string at $start")
+  // a json STRING literal (handles escapes), returning (value, end).
+  // Bounds-checked: truncated input fails with a descriptive require,
+  // not a StringIndexOutOfBoundsException.
+  private[text] def parseJsonString(s: String, start: Int)
+      : (String, Int) = {
+    require(start >= 0 && start < s.length &&
+      s.charAt(start) == '"', s"expected JSON string at offset $start")
     var i = start + 1
     val sb = new StringBuilder
-    while (s.charAt(i) != '"') {
-      if (s.charAt(i) == '\\') { sb.append(s.charAt(i)); i += 1 }
+    while (i < s.length && s.charAt(i) != '"') {
+      if (s.charAt(i) == '\\') {
+        sb.append(s.charAt(i)); i += 1
+        require(i < s.length, "truncated JSON: escape at end of input")
+      }
       sb.append(s.charAt(i)); i += 1
     }
+    require(i < s.length, "truncated JSON: unterminated string")
     (jsonUnescape(sb.toString), i + 1)
   }
 
-  /** Parse a tokenizer.json produced by [[toTokenizerJson]] (or any
-    * BPE-schema file whose merges are "left right" strings): returns
-    * (merges in rank order, special tokens). The merge frequencies
-    * aren't stored by the format (they're training metadata) and come
-    * back as 0. */
+  private def skipJsonFiller(s: String, start: Int): Int = {
+    var i = start
+    while (i < s.length && (s.charAt(i) == ' ' || s.charAt(i) == ',' ||
+      s.charAt(i) == '\n' || s.charAt(i) == '\r' ||
+      s.charAt(i) == '\t')) i += 1
+    i
+  }
+
+  /** Parse a tokenizer.json produced by [[toTokenizerJson]] or by
+    * HuggingFace `tokenizers` — BOTH merge serializations are
+    * accepted: the classic `"left right"` string form and the
+    * two-element array form `["left", "right"]` that tokenizers
+    * >= 0.14 emits. Returns (merges in rank order, special tokens).
+    * The merge frequencies aren't stored by the format (they're
+    * training metadata) and come back as 0. Malformed/truncated input
+    * fails with a descriptive require message. */
   def fromTokenizerJson(json: String): (Seq[Merge], Seq[String]) = {
     // merges array: the "merges": [ … ] slice
     val mKey = "\"merges\":"
     val mAt = json.indexOf(mKey)
     require(mAt >= 0, "no merges field")
-    var i = json.indexOf('[', mAt) + 1
+    val open = json.indexOf('[', mAt)
+    require(open >= 0, "no merges array")
+    var i = open + 1
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
-    while ({
-      while (i < json.length && json.charAt(i) != '"' &&
-        json.charAt(i) != ']') i += 1
-      json.charAt(i) == '"'
-    }) {
-      val (pair, after) = parseJsonString(json, i)
-      i = after
-      val sp = pair.lastIndexOf(' ')
-      require(sp > 0, s"malformed merge: $pair")
-      val (l, r) = (pair.substring(0, sp), pair.substring(sp + 1))
-      merges += Merge(merges.length + 1, l, r, l + r, 0L)
+    var done = false
+    while (!done) {
+      i = skipJsonFiller(json, i)
+      require(i < json.length, "truncated JSON: unterminated merges")
+      json.charAt(i) match {
+        case ']' => done = true
+        case '"' => // "left right" string form
+          val (pair, after) = parseJsonString(json, i)
+          i = after
+          val sp = pair.lastIndexOf(' ')
+          require(sp > 0, s"malformed merge: $pair")
+          val (l, r) = (pair.substring(0, sp), pair.substring(sp + 1))
+          merges += Merge(merges.length + 1, l, r, l + r, 0L)
+        case '[' => // ["left", "right"] array form (tokenizers >=0.14)
+          i = skipJsonFiller(json, i + 1)
+          val (l, afterL) = parseJsonString(json, i)
+          i = skipJsonFiller(json, afterL)
+          val (r, afterR) = parseJsonString(json, i)
+          i = skipJsonFiller(json, afterR)
+          require(i < json.length && json.charAt(i) == ']',
+            s"malformed merge entry near offset $i: expected ]")
+          i += 1
+          merges += Merge(merges.length + 1, l, r, l + r, 0L)
+        case other =>
+          require(false,
+            s"unexpected '$other' in merges array at offset $i")
+      }
     }
     // added_tokens contents
     val specials = scala.collection.mutable.ArrayBuffer.empty[String]

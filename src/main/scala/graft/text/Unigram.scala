@@ -473,23 +473,30 @@ object Unigram {
 
   /** Parse a [[toTokenizerJson]] unigram model back: scores return to
     * micro-log2 by the inverse rounding (exact for values that came
-    * from micros — `round(ln / ln 2 * 1e6)`). */
+    * from micros — `round(ln / ln 2 * 1e6)`). Truncated/malformed
+    * input fails with a descriptive require, never an index error. */
   def fromTokenizerJson(json: String): Seq[Piece] = {
     val vKey = "\"vocab\":"
     val at = json.indexOf(vKey)
     require(at >= 0, "no vocab field")
-    var i = json.indexOf('[', at) + 1
+    val open = json.indexOf('[', at)
+    require(open >= 0, "truncated JSON: no vocab array")
+    var i = open + 1
     val out = scala.collection.mutable.ArrayBuffer.empty[Piece]
     while ({
       while (i < json.length && json.charAt(i) != '[' &&
         json.charAt(i) != ']') i += 1
+      require(i < json.length, "truncated JSON: unterminated vocab")
       json.charAt(i) == '['
     }) {
       val qStart = json.indexOf('"', i)
+      require(qStart >= 0, "truncated JSON: vocab entry without piece")
       var j = qStart + 1
       val sb = new StringBuilder
-      while (json.charAt(j) != '"') {
+      while (j < json.length && json.charAt(j) != '"') {
         if (json.charAt(j) == '\\') {
+          require(j + 1 < json.length,
+            "truncated JSON: escape at end of input")
           json.charAt(j + 1) match {
             case '"' => sb.append('"'); j += 2
             case '\\' => sb.append('\\'); j += 2
@@ -497,6 +504,8 @@ object Unigram {
             case 'r' => sb.append('\r'); j += 2
             case 't' => sb.append('\t'); j += 2
             case 'u' =>
+              require(j + 6 <= json.length,
+                "truncated JSON: incomplete \\u escape")
               sb.append(Integer.parseInt(
                 json.substring(j + 2, j + 6), 16).toChar)
               j += 6
@@ -504,9 +513,16 @@ object Unigram {
           }
         } else { sb.append(json.charAt(j)); j += 1 }
       }
+      require(j < json.length, "truncated JSON: unterminated string")
       val comma = json.indexOf(',', j)
+      require(comma >= 0, "truncated JSON: vocab entry without score")
       val close = json.indexOf(']', comma)
-      val ln = json.substring(comma + 1, close).trim.toDouble
+      require(close >= 0, "truncated JSON: unterminated vocab entry")
+      val ln = json.substring(comma + 1, close).trim.toDoubleOption
+        .getOrElse(
+          throw new IllegalArgumentException(
+            "malformed vocab score: " +
+              json.substring(comma + 1, close).trim))
       out += Piece(sb.toString,
         StrictMath.round(ln / StrictMath.log(2.0) * 1e6))
       i = close + 1

@@ -53,9 +53,13 @@ object Urls {
     regexp_extract(url,
       "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(/[^?#]*)", 1)
 
-  /** Query string without the `?` ("" when absent). */
+  /** Query string without the `?` ("" when absent). Per RFC 3986 the
+    * fragment starts at the FIRST `#`, so a `?` appearing after it
+    * (SPA hash-routing: `https://h/p#/route?tab=1`) is fragment
+    * content, NOT a query — the regex therefore requires the `?` to
+    * occur before any `#`. */
   def urlQuery(url: Column): Column =
-    regexp_extract(url, "\\?([^#]*)", 1)
+    regexp_extract(url, "^[^#]*\\?([^#]*)", 1)
 
   /** Registrable-domain APPROXIMATION without a public-suffix list:
     * the last two host labels, or the last three when the middle one

@@ -98,6 +98,38 @@ class WarcSpec extends AnyFunSuite {
     assert(n == fixtures.length - 1L)
   }
 
+  test("corrupt Content-Length ends the walk like a truncation — " +
+      "never throws a task") {
+    // a non-numeric length on the THIRD record: records 0-1 survive,
+    // the walk stops there (can't locate the next record boundary)
+    val bad = fixtures.take(2) ++ Seq(fixtures(2)) ++ fixtures.drop(3)
+    val bytes = Warc.encodeWarc(bad)
+    val pat = s"content-length: ${fixtures(2).payload.length}"
+      .getBytes("ISO-8859-1")
+    val at = bytes.indexOfSlice(pat)
+    assert(at > 0)
+    val corrupted = bytes.clone()
+    corrupted(at + "content-length: ".length) = 'x'
+    val dir = java.nio.file.Files.createTempDirectory("warcc").toString
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "part-0.warc"), corrupted)
+    assert(Warc.readWarc(spark, dir).count() == 2L)
+  }
+
+  test("records parse straight off the gzip stream — the " +
+      "decompressed file is never buffered whole") {
+    // a highly-compressible payload far larger than any single read
+    // buffer: record-at-a-time parsing must reproduce it exactly
+    val big = Array.fill[Byte](8 << 20)('a'.toByte)
+    val in = Warc.recordStream(
+      Warc.encodeWarc(Seq(rec("resource", "urn:big", big)),
+        gzipPerRecord = true))
+    assert(!in.isInstanceOf[java.io.ByteArrayInputStream])
+    val got = Warc.parseRecords(in).toSeq
+    assert(got.length == 1 &&
+      java.util.Arrays.equals(got.head.payload, big))
+  }
+
   test("warc -> http body -> Html.mainContent composes end to end") {
     val body = Warc.httpResponses(
         Warc.readWarc(spark, writeFixture(gz = false)))

@@ -316,4 +316,39 @@ class H264Spec extends AnyFunSuite {
       (_, _) => 100)))
     assert(!H264.isAnnexB(m))
   }
+
+  test("non-reference I slice (nal_ref_idc=0) decodes: no " +
+      "dec_ref_pic_marking syntax is read (7.3.3)") {
+    // external encoders emit non-IDR, non-reference I slices
+    // (nal header 0x01) whose headers carry NO dec_ref_pic_marking;
+    // splitAnnexB must surface nal_ref_idc for the header parse to
+    // skip it. Fixture: encoder's own SPS/PPS + a hand-written
+    // one-PCM-macroblock type-1/refIdc-0 slice for a 16x16 frame.
+    val p = mkPicture(16, 16, (x, y) => (x * 17 + y * 5) % 256,
+      (x, y) => 30 + x + y, (x, y) => 200 - x - y)
+    val (stream, _) = H264.encodeWithRecon(Seq(p), mbMode = "pcm")
+    val idrAt = stream.indexOfSlice(Array[Byte](0, 0, 0, 1, 0x65))
+    assert(idrAt > 0, "encoder stream should hold one IDR NAL")
+    val paramSets = stream.take(idrAt)
+    val bw = new H264.BitWriter
+    bw.ue(0) // first_mb_in_slice
+    bw.ue(7) // slice_type I
+    bw.ue(0) // pps id
+    bw.write(0, 4) // frame_num (log2_max_frame_num = 4)
+    // pocType=2 in the encoder SPS: no POC syntax; nal_ref_idc=0:
+    // NO dec_ref_pic_marking here — the bits that follow are already
+    // slice_qp_delta
+    bw.se(0) // slice_qp_delta
+    bw.ue(1) // disable_deblocking_filter_idc (control present in PPS)
+    bw.ue(25); bw.align() // I_PCM
+    p.y.foreach(v => bw.write(v, 8))
+    p.cb.foreach(v => bw.write(v, 8))
+    p.cr.foreach(v => bw.write(v, 8))
+    bw.trailing()
+    val nonRef = paramSets ++ Array[Byte](0, 0, 0, 1, 0x01) ++
+      H264.escapeRbsp(bw.bytes)
+    val Some((_, pics)) = H264.decodeIPictures(nonRef, 4)
+    assert(pics.length == 1)
+    assertSamePicture(pics.head, p, "non-ref I slice")
+  }
 }

@@ -95,6 +95,46 @@ class BpeSpec extends AnyFunSuite {
       json.contains(s""""id": ${vocab("<|endoftext|>")}"""))
   }
 
+  test("fromTokenizerJson accepts the array merge form that " +
+      "tokenizers >= 0.14 emits, and fails cleanly on truncation") {
+    // the same model serialized both ways must import identically
+    val docs = Seq((1L, "the newest lowest the the newest test"))
+      .toDF("doc_id", "text")
+    val merges = Bpe.trainBytes(docs, "text", numMerges = 6,
+      minFreq = 1L)
+    val stringForm = Bpe.toTokenizerJson(merges)
+    val arrayForm = {
+      // rewrite "merges": ["a b", …] → [["a", "b"], …]
+      val key = "\"merges\": ["
+      val at = stringForm.indexOf(key) + key.length
+      val end = stringForm.indexOf(']', at)
+      val entries = stringForm.substring(at, end).split(", ")
+        .filter(_.nonEmpty)
+        .map { s =>
+          val body = s.stripPrefix("\"").stripSuffix("\"")
+          val sp = body.lastIndexOf(' ')
+          s"""["${body.substring(0, sp)}", "${body.substring(sp + 1)}"]"""
+        }
+      stringForm.substring(0, at) + entries.mkString(", ") +
+        stringForm.substring(end)
+    }
+    val (a, _) = Bpe.fromTokenizerJson(stringForm)
+    val (b, _) = Bpe.fromTokenizerJson(arrayForm)
+    assert(a.map(m => (m.rank, m.left, m.right)) ==
+      b.map(m => (m.rank, m.left, m.right)) && a.nonEmpty)
+    // truncated input: descriptive require, not an index error
+    Seq(stringForm.take(stringForm.length / 2),
+        arrayForm.take(arrayForm.indexOf("[[") + 3),
+        """{"model": {"merges": ["a""").foreach { bad =>
+      val e = intercept[IllegalArgumentException] {
+        Bpe.fromTokenizerJson(bad)
+      }
+      assert(e.getMessage.contains("truncated") ||
+        e.getMessage.contains("malformed") ||
+        e.getMessage.contains("merges"), e.getMessage)
+    }
+  }
+
   test("training is invariant under input partitioning") {
     val a = Bpe.trainFromWordCounts(toy, "word", "freq", 4)
     val b = Bpe.trainFromWordCounts(toy.repartition(7), "word", "freq", 4)

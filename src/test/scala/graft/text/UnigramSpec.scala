@@ -265,6 +265,29 @@ class UnigramSpec extends AnyFunSuite {
     assert(a == b && a.nonEmpty)
   }
 
+  test("fromTokenizerJson fails cleanly on truncated/malformed " +
+      "input — descriptive require, never an index error") {
+    val model = Unigram.mleScores(
+      Unigram.seedVocab(toy, "word", "freq", 20, 4))
+    val json = Unigram.toTokenizerJson(model)
+    val cuts = Seq(json.indexOf("\"vocab\":") + 9,
+      json.indexOf("[[") + 3, json.length / 2,
+      json.lastIndexOf(']') - 1)
+    cuts.foreach { n =>
+      val e = intercept[IllegalArgumentException] {
+        Unigram.fromTokenizerJson(json.take(n))
+      }
+      assert(e.getMessage.contains("truncated") ||
+        e.getMessage.contains("malformed") ||
+        e.getMessage.contains("vocab"), s"cut $n: ${e.getMessage}")
+    }
+    val e = intercept[IllegalArgumentException] {
+      Unigram.fromTokenizerJson(
+        """{"model": {"vocab": [["a", not-a-number]]}}""")
+    }
+    assert(e.getMessage.contains("malformed vocab score"))
+  }
+
   test("train is invariant under corpus partitioning") {
     val corpus = Seq((1L, "low lower newest"), (2L, "newest widest"),
       (3L, "low newest low low")).toDF("doc_id", "text")

@@ -51,6 +51,25 @@ class UrlsSpec extends AnyFunSuite {
     assert(diff.distinct.size == 4, diff.toString)
   }
 
+  test("a '?' inside the fragment is NOT a query (RFC 3986: the " +
+      "fragment starts at the first '#')") {
+    // SPA hash-routing: #/route?tab=1 is all fragment — dropping it
+    // must NOT leak ?tab=1 into the canonical (that would over-dedup
+    // against the genuinely distinct page /p?tab=1)
+    assert(canon(
+      "https://h.com/p#/route?tab=1",
+      "https://h.com/p?tab=1",
+      "https://h.com/p#sec?x=1",
+      "https://h.com/p?a=1#frag?b=2") == Seq(
+      "https://h.com/p", // no query at all
+      "https://h.com/p?tab=1", // a real query — distinct resource
+      "https://h.com/p",
+      "https://h.com/p?a=1")) // query before '#' kept, fragment gone
+    assert(spark.range(1)
+      .select(Urls.urlQuery(lit("https://h/p#sec?x=1")).as("q"))
+      .as[String].head() == "")
+  }
+
   test("null and scheme-less urls canonicalize to null") {
     val got = Seq[String](null, "not a url", "example.com/a",
         "ftp://files.example.com/x")
