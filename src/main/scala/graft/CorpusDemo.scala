@@ -110,11 +110,22 @@ object CorpusDemo {
     println(f"[corpus] ingest kept $total%,d of ${raw.count()}%,d " +
       "crawled pages (url variants dropped)")
 
-    // 1. score every document in one map pass
+    // 1. score every document in one map pass. Language ID runs the
+    //    TRAINED char-n-gram Naive-Bayes (the production path, q138)
+    //    — the model trains once on the labeled seed and rides the
+    //    scan as a literal map, shuffle-free; the stopword heuristic
+    //    only backstops rows the model can't score.
+    val langModel = t("langid: train char-ngram NB on seed") {
+      import spark.implicits._
+      graft.text.LanguageId.train(
+        graft.text.LanguageId.builtinSeed.toDF("lang", "text"),
+        "text", "lang", nMin = 2, nMax = 3, topK = 1024)
+    }
     val scored = t("score: lang/quality/repetition") {
-      docs
+      graft.text.LanguageId.applyWithFallback(docs, "text", langModel)
+        .withColumnRenamed("language", "lang_pred")
+        .drop("score_micro", "scores_micro")
         .withColumn("tok_", TextAnalysis.tokens(lower(col("text"))))
-        .withColumn("lang_pred", TextAnalysis.languageId(col("text")))
         .withColumn("quality", TextAnalysis.qualityScore(col("text")))
         .withColumn("top_word_frac",
           TextAnalysis.topCount(col("tok_")).cast("double") /
@@ -173,14 +184,17 @@ object CorpusDemo {
     // 6b. CCNet perplexity split per language over the DEDUPED corpus
     //     (duplicates would otherwise inflate their own n-gram
     //     probabilities): the least-fluent third per language — the
-    //     tail bucket — drops. Hierarchical prefix-sum bucketing, no
-    //     per-language sort task.
-    val fluent = t("ppl: drop the CCNet tail bucket per language") {
-      val keep = Curation.perplexityBuckets(deduped, "text", "doc_id",
-          Seq("lang_pred"))
-        .where(col("bucket") =!= "tail")
+    //     tail bucket — drops, scored by the KNESER-NEY BIGRAM LM
+    //     (CCNet's actual filter is a smoothed n-gram model, not
+    //     unigram frequency). Documents too short to form a bigram
+    //     carry no fluency evidence and are kept. Hierarchical
+    //     prefix-sum bucketing, no per-language sort task.
+    val fluent = t("ppl: drop the KN-bigram tail bucket per language") {
+      val buckets = Curation.perplexityBucketsKn(deduped, "text",
+        "doc_id", Seq("lang_pred"))
+      val drop = buckets.where(col("bucket") === "tail")
         .select(col("doc_id"))
-      deduped.join(keep, Seq("doc_id"), "left_semi")
+      deduped.join(drop, Seq("doc_id"), "left_anti")
         .localCheckpoint(false)
     }
 

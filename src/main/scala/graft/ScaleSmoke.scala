@@ -377,6 +377,14 @@ object ScaleSmoke {
         .localCheckpoint()
       paraKept.count()
     }
+    t("kn-bigram fluency cut (tail drop)") {
+      // the CorpusDemo 6b shape at corpus scale: KN-bigram bits per
+      // pair -> hierarchical buckets -> drop the least-fluent third
+      graft.text.Curation.perplexityBucketsKn(
+          paraKept.withColumn("lang_", lit("all")), "text", "doc_id",
+          Seq("lang_"))
+        .where(col("bucket") =!= "tail").count()
+    }
     t("unigram seed vocab (4096 pieces)") {
       val counts = paraKept
         .select(explode(graft.text.TextAnalysis.tokens(

@@ -156,6 +156,13 @@ object GraftExtensions {
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       (children: Seq[Expression]) =>
         DotProduct(children.head, children(1))),
+    (new FunctionIdentifier("graft_nfkc"),
+      new ExpressionInfo(classOf[NfkcNormalize].getName, "graft_nfkc"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          s"graft_nfkc expects 1 argument, got ${children.length}")
+        NfkcNormalize(children.head)
+      }),
     fromColumns("graft_cosine", 2, c =>
       graft.similarity.Similarity.cosine(c(0), c(1))),
     fromColumns("graft_vapor_pressure", 2, c =>

@@ -1543,6 +1543,58 @@ object CurationQueriesImpl {
         .orderBy(col("doc_id"))
     }
 
+    // NFKC normalization (q140): DuckDB has no NFKC, so the oracle is
+    // CONSTRUCTION-KEYED — the fixture appends NFKC-sensitive
+    // renderings (full-width letters, ffi/fi ligatures, combining
+    // accents, №/circled digits) per doc_id cohort, and the oracle
+    // restates each cohort's EXPECTED post-NFKC bytes from the
+    // Unicode tables (ＡＢＣ→ABC, ﬃ→ffi, e+U+0301→é, №①②→No12),
+    // then replays the same downstream lower/translate/collapse
+    // chain as q121. The md5 of every normalized document
+    // hash-checks byte for byte, so a wrong fold in ANY cohort fails.
+    register("q140_nfkc_normalize",
+      """WITH aug AS (SELECT doc_id,
+        |    text ||
+        |    CASE WHEN doc_id % 3 = 0 THEN ' abc' ELSE '' END ||
+        |    CASE WHEN doc_id % 4 = 0 THEN ' office final'
+        |      ELSE '' END ||
+        |    CASE WHEN doc_id % 5 = 0 THEN ' caf' || CHR(233) ||
+        |      ' d' || CHR(233) || 'j' || CHR(224) ELSE '' END ||
+        |    CASE WHEN doc_id % 7 = 0 THEN ' no12' ELSE '' END
+        |      AS text
+        |  FROM documents),
+        |n AS (SELECT doc_id,
+        |    TRIM(REGEXP_REPLACE(TRANSLATE(LOWER(text),
+        |      chr(8217) || chr(8216) || chr(8220) || chr(8221) ||
+        |        chr(8211) || chr(8212) || chr(8230) || chr(160),
+        |      CONCAT(chr(39), chr(39), '""--. ')),
+        |      '\s+', ' ', 'g')) AS t
+        |  FROM aug)
+        |SELECT doc_id, MD5(t) AS norm_md5,
+        |  CAST(LENGTH(t) AS BIGINT) AS n_chars_norm
+        |FROM n ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val aug = table(s, dir, "documents").withColumn("text", concat(
+        col("text"),
+        // full-width ＡＢＣ (U+FF21..23) -> abc
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          lit(" \uFF21\uFF22\uFF23")).otherwise(lit("")),
+        // ligatures: oﬃce (U+FB03), ﬁnal (U+FB01)
+        when(pmod(col("doc_id"), lit(4)) === 0,
+          lit(" o\uFB03ce \uFB01nal")).otherwise(lit("")),
+        // combining accents: cafe+U+0301, d+e+U+0301, a+U+0300
+        when(pmod(col("doc_id"), lit(5)) === 0,
+          lit(" cafe\u0301 de\u0301ja\u0300")).otherwise(lit("")),
+        // № (U+2116) + circled digits (U+2460, U+2461)
+        when(pmod(col("doc_id"), lit(7)) === 0,
+          lit(" \u2116\u2460\u2461")).otherwise(lit(""))))
+      aug.select(col("doc_id"),
+          graft.text.TextAnalysis.normalizeText(col("text"),
+            nfkc = true).as("t_"))
+        .select(col("doc_id"), md5(col("t_")).as("norm_md5"),
+          length(col("t_")).cast("long").as("n_chars_norm"))
+        .orderBy(col("doc_id"))
+    }
+
     // mT5-style alpha = 0.3 temperature sampling over sources. POW is
     // transcendental like the LOG/LN gates — micro rounding is the
     // established tolerance contract.
@@ -1627,16 +1679,31 @@ object CurationQueriesImpl {
       }
 
       // one DP boundary: best (score, longer last piece) over the
-      // ≤ maxPiece candidate pieces ending at j, prefix carried along
-      def dpStep(j: Int): String = {
+      // ≤ maxPiece candidate pieces ending at j, prefix carried
+      // along. Parameterized by vocab CTE and boundary prefix so the
+      // q139 chain can run a SECOND DP against the round-1 model; the
+      // k=1 branch LEFT-joins with the engine's unk fallback so a
+      // character the pruned model lost stays segmentable (COALESCE
+      // never fires against the seed vocab — it keeps ALL chars).
+      def dpStepIn(vocab: String, pfx: String)(j: Int): String = {
         val branches = (1 to math.min(maxPiece, j)).map { k =>
-          s"""      SELECT p.word, p.score + v.logp_micros AS score,
-             |        $k AS plen, p.segp || ' ' || v.piece AS segp
-             |      FROM b${j - k} p JOIN scored v
-             |        ON v.piece = SUBSTR(p.word, ${j - k + 1}, $k)
-             |      WHERE LEN(p.word) >= $j""".stripMargin
+          if (k == 1)
+            s"""      SELECT p.word,
+               |        p.score + COALESCE(v.logp_micros, -100000000)
+               |          AS score,
+               |        1 AS plen,
+               |        p.segp || ' ' || SUBSTR(p.word, $j, 1) AS segp
+               |      FROM $pfx${j - 1} p LEFT JOIN $vocab v
+               |        ON v.piece = SUBSTR(p.word, $j, 1)
+               |      WHERE LEN(p.word) >= $j""".stripMargin
+          else
+            s"""      SELECT p.word, p.score + v.logp_micros AS score,
+               |        $k AS plen, p.segp || ' ' || v.piece AS segp
+               |      FROM $pfx${j - k} p JOIN $vocab v
+               |        ON v.piece = SUBSTR(p.word, ${j - k + 1}, $k)
+               |      WHERE LEN(p.word) >= $j""".stripMargin
         }.mkString("\n      UNION ALL\n")
-        s"""b$j AS MATERIALIZED (
+        s"""$pfx$j AS MATERIALIZED (
            |  SELECT word, score, segp FROM (
            |    SELECT word, score, segp,
            |      ROW_NUMBER() OVER (PARTITION BY word
@@ -1646,9 +1713,11 @@ object CurationQueriesImpl {
            |    ))
            |  WHERE rn = 1)""".stripMargin
       }
-      val finals = (1 to maxLen).map(j =>
-        s"SELECT word, score, TRIM(segp) AS seg FROM b$j " +
+      def dpStep(j: Int): String = dpStepIn("scored", "b")(j)
+      def finalsIn(pfx: String): String = (1 to maxLen).map(j =>
+        s"SELECT word, score, TRIM(segp) AS seg FROM $pfx$j " +
           s"WHERE LEN(word) = $j").mkString("\n  UNION ALL ")
+      val finals = finalsIn("b")
       register("q129_unigram_encode",
         s"""WITH $vocabSql,
            |toks0 AS MATERIALIZED (SELECT doc_id, LIST_FILTER(
@@ -1729,6 +1798,77 @@ object CurationQueriesImpl {
             wordCounts(s, dir).where(length(col("word")) <= maxLen),
             "word", "freq", model, maxPieceLen = maxPiece)
           .orderBy(col("piece"))
+      }
+
+      // MULTI-ROUND hard-EM TRAINING CHAIN (q139): q134 proves one
+      // round; this proves the LOOP the production trainer runs —
+      // round 1 from the q128-proven seed, the trainFromWordCounts
+      // prune rule (all single chars + top-`pruneTo` multi pieces by
+      // (logp DESC, piece ASC)), then round 2 against the PRUNED
+      // model, whose DP must re-segment words that lost their best
+      // pieces (the unk fallback branch included). The final model
+      // table hash-checks piece for piece — TRAINED-model quality,
+      // not just one step.
+      {
+        val pruneTo = 12
+        register("q139_unigram_hard_em_chain",
+          s"""WITH $vocabSql,
+             |wtok AS (SELECT word, freq FROM wc
+             |  WHERE LEN(word) <= $maxLen),
+             |b0 AS MATERIALIZED (SELECT word, CAST(0 AS BIGINT)
+             |    AS score, '' AS segp
+             |  FROM wtok),
+             |${(1 to maxLen).map(dpStep).mkString(",\n")},
+             |wseg AS (
+             |  $finals),
+             |wp AS (SELECT w.word, w.freq, STRING_SPLIT(g.seg, ' ')
+             |      AS ps
+             |  FROM wtok w JOIN wseg g USING (word)),
+             |cnt1 AS (SELECT ps[u.j] AS piece,
+             |    CAST(SUM(freq) AS BIGINT) AS freq
+             |  FROM wp, UNNEST(GENERATE_SERIES(1, LEN(ps))) u(j)
+             |  GROUP BY 1),
+             |tot1 AS (SELECT CAST(SUM(freq) AS DOUBLE) AS t FROM cnt1),
+             |scores1 AS MATERIALIZED (SELECT piece,
+             |    CAST(ROUND(LOG2(CAST(freq AS DOUBLE) / tot1.t) * 1e6)
+             |      AS BIGINT) AS logp_micros
+             |  FROM cnt1, tot1),
+             |pruned1 AS MATERIALIZED (
+             |  SELECT piece, logp_micros FROM scores1
+             |  WHERE LENGTH(piece) = 1
+             |  UNION ALL
+             |  SELECT piece, logp_micros FROM (
+             |    SELECT piece, logp_micros, ROW_NUMBER() OVER
+             |        (ORDER BY logp_micros DESC, piece) AS rk
+             |    FROM scores1 WHERE LENGTH(piece) >= 2)
+             |  WHERE rk <= $pruneTo),
+             |c0 AS MATERIALIZED (SELECT word, CAST(0 AS BIGINT)
+             |    AS score, '' AS segp
+             |  FROM wtok),
+             |${(1 to maxLen).map(dpStepIn("pruned1", "c")).mkString(",\n")},
+             |wseg2 AS (
+             |  ${finalsIn("c")}),
+             |wp2 AS (SELECT w.word, w.freq, STRING_SPLIT(g.seg, ' ')
+             |      AS ps
+             |  FROM wtok w JOIN wseg2 g USING (word)),
+             |cnt2 AS (SELECT ps[u.j] AS piece,
+             |    CAST(SUM(freq) AS BIGINT) AS freq
+             |  FROM wp2, UNNEST(GENERATE_SERIES(1, LEN(ps))) u(j)
+             |  GROUP BY 1),
+             |tot2 AS (SELECT CAST(SUM(freq) AS DOUBLE) AS t FROM cnt2)
+             |SELECT piece, freq,
+             |  CAST(ROUND(LOG2(CAST(freq AS DOUBLE) / tot2.t) * 1e6)
+             |    AS BIGINT) AS logp_micros
+             |FROM cnt2, tot2 ORDER BY piece""".stripMargin) { (s, dir) =>
+          val model0 = graft.text.Unigram.mleScores(
+            graft.text.Unigram.seedVocab(wordCounts(s, dir), "word",
+              "freq", seedSize = 40, maxPieceLen = maxPiece))
+          graft.text.Unigram.hardEmTrainFromModelDf(
+              wordCounts(s, dir).where(length(col("word")) <= maxLen),
+              "word", "freq", model0, pruneTo = pruneTo, rounds = 2,
+              maxPieceLen = maxPiece)
+            .orderBy(col("piece"))
+        }
       }
 
       // Unigram vocabulary IDS (the q127 property at unigram level):

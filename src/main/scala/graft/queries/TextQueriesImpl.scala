@@ -208,6 +208,128 @@ object TextQueriesImpl {
         .orderBy(col("doc_id"))
     }
 
+    // Trained char-n-gram Naive-Bayes language ID (q138): the oracle
+    // replays TRAIN **and** APPLY end to end — the mirrored phrase
+    // bank builds a 4-language fixture off doc_id arithmetic, the
+    // model trains on the %5<>0 cohort (counts → shared-vocab add-one
+    // log2 micros, top-256/lang by (count DESC, gram ASC), unseen
+    // floor, doc-count prior), and every document (held-out cohort
+    // included) classifies by integer-micro score sum + argmax with
+    // the lexicographic tie-break. Train+apply are pure counting and
+    // arithmetic, so the whole classifier is hash-gateable — unlike
+    // fastText itself.
+    {
+      val bank: Map[String, Seq[String]] = Map(
+        "en" -> Seq(
+          "the quick brown fox jumps over the lazy dog near the river",
+          "she said that the weather would be fine for the walk home",
+          "many people think that reading books is the best way to learn",
+          "the children played in the garden until the sun went down"),
+        "es" -> Seq(
+          "el perro marron salta sobre la cerca del jardin cada manana",
+          "ella dijo que el tiempo seria bueno para el paseo a casa",
+          "mucha gente piensa que leer libros es la mejor manera de aprender",
+          "los ninos jugaron en el jardin hasta que se puso el sol"),
+        "de" -> Seq(
+          "der schnelle braune fuchs springt uber den faulen hund am fluss",
+          "sie sagte dass das wetter gut fur den langen heimweg sein wurde",
+          "viele leute denken dass lesen der beste weg zum lernen ist",
+          "die kinder spielten im garten bis die sonne unterging"),
+        "fr" -> Seq(
+          "le renard brun saute par dessus le chien paresseux pres de la riviere",
+          "elle a dit que le temps serait beau pour la marche vers la maison",
+          "beaucoup de gens pensent que lire des livres est la meilleure facon",
+          "les enfants ont joue dans le jardin jusqu au coucher du soleil"))
+      val langOrder = Seq("en", "es", "de", "fr") // doc_id % 4 slots
+      val bankValues = langOrder.flatMap(l =>
+        bank(l).zipWithIndex.map { case (p, i) => s"('$l', $i, '$p')" })
+        .mkString(",\n        |  ")
+      register("q138_language_id_nb",
+        s"""WITH bank(lang, i, p) AS (VALUES
+           |  $bankValues),
+           |ids AS (SELECT doc_id,
+           |    CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'en'
+           |      WHEN 1 THEN 'es' WHEN 2 THEN 'de' ELSE 'fr' END AS lang,
+           |    (doc_id // 4) % 4 AS i1, (doc_id // 7) % 4 AS i2,
+           |    (doc_id // 11) % 4 AS i3
+           |  FROM documents),
+           |fix AS MATERIALIZED (SELECT ids.doc_id, ids.lang,
+           |    b1.p || ' ' || b2.p || ' ' || b3.p AS text
+           |  FROM ids
+           |  JOIN bank b1 ON b1.lang = ids.lang AND b1.i = ids.i1
+           |  JOIN bank b2 ON b2.lang = ids.lang AND b2.i = ids.i2
+           |  JOIN bank b3 ON b3.lang = ids.lang AND b3.i = ids.i3),
+           |ns AS (SELECT UNNEST([2, 3]) AS n),
+           |tr_grams AS MATERIALIZED (
+           |  SELECT f.lang, substr(f.text, g.i, ns.n) AS gram
+           |  FROM fix f, ns,
+           |    UNNEST(GENERATE_SERIES(1,
+           |      GREATEST(LENGTH(f.text) - (ns.n - 1), 1))) g(i)
+           |  WHERE f.doc_id % 5 <> 0 AND substr(f.text, g.i, ns.n) <> ''),
+           |cnt AS MATERIALIZED (SELECT lang, gram, COUNT(*) AS c
+           |  FROM tr_grams GROUP BY 1, 2),
+           |v AS (SELECT COUNT(DISTINCT gram) AS v FROM cnt),
+           |tot AS (SELECT lang, SUM(c) AS total FROM cnt GROUP BY 1),
+           |model AS MATERIALIZED (
+           |  SELECT r.lang, r.gram,
+           |    CAST(ROUND(LOG2((r.c + 1)
+           |      / CAST(t.total + v.v + 1 AS DOUBLE)) * 1e6) AS BIGINT)
+           |      AS w
+           |  FROM (SELECT lang, gram, c, ROW_NUMBER() OVER
+           |      (PARTITION BY lang ORDER BY c DESC, gram ASC) AS rk
+           |    FROM cnt) r JOIN tot t ON t.lang = r.lang, v
+           |  WHERE r.rk <= 256),
+           |st AS MATERIALIZED (
+           |  SELECT t.lang,
+           |    CAST(ROUND(LOG2(CAST(1 AS DOUBLE) / (t.total + v.v + 1))
+           |      * 1e6) AS BIGINT) AS unk,
+           |    CAST(ROUND(LOG2(CAST(d.docs AS DOUBLE) / a.ad) * 1e6)
+           |      AS BIGINT) AS prior
+           |  FROM tot t, v,
+           |    (SELECT lang, COUNT(*) AS docs FROM fix
+           |     WHERE doc_id % 5 <> 0 GROUP BY 1) d,
+           |    (SELECT COUNT(*) AS ad FROM fix WHERE doc_id % 5 <> 0) a
+           |  WHERE d.lang = t.lang),
+           |all_grams AS MATERIALIZED (
+           |  SELECT f.doc_id, substr(f.text, g.i, ns.n) AS gram
+           |  FROM fix f, ns,
+           |    UNNEST(GENERATE_SERIES(1,
+           |      GREATEST(LENGTH(f.text) - (ns.n - 1), 1))) g(i)
+           |  WHERE substr(f.text, g.i, ns.n) <> ''),
+           |sc AS MATERIALIZED (
+           |  SELECT g.doc_id, s.lang,
+           |    CAST(SUM(COALESCE(m.w, s.unk)) + MIN(s.prior) AS BIGINT)
+           |      AS score
+           |  FROM all_grams g
+           |  CROSS JOIN st s
+           |  LEFT JOIN model m ON m.lang = s.lang AND m.gram = g.gram
+           |  GROUP BY 1, 2),
+           |win AS (SELECT doc_id, lang, score, ROW_NUMBER() OVER
+           |    (PARTITION BY doc_id ORDER BY score DESC, lang ASC) AS rk
+           |  FROM sc)
+           |SELECT doc_id, lang AS language, score AS score_micro
+           |FROM win WHERE rk = 1 ORDER BY doc_id""".stripMargin) {
+        (s, dir) =>
+        val bankLit = typedLit(bank)
+        val langsArr = typedLit(langOrder)
+        def phraseAt(div: Int) = element_at(
+          element_at(bankLit, col("lang")),
+          (pmod(floor(col("doc_id") / div), lit(4)) + 1).cast("int"))
+        val fix = table(s, dir, "documents")
+          .select(col("doc_id"),
+            element_at(langsArr,
+              (pmod(col("doc_id"), lit(4)) + 1).cast("int")).as("lang"))
+          .withColumn("text",
+            concat_ws(" ", phraseAt(4), phraseAt(7), phraseAt(11)))
+        val model = graft.text.LanguageId.train(
+          fix.where(pmod(col("doc_id"), lit(5)) =!= 0),
+          "text", "lang", nMin = 2, nMax = 3, topK = 256)
+        graft.text.LanguageId.applyModel(fix, "text", model)
+          .select(col("doc_id"), col("language"), col("score_micro"))
+          .orderBy(col("doc_id"))
+      }
+    }
+
     register("q63_fingerprint_md5",
       """SELECT doc_id,
         |  MD5(REGEXP_REPLACE(LOWER(TRIM(text)), '\s+', ' ', 'g')) AS fp

@@ -311,14 +311,24 @@ object Similarity {
         col("rank"))
   }
 
-  /** IVF-style top-k: coarse centroids fit on a driver-collected sample
-    * (k-means lite), vectors assigned to nearest centroid at scan time,
-    * queries probe `nprobe` nearest centroid partitions. */
+  /** IVF-style top-k: coarse centroids fit on a driver-collected
+    * sample (k-means lite), vectors assigned to nearest centroid at
+    * scan time, queries probe `nprobe` nearest centroid partitions.
+    * The sample is HASH-RANKED by id (`xxhash64(seed, id)` ascending
+    * — the exactSamplePerStratum rule), not a bare `limit()`: limit
+    * without order takes whatever partitions answer first, so the
+    * centroids (hence recall) would differ across runs/layouts; the
+    * hash rank makes the default quantizer a pure function of the
+    * data, reproducible under any partitioning, retry, or AQE
+    * re-plan. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, vecCol: String,
       idCol: String, queryIdCol: String, k: Int, nlist: Int = 16,
       nprobe: Int = 4, sampleSize: Int = 2048, seed: Long = 42,
       iterations: Int = 5): DataFrame = {
-    val sample = corpus.select(col(vecCol)).limit(sampleSize).collect()
+    val sample = corpus
+      .select(col(vecCol), xxhash64(lit(seed), col(idCol)).as("hr_"))
+      .orderBy(col("hr_")).limit(sampleSize)
+      .select(col(vecCol)).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
     ivfTopKWithCentroids(corpus, queries, vecCol, idCol, queryIdCol, k,
       kmeans(sample, nlist, iterations, seed), nprobe)

@@ -35,41 +35,72 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * on the 64-bit hash, plus the batch-internal first-wins keeper at
   * batch scale; the fold-back writes batch-scale rows. Nothing
   * corpus-proportional is recomputed per batch. When even the stored
-  * hash join is too heavy per micro-batch, front it with
-  * [[Curation.paragraphBloom]] + `flagMaybeKnownParagraphs` (no false
-  * negatives) and reserve the exact join for flagged rows. */
+  * hash join is too heavy per micro-batch, front it with the SHARDED
+  * Bloom artifact this store also grows (`blooms/`, one sub-filter
+  * table per batch — [[Curation.paragraphBloomShards]]; read merged
+  * via [[bloomShards]], probe with
+  * [[Curation.flagMaybeKnownParagraphsSharded]] — no false
+  * negatives, per-task memory = one shard's sketch) and reserve the
+  * exact join for flagged rows. The sharding is what survives 100 TB:
+  * a single driver sketch caps out near 10⁹ stored paragraphs, the
+  * shard TABLE is bounded only by the cluster. */
 final class ParagraphIndexStore(spark: SparkSession, path: String,
     idCol: String = "doc_id", sep: String = "\n\n",
-    minParaChars: Int = 1) {
+    minParaChars: Int = 1, bloomShardCount: Int = 32,
+    bloomItemsPerShard: Long = 1L << 22, bloomFpp: Double = 0.01) {
 
   private val paraPath = s"$path/paragraphs"
   private val cleanedPath = s"$path/cleaned"
+  private val bloomPath = s"$path/blooms"
+
+  private def writeBloomShards(cleanedBatch: DataFrame,
+      textCol: String, batchId: Long): Unit =
+    Curation.paragraphBloomShards(
+        Curation.paragraphHashes(cleanedBatch, textCol, idCol, sep)
+          .where(col("para_chars") >= minParaChars),
+        bloomShardCount,
+        expectedItems = bloomItemsPerShard * bloomShardCount,
+        fpp = bloomFpp)
+      .write.mode("overwrite")
+      .parquet(s"$bloomPath/ingest_batch=$batchId")
 
   /** Batch-build: corpus-wide [[Curation.dedupParagraphs]] seeds the
     * cleaned corpus; its kept paragraphs seed the index. Lands as
     * `ingest_batch=-1`, wiping prior state under `path`. */
   def initialize(corpus: DataFrame, textCol: String): Unit = {
-    Seq(paraPath, cleanedPath, s"$path/checkpoint").foreach { p =>
-      val dir = new java.io.File(p)
-      if (dir.exists()) {
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+    Seq(paraPath, cleanedPath, bloomPath, s"$path/checkpoint")
+      .foreach { p =>
+        val dir = new java.io.File(p)
+        if (dir.exists()) {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+          }
+          rm(dir)
         }
-        rm(dir)
       }
-    }
     val cleaned = Curation.dedupParagraphs(corpus, textCol, idCol,
       sep, minParaChars).localCheckpoint(false)
     cleaned.write.mode("overwrite")
       .parquet(s"$cleanedPath/ingest_batch=-1")
     Curation.paragraphHashes(cleaned, textCol, idCol, sep)
       .write.mode("overwrite").parquet(s"$paraPath/ingest_batch=-1")
+    writeBloomShards(cleaned, textCol, batchId = -1L)
   }
 
   /** Kept-paragraph hash table across the base build and every folded
     * batch. */
   def paragraphTable: DataFrame =
     spark.read.parquet(paraPath).drop("ingest_batch")
+
+  /** One merged Bloom filter PER SHARD over every kept paragraph so
+    * far (base build + folded batches): the per-batch sub-filter
+    * tables are bit-compatible by construction, so the merged view is
+    * exactly the filter a monolithic rebuild would produce. Feed to
+    * [[Curation.flagMaybeKnownParagraphsSharded]] with this store's
+    * `bloomShardCount`. */
+  def bloomShards: DataFrame =
+    Curation.mergeBloomShards(
+      spark.read.parquet(bloomPath).drop("ingest_batch"))
 
   /** The deduped corpus so far. */
   def cleaned: DataFrame =
@@ -101,5 +132,8 @@ final class ParagraphIndexStore(spark: SparkSession, path: String,
       .parquet(s"$paraPath/ingest_batch=$batchId")
     cleanedBatch.write.mode("overwrite")
       .parquet(s"$cleanedPath/ingest_batch=$batchId")
+    // the batch's own sub-filter overwrites its partition too, so a
+    // redelivered batch leaves the merged view unchanged
+    writeBloomShards(cleanedBatch, textCol, batchId)
   }
 }

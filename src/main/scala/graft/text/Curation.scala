@@ -746,6 +746,100 @@ object Curation {
       .toDF(idCol, "para_idx", "para_chars", "para_hash", "maybe_known")
   }
 
+  /** SHARDED Bloom filters over a stored [[paragraphHashes]] table —
+    * the scale form of [[paragraphBloom]]: one driver sketch is fine
+    * to ~10⁹ stored paragraphs (~1.2 GB at 1% fpp) but a real 100 TB
+    * ingest stores 10¹¹-10¹² paragraphs, whose single sketch fits on
+    * no driver OR executor. Here the hash space splits into `shards`
+    * ranges (`pmod(para_hash, shards)`), each shard's filter is built
+    * by ONE streaming pass over its own rows (`groupByKey.mapGroups`
+    * — per-task memory = one shard's sketch, sized
+    * `expectedItems / shards`), and the result is a (shard,
+    * bloom_bytes) TABLE that lives where tables live. Same
+    * no-false-negative guarantee per shard. Filters built with the
+    * same (expectedItems, fpp, shards) are bit-compatible and merge
+    * per shard via [[mergeBloomShards]] — the growing-index path. */
+  def paragraphBloomShards(storedHashes: DataFrame, shards: Int,
+      expectedItems: Long, fpp: Double = 0.01): DataFrame = {
+    require(shards > 0, "shards must be positive")
+    val spark = storedHashes.sparkSession
+    import spark.implicits._
+    val perShard = math.max(1L, expectedItems / shards)
+    storedHashes
+      .select(pmod(col("para_hash"), lit(shards)).cast("int")
+        .as("shard"), col("para_hash"))
+      .as[(Int, Long)]
+      .groupByKey(_._1)
+      .mapGroups { (shard, rows) =>
+        val b = org.apache.spark.util.sketch.BloomFilter
+          .create(perShard, fpp)
+        rows.foreach(r => b.putLong(r._2))
+        val out = new java.io.ByteArrayOutputStream()
+        b.writeTo(out)
+        (shard, out.toByteArray)
+      }
+      .toDF("shard", "bloom_bytes")
+  }
+
+  /** Merge a multi-row-per-shard (shard, bloom_bytes) table (e.g. one
+    * sub-filter per ingest batch) into one filter per shard. All rows
+    * of a shard must come from the same (expectedItems, fpp, shards)
+    * build — Bloom OR-merge requires identical bit size and hash
+    * count, and [[paragraphBloomShards]] guarantees it. */
+  def mergeBloomShards(shardBlooms: DataFrame): DataFrame = {
+    val spark = shardBlooms.sparkSession
+    import spark.implicits._
+    shardBlooms.select(col("shard").cast("int"), col("bloom_bytes"))
+      .as[(Int, Array[Byte])]
+      .groupByKey(_._1)
+      .mapGroups { (shard, rows) =>
+        val it = rows.map(r =>
+          org.apache.spark.util.sketch.BloomFilter.readFrom(
+            new java.io.ByteArrayInputStream(r._2)))
+        val first = it.next()
+        it.foreach(first.mergeInPlace)
+        val out = new java.io.ByteArrayOutputStream()
+        first.writeTo(out)
+        (shard, out.toByteArray)
+      }
+      .toDF("shard", "bloom_bytes")
+  }
+
+  /** [[flagMaybeKnownParagraphs]] against a SHARDED (shard,
+    * bloom_bytes) table: delta paragraphs and filters co-group on the
+    * shard key, so each task holds exactly ONE shard's sketch while
+    * its rows stream through — nothing sketch-shaped touches the
+    * driver, and total sketch size is bounded only by the cluster.
+    * A shard with no filter row flags nothing (no stored paragraph
+    * hashes there — vacuously unknown). Same output schema. */
+  def flagMaybeKnownParagraphsSharded(delta: DataFrame,
+      textCol: String, idCol: String, shardBlooms: DataFrame,
+      shards: Int, sep: String = "\n\n", minParaChars: Int = 1)
+      : DataFrame = {
+    require(shards > 0, "shards must be positive")
+    val spark = delta.sparkSession
+    import spark.implicits._
+    val rows = paragraphHashes(delta, textCol, idCol, sep)
+      .select(col(idCol).cast("long"), col("para_idx"),
+        col("para_chars"), col("para_hash"),
+        pmod(col("para_hash"), lit(shards)).cast("int").as("shard_"))
+      .as[(java.lang.Long, Int, Int, Long, Int)]
+      .groupByKey(_._5)
+    val blooms = shardBlooms
+      .select(col("shard").cast("int"), col("bloom_bytes"))
+      .as[(Int, Array[Byte])]
+      .groupByKey(_._1)
+    rows.cogroup(blooms) { (_, rs, bs) =>
+      val bloom = bs.buffered.headOption.map(b =>
+        org.apache.spark.util.sketch.BloomFilter.readFrom(
+          new java.io.ByteArrayInputStream(b._2)))
+      rs.map { case (id, idx, chars, h, _) =>
+        (id, idx, chars, h,
+          chars >= minParaChars && bloom.exists(_.mightContainLong(h)))
+      }
+    }.toDF(idCol, "para_idx", "para_chars", "para_hash", "maybe_known")
+  }
+
   /** CCNet-style unigram language-model score: train a unigram LM on
     * the corpus itself (count / total), then score each document by
     * its total log2 probability and bits-per-token — the standard
@@ -1581,6 +1675,47 @@ object Curation {
           .cast("long").as("bits_micro"))
     val scored = df.select(col(idCol) +: strataCols.map(col): _*)
       .join(lm, Seq(idCol))
+    quantileBuckets(scored, "bits_micro", strataCols, fracs, labels,
+      binShift)
+  }
+
+  /** [[perplexityBuckets]] under the KNESER-NEY BIGRAM LM
+    * ([[knBigramLogProb]]) instead of the unigram — CCNet's actual
+    * fluency filter is a smoothed n-gram (KenLM-family) model, and
+    * the bigram KN bits are far sharper on word-salad/boilerplate
+    * than unigram frequency alone. Documents too short to form a
+    * bigram (n_pairs = 0) are NOT bucketed (no evidence either way);
+    * callers keep or route them explicitly — [[CorpusDemo]] keeps
+    * them. Same hierarchical distinct-score-scale bucketing, no
+    * corpus sort. */
+  def perplexityBucketsKn(df: DataFrame, textCol: String,
+      idCol: String, strataCols: Seq[String],
+      fracs: Seq[Double] = Seq(1.0 / 3, 2.0 / 3),
+      labels: Seq[String] = Seq("head", "middle", "tail"),
+      binShift: Int = 20): DataFrame = {
+    requireFresh(df, "toks_")
+    perplexityBucketsKnFromTokens(
+      df.withColumn("toks_", TextAnalysis.tokens(lower(col(textCol)))),
+      "toks_", idCol, strataCols, fracs, labels, binShift)
+  }
+
+  /** [[perplexityBucketsKn]] over a pre-tokenized (lowercased)
+    * frame. */
+  def perplexityBucketsKnFromTokens(df: DataFrame, toksCol: String,
+      idCol: String, strataCols: Seq[String],
+      fracs: Seq[Double] = Seq(1.0 / 3, 2.0 / 3),
+      labels: Seq[String] = Seq("head", "middle", "tail"),
+      binShift: Int = 20): DataFrame = {
+    requireFresh(df.drop(toksCol), "bits_micro")
+    val lm = knBigramLogProbFromTokens(df, toksCol, idCol)
+      .where(col("n_pairs") > 0)
+      .select(col(idCol),
+        round(-col("logprob_micro").cast("double") / col("n_pairs"))
+          .cast("long").as("bits_micro"))
+    // LEFT: unscoreable docs surface with bits/bucket null instead of
+    // vanishing — quantileBuckets' null-score path carries them
+    val scored = df.select(col(idCol) +: strataCols.map(col): _*)
+      .join(lm, Seq(idCol), "left")
     quantileBuckets(scored, "bits_micro", strataCols, fracs, labels,
       binShift)
   }

@@ -1,0 +1,223 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Trained character-n-gram Naive-Bayes language identification — the
+  * production langid path (CCNet/fastText-lid slot; reference for the
+  * pipeline position: the FIRST filter every multilingual corpus run
+  * applies). `TextAnalysis.languageId`'s stopword heuristic remains
+  * as the zero-model fallback; this classifier is what a real corpus
+  * run ships, because a stopword argmax mislabels short/informal text
+  * and covers only the embedded lists.
+  *
+  * Everything is closed-form and SQL-replayable (the q138 gate
+  * replays TRAIN and APPLY end to end in the oracle):
+  *
+  *  - Features: character n-grams (nMin..nMax) of the
+  *    [[TextAnalysis.normalizeText]]'d text, spaces included — grams
+  *    spanning spaces capture word boundaries, the fastText trick.
+  *  - Train: per-(lang, gram) occurrence counts → add-one-smoothed
+  *    log2 probabilities over the SHARED training vocabulary (+1 OOV
+  *    slot), quantized to integer micros (the q103 convention):
+  *    `score(g|l) = round(log2((c_gl + 1) / (total_l + V + 1))·1e6)`,
+  *    with the per-language unseen-gram floor at c=0 and a doc-count
+  *    log2 prior. Each language keeps only its `topK` grams by
+  *    (count DESC, gram ASC) — the pruned-model shape every shipped
+  *    langid model has; pruned grams score the floor like unseen ones.
+  *  - Apply: per-document `sum(score) + prior` per language, argmax
+  *    (ties → lexicographically smallest language). Integer-micro
+  *    sums are exactly reproducible across engines and partitionings.
+  *
+  * Scale shape: TRAINING runs on a labeled sample (langid models
+  * train once on Tatoeba/Wikipedia-scale data, not on the corpus),
+  * so its explode + two groupBys are sample-scale; the per-language
+  * top-K is a WindowGroupLimit over distinct (lang, gram) rows. The
+  * trained model is ≤ langs·topK entries — it rides APPLY as a
+  * `typedLit` map, so corpus-scale application is a pure shuffle-free
+  * row expression (one aggregate over the gram array summing a
+  * per-gram score VECTOR), exactly like `Bpe.idsFromPieces`: no join,
+  * no window, no UDF, linear over any partitioning of a 100 TB scan.
+  */
+object LanguageId {
+
+  /** Embedded DEMO-scale labeled seed (4 languages × 4 sentences,
+    * written for this repo): enough signal for the demos/specs to
+    * train a working classifier end to end. A production run trains
+    * on a real labeled sample (Tatoeba/Wikipedia-scale, hundreds of
+    * languages) through the same [[train]] path — this constant is
+    * the pipeline's default, not its ceiling. */
+  val builtinSeed: Seq[(String, String)] = Seq(
+    "en" -> "the quick brown fox jumps over the lazy dog near the river",
+    "en" -> "she said that the weather would be fine for the walk home",
+    "en" -> "many people think that reading books is the best way to learn",
+    "en" -> "the children played in the garden until the sun went down",
+    "es" -> "el perro marron salta sobre la cerca del jardin cada manana",
+    "es" -> "ella dijo que el tiempo seria bueno para el paseo a casa",
+    "es" -> "mucha gente piensa que leer libros es la mejor manera de aprender",
+    "es" -> "los ninos jugaron en el jardin hasta que se puso el sol",
+    "de" -> "der schnelle braune fuchs springt uber den faulen hund am fluss",
+    "de" -> "sie sagte dass das wetter gut fur den langen heimweg sein wurde",
+    "de" -> "viele leute denken dass lesen der beste weg zum lernen ist",
+    "de" -> "die kinder spielten im garten bis die sonne unterging",
+    "fr" -> "le renard brun saute par dessus le chien paresseux pres de la riviere",
+    "fr" -> "elle a dit que le temps serait beau pour la marche vers la maison",
+    "fr" -> "beaucoup de gens pensent que lire des livres est la meilleure facon",
+    "fr" -> "les enfants ont joue dans le jardin jusqu au coucher du soleil")
+
+  /** A trained, pruned model. `langs` is sorted ascending — the score
+    * vector order, the tie-break order, and the id order all follow
+    * it. Scores are integer micro-log2 (see object doc). */
+  final case class Model(langs: IndexedSeq[String], nMin: Int,
+      nMax: Int, grams: Map[String, IndexedSeq[Long]],
+      unk: IndexedSeq[Long], prior: IndexedSeq[Long]) {
+    require(langs == langs.sorted, "langs must be sorted")
+    require(grams.values.forall(_.length == langs.length) &&
+      unk.length == langs.length && prior.length == langs.length,
+      "score vectors must be lang-aligned")
+  }
+
+  /** Character n-grams (nMin..nMax) of a BOUND string column as one
+    * array. 1-based positions; texts shorter than n yield one
+    * truncated gram (the `shinglesFromTokens` convention — substr
+    * clamps); empty text yields empty grams, which every consumer
+    * filters. Pass an attribute reference (a `withColumn` alias), NOT
+    * an inline expression — the position lambda re-evaluates its
+    * capture per element, the documented O(len²) inlining trap. */
+  def charNgrams(text: Column, nMin: Int, nMax: Int): Column = {
+    require(nMin >= 1 && nMax >= nMin, s"bad n range: $nMin..$nMax")
+    val parts = (nMin to nMax).map { n =>
+      transform(
+        sequence(lit(1), greatest(length(text) - (n - 1), lit(1))),
+        i => text.substr(i, lit(n)))
+    }
+    filter(concat(parts: _*), g => g =!= "")
+  }
+
+  /** Labeled-sample n-gram counts: (lang, gram, cnt) at distinct-gram
+    * scale after one explode + one map-side-combined groupBy. */
+  def ngramCounts(df: DataFrame, textCol: String, langCol: String,
+      nMin: Int = 1, nMax: Int = 3): DataFrame =
+    df.select(col(langCol).cast("string").as("lang"),
+        TextAnalysis.normalizeText(coalesce(col(textCol), lit("")))
+          .as("t_"))
+      .select(col("lang"),
+        explode(charNgrams(col("t_"), nMin, nMax)).as("gram"))
+      .groupBy(col("lang"), col("gram"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** The scored, pruned model as a DataFrame — (lang, gram,
+    * logp_micros), plus per-language floors and priors via
+    * [[langStats]]. Kept separate from [[train]] so the q138 oracle
+    * can gate the TRAINED TABLE itself. */
+  def scoredGrams(counts: DataFrame, topK: Int): DataFrame = {
+    require(topK > 0, "topK must be positive")
+    // shared vocabulary: distinct grams across ALL languages (+1 OOV
+    // slot in the smoothing mass) — cross-language scores then share
+    // one denominator structure and stay comparable
+    val vocab = counts.select(countDistinct(col("gram")).as("v_"))
+    val totals = counts.groupBy(col("lang"))
+      .agg(sum(col("cnt")).as("total_"))
+    val ranked = counts
+      .withColumn("rk_", row_number().over(Window.partitionBy("lang")
+        .orderBy(col("cnt").desc, col("gram").asc)))
+      .where(col("rk_") <= topK)
+    ranked.join(totals, "lang").crossJoin(broadcast(vocab))
+      .select(col("lang"), col("gram"),
+        round(log2((col("cnt") + 1).cast("double") /
+          (col("total_") + col("v_") + 1)) * 1e6).cast("long")
+          .as("logp_micros"))
+  }
+
+  /** Per-language (lang, unk_micros, prior_micros) from the count
+    * table and the labeled frame: the unseen-gram floor
+    * `log2(1/(total_l + V + 1))` and the doc-count log2 prior. */
+  def langStats(counts: DataFrame, df: DataFrame,
+      langCol: String): DataFrame = {
+    val vocab = counts.select(countDistinct(col("gram")).as("v_"))
+    val totals = counts.groupBy(col("lang"))
+      .agg(sum(col("cnt")).as("total_"))
+    val docs = df.groupBy(col(langCol).cast("string").as("lang"))
+      .agg(count(lit(1)).as("docs_"))
+    val allDocs = df.select(count(lit(1)).as("alldocs_"))
+    totals.join(docs, "lang").crossJoin(broadcast(vocab))
+      .crossJoin(broadcast(allDocs))
+      .select(col("lang"),
+        round(log2(lit(1.0) / (col("total_") + col("v_") + 1)) * 1e6)
+          .cast("long").as("unk_micros"),
+        round(log2(col("docs_").cast("double") / col("alldocs_"))
+          * 1e6).cast("long").as("prior_micros"))
+  }
+
+  /** Train on a labeled sample: distributed counts → driver-side
+    * assembly of the (bounded, ≤ langs·topK-entry) [[Model]]. The
+    * only collects are the pruned score table and the per-language
+    * stats — both model-scale, never corpus-scale. */
+  def train(df: DataFrame, textCol: String, langCol: String,
+      nMin: Int = 1, nMax: Int = 3, topK: Int = 2048): Model = {
+    val counts = ngramCounts(df, textCol, langCol, nMin, nMax)
+      // consumed twice (scores + stats): sample-scale barrier
+      .localCheckpoint(false)
+    val stats = langStats(counts, df, langCol).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val langs = stats.keys.toVector.sorted
+    val idx = langs.zipWithIndex.toMap
+    val unk = langs.map(l => stats(l)._1)
+    val byGram = scoredGrams(counts, topK).collect()
+      .groupBy(_.getString(1))
+      .map { case (g, rows) =>
+        val v = unk.toArray.clone()
+        rows.foreach(r => v(idx(r.getString(0))) = r.getLong(2))
+        g -> v.toIndexedSeq
+      }
+    Model(langs, nMin, nMax, byGram, unk,
+      langs.map(l => stats(l)._2))
+  }
+
+  /** Apply a trained model: adds `language` (argmax, ties → smallest
+    * lang, 'und' when the text yields no grams), `score_micro` (the
+    * winning `prior + Σ gram scores`), and `scores_micro` (the full
+    * lang-ordered vector, for margin/threshold consumers). Pure
+    * shuffle-free row expressions: ONE pass over the gram array
+    * summing literal-map score vectors — no join, no window, no UDF. */
+  def applyModel(df: DataFrame, textCol: String,
+      model: Model): DataFrame = {
+    require(!df.columns.exists(Seq("t__", "g__", "language",
+      "score_micro", "scores_micro").contains),
+      "input already has a reserved langid column")
+    val nL = model.langs.length
+    val gramMap = typedLit(model.grams.map { case (g, v) =>
+      g -> v.toSeq })
+    val unkArr = typedLit(model.unk.toSeq)
+    val priorArr = typedLit(model.prior.toSeq)
+    val langsArr = typedLit(model.langs.toSeq)
+    df.withColumn("t__",
+        TextAnalysis.normalizeText(coalesce(col(textCol), lit(""))))
+      .withColumn("g__", charNgrams(col("t__"), model.nMin, model.nMax))
+      .withColumn("scores_micro", zip_with(
+        aggregate(col("g__"),
+          array_repeat(lit(0L), lit(nL)),
+          (acc, g) => zip_with(acc,
+            coalesce(element_at(gramMap, g), unkArr),
+            (a, b) => a + b)),
+        priorArr, (a, b) => a + b))
+      .withColumn("language",
+        when(size(col("g__")) === 0, lit("und"))
+          .otherwise(element_at(langsArr,
+            array_position(col("scores_micro"),
+              array_max(col("scores_micro"))).cast("int"))))
+      .withColumn("score_micro", array_max(col("scores_micro")))
+      .drop("t__", "g__")
+  }
+
+  /** [[applyModel]] falling back to the stopword heuristic for rows
+    * the model can't score (no grams): the VERDICT-round contract —
+    * trained path first, `TextAnalysis.languageId` where unscored. */
+  def applyWithFallback(df: DataFrame, textCol: String,
+      model: Model): DataFrame =
+    applyModel(df, textCol, model)
+      .withColumn("language", when(col("language") === "und",
+        TextAnalysis.languageId(col(textCol)))
+        .otherwise(col("language")))
+}

@@ -30,10 +30,19 @@ object TextAnalysis {
     * verbatim in SQL. `foldDigits` additionally maps every ASCII
     * digit to '0' \u2014 CCNet's number normalization for DEDUP KEYS
     * (pages differing only in dates/counters hash together); keep it
-    * off when the normalized text is the stored body. */
-  def normalizeText(text: Column, foldDigits: Boolean = false): Column = {
+    * off when the normalized text is the stored body. `nfkc` runs
+    * Unicode NFKC FIRST (the SentencePiece order \u2014 full-width
+    * forms, ligatures, compatibility chars, decomposed accents fold
+    * to one canonical sequence) via the native codegen'd
+    * [[graft.functions.NfkcNormalize]] expression; it is off by
+    * default because the plain chain is byte-replayable in any SQL
+    * engine while NFKC is oracle-checked from construction-keyed
+    * fixtures. */
+  def normalizeText(text: Column, foldDigits: Boolean = false,
+      nfkc: Boolean = false): Column = {
+    val in = if (nfkc) graft.functions.NfkcNormalize.nfkc(text) else text
     val base = trim(regexp_replace(
-      translate(lower(text),
+      translate(lower(in),
         "\u2019\u2018\u201C\u201D\u2013\u2014\u2026\u00A0",
         "''\"\"--. "),
       "\\s+", " "))

@@ -376,6 +376,63 @@ object Unigram {
       maxPieceLen, emIters, pruneFrac)
   }
 
+  /** Deterministic MULTI-ROUND hard-EM training chain — the
+    * TRAINED-model path the q139 oracle replays end to end (q134
+    * proves one round; this proves the loop): seed MLE →
+    * [`rounds` ×] Viterbi-EM round, with a closed-form PRUNE between
+    * consecutive rounds — keep every single-character piece plus the
+    * top `pruneTo` multi-character pieces by (logp DESC, piece ASC),
+    * [[trainFromWordCounts]]' expected-count shortcut made
+    * oracle-replayable (hard-EM counts ARE the expected counts of the
+    * Viterbi posterior, and score order = count order under MLE).
+    * Characters the pruned model loses stay segmentable through
+    * [[viterbiWord]]'s `unkLogpMicros` fallback and re-enter the
+    * model if any best segmentation uses them. Returns the final
+    * re-scored model; [[hardEmTrainDf]] is the gate/audit frame. */
+  def hardEmTrain(words: DataFrame, wordCol: String, freqCol: String,
+      pruneTo: Int, rounds: Int = 2, seedSize: Int = 4096,
+      maxPieceLen: Int = 4, unkLogpMicros: Long = -100000000L)
+      : Seq[Piece] =
+    hardEmTrainDf(words, wordCol, freqCol, pruneTo, rounds, seedSize,
+      maxPieceLen, unkLogpMicros)
+      .select(col("piece"), col("logp_micros"))
+      .collect().map(r => Piece(r.getString(0), r.getLong(1))).toSeq
+      .sortBy(p => (-p.logpMicros, p.piece))
+
+  /** [[hardEmTrain]] as the final round's scored (piece, freq,
+    * logp_micros) frame. */
+  def hardEmTrainDf(words: DataFrame, wordCol: String,
+      freqCol: String, pruneTo: Int, rounds: Int = 2,
+      seedSize: Int = 4096, maxPieceLen: Int = 4,
+      unkLogpMicros: Long = -100000000L): DataFrame =
+    hardEmTrainFromModelDf(words, wordCol, freqCol,
+      mleScores(seedVocab(words, wordCol, freqCol, seedSize,
+        maxPieceLen)),
+      pruneTo, rounds, maxPieceLen, unkLogpMicros)
+
+  /** The chain from an EXISTING seed/checkpoint model (the gate form:
+    * the q139 oracle replays the rounds from the q128-proven seed). */
+  def hardEmTrainFromModelDf(words: DataFrame, wordCol: String,
+      freqCol: String, model0: Seq[Piece], pruneTo: Int,
+      rounds: Int = 2, maxPieceLen: Int = 4,
+      unkLogpMicros: Long = -100000000L): DataFrame = {
+    require(rounds >= 1, "need at least one round")
+    require(pruneTo > 0, "pruneTo must be positive")
+    var model = model0
+    var r = 1
+    while (r < rounds) {
+      model = hardEmRound(words, wordCol, freqCol, model, maxPieceLen,
+        unkLogpMicros)
+      val chars = model.filter(_.piece.length == 1)
+      val multi = model.filter(_.piece.length >= 2)
+        .sortBy(p => (-p.logpMicros, p.piece)).take(pruneTo)
+      model = chars ++ multi
+      r += 1
+    }
+    hardEmRoundDf(words, wordCol, freqCol, model, maxPieceLen,
+      unkLogpMicros)
+  }
+
   /** Corpus log-likelihood (micro long) under a model — the EM
     * monotonicity probe for specs. */
   def corpusLogLikelihoodMicros(df: DataFrame, textCol: String,

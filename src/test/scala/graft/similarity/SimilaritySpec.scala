@@ -53,6 +53,23 @@ class SimilaritySpec extends AnyFunSuite {
     assert(ivf == exact)
   }
 
+  test("ivfTopK's default quantizer is reproducible: identical " +
+      "results under any input partitioning") {
+    // the sample is hash-ranked by id, not limit()-of-whatever-
+    // partition-answers-first — so centroids (hence buckets, hence
+    // results) are a pure function of the data
+    val q = emb.where($"vec_id" < 5)
+    def run(c: org.apache.spark.sql.DataFrame) =
+      Similarity.ivfTopK(c, q, "embedding", "vec_id", "vec_id",
+          k = 3, nlist = 4, nprobe = 2, sampleSize = 64)
+        .select($"query_id", $"corpus_id", $"rank")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+        .toSet
+    val a = run(emb)
+    assert(a == run(emb.repartition(17)))
+    assert(a == run(emb.repartition(3, $"vec_id")))
+  }
+
   test("hyperplane bucketing is deterministic and spreads vectors") {
     val b1 = emb.select(Similarity.hyperplaneBucket($"embedding", 8, 42)
       .as("b")).collect().map(_.getLong(0))

@@ -64,6 +64,12 @@ class ParagraphIndexStoreSpec extends AnyFunSuite {
     val indexHashes = store.paragraphTable.select(col("para_hash"))
       .as[Long].collect().sorted
     assert(indexHashes.toSeq == keptHashes.toSeq)
+    // the sharded Bloom artifact GREW per batch: the merged view
+    // flags every kept paragraph (no false negatives across the base
+    // build AND both folded batches)
+    val flagged = Curation.flagMaybeKnownParagraphsSharded(
+      store.cleaned, "text", "doc_id", store.bloomShards, 32)
+    assert(flagged.where(!col("maybe_known")).count() == 0)
   }
 
   test("replaying a micro-batch id is idempotent") {

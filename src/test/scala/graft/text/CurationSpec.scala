@@ -746,6 +746,41 @@ class CurationSpec extends AnyFunSuite {
     got.unpersist()
   }
 
+  test("perplexityBucketsKn: KN-bigram bits drive the thirds; docs " +
+      "too short for a bigram get NO bucket (kept by callers)") {
+    val withShort = docs.select($"doc_id", $"source", $"text")
+      .unionByName(Seq((90001L, "srcX", "solitary"),
+        (90002L, "srcX", "word")).toDF("doc_id", "source", "text"))
+    val got = Curation.perplexityBucketsKn(withShort, "text",
+      "doc_id", Seq("source")).cache()
+    // single-token docs carry no bigram evidence: bucket null
+    val shorts = got.where($"doc_id" >= 90001L)
+      .select($"bucket").collect().map(_.isNullAt(0))
+    assert(shorts.length == 2 && shorts.forall(identity))
+    // scored docs: buckets equal composing the pieces by hand
+    val bits = Curation.knBigramLogProb(
+        docs.select($"doc_id", $"text"), "text", "doc_id")
+      .where($"n_pairs" > 0)
+      .select($"doc_id", round(-$"logprob_micro".cast("double") /
+        $"n_pairs").cast("long").as("bits_micro"))
+    val manual = Curation.quantileBuckets(
+      docs.select($"doc_id", $"source").join(bits, "doc_id"),
+      "bits_micro", Seq("source"), Seq(1.0 / 3, 2.0 / 3),
+      Seq("head", "middle", "tail"))
+    val a = got.where($"bucket".isNotNull)
+      .select($"doc_id", $"bucket").as[(Long, String)]
+      .collect().toMap
+    val b = manual.select($"doc_id", $"bucket").as[(Long, String)]
+      .collect().toMap
+    assert(a == b && a.nonEmpty)
+    // fluency ordering still holds under the bigram LM
+    val m = got.where($"bucket".isNotNull).groupBy($"bucket")
+      .agg(avg($"bits_micro").as("b"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(m("head") < m("middle") && m("middle") < m("tail"))
+    got.unpersist()
+  }
+
   test("temperatureMixture: alpha=1 is the natural mixture, small " +
       "alpha boosts rare strata, shares sum to 1") {
     val df = (Seq.fill(90)("big") ++ Seq.fill(10)("small"))
@@ -1025,5 +1060,45 @@ class CurationSpec extends AnyFunSuite {
     val ft = Curation.flagMaybeKnownParagraphs(tiny, "text", "doc_id",
       bloom, minParaChars = 2).orderBy($"para_idx").collect()
     assert(!ft(0).getBoolean(4) && ft(1).getBoolean(4))
+  }
+
+  test("sharded Bloom: same no-false-negative guarantee as the " +
+      "monolith; incremental per-batch sub-filters merge to the " +
+      "rebuild's filters bit-for-bit") {
+    val shards = 8
+    val corpus = spark.range(0, 2000)
+      .selectExpr("id AS doc_id",
+        "concat('stored para ', id, '\n\nstored tail ', id) AS text")
+    val stored = Curation.paragraphHashes(corpus, "text", "doc_id")
+    val table = Curation.paragraphBloomShards(stored, shards,
+      expectedItems = 4000, fpp = 0.01).cache()
+    assert(table.count() == shards)
+    // no false negatives through the sharded probe path
+    val self = Curation.flagMaybeKnownParagraphsSharded(corpus,
+      "text", "doc_id", table, shards)
+    assert(self.where(!$"maybe_known").count() == 0)
+    // fresh paragraphs flag at ~fpp
+    val fresh = spark.range(0, 2000)
+      .selectExpr("id AS doc_id",
+        "concat('brand new para ', id) AS text")
+    val fp = Curation.flagMaybeKnownParagraphsSharded(fresh, "text",
+      "doc_id", table, shards).where($"maybe_known").count()
+    assert(fp <= 2000 * 0.05, s"false-positive count $fp")
+    // GROWING index: two half-corpus sub-filter tables merged per
+    // shard ≡ the monolithic rebuild, byte for byte
+    val half1 = Curation.paragraphBloomShards(
+      stored.where($"doc_id" < 1000), shards, 4000, 0.01)
+    val half2 = Curation.paragraphBloomShards(
+      stored.where($"doc_id" >= 1000), shards, 4000, 0.01)
+    val merged = Curation.mergeBloomShards(half1.unionByName(half2))
+      .collect().map(r => r.getInt(0) -> r.getAs[Array[Byte]](1))
+      .toMap
+    val whole = table.collect()
+      .map(r => r.getInt(0) -> r.getAs[Array[Byte]](1)).toMap
+    assert(merged.keySet == whole.keySet)
+    whole.foreach { case (s, bytes) =>
+      assert(java.util.Arrays.equals(merged(s), bytes), s"shard $s")
+    }
+    table.unpersist()
   }
 }

@@ -371,6 +371,47 @@ class TextSpec extends AnyFunSuite {
       folded(0) == "posted 0000-00-00, 0,000 views")
   }
 
+  test("normalizeText nfkc: full-width, ligature, compatibility and " +
+      "decomposed renderings fold to one canonical byte sequence") {
+    // SentencePiece-parity dedup keys: all five renderings of the
+    // same logical text must normalize to IDENTICAL bytes
+    val df = Seq(
+      (1L, "office ＡＢＣ café No1"), // full-width ABC
+      (2L, "o\uFB03ce ABC cafe\u0301 No1"), // ffi ligature, e+U+0301
+      (3L, "office ABC café №①"), // №, circled 1
+      (4L, "office abc café no1"),
+      (5L, "oﬃce ａｂｃ café №①"))
+      .toDF("id", "text")
+    val got = df.select($"id",
+        TextAnalysis.normalizeText($"text", nfkc = true).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.values.toSet == Set("office abc café no1"),
+      got.toString)
+    // nfkc off: the renderings do NOT collapse (the gap this closes)
+    val off = df.select(TextAnalysis.normalizeText($"text"))
+      .as[String].collect().toSet
+    assert(off.size > 1)
+    // null safety + SQL surface parity (graft_nfkc registered)
+    assert(df.select(TextAnalysis.normalizeText(lit(null)
+      .cast("string"), nfkc = true)).first().isNullAt(0))
+    graft.functions.GraftExtensions.register(spark)
+    val viaSql = spark.sql(
+      "SELECT graft_nfkc('o\uFB03ce \uFF21') AS n")
+      .as[String].head()
+    assert(viaSql == "office A")
+    // codegen path: the expression must not fall out of wholestage
+    // (a LocalTableScan never codegens — use a range source)
+    val ranged = spark.range(10).select(
+      graft.functions.NfkcNormalize.nfkc(
+        concat(lit("ﬁle "), $"id".cast("string"))).as("n"))
+    // the "*(n)" prefix is the whole-stage-codegen marker: the
+    // projection containing graft_nfkc compiled into the stage
+    val plan = ranged.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project") &&
+      plan.contains("graft_nfkc"), plan)
+    assert(ranged.as[String].head() == "file 0")
+  }
+
   test("winnowFingerprints: window-min selection, rightmost ties, " +
       "shared-substring guarantee, density") {
     // constant-hash tie case: every window's min key is its RIGHTMOST

@@ -265,6 +265,49 @@ class UnigramSpec extends AnyFunSuite {
     assert(a == b && a.nonEmpty)
   }
 
+  test("hardEmTrain chain: rounds + closed-form prune compose " +
+      "exactly; the final model exports via toTokenizerJson") {
+    val corpus = Seq((1L, "low lower newest lowest"),
+      (2L, "newest widest low low"), (3L, "wide wider new newest"),
+      (4L, "low newest low lowest wide")).toDF("doc_id", "text")
+    val words = corpus
+      .select(explode(split(lower($"text"), "\\s+")).as("word"))
+      .where($"word" =!= "")
+      .groupBy($"word").agg(count(lit(1)).as("freq"))
+      .localCheckpoint()
+    val chained = Unigram.hardEmTrain(words, "word", "freq",
+      pruneTo = 4, rounds = 2, seedSize = 24, maxPieceLen = 3)
+    // manual composition: seed -> round -> prune -> round
+    val seed = Unigram.mleScores(
+      Unigram.seedVocab(words, "word", "freq", 24, 3))
+    val r1 = Unigram.hardEmRound(words, "word", "freq", seed, 3)
+    val pruned = r1.filter(_.piece.length == 1) ++
+      r1.filter(_.piece.length >= 2)
+        .sortBy(p => (-p.logpMicros, p.piece)).take(4)
+    val r2 = Unigram.hardEmRound(words, "word", "freq", pruned, 3)
+    assert(chained == r2)
+    // the prune bit: at most 4 multi-char pieces survive
+    assert(chained.count(_.piece.length >= 2) <= 4)
+    assert(r1.count(_.piece.length >= 2) > 4, "fixture must prune")
+    // trained-model export: json round-trip preserves the chain's
+    // model and its encode
+    val back = Unigram.fromTokenizerJson(
+      Unigram.toTokenizerJson(chained))
+    assert(back.sortBy(p => (-p.logpMicros, p.piece)) ==
+      chained.sortBy(p => (-p.logpMicros, p.piece)))
+    val enc = Unigram.encode(corpus, "text", "doc_id", chained, 3)
+      .select($"doc_id", $"pieces").as[(Long, Seq[String])]
+      .collect().toMap
+    val encBack = Unigram.encode(corpus, "text", "doc_id", back, 3)
+      .select($"doc_id", $"pieces").as[(Long, Seq[String])]
+      .collect().toMap
+    assert(enc == encBack)
+    // invariance under input partitioning
+    val chained2 = Unigram.hardEmTrain(words.repartition(7), "word",
+      "freq", pruneTo = 4, rounds = 2, seedSize = 24, maxPieceLen = 3)
+    assert(chained2 == chained)
+  }
+
   test("fromTokenizerJson fails cleanly on truncated/malformed " +
       "input — descriptive require, never an index error") {
     val model = Unigram.mleScores(
