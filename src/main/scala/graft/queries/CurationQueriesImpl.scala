@@ -1499,6 +1499,268 @@ object CurationQueriesImpl {
       }
     }
 
+    // WordPiece tokenizer family (q141 train / q142 encode / q143
+    // ids): the THIRD subword family beside BPE and unigram. q141
+    // replays the LIKELIHOOD-driven trainer — per round: symbol
+    // counts, adjacent-pair counts, micro-log2 score
+    // round((log2(c)−log2(cl)−log2(cr))·1e6) argmax with
+    // (score DESC, c DESC, pair ASC) tie-break, merged symbol
+    // la||SUBSTR(rb,3) (the ## strip), and the shared greedy fold.
+    // q142 replays BERT's greedy LONGEST-MATCH-FIRST encode as an
+    // unrolled 16-step walk over distinct words (each step takes the
+    // longest vocabulary piece at the cursor; a stuck word becomes
+    // [UNK] wholesale). q143 re-derives the closed-form vocabulary
+    // ids ([UNK], sorted alphabet, merges by rank) and hash-checks
+    // every document's id sequence.
+    locally {
+      val maxLen = 16
+      val foldLambda =
+        """(acc, x) ->
+          |        CASE WHEN SPLIT_PART(acc, CHR(1), 2) = b.la
+          |            AND x = b.rb THEN
+          |          (CASE WHEN SPLIT_PART(acc, CHR(1), 1) = ''
+          |                THEN b.mg
+          |                ELSE SPLIT_PART(acc, CHR(1), 1) || ' ' ||
+          |                     b.mg
+          |           END) || CHR(1)
+          |        ELSE
+          |          (CASE WHEN SPLIT_PART(acc, CHR(1), 2) = ''
+          |                THEN SPLIT_PART(acc, CHR(1), 1)
+          |                ELSE CASE WHEN SPLIT_PART(acc, CHR(1), 1) = ''
+          |                     THEN SPLIT_PART(acc, CHR(1), 2)
+          |                     ELSE SPLIT_PART(acc, CHR(1), 1) || ' ' ||
+          |                          SPLIT_PART(acc, CHR(1), 2) END
+          |           END) || CHR(1) || x
+          |        END""".stripMargin
+      val unpackState =
+        """CASE WHEN SPLIT_PART(st, CHR(1), 2) = ''
+          |         THEN SPLIT_PART(st, CHR(1), 1)
+          |         ELSE CASE WHEN SPLIT_PART(st, CHR(1), 1) = ''
+          |              THEN SPLIT_PART(st, CHR(1), 2)
+          |              ELSE SPLIT_PART(st, CHR(1), 1) || ' ' ||
+          |                   SPLIT_PART(st, CHR(1), 2)
+          |              END
+          |    END""".stripMargin
+      def mergeStep(k: Int): String =
+        s"""sc$k AS (SELECT s, CAST(SUM(freq) AS BIGINT) AS cs
+           |  FROM (SELECT UNNEST(STRING_SPLIT(ws, ' ')) AS s, freq
+           |    FROM w${k - 1}) GROUP BY 1),
+           |p$k AS (SELECT l[i] AS la, l[i+1] AS rb,
+           |    CAST(SUM(freq) AS BIGINT) AS c
+           |  FROM (SELECT STRING_SPLIT(ws, ' ') AS l, freq
+           |    FROM w${k - 1}) t,
+           |       UNNEST(GENERATE_SERIES(1, LEN(l) - 1)) u(i)
+           |  GROUP BY 1, 2),
+           |b$k AS (SELECT la, rb, c,
+           |    CAST(ROUND((LOG2(CAST(c AS DOUBLE))
+           |      - LOG2(CAST(cl.cs AS DOUBLE))
+           |      - LOG2(CAST(cr.cs AS DOUBLE))) * 1e6) AS BIGINT)
+           |      AS sm,
+           |    la || SUBSTR(rb, 3) AS mg
+           |  FROM p$k JOIN sc$k cl ON cl.s = p$k.la
+           |    JOIN sc$k cr ON cr.s = p$k.rb
+           |  ORDER BY sm DESC, c DESC, la || ' ' || rb LIMIT 1),
+           |w$k AS (
+           |  SELECT freq, $unpackState AS ws
+           |  FROM (
+           |    SELECT w.freq,
+           |      LIST_REDUCE([CHR(1)] || STRING_SPLIT(w.ws, ' '),
+           |        $foldLambda) AS st
+           |    FROM w${k - 1} w CROSS JOIN b$k b))""".stripMargin
+      val w0Sql =
+        """w0 AS (
+          |  SELECT REGEXP_REPLACE(TRIM(REGEXP_REPLACE(word, '(.)',
+          |      '\1 ', 'g')), ' ', ' ##', 'g') AS ws,
+          |    CAST(COUNT(*) AS BIGINT) AS freq
+          |  FROM (SELECT UNNEST(REGEXP_SPLIT_TO_ARRAY(
+          |      TRIM(LOWER(text)), '\s+')) AS word
+          |    FROM documents WHERE doc_id < 20)
+          |  WHERE REGEXP_MATCHES(word, '^[a-z]+$')
+          |    AND LENGTH(word) >= 2
+          |  GROUP BY word)""".stripMargin
+      def trainWords(s: SparkSession, dir: String): DataFrame =
+        table(s, dir, "documents").where(col("doc_id") < 20)
+          .select(explode(graft.text.TextAnalysis.tokens(
+            lower(col("text")))).as("word"))
+          .where(col("word").rlike("^[a-z]+$") &&
+            length(col("word")) >= 2)
+          .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+
+      register("q141_wordpiece_merges",
+        s"""WITH $w0Sql,
+           |${(1 to 4).map(mergeStep).mkString(",\n")}
+           |SELECT * FROM (
+           |  SELECT CAST(1 AS BIGINT) AS rank, la AS lhs, rb AS rhs,
+           |    mg AS merged, c AS freq, sm AS score_micros FROM b1
+           |  UNION ALL SELECT 2, la, rb, mg, c, sm FROM b2
+           |  UNION ALL SELECT 3, la, rb, mg, c, sm FROM b3
+           |  UNION ALL SELECT 4, la, rb, mg, c, sm FROM b4)
+           |ORDER BY rank""".stripMargin) { (s, dir) =>
+        import s.implicits._
+        val m = graft.text.WordPiece.trainFromWordCounts(
+          trainWords(s, dir), "word", "freq", numMerges = 4,
+          minFreq = 1L)
+        m.map(x => (x.rank.toLong, x.left, x.right, x.merged, x.freq,
+            x.scoreMicros))
+          .toDF("rank", "lhs", "rhs", "merged", "freq",
+            "score_micros")
+          .orderBy(col("rank"))
+      }
+
+      // shared apply-side CTEs: the vocabulary (alphabet ∪ merges),
+      // doc tokens, and the 16-step greedy longest-match walk
+      val vocabSqlWp =
+        """alpha AS (SELECT DISTINCT UNNEST(STRING_SPLIT(ws, ' '))
+          |    AS piece
+          |  FROM w0),
+          |vocab AS MATERIALIZED (
+          |  SELECT piece FROM alpha
+          |  UNION SELECT mg FROM b1 UNION SELECT mg FROM b2
+          |  UNION SELECT mg FROM b3 UNION SELECT mg FROM b4)"""
+          .stripMargin
+      val toksSqlWp =
+        s"""toks0 AS MATERIALIZED (SELECT doc_id, LIST_FILTER(
+           |    REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\\s+'),
+           |    w -> REGEXP_MATCHES(w, '^[a-z]{1,$maxLen}$$')) AS arr
+           |  FROM documents WHERE doc_id < 10),
+           |wtok AS (SELECT DISTINCT arr[i] AS word
+           |  FROM toks0, UNNEST(GENERATE_SERIES(1, LEN(arr))) u(i)),
+           |g0 AS MATERIALIZED (SELECT word, CAST(1 AS BIGINT) AS pos,
+           |    '' AS pieces, TRUE AS ok
+           |  FROM wtok)""".stripMargin
+      def greedyStep(k: Int): String =
+        s"""g$k AS MATERIALIZED (
+           |  SELECT g.word,
+           |    CASE WHEN NOT g.ok OR g.pos > LEN(g.word)
+           |           OR c.kl IS NULL THEN g.pos
+           |         ELSE g.pos + c.kl END AS pos,
+           |    CASE WHEN NOT g.ok OR g.pos > LEN(g.word)
+           |           OR c.kl IS NULL THEN g.pieces
+           |         WHEN g.pieces = '' THEN c.piece
+           |         ELSE g.pieces || ' ' || c.piece END AS pieces,
+           |    CASE WHEN NOT g.ok THEN FALSE
+           |         WHEN g.pos > LEN(g.word) THEN TRUE
+           |         ELSE c.kl IS NOT NULL END AS ok
+           |  FROM g${k - 1} g LEFT JOIN (
+           |    SELECT word, kl, piece FROM (
+           |      SELECT g2.word, u.kl, v.piece,
+           |        ROW_NUMBER() OVER (PARTITION BY g2.word
+           |          ORDER BY u.kl DESC) AS rn
+           |      FROM g${k - 1} g2,
+           |        UNNEST(GENERATE_SERIES(1,
+           |          GREATEST(LEN(g2.word) - g2.pos + 1, 1))) u(kl)
+           |      JOIN vocab v ON v.piece =
+           |        CASE WHEN g2.pos = 1
+           |          THEN SUBSTR(g2.word, CAST(g2.pos AS INTEGER),
+           |            CAST(u.kl AS INTEGER))
+           |          ELSE '##' || SUBSTR(g2.word,
+           |            CAST(g2.pos AS INTEGER), CAST(u.kl AS INTEGER))
+           |        END
+           |      WHERE g2.ok AND g2.pos <= LEN(g2.word))
+           |    WHERE rn = 1) c USING (word))""".stripMargin
+      val wsegSqlWp =
+        s"""wseg AS (SELECT word,
+           |    CASE WHEN ok AND pos > LEN(word) THEN pieces
+           |         ELSE '[UNK]' END AS seg
+           |  FROM g$maxLen),
+           |occur AS (SELECT doc_id, u.i AS i, arr[u.i] AS word
+           |  FROM toks0, UNNEST(GENERATE_SERIES(1, LEN(arr))) u(i))"""
+          .stripMargin
+      def encodeFixture(s: SparkSession, dir: String): DataFrame =
+        table(s, dir, "documents").where(col("doc_id") < 10)
+          .select(col("doc_id"), concat_ws(" ",
+            filter(graft.text.TextAnalysis.tokens(lower(col("text"))),
+              t => t.rlike(s"^[a-z]{1,$maxLen}$$"))).as("text"))
+      def trainedVocab(s: SparkSession, dir: String): Seq[String] = {
+        val wc = trainWords(s, dir).localCheckpoint(false)
+        val m = graft.text.WordPiece.trainFromWordCounts(wc, "word",
+          "freq", numMerges = 4, minFreq = 1L)
+        graft.text.WordPiece.vocabIdOrder(
+          graft.text.WordPiece.alphabet(wc, "word"), m)
+      }
+
+      register("q142_wordpiece_encode",
+        s"""WITH $w0Sql,
+           |${(1 to 4).map(mergeStep).mkString(",\n")},
+           |$vocabSqlWp,
+           |$toksSqlWp,
+           |${(1 to maxLen).map(greedyStep).mkString(",\n")},
+           |$wsegSqlWp,
+           |perdoc AS (
+           |  SELECT o.doc_id,
+           |    CAST(SUM(LEN(STRING_SPLIT(w.seg, ' '))) AS BIGINT)
+           |      AS n_pieces,
+           |    MD5(STRING_AGG(w.seg, ' ' ORDER BY o.i)) AS pieces_md5
+           |  FROM occur o JOIN wseg w USING (word)
+           |  GROUP BY o.doc_id)
+           |SELECT d.doc_id, COALESCE(p.n_pieces, 0) AS n_pieces,
+           |  COALESCE(p.pieces_md5, MD5('')) AS pieces_md5
+           |FROM (SELECT doc_id FROM documents WHERE doc_id < 10) d
+           |LEFT JOIN perdoc p USING (doc_id)
+           |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+        graft.text.WordPiece.encode(encodeFixture(s, dir), "text",
+            "doc_id", trainedVocab(s, dir))
+          .select(col("doc_id"), col("n_pieces"),
+            md5(concat_ws(" ", col("pieces"))).as("pieces_md5"))
+          .orderBy(col("doc_id"))
+      }
+
+      register("q143_wordpiece_ids",
+        s"""WITH $w0Sql,
+           |${(1 to 4).map(mergeStep).mkString(",\n")},
+           |$vocabSqlWp,
+           |mgall AS (
+           |  SELECT 1 AS r, mg FROM b1 UNION ALL
+           |  SELECT 2, mg FROM b2 UNION ALL
+           |  SELECT 3, mg FROM b3 UNION ALL SELECT 4, mg FROM b4),
+           |mdedup AS (SELECT mg, MIN(r) AS r FROM mgall
+           |  WHERE mg NOT IN (SELECT piece FROM alpha)
+           |    AND mg <> '[UNK]'
+           |  GROUP BY mg),
+           |nalpha AS (SELECT COUNT(*) AS n FROM alpha
+           |  WHERE piece <> '[UNK]'),
+           |vid AS MATERIALIZED (
+           |  SELECT '[UNK]' AS piece, CAST(0 AS BIGINT) AS vocab_id
+           |  UNION ALL
+           |  SELECT piece, ROW_NUMBER() OVER (ORDER BY piece)
+           |    FROM alpha WHERE piece <> '[UNK]'
+           |  UNION ALL
+           |  SELECT mg, nalpha.n + ROW_NUMBER() OVER (ORDER BY r)
+           |    FROM mdedup, nalpha),
+           |$toksSqlWp,
+           |${(1 to maxLen).map(greedyStep).mkString(",\n")},
+           |$wsegSqlWp,
+           |wp2 AS (SELECT word, STRING_SPLIT(seg, ' ') AS ps
+           |  FROM wseg),
+           |pieces AS (SELECT o.doc_id, o.i, v.j AS j, wp2.ps[j]
+           |    AS piece
+           |  FROM occur o JOIN wp2 USING (word),
+           |    UNNEST(GENERATE_SERIES(1, LEN(wp2.ps))) v(j)),
+           |ids AS (SELECT p.doc_id, p.i, p.j, vid.vocab_id
+           |  FROM pieces p JOIN vid ON vid.piece = p.piece)
+           |SELECT d.doc_id,
+           |  COALESCE(x.n_pieces, 0) AS n_pieces,
+           |  COALESCE(x.id_sum, 0) AS id_sum,
+           |  COALESCE(x.ids_md5, MD5('')) AS ids_md5
+           |FROM (SELECT doc_id FROM documents WHERE doc_id < 10) d
+           |LEFT JOIN (
+           |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_pieces,
+           |    CAST(SUM(vocab_id) AS BIGINT) AS id_sum,
+           |    MD5(STRING_AGG(CAST(vocab_id AS VARCHAR), ' '
+           |      ORDER BY i, j)) AS ids_md5
+           |  FROM ids GROUP BY doc_id) x USING (doc_id)
+           |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+        graft.text.WordPiece.encodeToIds(encodeFixture(s, dir),
+            "text", "doc_id", trainedVocab(s, dir))
+          .select(col("doc_id"), col("n_pieces"),
+            aggregate(col("ids"), lit(0L),
+              (acc, x) => acc + x.cast("long")).as("id_sum"),
+            md5(concat_ws(" ", transform(col("ids"),
+              i => i.cast("string")))).as("ids_md5"))
+          .orderBy(col("doc_id"))
+      }
+    }
+
     // CCNet-style text normalization before hashing/dedup: smart
     // quotes, en/em dashes, ellipsis, NBSP fold to ASCII; whitespace
     // runs collapse. The fixture injects every special char keyed by
@@ -2092,6 +2354,106 @@ object CurationQueriesImpl {
               .otherwise(graft.text.Urls.urlHost(col("url"))))
             .as("url_domain"))
         .orderBy(col("doc_id"))
+    }
+
+    // PSL registrable domains (q144): the exact refinement of q130's
+    // closed-form approximation — the published Public-Suffix-List
+    // algorithm (longest matching rule; wildcard *.x matches one
+    // label; exception !y.x outranks everything and names one label
+    // more than its suffix; unmatched hosts fall to the implicit *
+    // rule). The oracle replays the algorithm independently in SQL
+    // (suffix explode → rule join → exception-then-longest argmax)
+    // over a doc_id-keyed host fixture exercising every branch and
+    // the same mirrored rule table.
+    locally {
+      val pslRules = Seq("com", "org", "co.uk", "uk", "*.ck",
+        "!www.ck", "net")
+      val pslValues = pslRules.map(r => s"('$r')").mkString(", ")
+      register("q144_psl_registrable_domain",
+        s"""WITH psl(rule) AS (VALUES $pslValues),
+           |rules AS (SELECT DISTINCT
+           |    CASE WHEN rule LIKE '!%' THEN SUBSTR(rule, 2)
+           |         WHEN rule LIKE '*.%' THEN SUBSTR(rule, 3)
+           |         ELSE rule END AS tail,
+           |    CASE WHEN rule LIKE '!%' THEN 2
+           |         WHEN rule LIKE '*.%' THEN 1 ELSE 0 END AS kind
+           |  FROM psl),
+           |hosts AS (SELECT doc_id,
+           |    CASE CAST(doc_id % 6 AS INTEGER)
+           |      WHEN 0 THEN 'site' || CAST(doc_id % 97 AS VARCHAR)
+           |        || '.example.com'
+           |      WHEN 1 THEN 'sub' || CAST(doc_id % 7 AS VARCHAR)
+           |        || '.shop' || CAST(doc_id % 13 AS VARCHAR)
+           |        || '.co.uk'
+           |      WHEN 2 THEN 'w' || CAST(doc_id % 5 AS VARCHAR)
+           |        || '.x' || CAST(doc_id % 11 AS VARCHAR) || '.ck'
+           |      WHEN 3 THEN CASE WHEN (doc_id // 6) % 2 = 0
+           |        THEN 'www.ck' ELSE 'deep.www.ck' END
+           |      WHEN 4 THEN 'a' || CAST(doc_id % 3 AS VARCHAR)
+           |        || '.zz' || CAST(doc_id % 9 AS VARCHAR)
+           |      ELSE CASE WHEN (doc_id // 6) % 2 = 0 THEN 'co.uk'
+           |        ELSE 'b' || CAST(doc_id % 4 AS VARCHAR) || '.ck'
+           |        END
+           |    END AS host
+           |  FROM documents),
+           |lab AS (SELECT doc_id, host, STRING_SPLIT(host, '.') AS ls,
+           |    LEN(STRING_SPLIT(host, '.')) AS nl
+           |  FROM hosts),
+           |cand AS (SELECT doc_id, k,
+           |    ARRAY_TO_STRING(ls[nl - k + 1 : nl], '.') AS suffix,
+           |    CASE WHEN k >= 2
+           |      THEN ARRAY_TO_STRING(ls[nl - k + 2 : nl], '.')
+           |      ELSE '' END AS wtail
+           |  FROM lab, UNNEST(GENERATE_SERIES(1, LEAST(nl, 8))) u(k)),
+           |m AS (SELECT c.doc_id,
+           |    ARG_MAX(CASE WHEN r.kind = 2 THEN c.k - 1 ELSE c.k END,
+           |      (CASE WHEN r.kind = 2 THEN 1 ELSE 0 END) * 1000 +
+           |      (CASE WHEN r.kind = 2 THEN c.k - 1 ELSE c.k END))
+           |      AS pslen
+           |  FROM cand c JOIN rules r ON
+           |    (r.kind = 0 AND r.tail = c.suffix) OR
+           |    (r.kind = 1 AND c.k >= 2 AND r.tail = c.wtail) OR
+           |    (r.kind = 2 AND r.tail = c.suffix)
+           |  GROUP BY 1)
+           |SELECT l.doc_id, l.host,
+           |  ARRAY_TO_STRING(
+           |    l.ls[l.nl - COALESCE(m.pslen, 1) + 1 : l.nl], '.')
+           |    AS public_suffix,
+           |  CASE WHEN l.nl > COALESCE(m.pslen, 1)
+           |    THEN ARRAY_TO_STRING(
+           |      l.ls[l.nl - COALESCE(m.pslen, 1) : l.nl], '.')
+           |    ELSE NULL END AS registrable_domain
+           |FROM lab l LEFT JOIN m USING (doc_id)
+           |ORDER BY l.doc_id""".stripMargin) { (s, dir) =>
+        import s.implicits._
+        val m6 = pmod(col("doc_id"), lit(6))
+        val half = pmod(floor(col("doc_id") / 6), lit(2))
+        val hosts = table(s, dir, "documents").select(col("doc_id"),
+          when(m6 === 0, concat(lit("site"),
+            pmod(col("doc_id"), lit(97)).cast("string"),
+            lit(".example.com")))
+            .when(m6 === 1, concat(lit("sub"),
+              pmod(col("doc_id"), lit(7)).cast("string"), lit(".shop"),
+              pmod(col("doc_id"), lit(13)).cast("string"),
+              lit(".co.uk")))
+            .when(m6 === 2, concat(lit("w"),
+              pmod(col("doc_id"), lit(5)).cast("string"), lit(".x"),
+              pmod(col("doc_id"), lit(11)).cast("string"), lit(".ck")))
+            .when(m6 === 3, when(half === 0, lit("www.ck"))
+              .otherwise(lit("deep.www.ck")))
+            .when(m6 === 4, concat(lit("a"),
+              pmod(col("doc_id"), lit(3)).cast("string"), lit(".zz"),
+              pmod(col("doc_id"), lit(9)).cast("string")))
+            .otherwise(when(half === 0, lit("co.uk"))
+              .otherwise(concat(lit("b"),
+                pmod(col("doc_id"), lit(4)).cast("string"),
+                lit(".ck")))).as("host"))
+        graft.text.Urls.registrableDomainPsl(hosts, "host",
+            pslRules.toDF("rule"))
+          .select(col("doc_id"), col("host"), col("public_suffix"),
+            col("registrable_domain"))
+          .orderBy(col("doc_id"))
+      }
     }
 
     // HTML main-content extraction (q133): the oracle replays the

@@ -130,14 +130,20 @@ object Bpe {
     * [a, a, a] with pair (a, a) becomes [aa, a] — the non-overlapping
     * scan BPE training uses. State = (merged prefix, held symbol);
     * "" is a safe hold-sentinel because symbols are never empty. */
-  def mergePairExpr(syms: Column, a: String, b: String): Column = {
+  def mergePairExpr(syms: Column, a: String, b: String): Column =
+    mergePairExpr(syms, a, b, a + b)
+
+  /** [[mergePairExpr]] with an explicit merged symbol — WordPiece
+    * merges emit `a + b.stripPrefix("##")`, not the concatenation. */
+  def mergePairExpr(syms: Column, a: String, b: String,
+      merged: String): Column = {
     val folded = aggregate(syms,
       struct(array().cast("array<string>").as("out"), lit("").as("held")),
       (acc, s) => {
         val out = acc.getField("out")
         val held = acc.getField("held")
         when(held === lit(a) && s === lit(b),
-          struct(concat(out, array(lit(a + b))).as("out"),
+          struct(concat(out, array(lit(merged))).as("out"),
             lit("").as("held")))
           .otherwise(struct(
             when(held === lit(""), out)

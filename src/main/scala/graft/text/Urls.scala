@@ -82,6 +82,91 @@ object Urls {
         .otherwise(lastTwo))
   }
 
+  /** Public-Suffix-List registrable domain — the exact refinement
+    * [[registrableDomain]]'s closed form approximates. Implements the
+    * published PSL algorithm (publicsuffix.org/list/): among all
+    * rules matching a suffix of the host, the longest (most labels)
+    * wins; a wildcard rule (`*.ck`) matches any single label in the
+    * starred position; an exception rule (`!www.ck`) beats every
+    * other match and names ONE LABEL MORE than its public suffix.
+    * The registrable domain is the public suffix plus one label;
+    * hosts that ARE a public suffix (or have no label above it)
+    * yield null. Hosts matching no rule use the implicit `*` rule
+    * (TLD itself is the suffix), per the spec.
+    *
+    * Scale shape: ONE explode of ≤ `maxLabels` candidate suffixes per
+    * host (bounded fan-out), a BROADCAST join against the ~10k-rule
+    * PSL table, and one max-struct groupBy back to one row per input
+    * — the shape the [[registrableDomain]] scaladoc promised. Returns
+    * the input plus `public_suffix` and `registrable_domain`. */
+  def registrableDomainPsl(df: DataFrame, hostCol: String,
+      psl: DataFrame, ruleCol: String = "rule", maxLabels: Int = 8)
+      : DataFrame = {
+    require(!df.columns.exists(Seq("labels_", "nl_", "k_", "suffix_",
+      "public_suffix", "registrable_domain", "match_").contains),
+      "input already has a reserved psl working column")
+    // rules keyed by their PLAIN suffix part: a wildcard rule *.ck
+    // matches at (labels-of-rule) length with tail ck; an exception
+    // !www.ck registers at its full length and wins outright
+    val rules = broadcast(psl
+      .select(col(ruleCol).as("r_"))
+      .where(col("r_").isNotNull && col("r_") =!= "")
+      .select(
+        when(col("r_").startsWith("!"), expr("substring(r_, 2)"))
+          .when(col("r_").startsWith("*."), expr("substring(r_, 3)"))
+          .otherwise(col("r_")).as("tail_"),
+        when(col("r_").startsWith("!"), lit("exception"))
+          .when(col("r_").startsWith("*."), lit("wildcard"))
+          .otherwise(lit("plain")).as("kind_"))
+      .distinct())
+    val withLabels = df
+      .withColumn("labels_", split(col(hostCol), "\\."))
+      .withColumn("nl_", size(col("labels_")))
+    // candidate suffixes, longest first never needed — groupBy max:
+    // k_ = label count of the candidate public suffix
+    val cands = withLabels
+      .select(col(hostCol).as("h_"), col("labels_"), col("nl_"),
+        explode(sequence(lit(1),
+          least(col("nl_"), lit(maxLabels)))).as("k_"))
+      .withColumn("suffix_", concat_ws(".",
+        slice(col("labels_"), col("nl_") - col("k_") + 1, col("k_"))))
+      // the wildcard join key drops the candidate's FIRST label
+      .withColumn("wtail_", concat_ws(".",
+        slice(col("labels_"), col("nl_") - col("k_") + 2,
+          col("k_") - 1)))
+    val matched = cands.join(rules,
+        (col("kind_") === "plain" && col("tail_") === col("suffix_")) ||
+        (col("kind_") === "wildcard" && col("k_") >= 2 &&
+          col("tail_") === col("wtail_")) ||
+        (col("kind_") === "exception" && col("tail_") === col("suffix_")),
+        "inner")
+      // exception rules: the public suffix is the rule MINUS its
+      // first label → suffix length k_ - 1; they outrank everything
+      .select(col("h_"),
+        struct(
+          when(col("kind_") === "exception", lit(1)).otherwise(lit(0))
+            .as("exc_"),
+          when(col("kind_") === "exception", col("k_") - 1)
+            .otherwise(col("k_")).as("len_")).as("match_"))
+      .groupBy(col("h_"))
+      // struct max: exception rules outrank (exc_ first), then the
+      // longest match — the published precedence
+      .agg(max(col("match_")).as("m_"))
+      .select(col("h_"), col("m_.len_").as("pslen_"))
+    withLabels.join(matched, col(hostCol) === col("h_"), "left")
+      // no rule matched -> the implicit "*" rule: suffix = TLD (1)
+      .withColumn("pslen_", coalesce(col("pslen_"), lit(1)))
+      .withColumn("public_suffix", concat_ws(".",
+        slice(col("labels_"), col("nl_") - col("pslen_") + 1,
+          col("pslen_"))))
+      .withColumn("registrable_domain",
+        when(col("nl_") > col("pslen_"), concat_ws(".",
+          slice(col("labels_"), col("nl_") - col("pslen_"),
+            col("pslen_") + 1)))
+          .otherwise(lit(null).cast("string")))
+      .drop("labels_", "nl_", "h_", "pslen_")
+  }
+
   /** Canonical URL as a pure expression — see object doc for the
     * rules. Null/scheme-less input canonicalizes to null (web corpora
     * treat those rows as undeduplicatable and keep them). */

@@ -108,6 +108,50 @@ class UrlsSpec extends AnyFunSuite {
     assert(got.head._3 == "example.com")
   }
 
+  test("registrableDomainPsl: published PSL algorithm — longest " +
+      "rule, wildcard, exception precedence, implicit * fallback") {
+    val psl = Seq("com", "org", "co.uk", "uk", "*.ck", "!www.ck")
+      .toDF("rule")
+    val hosts = Seq(
+      "a.example.com", // plain
+      "b.example.co.uk", // LONGEST rule wins over "uk"
+      "example.co.uk",
+      "co.uk", // host IS a public suffix
+      "foo.bar.ck", // wildcard *.ck -> suffix bar.ck
+      "bar.ck", // wildcard match consumes the whole host
+      "www.ck", // exception: www.ck is REGISTRABLE
+      "sub.www.ck", // exception still yields suffix ck
+      "x.unknowntld", // no rule -> implicit * (TLD is suffix)
+      "unknowntld")
+      .toDF("host")
+    val got = Urls.registrableDomainPsl(hosts, "host", psl)
+      .select($"host", $"public_suffix", $"registrable_domain")
+      .as[(String, String, String)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got("a.example.com") == ("com", "example.com"))
+    assert(got("b.example.co.uk") == ("co.uk", "example.co.uk"))
+    assert(got("example.co.uk") == ("co.uk", "example.co.uk"))
+    assert(got("co.uk") == ("co.uk", null))
+    assert(got("foo.bar.ck") == ("bar.ck", "foo.bar.ck"))
+    assert(got("bar.ck") == ("bar.ck", null))
+    assert(got("www.ck") == ("ck", "www.ck"))
+    assert(got("sub.www.ck") == ("ck", "www.ck"))
+    assert(got("x.unknowntld") == ("unknowntld", "x.unknowntld"))
+    assert(got("unknowntld") == ("unknowntld", null))
+    // the PSL side of the join must broadcast (rules are ~10k rows)
+    val plan = Urls.registrableDomainPsl(hosts, "host", psl)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"), plan)
+    // agreement with the closed-form approximation on its home turf
+    val approx = hosts
+      .select($"host", Urls.registrableDomain($"host").as("a"))
+      .as[(String, String)].collect().toMap
+    Seq("a.example.com", "b.example.co.uk").foreach { h =>
+      assert(approx(h) == got(h)._2, h)
+    }
+  }
+
   test("dedup is invariant under partitioning") {
     val rows = (0L until 200L).map { i =>
       (i, s"http://www.site${i % 7}.com/p${i % 11}?utm_source=$i" +
