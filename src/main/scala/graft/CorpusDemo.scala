@@ -230,6 +230,21 @@ object CorpusDemo {
         "embedding", "vec_id", "vec_id", k = 5).count()
     }
 
+    // 8a''. cluster-aware probe: exact-integer k-means over the
+    //       survivors' embeddings — cluster ids are the stratum key a
+    //       label-free corpus uses for balanced caps/mixtures (the
+    //       per-source cap below plays that role here because the
+    //       fixture HAS labels)
+    t("cluster: integer k-means topics over survivors") {
+      val emb = Tables.table(spark, sfDir, "embeddings")
+        .join(pruned.select(col("doc_id").as("vec_id")), Seq("vec_id"),
+          "left_semi").localCheckpoint(false)
+      val model = graft.similarity.KMeans.fit(emb, "embedding",
+        "vec_id", k = 8, iters = 3)
+      graft.similarity.KMeans.assign(emb, "embedding", model)
+        .groupBy(col("cluster_id")).count().count()
+    }
+
     // 8b. BM25 relevance probe: rank the survivors against a domain
     //     sketch (here: the probe docs double as the sketch) — the
     //     retrieval signal a curation pass uses to up-weight on-domain

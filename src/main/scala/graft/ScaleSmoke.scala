@@ -377,6 +377,16 @@ object ScaleSmoke {
         .localCheckpoint()
       paraKept.count()
     }
+    t("trained langid over the corpus (NB apply)") {
+      // model trains once on the seed (sample-scale); application is
+      // the corpus-scale path — a shuffle-free literal-map argmax
+      import spark.implicits._
+      val model = graft.text.LanguageId.train(
+        graft.text.LanguageId.builtinSeed.toDF("lang", "text"),
+        "text", "lang", nMin = 2, nMax = 3, topK = 1024)
+      graft.text.LanguageId.applyModel(paraKept, "text", model)
+        .groupBy(col("language")).count().count()
+    }
     t("kn-bigram fluency cut (tail drop)") {
       // the CorpusDemo 6b shape at corpus scale: KN-bigram bits per
       // pair -> hierarchical buckets -> drop the least-fluent third

@@ -719,5 +719,86 @@ object SimilarityQueriesImpl {
         .withColumn("rank", col("rank").cast("long"))
         .orderBy(col("query_id"), col("rank"))
     }
+
+    // Distributed exact-integer k-means (q145): the FULL training
+    // loop replays — micro quantization, deterministic farthest-point
+    // seeding (3 unrolled greedy steps off the md5-rank anchor), 3
+    // Lloyd iterations (integer (v−c)² argmin with (dist, cid)
+    // tie-break; centroid update = exact long sums with ONE rounding
+    // back to micros; empty clusters keep their centroid via the
+    // COALESCE), and the final assignment — every document's cluster
+    // AND its exact integer distance hash-check. This is the q70
+    // pico-dot convention pushed to its limit: zero floats anywhere
+    // in the argmin, so no cross-engine summation-order risk at all.
+    locally {
+      val k = 4
+      val iters = 3
+      def dist(a: String, b: String): String =
+        s"""LIST_AGGREGATE(LIST_TRANSFORM(
+           |      GENERATE_SERIES(1, LEN($a)),
+           |      i -> ($a[i] - $b[i]) * ($a[i] - $b[i])), 'sum')"""
+          .stripMargin
+      // greedy farthest-point step n: the row maximizing its nearest
+      // distance to seeds s1..s(n-1), ties -> lowest id
+      def seedStep(n: Int): String = {
+        val prev = (1 until n).map(j => s"s$j")
+        val nd = prev.map(p => dist("vm.v", s"$p.v"))
+          .reduce((x, y) => s"LEAST($x,\n      $y)")
+        s"""s$n AS MATERIALIZED (
+           |  SELECT vm.v FROM vm, ${prev.mkString(", ")}
+           |  ORDER BY $nd DESC, vm.vec_id LIMIT 1)""".stripMargin
+      }
+      def iterStep(t: Int): String =
+        s"""a$t AS MATERIALIZED (
+           |  SELECT vec_id, v, cid, d FROM (
+           |    SELECT vec_id, v, cid, d, ROW_NUMBER() OVER
+           |        (PARTITION BY vec_id ORDER BY d, cid) AS rn
+           |    FROM (SELECT vm.vec_id, vm.v, c.cid,
+           |        ${dist("vm.v", "c.v")} AS d
+           |      FROM vm CROSS JOIN cent${t - 1} c))
+           |  WHERE rn = 1),
+           |cm$t AS (SELECT cid, dim,
+           |    CAST(ROUND(CAST(SUM(val) AS DOUBLE) / COUNT(*))
+           |      AS BIGINT) AS m
+           |  FROM (SELECT cid, u.i AS dim, v[u.i] AS val
+           |    FROM a$t, UNNEST(GENERATE_SERIES(1, LEN(v))) u(i))
+           |  GROUP BY 1, 2),
+           |cent$t AS MATERIALIZED (
+           |  SELECT p.cid, COALESCE(n.v, p.v) AS v
+           |  FROM cent${t - 1} p LEFT JOIN
+           |    (SELECT cid, LIST(m ORDER BY dim) AS v FROM cm$t
+           |     GROUP BY 1) n USING (cid))""".stripMargin
+      register("q145_kmeans_clusters",
+        s"""WITH vm AS MATERIALIZED (SELECT vec_id,
+           |    LIST_TRANSFORM(embedding, x ->
+           |      CAST(ROUND(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS v
+           |  FROM embeddings),
+           |s1 AS MATERIALIZED (SELECT v FROM vm
+           |  ORDER BY MD5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 1),
+           |${(2 to k).map(seedStep).mkString(",\n")},
+           |cent0 AS MATERIALIZED (
+           |  ${(1 to k).map(j =>
+              s"SELECT ${j - 1} AS cid, v FROM s$j")
+              .mkString("\n  UNION ALL ")}),
+           |${(1 to iters).map(iterStep).mkString(",\n")},
+           |fin AS (
+           |  SELECT vec_id, cid, d FROM (
+           |    SELECT vec_id, cid, d, ROW_NUMBER() OVER
+           |        (PARTITION BY vec_id ORDER BY d, cid) AS rn
+           |    FROM (SELECT vm.vec_id, c.cid,
+           |        ${dist("vm.v", "c.v")} AS d
+           |      FROM vm CROSS JOIN cent$iters c))
+           |  WHERE rn = 1)
+           |SELECT vec_id, cid AS cluster_id, d AS dist_sq
+           |FROM fin ORDER BY vec_id""".stripMargin) { (s, dir) =>
+        val emb = table(s, dir, "embeddings")
+        val model = graft.similarity.KMeans.fit(emb, "embedding",
+          "vec_id", k = k, iters = iters)
+        graft.similarity.KMeans.assign(emb, "embedding", model)
+          .select(col("vec_id"), col("cluster_id").cast("long")
+            .as("cluster_id"), col("dist_sq"))
+          .orderBy(col("vec_id"))
+      }
+    }
   }
 }

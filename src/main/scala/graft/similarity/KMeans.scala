@@ -1,0 +1,160 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed Lloyd k-means over an embedding column — the
+  * clustering half of cluster-aware curation (topic discovery,
+  * cluster-balanced sampling/caps, DoReMi-style domain construction
+  * from unlabeled corpora): cluster ids become the stratum key for
+  * [[graft.text.Curation.capPerKey]] / `temperatureMixture` /
+  * `stratifiedSample`.
+  *
+  * EXACT-INTEGER determinism (the property that makes a full training
+  * loop hash-gateable cross-engine, q145): vectors quantize ONCE to
+  * integer micros, so squared distance is pure long arithmetic —
+  * `Σ (v_i − c_i)²` over micro longs (NO floats anywhere in the
+  * argmin), order-independent and identical under any partitioning,
+  * retry, or engine. Centroid updates are exact long sums divided
+  * once per (cluster, dim) with one deterministic rounding back to
+  * micros. Initialization is deterministic farthest-point seeding
+  * from a portable md5-rank anchor (the q90 convention), so the
+  * whole fit is a pure function of the data.
+  *
+  * Scale shape per iteration: one broadcast of k·dim centroid micros,
+  * one scan computing each row's argmin over k (a fold over a
+  * k-element literal array — no join, no shuffle for the argmin), and
+  * ONE map-side-combined (cluster, dim) sum at k·dim output scale.
+  * `iters` iterations = `iters` scans; nothing corpus-sized ever
+  * reaches the driver (k·dim longs per round). Empty clusters keep
+  * their previous centroid (deterministic, mirrored by the oracle).
+  */
+object KMeans {
+
+  /** Vector → integer micros, the quantized basis every k-means
+    * quantity derives from. */
+  def quantize(vec: Column): Column =
+    transform(vec, x => round(x.cast("double") * 1e6).cast("long"))
+
+  /** Exact squared distance between two micro-long arrays:
+    * `Σ (v_i − c_i)²` — pure long arithmetic. */
+  def distSq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, d) => acc + d)
+
+  /** Fitted model: centroids in cluster-id order (micro longs). */
+  final case class Model(centroids: IndexedSeq[IndexedSeq[Long]]) {
+    def k: Int = centroids.length
+  }
+
+  /** Deterministic FARTHEST-POINT initialization (greedy k-center —
+    * the derandomized k-means++ cousin): seed 1 is the first row by
+    * the portable `(md5(cast(id as string)), id)` rank; each later
+    * seed is the row MAXIMIZING its exact distance to the nearest
+    * chosen seed (ties → lowest id). Well-separated clusters each
+    * receive a seed by construction — the md5-only sample can land
+    * two seeds in one cluster and starve another. Every step is one
+    * TakeOrdered scan; k − 1 scans total, all integer arithmetic, so
+    * the whole init (hence the whole fit) replays cross-engine. */
+  private[similarity] def init(vm: DataFrame, idCol: String, k: Int)
+      : IndexedSeq[IndexedSeq[Long]] = {
+    val first = vm.orderBy(md5(col(idCol).cast("string")), col(idCol))
+      .limit(1).select(col("vm_")).collect()
+    require(first.nonEmpty, "cannot initialize on an empty frame")
+    var chosen = IndexedSeq(first.head.getSeq[Long](0).toIndexedSeq)
+    while (chosen.length < k) {
+      val nearest = aggregate(
+        array(chosen.map(c => typedLit(c)): _*),
+        lit(Long.MaxValue),
+        (acc, c) => least(acc, distSq(col("vm_"), c)))
+      val next = vm.select(col("vm_"), nearest.as("nd_"), col(idCol))
+        .orderBy(col("nd_").desc, col(idCol))
+        .limit(1).select(col("vm_")).collect()
+      chosen = chosen :+ next.head.getSeq[Long](0).toIndexedSeq
+    }
+    chosen
+  }
+
+  /** One assignment pass against literal centroids: adds
+    * `cluster_id` (argmin, ties → lowest id) and `dist_sq` (exact
+    * long, micro²-scale). */
+  private def assignExpr(vmCol: Column,
+      centroids: IndexedSeq[IndexedSeq[Long]]): (Column, Column) = {
+    val cents = centroids.zipWithIndex.map { case (c, i) =>
+      struct(lit(i).as("cid"), typedLit(c).as("cm"))
+    }
+    // field aliases inside lambda bodies are dropped by the analyzer —
+    // the cast pins the candidate struct to the accumulator's shape
+    val accType = "struct<d:bigint,cid:int>"
+    val best = aggregate(array(cents: _*),
+      struct(lit(Long.MaxValue).as("d"), lit(-1).as("cid"))
+        .cast(accType),
+      (acc, c) => {
+        val d = distSq(vmCol, c.getField("cm"))
+        when(d < acc.getField("d"),
+          struct(d, c.getField("cid")).cast(accType))
+          .otherwise(acc)
+      })
+    (best.getField("cid"), best.getField("d"))
+  }
+
+  /** Fit `k` clusters with `iters` Lloyd iterations. Returns the
+    * model; [[assign]] labels any frame with it. */
+  def fit(df: DataFrame, vecCol: String, idCol: String, k: Int,
+      iters: Int): Model = {
+    require(k >= 1 && iters >= 1, "need k >= 1 and iters >= 1")
+    require(!df.columns.exists(Seq("vm_", "cluster_id", "dist_sq")
+      .contains), "input already has a reserved kmeans column")
+    val vm = df.select(col(idCol), quantize(col(vecCol)).as("vm_"))
+      .where(col("vm_").isNotNull)
+      .localCheckpoint(false) // every iteration re-reads this basis
+    var centroids = init(vm, idCol, k)
+    require(centroids.length == k,
+      s"need at least k=$k rows to initialize, got ${centroids.length}")
+    var it = 0
+    while (it < iters) {
+      val (cid, _) = assignExpr(col("vm_"), centroids)
+      val sums = vm
+        .select(cid.as("cluster_id"),
+          posexplode(col("vm_")).as(Seq("dim_", "v_")))
+        .groupBy(col("cluster_id"), col("dim_"))
+        .agg(sum(col("v_")).as("s_"), count(lit(1)).as("n_"))
+        .select(col("cluster_id"), col("dim_"),
+          round(col("s_").cast("double") / col("n_")).cast("long")
+            .as("cm_"))
+        .collect()
+      val byCluster = sums.groupBy(_.getInt(0))
+      centroids = centroids.zipWithIndex.map { case (prev, i) =>
+        byCluster.get(i) match {
+          case Some(rows) =>
+            val arr = prev.toArray.clone()
+            rows.foreach(r => arr(r.getInt(1)) = r.getLong(2))
+            arr.toIndexedSeq
+          case None => prev // empty cluster keeps its centroid
+        }
+      }
+      it += 1
+    }
+    Model(centroids)
+  }
+
+  /** Label every row with its nearest centroid: input + `cluster_id`
+    * + `dist_sq` (exact long). A pure literal-fold row expression —
+    * no join, no shuffle. */
+  def assign(df: DataFrame, vecCol: String, model: Model): DataFrame = {
+    require(!df.columns.exists(Seq("vm_", "cluster_id", "dist_sq")
+      .contains), "input already has a reserved kmeans column")
+    val (cid, d) = assignExpr(quantize(col(vecCol)), model.centroids)
+    df.withColumn("cluster_id", cid).withColumn("dist_sq", d)
+  }
+
+  /** The model as a DataFrame (cluster_id, centroid_micros) — the
+    * stored-artifact form. */
+  def modelToDf(spark: org.apache.spark.sql.SparkSession,
+      model: Model): DataFrame = {
+    import spark.implicits._
+    model.centroids.zipWithIndex
+      .map { case (c, i) => (i, c) }.toDF("cluster_id",
+        "centroid_micros")
+  }
+}

@@ -1,0 +1,92 @@
+package graft.similarity
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class KMeansSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // three well-separated planted clusters with deterministic jitter
+  private def planted(n: Int) = (0 until n).map { i =>
+    val c = i % 3
+    val j = (i * 37 % 100) / 1000.0f // jitter < 0.1
+    val base = Array.fill(4)(0.0f)
+    base(c) = 10.0f
+    (i.toLong, c, base.zipWithIndex.map { case (v, d) =>
+      v + (if (d == (i % 4)) j else -j)
+    }.toSeq)
+  }.toDF("vec_id", "planted", "embedding")
+
+  test("planted clusters recover exactly; inertia shrinks from the " +
+      "md5 init") {
+    val df = planted(90)
+    val model = KMeans.fit(df, "embedding", "vec_id", k = 3,
+      iters = 4)
+    val got = KMeans.assign(df, "embedding", model)
+      .select($"planted", $"cluster_id").as[(Int, Int)].collect()
+    // every planted group lands in ONE cluster, all three distinct
+    val mapping = got.groupBy(_._1).map { case (p, rows) =>
+      p -> rows.map(_._2).distinct
+    }
+    assert(mapping.values.forall(_.size == 1), mapping.toString)
+    assert(mapping.values.flatten.toSet.size == 3)
+    // fitting reduced total inertia vs the farthest-point init
+    val vm = df.select($"vec_id",
+      KMeans.quantize($"embedding").as("vm_"))
+    val init = KMeans.Model(KMeans.init(vm, "vec_id", 3))
+    def inertia(m: KMeans.Model) = KMeans.assign(df, "embedding", m)
+      .agg(sum($"dist_sq")).as[Long].head()
+    assert(inertia(model) < inertia(init))
+  }
+
+  test("fit is EXACTLY invariant under input partitioning — the " +
+      "integer-arithmetic guarantee") {
+    val df = planted(60)
+    val a = KMeans.fit(df, "embedding", "vec_id", 3, 3)
+    val b = KMeans.fit(df.repartition(13), "embedding", "vec_id", 3, 3)
+    val c = KMeans.fit(df.repartition(4, $"vec_id"), "embedding",
+      "vec_id", 3, 3)
+    assert(a == b && b == c)
+  }
+
+  test("a cluster that wins no rows keeps its previous centroid") {
+    // two distinct points, k = 3: one centroid can never win a row
+    val df = (0L until 12L).map(i =>
+      (i, Seq.fill(3)(if (i % 2 == 0) 1.0f else -1.0f)))
+      .toDF("vec_id", "embedding")
+    val model = KMeans.fit(df, "embedding", "vec_id", k = 3,
+      iters = 3)
+    assert(model.k == 3)
+    // all rows still assign, to at most 2 distinct clusters
+    val used = KMeans.assign(df, "embedding", model)
+      .select($"cluster_id").distinct().as[Int].collect().toSet
+    assert(used.size <= 2)
+    // the unused centroid survived as one of the init vectors
+    val initVecs = KMeans.init(
+      df.select($"vec_id", KMeans.quantize($"embedding").as("vm_")),
+      "vec_id", 3).toSet
+    val unused = (0 until 3).toSet -- used
+    unused.foreach(u => assert(initVecs.contains(model.centroids(u))))
+  }
+
+  test("assign is a pure row expression: no Exchange, no Join in " +
+      "the plan; distances are exact longs") {
+    val df = planted(30)
+    val model = KMeans.fit(df, "embedding", "vec_id", 3, 2)
+    val out = KMeans.assign(df, "embedding", model)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Join"), plan)
+    // hand-check one distance: quantized micros, pure (v-c)^2 sum
+    val row = out.where($"vec_id" === 0L)
+      .select($"embedding", $"cluster_id", $"dist_sq")
+      .as[(Seq[Float], Int, Long)].head()
+    val vm = row._1.map(x => math.round(x.toDouble * 1e6))
+    val cm = model.centroids(row._2)
+    val want = vm.zip(cm).map { case (v, c) =>
+      (v - c) * (v - c)
+    }.sum
+    assert(row._3 == want)
+  }
+}
