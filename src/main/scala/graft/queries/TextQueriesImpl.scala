@@ -330,6 +330,148 @@ object TextQueriesImpl {
       }
     }
 
+    // Sentence segmentation (q146): the oracle replays the exact
+    // RE2 chain — sentinel strip, abbreviation-dot protection,
+    // boundary marking ([.!?]+ then whitespace then uppercase/digit),
+    // split, restore — over a fixture that appends abbreviation /
+    // decimal / multi-punct / lowercase-continuation branches per
+    // doc_id cohort. Sentence count AND an md5 over the exact
+    // sentence sequence hash-check per document.
+    register("q146_sentences",
+      """WITH aug AS (SELECT doc_id,
+        |    text ||
+        |    CASE WHEN doc_id % 3 = 0
+        |      THEN ' Dr. Smith went home. The e.g. case stays.'
+        |      ELSE '' END ||
+        |    CASE WHEN doc_id % 4 = 0
+        |      THEN ' It cost 5.50 dollars! Next item no. 3 follows.'
+        |      ELSE '' END ||
+        |    CASE WHEN doc_id % 5 = 0
+        |      THEN ' Really?! Yes. done.' ELSE '' END AS text
+        |  FROM documents),
+        |marked AS (SELECT doc_id,
+        |    REGEXP_REPLACE(
+        |      REGEXP_REPLACE(
+        |        REGEXP_REPLACE(text,
+        |          '[' || CHR(1) || CHR(2) || ']', '', 'g'),
+        |        '(?i)\b(mr|mrs|ms|dr|prof|etc|e\.g|i\.e|vs|no|st)\.',
+        |        '\1' || CHR(2), 'g'),
+        |      '([.!?]+)\s+(\p{Lu}|[0-9])',
+        |      '\1' || CHR(1) || '\2', 'g') AS m
+        |  FROM aug),
+        |sents AS (SELECT doc_id,
+        |    LIST_FILTER(LIST_TRANSFORM(STRING_SPLIT(m, CHR(1)),
+        |      s -> TRIM(REPLACE(s, CHR(2), '.'))),
+        |      s -> s <> '') AS ss
+        |  FROM marked)
+        |SELECT doc_id, CAST(LEN(ss) AS BIGINT) AS n_sentences,
+        |  MD5(ARRAY_TO_STRING(ss, CHR(30))) AS sentences_md5
+        |FROM sents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val aug = table(s, dir, "documents").withColumn("text", concat(
+        col("text"),
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          lit(" Dr. Smith went home. The e.g. case stays."))
+          .otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(4)) === 0,
+          lit(" It cost 5.50 dollars! Next item no. 3 follows."))
+          .otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(5)) === 0,
+          lit(" Really?! Yes. done.")).otherwise(lit(""))))
+      aug.select(col("doc_id"),
+          TextAnalysis.sentences(col("text")).as("ss_"))
+        .select(col("doc_id"),
+          size(col("ss_")).cast("long").as("n_sentences"),
+          md5(concat_ws("\u001E", col("ss_"))).as("sentences_md5"))
+        .orderBy(col("doc_id"))
+    }
+
+    // Sentence-respecting chunking (q147): the q146 sentence chain
+    // feeds a greedy LIST_REDUCE pack (state = "chunks CHR(1) cur
+    // CHR(1) n", chunks separated by CHR(30) — both sentinels
+    // stripped from the input first) into <= 12-token windows; every
+    // chunk's token count and md5 hash-check per (doc, chunk_idx).
+    register("q147_chunk_by_sentences",
+      s"""WITH aug AS (SELECT doc_id,
+         |    REPLACE(REPLACE(text, CHR(30), ''), CHR(1), '') ||
+         |    CASE WHEN doc_id % 3 = 0
+         |      THEN ' Dr. Smith went home. The e.g. case stays.'
+         |      ELSE '' END ||
+         |    CASE WHEN doc_id % 4 = 0
+         |      THEN ' It cost 5.50 dollars! Next item no. 3 follows.'
+         |      ELSE '' END ||
+         |    CASE WHEN doc_id % 5 = 0
+         |      THEN ' Really?! Yes. done.' ELSE '' END AS text
+         |  FROM documents),
+         |marked AS (SELECT doc_id,
+         |    REGEXP_REPLACE(
+         |      REGEXP_REPLACE(
+         |        REGEXP_REPLACE(text,
+         |          '[' || CHR(1) || CHR(2) || ']', '', 'g'),
+         |        '(?i)\\b(mr|mrs|ms|dr|prof|etc|e\\.g|i\\.e|vs|no|st)\\.',
+         |        '\\1' || CHR(2), 'g'),
+         |      '([.!?]+)\\s+(\\p{Lu}|[0-9])',
+         |      '\\1' || CHR(1) || '\\2', 'g') AS m
+         |  FROM aug),
+         |sents AS (SELECT doc_id,
+         |    LIST_FILTER(LIST_TRANSFORM(STRING_SPLIT(m, CHR(1)),
+         |      s -> TRIM(REPLACE(s, CHR(2), '.'))),
+         |      s -> s <> '') AS ss
+         |  FROM marked),
+         |packed AS (SELECT doc_id,
+         |    LIST_REDUCE([CHR(1) || CHR(1) || '0'] || ss,
+         |      (acc, s) -> CASE
+         |        WHEN CAST(SPLIT_PART(acc, CHR(1), 3) AS INTEGER) > 0
+         |          AND CAST(SPLIT_PART(acc, CHR(1), 3) AS INTEGER)
+         |            + LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(s), '\\s+')) > 12
+         |        THEN (CASE WHEN SPLIT_PART(acc, CHR(1), 1) = ''
+         |              THEN SPLIT_PART(acc, CHR(1), 2)
+         |              ELSE SPLIT_PART(acc, CHR(1), 1) || CHR(30) ||
+         |                SPLIT_PART(acc, CHR(1), 2) END)
+         |          || CHR(1) || s || CHR(1) ||
+         |          CAST(LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(s), '\\s+'))
+         |            AS VARCHAR)
+         |        ELSE SPLIT_PART(acc, CHR(1), 1) || CHR(1) ||
+         |          (CASE WHEN SPLIT_PART(acc, CHR(1), 2) = '' THEN s
+         |            ELSE SPLIT_PART(acc, CHR(1), 2) || ' ' || s END)
+         |          || CHR(1) ||
+         |          CAST(CAST(SPLIT_PART(acc, CHR(1), 3) AS INTEGER)
+         |            + LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(s), '\\s+'))
+         |            AS VARCHAR)
+         |        END) AS st
+         |  FROM sents WHERE LEN(ss) > 0),
+         |chunks AS (SELECT doc_id,
+         |    LIST_FILTER(STRING_SPLIT(
+         |      CASE WHEN SPLIT_PART(st, CHR(1), 2) = ''
+         |        THEN SPLIT_PART(st, CHR(1), 1)
+         |        WHEN SPLIT_PART(st, CHR(1), 1) = ''
+         |        THEN SPLIT_PART(st, CHR(1), 2)
+         |        ELSE SPLIT_PART(st, CHR(1), 1) || CHR(30) ||
+         |          SPLIT_PART(st, CHR(1), 2) END, CHR(30)),
+         |      c -> c <> '') AS cs
+         |  FROM packed)
+         |SELECT doc_id, CAST(u.i - 1 AS BIGINT) AS chunk_idx,
+         |  CAST(LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(cs[u.i]), '\\s+'))
+         |    AS BIGINT) AS n_tokens,
+         |  MD5(cs[u.i]) AS chunk_md5
+         |FROM chunks, UNNEST(GENERATE_SERIES(1, LEN(cs))) u(i)
+         |ORDER BY doc_id, chunk_idx""".stripMargin) { (s, dir) =>
+      val aug = table(s, dir, "documents").withColumn("text", concat(
+        translate(col("text"), "\u001E\u0001", ""),
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          lit(" Dr. Smith went home. The e.g. case stays."))
+          .otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(4)) === 0,
+          lit(" It cost 5.50 dollars! Next item no. 3 follows."))
+          .otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(5)) === 0,
+          lit(" Really?! Yes. done.")).otherwise(lit(""))))
+      graft.text.Curation.chunkBySentences(aug, "text", Seq("doc_id"),
+          maxTokens = 12)
+        .select(col("doc_id"), col("chunk_idx"), col("n_tokens"),
+          md5(col("chunk_text")).as("chunk_md5"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }
+
     register("q63_fingerprint_md5",
       """SELECT doc_id,
         |  MD5(REGEXP_REPLACE(LOWER(TRIM(text)), '\s+', ' ', 'g')) AS fp

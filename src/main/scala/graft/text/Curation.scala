@@ -312,6 +312,55 @@ object Curation {
         concat_ws(" ", col("chunk_")).as("chunk_text")): _*)
   }
 
+  /** SENTENCE-RESPECTING chunking — the boundary-aware variant of
+    * [[chunkTokens]]: the document splits into sentences
+    * ([[TextAnalysis.sentences]]) and consecutive sentences pack
+    * greedily into windows of ≤ `maxTokens` whitespace tokens (a new
+    * chunk starts when the next sentence would overflow a non-empty
+    * one; a single oversized sentence gets its own chunk rather than
+    * being torn). Training examples then never cut mid-sentence —
+    * the chunking long-context pipelines actually want, vs
+    * [[chunkTokens]]' blind strided windows. Returns (idCols…,
+    * chunk_idx, n_tokens, chunk_text); sentence-less documents
+    * produce no chunks.
+    *
+    * A pure row-local fold (`aggregate` over the sentence array — the
+    * `packGreedy` recurrence without its shuffle, since chunks never
+    * cross documents): shuffle-free over any partitioning. */
+  def chunkBySentences(df: DataFrame, textCol: String,
+      idCols: Seq[String], maxTokens: Int = 128): DataFrame = {
+    require(maxTokens > 0, "maxTokens must be positive")
+    requireFresh(df, "sents_", "packed_", "chunk_")
+    val stype =
+      "struct<chunks:array<string>,cur:string,n:int>"
+    val packed = aggregate(col("sents_"),
+      struct(array().cast("array<string>").as("chunks"),
+        lit("").as("cur"), lit(0).as("n")).cast(stype),
+      (acc, s) => {
+        val t = size(TextAnalysis.tokens(s))
+        val chunks = acc.getField("chunks")
+        val cur = acc.getField("cur")
+        val n = acc.getField("n")
+        when(n > 0 && n + t > maxTokens,
+          struct(concat(chunks, array(cur)), s, t).cast(stype))
+          .otherwise(struct(chunks,
+            when(cur === "", s).otherwise(concat(cur, lit(" "), s)),
+            n + t).cast(stype))
+      },
+      acc => when(acc.getField("cur") === "", acc.getField("chunks"))
+        .otherwise(concat(acc.getField("chunks"),
+          array(acc.getField("cur")))))
+    df.withColumn("sents_", TextAnalysis.sentences(col(textCol)))
+      .withColumn("packed_", packed)
+      .select(idCols.map(col) :+
+        posexplode(col("packed_")).as(Seq("chunk_idx", "chunk_")): _*)
+      .select(idCols.map(col) ++ Seq(
+        col("chunk_idx").cast("long").as("chunk_idx"),
+        TextAnalysis.tokenCount(col("chunk_")).cast("long")
+          .as("n_tokens"),
+        col("chunk_").as("chunk_text")): _*)
+  }
+
   /** Per-document top term by smoothed TF-IDF
     * (`tf/len · (ln((1+N)/(1+df))+1)`), with the score in integer
     * micro-units so ranking and cross-engine comparison are immune to

@@ -34,11 +34,12 @@ import org.apache.spark.sql.functions._
   * train once on Tatoeba/Wikipedia-scale data, not on the corpus),
   * so its explode + two groupBys are sample-scale; the per-language
   * top-K is a WindowGroupLimit over distinct (lang, gram) rows. The
-  * trained model is ≤ langs·topK entries — it rides APPLY as a
-  * `typedLit` map, so corpus-scale application is a pure shuffle-free
-  * row expression (one aggregate over the gram array summing a
-  * per-gram score VECTOR), exactly like `Bpe.idsFromPieces`: no join,
-  * no window, no UDF, linear over any partitioning of a 100 TB scan.
+  * trained model is ≤ langs·topK entries — APPLY broadcasts it as a
+  * HashMap to a `mapPartitions` scoring pass over Column-extracted
+  * grams (the `Bpe.encode` contract): no join, no window, no shuffle,
+  * O(1) per-gram lookup, linear over any partitioning of a 100 TB
+  * scan. (A literal-map `element_at` is array-backed — O(model) per
+  * lookup — and measured 30× slower at the 1M-doc smoke.)
   */
 object LanguageId {
 
@@ -178,37 +179,62 @@ object LanguageId {
   /** Apply a trained model: adds `language` (argmax, ties → smallest
     * lang, 'und' when the text yields no grams), `score_micro` (the
     * winning `prior + Σ gram scores`), and `scores_micro` (the full
-    * lang-ordered vector, for margin/threshold consumers). Pure
-    * shuffle-free row expressions: ONE pass over the gram array
-    * summing literal-map score vectors — no join, no window, no UDF. */
+    * lang-ordered vector, for margin/threshold consumers).
+    * Normalization and gram extraction stay Column expressions (exact
+    * parity with [[ngramCounts]]); the scoring pass is
+    * `mapPartitions` with the model broadcast as a HashMap — the
+    * [[Bpe.encode]] contract. A literal-map `element_at` would be an
+    * O(model) LINEAR scan per gram (Spark map literals are
+    * array-backed): at 1M docs × ~600 grams × 4k entries that was
+    * measured at 104 s where the hash path takes ~3 s. Still
+    * shuffle-free — no join, no window, no exchange. */
   def applyModel(df: DataFrame, textCol: String,
       model: Model): DataFrame = {
     require(!df.columns.exists(Seq("t__", "g__", "language",
       "score_micro", "scores_micro").contains),
       "input already has a reserved langid column")
-    val nL = model.langs.length
-    val gramMap = typedLit(model.grams.map { case (g, v) =>
-      g -> v.toSeq })
-    val unkArr = typedLit(model.unk.toSeq)
-    val priorArr = typedLit(model.prior.toSeq)
-    val langsArr = typedLit(model.langs.toSeq)
-    df.withColumn("t__",
+    val spark = df.sparkSession
+    val bc = spark.sparkContext.broadcast(
+      (model.langs.toArray, model.grams.map { case (g, v) =>
+        g -> v.toArray }, model.unk.toArray, model.prior.toArray))
+    val prepared = df
+      .withColumn("t__",
         TextAnalysis.normalizeText(coalesce(col(textCol), lit(""))))
       .withColumn("g__", charNgrams(col("t__"), model.nMin, model.nMax))
-      .withColumn("scores_micro", zip_with(
-        aggregate(col("g__"),
-          array_repeat(lit(0L), lit(nL)),
-          (acc, g) => zip_with(acc,
-            coalesce(element_at(gramMap, g), unkArr),
-            (a, b) => a + b)),
-        priorArr, (a, b) => a + b))
-      .withColumn("language",
-        when(size(col("g__")) === 0, lit("und"))
-          .otherwise(element_at(langsArr,
-            array_position(col("scores_micro"),
-              array_max(col("scores_micro"))).cast("int"))))
-      .withColumn("score_micro", array_max(col("scores_micro")))
-      .drop("t__", "g__")
+      .drop("t__")
+    val inSchema = prepared.schema
+    val outSchema = inSchema
+      .add("scores_micro",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType, false))
+      .add("language", org.apache.spark.sql.types.StringType)
+      .add("score_micro", org.apache.spark.sql.types.LongType)
+    val gIdx = inSchema.fieldIndex("g__")
+    val scored = prepared.mapPartitions { rows =>
+      val (langs, gramsM, unk, prior) = bc.value
+      val table = new java.util.HashMap[String, Array[Long]]()
+      gramsM.foreach { case (g, v) => table.put(g, v) }
+      rows.map { row =>
+        val grams = row.getSeq[String](gIdx)
+        val scores = prior.clone()
+        grams.foreach { g =>
+          val v = table.get(g)
+          val add = if (v == null) unk else v
+          var i = 0
+          while (i < scores.length) { scores(i) += add(i); i += 1 }
+        }
+        var best = 0
+        var i = 1
+        while (i < scores.length) {
+          if (scores(i) > scores(best)) best = i
+          i += 1
+        }
+        val lang = if (grams.isEmpty) "und" else langs(best)
+        org.apache.spark.sql.Row.fromSeq(
+          row.toSeq ++ Seq(scores.toSeq, lang, scores(best)))
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+    scored.drop("g__")
   }
 
   /** [[applyModel]] falling back to the stopword heuristic for rows

@@ -90,6 +90,35 @@ object TextAnalysis {
     when(cjk > 0, "zh").otherwise(best)
   }
 
+  /** Rule-based SENTENCE segmentation — the granularity C4-style
+    * sentence filters, sentence-level dedup, and boundary-respecting
+    * chunkers work at. A boundary is a run of `.!?` followed by
+    * whitespace and an uppercase letter or digit; dots of common
+    * abbreviations (mr/mrs/dr/prof/etc/e.g/i.e/vs/no/st) do NOT
+    * split. RE2-COMPATIBLE by construction (no lookarounds — RE2 has
+    * none, and the oracle replays in DuckDB's RE2): abbreviation dots
+    * are first PROTECTED behind a sentinel, boundaries are marked by
+    * re-emitting the matched context around a second sentinel, then
+    * the text splits on the marker and sentinels restore. Sentinels
+    * are C0 controls (U+0001/U+0002) — stripped from the input first
+    * so adversarial bytes can't forge boundaries. Pure codegen'd
+    * row expressions; empty/null text yields an empty array. */
+  def sentences(text: Column): Column = {
+    val clean = regexp_replace(coalesce(text, lit("")),
+      "[\\x01\\x02]", "")
+    val protectAbbrev = regexp_replace(clean,
+      "(?i)\\b(mr|mrs|ms|dr|prof|etc|e\\.g|i\\.e|vs|no|st)\\.",
+      "$1\u0002")
+    val marked = regexp_replace(protectAbbrev,
+      "([.!?]+)\\s+(\\p{Lu}|[0-9])", "$1\u0001$2")
+    filter(
+      transform(split(marked, "\u0001"),
+        s => trim(regexp_replace(s, "\u0002", "."))),
+      s => s =!= "")
+  }
+
+  def sentenceCount(text: Column): Column = size(sentences(text))
+
   /** Composite quality score in [0, 1]: length sweet-spot, moderate
     * punctuation, healthy stopword ratio, reasonable mean word length. */
   def qualityScore(text: Column, lang: String = "en"): Column = {

@@ -746,6 +746,40 @@ class CurationSpec extends AnyFunSuite {
     got.unpersist()
   }
 
+  test("chunkBySentences: greedy boundary-respecting packing, " +
+      "oversized sentence isolation, no mid-sentence cuts") {
+    val df = Seq(
+      (1L, "One two three. Four five. Six seven eight nine. Ten."),
+      (2L, "A single short one."),
+      (3L, "This very first sentence alone has more than six tokens" +
+        " inside. Tiny tail."),
+      (4L, ""), (5L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = Curation.chunkBySentences(df, "text", Seq("doc_id"),
+        maxTokens = 6)
+      .orderBy($"doc_id", $"chunk_idx")
+      .select($"doc_id", $"chunk_idx", $"n_tokens", $"chunk_text")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    val d1 = got.filter(_._1 == 1L).map(_._4)
+    // greedy: [s1(3) + s2(2) = 5] [s3(4) + s4(1) = 5]
+    assert(d1 == Seq("One two three. Four five.",
+      "Six seven eight nine. Ten."), d1.toString)
+    // every chunk ends at a sentence boundary
+    assert(d1.forall(_.endsWith(".")))
+    assert(got.filter(_._1 == 2L).map(_._4) ==
+      Seq("A single short one."))
+    // an oversized sentence gets its OWN chunk, untorn
+    val d3 = got.filter(_._1 == 3L)
+    assert(d3.length == 2 && d3.head._3 > 6 &&
+      d3(1)._4 == "Tiny tail.", d3.toString)
+    // empty/null docs produce no chunks
+    assert(!got.exists(r => r._1 == 4L || r._1 == 5L))
+    // reassembly: chunks joined = sentences joined (nothing lost)
+    val sents = df.where($"doc_id" === 1L)
+      .select(TextAnalysis.sentences($"text")).as[Seq[String]].head()
+    assert(d1.mkString(" ") == sents.mkString(" "))
+  }
+
   test("perplexityBucketsKn: KN-bigram bits drive the thirds; docs " +
       "too short for a bigram get NO bucket (kept by callers)") {
     val withShort = docs.select($"doc_id", $"source", $"text")

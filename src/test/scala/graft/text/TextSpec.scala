@@ -371,6 +371,40 @@ class TextSpec extends AnyFunSuite {
       folded(0) == "posted 0000-00-00, 0,000 views")
   }
 
+  test("sentences: boundaries, abbreviation guards, decimals, " +
+      "multi-punct, lowercase continuation, sentinel hardening") {
+    def sent(s: String) = Seq(s).toDF("t")
+      .select(TextAnalysis.sentences($"t")).as[Seq[String]].head()
+    assert(sent("First one. Second one! Third?") ==
+      Seq("First one.", "Second one!", "Third?"))
+    // abbreviation dots never split; their dot survives in output
+    assert(sent("Dr. Smith arrived. Mrs. Lee left.") ==
+      Seq("Dr. Smith arrived.", "Mrs. Lee left."))
+    assert(sent("Use e.g. apples. Or i.e. fruit.") ==
+      Seq("Use e.g. apples.", "Or i.e. fruit."))
+    // decimals and no-whitespace dots do not split
+    assert(sent("It cost 5.50 total. Cheap.") ==
+      Seq("It cost 5.50 total.", "Cheap."))
+    assert(sent("version2.Next stays joined") ==
+      Seq("version2.Next stays joined"))
+    // multi-punct boundary; digit can start a sentence
+    assert(sent("Really?! 42 is the answer.") ==
+      Seq("Really?!", "42 is the answer."))
+    // lowercase after the dot = same sentence (quote/ellipsis style)
+    assert(sent("he said. then left") == Seq("he said. then left"))
+    // null/empty → empty; sentinel bytes in input can't forge splits
+    assert(sent("") == Seq.empty)
+    assert(Seq((1, null.asInstanceOf[String])).toDF("i", "t")
+      .select(TextAnalysis.sentences($"t")).as[Seq[String]]
+      .head() == Seq.empty)
+    assert(sent("fake\u0001split. Real one") ==
+      Seq("fakesplit.", "Real one"))
+    // count helper
+    assert(Seq(("One. Two. Three."))
+      .toDF("t").select(TextAnalysis.sentenceCount($"t"))
+      .as[Int].head() == 3)
+  }
+
   test("normalizeText nfkc: full-width, ligature, compatibility and " +
       "decomposed renderings fold to one canonical byte sequence") {
     // SentencePiece-parity dedup keys: all five renderings of the
