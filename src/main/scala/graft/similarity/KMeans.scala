@@ -78,7 +78,7 @@ object KMeans {
   /** One assignment pass against literal centroids: adds
     * `cluster_id` (argmin, ties → lowest id) and `dist_sq` (exact
     * long, micro²-scale). */
-  private def assignExpr(vmCol: Column,
+  private[similarity] def assignExpr(vmCol: Column,
       centroids: IndexedSeq[IndexedSeq[Long]]): (Column, Column) = {
     val cents = centroids.zipWithIndex.map { case (c, i) =>
       struct(lit(i).as("cid"), typedLit(c).as("cm"))
@@ -111,25 +111,33 @@ object KMeans {
     var centroids = init(vm, idCol, k)
     require(centroids.length == k,
       s"need at least k=$k rows to initialize, got ${centroids.length}")
+    val dims = centroids.head.length
     var it = 0
     while (it < iters) {
       val (cid, _) = assignExpr(col("vm_"), centroids)
-      val sums = vm
-        .select(cid.as("cluster_id"),
-          posexplode(col("vm_")).as(Seq("dim_", "v_")))
-        .groupBy(col("cluster_id"), col("dim_"))
-        .agg(sum(col("v_")).as("s_"), count(lit(1)).as("n_"))
-        .select(col("cluster_id"), col("dim_"),
-          round(col("s_").cast("double") / col("n_")).cast("long")
-            .as("cm_"))
+      // per-dim sums as ONE hash aggregate keyed on the argmin — the
+      // grouping expression evaluates ONCE per row. (A posexplode
+      // formulation inlines the argmin fold into the generator and
+      // re-evaluates it per GENERATED row — 64× the work, measured
+      // 7.7 s vs 0.6 s per iteration at 5k×64.)
+      val aggs = (0 until dims).map(i =>
+        sum(element_at(col("vm_"), i + 1))) :+ count(lit(1))
+      val rows = vm.groupBy(cid.as("cluster_id"))
+        .agg(aggs.head, aggs.tail: _*)
         .collect()
-      val byCluster = sums.groupBy(_.getInt(0))
+      val byCluster = rows.map(r => r.getInt(0) -> r).toMap
       centroids = centroids.zipWithIndex.map { case (prev, i) =>
         byCluster.get(i) match {
-          case Some(rows) =>
-            val arr = prev.toArray.clone()
-            rows.foreach(r => arr(r.getInt(1)) = r.getLong(2))
-            arr.toIndexedSeq
+          case Some(r) =>
+            val n = r.getLong(dims + 1)
+            // HALF_UP away from zero — the same rule Spark's round()
+            // and DuckDB's ROUND() apply (Math.round would round a
+            // negative .5 toward +inf and diverge from the oracle)
+            (0 until dims).map(d =>
+              BigDecimal(r.getLong(d + 1).toDouble / n)
+                .setScale(0, scala.math.BigDecimal.RoundingMode.HALF_UP)
+                .toLong)
+              .toIndexedSeq
           case None => prev // empty cluster keeps its centroid
         }
       }
