@@ -86,6 +86,39 @@ object Warc {
       .select(col("target_uri").as("url"), col("warc_date"),
         decode(col("payload"), "UTF-8").as("text"))
 
+  /** STREAMING WARC ingest: the same record walk over a
+    * `readStream`-monitored drop directory — each newly landed
+    * `.warc(.gz)` file becomes one micro-batch contribution, parsed
+    * record-at-a-time off its (gzip) stream exactly like the batch
+    * path. This is how a crawl actually arrives (files land as the
+    * crawler rotates them), and it composes with the streaming ingest
+    * stores: `readWarcStream → httpResponses → Html.mainContent →
+    * UrlIndexStore/ParagraphIndexStore`. Same schema as [[readWarc]];
+    * same file-at-a-time parallelism axis and `binaryFile` size cap. */
+  def readWarcStream(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    spark.readStream.format("binaryFile")
+      .schema("path STRING, modificationTime TIMESTAMP, " +
+        "length LONG, content BINARY")
+      .load(path)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (file, raw) =>
+          parseRecords(recordStream(raw)).zipWithIndex.map {
+            case (r, i) =>
+              (file, i.toLong,
+                r.headers.getOrElse("warc-type", null),
+                r.headers.getOrElse("warc-target-uri", null),
+                r.headers.getOrElse("warc-date", null),
+                r.headers.getOrElse("content-type", null),
+                r.payload.length.toLong, r.payload)
+          }
+        }
+      }.toDF("file", "record_idx", "warc_type", "target_uri",
+        "warc_date", "content_type", "content_length", "payload")
+  }
+
   // ---------------------------------------------------------------
 
   private[io] final case class Record(headers: Map[String, String],

@@ -633,6 +633,45 @@ object Curation {
           s => s.getField("raw_"))).as(textCol))
   }
 
+  /** SKETCH-ACCELERATED boilerplate removal — [[dedupLines]] without
+    * its shuffle: candidate lines come from a Misra–Gries pass over
+    * per-document-DISTINCT trimmed lines
+    * ([[graft.core.HeavyHitters]]), so document frequency is what's
+    * counted; a line drops only when its sketch LOWER bound already
+    * proves `df ≥ maxDocs` — the SAFE direction (a rare line can
+    * never be mistaken for boilerplate; a true boilerplate line can
+    * at worst survive when the sketch slack `N/(k+1)` swallows it —
+    * size `sketchK` to the boilerplate budget). Plan: ONE
+    * mapPartitions scan for the sketch (driver merge of
+    * ≤ partitions·k rows), then ONE pure row-expression rebuild
+    * against the broadcast candidate list — zero shuffles, vs
+    * [[dedupLines]]' explode + distinct + groupBy + join. Same
+    * output schema. */
+  def dedupLinesApprox(df: DataFrame, textCol: String, idCol: String,
+      maxDocs: Long = 10, minLineChars: Int = 1,
+      sketchK: Int = 1 << 14): DataFrame = {
+    require(maxDocs >= 2, "maxDocs < 2 would drop every repeated line")
+    requireFresh(df, "lines_", "kept_")
+    val distinctLines = array_distinct(transform(
+      split(coalesce(col(textCol), lit("")), "\n"), l => trim(l)))
+    val hits = graft.core.HeavyHitters.heavyHittersExploded(
+      df.select(distinctLines.as("arr_")), col("arr_"), sketchK)
+    val boiler = hits
+      .filter(h => h.countMin >= maxDocs &&
+        h.item.length >= minLineChars)
+      .map(_.item)
+    val boilerLit = typedLit(boiler.sorted)
+    df.withColumn("lines_",
+        split(coalesce(col(textCol), lit("")), "\n"))
+      .withColumn("kept_", filter(col("lines_"),
+        l => !array_contains(boilerLit, trim(l))))
+      .select(col(idCol),
+        size(col("lines_")).cast("long").as("n_lines"),
+        (size(col("lines_")) - size(col("kept_"))).cast("long")
+          .as("n_dropped"),
+        concat_ws("\n", col("kept_")).as(textCol))
+  }
+
   /** Dolma-style PARAGRAPH-level dedup: the corpus keeps exactly ONE
     * copy of every distinct (trimmed) paragraph — the FIRST occurrence
     * in (idCol, position) order — and every later occurrence is

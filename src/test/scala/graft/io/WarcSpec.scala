@@ -130,6 +130,36 @@ class WarcSpec extends AnyFunSuite {
       java.util.Arrays.equals(got.head.payload, big))
   }
 
+  test("streaming WARC ingest: files landing in a drop directory " +
+      "parse identically to the batch reader") {
+    val dir = java.nio.file.Files.createTempDirectory("warcs").toString
+    val out = java.nio.file.Files.createTempDirectory("warcso").toString
+    val q = Warc.readWarcStream(spark, dir)
+      .select($"record_idx", $"warc_type", $"target_uri",
+        md5($"payload").as("m"))
+      .writeStream.format("memory").queryName("warc_stream")
+      .option("checkpointLocation", s"$out/ckpt")
+      .start()
+    try {
+      // file 1 lands plain, file 2 lands gzipped — two micro-batches
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(dir, "part-0.warc"),
+        Warc.encodeWarc(fixtures.take(2)))
+      q.processAllAvailable()
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(dir, "part-1.warc.gz"),
+        Warc.encodeWarc(fixtures.drop(2), gzipPerRecord = true))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("warc_stream")
+      .select($"warc_type", $"target_uri", $"m")
+      .as[(String, String, String)].collect().toSet
+    val want = Warc.readWarc(spark, writeFixture(gz = false))
+      .select($"warc_type", $"target_uri", md5($"payload"))
+      .as[(String, String, String)].collect().toSet
+    assert(got == want)
+  }
+
   test("warc -> http body -> Html.mainContent composes end to end") {
     val body = Warc.httpResponses(
         Warc.readWarc(spark, writeFixture(gz = false)))

@@ -746,6 +746,43 @@ class CurationSpec extends AnyFunSuite {
     got.unpersist()
   }
 
+  test("dedupLinesApprox: boilerplate drops, rare lines NEVER drop " +
+      "(safe direction), and with ample sketch it equals the exact " +
+      "operator") {
+    val docs = (0 until 300).map { i =>
+      val lines = Seq(s"unique line $i",
+        if (i % 2 == 0) "subscribe banner" else s"other ${i % 50}",
+        s"tail ${i * 13}")
+      (i.toLong, lines.mkString("\n"))
+    }.toDF("doc_id", "text")
+    val approx = Curation.dedupLinesApprox(docs.repartition(9),
+      "text", "doc_id", maxDocs = 10, sketchK = 4096)
+    val exact = Curation.dedupLines(docs, "text", "doc_id",
+      maxDocs = 10)
+    def snap(d: org.apache.spark.sql.DataFrame) = d
+      .orderBy($"doc_id")
+      .select($"doc_id", $"n_lines", $"n_dropped", $"text")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    // with a sketch far larger than the distinct-line count, the
+    // lower bounds are exact and the two operators agree exactly
+    assert(snap(approx) == snap(exact))
+    // the banner died everywhere; unique lines all survived
+    val kept = snap(approx).map(_._4)
+    assert(kept.forall(!_.contains("subscribe banner")))
+    assert(kept.zipWithIndex.forall { case (t, i) =>
+      t.contains(s"unique line $i")
+    })
+    // safe direction under a STARVED sketch: nothing below the
+    // boilerplate threshold is ever dropped (lower bounds only
+    // shrink, so drops can only disappear, never appear)
+    val starved = Curation.dedupLinesApprox(docs.repartition(9),
+      "text", "doc_id", maxDocs = 10, sketchK = 8)
+    val exactDropped = snap(exact).map(r => r._1 -> r._3).toMap
+    snap(starved).foreach { case (id, _, dropped, _) =>
+      assert(dropped <= exactDropped(id), s"doc $id over-dropped")
+    }
+  }
+
   test("chunkBySentences: greedy boundary-respecting packing, " +
       "oversized sentence isolation, no mid-sentence cuts") {
     val df = Seq(
