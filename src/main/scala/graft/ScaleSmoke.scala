@@ -287,6 +287,15 @@ object ScaleSmoke {
         embs.where(col("vec_id") < 64), "embedding", "vec_id",
         "vec_id", k = 5).count()
     }
+    t("kmeans fit k=16 x 3 iters + assign") {
+      // exact-integer Lloyd: per iteration one scan (literal-centroid
+      // argmin fold, no join/shuffle) + one 16x64-sum hash aggregate;
+      // only k*dim longs reach the driver per round
+      val model = graft.similarity.KMeans.fit(embs, "embedding",
+        "vec_id", k = 16, iters = 3)
+      graft.similarity.KMeans.assign(embs, "embedding", model)
+        .groupBy(col("cluster_id")).count().count()
+    }
     t("perplexity buckets (per 8-way stratum)") {
       // unigram LM (two token-scale map-side-combined shuffles) +
       // hierarchical prefix-sum bucketing: no task ever sorts more

@@ -21,13 +21,15 @@ import org.apache.spark.sql.functions._
   * from a portable md5-rank anchor (the q90 convention), so the
   * whole fit is a pure function of the data.
   *
-  * Scale shape per iteration: one broadcast of k·dim centroid micros,
-  * one scan computing each row's argmin over k (a fold over a
-  * k-element literal array — no join, no shuffle for the argmin), and
-  * ONE map-side-combined (cluster, dim) sum at k·dim output scale.
-  * `iters` iterations = `iters` scans; nothing corpus-sized ever
-  * reaches the driver (k·dim longs per round). Empty clusters keep
-  * their previous centroid (deterministic, mirrored by the oracle).
+  * Scale shape per iteration: one broadcast of k·dim centroid micros
+  * and ONE primitive mapPartitions scan that computes each row's
+  * argmin AND accumulates per-cluster dim sums in task-local long
+  * arrays — partitions·k partial rows to the driver, no join, no
+  * shuffle, no boxing in the hot loop (the Column-HOF formulation
+  * boxed every element and cost 295 s at 2M×64×k16 where this takes
+  * seconds). `iters` iterations = `iters` scans; nothing corpus-sized
+  * ever reaches the driver. Empty clusters keep their previous
+  * centroid (deterministic, mirrored by the oracle).
   */
 object KMeans {
 
@@ -47,6 +49,19 @@ object KMeans {
     def k: Int = centroids.length
   }
 
+  // primitive (v − c)² distance over boxed long seqs — the hot kernel
+  // every imperative pass shares
+  private def dist2(vm: Seq[Long], c: Array[Long]): Long = {
+    var d = 0L
+    var i = 0
+    while (i < c.length) {
+      val t = vm(i) - c(i)
+      d += t * t
+      i += 1
+    }
+    d
+  }
+
   /** Deterministic FARTHEST-POINT initialization (greedy k-center —
     * the derandomized k-means++ cousin): seed 1 is the first row by
     * the portable `(md5(cast(id as string)), id)` rank; each later
@@ -54,48 +69,45 @@ object KMeans {
     * chosen seed (ties → lowest id). Well-separated clusters each
     * receive a seed by construction — the md5-only sample can land
     * two seeds in one cluster and starve another. Every step is one
-    * TakeOrdered scan; k − 1 scans total, all integer arithmetic, so
-    * the whole init (hence the whole fit) replays cross-engine. */
+    * TakeOrdered scan whose nearest-distance column is computed by a
+    * PRIMITIVE mapPartitions kernel (an interpreted higher-order-
+    * function fold boxes every element and made init the dominant
+    * fit cost at 2M×64); the argmax ordering stays in Column land so
+    * the id tie-break keeps the id column's own type ordering. All
+    * integer arithmetic — the whole init replays cross-engine. */
   private[similarity] def init(vm: DataFrame, idCol: String, k: Int)
       : IndexedSeq[IndexedSeq[Long]] = {
+    val spark = vm.sparkSession
     val first = vm.orderBy(md5(col(idCol).cast("string")), col(idCol))
       .limit(1).select(col("vm_")).collect()
     require(first.nonEmpty, "cannot initialize on an empty frame")
     var chosen = IndexedSeq(first.head.getSeq[Long](0).toIndexedSeq)
+    val inSchema = vm.select(col(idCol), col("vm_")).schema
+    val ndSchema = inSchema.add("nd_",
+      org.apache.spark.sql.types.LongType, false)
     while (chosen.length < k) {
-      val nearest = aggregate(
-        array(chosen.map(c => typedLit(c)): _*),
-        lit(Long.MaxValue),
-        (acc, c) => least(acc, distSq(col("vm_"), c)))
-      val next = vm.select(col("vm_"), nearest.as("nd_"), col(idCol))
-        .orderBy(col("nd_").desc, col(idCol))
+      val bc = spark.sparkContext.broadcast(
+        chosen.map(_.toArray).toArray)
+      val withNd = vm.select(col(idCol), col("vm_"))
+        .mapPartitions { rows =>
+          val cents = bc.value
+          rows.map { r =>
+            val v = r.getSeq[Long](1)
+            var nd = Long.MaxValue
+            var j = 0
+            while (j < cents.length) {
+              val d = dist2(v, cents(j))
+              if (d < nd) nd = d
+              j += 1
+            }
+            org.apache.spark.sql.Row.fromSeq(r.toSeq :+ nd)
+          }
+        }(org.apache.spark.sql.Encoders.row(ndSchema))
+      val next = withNd.orderBy(col("nd_").desc, col(idCol))
         .limit(1).select(col("vm_")).collect()
       chosen = chosen :+ next.head.getSeq[Long](0).toIndexedSeq
     }
     chosen
-  }
-
-  /** One assignment pass against literal centroids: adds
-    * `cluster_id` (argmin, ties → lowest id) and `dist_sq` (exact
-    * long, micro²-scale). */
-  private[similarity] def assignExpr(vmCol: Column,
-      centroids: IndexedSeq[IndexedSeq[Long]]): (Column, Column) = {
-    val cents = centroids.zipWithIndex.map { case (c, i) =>
-      struct(lit(i).as("cid"), typedLit(c).as("cm"))
-    }
-    // field aliases inside lambda bodies are dropped by the analyzer —
-    // the cast pins the candidate struct to the accumulator's shape
-    val accType = "struct<d:bigint,cid:int>"
-    val best = aggregate(array(cents: _*),
-      struct(lit(Long.MaxValue).as("d"), lit(-1).as("cid"))
-        .cast(accType),
-      (acc, c) => {
-        val d = distSq(vmCol, c.getField("cm"))
-        when(d < acc.getField("d"),
-          struct(d, c.getField("cid")).cast(accType))
-          .otherwise(acc)
-      })
-    (best.getField("cid"), best.getField("d"))
   }
 
   /** Fit `k` clusters with `iters` Lloyd iterations. Returns the
@@ -112,29 +124,56 @@ object KMeans {
     require(centroids.length == k,
       s"need at least k=$k rows to initialize, got ${centroids.length}")
     val dims = centroids.head.length
+    val spark = df.sparkSession
+    import spark.implicits._
     var it = 0
     while (it < iters) {
-      val (cid, _) = assignExpr(col("vm_"), centroids)
-      // per-dim sums as ONE hash aggregate keyed on the argmin — the
-      // grouping expression evaluates ONCE per row. (A posexplode
-      // formulation inlines the argmin fold into the generator and
-      // re-evaluates it per GENERATED row — 64× the work, measured
-      // 7.7 s vs 0.6 s per iteration at 5k×64.)
-      val aggs = (0 until dims).map(i =>
-        sum(element_at(col("vm_"), i + 1))) :+ count(lit(1))
-      val rows = vm.groupBy(cid.as("cluster_id"))
-        .agg(aggs.head, aggs.tail: _*)
+      // assignment + per-cluster dim sums as ONE primitive
+      // mapPartitions pass: each task keeps k×(dims+1) long
+      // accumulators and emits k rows; the driver merges
+      // partitions×k partials. Exact long arithmetic — identical
+      // results under any partitioning. (The Column-HOF formulation
+      // boxed every element: 295 s at 2M×64×k16; also beware
+      // posexplode, which re-evaluates the argmin per GENERATED row.)
+      val bc = spark.sparkContext.broadcast(
+        centroids.map(_.toArray).toArray)
+      val partials = vm.select(col("vm_")).as[Seq[Long]]
+        .mapPartitions { rows =>
+          val cents = bc.value
+          val kk = cents.length
+          val sums = Array.ofDim[Long](kk, dims)
+          val ns = new Array[Long](kk)
+          rows.foreach { v =>
+            var best = 0
+            var bd = dist2(v, cents(0))
+            var j = 1
+            while (j < kk) {
+              val d = dist2(v, cents(j))
+              if (d < bd) { bd = d; best = j }
+              j += 1
+            }
+            ns(best) += 1L
+            var i = 0
+            while (i < dims) { sums(best)(i) += v(i); i += 1 }
+          }
+          (0 until kk).iterator
+            .filter(j => ns(j) > 0)
+            .map(j => (j, sums(j).toSeq, ns(j)))
+        }
         .collect()
-      val byCluster = rows.map(r => r.getInt(0) -> r).toMap
+      val merged = partials.groupBy(_._1)
       centroids = centroids.zipWithIndex.map { case (prev, i) =>
-        byCluster.get(i) match {
-          case Some(r) =>
-            val n = r.getLong(dims + 1)
+        merged.get(i) match {
+          case Some(ps) =>
+            val n = ps.map(_._3).sum
+            val s = new Array[Long](dims)
+            ps.foreach(p => (0 until dims)
+              .foreach(d => s(d) += p._2(d)))
             // HALF_UP away from zero — the same rule Spark's round()
             // and DuckDB's ROUND() apply (Math.round would round a
             // negative .5 toward +inf and diverge from the oracle)
             (0 until dims).map(d =>
-              BigDecimal(r.getLong(d + 1).toDouble / n)
+              BigDecimal(s(d).toDouble / n)
                 .setScale(0, scala.math.BigDecimal.RoundingMode.HALF_UP)
                 .toLong)
               .toIndexedSeq
@@ -147,13 +186,42 @@ object KMeans {
   }
 
   /** Label every row with its nearest centroid: input + `cluster_id`
-    * + `dist_sq` (exact long). A pure literal-fold row expression —
-    * no join, no shuffle. */
+    * + `dist_sq` (exact long; both null for a null vector).
+    * Quantization stays a Column expression (oracle parity); the
+    * argmin is the primitive mapPartitions kernel with the model
+    * broadcast — no join, no shuffle, no boxing in the hot loop. */
   def assign(df: DataFrame, vecCol: String, model: Model): DataFrame = {
     require(!df.columns.exists(Seq("vm_", "cluster_id", "dist_sq")
       .contains), "input already has a reserved kmeans column")
-    val (cid, d) = assignExpr(quantize(col(vecCol)), model.centroids)
-    df.withColumn("cluster_id", cid).withColumn("dist_sq", d)
+    val spark = df.sparkSession
+    val bc = spark.sparkContext.broadcast(
+      model.centroids.map(_.toArray).toArray)
+    val prepared = df.withColumn("vm_", quantize(col(vecCol)))
+    val inSchema = prepared.schema
+    val outSchema = inSchema
+      .add("cluster_id", org.apache.spark.sql.types.IntegerType)
+      .add("dist_sq", org.apache.spark.sql.types.LongType)
+    val vmIdx = inSchema.fieldIndex("vm_")
+    prepared.mapPartitions { rows =>
+      val cents = bc.value
+      rows.map { r =>
+        if (r.isNullAt(vmIdx))
+          org.apache.spark.sql.Row.fromSeq(r.toSeq :+ null :+ null)
+        else {
+          val v = r.getSeq[Long](vmIdx)
+          var best = 0
+          var bd = dist2(v, cents(0))
+          var j = 1
+          while (j < cents.length) {
+            val d = dist2(v, cents(j))
+            if (d < bd) { bd = d; best = j }
+            j += 1
+          }
+          org.apache.spark.sql.Row.fromSeq(r.toSeq :+ best :+ bd)
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+      .drop("vm_")
   }
 
   /** The model as a DataFrame (cluster_id, centroid_micros) — the
