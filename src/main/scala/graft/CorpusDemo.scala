@@ -99,11 +99,29 @@ object CorpusDemo {
       val urlKept = graft.text.Urls
         .dedupByCanonicalUrl(extracted, "url", "doc_id")
         .where(!col("is_url_dup"))
+      // hot-key monitor at the ingest edge: a Misra-Gries pass over
+      // the canonical domains — ONE scan, k counters per task, no
+      // shuffle — surfaces crawler traps / skewed hosts BEFORE they
+      // skew the dedup joins (the skew-detection use HeavyHitters
+      // documents). Guaranteed to contain every domain above
+      // N/(k+1) of the crawl.
+      val hot = graft.core.HeavyHitters.heavyHitters(
+        urlKept.select(col("url_domain")), "url_domain", k = 8)
+      println(s"[corpus] hot domains (MG lower bounds): " +
+        hot.take(3).map(h => s"${h.item}>=${h.countMin}")
+          .mkString(", "))
+      // the dedup LADDER: paragraph blocks first, then SENTENCES —
+      // one canonical copy of every repeated sentence survives
+      // (syndicated disclaimers/lead sentences die here; paragraph
+      // granularity misses them when surrounding text differs)
       val paraKept = Curation.dedupParagraphs(
         urlKept.select(col("doc_id"), col("text")), "text", "doc_id",
         "\n")
+      val sentKept = Curation.dedupSentences(
+        paraKept.select(col("doc_id"), col("text")), "text", "doc_id",
+        minSentChars = 40)
       raw.drop("text")
-        .join(paraKept.select(col("doc_id"), col("text")), "doc_id")
+        .join(sentKept.select(col("doc_id"), col("text")), "doc_id")
         .localCheckpoint(false)
     }
     val total = docs.count()
@@ -141,11 +159,16 @@ object CorpusDemo {
         Curation.HeuristicBounds(minWords = 20))
     }
 
-    // 3. line-level boilerplate removal: lines repeated across >= 10
-    //    documents (headers/footers/banners) drop from every doc
-    val deboiled = t("deboiler: cross-doc repeated lines") {
-      val cleaned = Curation.dedupLines(heuristic, "text", "doc_id",
-        maxDocs = 10).select(col("doc_id"), col("text"))
+    // 3. line-level boilerplate removal — SKETCH-FIRST: the
+    //    Misra-Gries pass (zero shuffles: one scan + a broadcast
+    //    HashSet rebuild) removes every line whose sketch LOWER bound
+    //    already proves df >= 10; the safe under-drop means a rare
+    //    line can never die by mistake. At 100 TB this replaces
+    //    dedupLines' explode+distinct+groupBy+join with two linear
+    //    scans; the exact pass remains the verification twin (q94).
+    val deboiled = t("deboiler: MG-sketch cross-doc repeated lines") {
+      val cleaned = Curation.dedupLinesApprox(heuristic, "text",
+        "doc_id", maxDocs = 10).select(col("doc_id"), col("text"))
       heuristic.drop("text").join(cleaned, Seq("doc_id"))
     }
 

@@ -183,6 +183,29 @@ object ScaleSmoke {
             .otherwise(lit("")))),
         "text", "doc_id", maxDocs = 10).count()
     }
+    // sketch-vs-exact deboiler on a BOILERPLATE-HEAVY crawl: 4096
+    // distinct banner lines (one per doc by doc_id % 4096, each in
+    // ~nDocs/4096 documents — all true boilerplate at maxDocs=10).
+    // Exact pays explode + distinct + groupBy + join; the sketch pays
+    // two linear scans with an O(1) broadcast-HashSet probe per line
+    // (the r8 typedLit/array_contains rebuild scanned all ~4k
+    // candidates per line — the literal-collection trap — and ate
+    // the sketch's advantage at exactly this candidate count). The
+    // sketch may UNDER-drop when its N/(k+1) slack swallows a line
+    // (safe direction); at 1M docs the lower bound clears maxDocs
+    // with 2x margin and both paths drop every banner.
+    val heavy = docs.withColumn("text", concat(col("text"),
+        lit("\nbanner "), pmod(col("doc_id"), lit(4096)).cast("string"),
+        lit(" cookie consent navigation footer text")))
+      .localCheckpoint(true)
+    t("deboil EXACT (4k banner lines)") {
+      graft.text.Curation.dedupLines(heavy, "text", "doc_id",
+        maxDocs = 10).agg(sum(col("n_dropped"))).head().getLong(0)
+    }
+    t("deboil SKETCH (4k banner lines)") {
+      graft.text.Curation.dedupLinesApprox(heavy, "text", "doc_id",
+        maxDocs = 10).agg(sum(col("n_dropped"))).head().getLong(0)
+    }
     t("exact-substring duplicate spans") {
       // clone pairs share their full 60-token text -> every 15-token
       // window in a clone is a corpus-duplicated span; hit volume

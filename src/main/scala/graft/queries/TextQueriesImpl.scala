@@ -352,10 +352,13 @@ object TextQueriesImpl {
         |marked AS (SELECT doc_id,
         |    REGEXP_REPLACE(
         |      REGEXP_REPLACE(
-        |        REGEXP_REPLACE(text,
-        |          '[' || CHR(1) || CHR(2) || ']', '', 'g'),
-        |        '(?i)\b(mr|mrs|ms|dr|prof|etc|e\.g|i\.e|vs|no|st)\.',
-        |        '\1' || CHR(2), 'g'),
+        |        REGEXP_REPLACE(
+        |          REGEXP_REPLACE(text,
+        |            '[' || CHR(1) || CHR(2) || ']', '', 'g'),
+        |          '(?i)\b(mr|mrs|ms|dr|prof|etc|e\.g|i\.e|vs)\.',
+        |          '\1' || CHR(2), 'g'),
+        |        '(?i)\b(no|st)\.(\s*[0-9])',
+        |        '\1' || CHR(2) || '\2', 'g'),
         |      '([.!?]+)\s+(\p{Lu}|[0-9])',
         |      '\1' || CHR(1) || '\2', 'g') AS m
         |  FROM aug),
@@ -405,10 +408,13 @@ object TextQueriesImpl {
          |marked AS (SELECT doc_id,
          |    REGEXP_REPLACE(
          |      REGEXP_REPLACE(
-         |        REGEXP_REPLACE(text,
-         |          '[' || CHR(1) || CHR(2) || ']', '', 'g'),
-         |        '(?i)\\b(mr|mrs|ms|dr|prof|etc|e\\.g|i\\.e|vs|no|st)\\.',
-         |        '\\1' || CHR(2), 'g'),
+         |        REGEXP_REPLACE(
+         |          REGEXP_REPLACE(text,
+         |            '[' || CHR(1) || CHR(2) || ']', '', 'g'),
+         |          '(?i)\\b(mr|mrs|ms|dr|prof|etc|e\\.g|i\\.e|vs)\\.',
+         |          '\\1' || CHR(2), 'g'),
+         |        '(?i)\\b(no|st)\\.(\\s*[0-9])',
+         |        '\\1' || CHR(2) || '\\2', 'g'),
          |      '([.!?]+)\\s+(\\p{Lu}|[0-9])',
          |      '\\1' || CHR(1) || '\\2', 'g') AS m
          |  FROM aug),
@@ -470,6 +476,79 @@ object TextQueriesImpl {
         .select(col("doc_id"), col("chunk_idx"), col("n_tokens"),
           md5(col("chunk_text")).as("chunk_md5"))
         .orderBy(col("doc_id"), col("chunk_idx"))
+    }
+
+    // Sentence-level dedup (q148): the q146 sentence chain feeds the
+    // dedupParagraphs keeper rule at sentence granularity — ONE copy
+    // of every distinct sentence survives (first occurrence in
+    // (doc_id, idx) order), later copies drop from their documents.
+    // The fixture augmentation plants identical sentences across the
+    // %3/%4/%5 cohorts, so hundreds of real drops occur. The oracle
+    // replays keeper selection as a ROW_NUMBER window (exact same
+    // first-occurrence rule as the engine's min-struct groupBy);
+    // docs rebuild with a single space and hash-check via md5.
+    register("q148_dedup_sentences",
+      """WITH aug AS (SELECT doc_id,
+        |    text ||
+        |    CASE WHEN doc_id % 3 = 0
+        |      THEN ' Dr. Smith went home. The e.g. case stays.'
+        |      ELSE '' END ||
+        |    CASE WHEN doc_id % 4 = 0
+        |      THEN ' It cost 5.50 dollars! Next item no. 3 follows.'
+        |      ELSE '' END ||
+        |    CASE WHEN doc_id % 5 = 0
+        |      THEN ' Really?! Yes. done.' ELSE '' END AS text
+        |  FROM documents),
+        |marked AS (SELECT doc_id,
+        |    REGEXP_REPLACE(
+        |      REGEXP_REPLACE(
+        |        REGEXP_REPLACE(
+        |          REGEXP_REPLACE(text,
+        |            '[' || CHR(1) || CHR(2) || ']', '', 'g'),
+        |          '(?i)\b(mr|mrs|ms|dr|prof|etc|e\.g|i\.e|vs)\.',
+        |          '\1' || CHR(2), 'g'),
+        |        '(?i)\b(no|st)\.(\s*[0-9])',
+        |        '\1' || CHR(2) || '\2', 'g'),
+        |      '([.!?]+)\s+(\p{Lu}|[0-9])',
+        |      '\1' || CHR(1) || '\2', 'g') AS m
+        |  FROM aug),
+        |sents AS (SELECT doc_id,
+        |    LIST_FILTER(LIST_TRANSFORM(STRING_SPLIT(m, CHR(1)),
+        |      s -> TRIM(REPLACE(s, CHR(2), '.'))),
+        |      s -> s <> '') AS ss
+        |  FROM marked),
+        |ex AS (SELECT doc_id, u.i - 1 AS idx, ss[u.i] AS sent
+        |  FROM sents, UNNEST(GENERATE_SERIES(1, LEN(ss))) u(i)),
+        |rk AS (SELECT doc_id, idx, sent, ROW_NUMBER() OVER
+        |    (PARTITION BY sent ORDER BY doc_id, idx) AS rn
+        |  FROM ex),
+        |agg AS (SELECT doc_id,
+        |    CAST(COUNT(*) AS BIGINT) AS n_sentences,
+        |    CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_dropped,
+        |    COALESCE(STRING_AGG(CASE WHEN rn = 1 THEN sent END,
+        |      ' ' ORDER BY idx), '') AS txt
+        |  FROM rk GROUP BY doc_id)
+        |SELECT s.doc_id,
+        |  CAST(COALESCE(a.n_sentences, 0) AS BIGINT) AS n_sentences,
+        |  CAST(COALESCE(a.n_dropped, 0) AS BIGINT) AS n_dropped,
+        |  MD5(COALESCE(a.txt, '')) AS text_md5
+        |FROM sents s LEFT JOIN agg a USING (doc_id)
+        |ORDER BY s.doc_id""".stripMargin) { (s, dir) =>
+      val aug = table(s, dir, "documents").withColumn("text", concat(
+        col("text"),
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          lit(" Dr. Smith went home. The e.g. case stays."))
+          .otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(4)) === 0,
+          lit(" It cost 5.50 dollars! Next item no. 3 follows."))
+          .otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(5)) === 0,
+          lit(" Really?! Yes. done.")).otherwise(lit(""))))
+      graft.text.Curation.dedupSentences(aug, "text", "doc_id")
+        .select(col("doc_id"), col("n_sentences"), col("n_dropped"),
+          md5(to_binary(col("text"), lit("utf-8"))).as("text_md5"))
+        .orderBy(col("doc_id"))
     }
 
     register("q63_fingerprint_md5",

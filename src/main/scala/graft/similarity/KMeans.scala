@@ -105,6 +105,15 @@ object KMeans {
         }(org.apache.spark.sql.Encoders.row(ndSchema))
       val next = withNd.orderBy(col("nd_").desc, col(idCol))
         .limit(1).select(col("vm_")).collect()
+      // max nearest-distance 0 ⟹ every remaining row coincides with
+      // a chosen seed: the frame has fewer than k DISTINCT vectors.
+      // DOCUMENTED DEGENERATE BEHAVIOR (not an error): the remaining
+      // seeds duplicate existing points, so the model always has
+      // exactly k centroids and the duplicates own permanently empty
+      // clusters that keep their seed vector (the empty-cluster rule
+      // below) — [[fit]] never fails on a degenerate frame, and
+      // [[assign]] ties break to the LOWEST cluster id, so duplicate
+      // centroids never win a row. The spec pins this contract.
       chosen = chosen :+ next.head.getSeq[Long](0).toIndexedSeq
     }
     chosen
@@ -120,9 +129,12 @@ object KMeans {
     val vm = df.select(col(idCol), quantize(col(vecCol)).as("vm_"))
       .where(col("vm_").isNotNull)
       .localCheckpoint(false) // every iteration re-reads this basis
-    var centroids = init(vm, idCol, k)
-    require(centroids.length == k,
-      s"need at least k=$k rows to initialize, got ${centroids.length}")
+    // init always returns exactly k seeds — a frame with fewer than k
+    // DISTINCT vectors pads with duplicates whose clusters stay empty
+    // and keep their seed centroid (documented in init; spec-pinned)
+    val centroids0 = init(vm, idCol, k)
+    assert(centroids0.length == k)
+    var centroids = centroids0
     val dims = centroids.head.length
     val spark = df.sparkSession
     import spark.implicits._

@@ -388,12 +388,20 @@ object Similarity {
 
   /** Product-quantization codebooks: split the dimension into `m`
     * subspaces and k-means each on a driver-collected sample (bounded,
-    * like IVF's coarse quantizer). Returns codebooks(j)(c) = centroid
+    * like IVF's coarse quantizer). The sample is HASH-RANKED by id
+    * (`xxhash64(seed, id)` ascending — the same rule [[ivfTopK]]
+    * applies): a bare `limit()` takes whatever partitions answer
+    * first, so codebooks (hence codes, hence top-k results) would
+    * differ across runs/layouts. Returns codebooks(j)(c) = centroid
     * c of subspace j. */
-  def pqCodebooks(corpus: DataFrame, vecCol: String, m: Int = 8,
-      ksub: Int = 16, sampleSize: Int = 2048, seed: Long = 42,
-      iterations: Int = 5): Array[Array[Array[Double]]] = {
-    val sample = corpus.select(col(vecCol)).limit(sampleSize).collect()
+  def pqCodebooks(corpus: DataFrame, vecCol: String, idCol: String,
+      m: Int = 8, ksub: Int = 16, sampleSize: Int = 2048,
+      seed: Long = 42, iterations: Int = 5)
+      : Array[Array[Array[Double]]] = {
+    val sample = corpus
+      .select(col(vecCol), xxhash64(lit(seed), col(idCol)).as("hr_"))
+      .orderBy(col("hr_")).limit(sampleSize)
+      .select(col(vecCol)).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
     require(sample.nonEmpty, "pq needs a non-empty corpus")
     val dim = sample.head.length
@@ -452,7 +460,8 @@ object Similarity {
       ksub: Int = 16, sampleSize: Int = 2048, seed: Long = 42,
       iterations: Int = 5): DataFrame =
     pqTopKWithCodebooks(corpus, queries, vecCol, idCol, queryIdCol, k,
-      pqCodebooks(corpus, vecCol, m, ksub, sampleSize, seed, iterations))
+      pqCodebooks(corpus, vecCol, idCol, m, ksub, sampleSize, seed,
+        iterations))
 
   /** [[pqTopK]] with CALLER-SUPPLIED codebooks — a persisted PQ model,
     * or replicable codebooks (data subvectors picked by a deterministic

@@ -643,8 +643,14 @@ object Curation {
     * at worst survive when the sketch slack `N/(k+1)` swallows it —
     * size `sketchK` to the boilerplate budget). Plan: ONE
     * mapPartitions scan for the sketch (driver merge of
-    * ≤ partitions·k rows), then ONE pure row-expression rebuild
-    * against the broadcast candidate list — zero shuffles, vs
+    * ≤ partitions·k rows), then ONE `mapPartitions` rebuild probing
+    * the candidate set as a broadcast `HashSet` — O(1) per line (the
+    * `LanguageId.applyModel` contract; the earlier
+    * `typedLit`/`array_contains` formulation was an O(|candidates|)
+    * LINEAR scan per line, the exact literal-collection trap the
+    * langid scaladoc measured at 30× — with `sketchK = 2^14` and a
+    * boilerplate-heavy crawl the candidate list reaches thousands and
+    * would eat the sketch's whole advantage). Zero shuffles, vs
     * [[dedupLines]]' explode + distinct + groupBy + join. Same
     * output schema. */
   def dedupLinesApprox(df: DataFrame, textCol: String, idCol: String,
@@ -652,6 +658,7 @@ object Curation {
       sketchK: Int = 1 << 14): DataFrame = {
     require(maxDocs >= 2, "maxDocs < 2 would drop every repeated line")
     requireFresh(df, "lines_", "kept_")
+    val spark = df.sparkSession
     val distinctLines = array_distinct(transform(
       split(coalesce(col(textCol), lit("")), "\n"), l => trim(l)))
     val hits = graft.core.HeavyHitters.heavyHittersExploded(
@@ -660,16 +667,30 @@ object Curation {
       .filter(h => h.countMin >= maxDocs &&
         h.item.length >= minLineChars)
       .map(_.item)
-    val boilerLit = typedLit(boiler.sorted)
-    df.withColumn("lines_",
-        split(coalesce(col(textCol), lit("")), "\n"))
-      .withColumn("kept_", filter(col("lines_"),
-        l => !array_contains(boilerLit, trim(l))))
-      .select(col(idCol),
-        size(col("lines_")).cast("long").as("n_lines"),
-        (size(col("lines_")) - size(col("kept_"))).cast("long")
-          .as("n_dropped"),
-        concat_ws("\n", col("kept_")).as(textCol))
+    val bc = spark.sparkContext.broadcast {
+      val s = new java.util.HashSet[String]()
+      boiler.foreach(s.add)
+      s
+    }
+    val prepared = df.select(col(idCol),
+      split(coalesce(col(textCol), lit("")), "\n").as("lines_"))
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      prepared.schema.head,
+      org.apache.spark.sql.types.StructField("n_lines",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("n_dropped",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField(textCol,
+        org.apache.spark.sql.types.StringType)))
+    prepared.mapPartitions { rows =>
+      val set = bc.value
+      rows.map { r =>
+        val lines = r.getSeq[String](1)
+        val kept = lines.filter(l => !set.contains(l.trim))
+        org.apache.spark.sql.Row(r.get(0), lines.length.toLong,
+          (lines.length - kept.length).toLong, kept.mkString("\n"))
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
   }
 
   /** Dolma-style PARAGRAPH-level dedup: the corpus keeps exactly ONE
@@ -724,6 +745,66 @@ object Curation {
           sort_array(collect_list(when(!col("drop_"),
             struct(col("idx_"), col("raw_"))))),
           s => s.getField("raw_"))).as(textCol))
+  }
+
+  /** SENTENCE-level dedup — the missing rung of the Dolma/CCNet
+    * line → sentence → paragraph → document curation ladder:
+    * the corpus keeps exactly ONE copy of every distinct sentence
+    * ([[TextAnalysis.sentences]] segmentation, already trimmed) — the
+    * FIRST occurrence in (idCol, position) order — and every later
+    * occurrence is dropped from its document. [[dedupLines]] kills
+    * high-frequency boilerplate (ALL copies), [[dedupParagraphs]]
+    * dedups blank-line blocks; this catches the repeated SENTENCE
+    * (legal disclaimers, lead sentences syndicated across outlets,
+    * memorized quotes) that paragraph granularity misses because the
+    * surrounding paragraphs differ.
+    *
+    * Same scale shape as [[dedupParagraphs]]: the first-occurrence
+    * keeper per sentence hash is ONE map-side-combined
+    * `min(struct(id, idx))` groupBy whose shuffle carries
+    * (hash, id, idx) — never sentence text; the keeper flows back
+    * through a hash-partitioned equi-join on the 64-bit hash (NOT a
+    * broadcast — it is corpus-proportional), then one per-doc
+    * regroup. Sentences shorter than `minSentChars` are never deduped.
+    * Documents with no sentences (empty/null text) survive with
+    * text = "" (outer explode). Returns one row per doc:
+    * (idCol, n_sentences, n_dropped, textCol rebuilt with a single
+    * space — segmentation already trimmed inter-sentence whitespace).
+    */
+  def dedupSentences(df: DataFrame, textCol: String, idCol: String,
+      minSentChars: Int = 1): DataFrame = {
+    requireFresh(df, "idx_", "sent_", "sh_", "kid_", "kidx_", "drop_")
+    val exploded = df
+      .select(col(idCol),
+        posexplode_outer(TextAnalysis.sentences(col(textCol))))
+      .withColumnRenamed("pos", "idx_")
+      .withColumnRenamed("col", "sent_")
+      // null-sentence rows (doc had no sentences) must NOT join the
+      // keeper: xxhash64(null) is the seed constant, which a real
+      // sentence could collide with — keep the key null instead
+      .withColumn("sh_",
+        when(col("sent_").isNotNull, xxhash64(col("sent_"))))
+      // feeds the keeper branch + the join-back once (the
+      // multi-consumer re-execution trap dedupLines documents)
+      .localCheckpoint(false)
+    val keeper = exploded
+      .where(col("sent_").isNotNull &&
+        length(col("sent_")) >= minSentChars)
+      .groupBy(col("sh_"))
+      .agg(min(struct(col(idCol).as("kid_"), col("idx_").as("kidx_")))
+        .as("k_"))
+      .select(col("sh_"), col("k_.kid_").as("kid_"),
+        col("k_.kidx_").as("kidx_"))
+    exploded.join(keeper, Seq("sh_"), "left")
+      .withColumn("drop_", col("kid_").isNotNull &&
+        !(col(idCol) === col("kid_") && col("idx_") === col("kidx_")))
+      .groupBy(col(idCol))
+      .agg(count(col("sent_")).as("n_sentences"),
+        sum(col("drop_").cast("long")).as("n_dropped"),
+        concat_ws(" ", transform(
+          sort_array(collect_list(when(!col("drop_"),
+            struct(col("idx_"), col("sent_"))))),
+          s => s.getField("sent_"))).as(textCol))
   }
 
   /** The stored-artifact half of paragraph dedup: one row per

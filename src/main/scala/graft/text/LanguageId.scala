@@ -43,13 +43,52 @@ import org.apache.spark.sql.functions._
   */
 object LanguageId {
 
-  /** Embedded DEMO-scale labeled seed (4 languages × 4 sentences,
-    * written for this repo): enough signal for the demos/specs to
-    * train a working classifier end to end. A production run trains
-    * on a real labeled sample (Tatoeba/Wikipedia-scale, hundreds of
-    * languages) through the same [[train]] path — this constant is
-    * the pipeline's default, not its ceiling. */
+  /** Embedded DEMO-scale labeled seed — 10 languages: 4 with several
+    * repo-written sentences (en/es/de/fr) plus the PUBLIC-DOMAIN UDHR
+    * Article 1 text for each of the 10 (the standard public parallel
+    * seed corpus for language-ID demos — UN translations carry no
+    * copyright). Enough signal for the demos/specs to train a working
+    * classifier end to end; a production run trains on a real labeled
+    * sample (Tatoeba/Wikipedia-scale, hundreds of languages) through
+    * the same [[train]] path — this constant is the pipeline's
+    * default, not its ceiling. */
   val builtinSeed: Seq[(String, String)] = Seq(
+    "en" -> ("all human beings are born free and equal in dignity " +
+      "and rights they are endowed with reason and conscience and " +
+      "should act towards one another in a spirit of brotherhood"),
+    "es" -> ("todos los seres humanos nacen libres e iguales en " +
+      "dignidad y derechos y dotados como estan de razon y " +
+      "conciencia deben comportarse fraternalmente los unos con los " +
+      "otros"),
+    "de" -> ("alle menschen sind frei und gleich an wurde und " +
+      "rechten geboren sie sind mit vernunft und gewissen begabt " +
+      "und sollen einander im geist der bruderlichkeit begegnen"),
+    "fr" -> ("tous les etres humains naissent libres et egaux en " +
+      "dignite et en droits ils sont doues de raison et de " +
+      "conscience et doivent agir les uns envers les autres dans un " +
+      "esprit de fraternite"),
+    "it" -> ("tutti gli esseri umani nascono liberi ed eguali in " +
+      "dignita e diritti essi sono dotati di ragione e di coscienza " +
+      "e devono agire gli uni verso gli altri in spirito di " +
+      "fratellanza"),
+    "pt" -> ("todos os seres humanos nascem livres e iguais em " +
+      "dignidade e em direitos dotados de razao e de consciencia " +
+      "devem agir uns para com os outros em espirito de " +
+      "fraternidade"),
+    "nl" -> ("alle mensen worden vrij en gelijk in waardigheid en " +
+      "rechten geboren zij zijn begiftigd met verstand en geweten " +
+      "en behoren zich jegens elkander in een geest van " +
+      "broederschap te gedragen"),
+    "sv" -> ("alla manniskor aro fodda fria och lika i varde och " +
+      "rattigheter de aro utrustade med fornuft och samvete och " +
+      "bora handla gentemot varandra i en anda av broderskap"),
+    "pl" -> ("wszyscy ludzie rodza sie wolni i rowni pod wzgledem " +
+      "swej godnosci i swych praw sa oni obdarzeni rozumem i " +
+      "sumieniem i powinni postepowac wobec innych w duchu " +
+      "braterstwa"),
+    "tr" -> ("butun insanlar hur haysiyet ve haklar bakimindan esit " +
+      "dogarlar akil ve vicdana sahiptirler ve birbirlerine karsi " +
+      "kardeslik zihniyeti ile hareket etmelidirler"),
     "en" -> "the quick brown fox jumps over the lazy dog near the river",
     "en" -> "she said that the weather would be fine for the walk home",
     "en" -> "many people think that reading books is the best way to learn",
@@ -178,8 +217,14 @@ object LanguageId {
 
   /** Apply a trained model: adds `language` (argmax, ties → smallest
     * lang, 'und' when the text yields no grams), `score_micro` (the
-    * winning `prior + Σ gram scores`), and `scores_micro` (the full
-    * lang-ordered vector, for margin/threshold consumers).
+    * winning `prior + Σ gram scores`), `margin_micro` (top1 − top2 —
+    * the confidence production filters threshold on; 0 for
+    * single-language models and gramless rows), and `scores_micro`
+    * (the full lang-ordered vector). A row whose margin falls BELOW
+    * `minMarginMicros` routes to 'und' (near-boundary text — a
+    * 2-gram Catalan doc scoring es/fr within noise should not get a
+    * confident wrong label); the default 0 routes nothing, since
+    * margin ≥ 0 by construction.
     * Normalization and gram extraction stay Column expressions (exact
     * parity with [[ngramCounts]]); the scoring pass is
     * `mapPartitions` with the model broadcast as a HashMap — the
@@ -188,10 +233,11 @@ object LanguageId {
     * array-backed): at 1M docs × ~600 grams × 4k entries that was
     * measured at 104 s where the hash path takes ~3 s. Still
     * shuffle-free — no join, no window, no exchange. */
-  def applyModel(df: DataFrame, textCol: String,
-      model: Model): DataFrame = {
+  def applyModel(df: DataFrame, textCol: String, model: Model,
+      minMarginMicros: Long = 0L): DataFrame = {
+    require(minMarginMicros >= 0L, "minMarginMicros must be >= 0")
     require(!df.columns.exists(Seq("t__", "g__", "language",
-      "score_micro", "scores_micro").contains),
+      "score_micro", "scores_micro", "margin_micro").contains),
       "input already has a reserved langid column")
     val spark = df.sparkSession
     val bc = spark.sparkContext.broadcast(
@@ -209,6 +255,7 @@ object LanguageId {
           org.apache.spark.sql.types.LongType, false))
       .add("language", org.apache.spark.sql.types.StringType)
       .add("score_micro", org.apache.spark.sql.types.LongType)
+      .add("margin_micro", org.apache.spark.sql.types.LongType)
     val gIdx = inSchema.fieldIndex("g__")
     val scored = prepared.mapPartitions { rows =>
       val (langs, gramsM, unk, prior) = bc.value
@@ -224,14 +271,21 @@ object LanguageId {
           while (i < scores.length) { scores(i) += add(i); i += 1 }
         }
         var best = 0
+        var second = -1
         var i = 1
         while (i < scores.length) {
-          if (scores(i) > scores(best)) best = i
+          if (scores(i) > scores(best)) { second = best; best = i }
+          else if (second < 0 || scores(i) > scores(second)) second = i
           i += 1
         }
-        val lang = if (grams.isEmpty) "und" else langs(best)
+        val margin =
+          if (grams.isEmpty || second < 0) 0L
+          else scores(best) - scores(second)
+        val lang =
+          if (grams.isEmpty || margin < minMarginMicros) "und"
+          else langs(best)
         org.apache.spark.sql.Row.fromSeq(
-          row.toSeq ++ Seq(scores.toSeq, lang, scores(best)))
+          row.toSeq ++ Seq(scores.toSeq, lang, scores(best), margin))
       }
     }(org.apache.spark.sql.Encoders.row(outSchema))
     scored.drop("g__")

@@ -94,8 +94,11 @@ object TextAnalysis {
     * sentence filters, sentence-level dedup, and boundary-respecting
     * chunkers work at. A boundary is a run of `.!?` followed by
     * whitespace and an uppercase letter or digit; dots of common
-    * abbreviations (mr/mrs/dr/prof/etc/e.g/i.e/vs/no/st) do NOT
-    * split. RE2-COMPATIBLE by construction (no lookarounds — RE2 has
+    * abbreviations (mr/mrs/dr/prof/etc/e.g/i.e/vs) do NOT split, and
+    * `no.`/`st.` are protected ONLY when a digit follows ("item
+    * no. 3", "St. 2") — as plain words they end sentences far more
+    * often than they abbreviate ("She said no. They left." MUST
+    * split). RE2-COMPATIBLE by construction (no lookarounds — RE2 has
     * none, and the oracle replays in DuckDB's RE2): abbreviation dots
     * are first PROTECTED behind a sentinel, boundaries are marked by
     * re-emitting the matched context around a second sentinel, then
@@ -106,9 +109,11 @@ object TextAnalysis {
   def sentences(text: Column): Column = {
     val clean = regexp_replace(coalesce(text, lit("")),
       "[\\x01\\x02]", "")
-    val protectAbbrev = regexp_replace(clean,
-      "(?i)\\b(mr|mrs|ms|dr|prof|etc|e\\.g|i\\.e|vs|no|st)\\.",
+    val protectAbbrev0 = regexp_replace(clean,
+      "(?i)\\b(mr|mrs|ms|dr|prof|etc|e\\.g|i\\.e|vs)\\.",
       "$1\u0002")
+    val protectAbbrev = regexp_replace(protectAbbrev0,
+      "(?i)\\b(no|st)\\.(\\s*[0-9])", "$1\u0002$2")
     val marked = regexp_replace(protectAbbrev,
       "([.!?]+)\\s+(\\p{Lu}|[0-9])", "$1\u0001$2")
     filter(

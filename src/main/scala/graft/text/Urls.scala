@@ -57,9 +57,13 @@ object Urls {
     * fragment starts at the FIRST `#`, so a `?` appearing after it
     * (SPA hash-routing: `https://h/p#/route?tab=1`) is fragment
     * content, NOT a query — the regex therefore requires the `?` to
-    * occur before any `#`. */
+    * occur before any `#`. The query itself starts at the FIRST `?`
+    * (RFC 3986 allows literal `?` INSIDE the query, so the prefix
+    * must not skip past one: `^[^#]*\?` would greedily capture after
+    * the LAST pre-fragment `?`, truncating `?a=1&q=what?&b=2` to
+    * `&b=2`). */
   def urlQuery(url: Column): Column =
-    regexp_extract(url, "^[^#]*\\?([^#]*)", 1)
+    regexp_extract(url, "^[^#?]*\\?([^#]*)", 1)
 
   /** Registrable-domain APPROXIMATION without a public-suffix list:
     * the last two host labels, or the last three when the middle one

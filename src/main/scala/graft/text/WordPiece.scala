@@ -197,19 +197,52 @@ object WordPiece {
     }.toDF(idCol, "pieces", "n_pieces")
   }
 
-  /** [[encode]] + closed-form ids off [[vocabIdOrder]]: the literal
-    * `element_at` map projection every tokenizer family uses — no
-    * join, no shuffle, no UDF. Unknown pieces cannot occur (every
+  /** [[encode]] + closed-form ids off [[vocabIdOrder]]: the id lookup
+    * rides [[encode]]'s own `mapPartitions` pass via a broadcast
+    * `HashMap[piece, id]` — O(1) per piece. (A literal-map
+    * `element_at` projection is array-backed: O(vocab) PER PIECE — at
+    * a production 30k-piece vocabulary × hundreds of pieces per
+    * document that is the measured 30× literal-collection trap the
+    * `LanguageId` scaladoc documents; literal maps are only safe for
+    * bounded per-TOKEN alphabets.) Unknown pieces cannot occur (every
     * emitted piece is in the vocab, [UNK] included). */
   def encodeToIds(df: DataFrame, textCol: String, idCol: String,
       vocabInIdOrder: Seq[String], unkToken: String = "[UNK]",
       maxInputChars: Int = 100): DataFrame = {
-    val ids = vocabInIdOrder.zipWithIndex.toMap
-    require(ids.contains(unkToken), "vocab must contain the unk token")
-    val m = typedLit(ids)
-    encode(df, textCol, idCol, vocabInIdOrder, unkToken, maxInputChars)
-      .withColumn("ids", transform(col("pieces"),
-        p => element_at(m, p)))
+    require(vocabInIdOrder.contains(unkToken),
+      "vocab must contain the unk token")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(vocabInIdOrder.toArray)
+    val src = df
+      .select(col(idCol).cast("long"),
+        coalesce(lower(col(textCol)), lit("")))
+      .as[(java.lang.Long, String)]
+    src.mapPartitions { rows =>
+      val vocabArr = bc.value
+      val v = new java.util.HashSet[String]()
+      val idOf = new java.util.HashMap[String, Int]()
+      var i = 0
+      while (i < vocabArr.length) {
+        v.add(vocabArr(i))
+        idOf.put(vocabArr(i), i)
+        i += 1
+      }
+      val memo = new java.util.HashMap[String, Array[String]]()
+      rows.map { case (id, text) =>
+        val toks = text.trim.split("\\s+").filter(_.nonEmpty)
+        val pieces = toks.flatMap { w =>
+          var p = memo.get(w)
+          if (p == null) {
+            p = encodeWord(w, v, unkToken, maxInputChars)
+            memo.put(w, p)
+          }
+          p
+        }
+        (id, pieces, pieces.length.toLong,
+          pieces.map(p => idOf.get(p).intValue()))
+      }
+    }.toDF(idCol, "pieces", "n_pieces", "ids")
   }
 
   /** Serialize as a minimal HuggingFace-schema tokenizer.json

@@ -109,8 +109,8 @@ class SimilaritySpec extends AnyFunSuite {
     val queries = centers.zipWithIndex.map { case (c, i) =>
       (1000L + i, c.map(_ + jitter()))
     }.toDF("vec_id", "embedding")
-    val books = Similarity.pqCodebooks(corpus, "embedding", m = 4,
-      ksub = 8, sampleSize = 200)
+    val books = Similarity.pqCodebooks(corpus, "embedding", "vec_id",
+      m = 4, ksub = 8, sampleSize = 200)
     val codes = corpus.select($"vec_id",
       Similarity.pqEncode($"embedding", books).as("codes")).collect()
     assert(codes.forall { r =>
@@ -126,6 +126,37 @@ class SimilaritySpec extends AnyFunSuite {
       r.getLong(1) % 4 == r.getLong(0) - 1000L))
     // ADC distance within the right cluster is far below cross-cluster
     assert(top.forall(_.getDouble(2) < 50.0))
+  }
+
+  test("pqTopK default codebooks are a pure function of the data: " +
+      "results are invariant under repartitioning/layout") {
+    // same clustered corpus shape as the pq test; what must NOT
+    // matter is which partitions answer first (the old bare limit()
+    // sample made codebooks — hence codes, hence top-k — depend on
+    // partition layout)
+    val rnd = new scala.util.Random(11)
+    def jitter() = (rnd.nextDouble() - 0.5).toFloat * 0.2f
+    val centers = Seq(
+      Array(10f, 0f, 0f, 0f, 10f, 0f, 0f, 0f),
+      Array(0f, 10f, 0f, 0f, 0f, 10f, 0f, 0f),
+      Array(0f, 0f, 10f, 0f, 0f, 0f, 10f, 0f),
+      Array(0f, 0f, 0f, 10f, 0f, 0f, 0f, 10f))
+    val corpus = (0 until 120).map { i =>
+      (i.toLong, centers(i % 4).map(_ + jitter()))
+    }.toDF("vec_id", "embedding")
+    val queries = centers.zipWithIndex.map { case (c, i) =>
+      (1000L + i, c.map(_ + jitter()))
+    }.toDF("vec_id", "embedding")
+    def run(c: org.apache.spark.sql.DataFrame) =
+      Similarity.pqTopK(c, queries, "embedding", "vec_id", "vec_id",
+          k = 5, m = 4, ksub = 4, sampleSize = 64)
+        .orderBy($"query_id", $"rank")
+        .select($"query_id", $"corpus_id", $"rank")
+        .as[(Long, Long, Int)].collect().toSeq
+    val a = run(corpus)
+    assert(a == run(corpus.repartition(13)))
+    assert(a == run(corpus.repartition(3, $"vec_id")))
+    assert(a == run(corpus.orderBy($"vec_id".desc)))
   }
 
   test("semDedup: zero-norm vectors never drop their bucket-mates") {

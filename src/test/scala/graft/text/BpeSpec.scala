@@ -95,6 +95,42 @@ class BpeSpec extends AnyFunSuite {
       json.contains(s""""id": ${vocab("<|endoftext|>")}"""))
   }
 
+  test("genuine HF-schema fixture: a tokenizers-emitted byte-level " +
+      "BPE file (full field layout — nulls, nested pre_tokenizer/" +
+      "post_processor/decoder objects, added_tokens with every " +
+      "field, array-form merges) imports and encodes") {
+    val json = scala.io.Source.fromInputStream(
+      getClass.getResourceAsStream("/hf/bpe_bytelevel_tokenizer.json"),
+      "UTF-8").mkString
+    val (merges, specials) = Bpe.fromTokenizerJson(json)
+    assert(specials == Seq("<|endoftext|>"))
+    // the GPT-2-head merge sequence, ranks assigned in file order
+    val want = Seq(("Ġ", "t"), ("Ġ", "a"), ("h", "e"), ("i", "n"),
+      ("r", "e"), ("o", "n"), ("Ġt", "he"), ("e", "r"), ("Ġ", "s"),
+      ("a", "t"), ("Ġ", "w"), ("Ġ", "o"), ("e", "n"), ("Ġ", "c"))
+    assert(merges.map(m => (m.left, m.right)) == want)
+    assert(merges.map(_.rank) == (1 to want.length))
+    assert(merges.forall(m => m.merged == m.left + m.right))
+    // import -> encode parity: the imported model tokenizes exactly
+    // as the hand-built equivalent (ids included)
+    val hand = want.zipWithIndex.map { case ((l, r), i) =>
+      Bpe.Merge(i + 1, l, r, l + r, 0L)
+    }
+    val enc = Seq((1L, "the theatre went on<|endoftext|>here"))
+      .toDF("doc_id", "text")
+    val a = Bpe.encodeBytesToIds(enc, "text", "doc_id", merges,
+      specials).select($"ids").as[Seq[Int]].head()
+    val b = Bpe.encodeBytesToIds(enc, "text", "doc_id", hand,
+      specials).select($"ids").as[Seq[Int]].head()
+    assert(a == b && a.nonEmpty)
+    // re-export round-trips the imported model
+    val (back, backSp) = Bpe.fromTokenizerJson(
+      Bpe.toTokenizerJson(merges, specials))
+    assert(backSp == specials)
+    assert(back.map(m => (m.rank, m.left, m.right)) ==
+      merges.map(m => (m.rank, m.left, m.right)))
+  }
+
   test("fromTokenizerJson accepts the array merge form that " +
       "tokenizers >= 0.14 emits, and fails cleanly on truncation") {
     // the same model serialized both ways must import identically

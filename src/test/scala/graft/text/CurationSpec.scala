@@ -817,6 +817,42 @@ class CurationSpec extends AnyFunSuite {
     assert(d1.mkString(" ") == sents.mkString(" "))
   }
 
+  test("dedupSentences: corpus-wide first-occurrence keeper, " +
+      "within-doc repeats, empty docs survive, partition-invariant") {
+    val df = Seq(
+      (1L, "Alpha beta gamma. Shared legal disclaimer here. Tail one."),
+      (2L, "Shared legal disclaimer here. Unique middle two. Tail two."),
+      (3L, "Repeat me. Repeat me. Only once though."),
+      (4L, ""), (5L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Curation.dedupSentences(d, "text", "doc_id")
+        .orderBy($"doc_id")
+        .select($"doc_id", $"n_sentences", $"n_dropped", $"text")
+        .as[(Long, Long, Long, String)].collect().toSeq
+    val got = run(df)
+    // doc 1 owns the disclaimer (first occurrence); doc 2 loses it
+    assert(got(0) == (1L, 3L, 0L,
+      "Alpha beta gamma. Shared legal disclaimer here. Tail one."))
+    assert(got(1) == (2L, 3L, 1L,
+      "Unique middle two. Tail two."))
+    // within-doc repeat: second "Repeat me." drops
+    assert(got(2) == (3L, 3L, 1L, "Repeat me. Only once though."))
+    // empty/null docs survive as one row with text = ""
+    assert(got(3) == (4L, 0L, 0L, ""))
+    assert(got(4) == (5L, 0L, 0L, ""))
+    // keeper rule is a pure function of the data, not the layout
+    assert(run(df.repartition(7)) == got)
+    // minSentChars: short sentences are never deduped
+    val short = Seq((1L, "Ok. Ok. A longer sentence."),
+      (2L, "Ok. A longer sentence."))
+      .toDF("doc_id", "text")
+    val kept = Curation.dedupSentences(short, "text", "doc_id",
+        minSentChars = 5)
+      .orderBy($"doc_id").select($"text").as[String].collect().toSeq
+    assert(kept == Seq("Ok. Ok. A longer sentence.", "Ok."))
+  }
+
   test("perplexityBucketsKn: KN-bigram bits drive the thirds; docs " +
       "too short for a bigram get NO bucket (kept by callers)") {
     val withShort = docs.select($"doc_id", $"source", $"text")

@@ -39,7 +39,8 @@ class LanguageIdSpec extends AnyFunSuite {
     val train = corpus(6)
     val model = LanguageId.train(train, "text", "lang",
       nMin = 2, nMax = 3, topK = 512)
-    assert(model.langs == Vector("de", "en", "es", "fr"))
+    assert(model.langs == Vector("de", "en", "es", "fr", "it", "nl",
+      "pl", "pt", "sv", "tr"))
     // held-out: phrase PAIRS the training never saw (reversed order)
     val held = bank.toSeq.sortBy(_._1).flatMap { case (lang, ps) =>
       ps.indices.map(i =>
@@ -110,6 +111,52 @@ class LanguageIdSpec extends AnyFunSuite {
     assert(model.unk == IndexedSeq(unkWant, unkWant))
     val priorWant = math.round(math.log(0.5) / math.log(2.0) * 1e6)
     assert(model.prior == IndexedSeq(priorWant, priorWant))
+  }
+
+  test("margin_micro is exactly top1 - top2 of scores_micro; a " +
+      "minMarginMicros threshold routes near-boundary docs to 'und'") {
+    val model = LanguageId.train(corpus(4), "text", "lang", 2, 3, 512)
+    // confident docs: margin matches the score vector arithmetic and
+    // clears any sane threshold
+    val docs = corpus(3).withColumn("doc_id",
+      monotonically_increasing_id())
+    val got = LanguageId.applyModel(docs, "text", model)
+      .select($"lang", $"language", $"scores_micro", $"score_micro",
+        $"margin_micro")
+      .as[(String, String, Seq[Long], Long, Long)].collect()
+    got.foreach { case (want, pred, scores, top, margin) =>
+      assert(pred == want)
+      val sorted = scores.sorted(Ordering[Long].reverse)
+      assert(top == sorted.head)
+      assert(margin == sorted.head - sorted(1), (want, margin))
+      assert(margin > 0)
+    }
+    // near-boundary: a doc mixing two languages evenly scores with a
+    // small margin; thresholding routes it to 'und' while confident
+    // docs keep their label. es/pt UDHR text shares romance grams, so
+    // a 50/50 splice sits near the decision boundary.
+    val bankEs = bank("es").head.split(" ")
+    val bankPt = bank("pt").head.split(" ")
+    val splice = (bankEs.take(8) ++ bankPt.take(8)).mkString(" ")
+    val mixed = Seq((1L, splice), (2L, bank("de").head))
+      .toDF("doc_id", "text")
+    val plain = LanguageId.applyModel(mixed, "text", model)
+      .select($"doc_id", $"language", $"margin_micro")
+      .as[(Long, String, Long)].collect()
+      .map { case (id, l, m) => id -> (l, m) }.toMap
+    // the splice's margin is far below the confident doc's
+    assert(plain(1L)._2 < plain(2L)._2, plain.toString)
+    val routed = LanguageId.applyModel(mixed, "text", model,
+        minMarginMicros = plain(1L)._2 + 1)
+      .select($"doc_id", $"language").as[(Long, String)]
+      .collect().toMap
+    assert(routed(1L) == "und", routed.toString)
+    assert(routed(2L) == "de", routed.toString)
+    // gramless rows: margin 0, language 'und' regardless of threshold
+    val empty = LanguageId.applyModel(
+        Seq((1L, "")).toDF("doc_id", "text"), "text", model)
+      .select($"language", $"margin_micro").as[(String, Long)].head()
+    assert(empty == ("und", 0L))
   }
 
   test("apply is shuffle-free: no Exchange, no Join, no Window in " +

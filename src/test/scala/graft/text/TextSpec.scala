@@ -392,6 +392,15 @@ class TextSpec extends AnyFunSuite {
       Seq("Really?!", "42 is the answer."))
     // lowercase after the dot = same sentence (quote/ellipsis style)
     assert(sent("he said. then left") == Seq("he said. then left"))
+    // "no."/"st." protect ONLY before a digit: as plain words they
+    // end sentences ("She said no.") far more often than they
+    // abbreviate ("item no. 3")
+    assert(sent("She said no. They left.") ==
+      Seq("She said no.", "They left."))
+    assert(sent("Next item no. 3 follows. Done.") ==
+      Seq("Next item no. 3 follows.", "Done."))
+    assert(sent("Meet at St. 5 today. Bye.") ==
+      Seq("Meet at St. 5 today.", "Bye."))
     // null/empty → empty; sentinel bytes in input can't forge splits
     assert(sent("") == Seq.empty)
     assert(Seq((1, null.asInstanceOf[String])).toDF("i", "t")

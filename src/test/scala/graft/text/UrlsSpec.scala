@@ -70,6 +70,23 @@ class UrlsSpec extends AnyFunSuite {
       .as[String].head() == "")
   }
 
+  test("a literal '?' INSIDE the query is query content (RFC 3986): " +
+      "the query starts at the FIRST '?', not the last") {
+    // '?' is a legal query character; anchoring the prefix at the
+    // first '?' must keep the full string (a last-'?' anchor would
+    // truncate to '&b=2' and produce a wrong dedup key)
+    assert(spark.range(1)
+      .select(Urls.urlQuery(lit("http://h/p?a=1&q=what?&b=2")).as("q"))
+      .as[String].head() == "a=1&q=what?&b=2")
+    // and the canonical form keeps all three params (sorted)
+    assert(canon("http://h.com/p?b=2&q=what?&a=1") ==
+      Seq("http://h.com/p?a=1&b=2&q=what?"))
+    // fragment still wins: '?' after '#' stays fragment content
+    assert(spark.range(1)
+      .select(Urls.urlQuery(lit("http://h/p?a=1#f?x=2")).as("q"))
+      .as[String].head() == "a=1")
+  }
+
   test("null and scheme-less urls canonicalize to null") {
     val got = Seq[String](null, "not a url", "example.com/a",
         "ftp://files.example.com/x")

@@ -85,6 +85,34 @@ class WordPieceSpec extends AnyFunSuite {
     assert(g2 == Seq("un", "##aff", "##able"))
   }
 
+  test("genuine HF-schema fixture: a BERT-style WordPiece file " +
+      "(BertNormalizer/TemplateProcessing objects, added_tokens, " +
+      "## continuation prefix) imports; encode matches the " +
+      "canonical example") {
+    val json = scala.io.Source.fromInputStream(
+      getClass.getResourceAsStream("/hf/wordpiece_tokenizer.json"),
+      "UTF-8").mkString
+    val (vocab, unk) = WordPiece.fromTokenizerJson(json)
+    assert(unk == "[UNK]")
+    assert(vocab == Seq("[PAD]", "[UNK]", "[CLS]", "[SEP]", "un",
+      "##aff", "##able", "run", "##ning", "the", "a", "##ff", "##a",
+      "##ble"))
+    // the canonical WordPiece walkthrough: longest-match-first picks
+    // ##aff over ##a; OOV words collapse to [UNK]
+    val enc = WordPiece.encodeToIds(
+      Seq((1L, "unaffable running the zzz")).toDF("doc_id", "text"),
+      "text", "doc_id", vocab, unk)
+    val (pieces, ids) = enc.select($"pieces", $"ids")
+      .as[(Seq[String], Seq[Int])].head()
+    assert(pieces == Seq("un", "##aff", "##able", "run", "##ning",
+      "the", "[UNK]"))
+    assert(ids == Seq(4, 5, 6, 7, 8, 9, 1))
+    // re-export round-trips the imported model
+    val (back, backUnk) = WordPiece.fromTokenizerJson(
+      WordPiece.toTokenizerJson(vocab, unk))
+    assert(back == vocab && backUnk == unk)
+  }
+
   test("vocab id order, encodeToIds, tokenizer.json round-trip") {
     val corpus = Seq((1L, "low lower lowest low low newest"),
       (2L, "newest wide wider lowest")).toDF("doc_id", "text")
