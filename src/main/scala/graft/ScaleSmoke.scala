@@ -50,6 +50,30 @@ object ScaleSmoke {
       println(f"$label%-28s ${(System.nanoTime() - t0) / 1e9}%7.1f s  " +
         f"$n%,d rows")
     }
+    // shuffle-WRITE bytes per stage, accumulated via listener: the
+    // honest cluster metric local wall time hides (a single box
+    // shuffles through memcpy; a 1000-executor cluster shuffles
+    // through the network)
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted)
+            : Unit =
+          shuffleBytes.addAndGet(
+            sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+      })
+    def tShuffle(label: String)(f: => Long): Unit = {
+      Thread.sleep(1000) // drain listener events from prior stages
+      val s0 = shuffleBytes.get()
+      val t0 = System.nanoTime()
+      val n = f
+      val secs = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(1000) // listener bus is async; best-effort drain
+      val mb = (shuffleBytes.get() - s0) / 1e6
+      println(f"$label%-28s $secs%7.1f s  $n%,d rows  " +
+        f"$mb%,.0f MB shuffled")
+    }
 
     if (mode == "dedup-store") {
       dedupStored(spark, stations)
@@ -183,28 +207,42 @@ object ScaleSmoke {
             .otherwise(lit("")))),
         "text", "doc_id", maxDocs = 10).count()
     }
-    // sketch-vs-exact deboiler on a BOILERPLATE-HEAVY crawl: 4096
-    // distinct banner lines (one per doc by doc_id % 4096, each in
-    // ~nDocs/4096 documents — all true boilerplate at maxDocs=10).
-    // Exact pays explode + distinct + groupBy + join; the sketch pays
-    // two linear scans with an O(1) broadcast-HashSet probe per line
-    // (the r8 typedLit/array_contains rebuild scanned all ~4k
-    // candidates per line — the literal-collection trap — and ate
-    // the sketch's advantage at exactly this candidate count). The
+    // sketch-vs-exact deboiler on a BOILERPLATE-HEAVY, MULTI-LINE
+    // crawl: pages of 12 unique body lines + one of 4096 distinct
+    // banner lines (by doc_id % 4096, each in ~nDocs/4096 documents —
+    // all true boilerplate at maxDocs=10). The line count is the
+    // point: real pages carry dozens of lines, and exact dedupLines
+    // pays an explode + (hash, doc) distinct + groupBy + join over
+    // EVERY line (13M rows at 1M docs) while the sketch pays two
+    // linear scans — task-local Misra-Gries counters, then an O(1)
+    // broadcast-HashSet probe per line (the r8 typedLit/
+    // array_contains rebuild scanned all ~4k candidates per line —
+    // the literal-collection trap — and ate the sketch's advantage
+    // at exactly this candidate count). On 1-2-line docs the exact
+    // shuffle is too small to matter and constant overhead wins;
+    // line-rich pages are the regime the sketch exists for. The
     // sketch may UNDER-drop when its N/(k+1) slack swallows a line
-    // (safe direction); at 1M docs the lower bound clears maxDocs
-    // with 2x margin and both paths drop every banner.
-    val heavy = docs.withColumn("text", concat(col("text"),
+    // (safe direction); at these shapes both paths drop every banner.
+    val heavy = docs.select(col("doc_id"), concat(
+        concat_ws("\n", transform(sequence(lit(0), lit(11)), j =>
+          concat_ws(" ", transform(sequence(lit(1), lit(8)), i =>
+            element_at(words, (pmod(xxhash64(col("doc_id"), j, i),
+              lit(512)) + 1).cast("int")))))),
         lit("\nbanner "), pmod(col("doc_id"), lit(4096)).cast("string"),
-        lit(" cookie consent navigation footer text")))
+        lit(" cookie consent navigation footer text")).as("text"))
       .localCheckpoint(true)
-    t("deboil EXACT (4k banner lines)") {
+    tShuffle("deboil EXACT (13 lines/doc)") {
       graft.text.Curation.dedupLines(heavy, "text", "doc_id",
         maxDocs = 10).agg(sum(col("n_dropped"))).head().getLong(0)
     }
-    t("deboil SKETCH (4k banner lines)") {
+    // sketchK = 2^17: MG slack N/(k+1) ≈ 99 at 13M qualifying lines,
+    // so a banner at df ≈ 244 is GUARANTEED found with
+    // countMin ≥ 145 ≥ maxDocs (the scaladoc's sizing rule; the 2^14
+    // default's slack of 794 would swallow the whole banner set)
+    tShuffle("deboil SKETCH (13 lines/doc)") {
       graft.text.Curation.dedupLinesApprox(heavy, "text", "doc_id",
-        maxDocs = 10).agg(sum(col("n_dropped"))).head().getLong(0)
+        maxDocs = 10, sketchK = 1 << 17)
+        .agg(sum(col("n_dropped"))).head().getLong(0)
     }
     t("exact-substring duplicate spans") {
       // clone pairs share their full 60-token text -> every 15-token
@@ -408,6 +446,17 @@ object ScaleSmoke {
           "doc_id", "\n")
         .localCheckpoint()
       paraKept.count()
+    }
+    var sentKept: org.apache.spark.sql.DataFrame = null
+    t("sentence dedup (corpus-wide)") {
+      // the ladder rung below paragraphs: first-occurrence keeper per
+      // sentence hash — one min-struct groupBy + one hash join, text
+      // never shuffles (the q148 engine at corpus scale)
+      sentKept = graft.text.Curation.dedupSentences(
+          paraKept.select(col("doc_id"), col("text")), "text",
+          "doc_id", minSentChars = 40)
+        .localCheckpoint()
+      sentKept.count()
     }
     t("trained langid over the corpus (NB apply)") {
       // model trains once on the seed (sample-scale); application is

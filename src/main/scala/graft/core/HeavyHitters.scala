@@ -112,6 +112,102 @@ object HeavyHitters {
       .map { case (i, c) => Hit(i, c, err) }
   }
 
+  /** One reported LONG item (e.g. a 64-bit content hash): same
+    * bounds contract as [[Hit]]. */
+  final case class LongHit(item: Long, countMin: Long, err: Long)
+
+  /** Misra–Gries over LONG items with primitive-key counters
+    * (`mutable.LongMap`, open addressing — no per-op boxing or string
+    * hashing): the scan form for hashed-content streams. Emits
+    * primitive (keys, counts) arrays — nothing tuple- or map-shaped
+    * crosses the serialization boundary. Same guarantees as
+    * [[mgPartition]]. */
+  private[core] def mgPartitionLongs(items: Iterator[Long], k: Int)
+      : (Array[Long], Array[Long], Long) = {
+    val counters = scala.collection.mutable.LongMap.empty[Long]
+    var decremented = 0L
+    items.foreach { it =>
+      if (counters.contains(it)) {
+        counters(it) = counters(it) + 1L
+      } else if (counters.size < k) {
+        counters(it) = 1L
+      } else {
+        decremented += 1L
+        val dead = scala.collection.mutable.ArrayBuffer.empty[Long]
+        counters.foreachEntry { (key, c) =>
+          if (c == 1L) dead += key else counters(key) = c - 1L
+        }
+        dead.foreach(counters.subtractOne)
+      }
+    }
+    val keys = new Array[Long](counters.size)
+    val counts = new Array[Long](counters.size)
+    var i = 0
+    counters.foreachEntry { (key, c) =>
+      keys(i) = key; counts(i) = c; i += 1
+    }
+    (keys, counts, decremented)
+  }
+
+  /** [[heavyHitters]] over the LONG elements of an ARRAY column —
+    * the hashed-content form ([[graft.text.Curation.dedupLinesApprox]]
+    * sketches `xxhash64(line)` instead of line text: primitive-key
+    * counters, no string churn, and ≤ partitions·k LONGS to the
+    * driver instead of strings). The driver merge stays primitive
+    * too: a LongMap accumulate and a counts-only sort for the
+    * (k+1)-largest cut — never a tuple sort over partitions·k
+    * entries (measured seconds at 32×2^17). Nulls inside arrays are
+    * skipped. */
+  def heavyHittersLongsExploded(df: DataFrame, arrayCol: Column,
+      k: Int): Seq[LongHit] = {
+    require(k >= 1, "k must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val parts = df
+      .select(arrayCol.cast("array<bigint>").as("arr_"))
+      .where(col("arr_").isNotNull)
+      .as[Seq[java.lang.Long]]
+      .mapPartitions { rows =>
+        val (keys, counts, e) = mgPartitionLongs(
+          rows.flatMap(_.iterator.filter(_ != null)
+            .map(_.longValue())), k)
+        Iterator.single((keys, counts, e))
+      }
+      .collect()
+    val sums = scala.collection.mutable.LongMap.empty[Long]
+    var err = 0L
+    parts.foreach { case (keys, counts, e) =>
+      err += e
+      var i = 0
+      while (i < keys.length) {
+        sums(keys(i)) = sums.getOrElse(keys(i), 0L) + counts(i)
+        i += 1
+      }
+    }
+    if (sums.size > k) {
+      // the mgMerge cut: the (k+1)-largest COUNT (item tiebreak is
+      // irrelevant to the cut VALUE); keep strictly above, so ties
+      // at the cut drop — identical semantics to mgMerge, found by
+      // one primitive sort of the counts alone
+      val counts = new Array[Long](sums.size)
+      var i = 0
+      sums.foreachValue { c => counts(i) = c; i += 1 }
+      java.util.Arrays.sort(counts)
+      val cut = counts(counts.length - 1 - k)
+      err += cut
+      val kept = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Long)]
+      sums.foreachEntry { (key, c) =>
+        if (c > cut) kept += ((key, c - cut))
+      }
+      kept.sortBy { case (i2, c) => (-c, i2) }
+        .map { case (i2, c) => LongHit(i2, c, err) }.toSeq
+    } else {
+      sums.toSeq.sortBy { case (i2, c) => (-c, i2) }
+        .map { case (i2, c) => LongHit(i2, c, err) }
+    }
+  }
+
   /** [[heavyHitters]] over the elements of an ARRAY column (e.g.
     * tokens, lines): same single scan, the explode happens inside the
     * partition iterator — no row blow-up ever leaves the task. */

@@ -328,6 +328,120 @@ object TextQueriesImpl {
           .select(col("doc_id"), col("language"), col("score_micro"))
           .orderBy(col("doc_id"))
       }
+
+      // Langid MARGIN + threshold routing (q150): every doc is two
+      // phrases — the second drawn from the NEXT language on the %9
+      // cohort, so those docs sit near the decision boundary with
+      // small top1−top2 margins while pure docs stay confident. The
+      // model trains on pure docs only; apply routes any doc whose
+      // margin falls under 1,000,000 micro-log2 (1 bit) to 'und' —
+      // the production confidence filter. Margins are integer-micro
+      // differences, so the CASE replays exactly; the oracle rebuilds
+      // train AND apply and derives margin from the rk=1/rk=2 window
+      // rows.
+      register("q150_language_id_margin",
+        s"""WITH bank(lang, i, p) AS (VALUES
+           |  $bankValues),
+           |ids AS (SELECT doc_id,
+           |    CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'en'
+           |      WHEN 1 THEN 'es' WHEN 2 THEN 'de' ELSE 'fr' END AS lang,
+           |    (doc_id // 4) % 4 AS i1, (doc_id // 7) % 4 AS i2
+           |  FROM documents),
+           |mix AS (SELECT doc_id, lang,
+           |    CASE WHEN doc_id % 9 = 0 THEN
+           |      CASE lang WHEN 'en' THEN 'es' WHEN 'es' THEN 'de'
+           |        WHEN 'de' THEN 'fr' ELSE 'en' END
+           |      ELSE lang END AS lang2, i1, i2
+           |  FROM ids),
+           |fix AS MATERIALIZED (SELECT m.doc_id, m.lang,
+           |    b1.p || ' ' || b2.p AS text
+           |  FROM mix m
+           |  JOIN bank b1 ON b1.lang = m.lang AND b1.i = m.i1
+           |  JOIN bank b2 ON b2.lang = m.lang2 AND b2.i = m.i2),
+           |ns AS (SELECT UNNEST([2, 3]) AS n),
+           |tr_grams AS MATERIALIZED (
+           |  SELECT f.lang, substr(f.text, g.i, ns.n) AS gram
+           |  FROM fix f, ns,
+           |    UNNEST(GENERATE_SERIES(1,
+           |      GREATEST(LENGTH(f.text) - (ns.n - 1), 1))) g(i)
+           |  WHERE f.doc_id % 5 <> 0 AND f.doc_id % 9 <> 0
+           |    AND substr(f.text, g.i, ns.n) <> ''),
+           |cnt AS MATERIALIZED (SELECT lang, gram, COUNT(*) AS c
+           |  FROM tr_grams GROUP BY 1, 2),
+           |v AS (SELECT COUNT(DISTINCT gram) AS v FROM cnt),
+           |tot AS (SELECT lang, SUM(c) AS total FROM cnt GROUP BY 1),
+           |model AS MATERIALIZED (
+           |  SELECT r.lang, r.gram,
+           |    CAST(ROUND(LOG2((r.c + 1)
+           |      / CAST(t.total + v.v + 1 AS DOUBLE)) * 1e6) AS BIGINT)
+           |      AS w
+           |  FROM (SELECT lang, gram, c, ROW_NUMBER() OVER
+           |      (PARTITION BY lang ORDER BY c DESC, gram ASC) AS rk
+           |    FROM cnt) r JOIN tot t ON t.lang = r.lang, v
+           |  WHERE r.rk <= 256),
+           |st AS MATERIALIZED (
+           |  SELECT t.lang,
+           |    CAST(ROUND(LOG2(CAST(1 AS DOUBLE) / (t.total + v.v + 1))
+           |      * 1e6) AS BIGINT) AS unk,
+           |    CAST(ROUND(LOG2(CAST(d.docs AS DOUBLE) / a.ad) * 1e6)
+           |      AS BIGINT) AS prior
+           |  FROM tot t, v,
+           |    (SELECT lang, COUNT(*) AS docs FROM fix
+           |     WHERE doc_id % 5 <> 0 AND doc_id % 9 <> 0 GROUP BY 1) d,
+           |    (SELECT COUNT(*) AS ad FROM fix
+           |     WHERE doc_id % 5 <> 0 AND doc_id % 9 <> 0) a
+           |  WHERE d.lang = t.lang),
+           |all_grams AS MATERIALIZED (
+           |  SELECT f.doc_id, substr(f.text, g.i, ns.n) AS gram
+           |  FROM fix f, ns,
+           |    UNNEST(GENERATE_SERIES(1,
+           |      GREATEST(LENGTH(f.text) - (ns.n - 1), 1))) g(i)
+           |  WHERE substr(f.text, g.i, ns.n) <> ''),
+           |sc AS MATERIALIZED (
+           |  SELECT g.doc_id, s.lang,
+           |    CAST(SUM(COALESCE(m.w, s.unk)) + MIN(s.prior) AS BIGINT)
+           |      AS score
+           |  FROM all_grams g
+           |  CROSS JOIN st s
+           |  LEFT JOIN model m ON m.lang = s.lang AND m.gram = g.gram
+           |  GROUP BY 1, 2),
+           |win AS (SELECT doc_id, lang, score, ROW_NUMBER() OVER
+           |    (PARTITION BY doc_id ORDER BY score DESC, lang ASC) AS rk
+           |  FROM sc)
+           |SELECT w1.doc_id,
+           |  CASE WHEN w1.score - w2.score < 1000000 THEN 'und'
+           |    ELSE w1.lang END AS language,
+           |  CAST(w1.score - w2.score AS BIGINT) AS margin_micro
+           |FROM win w1 JOIN win w2
+           |  ON w1.doc_id = w2.doc_id AND w1.rk = 1 AND w2.rk = 2
+           |ORDER BY w1.doc_id""".stripMargin) { (s, dir) =>
+        val bankLit = typedLit(bank)
+        val langsArr = typedLit(langOrder)
+        val nextLang = typedLit(Map("en" -> "es", "es" -> "de",
+          "de" -> "fr", "fr" -> "en"))
+        def phraseOf(lang: org.apache.spark.sql.Column, div: Int) =
+          element_at(element_at(bankLit, lang),
+            (pmod(floor(col("doc_id") / div), lit(4)) + 1).cast("int"))
+        val fix = table(s, dir, "documents")
+          .select(col("doc_id"),
+            element_at(langsArr,
+              (pmod(col("doc_id"), lit(4)) + 1).cast("int")).as("lang"))
+          .withColumn("lang2",
+            when(pmod(col("doc_id"), lit(9)) === 0,
+              element_at(nextLang, col("lang")))
+              .otherwise(col("lang")))
+          .withColumn("text",
+            concat_ws(" ", phraseOf(col("lang"), 4),
+              phraseOf(col("lang2"), 7)))
+        val model = graft.text.LanguageId.train(
+          fix.where(pmod(col("doc_id"), lit(5)) =!= 0 &&
+            pmod(col("doc_id"), lit(9)) =!= 0),
+          "text", "lang", nMin = 2, nMax = 3, topK = 256)
+        graft.text.LanguageId.applyModel(fix, "text", model,
+            minMarginMicros = 1000000L)
+          .select(col("doc_id"), col("language"), col("margin_micro"))
+          .orderBy(col("doc_id"))
+      }
     }
 
     // Sentence segmentation (q146): the oracle replays the exact
@@ -546,6 +660,90 @@ object TextQueriesImpl {
         when(pmod(col("doc_id"), lit(5)) === 0,
           lit(" Really?! Yes. done.")).otherwise(lit(""))))
       graft.text.Curation.dedupSentences(aug, "text", "doc_id")
+        .select(col("doc_id"), col("n_sentences"), col("n_dropped"),
+          md5(to_binary(col("text"), lit("utf-8"))).as("text_md5"))
+        .orderBy(col("doc_id"))
+    }
+
+    // Incremental sentence dedup (q149): docs < 250 are the STORED
+    // corpus (its sentenceHashes table is the ingest artifact), docs
+    // >= 250 the delta — the q126 playbook one granularity down.
+    // Oracle = membership against the stored sentences UNION
+    // delta-internal first-wins; the spec proves two-step ingest ≡
+    // one corpus-wide pass, the gate hash-checks the delta output.
+    register("q149_dedup_sentences_delta",
+      """WITH aug AS (SELECT doc_id,
+        |    text ||
+        |    CASE WHEN doc_id % 3 = 0
+        |      THEN ' Dr. Smith went home. The e.g. case stays.'
+        |      ELSE '' END ||
+        |    CASE WHEN doc_id % 4 = 0
+        |      THEN ' It cost 5.50 dollars! Next item no. 3 follows.'
+        |      ELSE '' END ||
+        |    CASE WHEN doc_id % 5 = 0
+        |      THEN ' Really?! Yes. done.' ELSE '' END AS text
+        |  FROM documents),
+        |marked AS (SELECT doc_id,
+        |    REGEXP_REPLACE(
+        |      REGEXP_REPLACE(
+        |        REGEXP_REPLACE(
+        |          REGEXP_REPLACE(text,
+        |            '[' || CHR(1) || CHR(2) || ']', '', 'g'),
+        |          '(?i)\b(mr|mrs|ms|dr|prof|etc|e\.g|i\.e|vs)\.',
+        |          '\1' || CHR(2), 'g'),
+        |        '(?i)\b(no|st)\.(\s*[0-9])',
+        |        '\1' || CHR(2) || '\2', 'g'),
+        |      '([.!?]+)\s+(\p{Lu}|[0-9])',
+        |      '\1' || CHR(1) || '\2', 'g') AS m
+        |  FROM aug),
+        |sents AS (SELECT doc_id,
+        |    LIST_FILTER(LIST_TRANSFORM(STRING_SPLIT(m, CHR(1)),
+        |      s -> TRIM(REPLACE(s, CHR(2), '.'))),
+        |      s -> s <> '') AS ss
+        |  FROM marked),
+        |ex AS (SELECT doc_id, u.i - 1 AS idx, ss[u.i] AS sent
+        |  FROM sents, UNNEST(GENERATE_SERIES(1, LEN(ss))) u(i)),
+        |known AS (SELECT DISTINCT sent FROM ex WHERE doc_id < 250),
+        |d AS (SELECT * FROM ex WHERE doc_id >= 250),
+        |keeper AS (SELECT sent, doc_id AS kid, idx AS kidx
+        |  FROM (SELECT sent, doc_id, idx, ROW_NUMBER() OVER
+        |      (PARTITION BY sent ORDER BY doc_id, idx) AS rn
+        |    FROM d)
+        |  WHERE rn = 1),
+        |k AS (SELECT d.doc_id, d.idx, d.sent,
+        |    (kn.sent IS NOT NULL OR (kp.sent IS NOT NULL
+        |      AND NOT (d.doc_id = kp.kid AND d.idx = kp.kidx)))
+        |      AS dropped
+        |  FROM d LEFT JOIN keeper kp USING (sent)
+        |    LEFT JOIN known kn USING (sent)),
+        |agg AS (SELECT doc_id,
+        |    CAST(COUNT(*) AS BIGINT) AS n_sentences,
+        |    CAST(SUM(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_dropped,
+        |    COALESCE(STRING_AGG(CASE WHEN NOT dropped THEN sent END,
+        |      ' ' ORDER BY idx), '') AS txt
+        |  FROM k GROUP BY doc_id)
+        |SELECT s.doc_id,
+        |  CAST(COALESCE(a.n_sentences, 0) AS BIGINT) AS n_sentences,
+        |  CAST(COALESCE(a.n_dropped, 0) AS BIGINT) AS n_dropped,
+        |  MD5(COALESCE(a.txt, '')) AS text_md5
+        |FROM sents s LEFT JOIN agg a USING (doc_id)
+        |WHERE s.doc_id >= 250
+        |ORDER BY s.doc_id""".stripMargin) { (s, dir) =>
+      val aug = table(s, dir, "documents").withColumn("text", concat(
+        col("text"),
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          lit(" Dr. Smith went home. The e.g. case stays."))
+          .otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(4)) === 0,
+          lit(" It cost 5.50 dollars! Next item no. 3 follows."))
+          .otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(5)) === 0,
+          lit(" Really?! Yes. done.")).otherwise(lit(""))))
+      val stored = graft.text.Curation.sentenceHashes(
+        aug.where(col("doc_id") < 250), "text", "doc_id")
+      graft.text.Curation.dedupSentencesAgainst(
+          aug.where(col("doc_id") >= 250), stored, "text", "doc_id")
         .select(col("doc_id"), col("n_sentences"), col("n_dropped"),
           md5(to_binary(col("text"), lit("utf-8"))).as("text_md5"))
         .orderBy(col("doc_id"))

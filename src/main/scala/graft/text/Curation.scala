@@ -642,38 +642,59 @@ object Curation {
     * never be mistaken for boilerplate; a true boilerplate line can
     * at worst survive when the sketch slack `N/(k+1)` swallows it —
     * size `sketchK` to the boilerplate budget). Plan: ONE
-    * mapPartitions scan for the sketch (driver merge of
-    * ≤ partitions·k rows), then ONE `mapPartitions` rebuild probing
-    * the candidate set as a broadcast `HashSet` — O(1) per line (the
-    * `LanguageId.applyModel` contract; the earlier
-    * `typedLit`/`array_contains` formulation was an O(|candidates|)
-    * LINEAR scan per line, the exact literal-collection trap the
-    * langid scaladoc measured at 30× — with `sketchK = 2^14` and a
-    * boilerplate-heavy crawl the candidate list reaches thousands and
-    * would eat the sketch's whole advantage). Zero shuffles, vs
-    * [[dedupLines]]' explode + distinct + groupBy + join. Same
-    * output schema. */
+    * mapPartitions scan for the sketch (primitive-key Misra-Gries
+    * over the lines' 64-BIT HASHES — `HeavyHitters
+    * .heavyHittersLongsExploded`; sketching hashes instead of line
+    * text halves the scan cost and ships ≤ partitions·k LONGS to the
+    * driver, and the 64-bit-collision risk it adds — two line groups
+    * merging, the rarer over-dropped — is EXACTLY the trade
+    * [[dedupLines]] already accepts by keying its shuffle on
+    * `xxhash64(line)`), then ONE `mapPartitions` rebuild probing the
+    * sorted candidate-hash array with a binary search — O(log k),
+    * zero allocation per line (the earlier `typedLit`/
+    * `array_contains` formulation was an O(|candidates|) LINEAR scan
+    * per line, the exact literal-collection trap the langid scaladoc
+    * measured at 30×). Lines under `minLineChars` are filtered BEFORE
+    * the sketch — they can never be boilerplate, so they must not eat
+    * counters or slack. All trims/hashes happen in Column land
+    * (byte-exact parity with [[dedupLines]]); the rebuild only
+    * consults precomputed arrays. Zero shuffles end to end, vs
+    * [[dedupLines]]' explode + distinct + groupBy + join + regroup
+    * (whose regroup re-shuffles the full corpus TEXT — the cost that
+    * dominates on a real cluster's network even when a single box
+    * hides it). Same output schema.
+    *
+    * Sizing `sketchK`: MG finds every item with true df >
+    * N/(sketchK+1), N = total qualifying distinct-per-doc lines; a
+    * planted line with df `f` is GUARANTEED dropped when
+    * `f − N/(sketchK+1) ≥ maxDocs`. Size sketchK to the boilerplate
+    * budget — e.g. 13M lines with 4k banners at df≈244 needs
+    * sketchK ≥ 2^17 (slack 99), not the 2^14 default (slack 794
+    * swallows the banners entirely). */
   def dedupLinesApprox(df: DataFrame, textCol: String, idCol: String,
       maxDocs: Long = 10, minLineChars: Int = 1,
       sketchK: Int = 1 << 14): DataFrame = {
     require(maxDocs >= 2, "maxDocs < 2 would drop every repeated line")
-    requireFresh(df, "lines_", "kept_")
+    requireFresh(df, "lines_", "lh_", "q_")
     val spark = df.sparkSession
-    val distinctLines = array_distinct(transform(
-      split(coalesce(col(textCol), lit("")), "\n"), l => trim(l)))
-    val hits = graft.core.HeavyHitters.heavyHittersExploded(
-      df.select(distinctLines.as("arr_")), col("arr_"), sketchK)
-    val boiler = hits
-      .filter(h => h.countMin >= maxDocs &&
-        h.item.length >= minLineChars)
-      .map(_.item)
-    val bc = spark.sparkContext.broadcast {
-      val s = new java.util.HashSet[String]()
-      boiler.foreach(s.add)
-      s
-    }
-    val prepared = df.select(col(idCol),
-      split(coalesce(col(textCol), lit("")), "\n").as("lines_"))
+    // per-doc DISTINCT qualifying line hashes feed the sketch (df
+    // semantics: a line repeated inside one doc counts once)
+    val qualifying = array_distinct(filter(transform(
+      split(coalesce(col(textCol), lit("")), "\n"), l => trim(l)),
+      l => length(l) >= minLineChars))
+    val hits = graft.core.HeavyHitters.heavyHittersLongsExploded(
+      df.select(transform(qualifying, l => xxhash64(l)).as("arr_")),
+      col("arr_"), sketchK)
+    val boiler = hits.filter(_.countMin >= maxDocs).map(_.item)
+      .sorted.toArray
+    val bc = spark.sparkContext.broadcast(boiler)
+    val prepared = df
+      .select(col(idCol),
+        split(coalesce(col(textCol), lit("")), "\n").as("lines_"))
+      .select(col(idCol), col("lines_"),
+        transform(col("lines_"), l => xxhash64(trim(l))).as("lh_"),
+        transform(col("lines_"),
+          l => length(trim(l)) >= minLineChars).as("q_"))
     val outSchema = org.apache.spark.sql.types.StructType(Seq(
       prepared.schema.head,
       org.apache.spark.sql.types.StructField("n_lines",
@@ -686,7 +707,17 @@ object Curation {
       val set = bc.value
       rows.map { r =>
         val lines = r.getSeq[String](1)
-        val kept = lines.filter(l => !set.contains(l.trim))
+        val lhs = r.getSeq[Long](2)
+        val qs = r.getSeq[Boolean](3)
+        val kept = new scala.collection.mutable.ArrayBuffer[String](
+          lines.length)
+        var i = 0
+        while (i < lines.length) {
+          if (!(qs(i) &&
+              java.util.Arrays.binarySearch(set, lhs(i)) >= 0))
+            kept += lines(i)
+          i += 1
+        }
         org.apache.spark.sql.Row(r.get(0), lines.length.toLong,
           (lines.length - kept.length).toLong, kept.mkString("\n"))
       }
@@ -774,16 +805,7 @@ object Curation {
   def dedupSentences(df: DataFrame, textCol: String, idCol: String,
       minSentChars: Int = 1): DataFrame = {
     requireFresh(df, "idx_", "sent_", "sh_", "kid_", "kidx_", "drop_")
-    val exploded = df
-      .select(col(idCol),
-        posexplode_outer(TextAnalysis.sentences(col(textCol))))
-      .withColumnRenamed("pos", "idx_")
-      .withColumnRenamed("col", "sent_")
-      // null-sentence rows (doc had no sentences) must NOT join the
-      // keeper: xxhash64(null) is the seed constant, which a real
-      // sentence could collide with — keep the key null instead
-      .withColumn("sh_",
-        when(col("sent_").isNotNull, xxhash64(col("sent_"))))
+    val exploded = explodeSentences(df, textCol, idCol)
       // feeds the keeper branch + the join-back once (the
       // multi-consumer re-execution trap dedupLines documents)
       .localCheckpoint(false)
@@ -798,6 +820,79 @@ object Curation {
     exploded.join(keeper, Seq("sh_"), "left")
       .withColumn("drop_", col("kid_").isNotNull &&
         !(col(idCol) === col("kid_") && col("idx_") === col("kidx_")))
+      .groupBy(col(idCol))
+      .agg(count(col("sent_")).as("n_sentences"),
+        sum(col("drop_").cast("long")).as("n_dropped"),
+        concat_ws(" ", transform(
+          sort_array(collect_list(when(!col("drop_"),
+            struct(col("idx_"), col("sent_"))))),
+          s => s.getField("sent_"))).as(textCol))
+  }
+
+  /** The stored-artifact half of sentence dedup — the
+    * [[paragraphHashes]] convention one granularity down: one row per
+    * (idCol, sentence position) with the sentence's 64-bit hash,
+    * computed ONCE at ingest and persisted, so incremental dedup
+    * ([[dedupSentencesAgainst]]) and membership filters read a narrow
+    * (id, idx, chars, hash) table instead of re-segmenting corpus
+    * text. */
+  def sentenceHashes(df: DataFrame, textCol: String, idCol: String)
+      : DataFrame =
+    explodeSentences(df, textCol, idCol)
+      .where(col("sent_").isNotNull)
+      .select(col(idCol), col("idx_").as("sent_idx"),
+        length(col("sent_")).as("sent_chars"),
+        col("sh_").as("sent_hash"))
+
+  private def explodeSentences(df: DataFrame, textCol: String,
+      idCol: String): DataFrame = df
+    .select(col(idCol),
+      posexplode_outer(TextAnalysis.sentences(col(textCol))))
+    .withColumnRenamed("pos", "idx_")
+    .withColumnRenamed("col", "sent_")
+    // null-sentence rows (doc had no sentences) must NOT join any
+    // keeper/membership table: xxhash64(null) is the seed constant,
+    // which a real sentence could collide with — keep the key null
+    .withColumn("sh_",
+      when(col("sent_").isNotNull, xxhash64(col("sent_"))))
+
+  /** Incremental sentence dedup for a delta batch against a STORED
+    * corpus — [[dedupParagraphsAgainst]] at sentence granularity: any
+    * incoming sentence whose hash exists in `storedHashes` (a
+    * [[sentenceHashes]] table, `sent_chars >= minSentChars`) drops,
+    * and within the delta the corpus-wide first-occurrence rule
+    * applies — ingest order never changes what the merged corpus
+    * would have kept (the spec proves two-step ≡ one-pass). Exact
+    * membership via a hash-partitioned join against the stored side's
+    * distinct hashes (narrow, co-partitioned on the key — NOT a
+    * broadcast, it is corpus-proportional). Returns the
+    * [[dedupSentences]] schema for the delta rows. */
+  def dedupSentencesAgainst(delta: DataFrame, storedHashes: DataFrame,
+      textCol: String, idCol: String, minSentChars: Int = 1)
+      : DataFrame = {
+    requireFresh(delta, "idx_", "sent_", "sh_", "kid_", "kidx_",
+      "drop_", "known_")
+    val exploded = explodeSentences(delta, textCol, idCol)
+      // feeds the keeper branch + the join-back once (the
+      // multi-consumer re-execution trap dedupLines documents)
+      .localCheckpoint(false)
+    val known = storedHashes
+      .where(col("sent_chars") >= minSentChars)
+      .select(col("sent_hash").as("sh_")).distinct()
+      .withColumn("known_", lit(1))
+    val keeper = exploded
+      .where(col("sent_").isNotNull &&
+        length(col("sent_")) >= minSentChars)
+      .groupBy(col("sh_"))
+      .agg(min(struct(col(idCol).as("kid_"), col("idx_").as("kidx_")))
+        .as("k_"))
+      .select(col("sh_"), col("k_.kid_").as("kid_"),
+        col("k_.kidx_").as("kidx_"))
+    exploded.join(keeper, Seq("sh_"), "left")
+      .join(known, Seq("sh_"), "left")
+      .withColumn("drop_", col("known_").isNotNull ||
+        (col("kid_").isNotNull &&
+          !(col(idCol) === col("kid_") && col("idx_") === col("kidx_"))))
       .groupBy(col(idCol))
       .agg(count(col("sent_")).as("n_sentences"),
         sum(col("drop_").cast("long")).as("n_dropped"),

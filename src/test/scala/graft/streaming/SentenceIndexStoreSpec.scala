@@ -1,0 +1,89 @@
+package graft.streaming
+
+import graft.TestSpark
+import graft.text.Curation
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SentenceIndexStoreSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  // ids FOLLOW arrival order (the ParagraphIndexStoreSpec contract):
+  // the stream keeps the first ARRIVAL of each sentence, the batch
+  // twin keeps the lowest (id, idx) — they agree when ids are
+  // arrival-ordered (monotone ingest ids).
+  val corpusRows = Seq(
+    (1L, "Original reporting sentence here. The famous quote lives."),
+    (2L, "Independent corpus text stands. Second original sentence."))
+  // batch 1: doc 10 repeats a corpus sentence (drop) + brings a new
+  // one; doc 11 repeats doc 10's NEW sentence within the same batch
+  // (intra-batch first-wins). batch 2: doc 20 repeats doc 10's
+  // accepted sentence — the GROWING-index proof; doc 21 is fresh.
+  val batches = Seq(
+    Seq((10L, "The famous quote lives. Brand new analysis lands."),
+      (11L, "Brand new analysis lands. Its own commentary follows.")),
+    Seq((20L, "Late arriving copy next. Brand new analysis lands."),
+      (21L, "Entirely fresh sentence one. And another one arrives.")))
+
+  test("growing sentence dedup at ingest: stream equals the " +
+      "corpus-wide batch pass, later-arriving copies die") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files
+      .createTempDirectory("sent_index").toString
+    val store = new SentenceIndexStore(spark, tmp)
+    store.initialize(corpusRows.toDF("doc_id", "text"), "text")
+    val mem = MemoryStream[(Long, String)]
+    val q = store.ingest(mem.toDF().toDF("doc_id", "text"), "text")
+    try {
+      batches.foreach { b => mem.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    val got = store.cleaned.orderBy(col("doc_id"))
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().toSeq
+    // the batch twin: one corpus-wide pass over everything, in id
+    // order (= arrival order here)
+    val want = Curation.dedupSentences(
+        (corpusRows ++ batches.flatten).toDF("doc_id", "text"),
+        "text", "doc_id")
+      .orderBy(col("doc_id")).select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().toSeq
+    assert(got == want, s"stream=$got batch=$want")
+    // the growing-index proof: doc 20 lost the sentence doc 10
+    // introduced, though neither was in the initial corpus
+    assert(got.find(_._1 == 20L).get._2 == "Late arriving copy next.")
+    // intra-batch first-wins: doc 11 lost its repeat of doc 10's new
+    // sentence in the SAME micro-batch
+    assert(got.find(_._1 == 11L).get._2 ==
+      "Its own commentary follows.")
+    // the stored index covers exactly the kept sentences
+    val keptHashes = Curation.sentenceHashes(store.cleaned, "text",
+      "doc_id").select(col("sent_hash")).as[Long].collect().sorted
+    val indexHashes = store.sentenceTable.select(col("sent_hash"))
+      .as[Long].collect().sorted
+    assert(indexHashes.toSeq == keptHashes.toSeq)
+  }
+
+  test("replaying a micro-batch id is idempotent") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files
+      .createTempDirectory("sent_index_replay").toString
+    val store = new SentenceIndexStore(spark, tmp)
+    store.initialize(corpusRows.toDF("doc_id", "text"), "text")
+    val b1 = batches.head.toDF("doc_id", "text")
+    store.processBatch(b1, "text", 0L)
+    val once = store.cleaned.orderBy(col("doc_id"))
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().toSeq
+    // redelivery of the SAME batch id must see the index as it stood
+    // before the first attempt — not drop its own folded sentences
+    store.processBatch(b1, "text", 0L)
+    val twice = store.cleaned.orderBy(col("doc_id"))
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().toSeq
+    assert(once == twice)
+    assert(store.sentenceTable.count() ==
+      Curation.sentenceHashes(store.cleaned, "text", "doc_id").count())
+  }
+}

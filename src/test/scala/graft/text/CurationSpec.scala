@@ -853,6 +853,36 @@ class CurationSpec extends AnyFunSuite {
     assert(kept == Seq("Ok. Ok. A longer sentence.", "Ok."))
   }
 
+  test("dedupSentencesAgainst: two-step ingest (stored sentenceHashes" +
+      " + delta) is EXACTLY the corpus-wide pass on the delta rows") {
+    val all = Seq(
+      (1L, "Stored opening line here. Shared disclaimer sentence."),
+      (2L, "Another stored doc. Shared disclaimer sentence."),
+      (3L, "Delta doc one. Shared disclaimer sentence. Fresh claim."),
+      (4L, "Delta doc two. Fresh claim. Totally new thing."),
+      (5L, "")).toDF("doc_id", "text")
+    val batch = Curation.dedupSentences(all, "text", "doc_id")
+      .where($"doc_id" >= 3).orderBy($"doc_id")
+      .select($"doc_id", $"n_sentences", $"n_dropped", $"text")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    val stored = Curation.sentenceHashes(
+      all.where($"doc_id" < 3), "text", "doc_id")
+    // stored artifact shape: one row per (doc, position) with hash
+    assert(stored.columns.toSeq ==
+      Seq("doc_id", "sent_idx", "sent_chars", "sent_hash"))
+    assert(stored.count() == 4)
+    val delta = Curation.dedupSentencesAgainst(
+        all.where($"doc_id" >= 3), stored, "text", "doc_id")
+      .orderBy($"doc_id")
+      .select($"doc_id", $"n_sentences", $"n_dropped", $"text")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(delta == batch, s"delta=$delta batch=$batch")
+    // the known disclaimer died; delta-internal first-wins applied
+    assert(delta.head == (3L, 3L, 1L, "Delta doc one. Fresh claim."))
+    assert(delta(1) == (4L, 3L, 1L, "Delta doc two. Totally new thing."))
+    assert(delta(2) == (5L, 0L, 0L, ""))
+  }
+
   test("perplexityBucketsKn: KN-bigram bits drive the thirds; docs " +
       "too short for a bigram get NO bucket (kept by callers)") {
     val withShort = docs.select($"doc_id", $"source", $"text")
