@@ -110,18 +110,11 @@ object CorpusDemo {
       println(s"[corpus] hot domains (MG lower bounds): " +
         hot.take(3).map(h => s"${h.item}>=${h.countMin}")
           .mkString(", "))
-      // the dedup LADDER: paragraph blocks first, then SENTENCES —
-      // one canonical copy of every repeated sentence survives
-      // (syndicated disclaimers/lead sentences die here; paragraph
-      // granularity misses them when surrounding text differs)
       val paraKept = Curation.dedupParagraphs(
         urlKept.select(col("doc_id"), col("text")), "text", "doc_id",
         "\n")
-      val sentKept = Curation.dedupSentences(
-        paraKept.select(col("doc_id"), col("text")), "text", "doc_id",
-        minSentChars = 40)
       raw.drop("text")
-        .join(sentKept.select(col("doc_id"), col("text")), "doc_id")
+        .join(paraKept.select(col("doc_id"), col("text")), "doc_id")
         .localCheckpoint(false)
     }
     val total = docs.count()
@@ -172,9 +165,25 @@ object CorpusDemo {
       heuristic.drop("text").join(cleaned, Seq("doc_id"))
     }
 
+    // 3b. SENTENCE dedup — the ladder rung between lines and
+    //     paragraphs (paragraph dedup already ran at ingest): one
+    //     canonical copy of every repeated sentence survives
+    //     (syndicated disclaimers/lead sentences die here; paragraph
+    //     granularity misses them when surrounding text differs).
+    //     Runs AFTER the line-structured stages deliberately: the
+    //     rebuild joins kept sentences with single spaces, so line
+    //     structure is gone downstream — the heuristic filter's
+    //     bullet/line signals and the deboiler's line split both
+    //     need the newlines and therefore run first.
+    val sentKept = t("sentence dedup: first-occurrence keeper") {
+      val cleaned = Curation.dedupSentences(deboiled, "text",
+        "doc_id", minSentChars = 40).select(col("doc_id"), col("text"))
+      deboiled.drop("text").join(cleaned, Seq("doc_id"))
+    }
+
     // 4. PII redaction — pure map, no row survives with raw PII
     val redacted = t("redact: emails/IPs/phones") {
-      deboiled.withColumn("text", Curation.redactPii(col("text")))
+      sentKept.withColumn("text", Curation.redactPii(col("text")))
     }
 
     // 5. quality filter: keep the top 80% per language, cap repetition.

@@ -49,8 +49,13 @@ final class SentenceIndexStore(spark: SparkSession, path: String,
   private val sentPath = s"$path/sentences"
   private val cleanedPath = s"$path/cleaned"
 
-  /** Batch-build: corpus-wide [[Curation.dedupSentences]] seeds the
-    * cleaned corpus; its kept sentences seed the index. Lands as
+  /** Batch-build: corpus-wide [[Curation.dedupSentencesWithIndex]]
+    * seeds the cleaned corpus AND the index from one computation.
+    * The index is the KEEPER DECISION's kept sentences — never a
+    * re-segmentation of rebuilt text, which is not invertible
+    * (rejoined sentences can merge across the no./st.-digit
+    * protection and store one hash for two kept sentences, breaking
+    * convergence — see dedupSentencesWithIndex). Lands as
     * `ingest_batch=-1`, wiping prior state under `path`. */
   def initialize(corpus: DataFrame, textCol: String): Unit = {
     Seq(sentPath, cleanedPath, s"$path/checkpoint").foreach { p =>
@@ -62,12 +67,11 @@ final class SentenceIndexStore(spark: SparkSession, path: String,
         rm(dir)
       }
     }
-    val cleaned = Curation.dedupSentences(corpus, textCol, idCol,
-      minSentChars).localCheckpoint(false)
+    val (cleaned, kept) = Curation.dedupSentencesWithIndex(corpus,
+      textCol, idCol, minSentChars)
     cleaned.write.mode("overwrite")
       .parquet(s"$cleanedPath/ingest_batch=-1")
-    Curation.sentenceHashes(cleaned, textCol, idCol)
-      .write.mode("overwrite").parquet(s"$sentPath/ingest_batch=-1")
+    kept.write.mode("overwrite").parquet(s"$sentPath/ingest_batch=-1")
   }
 
   /** Kept-sentence hash table across the base build and every folded
@@ -97,11 +101,12 @@ final class SentenceIndexStore(spark: SparkSession, path: String,
       textCol: String, batchId: Long): Unit = {
     val stored = spark.read.parquet(sentPath)
       .where(col("ingest_batch") =!= batchId).drop("ingest_batch")
-    val cleanedBatch = Curation.dedupSentencesAgainst(batch, stored,
-        textCol, idCol, minSentChars)
-      .localCheckpoint(false) // feeds the fold-back AND the append
-    Curation.sentenceHashes(cleanedBatch, textCol, idCol)
-      .write.mode("overwrite")
+    // cleaned text + kept-sentence index from ONE keeper computation
+    // (re-segmenting the rebuilt text would merge sentences across
+    // suppressed boundaries and corrupt the index — scaladoc above)
+    val (cleanedBatch, kept) = Curation.dedupSentencesAgainstWithIndex(
+      batch, stored, textCol, idCol, minSentChars)
+    kept.write.mode("overwrite")
       .parquet(s"$sentPath/ingest_batch=$batchId")
     cleanedBatch.write.mode("overwrite")
       .parquet(s"$cleanedPath/ingest_batch=$batchId")

@@ -803,11 +803,41 @@ object Curation {
     * space — segmentation already trimmed inter-sentence whitespace).
     */
   def dedupSentences(df: DataFrame, textCol: String, idCol: String,
-      minSentChars: Int = 1): DataFrame = {
-    requireFresh(df, "idx_", "sent_", "sh_", "kid_", "kidx_", "drop_")
+      minSentChars: Int = 1): DataFrame =
+    regroupSentences(flagSentences(df, textCol, idCol, minSentChars,
+      storedHashes = None), textCol, idCol)
+
+  /** [[dedupSentences]] PLUS the kept-sentence index from the same
+    * single computation: (cleaned corpus, [[sentenceHashes]]-schema
+    * rows of exactly the sentences the cleaned corpus kept). The
+    * index comes from the keeper decision itself, NEVER by
+    * re-segmenting the rebuilt text — segmentation is not invertible
+    * (rejoining "He said no." + "3 dogs barked." puts the dot before
+    * whitespace+digit, the no./st. protection suppresses the
+    * boundary, and ONE merged hash would be stored for two kept
+    * sentences, breaking the streaming store's one-canonical-copy
+    * convergence). `sent_idx` is the sentence's position in the
+    * ORIGINAL document. */
+  def dedupSentencesWithIndex(df: DataFrame, textCol: String,
+      idCol: String, minSentChars: Int = 1): (DataFrame, DataFrame) = {
+    val flagged = flagSentences(df, textCol, idCol, minSentChars,
+      storedHashes = None)
+    (regroupSentences(flagged, textCol, idCol),
+      keptSentenceHashes(flagged, idCol))
+  }
+
+  // exploded sentences with the corpus-wide (and, when storedHashes
+  // is given, stored-membership) drop decision — the shared core of
+  // dedupSentences / dedupSentencesAgainst and their WithIndex forms.
+  // localCheckpoint'd: every caller consumes it from >= 2 branches
+  // (regroup + index, keeper + join-back — the multi-consumer
+  // re-execution trap dedupLines documents).
+  private def flagSentences(df: DataFrame, textCol: String,
+      idCol: String, minSentChars: Int,
+      storedHashes: Option[DataFrame]): DataFrame = {
+    requireFresh(df, "idx_", "sent_", "sh_", "kid_", "kidx_",
+      "drop_", "known_")
     val exploded = explodeSentences(df, textCol, idCol)
-      // feeds the keeper branch + the join-back once (the
-      // multi-consumer re-execution trap dedupLines documents)
       .localCheckpoint(false)
     val keeper = exploded
       .where(col("sent_").isNotNull &&
@@ -817,17 +847,43 @@ object Curation {
         .as("k_"))
       .select(col("sh_"), col("k_.kid_").as("kid_"),
         col("k_.kidx_").as("kidx_"))
-    exploded.join(keeper, Seq("sh_"), "left")
-      .withColumn("drop_", col("kid_").isNotNull &&
-        !(col(idCol) === col("kid_") && col("idx_") === col("kidx_")))
-      .groupBy(col(idCol))
+    val joined = exploded.join(keeper, Seq("sh_"), "left")
+    val withKnown = storedHashes match {
+      case Some(stored) =>
+        val known = stored
+          .where(col("sent_chars") >= minSentChars)
+          .select(col("sent_hash").as("sh_")).distinct()
+          .withColumn("known_", lit(1))
+        joined.join(known, Seq("sh_"), "left")
+          .withColumn("drop_", col("known_").isNotNull ||
+            (col("kid_").isNotNull &&
+              !(col(idCol) === col("kid_") &&
+                col("idx_") === col("kidx_"))))
+      case None =>
+        joined.withColumn("drop_", col("kid_").isNotNull &&
+          !(col(idCol) === col("kid_") && col("idx_") === col("kidx_")))
+    }
+    // the WithIndex callers consume this from two branches (regroup +
+    // index) — barrier so the keeper join runs once
+    withKnown.localCheckpoint(false)
+  }
+
+  private def regroupSentences(flagged: DataFrame, textCol: String,
+      idCol: String): DataFrame =
+    flagged.groupBy(col(idCol))
       .agg(count(col("sent_")).as("n_sentences"),
         sum(col("drop_").cast("long")).as("n_dropped"),
         concat_ws(" ", transform(
           sort_array(collect_list(when(!col("drop_"),
             struct(col("idx_"), col("sent_"))))),
           s => s.getField("sent_"))).as(textCol))
-  }
+
+  private def keptSentenceHashes(flagged: DataFrame, idCol: String)
+      : DataFrame =
+    flagged.where(col("sent_").isNotNull && !col("drop_"))
+      .select(col(idCol), col("idx_").as("sent_idx"),
+        length(col("sent_")).as("sent_chars"),
+        col("sh_").as("sent_hash"))
 
   /** The stored-artifact half of sentence dedup — the
     * [[paragraphHashes]] convention one granularity down: one row per
@@ -869,37 +925,21 @@ object Curation {
     * [[dedupSentences]] schema for the delta rows. */
   def dedupSentencesAgainst(delta: DataFrame, storedHashes: DataFrame,
       textCol: String, idCol: String, minSentChars: Int = 1)
-      : DataFrame = {
-    requireFresh(delta, "idx_", "sent_", "sh_", "kid_", "kidx_",
-      "drop_", "known_")
-    val exploded = explodeSentences(delta, textCol, idCol)
-      // feeds the keeper branch + the join-back once (the
-      // multi-consumer re-execution trap dedupLines documents)
-      .localCheckpoint(false)
-    val known = storedHashes
-      .where(col("sent_chars") >= minSentChars)
-      .select(col("sent_hash").as("sh_")).distinct()
-      .withColumn("known_", lit(1))
-    val keeper = exploded
-      .where(col("sent_").isNotNull &&
-        length(col("sent_")) >= minSentChars)
-      .groupBy(col("sh_"))
-      .agg(min(struct(col(idCol).as("kid_"), col("idx_").as("kidx_")))
-        .as("k_"))
-      .select(col("sh_"), col("k_.kid_").as("kid_"),
-        col("k_.kidx_").as("kidx_"))
-    exploded.join(keeper, Seq("sh_"), "left")
-      .join(known, Seq("sh_"), "left")
-      .withColumn("drop_", col("known_").isNotNull ||
-        (col("kid_").isNotNull &&
-          !(col(idCol) === col("kid_") && col("idx_") === col("kidx_"))))
-      .groupBy(col(idCol))
-      .agg(count(col("sent_")).as("n_sentences"),
-        sum(col("drop_").cast("long")).as("n_dropped"),
-        concat_ws(" ", transform(
-          sort_array(collect_list(when(!col("drop_"),
-            struct(col("idx_"), col("sent_"))))),
-          s => s.getField("sent_"))).as(textCol))
+      : DataFrame =
+    regroupSentences(flagSentences(delta, textCol, idCol,
+      minSentChars, Some(storedHashes)), textCol, idCol)
+
+  /** [[dedupSentencesAgainst]] PLUS the kept-sentence index from the
+    * same single computation — the streaming fold-back form (see
+    * [[dedupSentencesWithIndex]] for why the index must come from the
+    * keeper decision, not from re-segmenting rebuilt text). */
+  def dedupSentencesAgainstWithIndex(delta: DataFrame,
+      storedHashes: DataFrame, textCol: String, idCol: String,
+      minSentChars: Int = 1): (DataFrame, DataFrame) = {
+    val flagged = flagSentences(delta, textCol, idCol, minSentChars,
+      Some(storedHashes))
+    (regroupSentences(flagged, textCol, idCol),
+      keptSentenceHashes(flagged, idCol))
   }
 
   /** The stored-artifact half of paragraph dedup: one row per

@@ -224,7 +224,10 @@ object LanguageId {
     * `minMarginMicros` routes to 'und' (near-boundary text — a
     * 2-gram Catalan doc scoring es/fr within noise should not get a
     * confident wrong label); the default 0 routes nothing, since
-    * margin ≥ 0 by construction.
+    * margin ≥ 0 by construction. A SINGLE-language model has no
+    * second candidate, so margin is 0 by definition and the threshold
+    * is NOT applied (otherwise any positive threshold would silently
+    * route every row of a degenerate model to 'und').
     * Normalization and gram extraction stay Column expressions (exact
     * parity with [[ngramCounts]]); the scoring pass is
     * `mapPartitions` with the model broadcast as a HashMap — the
@@ -281,8 +284,12 @@ object LanguageId {
         val margin =
           if (grams.isEmpty || second < 0) 0L
           else scores(best) - scores(second)
+        // the threshold only applies where a margin EXISTS (>= 2
+        // languages): a single-language model's margin is 0 by
+        // definition, not low confidence
         val lang =
-          if (grams.isEmpty || margin < minMarginMicros) "und"
+          if (grams.isEmpty) "und"
+          else if (second >= 0 && margin < minMarginMicros) "und"
           else langs(best)
         org.apache.spark.sql.Row.fromSeq(
           row.toSeq ++ Seq(scores.toSeq, lang, scores(best), margin))

@@ -98,7 +98,13 @@ object TextAnalysis {
     * `no.`/`st.` are protected ONLY when a digit follows ("item
     * no. 3", "St. 2") — as plain words they end sentences far more
     * often than they abbreviate ("She said no. They left." MUST
-    * split). RE2-COMPATIBLE by construction (no lookarounds — RE2 has
+    * split). Known trade-off of the digit-only rule: Saint/Street
+    * names before a capital ("St. Paul", "Main St. Suite 4" without
+    * a digit) now split — rule-based segmentation cannot satisfy
+    * both "said no. They" and "St. Paul" without a lexicon; the
+    * digit rule optimizes for the far more frequent plain-word case
+    * and is what the q146-q149 oracles replay. RE2-COMPATIBLE by
+    * construction (no lookarounds — RE2 has
     * none, and the oracle replays in DuckDB's RE2): abbreviation dots
     * are first PROTECTED behind a sentinel, boundaries are marked by
     * re-emitting the matched context around a second sentinel, then

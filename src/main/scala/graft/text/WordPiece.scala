@@ -165,6 +165,24 @@ object WordPiece {
     out.toArray
   }
 
+  // per-document piece computation shared by encode / encodeToIds:
+  // whitespace pre-tokenization + the per-partition word memo around
+  // encodeWord — ONE copy of the tokenization contract
+  private def piecesOf(text: String,
+      vocab: java.util.HashSet[String],
+      memo: java.util.HashMap[String, Array[String]],
+      unkToken: String, maxInputChars: Int): Array[String] = {
+    val toks = text.trim.split("\\s+").filter(_.nonEmpty)
+    toks.flatMap { w =>
+      var p = memo.get(w)
+      if (p == null) {
+        p = encodeWord(w, vocab, unkToken, maxInputChars)
+        memo.put(w, p)
+      }
+      p
+    }
+  }
+
   /** Tokenize every document: (idCol, pieces, n_pieces) —
     * `mapPartitions` with the broadcast vocabulary + per-partition
     * memo (the [[Bpe.encode]] contract). Null text → zero pieces. */
@@ -183,15 +201,7 @@ object WordPiece {
       bc.value.foreach(v.add)
       val memo = new java.util.HashMap[String, Array[String]]()
       rows.map { case (id, text) =>
-        val toks = text.trim.split("\\s+").filter(_.nonEmpty)
-        val pieces = toks.flatMap { w =>
-          var p = memo.get(w)
-          if (p == null) {
-            p = encodeWord(w, v, unkToken, maxInputChars)
-            memo.put(w, p)
-          }
-          p
-        }
+        val pieces = piecesOf(text, v, memo, unkToken, maxInputChars)
         (id, pieces, pieces.length.toLong)
       }
     }.toDF(idCol, "pieces", "n_pieces")
@@ -230,15 +240,7 @@ object WordPiece {
       }
       val memo = new java.util.HashMap[String, Array[String]]()
       rows.map { case (id, text) =>
-        val toks = text.trim.split("\\s+").filter(_.nonEmpty)
-        val pieces = toks.flatMap { w =>
-          var p = memo.get(w)
-          if (p == null) {
-            p = encodeWord(w, v, unkToken, maxInputChars)
-            memo.put(w, p)
-          }
-          p
-        }
+        val pieces = piecesOf(text, v, memo, unkToken, maxInputChars)
         (id, pieces, pieces.length.toLong,
           pieces.map(p => idOf.get(p).intValue()))
       }

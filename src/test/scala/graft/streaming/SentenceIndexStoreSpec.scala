@@ -65,6 +65,40 @@ class SentenceIndexStoreSpec extends AnyFunSuite {
     assert(indexHashes.toSeq == keptHashes.toSeq)
   }
 
+  test("index survives NON-INVERTIBLE re-segmentation: rebuilt text " +
+      "that merges across a suppressed boundary still indexes the " +
+      "KEPT sentences, so later duplicates die") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files
+      .createTempDirectory("sent_index_reseg").toString
+    val store = new SentenceIndexStore(spark, tmp)
+    store.initialize(
+      Seq((1L, "Banana split sentence. Other stored text."))
+        .toDF("doc_id", "text"), "text")
+    // doc 10 keeps "He said no." and "3 dogs barked today." (the
+    // banana sentence is known); the REBUILT text "He said no. 3
+    // dogs barked today." re-segments as ONE sentence (the dot sits
+    // before whitespace+digit, the no./st. protection suppresses the
+    // boundary) — an index derived by re-segmenting would store one
+    // merged hash and lose both kept sentences
+    store.processBatch(
+      Seq((10L, "He said no. Banana split sentence. " +
+        "3 dogs barked today.")).toDF("doc_id", "text"), "text", 0L)
+    val idx = store.sentenceTable
+      .select($"doc_id", $"sent_hash").as[(Long, Long)].collect()
+      .filter(_._1 == 10L).map(_._2).toSet
+    val wantHashes = Seq("He said no.", "3 dogs barked today.")
+      .toDF("s").select(xxhash64($"s")).as[Long].collect().toSet
+    assert(idx == wantHashes, s"index=$idx want=$wantHashes")
+    // and the stored index actually kills the later duplicate
+    store.processBatch(
+      Seq((20L, "3 dogs barked today. Fresh ending line."))
+        .toDF("doc_id", "text"), "text", 1L)
+    val d20 = store.cleaned.where($"doc_id" === 20L)
+      .select($"text").as[String].head()
+    assert(d20 == "Fresh ending line.", d20)
+  }
+
   test("replaying a micro-batch id is idempotent") {
     import spark.implicits._
     val tmp = java.nio.file.Files

@@ -157,6 +157,17 @@ class LanguageIdSpec extends AnyFunSuite {
         Seq((1L, "")).toDF("doc_id", "text"), "text", model)
       .select($"language", $"margin_micro").as[(String, Long)].head()
     assert(empty == ("und", 0L))
+    // a SINGLE-language model has no second candidate: margin is 0
+    // by definition and a positive threshold must NOT route its rows
+    // to 'und' (the degenerate-model guard)
+    val solo = LanguageId.train(
+      Seq(("en", bank("en").head)).toDF("lang", "text"),
+      "text", "lang", 2, 3, 64)
+    val soloOut = LanguageId.applyModel(
+        Seq((1L, bank("en").head)).toDF("doc_id", "text"), "text",
+        solo, minMarginMicros = 999999L)
+      .select($"language", $"margin_micro").as[(String, Long)].head()
+    assert(soloOut == ("en", 0L), soloOut.toString)
   }
 
   test("apply is shuffle-free: no Exchange, no Join, no Window in " +
