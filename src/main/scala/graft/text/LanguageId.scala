@@ -299,11 +299,13 @@ object LanguageId {
   }
 
   /** [[applyModel]] falling back to the stopword heuristic for rows
-    * the model can't score (no grams): the VERDICT-round contract —
-    * trained path first, `TextAnalysis.languageId` where unscored. */
+    * the model can't score (no grams) OR — when `minMarginMicros` is
+    * set — won't score confidently (margin-routed to 'und'): the
+    * trained path first, `TextAnalysis.languageId` where unscored.
+    * The heuristic may itself return 'und'; those rows stay 'und'. */
   def applyWithFallback(df: DataFrame, textCol: String,
-      model: Model): DataFrame =
-    applyModel(df, textCol, model)
+      model: Model, minMarginMicros: Long = 0L): DataFrame =
+    applyModel(df, textCol, model, minMarginMicros)
       .withColumn("language", when(col("language") === "und",
         TextAnalysis.languageId(col(textCol)))
         .otherwise(col("language")))
