@@ -135,7 +135,7 @@ object CorpusDemo {
     val scored = t("score: lang/quality/repetition") {
       graft.text.LanguageId.applyWithFallback(docs, "text", langModel)
         .withColumnRenamed("language", "lang_pred")
-        .drop("score_micro", "scores_micro")
+        .drop("score_micro", "scores_micro", "margin_micro")
         .withColumn("tok_", TextAnalysis.tokens(lower(col("text"))))
         .withColumn("quality", TextAnalysis.qualityScore(col("text")))
         .withColumn("top_word_frac",

@@ -44,20 +44,27 @@ object Warc {
     val files = spark.read.format("binaryFile").load(path)
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
-    files.mapPartitions { rows =>
-      rows.flatMap { case (file, raw) =>
-        parseRecords(recordStream(raw)).zipWithIndex.map { case (r, i) =>
-          (file, i.toLong,
-            r.headers.getOrElse("warc-type", null),
-            r.headers.getOrElse("warc-target-uri", null),
-            r.headers.getOrElse("warc-date", null),
-            r.headers.getOrElse("content-type", null),
-            r.payload.length.toLong, r.payload)
-        }
-      }
-    }.toDF("file", "record_idx", "warc_type", "target_uri",
-      "warc_date", "content_type", "content_length", "payload")
+    files.mapPartitions(rowsOf)
+      .toDF("file", "record_idx", "warc_type", "target_uri",
+        "warc_date", "content_type", "content_length", "payload")
   }
+
+  // the record-to-row mapping shared by the batch and streaming
+  // readers — ONE copy of the column contract, so the two paths can
+  // never silently diverge in schema
+  private def rowsOf(rows: Iterator[(String, Array[Byte])])
+      : Iterator[(String, Long, String, String, String, String,
+        Long, Array[Byte])] =
+    rows.flatMap { case (file, raw) =>
+      parseRecords(recordStream(raw)).zipWithIndex.map { case (r, i) =>
+        (file, i.toLong,
+          r.headers.getOrElse("warc-type", null),
+          r.headers.getOrElse("warc-target-uri", null),
+          r.headers.getOrElse("warc-date", null),
+          r.headers.getOrElse("content-type", null),
+          r.payload.length.toLong, r.payload)
+      }
+    }
 
   /** `response` records with the HTTP envelope peeled: adds
     * http_status, http_content_type, and `body` (the bytes after the
@@ -103,19 +110,8 @@ object Warc {
       .load(path)
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
-      .mapPartitions { rows =>
-        rows.flatMap { case (file, raw) =>
-          parseRecords(recordStream(raw)).zipWithIndex.map {
-            case (r, i) =>
-              (file, i.toLong,
-                r.headers.getOrElse("warc-type", null),
-                r.headers.getOrElse("warc-target-uri", null),
-                r.headers.getOrElse("warc-date", null),
-                r.headers.getOrElse("content-type", null),
-                r.payload.length.toLong, r.payload)
-          }
-        }
-      }.toDF("file", "record_idx", "warc_type", "target_uri",
+      .mapPartitions(rowsOf)
+      .toDF("file", "record_idx", "warc_type", "target_uri",
         "warc_date", "content_type", "content_length", "payload")
   }
 

@@ -444,6 +444,23 @@ object TextQueriesImpl {
       }
     }
 
+    // The q146-q149 sentence-fixture cohorts: abbreviation / decimal+
+    // no.-digit / multi-punct branches appended per doc_id cohort —
+    // ONE engine-side copy (each oracle's SQL mirror stays
+    // self-contained by repo convention)
+    def augmentSentences(df: org.apache.spark.sql.DataFrame)
+        : org.apache.spark.sql.DataFrame =
+      df.withColumn("text", concat(
+        col("text"),
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          lit(" Dr. Smith went home. The e.g. case stays."))
+          .otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(4)) === 0,
+          lit(" It cost 5.50 dollars! Next item no. 3 follows."))
+          .otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(5)) === 0,
+          lit(" Really?! Yes. done.")).otherwise(lit(""))))
+
     // Sentence segmentation (q146): the oracle replays the exact
     // RE2 chain — sentinel strip, abbreviation-dot protection,
     // boundary marking ([.!?]+ then whitespace then uppercase/digit),
@@ -484,16 +501,7 @@ object TextQueriesImpl {
         |SELECT doc_id, CAST(LEN(ss) AS BIGINT) AS n_sentences,
         |  MD5(ARRAY_TO_STRING(ss, CHR(30))) AS sentences_md5
         |FROM sents ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      val aug = table(s, dir, "documents").withColumn("text", concat(
-        col("text"),
-        when(pmod(col("doc_id"), lit(3)) === 0,
-          lit(" Dr. Smith went home. The e.g. case stays."))
-          .otherwise(lit("")),
-        when(pmod(col("doc_id"), lit(4)) === 0,
-          lit(" It cost 5.50 dollars! Next item no. 3 follows."))
-          .otherwise(lit("")),
-        when(pmod(col("doc_id"), lit(5)) === 0,
-          lit(" Really?! Yes. done.")).otherwise(lit(""))))
+      val aug = augmentSentences(table(s, dir, "documents"))
       aug.select(col("doc_id"),
           TextAnalysis.sentences(col("text")).as("ss_"))
         .select(col("doc_id"),
@@ -575,16 +583,9 @@ object TextQueriesImpl {
          |  MD5(cs[u.i]) AS chunk_md5
          |FROM chunks, UNNEST(GENERATE_SERIES(1, LEN(cs))) u(i)
          |ORDER BY doc_id, chunk_idx""".stripMargin) { (s, dir) =>
-      val aug = table(s, dir, "documents").withColumn("text", concat(
-        translate(col("text"), "\u001E\u0001", ""),
-        when(pmod(col("doc_id"), lit(3)) === 0,
-          lit(" Dr. Smith went home. The e.g. case stays."))
-          .otherwise(lit("")),
-        when(pmod(col("doc_id"), lit(4)) === 0,
-          lit(" It cost 5.50 dollars! Next item no. 3 follows."))
-          .otherwise(lit("")),
-        when(pmod(col("doc_id"), lit(5)) === 0,
-          lit(" Really?! Yes. done.")).otherwise(lit(""))))
+      val aug = augmentSentences(table(s, dir, "documents")
+        .withColumn("text",
+          translate(col("text"), "\u001E\u0001", "")))
       graft.text.Curation.chunkBySentences(aug, "text", Seq("doc_id"),
           maxTokens = 12)
         .select(col("doc_id"), col("chunk_idx"), col("n_tokens"),
@@ -649,16 +650,7 @@ object TextQueriesImpl {
         |  MD5(COALESCE(a.txt, '')) AS text_md5
         |FROM sents s LEFT JOIN agg a USING (doc_id)
         |ORDER BY s.doc_id""".stripMargin) { (s, dir) =>
-      val aug = table(s, dir, "documents").withColumn("text", concat(
-        col("text"),
-        when(pmod(col("doc_id"), lit(3)) === 0,
-          lit(" Dr. Smith went home. The e.g. case stays."))
-          .otherwise(lit("")),
-        when(pmod(col("doc_id"), lit(4)) === 0,
-          lit(" It cost 5.50 dollars! Next item no. 3 follows."))
-          .otherwise(lit("")),
-        when(pmod(col("doc_id"), lit(5)) === 0,
-          lit(" Really?! Yes. done.")).otherwise(lit(""))))
+      val aug = augmentSentences(table(s, dir, "documents"))
       graft.text.Curation.dedupSentences(aug, "text", "doc_id")
         .select(col("doc_id"), col("n_sentences"), col("n_dropped"),
           md5(to_binary(col("text"), lit("utf-8"))).as("text_md5"))
@@ -730,16 +722,7 @@ object TextQueriesImpl {
         |FROM sents s LEFT JOIN agg a USING (doc_id)
         |WHERE s.doc_id >= 250
         |ORDER BY s.doc_id""".stripMargin) { (s, dir) =>
-      val aug = table(s, dir, "documents").withColumn("text", concat(
-        col("text"),
-        when(pmod(col("doc_id"), lit(3)) === 0,
-          lit(" Dr. Smith went home. The e.g. case stays."))
-          .otherwise(lit("")),
-        when(pmod(col("doc_id"), lit(4)) === 0,
-          lit(" It cost 5.50 dollars! Next item no. 3 follows."))
-          .otherwise(lit("")),
-        when(pmod(col("doc_id"), lit(5)) === 0,
-          lit(" Really?! Yes. done.")).otherwise(lit(""))))
+      val aug = augmentSentences(table(s, dir, "documents"))
       val stored = graft.text.Curation.sentenceHashes(
         aug.where(col("doc_id") < 250), "text", "doc_id")
       graft.text.Curation.dedupSentencesAgainst(

@@ -1115,7 +1115,12 @@ object Curation {
     * its rows stream through — nothing sketch-shaped touches the
     * driver, and total sketch size is bounded only by the cluster.
     * A shard with no filter row flags nothing (no stored paragraph
-    * hashes there — vacuously unknown). Same output schema. */
+    * hashes there — vacuously unknown); a shard with SEVERAL filter
+    * rows (the per-batch sub-filter layout `ParagraphIndexStore`
+    * writes) OR-merges them in the task before probing — probing only
+    * the first row would silently drop the other batches' membership
+    * and break the no-false-negative guarantee. Same output
+    * schema. */
   def flagMaybeKnownParagraphsSharded(delta: DataFrame,
       textCol: String, idCol: String, shardBlooms: DataFrame,
       shards: Int, sep: String = "\n\n", minParaChars: Int = 1)
@@ -1134,9 +1139,19 @@ object Curation {
       .as[(Int, Array[Byte])]
       .groupByKey(_._1)
     rows.cogroup(blooms) { (_, rs, bs) =>
-      val bloom = bs.buffered.headOption.map(b =>
+      // EVERY sub-filter row of this shard participates: bit-compatible
+      // by construction (same expectedItems/fpp/shards build), so the
+      // OR-merge is exactly the monolithic filter
+      val filters = bs.map(b =>
         org.apache.spark.util.sketch.BloomFilter.readFrom(
           new java.io.ByteArrayInputStream(b._2)))
+      val bloom =
+        if (!filters.hasNext) None
+        else {
+          val first = filters.next()
+          filters.foreach(first.mergeInPlace)
+          Some(first)
+        }
       rs.map { case (id, idx, chars, h, _) =>
         (id, idx, chars, h,
           chars >= minParaChars && bloom.exists(_.mightContainLong(h)))

@@ -112,6 +112,11 @@ object LanguageId {
   final case class Model(langs: IndexedSeq[String], nMin: Int,
       nMax: Int, grams: Map[String, IndexedSeq[Long]],
       unk: IndexedSeq[Long], prior: IndexedSeq[Long]) {
+    // fail at the DRIVER, not as an AIOOBE inside a scoring task: an
+    // empty labeled sample (or all-empty texts) trains zero languages
+    require(langs.nonEmpty,
+      "model has zero languages — the labeled sample was empty or " +
+        "yielded no grams")
     require(langs == langs.sorted, "langs must be sorted")
     require(grams.values.forall(_.length == langs.length) &&
       unk.length == langs.length && prior.length == langs.length,

@@ -112,7 +112,7 @@ object Urls {
     // rules keyed by their PLAIN suffix part: a wildcard rule *.ck
     // matches at (labels-of-rule) length with tail ck; an exception
     // !www.ck registers at its full length and wins outright
-    val rules = broadcast(psl
+    val rules = psl
       .select(col(ruleCol).as("r_"))
       .where(col("r_").isNotNull && col("r_") =!= "")
       .select(
@@ -122,7 +122,7 @@ object Urls {
         when(col("r_").startsWith("!"), lit("exception"))
           .when(col("r_").startsWith("*."), lit("wildcard"))
           .otherwise(lit("plain")).as("kind_"))
-      .distinct())
+      .distinct()
     val withLabels = df
       .withColumn("labels_", split(col(hostCol), "\\."))
       .withColumn("nl_", size(col("labels_")))
@@ -138,12 +138,20 @@ object Urls {
       .withColumn("wtail_", concat_ws(".",
         slice(col("labels_"), col("nl_") - col("k_") + 2,
           col("k_") - 1)))
-    val matched = cands.join(rules,
-        (col("kind_") === "plain" && col("tail_") === col("suffix_")) ||
-        (col("kind_") === "wildcard" && col("k_") >= 2 &&
-          col("tail_") === col("wtail_")) ||
-        (col("kind_") === "exception" && col("tail_") === col("suffix_")),
-        "inner")
+    // TWO broadcast EQUI-joins (plain/exception on the candidate
+    // suffix, wildcard on the wildcard tail), unioned — a single
+    // OR-of-equalities condition cannot hash-join and would plan as a
+    // BroadcastNestedLoopJoin scanning every rule per candidate row
+    // (O(cands × rules): the per-row linear-scan trap, ~8×10¹⁰
+    // comparisons at 1M hosts × 10k rules). The kind_ filters are
+    // disjoint, so each (candidate, rule) match appears exactly once,
+    // identical to the OR form.
+    val matched = cands
+      .join(broadcast(rules.where(col("kind_") =!= "wildcard")),
+        col("tail_") === col("suffix_"), "inner")
+      .unionByName(cands.where(col("k_") >= 2)
+        .join(broadcast(rules.where(col("kind_") === "wildcard")),
+          col("tail_") === col("wtail_"), "inner"))
       // exception rules: the public suffix is the rule MINUS its
       // first label → suffix length k_ - 1; they outrank everything
       .select(col("h_"),

@@ -1236,6 +1236,13 @@ class CurationSpec extends AnyFunSuite {
     whole.foreach { case (s, bytes) =>
       assert(java.util.Arrays.equals(merged(s), bytes), s"shard $s")
     }
+    // probing the UNMERGED multi-row-per-shard table directly (the
+    // per-batch layout the streaming store persists) must ALSO flag
+    // everything — every sub-filter of a shard participates, not just
+    // the first row the task happens to see
+    val unmergedProbe = Curation.flagMaybeKnownParagraphsSharded(
+      corpus, "text", "doc_id", half1.unionByName(half2), shards)
+    assert(unmergedProbe.where(!$"maybe_known").count() == 0)
     table.unpersist()
   }
 }

@@ -155,11 +155,14 @@ class UrlsSpec extends AnyFunSuite {
     assert(got("sub.www.ck") == ("ck", "www.ck"))
     assert(got("x.unknowntld") == ("unknowntld", "x.unknowntld"))
     assert(got("unknowntld") == ("unknowntld", null))
-    // the PSL side of the join must broadcast (rules are ~10k rows)
+    // the PSL side must broadcast AND the match must be a HASH join:
+    // an OR-of-equalities condition planned as BroadcastNestedLoopJoin
+    // scans every rule per candidate row — O(cands × rules), ~8×10¹⁰
+    // comparisons at 1M hosts × 10k real PSL rules
     val plan = Urls.registrableDomainPsl(hosts, "host", psl)
       .queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastNestedLoopJoin") ||
-      plan.contains("BroadcastHashJoin"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
     // agreement with the closed-form approximation on its home turf
     val approx = hosts
       .select($"host", Urls.registrableDomain($"host").as("a"))
