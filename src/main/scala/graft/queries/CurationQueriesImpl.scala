@@ -2487,9 +2487,9 @@ object CurationQueriesImpl {
            |  FROM documents),
            |scrubbed AS (SELECT doc_id,
            |    REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(html,
+           |      '(?s)<!--.*?-->', ' ', 'g'),
            |      '(?is)<script\\b[^>]*>.*?</script>', ' ', 'g'),
-           |      '(?is)<style\\b[^>]*>.*?</style>', ' ', 'g'),
-           |      '(?s)<!--.*?-->', ' ', 'g') AS h
+           |      '(?is)<style\\b[^>]*>.*?</style>', ' ', 'g') AS h
            |  FROM aug),
            |blk AS (SELECT doc_id, u.i - 1 AS block_idx, arr[u.i] AS frag
            |  FROM (SELECT doc_id, REGEXP_SPLIT_TO_ARRAY(h, '$blockRe') AS arr

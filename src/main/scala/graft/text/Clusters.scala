@@ -33,10 +33,37 @@ import org.apache.spark.sql.functions._
   * concentrates rows on one task the way a partition-window would.
   * Per-round state is re-materialized via localCheckpoint so the
   * plan/lineage doesn't grow with iterations (the same guard the
-  * cascade levels use). Both fail loudly at `maxIter` rather than
-  * silently splitting a true duplicate family into several keepers.
+  * cascade levels use). Checkpoint blocks of superseded rounds are
+  * reclaimed by the ContextCleaner once the driver GCs the old
+  * DataFrame references — peak block-manager usage can transiently
+  * hold a few rounds' edge sets (Spark exposes no safe explicit
+  * release for localCheckpoint blocks still referenced by a live
+  * plan); the edge set SHRINKS every round on real duplicate graphs,
+  * so the sum is bounded by a small multiple of |E|. Both closures
+  * fail loudly at `maxIter` rather than silently splitting a true
+  * duplicate family into several keepers.
   */
 object Clusters {
+
+  // the CC internals key on LONG node ids; a string/UUID id column
+  // would cast to NULL, silently dropping every edge and returning
+  // all-singleton labels (dedup would keep everything, coherentSplit
+  // would leak near-dups across splits, no error anywhere) — fail
+  // loudly at plan build instead. Map non-numeric ids to longs
+  // (xxhash64 or a dense id table) before clustering.
+  private def requireIntegralIds(edges: DataFrame, srcCol: String,
+      dstCol: String): Unit =
+    Seq(srcCol, dstCol).foreach { c =>
+      val dt = edges.schema(c).dataType
+      val ok = dt == org.apache.spark.sql.types.ByteType ||
+        dt == org.apache.spark.sql.types.ShortType ||
+        dt == org.apache.spark.sql.types.IntegerType ||
+        dt == org.apache.spark.sql.types.LongType
+      require(ok,
+        s"cluster id column '$c' must be an integral type, got " +
+          s"${dt.simpleString}: a non-numeric id casts to NULL and " +
+          "every edge silently disappears")
+    }
 
   /** Component label (min member id) per node appearing in `edges`,
     * by alternating large-star/small-star contraction — O(log n)
@@ -54,6 +81,7 @@ object Clusters {
     * (a 64-chain must converge in ~log rounds, not 64). */
   private[text] def starWithRounds(edges: DataFrame, srcCol: String,
       dstCol: String, maxIter: Int): (DataFrame, Int) = {
+    requireIntegralIds(edges, srcCol, dstCol)
     val raw = edges.select(col(srcCol).cast("long").as("a"),
       col(dstCol).cast("long").as("b"))
       .localCheckpoint(false) // feeds the node set AND the edge seed
@@ -123,6 +151,7 @@ object Clusters {
     * and are NOT emitted; callers left-join and coalesce to own id. */
   def connectedComponents(edges: DataFrame, srcCol: String = "id_a",
       dstCol: String = "id_b", maxIter: Int = 50): DataFrame = {
+    requireIntegralIds(edges, srcCol, dstCol)
     val fwd = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"))
     // NOTE: pre-repartitioning sym by src would NOT save the per-round
@@ -169,7 +198,17 @@ object Clusters {
     * keeper is the minimum id of the cluster. Uses the star
     * contraction closure — O(log n) rounds even if a duplicate family
     * is chain-shaped, which is the failure mode a 100 TB corpus can't
-    * rule out up front; both closures produce identical labels. */
+    * rule out up front; both closures produce identical labels.
+    *
+    * CONTRACT: `pairs` must be computed over (a superset of) `df`'s
+    * rows such that every cluster's MINIMUM id is present in `df` —
+    * the stored-pairs pattern is fine as long as any upstream filter
+    * runs AFTER assignment. If a pre-filter removed a family's min-id
+    * doc, that cluster_id names an absent row: is_keeper = 0 for
+    * every surviving member and a `where(is_keeper === 1)` consumer
+    * drops the WHOLE family instead of keeping one copy. Use
+    * [[assignKeepBest]] (keeper ranked among PRESENT rows) when `df`
+    * may be a filtered view of the frame the pairs came from. */
   def assign(df: DataFrame, idCol: String, pairs: DataFrame,
       srcCol: String = "id_a", dstCol: String = "id_b"): DataFrame = {
     val cc = connectedComponentsStar(pairs, srcCol, dstCol)

@@ -21,14 +21,12 @@ object Dedup {
     keyed.join(keep, Seq("fp", idCol), "left_semi")
   }
 
-  /** MinHash signature: `numHashes` independent min-hashes over word
-    * shingles, as one nested higher-order expression (no explode). */
-  def minhashSignature(text: Column, numHashes: Int = 16, k: Int = 3)
-      : Column = {
-    val sh = TextAnalysis.wordShingles(text, k)
-    transform(sequence(lit(0), lit(numHashes - 1)),
-      i => array_min(transform(sh, s => xxhash64(i, s))))
-  }
+  // (a legacy `minhashSignature(text, numHashes, k)` pure-Column
+  // signature was removed: it had zero callers, re-evaluated the
+  // inlined shingle expression per hash index — the documented
+  // O(tokens²) inline-split trap — and its xxhash64(i, s) values were
+  // bucket-incompatible with every Remix64-based signature path; use
+  // `shingleHashes` + `minhashSigExpr` / `signatureTable` instead)
 
   /** Near-duplicate pairs via MinHash+LSH: band-bucket grouping, then
     * exact shingle-set Jaccard on bucket co-members only.
@@ -264,28 +262,42 @@ object Dedup {
     * matches the family's representative, but a match whose ONLY
     * shared bucket member is a high-id corpus doc beyond the cap is
     * missed. Raise `maxBucketSize` when completeness against
-    * degenerate buckets matters more than skew protection. */
+    * degenerate buckets matters more than skew protection.
+    *
+    * `bands = 0` (the default) auto-sizes the band count from
+    * `minJaccard` like [[nearDupPairs]] — the S-curve threshold lands
+    * at or below 0.8·minJaccard, so pairs just above the cutoff still
+    * collide with high probability; a fixed band count whose
+    * threshold sits ABOVE minJaccard (e.g. 16 bands of 8 ≈ 0.71 at
+    * the 0.5 default) silently drops most true pairs near the
+    * cutoff. */
   def nearDupAgainstCorpus(delta: DataFrame, corpus: DataFrame,
       textCol: String, idCol: String, numHashes: Int = 128,
-      bands: Int = 16, k: Int = 3, minJaccard: Double = 0.5,
-      maxBucketSize: Int = 200): DataFrame =
+      bands: Int = 0, k: Int = 3, minJaccard: Double = 0.5,
+      maxBucketSize: Int = 200): DataFrame = {
+    val nb = if (bands > 0) bands else bandsFor(numHashes, minJaccard)
     deltaVsCorpusFromBands(
-      signatureBands(delta, textCol, idCol, numHashes, bands, k),
-      signatureBands(corpus, textCol, idCol, numHashes, bands, k),
+      signatureBands(delta, textCol, idCol, numHashes, nb, k),
+      signatureBands(corpus, textCol, idCol, numHashes, nb, k),
       idCol, minJaccard, maxBucketSize)
+  }
 
   /** [[nearDupAgainstCorpus]] over precomputed [[shingleHashes]] rows
     * for each side (per-doc hashes are independent, so filters of one
     * shared corpus frame work) — the true incremental shape: corpus
-    * hashes computed once at ingest, only the delta is new text. */
+    * hashes computed once at ingest, only the delta is new text.
+    * `bands = 0` auto-sizes from `minJaccard` (see
+    * [[nearDupAgainstCorpus]]). */
   def nearDupAgainstCorpusFromHashes(deltaHashed: DataFrame,
       corpusHashed: DataFrame, idCol: String, numHashes: Int = 128,
-      bands: Int = 16, minJaccard: Double = 0.5,
-      maxBucketSize: Int = 200): DataFrame =
+      bands: Int = 0, minJaccard: Double = 0.5,
+      maxBucketSize: Int = 200): DataFrame = {
+    val nb = if (bands > 0) bands else bandsFor(numHashes, minJaccard)
     deltaVsCorpusFromBands(
-      signatureBandsFromHashes(deltaHashed, idCol, numHashes, bands),
-      signatureBandsFromHashes(corpusHashed, idCol, numHashes, bands),
+      signatureBandsFromHashes(deltaHashed, idCol, numHashes, nb),
+      signatureBandsFromHashes(corpusHashed, idCol, numHashes, nb),
       idCol, minJaccard, maxBucketSize)
+  }
 
   private def deltaVsCorpusFromBands(d: (DataFrame, DataFrame),
       c: (DataFrame, DataFrame), idCol: String, minJaccard: Double,
@@ -300,6 +312,12 @@ object Dedup {
       .select(col("bucket"), col(idCol).as("delta_id"))
       .dropDuplicates("bucket", "delta_id")
       .join(cCapped, "bucket")
+      // the delta/corpus sides may be OVERLAPPING filters of one
+      // shared table (the advertised stored-artifact shape): a doc
+      // present on both sides must not match ITSELF at jaccard 1.0 —
+      // an ingest gate keying on "has a corpus match" would otherwise
+      // discard the whole overlapping delta
+      .where(col("delta_id") =!= col("corpus_id"))
       .select(col("delta_id"), col("corpus_id"))
       .dropDuplicates("delta_id", "corpus_id")
     candidates
@@ -719,7 +737,13 @@ object Dedup {
     // n_tokens join; without the barrier each consumer re-runs the
     // split (and the explode branch twice more below)
     val base = df
-      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("toks__"))
+      // null text folds to "" BEFORE tokenizing: size(null) is -1
+      // under non-ANSI SQL, which would emit n_tokens = -1 rows and
+      // corrupt downstream token accounting (the Html.blocks null
+      // trap, same fix)
+      .select(col(idCol),
+        TextAnalysis.tokens(coalesce(col(textCol), lit("")))
+          .as("toks__"))
       .withColumn("nt__", size(col("toks__")))
       .localCheckpoint(false)
     // sequence(1, stop) DESCENDS when stop < 1 — short docs must map to

@@ -27,6 +27,15 @@ import org.apache.spark.sql.functions._
   *  4. keep blocks with ≥ `minChars` visible chars and link density
   *     ≤ `maxLinkDensity`; main content = kept blocks joined with
   *     `\n` in page order
+  *
+  * Known boundary of the regex approximation: an anchor whose BODY
+  * contains block-level tags (`<a><div>…</div></a>` card links) is
+  * split apart at the block tags, so its text fragments carry no
+  * `<a>…</a>` pair and count zero link chars — block-wrapped nav
+  * links can pass the density filter. A DOM-building extractor fixes
+  * that at the cost of leaving Column/codegen land (the jusText
+  * implementations accept the same class of miss); the fixtures and
+  * oracle exercise the inline-anchor form this chain targets.
   */
 object Html {
 
@@ -34,13 +43,18 @@ object Html {
     "(?i)</?(?:p|div|br|li|h[1-6]|tr|td|th|ul|ol|table|section|" +
       "article|header|footer|nav|blockquote)\\b[^>]*>"
 
-  /** Drop script/style subtrees and comments (dot-all, lazy). */
+  /** Drop comments, then script/style subtrees (dot-all, lazy).
+    * COMMENTS GO FIRST: a commented-out unclosed `<script>` tag
+    * (`<!-- <script> -->article text<script>x()</script>`) would
+    * otherwise anchor the lazy script regex and swallow the real
+    * content up to the next genuine `</script>`; stripping the
+    * comment first removes the stray tag before the script pass
+    * runs. */
   def scrub(html: Column): Column = {
-    val noScript = regexp_replace(html,
+    val noComment = regexp_replace(html, "(?s)<!--.*?-->", " ")
+    val noScript = regexp_replace(noComment,
       "(?is)<script\\b[^>]*>.*?</script>", " ")
-    val noStyle = regexp_replace(noScript,
-      "(?is)<style\\b[^>]*>.*?</style>", " ")
-    regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    regexp_replace(noScript, "(?is)<style\\b[^>]*>.*?</style>", " ")
   }
 
   /** Remaining tags → space, then the common entities decode. (Tags
@@ -68,8 +82,15 @@ object Html {
   def blocks(df: DataFrame, htmlCol: String, idCol: String,
       minChars: Int = 20, maxLinkDensityMicro: Long = 500000L)
       : DataFrame = {
-    require(!df.columns.contains("frag_"),
-      "input already has reserved working column frag_")
+    // every produced name is reserved — a `keep` or `block_text` id
+    // column would be silently overwritten by withColumn and collapse
+    // mainContent's groupBy
+    val reserved = Seq("frag_", "block_idx", "block_text",
+      "block_chars", "link_chars", "link_density_micro", "keep")
+    val clash = reserved.filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"input already has reserved working columns: " +
+        clash.mkString(","))
     // null html folds to "" BEFORE the split — posexplode of a null
     // array emits ZERO rows and would silently drop the document
     // from mainContent (the dedupLines null trap)

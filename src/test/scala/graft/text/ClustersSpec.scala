@@ -212,4 +212,17 @@ class ClustersSpec extends AnyFunSuite {
       .select($"doc_id").as[Long].collect().sorted
     assert(kept.toSeq == Seq(1L, 4L, 5L))
   }
+
+  test("string/UUID id columns are rejected loudly: a cast-to-null " +
+      "would silently drop every edge (all-singleton labels, leaked " +
+      "near-dups) with no error anywhere") {
+    val pairs = Seq(("uuid-a", "uuid-b")).toDF("id_a", "id_b")
+    Seq(
+      () => Clusters.connectedComponentsStar(pairs),
+      () => Clusters.connectedComponents(pairs)
+    ).foreach { f =>
+      val e = intercept[IllegalArgumentException](f())
+      assert(e.getMessage.contains("integral"), e.getMessage)
+    }
+  }
 }

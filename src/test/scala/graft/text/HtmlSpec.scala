@@ -89,6 +89,32 @@ class HtmlSpec extends AnyFunSuite {
     assert(got(1)._2 == 0L && got(1)._3 == "")
   }
 
+  test("a commented-out unclosed <script> cannot swallow article " +
+      "text: comments strip BEFORE the script pass") {
+    // with script-first stripping, the lazy script regex would anchor
+    // at the commented <script> and delete everything up to the real
+    // </script> — including the article
+    val html = "<p><!-- <script> -->Actual article text long " +
+      "enough to keep around.</p><script>x();</script>" +
+      "<p>Second real paragraph with plenty of prose too.</p>"
+    val got = Html.mainContent(
+        Seq((1L, html)).toDF("doc_id", "html"), "html", "doc_id")
+      .select($"text").as[String].head()
+    assert(got.contains("Actual article text"), got)
+    assert(got.contains("Second real paragraph"), got)
+    assert(!got.contains("x();"), got)
+  }
+
+  test("blocks() rejects inputs whose columns clash with any produced " +
+      "name (an id column named 'keep' would be silently overwritten " +
+      "and collapse mainContent's groupBy)") {
+    val df = Seq((1L, "<p>x</p>")).toDF("keep", "html")
+    val e = intercept[IllegalArgumentException] {
+      Html.blocks(df, "html", "keep")
+    }
+    assert(e.getMessage.contains("reserved"), e.getMessage)
+  }
+
   test("mainContent is invariant under partitioning") {
     val docs = (0L until 40L).map(i =>
       (i, s"<div><a>nav$i</a><a>more$i</a></div><p>body paragraph " +

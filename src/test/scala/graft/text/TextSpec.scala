@@ -171,6 +171,17 @@ class TextSpec extends AnyFunSuite {
       Dedup.nearDupAgainstCorpus(delta, corpus, "text", "doc_id",
           minJaccard = 0.3)
         .collect().map(key).toSet)
+    // OVERLAPPING delta/corpus filters of one shared table (the
+    // advertised stored-artifact shape): a doc on both sides must
+    // never match ITSELF at jaccard 1.0 — an ingest gate keying on
+    // "has a corpus match" would otherwise drop the whole overlap
+    val overlap = Dedup.nearDupAgainstCorpusFromHashes(
+        hashed.where($"doc_id" < 3), hashed, "doc_id",
+        minJaccard = 0.3)
+      .select($"delta_id", $"corpus_id")
+      .as[(Long, Long)].collect()
+    assert(overlap.nonEmpty &&
+      overlap.forall { case (a, b) => a != b }, overlap.toSeq.toString)
   }
 
   test("SigTable variants equal FromHashes, incl. narrow prefix slices") {
@@ -194,8 +205,8 @@ class TextSpec extends AnyFunSuite {
           numHashes = 32)
         .collect().map(key).toSet)
     // delta/corpus sides as filters of ONE shared table (bands pinned
-    // to the FromHashes sibling's fixed 16 for the comparison; the
-    // SigTable default auto-sizes from minJaccard)
+    // to 16 on BOTH sides for the equality; every against-corpus
+    // entry point now defaults to minJaccard-driven auto-banding)
     val fixedBands = Dedup.nearDupAgainstCorpusFromSigTables(
         sigs.where($"doc_id" < 3), sigs.where($"doc_id" >= 3),
         "doc_id", bands = 16, minJaccard = 0.3)
@@ -203,7 +214,7 @@ class TextSpec extends AnyFunSuite {
     assert(fixedBands ==
       Dedup.nearDupAgainstCorpusFromHashes(
           hashed.where($"doc_id" < 3), hashed.where($"doc_id" >= 3),
-          "doc_id", minJaccard = 0.3)
+          "doc_id", bands = 16, minJaccard = 0.3)
         .collect().map(key).toSet)
     // the auto-banded default (64 bands of 2 at minJaccard 0.3) can
     // only ADD candidate recall over fixed 16-of-8; verification is
