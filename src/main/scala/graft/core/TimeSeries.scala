@@ -31,7 +31,16 @@ object TimeSeries {
       .select("timestamp")
 
   /** Per-day sub-grid: `steps` rows per day at `stepMicros` spacing,
-    * carrying all other columns of `daily` unchanged. */
+    * carrying all other columns of `daily` unchanged.
+    *
+    * ASSUMES a FIXED-OFFSET session timezone (the engine pins
+    * `spark.sql.session.timeZone=UTC` everywhere, matching the
+    * reference's naive-local-time model): under a DST timezone a
+    * 23/25-hour civil day would make the fixed-physical-spacing grid
+    * spill into the next day (duplicate stamps) or skip a local hour,
+    * and `distributeEqually(divide=true)` would double-assign mass to
+    * the duplicated stamp. Keep the session TZ fixed-offset when
+    * using the day-grid builders. */
   def explodeDays(daily: DataFrame, dateCol: String, steps: Int,
       stepMicros: Long): DataFrame = {
     val start = col(dateCol).cast("timestamp")
@@ -107,8 +116,13 @@ object TimeSeries {
 
   /** melodist util.drop_incomplete_days (util/util.py:300-352): keep rows
     * from the first `hour==shift, minute==0` stamp through the last
-    * `hour==(shift-1+24)%24` stamp, so only whole [shift, shift+24) days
-    * remain. Python row-loop re-expressed as two conditional aggregates. */
+    * `hour==(shift-1+24)%24, minute==0` stamp, so only whole
+    * [shift, shift+24) days remain. Python row-loop re-expressed as two
+    * conditional aggregates. HOURLY-SERIES semantics, faithful to the
+    * reference (its docstring: "this methodology only applies to hourly
+    * time series", and its tail loop requires minute==0 exactly like
+    * this one): on a sub-hourly grid the tail truncates to the last
+    * :00 stamp — by design, not an off-by-one. */
   def dropIncompleteDays(df: DataFrame, tsCol: String, shift: Int = 0)
       : DataFrame = {
     val lastHour = ((shift - 1) % 24 + 24) % 24
@@ -250,9 +264,14 @@ object TimeSeries {
   }
 
   /** Exponentially weighted moving average (pandas
-    * `ewm(alpha=α, adjust=False).mean()`): per key,
+    * `ewm(alpha=α, adjust=False, ignore_na=True).mean()`): per key,
     * y₀ = x₀ and yₜ = (1−α)·yₜ₋₁ + α·xₜ. Null values carry the
-    * previous state (and emit it); leading nulls emit null.
+    * previous state (and emit it); leading nulls emit null. NOTE the
+    * `ignore_na=True` in the parity claim: pandas' DEFAULT
+    * (ignore_na=False) decays the weight of the pre-gap state by the
+    * number of skipped nulls — for [1, null, 2] at α=0.5 pandas
+    * default gives 1.667 where this (and ignore_na=True) gives 1.5.
+    * The q89 oracle replays this recurrence exactly.
     *
     * A genuine sequential recurrence — a RANGE/ROWS window would need
     * exponentially growing weights — so this is the secondary-sort
@@ -312,6 +331,12 @@ object TimeSeries {
       limit: Int, partitionCols: Seq[String] = Nil,
       byRow: Boolean = false, limitDirection: String = "forward")
       : DataFrame = {
+    // fail loudly on pandas' "backward" (valid there, unimplemented
+    // here): silently falling into the forward branch would give the
+    // EXACT OPPOSITE fill semantics with no error
+    require(limitDirection == "forward" || limitDirection == "both",
+      s"limitDirection '$limitDirection' not supported — use " +
+        "'forward' or 'both' ('backward' is not implemented)")
     if (partitionCols.isEmpty)
       ScaleGuard.unpartitionedWindow(df, "TimeSeries.interpolateLinear")
     def base = if (partitionCols.isEmpty) Window.orderBy(col(tsCol))

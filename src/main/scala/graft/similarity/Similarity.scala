@@ -78,6 +78,12 @@ object Similarity {
     val e = df.withColumn("bucket", bucket)
       .select(col(idCol).as("id"), col(vecCol).as("v"), col("bucket"))
       .withColumn("nrm", norm(col("v")))
+      // FOUR consumers (bucket agg, both pair-join sides, the output
+      // join): without the barrier each scan re-evaluates the bucket
+      // expression — planes×dim hashes per row in the generic path —
+      // and the norm, ~quadrupling the dominant signature cost (the
+      // multi-consumer re-execution trap the dedup paths document)
+      .localCheckpoint(false)
     // zero-norm vectors have no cosine direction: they pair with
     // nothing (0/0 = NaN would otherwise satisfy >= under Spark's
     // NaN-greatest ordering, silently dropping their bucket-mates)
@@ -350,19 +356,28 @@ object Similarity {
         (i, cvec.toSeq)
       }.toSeq).toDF("centroid_id", "centroid"))
 
-    // assignment via join against the broadcast centroid table (argmin).
-    // The row's own norm is CONSTANT across centroids, so dividing by
-    // it cannot change the per-row ranking — rank on -dot/|centroid|
-    // only and skip a norm evaluation per (row, centroid) pair.
+    // CORPUS-side assignment is a PURE EXPRESSION argmin over literal
+    // centroids (the pqEncode shape): the centroids are driver-side
+    // values, so the former crossJoin + row_number window multiplied
+    // the corpus by nlist and hash-exchanged corpus×nlist rows WITH
+    // their embeddings just to pick a per-row minimum — ~nlist× the
+    // corpus bytes through the shuffle at 10⁹ vectors. array_min over
+    // (dist, centroid_id) structs keeps the identical (dist, id)
+    // lexicographic tie-break and the identical double arithmetic
+    // (-dot/|centroid|: the row's own norm is constant across
+    // centroids and cannot change the ranking) — one codegen'd map
+    // pass, zero exchange. The QUERY side keeps its window: it needs
+    // the top-nprobe, and queries are few by contract.
+    val assignExpr = array(centroids.zipWithIndex.map {
+      case (cvec, i) =>
+        val w = array(cvec.map(lit): _*)
+        struct((-dot(col("cv"), w) / norm(w)).as("dist"),
+          lit(i).as("centroid_id"))
+    }: _*)
     val assigned = corpus.select(col(idCol).as("corpus_id"),
         col(vecCol).as("cv"))
-      .crossJoin(centDf)
-      .withColumn("dist",
-        -dot(col("cv"), col("centroid")) / norm(col("centroid")))
-      .withColumn("rn", row_number().over(Window
-        .partitionBy(col("corpus_id")).orderBy(col("dist"),
-          col("centroid_id"))))
-      .where(col("rn") === 1)
+      .withColumn("centroid_id",
+        array_min(assignExpr).getField("centroid_id"))
       .select(col("corpus_id"), col("cv"), col("centroid_id"))
 
     val qAssigned = queries.select(col(queryIdCol).as("query_id"),
@@ -478,7 +493,11 @@ object Similarity {
     val ds = books.head.head.length
     val encoded = corpus.select(col(idCol).as("corpus_id"),
       pqEncode(col(vecCol), books).as("codes"))
-    val qLut = queries
+    // id-type AGNOSTIC like every sibling top-k (a hard-coded
+    // getLong would ClassCastException on the string/int ids the
+    // text pipeline uses): keep the raw id value and rebuild the
+    // LUT frame with the query id column's ORIGINAL type
+    val lutRows = queries
       .select(col(queryIdCol).as("query_id"), col(vecCol).as("qv"))
       .collect().map { r =>
         val qv = r.getSeq[Float](1).map(_.toDouble).toArray
@@ -492,8 +511,15 @@ object Similarity {
           }
           d
         }
-        (r.getLong(0), lut.toSeq)
-      }.toSeq.toDF("query_id", "lut")
+        org.apache.spark.sql.Row(r.get(0), lut.toSeq)
+      }
+    val qLut = spark.createDataFrame(
+      java.util.Arrays.asList(lutRows: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        queries.schema(queryIdCol).copy(name = "query_id"),
+        org.apache.spark.sql.types.StructField("lut",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType, false)))))
     val scored = encoded.crossJoin(broadcast(qLut))
       .withColumn("adc_dist",
         aggregate(

@@ -60,16 +60,14 @@ final class CorpusIndexStore(spark: SparkSession, path: String,
     val hashed = Dedup.shingleHashes(corpus, textCol, idCol, k)
     val (buckets, docs) = Dedup.streamingCorpusIndex(hashed, idCol,
       numHashes, bands, maxBucketSize)
-    Seq(bucketPath, docPath, acceptedPath,
-        s"$path/checkpoint").foreach { p =>
-      val dir = new java.io.File(p)
-      if (dir.exists()) {
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
-        }
-        rm(dir)
-      }
-    }
+    // Hadoop FS delete — works for hdfs://s3a://local alike; NOTE: a
+    // CUSTOM ingest checkpointLocation cannot be wiped here (the
+    // store doesn't know it) — re-initializing a store whose stream
+    // committed offsets under a custom checkpoint and restarting with
+    // that same checkpoint would silently skip the already-committed
+    // source data; reset the custom checkpoint yourself in that flow
+    StorePaths.wipe(spark, Seq(bucketPath, docPath, acceptedPath,
+      s"$path/checkpoint"))
     buckets.write.mode("overwrite").parquet(s"$bucketPath/ingest_batch=-1")
     docs.write.mode("overwrite").parquet(s"$docPath/ingest_batch=-1")
     corpus.select(col(idCol), col(textCol).as("text"))
@@ -179,9 +177,17 @@ final class CorpusIndexStore(spark: SparkSession, path: String,
 
   /** Maintenance compaction: rebuild the index from the accepted
     * corpus with GLOBAL bucket caps (the per-batch appends cannot cap
-    * across batches) — lands as a fresh base build. */
+    * across batches) — lands as a fresh base build. The accepted
+    * corpus is SNAPSHOTTED TO DURABLE PARQUET before the store is
+    * wiped: a localCheckpoint-only copy lives in unreplicated
+    * executor blocks, so one executor loss between initialize()'s
+    * delete and its rewrite would destroy the corpus with no recovery
+    * path — the temp snapshot makes the rebuild restartable. */
   def compact(textCol: String = "text"): Unit = {
-    val corpus = accepted.localCheckpoint()
-    initialize(corpus, textCol)
+    val tmp = s"$path/compact_tmp"
+    StorePaths.wipe(spark, Seq(tmp))
+    accepted.write.mode("overwrite").parquet(tmp)
+    initialize(spark.read.parquet(tmp), textCol)
+    StorePaths.wipe(spark, Seq(tmp))
   }
 }

@@ -68,16 +68,8 @@ final class ParagraphIndexStore(spark: SparkSession, path: String,
     * cleaned corpus; its kept paragraphs seed the index. Lands as
     * `ingest_batch=-1`, wiping prior state under `path`. */
   def initialize(corpus: DataFrame, textCol: String): Unit = {
-    Seq(paraPath, cleanedPath, bloomPath, s"$path/checkpoint")
-      .foreach { p =>
-        val dir = new java.io.File(p)
-        if (dir.exists()) {
-          def rm(f: java.io.File): Unit = {
-            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
-          }
-          rm(dir)
-        }
-      }
+    StorePaths.wipe(spark, Seq(paraPath, cleanedPath, bloomPath,
+      s"$path/checkpoint"))
     val cleaned = Curation.dedupParagraphs(corpus, textCol, idCol,
       sep, minParaChars).localCheckpoint(false)
     cleaned.write.mode("overwrite")

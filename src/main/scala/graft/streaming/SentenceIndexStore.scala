@@ -58,15 +58,8 @@ final class SentenceIndexStore(spark: SparkSession, path: String,
     * convergence — see dedupSentencesWithIndex). Lands as
     * `ingest_batch=-1`, wiping prior state under `path`. */
   def initialize(corpus: DataFrame, textCol: String): Unit = {
-    Seq(sentPath, cleanedPath, s"$path/checkpoint").foreach { p =>
-      val dir = new java.io.File(p)
-      if (dir.exists()) {
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
-        }
-        rm(dir)
-      }
-    }
+    StorePaths.wipe(spark, Seq(sentPath, cleanedPath,
+      s"$path/checkpoint"))
     val (cleaned, kept) = Curation.dedupSentencesWithIndex(corpus,
       textCol, idCol, minSentChars)
     cleaned.write.mode("overwrite")

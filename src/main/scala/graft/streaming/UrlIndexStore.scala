@@ -41,15 +41,8 @@ final class UrlIndexStore(spark: SparkSession, path: String,
     * .dedupByCanonicalUrl]] keepers); accepted rows and their
     * canonicals land as `ingest_batch=-1`, wiping prior state. */
   def initialize(corpus: DataFrame): Unit = {
-    Seq(urlsPath, acceptedPath, s"$path/checkpoint").foreach { p =>
-      val dir = new java.io.File(p)
-      if (dir.exists()) {
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
-        }
-        rm(dir)
-      }
-    }
+    StorePaths.wipe(spark, Seq(urlsPath, acceptedPath,
+      s"$path/checkpoint"))
     val kept = Urls.dedupByCanonicalUrl(corpus, urlCol, idCol,
         trackingParams)
       .where(!col("is_url_dup"))
