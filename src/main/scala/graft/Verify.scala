@@ -31,6 +31,31 @@ object Verify {
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
     }
+    // q145 forensics: dump the k-means fit provenance (seed ids,
+    // per-iteration centroid md5s, final centroids) next to the gate
+    // output, so a driver-side hash red localizes to seeding or a
+    // specific Lloyd iteration in one diff instead of a multi-round
+    // forensic stall. Same k/iters as the q145 gate.
+    if (wanted("q145_kmeans_clusters")) try {
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val (model, trace) = graft.similarity.KMeans.fitTraced(
+        emb, "embedding", "vec_id", k = 4, iters = 3)
+      val dbg = new StringBuilder
+      dbg ++= "{\"seed_ids\": ["
+      dbg ++= trace.seedIds.map(s => "\"" + s + "\"").mkString(", ")
+      dbg ++= "], \"centroid_md5s\": ["
+      dbg ++= trace.centroidMd5s.map(h => "\"" + h + "\"")
+        .mkString(", ")
+      dbg ++= "], \"final_centroids\": ["
+      dbg ++= model.centroids
+        .map(c => c.mkString("[", ",", "]")).mkString(", ")
+      dbg ++= "]}"
+      Files.writeString(Paths.get(s"$outDir/q145_model.json"),
+        dbg.toString)
+    } catch { case e: Throwable =>
+      System.err.println(s"[verify] q145_model dump failed: " +
+        e.getMessage)
+    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

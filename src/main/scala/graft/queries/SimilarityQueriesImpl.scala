@@ -724,9 +724,12 @@ object SimilarityQueriesImpl {
     // loop replays — micro quantization, deterministic farthest-point
     // seeding (3 unrolled greedy steps off the md5-rank anchor), 3
     // Lloyd iterations (integer (v−c)² argmin with (dist, cid)
-    // tie-break; centroid update = exact long sums with ONE rounding
-    // back to micros; empty clusters keep their centroid via the
-    // COALESCE), and the final assignment — every document's cluster
+    // tie-break; centroid update = exact long sums with ONE
+    // pure-integer half-away-from-zero rounding back to micros —
+    // (2|s|+n)//(2n) signed, NO ROUND(DOUBLE) anywhere, so no
+    // engine's float half-way rule can diverge; empty clusters keep
+    // their centroid via the COALESCE), and the final assignment —
+    // every document's cluster
     // AND its exact integer distance hash-check. This is the q70
     // pico-dot convention pushed to its limit: zero floats anywhere
     // in the argmin, so no cross-engine summation-order risk at all.
@@ -758,11 +761,12 @@ object SimilarityQueriesImpl {
            |      FROM vm CROSS JOIN cent${t - 1} c))
            |  WHERE rn = 1),
            |cm$t AS (SELECT cid, dim,
-           |    CAST(ROUND(CAST(SUM(val) AS DOUBLE) / COUNT(*))
-           |      AS BIGINT) AS m
-           |  FROM (SELECT cid, u.i AS dim, v[u.i] AS val
-           |    FROM a$t, UNNEST(GENERATE_SERIES(1, LEN(v))) u(i))
-           |  GROUP BY 1, 2),
+           |    CAST(CASE WHEN s >= 0 THEN (2*s + n) // (2*n)
+           |      ELSE -((2*(-s) + n) // (2*n)) END AS BIGINT) AS m
+           |  FROM (SELECT cid, dim, SUM(val) AS s, COUNT(*) AS n
+           |    FROM (SELECT cid, u.i AS dim, v[u.i] AS val
+           |      FROM a$t, UNNEST(GENERATE_SERIES(1, LEN(v))) u(i))
+           |    GROUP BY 1, 2)),
            |cent$t AS MATERIALIZED (
            |  SELECT p.cid, COALESCE(n.v, p.v) AS v
            |  FROM cent${t - 1} p LEFT JOIN

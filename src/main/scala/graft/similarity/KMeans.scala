@@ -49,6 +49,36 @@ object KMeans {
     def k: Int = centroids.length
   }
 
+  /** Fit provenance for gate forensics: the seed row ids (in pick
+    * order) and one md5 per centroid state — index 0 is the seed set,
+    * index i the state after Lloyd iteration i. Any cross-engine
+    * divergence localizes to seeding / a specific iteration in one
+    * diff instead of a whole-fit forensic hunt. */
+  final case class Trace(seedIds: IndexedSeq[String],
+      centroidMd5s: IndexedSeq[String])
+
+  private def centroidsMd5(cs: IndexedSeq[IndexedSeq[Long]]): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val bytes = cs.map(_.mkString(","))
+      .mkString(";").getBytes("UTF-8")
+    md.digest(bytes).map(b => f"$b%02x").mkString
+  }
+
+  /** Half-away-from-zero integer rounding of `s / n` (n > 0) in pure
+    * long arithmetic — the quotient/remainder form, so no `2*s`
+    * intermediate can overflow and no double ever enters the loop.
+    * This is the same value `BigDecimal(s/n).setScale(0, HALF_UP)`
+    * and an exact-arithmetic `ROUND()` produce, WITHOUT the
+    * float-representation sensitivity: `s.toDouble/n` loses integer
+    * exactness above 2^53 and turns exact-half quotients into
+    * whatever the nearest double happens to be, making the rounding
+    * rule engine-version-dependent (the q145 driver-red mechanism). */
+  private[similarity] def roundHalfAway(s: Long, n: Long): Long = {
+    val q = s / n           // truncates toward zero
+    val r = math.abs(s % n) // |remainder|, < n, so 2*r cannot overflow
+    if (2 * r >= n) q + (if (s >= 0) 1L else -1L) else q
+  }
+
   // primitive (v − c)² distance over boxed long seqs — the hot kernel
   // every imperative pass shares
   private def dist2(vm: Seq[Long], c: Array[Long]): Long = {
@@ -76,12 +106,14 @@ object KMeans {
     * the id tie-break keeps the id column's own type ordering. All
     * integer arithmetic — the whole init replays cross-engine. */
   private[similarity] def init(vm: DataFrame, idCol: String, k: Int)
-      : IndexedSeq[IndexedSeq[Long]] = {
+      : (IndexedSeq[String], IndexedSeq[IndexedSeq[Long]]) = {
     val spark = vm.sparkSession
     val first = vm.orderBy(md5(col(idCol).cast("string")), col(idCol))
-      .limit(1).select(col("vm_")).collect()
+      .limit(1)
+      .select(col(idCol).cast("string"), col("vm_")).collect()
     require(first.nonEmpty, "cannot initialize on an empty frame")
-    var chosen = IndexedSeq(first.head.getSeq[Long](0).toIndexedSeq)
+    var seedIds = IndexedSeq(first.head.getString(0))
+    var chosen = IndexedSeq(first.head.getSeq[Long](1).toIndexedSeq)
     val inSchema = vm.select(col(idCol), col("vm_")).schema
     val ndSchema = inSchema.add("nd_",
       org.apache.spark.sql.types.LongType, false)
@@ -104,7 +136,8 @@ object KMeans {
           }
         }(org.apache.spark.sql.Encoders.row(ndSchema))
       val next = withNd.orderBy(col("nd_").desc, col(idCol))
-        .limit(1).select(col("vm_")).collect()
+        .limit(1)
+        .select(col(idCol).cast("string"), col("vm_")).collect()
       // max nearest-distance 0 ⟹ every remaining row coincides with
       // a chosen seed: the frame has fewer than k DISTINCT vectors.
       // DOCUMENTED DEGENERATE BEHAVIOR (not an error): the remaining
@@ -114,15 +147,22 @@ object KMeans {
       // below) — [[fit]] never fails on a degenerate frame, and
       // [[assign]] ties break to the LOWEST cluster id, so duplicate
       // centroids never win a row. The spec pins this contract.
-      chosen = chosen :+ next.head.getSeq[Long](0).toIndexedSeq
+      seedIds = seedIds :+ next.head.getString(0)
+      chosen = chosen :+ next.head.getSeq[Long](1).toIndexedSeq
     }
-    chosen
+    (seedIds, chosen)
   }
 
   /** Fit `k` clusters with `iters` Lloyd iterations. Returns the
     * model; [[assign]] labels any frame with it. */
   def fit(df: DataFrame, vecCol: String, idCol: String, k: Int,
-      iters: Int): Model = {
+      iters: Int): Model = fitTraced(df, vecCol, idCol, k, iters)._1
+
+  /** [[fit]] plus a [[Trace]] (seed ids, per-iteration centroid
+    * md5s) — the `q145_model` debug artifact Verify dumps so a
+    * cross-engine red localizes to a stage in one diff. */
+  def fitTraced(df: DataFrame, vecCol: String, idCol: String, k: Int,
+      iters: Int): (Model, Trace) = {
     require(k >= 1 && iters >= 1, "need k >= 1 and iters >= 1")
     require(!df.columns.exists(Seq("vm_", "cluster_id", "dist_sq")
       .contains), "input already has a reserved kmeans column")
@@ -132,9 +172,10 @@ object KMeans {
     // init always returns exactly k seeds — a frame with fewer than k
     // DISTINCT vectors pads with duplicates whose clusters stay empty
     // and keep their seed centroid (documented in init; spec-pinned)
-    val centroids0 = init(vm, idCol, k)
+    val (seedIds, centroids0) = init(vm, idCol, k)
     assert(centroids0.length == k)
     var centroids = centroids0
+    var hashes = IndexedSeq(centroidsMd5(centroids))
     val dims = centroids.head.length
     val spark = df.sparkSession
     import spark.implicits._
@@ -181,20 +222,21 @@ object KMeans {
             val s = new Array[Long](dims)
             ps.foreach(p => (0 until dims)
               .foreach(d => s(d) += p._2(d)))
-            // HALF_UP away from zero — the same rule Spark's round()
-            // and DuckDB's ROUND() apply (Math.round would round a
-            // negative .5 toward +inf and diverge from the oracle)
-            (0 until dims).map(d =>
-              BigDecimal(s(d).toDouble / n)
-                .setScale(0, scala.math.BigDecimal.RoundingMode.HALF_UP)
-                .toLong)
+            // pure-integer half-away-from-zero — NO double anywhere,
+            // so no engine's ROUND(DOUBLE) half-way rule can diverge
+            // (Math.round would round a negative .5 toward +inf; the
+            // old s.toDouble/n path was hostage to the oracle
+            // engine's float ROUND behavior — the q145 driver-red
+            // mechanism)
+            (0 until dims).map(d => roundHalfAway(s(d), n))
               .toIndexedSeq
           case None => prev // empty cluster keeps its centroid
         }
       }
+      hashes = hashes :+ centroidsMd5(centroids)
       it += 1
     }
-    Model(centroids)
+    (Model(centroids), Trace(seedIds, hashes))
   }
 
   /** Label every row with its nearest centroid: input + `cluster_id`

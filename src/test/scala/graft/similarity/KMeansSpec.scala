@@ -35,7 +35,7 @@ class KMeansSpec extends AnyFunSuite {
     // fitting reduced total inertia vs the farthest-point init
     val vm = df.select($"vec_id",
       KMeans.quantize($"embedding").as("vm_"))
-    val init = KMeans.Model(KMeans.init(vm, "vec_id", 3))
+    val init = KMeans.Model(KMeans.init(vm, "vec_id", 3)._2)
     def inertia(m: KMeans.Model) = KMeans.assign(df, "embedding", m)
       .agg(sum($"dist_sq")).as[Long].head()
     assert(inertia(model) < inertia(init))
@@ -66,9 +66,37 @@ class KMeansSpec extends AnyFunSuite {
     // the unused centroid survived as one of the init vectors
     val initVecs = KMeans.init(
       df.select($"vec_id", KMeans.quantize($"embedding").as("vm_")),
-      "vec_id", 3).toSet
+      "vec_id", 3)._2.toSet
     val unused = (0 until 3).toSet -- used
     unused.foreach(u => assert(initVecs.contains(model.centroids(u))))
+  }
+
+  test("roundHalfAway = exact-arithmetic HALF_UP for every sign/" +
+      "half/extreme case — no double in the loop") {
+    val cases = Seq((5L, 2L), (-5L, 2L), (7L, 2L), (-7L, 2L),
+      (1L, 3L), (2L, 3L), (-1L, 3L), (-2L, 3L), (0L, 5L), (6L, 2L),
+      (9L, 4L), (-9L, 4L), (Long.MaxValue, 3L), (Long.MinValue, 3L),
+      // the driver-red mechanism: quotients whose DOUBLE image sits
+      // off the exact half — s.toDouble loses exactness above 2^53
+      ((1L << 55) + 1L, 2L), (-(1L << 55) - 1L, 2L))
+    cases.foreach { case (s, n) =>
+      val want = java.math.BigDecimal.valueOf(s)
+        .divide(java.math.BigDecimal.valueOf(n), 0,
+          java.math.RoundingMode.HALF_UP).longValueExact()
+      assert(KMeans.roundHalfAway(s, n) == want, s"($s, $n)")
+    }
+  }
+
+  test("fitTraced provenance is partitioning-invariant: same seeds, " +
+      "same per-iteration hashes") {
+    val df = planted(60)
+    val (ma, ta) = KMeans.fitTraced(df, "embedding", "vec_id", 3, 3)
+    val (mb, tb) = KMeans.fitTraced(df.repartition(13), "embedding",
+      "vec_id", 3, 3)
+    assert(ma == mb && ta == tb)
+    assert(ta.seedIds.length == 3)
+    assert(ta.centroidMd5s.length == 4) // seeds + one per iteration
+    assert(ta.centroidMd5s.distinct.length > 1) // iterations moved
   }
 
   test("assign is a pure row expression: no Exchange, no Join in " +
