@@ -386,6 +386,26 @@ object ScaleSmoke {
       println(f"$label%-34s ${(System.nanoTime() - t0) / 1e9}%7.1f s  " +
         f"$n%,d rows")
     }
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted)
+            : Unit =
+          shuffleBytes.addAndGet(
+            sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+      })
+    def tShuffle(label: String)(f: => Long): Unit = {
+      Thread.sleep(1000)
+      val s0 = shuffleBytes.get()
+      val t0 = System.nanoTime()
+      val n = f
+      val secs = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(1000) // listener bus is async; best-effort drain
+      val mb = (shuffleBytes.get() - s0) / 1e6
+      println(f"$label%-34s $secs%7.1f s  $n%,d rows  " +
+        f"$mb%,.0f MB shuffled")
+    }
     val nDocs = stations * 1000L
     println(f"curation mode: $nDocs%,d synthesized pages")
     val words = array((0 until 512).map(i => lit(s"w$i")): _*)
@@ -440,7 +460,9 @@ object ScaleSmoke {
       urlKept.count()
     }
     var paraKept: org.apache.spark.sql.DataFrame = null
-    t("paragraph dedup (corpus-wide)") {
+    tShuffle("paragraph dedup (corpus-wide)") {
+      // narrow-flag / local-rebuild plan: the shuffle-bytes column is
+      // the point — hashes and drop indexes move, corpus text doesn't
       paraKept = graft.text.Curation.dedupParagraphs(
           urlKept.select(col("doc_id"), col("text")), "text",
           "doc_id", "\n")
@@ -448,10 +470,11 @@ object ScaleSmoke {
       paraKept.count()
     }
     var sentKept: org.apache.spark.sql.DataFrame = null
-    t("sentence dedup (corpus-wide)") {
+    tShuffle("sentence dedup (corpus-wide)") {
       // the ladder rung below paragraphs: first-occurrence keeper per
-      // sentence hash — one min-struct groupBy + one hash join, text
-      // never shuffles (the q148 engine at corpus scale)
+      // sentence hash over the NARROW explode; drop-index arrays
+      // broadcast-join back and the text rebuilds row-locally from
+      // the ORIGINAL text (the q148 engine at corpus scale)
       sentKept = graft.text.Curation.dedupSentences(
           paraKept.select(col("doc_id"), col("text")), "text",
           "doc_id", minSentChars = 40)

@@ -584,53 +584,93 @@ object Curation {
     * lines rejoined in original order — documents with no boilerplate
     * reconstruct byte-identically.
     *
-    * Scale shape: one explode of lines, MATERIALIZED once (lazy
-    * localCheckpoint) — it feeds both the document-frequency branch
-    * and the regroup join, whose projections differ, so without the
-    * barrier Catalyst re-runs the split+posexplode per consumer (the
-    * multi-consumer trap `Dedup.signatureBandsFromHashes` documents).
-    * Document frequency is two map-side-combined shuffles on the
-    * 64-bit line hash ((hash, doc) dedup, then count) — the shuffle
-    * carries hashes, not line text;
-    * membership applies as a join of exploded lines against the
-    * over-threshold hash set only (boilerplate is by definition a
-    * small, high-frequency set — AQE broadcasts it), then one per-doc
-    * regroup. A 64-bit hash collision could merge two line groups
+    * Scale shape — TEXT NEVER CROSSES AN EXCHANGE: the explode is
+    * NARROW (id, position, 64-bit line hash, trimmed length — no line
+    * text), MATERIALIZED once (lazy localCheckpoint) because it feeds
+    * both the document-frequency branch and the drop-decision join
+    * (the multi-consumer trap `Dedup.signatureBandsFromHashes`
+    * documents). Document frequency is two map-side-combined shuffles
+    * on the hash ((hash, doc) dedup, then count); membership joins the
+    * narrow rows against the over-threshold hash set (boilerplate is
+    * by definition a small, high-frequency set — AQE broadcasts it);
+    * the drop decisions aggregate to ONE per-doc sorted drop-index
+    * array — a frame of only the documents that lose a line — which
+    * broadcast-joins back to the ORIGINAL row, and the text is rebuilt
+    * ROW-LOCALLY by re-splitting the original text and skipping the
+    * dropped positions (split is deterministic, so the rebuild sees
+    * exactly the exploded lines). The corpus text is read where it
+    * already sits and never shuffles; only hashes and indexes move.
+    * A 64-bit hash collision could merge two line groups
     * (over-dropping the rarer line); at curation thresholds that risk
-    * is accepted for the 10× lighter shuffle. */
+    * is accepted for the 10× lighter shuffle. `idCol` must be unique
+    * per row (one document per row — the join-back keys on it). */
   def dedupLines(df: DataFrame, textCol: String, idCol: String,
       maxDocs: Long = 10, minLineChars: Int = 1): DataFrame = {
     require(maxDocs >= 2, "maxDocs < 2 would drop every repeated line")
-    requireFresh(df, "idx_", "raw_", "line_", "lh_", "bl_", "drop_")
+    requireFresh(df, "idx_", "lh_", "len_", "bl_", "drop_",
+      "dropidx_", "units_")
     // null text folds to "" BEFORE the split: split(null) explodes to
     // zero rows, which would silently drop the document from the
     // output (violating one-row-per-doc; join-back callers would lose
     // it). An empty line is never boilerplate, so the doc survives
     // with text = "".
-    val exploded = df
-      .select(col(idCol),
-        posexplode(split(coalesce(col(textCol), lit("")), "\n")))
-      .withColumnRenamed("pos", "idx_")
-      .withColumnRenamed("col", "raw_")
-      .withColumn("line_", trim(col("raw_")))
-      .withColumn("lh_", xxhash64(col("line_")))
-      .localCheckpoint(false) // feeds DF branch + regroup join once
-    val boiler = exploded
-      .where(length(col("line_")) >= minLineChars)
+    val parts = split(coalesce(col(textCol), lit("")), "\n")
+    val narrow = df
+      .select(col(idCol), posexplode(parts))
+      .select(col(idCol), col("pos").as("idx_"),
+        xxhash64(trim(col("col"))).as("lh_"),
+        length(trim(col("col"))).as("len_"))
+      .localCheckpoint(false) // feeds DF branch + decision join once
+    val boiler = narrow
+      .where(col("len_") >= minLineChars)
       .select(col("lh_"), col(idCol)).distinct()
       .groupBy(col("lh_")).agg(count(lit(1)).as("df_"))
       .where(col("df_") >= maxDocs)
       .select(col("lh_"), lit(1).as("bl_"))
-    exploded.join(boiler, Seq("lh_"), "left")
+    val flagged = narrow.join(boiler, Seq("lh_"), "left")
       .withColumn("drop_",
-        col("bl_").isNotNull && length(col("line_")) >= minLineChars)
+        col("bl_").isNotNull && col("len_") >= minLineChars)
+    rebuildByIndex(df, dropIndexes(flagged, idCol), textCol, idCol,
+      parts, joinSep = "\n", nCol = "n_lines")
+  }
+
+  // per-doc sorted drop-index array from a flagged narrow frame —
+  // only documents that lose something get a row, so the join-back
+  // side is drop-scale (broadcastable), not corpus-scale
+  private def dropIndexes(flagged: DataFrame, idCol: String): DataFrame =
+    flagged.where(col("drop_"))
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_lines"),
-        sum(col("drop_").cast("long")).as("n_dropped"),
-        concat_ws("\n", transform(
-          sort_array(collect_list(when(!col("drop_"),
-            struct(col("idx_"), col("raw_"))))),
-          s => s.getField("raw_"))).as(textCol))
+      .agg(sort_array(collect_list(col("idx_"))).as("dropidx_"))
+
+  // the shared text-local rebuild: left-join the (small) per-doc
+  // drop-index frame to the ORIGINAL rows and re-split the original
+  // text, skipping dropped positions — the re-split reproduces the
+  // exploded units exactly (deterministic segmentation of ORIGINAL
+  // text; only re-segmenting REBUILT text is non-invertible), so no
+  // shuffle ever carries a text column
+  private def rebuildByIndex(df: DataFrame, drops: DataFrame,
+      textCol: String, idCol: String, units: Column, joinSep: String,
+      nCol: String): DataFrame = {
+    // array_contains(null, i) is null and a null lambda predicate
+    // EXCLUDES the element — docs with no drops would lose every unit
+    // without the coalesce
+    val dropArr = coalesce(col("dropidx_"),
+      array().cast("array<int>"))
+    df.join(drops, Seq(idCol), "left")
+      // two-step projection ON PURPOSE: `units` (a regex-heavy
+      // split/segmentation) feeds both size() and filter() below;
+      // aliasing it first keeps CollapseProject from inlining one
+      // copy per consumer (it only collapses multiply-referenced
+      // aliases when they're cheap), so the segmentation runs ONCE
+      // per row instead of twice
+      .select(col(idCol), col("dropidx_"), units.as("units_"))
+      .select(col(idCol),
+        size(col("units_")).cast("long").as(nCol),
+        coalesce(size(col("dropidx_")), lit(0)).cast("long")
+          .as("n_dropped"),
+        concat_ws(joinSep,
+          filter(col("units_"), (x, i) => !array_contains(dropArr, i)))
+          .as(textCol))
   }
 
   /** SKETCH-ACCELERATED boilerplate removal — [[dedupLines]] without
@@ -735,47 +775,49 @@ object Curation {
     * spans that document-level near-dup misses because the containing
     * documents differ.
     *
-    * Scale shape: the first-occurrence keeper per paragraph hash is
-    * ONE map-side-combined `min(struct(id, idx))` groupBy whose
-    * shuffle carries (hash, id, idx) — never paragraph text; the
-    * keeper table is distinct-paragraph-scale and flows back through a
-    * hash-partitioned equi-join on the 64-bit hash (NOT a broadcast —
-    * it is corpus-proportional), then one per-doc regroup. No window
-    * over the corpus, nothing driver-side. A 64-bit collision merges
-    * two paragraph groups (the rarer one over-dropped); at curation
-    * scale that risk buys text-free shuffles, same trade as
-    * [[dedupLines]].
+    * Scale shape — TEXT NEVER CROSSES AN EXCHANGE (the [[dedupLines]]
+    * narrow-flag/local-rebuild plan): the explode carries (id,
+    * position, 64-bit trimmed-paragraph hash, trimmed length) — no
+    * paragraph text; the first-occurrence keeper per hash is ONE
+    * map-side-combined `min(struct(id, idx))` groupBy; the keeper
+    * (distinct-paragraph-scale) flows back through a hash-partitioned
+    * equi-join against the NARROW rows only; the drop decisions
+    * aggregate to a per-doc drop-index array (only documents that
+    * lose a paragraph) that broadcast-joins to the ORIGINAL row, and
+    * the text rebuilds row-locally by re-splitting the original text.
+    * No window over the corpus, nothing driver-side, no shuffle
+    * carries a text column. A 64-bit collision merges two paragraph
+    * groups (the rarer one over-dropped); at curation scale that risk
+    * buys the text-free shuffles, same trade as [[dedupLines]].
     *
     * `sep` is a LITERAL separator (regex-quoted before the split),
     * default blank-line paragraphs; paragraphs shorter than
     * `minParaChars` after trim are never deduped (empty/whitespace
     * fragments are structure, not content). Returns one row per doc:
-    * (idCol, n_paras, n_dropped, textCol rebuilt with `sep`). */
+    * (idCol, n_paras, n_dropped, textCol rebuilt with `sep`).
+    * `idCol` must be unique per row. */
   def dedupParagraphs(df: DataFrame, textCol: String, idCol: String,
       sep: String = "\n\n", minParaChars: Int = 1): DataFrame = {
-    requireFresh(df, "idx_", "raw_", "para_", "ph_", "kid_", "kidx_",
-      "drop_")
-    val exploded = explodeParagraphs(df, textCol, idCol, sep)
-      // feeds the keeper branch + the join-back once (the
+    requireFresh(df, "idx_", "ph_", "len_", "kid_", "kidx_",
+      "drop_", "dropidx_", "units_")
+    val narrow = explodeParagraphsNarrow(df, textCol, idCol, sep)
+      // feeds the keeper branch + the decision join once (the
       // multi-consumer re-execution trap dedupLines documents)
       .localCheckpoint(false)
-    val keeper = exploded
-      .where(length(col("para_")) >= minParaChars)
+    val keeper = narrow
+      .where(col("len_") >= minParaChars)
       .groupBy(col("ph_"))
       .agg(min(struct(col(idCol).as("kid_"), col("idx_").as("kidx_")))
         .as("k_"))
       .select(col("ph_"), col("k_.kid_").as("kid_"),
         col("k_.kidx_").as("kidx_"))
-    exploded.join(keeper, Seq("ph_"), "left")
+    val flagged = narrow.join(keeper, Seq("ph_"), "left")
       .withColumn("drop_", col("kid_").isNotNull &&
         !(col(idCol) === col("kid_") && col("idx_") === col("kidx_")))
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_paras"),
-        sum(col("drop_").cast("long")).as("n_dropped"),
-        concat_ws(sep, transform(
-          sort_array(collect_list(when(!col("drop_"),
-            struct(col("idx_"), col("raw_"))))),
-          s => s.getField("raw_"))).as(textCol))
+    rebuildByIndex(df, dropIndexes(flagged, idCol), textCol, idCol,
+      split(coalesce(col(textCol), lit("")),
+        java.util.regex.Pattern.quote(sep)),
+      joinSep = sep, nCol = "n_paras")
   }
 
   /** SENTENCE-level dedup — the missing rung of the Dolma/CCNet
@@ -790,22 +832,26 @@ object Curation {
     * memorized quotes) that paragraph granularity misses because the
     * surrounding paragraphs differ.
     *
-    * Same scale shape as [[dedupParagraphs]]: the first-occurrence
-    * keeper per sentence hash is ONE map-side-combined
-    * `min(struct(id, idx))` groupBy whose shuffle carries
-    * (hash, id, idx) — never sentence text; the keeper flows back
-    * through a hash-partitioned equi-join on the 64-bit hash (NOT a
-    * broadcast — it is corpus-proportional), then one per-doc
-    * regroup. Sentences shorter than `minSentChars` are never deduped.
-    * Documents with no sentences (empty/null text) survive with
-    * text = "" (outer explode). Returns one row per doc:
-    * (idCol, n_sentences, n_dropped, textCol rebuilt with a single
-    * space — segmentation already trimmed inter-sentence whitespace).
-    */
+    * Same scale shape as [[dedupParagraphs]] — TEXT NEVER CROSSES AN
+    * EXCHANGE: the explode carries (id, position, 64-bit sentence
+    * hash, length) — no sentence text; the first-occurrence keeper
+    * per hash is ONE map-side-combined `min(struct(id, idx))` groupBy;
+    * drop decisions aggregate to a per-doc drop-index array that
+    * broadcast-joins to the ORIGINAL row, and the text rebuilds
+    * row-locally by RE-SEGMENTING THE ORIGINAL text and skipping the
+    * dropped positions. (Segmenting ORIGINAL text is deterministic,
+    * so the rebuild sees exactly the exploded sentences; the
+    * non-invertibility lesson — see [[dedupSentencesWithIndex]] —
+    * only forbids re-segmenting REBUILT text.) Sentences shorter than
+    * `minSentChars` are never deduped. Documents with no sentences
+    * (empty/null text) survive with text = "". Returns one row per
+    * doc: (idCol, n_sentences, n_dropped, textCol rebuilt with a
+    * single space — segmentation already trimmed inter-sentence
+    * whitespace). `idCol` must be unique per row. */
   def dedupSentences(df: DataFrame, textCol: String, idCol: String,
       minSentChars: Int = 1): DataFrame =
-    regroupSentences(flagSentences(df, textCol, idCol, minSentChars,
-      storedHashes = None), textCol, idCol)
+    rebuildSentences(df, flagSentences(df, textCol, idCol,
+      minSentChars, storedHashes = None), textCol, idCol)
 
   /** [[dedupSentences]] PLUS the kept-sentence index from the same
     * single computation: (cleaned corpus, [[sentenceHashes]]-schema
@@ -822,32 +868,36 @@ object Curation {
       idCol: String, minSentChars: Int = 1): (DataFrame, DataFrame) = {
     val flagged = flagSentences(df, textCol, idCol, minSentChars,
       storedHashes = None)
-    (regroupSentences(flagged, textCol, idCol),
-      keptSentenceHashes(flagged, idCol))
+    (rebuildSentences(df, flagged, textCol, idCol),
+      keptSentenceHashes(flagged, idCol, minSentChars))
   }
 
-  // exploded sentences with the corpus-wide (and, when storedHashes
-  // is given, stored-membership) drop decision — the shared core of
+  // NARROW exploded sentences (id, position, hash, length — no
+  // sentence text) with the corpus-wide (and, when storedHashes is
+  // given, stored-membership) drop decision — the shared core of
   // dedupSentences / dedupSentencesAgainst and their WithIndex forms.
   // localCheckpoint'd: every caller consumes it from >= 2 branches
-  // (regroup + index, keeper + join-back — the multi-consumer
-  // re-execution trap dedupLines documents).
+  // (rebuild + index, keeper + decision join — the multi-consumer
+  // re-execution trap dedupLines documents). `storedHashes` may be
+  // the full stored table (exact membership join) or a PRE-CONFIRMED
+  // known-hash set from the sharded-Bloom front (see
+  // [[dedupSentencesAgainstWithIndexSharded]]) — both arrive as a
+  // (sent_chars, sent_hash)-schema frame.
   private def flagSentences(df: DataFrame, textCol: String,
       idCol: String, minSentChars: Int,
       storedHashes: Option[DataFrame]): DataFrame = {
-    requireFresh(df, "idx_", "sent_", "sh_", "kid_", "kidx_",
-      "drop_", "known_")
-    val exploded = explodeSentences(df, textCol, idCol)
+    requireFresh(df, "idx_", "sh_", "len_", "kid_", "kidx_",
+      "drop_", "known_", "dropidx_", "units_")
+    val narrow = explodeSentencesNarrow(df, textCol, idCol)
       .localCheckpoint(false)
-    val keeper = exploded
-      .where(col("sent_").isNotNull &&
-        length(col("sent_")) >= minSentChars)
+    val keeper = narrow
+      .where(col("sh_").isNotNull && col("len_") >= minSentChars)
       .groupBy(col("sh_"))
       .agg(min(struct(col(idCol).as("kid_"), col("idx_").as("kidx_")))
         .as("k_"))
       .select(col("sh_"), col("k_.kid_").as("kid_"),
         col("k_.kidx_").as("kidx_"))
-    val joined = exploded.join(keeper, Seq("sh_"), "left")
+    val joined = narrow.join(keeper, Seq("sh_"), "left")
     val withKnown = storedHashes match {
       case Some(stored) =>
         val known = stored
@@ -863,26 +913,32 @@ object Curation {
         joined.withColumn("drop_", col("kid_").isNotNull &&
           !(col(idCol) === col("kid_") && col("idx_") === col("kidx_")))
     }
-    // the WithIndex callers consume this from two branches (regroup +
+    // the WithIndex callers consume this from two branches (rebuild +
     // index) — barrier so the keeper join runs once
     withKnown.localCheckpoint(false)
   }
 
-  private def regroupSentences(flagged: DataFrame, textCol: String,
-      idCol: String): DataFrame =
-    flagged.groupBy(col(idCol))
-      .agg(count(col("sent_")).as("n_sentences"),
-        sum(col("drop_").cast("long")).as("n_dropped"),
-        concat_ws(" ", transform(
-          sort_array(collect_list(when(!col("drop_"),
-            struct(col("idx_"), col("sent_"))))),
-          s => s.getField("sent_"))).as(textCol))
+  // the sentence face of rebuildByIndex: re-segment the ORIGINAL text
+  // row-locally and skip dropped positions (deterministic — only
+  // REBUILT text is non-invertible to re-segment)
+  private def rebuildSentences(df: DataFrame, flagged: DataFrame,
+      textCol: String, idCol: String): DataFrame =
+    rebuildByIndex(df, dropIndexes(flagged, idCol), textCol, idCol,
+      TextAnalysis.sentences(col(textCol)), joinSep = " ",
+      nCol = "n_sentences")
 
-  private def keptSentenceHashes(flagged: DataFrame, idCol: String)
-      : DataFrame =
-    flagged.where(col("sent_").isNotNull && !col("drop_"))
+  // only sentences AT OR ABOVE minSentChars enter the index: shorter
+  // ones are never deduped (flagSentences' keeper filter), so storing
+  // them would bloat the narrow table with one "Thanks."-style row
+  // per document and buy nothing — a store built at minSentChars = X
+  // therefore answers membership only for probes with
+  // minSentChars >= X (SentenceIndexStore fixes one X per store)
+  private def keptSentenceHashes(flagged: DataFrame, idCol: String,
+      minSentChars: Int): DataFrame =
+    flagged.where(col("sh_").isNotNull && !col("drop_") &&
+        col("len_") >= minSentChars)
       .select(col(idCol), col("idx_").as("sent_idx"),
-        length(col("sent_")).as("sent_chars"),
+        col("len_").as("sent_chars"),
         col("sh_").as("sent_hash"))
 
   /** The stored-artifact half of sentence dedup — the
@@ -894,23 +950,23 @@ object Curation {
     * text. */
   def sentenceHashes(df: DataFrame, textCol: String, idCol: String)
       : DataFrame =
-    explodeSentences(df, textCol, idCol)
-      .where(col("sent_").isNotNull)
+    explodeSentencesNarrow(df, textCol, idCol)
+      .where(col("sh_").isNotNull)
       .select(col(idCol), col("idx_").as("sent_idx"),
-        length(col("sent_")).as("sent_chars"),
-        col("sh_").as("sent_hash"))
+        col("len_").as("sent_chars"), col("sh_").as("sent_hash"))
 
-  private def explodeSentences(df: DataFrame, textCol: String,
+  // NARROW sentence explode — (id, idx_, sh_, len_), never the
+  // sentence text (the text-free-shuffle contract of the ladder)
+  private def explodeSentencesNarrow(df: DataFrame, textCol: String,
       idCol: String): DataFrame = df
     .select(col(idCol),
       posexplode_outer(TextAnalysis.sentences(col(textCol))))
-    .withColumnRenamed("pos", "idx_")
-    .withColumnRenamed("col", "sent_")
-    // null-sentence rows (doc had no sentences) must NOT join any
-    // keeper/membership table: xxhash64(null) is the seed constant,
-    // which a real sentence could collide with — keep the key null
-    .withColumn("sh_",
-      when(col("sent_").isNotNull, xxhash64(col("sent_"))))
+    .select(col(idCol), col("pos").as("idx_"),
+      // null-sentence rows (doc had no sentences) must NOT join any
+      // keeper/membership table: xxhash64(null) is the seed constant,
+      // which a real sentence could collide with — keep the key null
+      when(col("col").isNotNull, xxhash64(col("col"))).as("sh_"),
+      length(col("col")).as("len_"))
 
   /** Incremental sentence dedup for a delta batch against a STORED
     * corpus — [[dedupParagraphsAgainst]] at sentence granularity: any
@@ -926,7 +982,7 @@ object Curation {
   def dedupSentencesAgainst(delta: DataFrame, storedHashes: DataFrame,
       textCol: String, idCol: String, minSentChars: Int = 1)
       : DataFrame =
-    regroupSentences(flagSentences(delta, textCol, idCol,
+    rebuildSentences(delta, flagSentences(delta, textCol, idCol,
       minSentChars, Some(storedHashes)), textCol, idCol)
 
   /** [[dedupSentencesAgainst]] PLUS the kept-sentence index from the
@@ -938,8 +994,43 @@ object Curation {
       minSentChars: Int = 1): (DataFrame, DataFrame) = {
     val flagged = flagSentences(delta, textCol, idCol, minSentChars,
       Some(storedHashes))
-    (regroupSentences(flagged, textCol, idCol),
-      keptSentenceHashes(flagged, idCol))
+    (rebuildSentences(delta, flagged, textCol, idCol),
+      keptSentenceHashes(flagged, idCol, minSentChars))
+  }
+
+  /** [[dedupSentencesAgainstWithIndex]] fronted by a SHARDED Bloom
+    * probe — the per-micro-batch scale path the streaming store's
+    * contract declares mandatory at sentence granularity: instead of
+    * hash-joining the full stored table every batch
+    * (corpus-proportional), the delta's DISTINCT sentence hashes
+    * (batch-scale) probe the (shard, bloom_bytes) table built by
+    * [[sentenceBloomShards]] — each task holds ONE shard's sketch —
+    * and only the flagged MAYBEs are exactly confirmed against the
+    * stored table via a BROADCAST semi-join (the stored side is
+    * scanned but never shuffled; parquet pruning applies). Bloom
+    * filters have NO false negatives, so the confirmed-known set is
+    * exactly the exact join's — output is identical, spec-pinned.
+    * The stored table and the shard filters must cover the same kept
+    * sentences (the store grows both per batch). */
+  def dedupSentencesAgainstWithIndexSharded(delta: DataFrame,
+      storedHashes: DataFrame, shardBlooms: DataFrame, shards: Int,
+      textCol: String, idCol: String, minSentChars: Int = 1)
+      : (DataFrame, DataFrame) = {
+    val deltaHashes = sentenceHashes(delta, textCol, idCol)
+      .where(col("sent_chars") >= minSentChars)
+      .select(col("sent_hash")).distinct()
+    val maybe = flagMaybeKnownHashes(deltaHashes, "sent_hash",
+        shardBlooms, shards)
+      .where(col("maybe_known")).select(col("sent_hash"))
+    val confirmed = storedHashes
+      .where(col("sent_chars") >= minSentChars)
+      .join(broadcast(maybe), Seq("sent_hash"), "left_semi")
+      .select(lit(Int.MaxValue).as("sent_chars"), col("sent_hash"))
+      .distinct()
+    // confirmed is the resolved known set; sent_chars is a synthetic
+    // pass-any-threshold value because flagSentences re-filters on it
+    dedupSentencesAgainstWithIndex(delta, confirmed, textCol, idCol,
+      minSentChars)
   }
 
   /** The stored-artifact half of paragraph dedup: one row per
@@ -950,21 +1041,22 @@ object Curation {
     * (the `shingleHashes` / `signatureTable` convention). */
   def paragraphHashes(df: DataFrame, textCol: String, idCol: String,
       sep: String = "\n\n"): DataFrame =
-    explodeParagraphs(df, textCol, idCol, sep)
+    explodeParagraphsNarrow(df, textCol, idCol, sep)
       .select(col(idCol), col("idx_").as("para_idx"),
-        length(col("para_")).as("para_chars"), col("ph_").as("para_hash"))
+        col("len_").as("para_chars"), col("ph_").as("para_hash"))
 
-  private def explodeParagraphs(df: DataFrame, textCol: String,
+  // NARROW paragraph explode — (id, idx_, ph_, len_) over trimmed
+  // paragraphs, never the paragraph text
+  private def explodeParagraphsNarrow(df: DataFrame, textCol: String,
       idCol: String, sep: String): DataFrame = df
     // null text folds to "" BEFORE the split — split(null) explodes to
     // zero rows and would silently lose the document (dedupLines doc)
     .select(col(idCol),
       posexplode(split(coalesce(col(textCol), lit("")),
         java.util.regex.Pattern.quote(sep))))
-    .withColumnRenamed("pos", "idx_")
-    .withColumnRenamed("col", "raw_")
-    .withColumn("para_", trim(col("raw_")))
-    .withColumn("ph_", xxhash64(col("para_")))
+    .select(col(idCol), col("pos").as("idx_"),
+      xxhash64(trim(col("col"))).as("ph_"),
+      length(trim(col("col"))).as("len_"))
 
   /** Incremental paragraph dedup for a delta batch against a STORED
     * corpus: any incoming paragraph whose hash exists in
@@ -979,33 +1071,30 @@ object Curation {
   def dedupParagraphsAgainst(delta: DataFrame, storedHashes: DataFrame,
       textCol: String, idCol: String, sep: String = "\n\n",
       minParaChars: Int = 1): DataFrame = {
-    requireFresh(delta, "idx_", "raw_", "para_", "ph_", "kid_",
-      "kidx_", "drop_", "known_")
-    val exploded = explodeParagraphs(delta, textCol, idCol, sep)
+    requireFresh(delta, "idx_", "ph_", "len_", "kid_",
+      "kidx_", "drop_", "known_", "dropidx_", "units_")
+    val narrow = explodeParagraphsNarrow(delta, textCol, idCol, sep)
       .localCheckpoint(false)
     val known = storedHashes
       .where(col("para_chars") >= minParaChars)
       .select(col("para_hash").as("ph_")).distinct()
       .withColumn("known_", lit(1))
-    val keeper = exploded
-      .where(length(col("para_")) >= minParaChars)
+    val keeper = narrow
+      .where(col("len_") >= minParaChars)
       .groupBy(col("ph_"))
       .agg(min(struct(col(idCol).as("kid_"), col("idx_").as("kidx_")))
         .as("k_"))
       .select(col("ph_"), col("k_.kid_").as("kid_"),
         col("k_.kidx_").as("kidx_"))
-    exploded.join(keeper, Seq("ph_"), "left")
+    val flagged = narrow.join(keeper, Seq("ph_"), "left")
       .join(known, Seq("ph_"), "left")
       .withColumn("drop_", col("known_").isNotNull ||
         (col("kid_").isNotNull &&
           !(col(idCol) === col("kid_") && col("idx_") === col("kidx_"))))
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_paras"),
-        sum(col("drop_").cast("long")).as("n_dropped"),
-        concat_ws(sep, transform(
-          sort_array(collect_list(when(!col("drop_"),
-            struct(col("idx_"), col("raw_"))))),
-          s => s.getField("raw_"))).as(textCol))
+    rebuildByIndex(delta, dropIndexes(flagged, idCol), textCol, idCol,
+      split(coalesce(col(textCol), lit("")),
+        java.util.regex.Pattern.quote(sep)),
+      joinSep = sep, nCol = "n_paras")
   }
 
   /** Build a Bloom filter over a stored [[paragraphHashes]] table —
@@ -1157,6 +1246,57 @@ object Curation {
           chars >= minParaChars && bloom.exists(_.mightContainLong(h)))
       }
     }.toDF(idCol, "para_idx", "para_chars", "para_hash", "maybe_known")
+  }
+
+  /** SHARDED Bloom filters over a stored [[sentenceHashes]] table —
+    * [[paragraphBloomShards]] one granularity down (the builders are
+    * shape-compatible; this delegates through the column rename its
+    * scaladoc prescribes). At sentence granularity the sharding is
+    * mandatory, never optional: a 100 TB ingest stores 10-100× more
+    * sentences than paragraphs. */
+  def sentenceBloomShards(storedHashes: DataFrame, shards: Int,
+      expectedItems: Long, fpp: Double = 0.01): DataFrame =
+    paragraphBloomShards(
+      storedHashes.select(col("sent_hash").as("para_hash")),
+      shards, expectedItems, fpp)
+
+  /** Probe a frame of 64-bit hashes against a SHARDED (shard,
+    * bloom_bytes) table — the granularity-agnostic core of
+    * [[flagMaybeKnownParagraphsSharded]]: rows and filters co-group on
+    * `pmod(hash, shards)`, each task holds exactly ONE shard's sketch,
+    * multi-row shards (per-batch sub-filters) OR-merge before probing.
+    * Returns (hashCol, maybe_known); no false negatives per shard.
+    * Input should be DISTINCT hashes (batch-scale) — the caller owns
+    * that contract. */
+  def flagMaybeKnownHashes(hashes: DataFrame, hashCol: String,
+      shardBlooms: DataFrame, shards: Int): DataFrame = {
+    require(shards > 0, "shards must be positive")
+    val spark = hashes.sparkSession
+    import spark.implicits._
+    val rows = hashes
+      .select(col(hashCol),
+        pmod(col(hashCol), lit(shards)).cast("int").as("shard_"))
+      .as[(Long, Int)]
+      .groupByKey(_._2)
+    val blooms = shardBlooms
+      .select(col("shard").cast("int"), col("bloom_bytes"))
+      .as[(Int, Array[Byte])]
+      .groupByKey(_._1)
+    rows.cogroup(blooms) { (_, rs, bs) =>
+      val filters = bs.map(b =>
+        org.apache.spark.util.sketch.BloomFilter.readFrom(
+          new java.io.ByteArrayInputStream(b._2)))
+      val bloom =
+        if (!filters.hasNext) None
+        else {
+          val first = filters.next()
+          filters.foreach(first.mergeInPlace)
+          Some(first)
+        }
+      rs.map { case (h, _) =>
+        (h, bloom.exists(_.mightContainLong(h)))
+      }
+    }.toDF(hashCol, "maybe_known")
   }
 
   /** CCNet-style unigram language-model score: train a unigram LM on

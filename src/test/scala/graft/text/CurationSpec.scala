@@ -1245,4 +1245,58 @@ class CurationSpec extends AnyFunSuite {
     assert(unmergedProbe.where(!$"maybe_known").count() == 0)
     table.unpersist()
   }
+
+  test("dedup ladder never shuffles corpus text: measured shuffle " +
+      "bytes are a small fraction of the (incompressible) text bytes") {
+    // ~200 docs x ~10 KB of md5-hex text (shuffle compression can't
+    // hide a text column that crosses an exchange) + one shared
+    // boilerplate unit per doc so every rung actually drops
+    // something. Long lines on purpose: the narrow (id, idx, hash)
+    // shuffle cost scales with ROWS, text with BYTES — the gap is
+    // the property under test.
+    val docs = spark.range(200).toDF("doc_id")
+      .withColumn("body", concat_ws("\n",
+        transform(sequence(lit(0), lit(19)), i => concat_ws(" ",
+          transform(sequence(lit(0), lit(15)), j =>
+            md5(concat_ws("-", $"doc_id", i, j)))))))
+      .select($"doc_id", concat($"body",
+        lit("\nShared boilerplate footer sentence here. " +
+          "All rights reserved by the syndicate.")).as("text"))
+      .localCheckpoint(true) // input materialized OUTSIDE the window
+    val textBytes = docs.agg(sum(length($"text"))).head().getLong(0)
+    val shuffled = new java.util.concurrent.atomic.AtomicLong(0L)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted)
+          : Unit = shuffled.addAndGet(
+        sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val lines = Curation.dedupLines(docs, "text", "doc_id",
+        maxDocs = 10)
+      val paras = Curation.dedupParagraphs(docs, "text", "doc_id",
+        sep = "\n")
+      val sents = Curation.dedupSentences(docs, "text", "doc_id")
+      assert(lines.agg(sum($"n_dropped")).head().getLong(0) == 200L)
+      assert(paras.agg(sum($"n_dropped")).head().getLong(0) == 199L)
+      // each doc segments to 2 sentences: [unique body + glued first
+      // footer sentence] and the shared "All rights reserved..." —
+      // only the latter dedups (199 later copies die)
+      assert(sents.agg(sum($"n_dropped")).head().getLong(0) == 199L)
+      // listener events are asynchronous — wait until the counter
+      // stops moving before reading it
+      var prev = -1L
+      var spins = 0
+      while (shuffled.get() != prev && spins < 50) {
+        prev = shuffled.get(); Thread.sleep(100); spins += 1
+      }
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // three rungs ran; the OLD regroup alone re-shuffled the full
+    // text per rung (>= 3x textBytes even compressed). Narrow flags
+    // + drop-index arrays + broadcast join-back keep the total far
+    // under the corpus text size.
+    assert(shuffled.get() < textBytes / 5,
+      s"shuffled=${shuffled.get()} textBytes=$textBytes")
+  }
 }
