@@ -128,4 +128,37 @@ final class ParagraphIndexStore(spark: SparkSession, path: String,
     // redelivered batch leaves the merged view unchanged
     writeBloomShards(cleanedBatch, textCol, batchId)
   }
+
+  /** Maintenance compaction: fold every `ingest_batch=*` partition
+    * into one base build — a long ingest otherwise degrades into
+    * thousands of tiny partitions per table. The index and cleaned
+    * tables are snapshotted to DURABLE parquet first (a
+    * localCheckpoint-only copy would die with one executor between
+    * the wipe and the rewrite), then land back as single
+    * `ingest_batch=-1` partitions with shard filters rebuilt from
+    * the snapshot hash table; membership and cleaned text are
+    * exactly preserved, no dedup recomputation. The checkpoint
+    * resets — safe, every pre-compaction batch now lives in the
+    * base partition. */
+  def compact(): Unit = {
+    val tmpPara = s"$path/compact_tmp_paragraphs"
+    val tmpClean = s"$path/compact_tmp_cleaned"
+    StorePaths.wipe(spark, Seq(tmpPara, tmpClean))
+    paragraphTable.write.mode("overwrite").parquet(tmpPara)
+    cleaned.write.mode("overwrite").parquet(tmpClean)
+    StorePaths.wipe(spark, Seq(paraPath, cleanedPath, bloomPath,
+      s"$path/checkpoint"))
+    val kept = spark.read.parquet(tmpPara)
+    kept.write.mode("overwrite").parquet(s"$paraPath/ingest_batch=-1")
+    spark.read.parquet(tmpClean).write.mode("overwrite")
+      .parquet(s"$cleanedPath/ingest_batch=-1")
+    Curation.paragraphBloomShards(
+        kept.where(col("para_chars") >= minParaChars),
+        bloomShardCount,
+        expectedItems = bloomItemsPerShard * bloomShardCount,
+        fpp = bloomFpp)
+      .write.mode("overwrite")
+      .parquet(s"$bloomPath/ingest_batch=-1")
+    StorePaths.wipe(spark, Seq(tmpPara, tmpClean))
+  }
 }

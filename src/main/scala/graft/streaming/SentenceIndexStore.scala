@@ -19,35 +19,60 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * Storage layout (parquet under `path`, partitioned by
   * `ingest_batch`):
   *  - `sentences/` — `Curation.sentenceHashes` rows of every KEPT
-  *    sentence (narrow (id, idx, chars, hash))
+  *    sentence of at least `minSentChars` chars (narrow (id, idx,
+  *    chars, hash); shorter sentences are never deduped, so they stay
+  *    OUT of the index entirely — which also binds the store to its
+  *    ingest `minSentChars`: probe with the same threshold)
   *  - `cleaned/` (idCol, n_sentences, n_dropped, text) — the deduped
   *    corpus itself
+  *  - `blooms/` — one SHARDED Bloom sub-filter table per batch
+  *    (`Curation.sentenceBloomShards`), grown alongside the index
   *
   * Idempotence / restart: identical to [[ParagraphIndexStore]] — each
   * batch OVERWRITES its own `ingest_batch=<id>` partitions and the
   * membership check excludes the current batch id, so a redelivered
   * batch sees the index as it stood before its first attempt.
   *
-  * Scale shape per batch: [[Curation.dedupSentencesAgainst]] — one
-  * equi-join of the batch's exploded sentences against the stored
-  * hash table, co-partitioned on the 64-bit hash, plus the
-  * batch-internal first-wins keeper at batch scale; the fold-back
-  * writes batch-scale rows. Nothing corpus-proportional is recomputed
-  * per batch. When even the stored hash join is too heavy per
-  * micro-batch, front it with the sharded-Bloom pattern the paragraph
-  * store implements (`Curation.paragraphBloomShards` over the
-  * hash column — the builders are shape-compatible after one
-  * `withColumnRenamed("sent_hash", "para_hash")`) and reserve the
-  * exact join for flagged rows; at sentence granularity (10-100×
-  * more items than paragraphs at 100 TB) the sharding is mandatory,
-  * never optional. `minSentChars` keeps short common sentences
-  * ("Thanks.", "Yes.") out of the index entirely — they are
-  * structure, not content. */
+  * Scale shape per batch — the sharded-Bloom front is WIRED IN, not
+  * advisory (at sentence granularity a 100 TB ingest stores 10-100×
+  * more items than paragraphs, so probing the full stored table per
+  * micro-batch is a corpus-proportional join every few seconds):
+  * [[Curation.dedupSentencesAgainstWithIndexSharded]] probes the
+  * batch's DISTINCT sentence hashes against the merged shard filters
+  * (each task holds ONE shard's sketch), exactly confirms only the
+  * flagged MAYBEs against the stored table via a broadcast semi-join
+  * (the stored side is scanned, never shuffled), and runs the
+  * batch-internal first-wins keeper at batch scale. Bloom filters
+  * have no false negatives, so the result is identical to the exact
+  * join — spec-pinned. The fold-back writes batch-scale rows
+  * (index + cleaned + the batch's own bloom sub-filter). Nothing
+  * corpus-proportional is recomputed or shuffled per batch.
+  *
+  * Growth: every batch adds one parquet partition to each of the
+  * three tables; a long-running ingest degrades into thousands of
+  * tiny `ingest_batch=*` directories. [[compact]] folds all of them
+  * into a fresh base build — WITHOUT re-running segmentation on the
+  * rebuilt text (re-segmenting REBUILT text is non-invertible and
+  * would corrupt the index — the dedupSentencesWithIndex lesson);
+  * compaction snapshots the index and cleaned tables to durable
+  * parquet, wipes the store, and lands both back as `ingest_batch=-1`
+  * with freshly built shard filters. Membership is exactly
+  * preserved. */
 final class SentenceIndexStore(spark: SparkSession, path: String,
-    idCol: String = "doc_id", minSentChars: Int = 1) {
+    idCol: String = "doc_id", minSentChars: Int = 1,
+    bloomShardCount: Int = 32, bloomItemsPerShard: Long = 1L << 22,
+    bloomFpp: Double = 0.01) {
 
   private val sentPath = s"$path/sentences"
   private val cleanedPath = s"$path/cleaned"
+  private val bloomPath = s"$path/blooms"
+
+  private def writeBloomShards(kept: DataFrame, batchId: Long): Unit =
+    Curation.sentenceBloomShards(kept, bloomShardCount,
+        expectedItems = bloomItemsPerShard * bloomShardCount,
+        fpp = bloomFpp)
+      .write.mode("overwrite")
+      .parquet(s"$bloomPath/ingest_batch=$batchId")
 
   /** Batch-build: corpus-wide [[Curation.dedupSentencesWithIndex]]
     * seeds the cleaned corpus AND the index from one computation.
@@ -58,19 +83,29 @@ final class SentenceIndexStore(spark: SparkSession, path: String,
     * convergence — see dedupSentencesWithIndex). Lands as
     * `ingest_batch=-1`, wiping prior state under `path`. */
   def initialize(corpus: DataFrame, textCol: String): Unit = {
-    StorePaths.wipe(spark, Seq(sentPath, cleanedPath,
+    StorePaths.wipe(spark, Seq(sentPath, cleanedPath, bloomPath,
       s"$path/checkpoint"))
     val (cleaned, kept) = Curation.dedupSentencesWithIndex(corpus,
       textCol, idCol, minSentChars)
     cleaned.write.mode("overwrite")
       .parquet(s"$cleanedPath/ingest_batch=-1")
-    kept.write.mode("overwrite").parquet(s"$sentPath/ingest_batch=-1")
+    val keptOut = kept.localCheckpoint(false) // feeds index + blooms
+    keptOut.write.mode("overwrite")
+      .parquet(s"$sentPath/ingest_batch=-1")
+    writeBloomShards(keptOut, batchId = -1L)
   }
 
   /** Kept-sentence hash table across the base build and every folded
     * batch. */
   def sentenceTable: DataFrame =
     spark.read.parquet(sentPath).drop("ingest_batch")
+
+  /** One merged Bloom filter PER SHARD over every kept sentence so
+    * far — the per-batch sub-filters are bit-compatible by
+    * construction ([[Curation.mergeBloomShards]] contract). */
+  def bloomShards: DataFrame =
+    Curation.mergeBloomShards(
+      spark.read.parquet(bloomPath).drop("ingest_batch"))
 
   /** The deduped corpus so far. */
   def cleaned: DataFrame =
@@ -92,16 +127,55 @@ final class SentenceIndexStore(spark: SparkSession, path: String,
     * id and prove idempotence directly. */
   private[streaming] def processBatch(batch: DataFrame,
       textCol: String, batchId: Long): Unit = {
+    val notThisBatch = col("ingest_batch") =!= batchId
     val stored = spark.read.parquet(sentPath)
-      .where(col("ingest_batch") =!= batchId).drop("ingest_batch")
+      .where(notThisBatch).drop("ingest_batch")
+    val shardFilters = Curation.mergeBloomShards(
+      spark.read.parquet(bloomPath).where(notThisBatch)
+        .drop("ingest_batch"))
     // cleaned text + kept-sentence index from ONE keeper computation
     // (re-segmenting the rebuilt text would merge sentences across
-    // suppressed boundaries and corrupt the index — scaladoc above)
-    val (cleanedBatch, kept) = Curation.dedupSentencesAgainstWithIndex(
-      batch, stored, textCol, idCol, minSentChars)
-    kept.write.mode("overwrite")
+    // suppressed boundaries and corrupt the index — scaladoc above);
+    // membership resolves through the sharded-Bloom front, exact
+    // result guaranteed by the no-false-negative property
+    val (cleanedBatch, kept) =
+      Curation.dedupSentencesAgainstWithIndexSharded(batch, stored,
+        shardFilters, bloomShardCount, textCol, idCol, minSentChars)
+    val keptOut = kept.localCheckpoint(false) // feeds index + blooms
+    keptOut.write.mode("overwrite")
       .parquet(s"$sentPath/ingest_batch=$batchId")
     cleanedBatch.write.mode("overwrite")
       .parquet(s"$cleanedPath/ingest_batch=$batchId")
+    // the batch's own sub-filter overwrites its partition too, so a
+    // redelivered batch leaves the merged view unchanged
+    writeBloomShards(keptOut, batchId)
+  }
+
+  /** Maintenance compaction: fold every `ingest_batch=*` partition
+    * into one fresh base build. UNLIKE [[CorpusIndexStore.compact]]
+    * this must NOT re-run the dedup on the cleaned text — sentence
+    * rebuilds are non-invertible to re-segment (class doc) — so the
+    * INDEX and CLEANED tables are snapshotted as-is to durable
+    * parquet (a localCheckpoint-only copy would die with one executor
+    * between the wipe and the rewrite), the store is wiped, and both
+    * land back as single `ingest_batch=-1` partitions with shard
+    * filters rebuilt from the snapshot. Membership and cleaned text
+    * are exactly preserved; the checkpoint resets, which is safe
+    * because every pre-compaction batch now lives in the base
+    * partition. */
+  def compact(): Unit = {
+    val tmpSent = s"$path/compact_tmp_sentences"
+    val tmpClean = s"$path/compact_tmp_cleaned"
+    StorePaths.wipe(spark, Seq(tmpSent, tmpClean))
+    sentenceTable.write.mode("overwrite").parquet(tmpSent)
+    cleaned.write.mode("overwrite").parquet(tmpClean)
+    StorePaths.wipe(spark, Seq(sentPath, cleanedPath, bloomPath,
+      s"$path/checkpoint"))
+    val kept = spark.read.parquet(tmpSent)
+    kept.write.mode("overwrite").parquet(s"$sentPath/ingest_batch=-1")
+    spark.read.parquet(tmpClean).write.mode("overwrite")
+      .parquet(s"$cleanedPath/ingest_batch=-1")
+    writeBloomShards(kept, batchId = -1L)
+    StorePaths.wipe(spark, Seq(tmpSent, tmpClean))
   }
 }

@@ -93,4 +93,37 @@ class ParagraphIndexStoreSpec extends AnyFunSuite {
     assert(store.paragraphTable.count() ==
       Curation.paragraphHashes(store.cleaned, "text", "doc_id").count())
   }
+
+  test("compact folds every batch partition into one base build: " +
+      "membership, cleaned text, and later dedup exactly preserved") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files
+      .createTempDirectory("para_index_compact").toString
+    val store = new ParagraphIndexStore(spark, tmp)
+    store.initialize(corpusRows.toDF("doc_id", "text"), "text")
+    batches.zipWithIndex.foreach { case (b, i) =>
+      store.processBatch(b.toDF("doc_id", "text"), "text", i.toLong)
+    }
+    def snapshot(s: ParagraphIndexStore) = (
+      s.paragraphTable.orderBy($"doc_id", $"para_idx")
+        .as[(Long, Int, Int, Long)].collect().toSeq,
+      s.cleaned.orderBy($"doc_id")
+        .select($"doc_id", $"n_paras", $"n_dropped", $"text")
+        .as[(Long, Long, Long, String)].collect().toSeq)
+    val before = snapshot(store)
+    store.compact()
+    assert(snapshot(store) == before)
+    def parts(sub: String) = new java.io.File(s"$tmp/$sub").list()
+      .filter(_.startsWith("ingest_batch=")).toSeq
+    Seq("paragraphs", "cleaned", "blooms").foreach { sub =>
+      assert(parts(sub) == Seq("ingest_batch=-1"), sub)
+    }
+    // post-compaction the store still dedups against everything it
+    // ever kept — including paragraphs folded from batches
+    store.processBatch(
+      Seq((40L, "brand new analysis\n\nnever seen closing para"))
+        .toDF("doc_id", "text"), "text", 0L)
+    assert(store.cleaned.where($"doc_id" === 40L)
+      .select($"text").as[String].head() == "never seen closing para")
+  }
 }

@@ -120,4 +120,73 @@ class SentenceIndexStoreSpec extends AnyFunSuite {
     assert(store.sentenceTable.count() ==
       Curation.sentenceHashes(store.cleaned, "text", "doc_id").count())
   }
+
+  test("compact folds every batch partition into one base build " +
+      "WITHOUT re-segmenting rebuilt text: membership, cleaned text, " +
+      "and post-compaction dedup behavior are exactly preserved") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files
+      .createTempDirectory("sent_index_compact").toString
+    val store = new SentenceIndexStore(spark, tmp)
+    store.initialize(corpusRows.toDF("doc_id", "text"), "text")
+    batches.zipWithIndex.foreach { case (b, i) =>
+      store.processBatch(b.toDF("doc_id", "text"), "text", i.toLong)
+    }
+    // doc 30 keeps "He said no." and "3 dogs barked today." as
+    // SEPARATE sentences, but its REBUILT text rejoins them around
+    // the no.-before-digit protection and would re-segment as ONE —
+    // compact must carry the index rows as data, not recompute them
+    store.processBatch(
+      Seq((30L, "He said no. Entirely fresh sentence one. " +
+        "3 dogs barked today.")).toDF("doc_id", "text"), "text", 2L)
+    def snapshot(s: SentenceIndexStore) = (
+      s.sentenceTable.orderBy($"doc_id", $"sent_idx")
+        .as[(Long, Int, Int, Long)].collect().toSeq,
+      s.cleaned.orderBy($"doc_id")
+        .select($"doc_id", $"n_sentences", $"n_dropped", $"text")
+        .as[(Long, Long, Long, String)].collect().toSeq)
+    val before = snapshot(store)
+    store.compact()
+    assert(snapshot(store) == before)
+    // exactly one base partition per table remains
+    def parts(sub: String) = new java.io.File(s"$tmp/$sub").list()
+      .filter(_.startsWith("ingest_batch=")).toSeq
+    Seq("sentences", "cleaned", "blooms").foreach { sub =>
+      assert(parts(sub) == Seq("ingest_batch=-1"), sub)
+    }
+    // and the compacted store still kills a later duplicate (the
+    // sharded filters were rebuilt from the snapshot)
+    store.processBatch(
+      Seq((40L, "3 dogs barked today. Unseen closing words."))
+        .toDF("doc_id", "text"), "text", 0L)
+    assert(store.cleaned.where($"doc_id" === 40L)
+      .select($"text").as[String].head() == "Unseen closing words.")
+  }
+
+  test("minSentChars keeps short sentences out of the stored index " +
+      "entirely (they are never deduped, so they buy nothing but " +
+      "bloat) while the cleaned text keeps them") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files
+      .createTempDirectory("sent_index_minchars").toString
+    val store = new SentenceIndexStore(spark, tmp, minSentChars = 12)
+    store.initialize(
+      Seq((1L, "Yes. This sentence is long enough to index."))
+        .toDF("doc_id", "text"), "text")
+    val idx = store.sentenceTable
+      .select($"sent_chars").as[Int].collect()
+    assert(idx.forall(_ >= 12), idx.mkString(","))
+    assert(idx.length == 1)
+    // the short sentence survives in the text — out of the INDEX is
+    // not out of the CORPUS
+    assert(store.cleaned.select($"text").as[String].head()
+      .startsWith("Yes."))
+    // ...and a later batch repeating the short sentence keeps it too
+    // (never deduped at this threshold)
+    store.processBatch(
+      Seq((2L, "Yes. Another sufficiently long sentence arrives."))
+        .toDF("doc_id", "text"), "text", 0L)
+    assert(store.cleaned.where($"doc_id" === 2L)
+      .select($"text").as[String].head().startsWith("Yes."))
+  }
 }
