@@ -356,29 +356,15 @@ object Similarity {
         (i, cvec.toSeq)
       }.toSeq).toDF("centroid_id", "centroid"))
 
-    // CORPUS-side assignment is a PURE EXPRESSION argmin over literal
-    // centroids (the pqEncode shape): the centroids are driver-side
-    // values, so the former crossJoin + row_number window multiplied
-    // the corpus by nlist and hash-exchanged corpus×nlist rows WITH
-    // their embeddings just to pick a per-row minimum — ~nlist× the
-    // corpus bytes through the shuffle at 10⁹ vectors. array_min over
-    // (dist, centroid_id) structs keeps the identical (dist, id)
-    // lexicographic tie-break and the identical double arithmetic
-    // (-dot/|centroid|: the row's own norm is constant across
-    // centroids and cannot change the ranking) — one codegen'd map
-    // pass, zero exchange. The QUERY side keeps its window: it needs
-    // the top-nprobe, and queries are few by contract.
-    val assignExpr = array(centroids.zipWithIndex.map {
-      case (cvec, i) =>
-        val w = array(cvec.map(lit): _*)
-        struct((-dot(col("cv"), w) / norm(w)).as("dist"),
-          lit(i).as("centroid_id"))
-    }: _*)
-    val assigned = corpus.select(col(idCol).as("corpus_id"),
-        col(vecCol).as("cv"))
-      .withColumn("centroid_id",
-        array_min(assignExpr).getField("centroid_id"))
-      .select(col("corpus_id"), col("cv"), col("centroid_id"))
+    // CORPUS-side assignment is exchange-free either way; the FORM
+    // auto-switches on plan size (see the two builders below). The
+    // QUERY side keeps its window: it needs the top-nprobe, and
+    // queries are few by contract.
+    val assigned =
+      if (centroids.length.toLong * centroids.head.length
+          <= LiteralAssignMaxTerms)
+        ivfAssignLiteral(corpus, vecCol, idCol, centroids)
+      else ivfAssignKernel(corpus, vecCol, idCol, centroids)
 
     val qAssigned = queries.select(col(queryIdCol).as("query_id"),
         col(vecCol).as("qv"))
@@ -399,6 +385,98 @@ object Similarity {
       .where(col("rank") <= k)
       .select(col("query_id"), col("corpus_id"), col("cosine"),
         col("rank"))
+  }
+
+  // nlist×dim literals above which the literal-expression assignment
+  // stops being a win: a single expression embedding thousands of
+  // double literals bloats the constant pool / codegen unit (and
+  // eventually fails to compile), while the broadcast kernel carries
+  // the same centroids as ONE task-shared array. 16 384 terms keeps
+  // the default nlist=16 × dim≤1024 on the measured-faster literal
+  // path and switches well before javac/Janino limits bite.
+  private[similarity] val LiteralAssignMaxTerms = 16384L
+
+  /** Literal-expression argmin (the pqEncode shape): centroids are
+    * driver-side values, so the former crossJoin + row_number window
+    * multiplied the corpus by nlist and hash-exchanged corpus×nlist
+    * rows WITH their embeddings just to pick a per-row minimum —
+    * ~nlist× the corpus bytes through the shuffle at 10⁹ vectors.
+    * array_min over (dist, centroid_id) structs keeps the (dist, id)
+    * lexicographic tie-break and the double arithmetic
+    * (-dot/|centroid|: the row's own norm is constant across
+    * centroids and cannot change the ranking) — one codegen'd map
+    * pass, zero exchange. */
+  private[similarity] def ivfAssignLiteral(corpus: DataFrame,
+      vecCol: String, idCol: String,
+      centroids: Array[Array[Double]]): DataFrame = {
+    val assignExpr = array(centroids.zipWithIndex.map {
+      case (cvec, i) =>
+        val w = array(cvec.map(lit): _*)
+        struct((-dot(col("cv"), w) / norm(w)).as("dist"),
+          lit(i).as("centroid_id"))
+    }: _*)
+    corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"))
+      .withColumn("centroid_id",
+        array_min(assignExpr).getField("centroid_id"))
+      .select(col("corpus_id"), col("cv"), col("centroid_id"))
+  }
+
+  /** Broadcast-kernel argmin (the `KMeans.assign` shape) — the scale
+    * form of [[ivfAssignLiteral]] for large nlist: centroids and
+    * their norms broadcast once, one primitive mapPartitions pass
+    * computes each row's argmin with zero exchange and a plan whose
+    * size is INDEPENDENT of nlist. Bit-identical to the literal form
+    * (spec-pinned at nlist 256): the same sequential
+    * multiply-accumulate over doubles the native [[dot]] expression
+    * performs, the same `-dot/|centroid|` distance, and ascending-id
+    * iteration with strict `<` keeps the lexicographic (dist, id)
+    * tie-break. */
+  private[similarity] def ivfAssignKernel(corpus: DataFrame,
+      vecCol: String, idCol: String,
+      centroids: Array[Array[Double]]): DataFrame = {
+    val spark = corpus.sparkSession
+    val norms = centroids.map { c =>
+      var s = 0.0
+      var i = 0
+      while (i < c.length) { s += c(i) * c(i); i += 1 }
+      math.sqrt(s)
+    }
+    val bcC = spark.sparkContext.broadcast(centroids)
+    val bcN = spark.sparkContext.broadcast(norms)
+    val prepared = corpus.select(col(idCol).as("corpus_id"),
+      col(vecCol).as("cv"))
+    val outSchema = prepared.schema.add("centroid_id",
+      org.apache.spark.sql.types.IntegerType)
+    prepared.mapPartitions { rows =>
+      val cents = bcC.value
+      val ns = bcN.value
+      rows.map { r =>
+        if (r.isNullAt(1))
+          org.apache.spark.sql.Row.fromSeq(r.toSeq :+ null)
+        else {
+          // boxed Number covers float/double/int/long embeddings;
+          // doubleValue() is the same widening the literal form's
+          // dot expression applies per element
+          val v = r.getSeq[Number](1)
+          var best = 0
+          var bd = Double.MaxValue
+          var j = 0
+          while (j < cents.length) {
+            val c = cents(j)
+            var s = 0.0
+            var i = 0
+            while (i < c.length) {
+              s += v(i).doubleValue() * c(i)
+              i += 1
+            }
+            val d = -s / ns(j)
+            if (d < bd) { bd = d; best = j }
+            j += 1
+          }
+          org.apache.spark.sql.Row.fromSeq(r.toSeq :+ best)
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
   }
 
   /** Product-quantization codebooks: split the dimension into `m`

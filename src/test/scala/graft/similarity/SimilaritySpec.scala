@@ -270,4 +270,35 @@ class SimilaritySpec extends AnyFunSuite {
     assert(a.toSeq == b.toSeq,
       "codes must fit int8 exactly — the tinyint round-trip is lossless")
   }
+
+  test("ivf assignment: literal-expression and broadcast-kernel forms " +
+      "are bit-identical at nlist 256 (the auto-switch contract)") {
+    // 256 centroids x the embedding dim pushes the literal form past
+    // its comfort zone — exactly where ivfTopKWithCentroids switches
+    // to the kernel; both forms must agree on EVERY row, ties
+    // included, or the switch would change retrieval results
+    val sample = emb
+      .select(col("embedding"),
+        xxhash64(lit(7L), col("vec_id")).as("hr_"))
+      .orderBy(col("hr_")).limit(256)
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val lit256 = Similarity
+      .ivfAssignLiteral(emb, "embedding", "vec_id", sample)
+      .select(col("corpus_id"), col("centroid_id"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1)
+    val ker256 = Similarity
+      .ivfAssignKernel(emb, "embedding", "vec_id", sample)
+      .select(col("corpus_id"), col("centroid_id"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1)
+    assert(lit256.toSeq == ker256.toSeq)
+    // and the auto-switch picks the kernel here: 256 x dim exceeds
+    // the literal-term budget for any dim > 64
+    val dim = sample.head.length
+    if (256L * dim > Similarity.LiteralAssignMaxTerms) {
+      val topk = Similarity.ivfTopKWithCentroids(emb, emb.limit(2),
+        "embedding", "vec_id", "vec_id", k = 3, sample, nprobe = 4)
+      assert(topk.count() > 0)
+    }
+  }
 }
