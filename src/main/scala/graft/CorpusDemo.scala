@@ -133,9 +133,15 @@ object CorpusDemo {
         "text", "lang", nMin = 2, nMax = 3, topK = 1024)
     }
     val scored = t("score: lang/quality/repetition") {
-      graft.text.LanguageId.applyWithFallback(docs, "text", langModel)
+      // the q150 margin gate, live in the chain: a prediction whose
+      // total NB log-prob lead over the runner-up is under 1.0
+      // (1e6 micros — the q150 threshold) routes to 'und' and falls
+      // back to the stopword heuristic; margin_micro rides along so
+      // downstream stages can re-filter at their own confidence bar
+      graft.text.LanguageId.applyWithFallback(docs, "text", langModel,
+          minMarginMicros = 1000000L)
         .withColumnRenamed("language", "lang_pred")
-        .drop("score_micro", "scores_micro", "margin_micro")
+        .drop("score_micro", "scores_micro")
         .withColumn("tok_", TextAnalysis.tokens(lower(col("text"))))
         .withColumn("quality", TextAnalysis.qualityScore(col("text")))
         .withColumn("top_word_frac",
@@ -144,6 +150,14 @@ object CorpusDemo {
         .drop("tok_")
         .localCheckpoint(false)
     }
+    // how often the margin gate fired: rows the NB model scored but
+    // routed to the heuristic for lack of confidence keep their
+    // sub-threshold margin_micro with a heuristic (or 'und') label
+    val routed = scored
+      .where(col("margin_micro") < 1000000L && col("margin_micro") > 0L)
+      .count()
+    println(f"[corpus] margin gate routed $routed%,d low-confidence " +
+      "predictions to the stopword fallback")
 
     // 2. heuristic document filter (relaxed word-count floor: the
     //    synthetic docs are short)

@@ -55,12 +55,23 @@ object Clusters {
       dstCol: String): Unit =
     Seq(srcCol, dstCol).foreach { c =>
       val dt = edges.schema(c).dataType
-      val ok = dt == org.apache.spark.sql.types.ByteType ||
-        dt == org.apache.spark.sql.types.ShortType ||
-        dt == org.apache.spark.sql.types.IntegerType ||
-        dt == org.apache.spark.sql.types.LongType
+      val ok = dt match {
+        case org.apache.spark.sql.types.ByteType |
+            org.apache.spark.sql.types.ShortType |
+            org.apache.spark.sql.types.IntegerType |
+            org.apache.spark.sql.types.LongType => true
+        // scale-0 decimals (the type Parquet/JDBC sources commonly
+        // surface integer ids as) cast to long losslessly up to 18
+        // digits; precision 19 can exceed Long.MaxValue (~9.22e18)
+        // and the overflow casts to NULL in non-ANSI mode — the
+        // silent-edge-loss failure this guard exists to catch
+        case d: org.apache.spark.sql.types.DecimalType =>
+          d.scale == 0 && d.precision <= 18
+        case _ => false
+      }
       require(ok,
-        s"cluster id column '$c' must be an integral type, got " +
+        s"cluster id column '$c' must be an integral type (or a " +
+          s"scale-0 decimal of precision <= 18), got " +
           s"${dt.simpleString}: a non-numeric id casts to NULL and " +
           "every edge silently disappears")
     }

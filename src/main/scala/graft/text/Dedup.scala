@@ -270,7 +270,15 @@ object Dedup {
     * collide with high probability; a fixed band count whose
     * threshold sits ABOVE minJaccard (e.g. 16 bands of 8 ≈ 0.71 at
     * the 0.5 default) silently drops most true pairs near the
-    * cutoff. */
+    * cutoff.
+    *
+    * ID-namespace precondition (also on
+    * [[nearDupAgainstCorpusFromHashes]]): delta and corpus ids must
+    * come from ONE namespace — equal id means the same document. The
+    * self-pair guard suppresses any pair with coinciding ids (that's
+    * what lets one shared table serve as both sides), so two
+    * independent tables with colliding auto-increment ids would lose
+    * a true cross-table match; re-key one side first. */
   def nearDupAgainstCorpus(delta: DataFrame, corpus: DataFrame,
       textCol: String, idCol: String, numHashes: Int = 128,
       bands: Int = 0, k: Int = 3, minJaccard: Double = 0.5,
@@ -316,8 +324,15 @@ object Dedup {
       // shared table (the advertised stored-artifact shape): a doc
       // present on both sides must not match ITSELF at jaccard 1.0 —
       // an ingest gate keying on "has a corpus match" would otherwise
-      // discard the whole overlapping delta
-      .where(col("delta_id") =!= col("corpus_id"))
+      // discard the whole overlapping delta. PRECONDITION this guard
+      // imposes: delta and corpus ids must share ONE namespace (equal
+      // id ⟹ same document). Two independent tables whose
+      // auto-increment ids collide would have a true cross-table pair
+      // at coinciding ids silently suppressed — re-key one side
+      // before calling. Null-SAFE negation so null-id rows (allowed —
+      // ids are only compared, never joined on) still pair up instead
+      // of vanishing under `=!=`'s three-valued logic.
+      .where(!(col("delta_id") <=> col("corpus_id")))
       .select(col("delta_id"), col("corpus_id"))
       .dropDuplicates("delta_id", "corpus_id")
     candidates

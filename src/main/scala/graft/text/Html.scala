@@ -49,7 +49,16 @@ object Html {
     * otherwise anchor the lazy script regex and swallow the real
     * content up to the next genuine `</script>`; stripping the
     * comment first removes the stray tag before the script pass
-    * runs. */
+    * runs. The converse trade-off of that ordering: a literal `<!--`
+    * INSIDE a live script body with no `-->` before `</script>`
+    * (legacy CDATA-hiding JS, string literals) anchors the comment
+    * regex first — text up to the next `-->` is lost and the
+    * orphaned script prefix leaks code fragments into the blocks
+    * (where the link-density/min-chars filters usually, but not
+    * always, drop them). Commented-out trackers outnumber unclosed
+    * in-script `<!--` by orders of magnitude in real crawls, so the
+    * ordering favors the former; a DOM extractor is the fix for
+    * both, at the cost of leaving Column land (object doc). */
   def scrub(html: Column): Column = {
     val noComment = regexp_replace(html, "(?s)<!--.*?-->", " ")
     val noScript = regexp_replace(noComment,

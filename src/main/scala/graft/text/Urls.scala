@@ -179,6 +179,18 @@ object Urls {
       .drop("labels_", "nl_", "h_", "pslen_")
   }
 
+  /** Parse raw Public Suffix List file text into the rule strings
+    * [[registrableDomainPsl]] consumes, per the published format
+    * (publicsuffix.org/list/): a line is read up to the first
+    * whitespace; `//` comment lines and blank lines are ignored.
+    * Feed `spark.read.textFile(pslPath)` content (or a committed
+    * excerpt) through this and `.toDF("rule")` the result. */
+  def parsePslRules(lines: IterableOnce[String]): Seq[String] =
+    lines.iterator
+      .map(l => l.takeWhile(!_.isWhitespace))
+      .filter(r => r.nonEmpty && !r.startsWith("//"))
+      .toSeq
+
   /** Canonical URL as a pure expression — see object doc for the
     * rules. Null/scheme-less input canonicalizes to null (web corpora
     * treat those rows as undeduplicatable and keep them). */

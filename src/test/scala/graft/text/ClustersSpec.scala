@@ -225,4 +225,21 @@ class ClustersSpec extends AnyFunSuite {
       assert(e.getMessage.contains("integral"), e.getMessage)
     }
   }
+
+  test("scale-0 decimal ids (the Parquet/JDBC integer surface) are " +
+      "accepted and cluster correctly; 19-digit decimals that could " +
+      "overflow long are rejected") {
+    val dec = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+      .select($"id_a".cast("decimal(18,0)").as("id_a"),
+        $"id_b".cast("decimal(18,0)").as("id_b"))
+    val labels = Clusters.connectedComponentsStar(dec)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L))
+    val wide = dec.select($"id_a".cast("decimal(19,0)").as("id_a"),
+      $"id_b")
+    val e = intercept[IllegalArgumentException](
+      Clusters.connectedComponentsStar(wide))
+    assert(e.getMessage.contains("integral"), e.getMessage)
+  }
 }

@@ -205,4 +205,50 @@ class UrlsSpec extends AnyFunSuite {
     assert(plan.contains("partial_min") || plan.contains("HashAggregate"),
       plan)
   }
+
+  test("registrableDomainPsl against GENUINE published rule text: the " +
+      "committed PSL excerpt parses and reproduces the official test " +
+      "vectors for the *.ck/!www.ck and *.kawasaki.jp/!city families") {
+    val src = scala.io.Source.fromInputStream(
+      getClass.getResourceAsStream(
+        "/psl/public_suffix_list_excerpt.dat"), "UTF-8")
+    val rules = try Urls.parsePslRules(src.getLines()) finally src.close()
+    // the parser must keep exactly the rule tokens: no comments, no
+    // blanks, wildcard/exception markers intact
+    assert(rules.contains("*.ck") && rules.contains("!www.ck") &&
+      rules.contains("*.kawasaki.jp") &&
+      rules.contains("!city.kawasaki.jp") && rules.contains("co.uk"))
+    assert(!rules.exists(_.startsWith("//")) && !rules.contains(""))
+    val psl = rules.toDF("rule")
+    // expectations straight from the PSL project's checkPublicSuffix
+    // test vectors (publicsuffix.org/list/ tests)
+    val hosts = Seq(
+      "example.com", "www.example.com",
+      "example.co.uk", "www.example.co.uk", "co.uk",
+      "www.ck",            // !www.ck: suffix ck, registrable www.ck
+      "www.www.ck",        // exception beats *.ck
+      "test.ck",           // *.ck: test.ck IS a public suffix -> null
+      "b.test.ck",         // registrable under the wildcard suffix
+      "a.b.test.ck",
+      "city.kawasaki.jp",  // !city.kawasaki.jp
+      "test.kawasaki.jp",  // *.kawasaki.jp -> IS a suffix -> null
+      "www.test.kawasaki.jp")
+      .toDF("host")
+    val got = Urls.registrableDomainPsl(hosts, "host", psl)
+      .select($"host", $"registrable_domain")
+      .as[(String, String)].collect().toMap
+    assert(got("example.com") == "example.com")
+    assert(got("www.example.com") == "example.com")
+    assert(got("example.co.uk") == "example.co.uk")
+    assert(got("www.example.co.uk") == "example.co.uk")
+    assert(got("co.uk") == null)
+    assert(got("www.ck") == "www.ck")
+    assert(got("www.www.ck") == "www.ck")
+    assert(got("test.ck") == null)
+    assert(got("b.test.ck") == "b.test.ck")
+    assert(got("a.b.test.ck") == "b.test.ck")
+    assert(got("city.kawasaki.jp") == "city.kawasaki.jp")
+    assert(got("test.kawasaki.jp") == null)
+    assert(got("www.test.kawasaki.jp") == "www.test.kawasaki.jp")
+  }
 }
