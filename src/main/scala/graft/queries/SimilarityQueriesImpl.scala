@@ -184,6 +184,69 @@ object SimilarityQueriesImpl {
         .orderBy(col("query_id"), col("rank"))
     }
 
+    // q72's engine forced onto the BROADCAST-KERNEL assignment path:
+    // 260 id-picked centroids x dim 64 = 16,640 literal terms exceeds
+    // Similarity.LiteralAssignMaxTerms (16,384), so
+    // ivfTopKWithCentroids auto-switches from the literal array_min
+    // expression to the mapPartitions argmin — this gate proves the
+    // kernel form against the SAME independent SQL replay that pins
+    // the literal form (q72), so both sides of the auto-switch are
+    // oracle-gated, not just spec-equal to each other.
+    register("q151_cosine_topk_ivf_kernel", {
+      def sumProd(x: String, y: String) =
+        s"""LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, LEN($x)),
+           |    i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)))"""
+          .stripMargin
+      s"""WITH cent AS (
+         |  SELECT CAST(vec_id - 100 AS INT) AS centroid_id,
+         |    embedding AS cw
+         |  FROM embeddings WHERE vec_id BETWEEN 100 AND 359),
+         |e AS (SELECT vec_id AS corpus_id, embedding AS cv
+         |  FROM embeddings),
+         |ad AS (SELECT corpus_id, cv, centroid_id,
+         |    -${sumProd("cv", "cw")} / SQRT(${sumProd("cw", "cw")})
+         |      AS dist
+         |  FROM e CROSS JOIN cent),
+         |assigned AS (SELECT corpus_id, cv, centroid_id FROM (
+         |    SELECT corpus_id, cv, centroid_id, ROW_NUMBER() OVER (
+         |      PARTITION BY corpus_id ORDER BY dist, centroid_id) AS rn
+         |    FROM ad) WHERE rn = 1),
+         |q AS (SELECT vec_id AS query_id, embedding AS qv
+         |  FROM embeddings WHERE vec_id < 8),
+         |qd AS (SELECT query_id, qv, centroid_id,
+         |    -${sumProd("qv", "cw")} / SQRT(${sumProd("cw", "cw")})
+         |      AS dist
+         |  FROM q CROSS JOIN cent),
+         |qa AS (SELECT query_id, qv, centroid_id FROM (
+         |    SELECT query_id, qv, centroid_id, ROW_NUMBER() OVER (
+         |      PARTITION BY query_id ORDER BY dist, centroid_id) AS rn
+         |    FROM qd) WHERE rn <= 3),
+         |scored AS (SELECT qa.query_id, a.corpus_id,
+         |    ${sumProd("qa.qv", "a.cv")}
+         |      / (SQRT(${sumProd("qa.qv", "qa.qv")})
+         |       * SQRT(${sumProd("a.cv", "a.cv")})) AS cosine
+         |  FROM assigned a JOIN qa USING (centroid_id)),
+         |r AS (SELECT query_id, corpus_id, cosine,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY cosine DESC, corpus_id) AS rank
+         |  FROM scored)
+         |SELECT query_id, corpus_id, ROUND(cosine, 6) AS cosine, rank
+         |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+    }) { (s, dir) =>
+      val emb = table(s, dir, "embeddings")
+      val cents = emb.where(col("vec_id").between(100, 359))
+        .orderBy(col("vec_id")).select(col("embedding")).collect()
+        .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      assert(cents.length.toLong * cents.head.length >
+        Similarity.LiteralAssignMaxTerms,
+        "gate must exercise the kernel path")
+      Similarity.ivfTopKWithCentroids(emb, emb.where(col("vec_id") < 8),
+          "embedding", "vec_id", "vec_id", k = 5, centroids = cents,
+          nprobe = 3)
+        .withColumn("cosine", round(col("cosine"), 6))
+        .orderBy(col("query_id"), col("rank"))
+    }
+
     // Embedding near-dup pairs through the REAL bucket-join path
     // (embeddingNearDupsWithBucket), oracle-gated with a replicable
     // clustering — leading-4-dimension sign bits — and the exact

@@ -387,14 +387,16 @@ object Similarity {
         col("rank"))
   }
 
-  // nlist×dim literals above which the literal-expression assignment
-  // stops being a win: a single expression embedding thousands of
-  // double literals bloats the constant pool / codegen unit (and
-  // eventually fails to compile), while the broadcast kernel carries
-  // the same centroids as ONE task-shared array. 16 384 terms keeps
-  // the default nlist=16 × dim≤1024 on the measured-faster literal
-  // path and switches well before javac/Janino limits bite.
-  private[similarity] val LiteralAssignMaxTerms = 16384L
+  /** nlist×dim literals above which the literal-expression assignment
+    * stops being a win: a single expression embedding thousands of
+    * double literals bloats the constant pool / codegen unit (and
+    * eventually fails to compile), while the broadcast kernel carries
+    * the same centroids as ONE task-shared array. 16 384 terms keeps
+    * the default nlist=16 × dim≤1024 on the measured-faster literal
+    * path and switches well before javac/Janino limits bite. Public
+    * so callers (and the q151 gate) can tell which form a given
+    * (nlist, dim) resolves to. */
+  val LiteralAssignMaxTerms = 16384L
 
   /** Literal-expression argmin (the pqEncode shape): centroids are
     * driver-side values, so the former crossJoin + row_number window
