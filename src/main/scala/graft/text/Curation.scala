@@ -1331,6 +1331,14 @@ object Curation {
         explode(col(toksCol)).as("term"))
     val tf = terms.groupBy(col(idCol), col("term"))
       .agg(first(col("dl_")).as("dl_"), count(lit(1)).as("tf"))
+    // NO barrier on tf despite two consumers (vocabulary + per-doc
+    // join): tf ends in an Exchange, and AQE's shuffle-stage cache
+    // dedupes canonically-equal exchanges at runtime — measured: ONE
+    // explode map stage executes for both branches even though the
+    // plan string prints the subtree twice. A checkpoint here would
+    // pin a corpus-token-scale table in executor memory (measured
+    // OOM at 1M docs). The dedupLines-style trap only bites NARROW
+    // shared subtrees with no exchange boundary to reuse.
     val vocab = tf.groupBy(col("term")).agg(sum(col("tf")).as("c_"))
     val total = vocab.select(sum(col("c_")).as("t_"))
     val scoredTerms = vocab.crossJoin(broadcast(total))
@@ -1378,6 +1386,12 @@ object Curation {
     require(lambda > 0 && lambda < 1, "lambda in (0,1)")
     requireFresh(df.drop(toksCol), "pv_", "wv_", "bg_", "prev_",
       "term_", "micro_", "np_")
+    // two token consumers with DIFFERENT downstream exchanges (bigram
+    // pairs, unigram vocabulary) — the inline-tokenize convenience
+    // form re-tokenizes once per consumer. Deliberately NOT
+    // checkpointed: on the stored-artifact FromTokens path (the
+    // 100 TB shape) the second consumer is a cheap parquet re-scan,
+    // and a barrier would pin a corpus-token-scale table instead
     val toks = df
     val n = size(col(toksCol))
     val pairRows = toks
@@ -1389,7 +1403,11 @@ object Curation {
         .as("bg_"))
       .select(col(idCol), col("bg_.pv_").as("prev_"),
         col("bg_.wv_").as("term_"))
-    // per-doc bigram term frequencies; distinct-bigram corpus counts
+    // per-doc bigram term frequencies; distinct-bigram corpus
+    // counts. No barrier on tf2 (two consumers): AQE's stage cache
+    // reuses its shuffle across both branches (measured — see
+    // unigramLogProbFromTokens), and a checkpoint pins a pairs-scale
+    // table (measured OOM at 1M docs)
     val tf2 = pairRows.groupBy(col(idCol), col("prev_"), col("term_"))
       .agg(count(lit(1)).as("tf2"))
     val bc = tf2.groupBy(col("prev_"), col("term_"))
@@ -1462,6 +1480,10 @@ object Curation {
         .as("bg_"))
       .select(col(idCol), col("bg_.pv_").as("prev_"),
         col("bg_.wv_").as("term_"))
+    // no barrier on tf2 (two consumers): AQE's stage cache reuses
+    // the shuffle, so the pair explode runs once (measured: one
+    // 34 MB map stage for both consumers at 200k docs); a
+    // checkpoint pins a pairs-scale table (measured 1M-doc OOM)
     val tf2 = pairRows.groupBy(col(idCol), col("prev_"), col("term_"))
       .agg(count(lit(1)).as("tf2"))
     val bc = tf2.groupBy(col("prev_"), col("term_"))
@@ -1549,6 +1571,9 @@ object Curation {
         col("wv_"))).as("tg_"))
       .select(col(idCol), col("tg_.uv_").as("u_"),
         col("tg_.vv_").as("v_"), col("tg_.wv_").as("w_"))
+    // no barrier on tf3 (two consumers): AQE's stage cache dedupes
+    // its shuffle — the triple explode runs once either way
+    // (measured on the bigram twin)
     val tf3 = tripleRows.groupBy(col(idCol), col("u_"), col("v_"),
         col("w_"))
       .agg(count(lit(1)).as("tf3"))
