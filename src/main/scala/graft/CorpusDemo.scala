@@ -150,12 +150,12 @@ object CorpusDemo {
         .drop("tok_")
         .localCheckpoint(false)
     }
-    // how often the margin gate fired: rows the NB model scored but
-    // routed to the heuristic for lack of confidence keep their
-    // sub-threshold margin_micro with a heuristic (or 'und') label
-    val routed = scored
-      .where(col("margin_micro") < 1000000L && col("margin_micro") > 0L)
-      .count()
+    // how often the margin gate fired: every row whose margin sits
+    // under the threshold went to the stopword fallback — including
+    // exact ties at margin 0, which are routed too (the > 0 cut would
+    // undercount them; gramless docs also land here, but every demo
+    // page has text)
+    val routed = scored.where(col("margin_micro") < 1000000L).count()
     println(f"[corpus] margin gate routed $routed%,d low-confidence " +
       "predictions to the stopword fallback")
 

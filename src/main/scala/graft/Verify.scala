@@ -35,11 +35,14 @@ object Verify {
     // per-iteration centroid md5s, final centroids) next to the gate
     // output, so a driver-side hash red localizes to seeding or a
     // specific Lloyd iteration in one diff instead of a multi-round
-    // forensic stall. Same k/iters as the q145 gate.
+    // forensic stall. k/iters come from the gate's own definition —
+    // the dump can never trace a different model than q145 compares.
     if (wanted("q145_kmeans_clusters")) try {
       val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
       val (model, trace) = graft.similarity.KMeans.fitTraced(
-        emb, "embedding", "vec_id", k = 4, iters = 3)
+        emb, "embedding", "vec_id",
+        k = graft.queries.SimilarityQueriesImpl.KMeansGateK,
+        iters = graft.queries.SimilarityQueriesImpl.KMeansGateIters)
       val dbg = new StringBuilder
       dbg ++= "{\"seed_ids\": ["
       dbg ++= trace.seedIds.map(s => "\"" + s + "\"").mkString(", ")

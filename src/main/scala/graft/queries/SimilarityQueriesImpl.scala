@@ -17,6 +17,13 @@ import org.apache.spark.sql.functions._
   * spec-tested. */
 object SimilarityQueriesImpl {
 
+  /** The q145 gate's fit shape, shared with Verify's `q145_model`
+    * forensics dump — ONE definition, so the provenance artifact can
+    * never silently trace a different model than the gate compares
+    * (the exact drift the dump exists to prevent). */
+  val KMeansGateK = 4
+  val KMeansGateIters = 3
+
   def init(): Unit = {
 
     register("q70_cosine_topk_bruteforce",
@@ -797,8 +804,8 @@ object SimilarityQueriesImpl {
     // pico-dot convention pushed to its limit: zero floats anywhere
     // in the argmin, so no cross-engine summation-order risk at all.
     locally {
-      val k = 4
-      val iters = 3
+      val k = KMeansGateK
+      val iters = KMeansGateIters
       def dist(a: String, b: String): String =
         s"""LIST_AGGREGATE(LIST_TRANSFORM(
            |      GENERATE_SERIES(1, LEN($a)),

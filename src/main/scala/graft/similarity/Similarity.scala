@@ -449,12 +449,22 @@ object Similarity {
       col(vecCol).as("cv"))
     val outSchema = prepared.schema.add("centroid_id",
       org.apache.spark.sql.types.IntegerType)
+    val dim = centroids.head.length
     prepared.mapPartitions { rows =>
       val cents = bcC.value
       val ns = bcN.value
       rows.map { r =>
-        if (r.isNullAt(1))
-          org.apache.spark.sql.Row.fromSeq(r.toSeq :+ null)
+        // malformed vectors (null, wrong length, null element) MUST
+        // match the literal form bit-for-bit: there every dist is
+        // null, struct ordering puts null dist first, and array_min
+        // resolves to (null, 0) — centroid_id 0 — so the auto-switch
+        // can never change which rows survive retrieval
+        val malformed = r.isNullAt(1) || {
+          val v0 = r.getSeq[Number](1)
+          v0.length != dim || v0.contains(null)
+        }
+        if (malformed)
+          org.apache.spark.sql.Row.fromSeq(r.toSeq :+ 0)
         else {
           // boxed Number covers float/double/int/long embeddings;
           // doubleValue() is the same widening the literal form's

@@ -139,13 +139,22 @@ final class ParagraphIndexStore(spark: SparkSession, path: String,
     * the snapshot hash table; membership and cleaned text are
     * exactly preserved, no dedup recomputation. The checkpoint
     * resets — safe, every pre-compaction batch now lives in the
-    * base partition. */
+    * base partition. CRASH SAFETY: the snapshots are the recovery
+    * artifact — deleted only after the base rewrite, and a compact()
+    * that finds COMMITTED snapshots (`_SUCCESS`) from a crashed
+    * predecessor resumes the write-back from them instead of
+    * re-snapshotting the (possibly wiped) store; crash → call
+    * compact() again (the SentenceIndexStore contract). */
   def compact(): Unit = {
     val tmpPara = s"$path/compact_tmp_paragraphs"
     val tmpClean = s"$path/compact_tmp_cleaned"
-    StorePaths.wipe(spark, Seq(tmpPara, tmpClean))
-    paragraphTable.write.mode("overwrite").parquet(tmpPara)
-    cleaned.write.mode("overwrite").parquet(tmpClean)
+    val resuming = StorePaths.committed(spark, tmpPara) &&
+      StorePaths.committed(spark, tmpClean)
+    if (!resuming) {
+      StorePaths.wipe(spark, Seq(tmpPara, tmpClean))
+      paragraphTable.write.mode("overwrite").parquet(tmpPara)
+      cleaned.write.mode("overwrite").parquet(tmpClean)
+    }
     StorePaths.wipe(spark, Seq(paraPath, cleanedPath, bloomPath,
       s"$path/checkpoint"))
     val kept = spark.read.parquet(tmpPara)

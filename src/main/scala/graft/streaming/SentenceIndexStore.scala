@@ -162,13 +162,27 @@ final class SentenceIndexStore(spark: SparkSession, path: String,
     * filters rebuilt from the snapshot. Membership and cleaned text
     * are exactly preserved; the checkpoint resets, which is safe
     * because every pre-compaction batch now lives in the base
-    * partition. */
+    * partition.
+    *
+    * CRASH SAFETY: a driver death between the wipe and the rewrite
+    * would otherwise strand the corpus in the snapshot directories
+    * with an unreadable store. The snapshots are therefore the
+    * RECOVERY ARTIFACT — they are deleted only after the base
+    * rewrite completes, and a compact() that finds COMMITTED
+    * snapshots (parquet `_SUCCESS`) from a crashed predecessor
+    * RESUMES the write-back from them instead of re-snapshotting the
+    * (possibly already wiped) store. Crash → call compact() again;
+    * spec-pinned. */
   def compact(): Unit = {
     val tmpSent = s"$path/compact_tmp_sentences"
     val tmpClean = s"$path/compact_tmp_cleaned"
-    StorePaths.wipe(spark, Seq(tmpSent, tmpClean))
-    sentenceTable.write.mode("overwrite").parquet(tmpSent)
-    cleaned.write.mode("overwrite").parquet(tmpClean)
+    val resuming = StorePaths.committed(spark, tmpSent) &&
+      StorePaths.committed(spark, tmpClean)
+    if (!resuming) {
+      StorePaths.wipe(spark, Seq(tmpSent, tmpClean))
+      sentenceTable.write.mode("overwrite").parquet(tmpSent)
+      cleaned.write.mode("overwrite").parquet(tmpClean)
+    }
     StorePaths.wipe(spark, Seq(sentPath, cleanedPath, bloomPath,
       s"$path/checkpoint"))
     val kept = spark.read.parquet(tmpSent)

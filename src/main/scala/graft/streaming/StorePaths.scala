@@ -18,4 +18,14 @@ private[streaming] object StorePaths {
       val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.exists(hp)) fs.delete(hp, true)
     }
+
+  /** True when `path` holds a COMMITTED parquet write: the
+    * `_SUCCESS` marker distinguishes a completed snapshot from the
+    * debris of a write that died mid-commit — the signal compaction
+    * recovery keys on. */
+  def committed(spark: SparkSession, path: String): Boolean = {
+    val hp = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(hp)
+  }
 }

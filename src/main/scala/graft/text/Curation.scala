@@ -599,7 +599,11 @@ object Curation {
     * ROW-LOCALLY by re-splitting the original text and skipping the
     * dropped positions (split is deterministic, so the rebuild sees
     * exactly the exploded lines). The corpus text is read where it
-    * already sits and never shuffles; only hashes and indexes move.
+    * already sits; only hashes and indexes move — precise contract
+    * (boilerplate can touch EVERY doc, making the drop frame
+    * corpus-row-scale): see the rebuildByIndex note — zero text
+    * exchanges while the drop-index frame broadcasts, at most ONE
+    * beyond that, zero again on an id-bucketed corpus.
     * A 64-bit hash collision could merge two line groups
     * (over-dropping the rarer line); at curation thresholds that risk
     * is accepted for the 10× lighter shuffle. `idCol` must be unique
@@ -635,19 +639,28 @@ object Curation {
   }
 
   // per-doc sorted drop-index array from a flagged narrow frame —
-  // only documents that lose something get a row, so the join-back
-  // side is drop-scale (broadcastable), not corpus-scale
+  // only documents that lose something get a row, at ~40 bytes per
+  // affected doc. NOT always broadcast-scale: ubiquitous boilerplate
+  // (the dedupLines regime) can touch nearly every document, so the
+  // join-back's exchange behavior is data-dependent — see
+  // rebuildByIndex
   private def dropIndexes(flagged: DataFrame, idCol: String): DataFrame =
     flagged.where(col("drop_"))
       .groupBy(col(idCol))
       .agg(sort_array(collect_list(col("idx_"))).as("dropidx_"))
 
-  // the shared text-local rebuild: left-join the (small) per-doc
-  // drop-index frame to the ORIGINAL rows and re-split the original
-  // text, skipping dropped positions — the re-split reproduces the
-  // exploded units exactly (deterministic segmentation of ORIGINAL
-  // text; only re-segmenting REBUILT text is non-invertible), so no
-  // shuffle ever carries a text column
+  // the shared text-local rebuild: left-join the per-doc drop-index
+  // frame to the ORIGINAL rows and re-split the original text,
+  // skipping dropped positions — the re-split reproduces the exploded
+  // units exactly (deterministic segmentation of ORIGINAL text; only
+  // re-segmenting REBUILT text is non-invertible). Text-exchange
+  // contract, precisely: while the drop-index frame broadcasts
+  // (~40 B/affected doc — AQE broadcasts it far beyond toy sizes),
+  // text NEVER crosses an exchange; when drops outgrow the broadcast
+  // threshold (every-doc-affected regimes), the join degrades to AT
+  // MOST ONE text exchange — still half the old regroup plan's two —
+  // and to ZERO if the corpus is already partitioned/bucketed on
+  // idCol (the exchange is elided by the existing distribution)
   private def rebuildByIndex(df: DataFrame, drops: DataFrame,
       textCol: String, idCol: String, units: Column, joinSep: String,
       nCol: String): DataFrame = {
@@ -699,10 +712,10 @@ object Curation {
     * counters or slack. All trims/hashes happen in Column land
     * (byte-exact parity with [[dedupLines]]); the rebuild only
     * consults precomputed arrays. Zero shuffles end to end, vs
-    * [[dedupLines]]' explode + distinct + groupBy + join + regroup
-    * (whose regroup re-shuffles the full corpus TEXT — the cost that
-    * dominates on a real cluster's network even when a single box
-    * hides it). Same output schema.
+    * [[dedupLines]]' narrow explode + distinct + groupBy + decision
+    * join (hash/index rows only since the text-free rewrite — but
+    * still tens of MB per million documents on a real cluster's
+    * network, vs literally nothing here). Same output schema.
     *
     * Sizing `sketchK`: MG finds every item with true df >
     * N/(sketchK+1), N = total qualifying distinct-per-doc lines; a
@@ -783,10 +796,11 @@ object Curation {
     * (distinct-paragraph-scale) flows back through a hash-partitioned
     * equi-join against the NARROW rows only; the drop decisions
     * aggregate to a per-doc drop-index array (only documents that
-    * lose a paragraph) that broadcast-joins to the ORIGINAL row, and
-    * the text rebuilds row-locally by re-splitting the original text.
-    * No window over the corpus, nothing driver-side, no shuffle
-    * carries a text column. A 64-bit collision merges two paragraph
+    * lose a paragraph) that joins back to the ORIGINAL row
+    * (broadcast while it fits — see the rebuildByIndex contract:
+    * zero text exchanges then, at most one beyond), and the text
+    * rebuilds row-locally by re-splitting the original text. No
+    * window over the corpus, nothing driver-side. A 64-bit collision merges two paragraph
     * groups (the rarer one over-dropped); at curation scale that risk
     * buys the text-free shuffles, same trade as [[dedupLines]].
     *
@@ -837,9 +851,10 @@ object Curation {
     * hash, length) — no sentence text; the first-occurrence keeper
     * per hash is ONE map-side-combined `min(struct(id, idx))` groupBy;
     * drop decisions aggregate to a per-doc drop-index array that
-    * broadcast-joins to the ORIGINAL row, and the text rebuilds
-    * row-locally by RE-SEGMENTING THE ORIGINAL text and skipping the
-    * dropped positions. (Segmenting ORIGINAL text is deterministic,
+    * joins back to the ORIGINAL row (broadcast while it fits — the
+    * rebuildByIndex contract: zero text exchanges then, at most one
+    * beyond), and the text rebuilds row-locally by RE-SEGMENTING THE
+    * ORIGINAL text and skipping the dropped positions. (Segmenting ORIGINAL text is deterministic,
     * so the rebuild sees exactly the exploded sentences; the
     * non-invertibility lesson — see [[dedupSentencesWithIndex]] —
     * only forbids re-segmenting REBUILT text.) Sentences shorter than
@@ -885,7 +900,21 @@ object Curation {
   // (sent_chars, sent_hash)-schema frame.
   private def flagSentences(df: DataFrame, textCol: String,
       idCol: String, minSentChars: Int,
-      storedHashes: Option[DataFrame]): DataFrame = {
+      storedHashes: Option[DataFrame]): DataFrame =
+    flagSentencesResolved(df, textCol, idCol, minSentChars,
+      storedHashes.map { stored => (_: DataFrame) =>
+        stored.where(col("sent_chars") >= minSentChars)
+          .select(col("sent_hash").as("sh_")).distinct()
+      })
+
+  // the shared core with a PLUGGABLE known-membership resolver: the
+  // resolver receives the already-materialized narrow explode (so a
+  // sharded-Bloom front can derive its probe hashes WITHOUT a second
+  // segmentation pass over the batch text) and returns the resolved
+  // known-hash frame (single `sh_` column, distinct).
+  private def flagSentencesResolved(df: DataFrame, textCol: String,
+      idCol: String, minSentChars: Int,
+      resolveKnown: Option[DataFrame => DataFrame]): DataFrame = {
     requireFresh(df, "idx_", "sh_", "len_", "kid_", "kidx_",
       "drop_", "known_", "dropidx_", "units_")
     val narrow = explodeSentencesNarrow(df, textCol, idCol)
@@ -898,12 +927,9 @@ object Curation {
       .select(col("sh_"), col("k_.kid_").as("kid_"),
         col("k_.kidx_").as("kidx_"))
     val joined = narrow.join(keeper, Seq("sh_"), "left")
-    val withKnown = storedHashes match {
-      case Some(stored) =>
-        val known = stored
-          .where(col("sent_chars") >= minSentChars)
-          .select(col("sent_hash").as("sh_")).distinct()
-          .withColumn("known_", lit(1))
+    val withKnown = resolveKnown match {
+      case Some(resolve) =>
+        val known = resolve(narrow).withColumn("known_", lit(1))
         joined.join(known, Seq("sh_"), "left")
           .withColumn("drop_", col("known_").isNotNull ||
             (col("kid_").isNotNull &&
@@ -1016,21 +1042,25 @@ object Curation {
       storedHashes: DataFrame, shardBlooms: DataFrame, shards: Int,
       textCol: String, idCol: String, minSentChars: Int = 1)
       : (DataFrame, DataFrame) = {
-    val deltaHashes = sentenceHashes(delta, textCol, idCol)
-      .where(col("sent_chars") >= minSentChars)
-      .select(col("sent_hash")).distinct()
-    val maybe = flagMaybeKnownHashes(deltaHashes, "sent_hash",
-        shardBlooms, shards)
-      .where(col("maybe_known")).select(col("sent_hash"))
-    val confirmed = storedHashes
-      .where(col("sent_chars") >= minSentChars)
-      .join(broadcast(maybe), Seq("sent_hash"), "left_semi")
-      .select(lit(Int.MaxValue).as("sent_chars"), col("sent_hash"))
-      .distinct()
-    // confirmed is the resolved known set; sent_chars is a synthetic
-    // pass-any-threshold value because flagSentences re-filters on it
-    dedupSentencesAgainstWithIndex(delta, confirmed, textCol, idCol,
-      minSentChars)
+    // the resolver reads the probe hashes off the SAME materialized
+    // narrow explode flagSentencesResolved builds — no second
+    // segmentation pass over the batch text
+    val resolver = (narrow: DataFrame) => {
+      val deltaHashes = narrow
+        .where(col("sh_").isNotNull && col("len_") >= minSentChars)
+        .select(col("sh_").as("sent_hash")).distinct()
+      val maybe = flagMaybeKnownHashes(deltaHashes, "sent_hash",
+          shardBlooms, shards)
+        .where(col("maybe_known")).select(col("sent_hash"))
+      storedHashes
+        .where(col("sent_chars") >= minSentChars)
+        .join(broadcast(maybe), Seq("sent_hash"), "left_semi")
+        .select(col("sent_hash").as("sh_")).distinct()
+    }
+    val flagged = flagSentencesResolved(delta, textCol, idCol,
+      minSentChars, Some(resolver))
+    (rebuildSentences(delta, flagged, textCol, idCol),
+      keptSentenceHashes(flagged, idCol, minSentChars))
   }
 
   /** The stored-artifact half of paragraph dedup: one row per
@@ -1174,6 +1204,23 @@ object Curation {
       .toDF("shard", "bloom_bytes")
   }
 
+  // OR-merge one shard's serialized sub-filter rows into a single
+  // filter (None for an empty shard). Bit-compatibility is the
+  // paragraphBloomShards contract; every probe/merge path shares this
+  // loop so a fix (e.g. corrupt-filter handling) lands once.
+  private def mergeFilterRows(rows: Iterator[Array[Byte]])
+      : Option[org.apache.spark.util.sketch.BloomFilter] = {
+    val filters = rows.map(b =>
+      org.apache.spark.util.sketch.BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(b)))
+    if (!filters.hasNext) None
+    else {
+      val first = filters.next()
+      filters.foreach(first.mergeInPlace)
+      Some(first)
+    }
+  }
+
   /** Merge a multi-row-per-shard (shard, bloom_bytes) table (e.g. one
     * sub-filter per ingest batch) into one filter per shard. All rows
     * of a shard must come from the same (expectedItems, fpp, shards)
@@ -1186,13 +1233,9 @@ object Curation {
       .as[(Int, Array[Byte])]
       .groupByKey(_._1)
       .mapGroups { (shard, rows) =>
-        val it = rows.map(r =>
-          org.apache.spark.util.sketch.BloomFilter.readFrom(
-            new java.io.ByteArrayInputStream(r._2)))
-        val first = it.next()
-        it.foreach(first.mergeInPlace)
+        val merged = mergeFilterRows(rows.map(_._2)).get // non-empty
         val out = new java.io.ByteArrayOutputStream()
-        first.writeTo(out)
+        merged.writeTo(out)
         (shard, out.toByteArray)
       }
       .toDF("shard", "bloom_bytes")
@@ -1231,16 +1274,7 @@ object Curation {
       // EVERY sub-filter row of this shard participates: bit-compatible
       // by construction (same expectedItems/fpp/shards build), so the
       // OR-merge is exactly the monolithic filter
-      val filters = bs.map(b =>
-        org.apache.spark.util.sketch.BloomFilter.readFrom(
-          new java.io.ByteArrayInputStream(b._2)))
-      val bloom =
-        if (!filters.hasNext) None
-        else {
-          val first = filters.next()
-          filters.foreach(first.mergeInPlace)
-          Some(first)
-        }
+      val bloom = mergeFilterRows(bs.map(_._2))
       rs.map { case (id, idx, chars, h, _) =>
         (id, idx, chars, h,
           chars >= minParaChars && bloom.exists(_.mightContainLong(h)))
@@ -1283,16 +1317,7 @@ object Curation {
       .as[(Int, Array[Byte])]
       .groupByKey(_._1)
     rows.cogroup(blooms) { (_, rs, bs) =>
-      val filters = bs.map(b =>
-        org.apache.spark.util.sketch.BloomFilter.readFrom(
-          new java.io.ByteArrayInputStream(b._2)))
-      val bloom =
-        if (!filters.hasNext) None
-        else {
-          val first = filters.next()
-          filters.foreach(first.mergeInPlace)
-          Some(first)
-        }
+      val bloom = mergeFilterRows(bs.map(_._2))
       rs.map { case (h, _) =>
         (h, bloom.exists(_.mightContainLong(h)))
       }

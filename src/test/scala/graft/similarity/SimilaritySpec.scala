@@ -300,5 +300,29 @@ class SimilaritySpec extends AnyFunSuite {
         "embedding", "vec_id", "vec_id", k = 3, sample, nprobe = 4)
       assert(topk.count() > 0)
     }
+    // MALFORMED vectors must agree too (null embedding, wrong
+    // length, null element): the literal form's dists all go null
+    // and array_min resolves to (null, 0) — centroid 0 — and the
+    // kernel must never NPE or diverge on the same rows
+    val idx = sequence(lit(1), lit(dim))
+    val weird = spark.range(9001, 9004).toDF("vec_id")
+      .select($"vec_id",
+        when($"vec_id" === 9001, lit(null)
+            .cast("array<float>"))
+          .when($"vec_id" === 9002,
+            array(lit(1.0f), lit(2.0f)))
+          .otherwise(transform(idx, i =>
+            when(i === 1, lit(null).cast("float"))
+              .otherwise(i.cast("float")))).as("embedding"))
+      .unionByName(emb.limit(5).select($"vec_id", $"embedding"))
+    def run(f: (org.apache.spark.sql.DataFrame, String, String,
+        Array[Array[Double]]) => org.apache.spark.sql.DataFrame) =
+      f(weird, "embedding", "vec_id", sample)
+        .select($"corpus_id", $"centroid_id")
+        .collect().map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1)
+    val litW = run(Similarity.ivfAssignLiteral)
+    val kerW = run(Similarity.ivfAssignKernel)
+    assert(litW.toSeq == kerW.toSeq, s"lit=${litW.toSeq} ker=${kerW.toSeq}")
+    assert(litW.filter(_._1 >= 9001).forall(_._2 == 0))
   }
 }

@@ -163,6 +163,41 @@ class SentenceIndexStoreSpec extends AnyFunSuite {
       .select($"text").as[String].head() == "Unseen closing words.")
   }
 
+  test("compact recovers from a crash between the wipe and the " +
+      "rewrite: committed snapshots are the recovery artifact, a " +
+      "second compact() resumes from them") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files
+      .createTempDirectory("sent_index_crash").toString
+    val store = new SentenceIndexStore(spark, tmp)
+    store.initialize(corpusRows.toDF("doc_id", "text"), "text")
+    store.processBatch(batches.head.toDF("doc_id", "text"), "text", 0L)
+    val before = store.cleaned.orderBy($"doc_id")
+      .select($"doc_id", $"text").as[(Long, String)].collect().toSeq
+    // simulate the worst crash window: snapshots committed, store
+    // wiped, rewrite never ran (driver died)
+    store.sentenceTable.write.mode("overwrite")
+      .parquet(s"$tmp/compact_tmp_sentences")
+    store.cleaned.write.mode("overwrite")
+      .parquet(s"$tmp/compact_tmp_cleaned")
+    StorePaths.wipe(spark, Seq(s"$tmp/sentences", s"$tmp/cleaned",
+      s"$tmp/blooms", s"$tmp/checkpoint"))
+    // the store is unreadable right now — compact() must notice the
+    // committed snapshots and resume the write-back
+    store.compact()
+    val after = store.cleaned.orderBy($"doc_id")
+      .select($"doc_id", $"text").as[(Long, String)].collect().toSeq
+    assert(after == before)
+    // recovered store still dedups against everything it ever kept
+    store.processBatch(
+      Seq((50L, "Brand new analysis lands. Post recovery line."))
+        .toDF("doc_id", "text"), "text", 1L)
+    assert(store.cleaned.where($"doc_id" === 50L)
+      .select($"text").as[String].head() == "Post recovery line.")
+    // and the snapshots were consumed — a later compact starts fresh
+    assert(!StorePaths.committed(spark, s"$tmp/compact_tmp_sentences"))
+  }
+
   test("minSentChars keeps short sentences out of the stored index " +
       "entirely (they are never deduped, so they buy nothing but " +
       "bloat) while the cleaned text keeps them") {

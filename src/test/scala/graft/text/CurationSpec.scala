@@ -1246,6 +1246,45 @@ class CurationSpec extends AnyFunSuite {
     table.unpersist()
   }
 
+  test("flagMaybeKnownHashes: no false negatives through the sharded " +
+      "probe, multi-row shards OR-merge, empty shards flag nothing") {
+    val shards = 8
+    val stored = (0L until 3000L).map(i => i * 2654435761L)
+      .toDF("sent_hash")
+    val blooms = Curation.sentenceBloomShards(stored, shards,
+      expectedItems = 4000)
+    // every stored hash must flag as maybe-known (per-shard Bloom
+    // no-false-negative guarantee, hash-level probe)
+    val storedProbe = Curation.flagMaybeKnownHashes(stored,
+      "sent_hash", blooms, shards)
+    assert(storedProbe.where(!$"maybe_known").count() == 0)
+    // the UNMERGED multi-row-per-shard layout (two half-corpus
+    // sub-filter tables, the per-batch store format) must also catch
+    // everything — every sub-filter participates in the task-side
+    // OR-merge
+    val half1 = Curation.sentenceBloomShards(
+      stored.where($"sent_hash" % 2 === 0), shards, 4000)
+    val half2 = Curation.sentenceBloomShards(
+      stored.where($"sent_hash" % 2 =!= 0), shards, 4000)
+    val unmerged = Curation.flagMaybeKnownHashes(stored, "sent_hash",
+      half1.unionByName(half2), shards)
+    assert(unmerged.where(!$"maybe_known").count() == 0)
+    // novel hashes are mostly unflagged (fpp-bounded, generous cap)
+    val novel = (1L to 3000L).map(i => i * 40503L + 7L)
+      .toDF("sent_hash")
+    val fp = Curation.flagMaybeKnownHashes(novel, "sent_hash", blooms,
+      shards).where($"maybe_known").count()
+    assert(fp < 300, s"false positives $fp out of 3000")
+    // a shard with NO filter rows flags nothing: probe against a
+    // filter table missing some shards entirely
+    val partial = blooms.where($"shard" < 2)
+    val partialProbe = Curation.flagMaybeKnownHashes(stored,
+      "sent_hash", partial, shards)
+    assert(partialProbe
+      .where(pmod($"sent_hash", lit(shards)) >= 2 && $"maybe_known")
+      .count() == 0)
+  }
+
   test("dedup ladder never shuffles corpus text: measured shuffle " +
       "bytes are a small fraction of the (incompressible) text bytes") {
     // ~200 docs x ~10 KB of md5-hex text (shuffle compression can't
