@@ -1246,6 +1246,27 @@ class CurationSpec extends AnyFunSuite {
     table.unpersist()
   }
 
+  test("dedup ladder rebuild is plan-independent: forcing the " +
+      "drop-index join-back off the broadcast path (the " +
+      "every-doc-affected degraded regime) changes no value") {
+    val docs = (0L until 60L).map(i =>
+      (i, s"unique line $i alpha\nSHARED FOOTER\nunique line $i omega"))
+      .toDF("doc_id", "text")
+    def runAll() = (
+      Curation.dedupLines(docs, "text", "doc_id", maxDocs = 10)
+        .orderBy($"doc_id").collect().toSeq,
+      Curation.dedupParagraphs(docs, "text", "doc_id", sep = "\n")
+        .orderBy($"doc_id").collect().toSeq,
+      Curation.dedupSentences(docs, "text", "doc_id")
+        .orderBy($"doc_id").collect().toSeq)
+    val broadcastPath = runAll()
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try assert(runAll() == broadcastPath)
+    finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+      threshold)
+  }
+
   test("flagMaybeKnownHashes: no false negatives through the sharded " +
       "probe, multi-row shards OR-merge, empty shards flag nothing") {
     val shards = 8
