@@ -139,35 +139,26 @@ final class ParagraphIndexStore(spark: SparkSession, path: String,
     * the snapshot hash table; membership and cleaned text are
     * exactly preserved, no dedup recomputation. The checkpoint
     * resets — safe, every pre-compaction batch now lives in the
-    * base partition. CRASH SAFETY: the snapshots are the recovery
-    * artifact — deleted only after the base rewrite, and a compact()
-    * that finds COMMITTED snapshots (`_SUCCESS`) from a crashed
-    * predecessor resumes the write-back from them instead of
-    * re-snapshotting the (possibly wiped) store; crash → call
-    * compact() again (the SentenceIndexStore contract). */
-  def compact(): Unit = {
-    val tmpPara = s"$path/compact_tmp_paragraphs"
-    val tmpClean = s"$path/compact_tmp_cleaned"
-    val resuming = StorePaths.committed(spark, tmpPara) &&
-      StorePaths.committed(spark, tmpClean)
-    if (!resuming) {
-      StorePaths.wipe(spark, Seq(tmpPara, tmpClean))
-      paragraphTable.write.mode("overwrite").parquet(tmpPara)
-      cleaned.write.mode("overwrite").parquet(tmpClean)
+    * base partition. Crash safety is the shared
+    * [[StorePaths.compactStore]] protocol (see
+    * [[SentenceIndexStore.compact]]): resume only when the base
+    * build is missing; stale snapshots after a complete rewrite are
+    * ignored, never rolled back onto later batches. */
+  def compact(): Unit =
+    StorePaths.compactStore(spark,
+      Seq(
+        (() => paragraphTable, s"$path/compact_tmp_paragraphs",
+          s"$paraPath/ingest_batch=-1"),
+        (() => cleaned, s"$path/compact_tmp_cleaned",
+          s"$cleanedPath/ingest_batch=-1")),
+      Seq(paraPath, cleanedPath, bloomPath, s"$path/checkpoint")) {
+      reread =>
+        Curation.paragraphBloomShards(
+            reread.head.where(col("para_chars") >= minParaChars),
+            bloomShardCount,
+            expectedItems = bloomItemsPerShard * bloomShardCount,
+            fpp = bloomFpp)
+          .write.mode("overwrite")
+          .parquet(s"$bloomPath/ingest_batch=-1")
     }
-    StorePaths.wipe(spark, Seq(paraPath, cleanedPath, bloomPath,
-      s"$path/checkpoint"))
-    val kept = spark.read.parquet(tmpPara)
-    kept.write.mode("overwrite").parquet(s"$paraPath/ingest_batch=-1")
-    spark.read.parquet(tmpClean).write.mode("overwrite")
-      .parquet(s"$cleanedPath/ingest_batch=-1")
-    Curation.paragraphBloomShards(
-        kept.where(col("para_chars") >= minParaChars),
-        bloomShardCount,
-        expectedItems = bloomItemsPerShard * bloomShardCount,
-        fpp = bloomFpp)
-      .write.mode("overwrite")
-      .parquet(s"$bloomPath/ingest_batch=-1")
-    StorePaths.wipe(spark, Seq(tmpPara, tmpClean))
-  }
 }

@@ -164,32 +164,21 @@ final class SentenceIndexStore(spark: SparkSession, path: String,
     * because every pre-compaction batch now lives in the base
     * partition.
     *
-    * CRASH SAFETY: a driver death between the wipe and the rewrite
-    * would otherwise strand the corpus in the snapshot directories
-    * with an unreadable store. The snapshots are therefore the
-    * RECOVERY ARTIFACT — they are deleted only after the base
-    * rewrite completes, and a compact() that finds COMMITTED
-    * snapshots (parquet `_SUCCESS`) from a crashed predecessor
-    * RESUMES the write-back from them instead of re-snapshotting the
-    * (possibly already wiped) store. Crash → call compact() again;
-    * spec-pinned. */
-  def compact(): Unit = {
-    val tmpSent = s"$path/compact_tmp_sentences"
-    val tmpClean = s"$path/compact_tmp_cleaned"
-    val resuming = StorePaths.committed(spark, tmpSent) &&
-      StorePaths.committed(spark, tmpClean)
-    if (!resuming) {
-      StorePaths.wipe(spark, Seq(tmpSent, tmpClean))
-      sentenceTable.write.mode("overwrite").parquet(tmpSent)
-      cleaned.write.mode("overwrite").parquet(tmpClean)
+    * CRASH SAFETY — the [[StorePaths.compactStore]] protocol, shared
+    * with [[ParagraphIndexStore]]: the snapshots are the recovery
+    * artifact (deleted only after the rewrite), resume fires ONLY
+    * when the base build is actually missing, and stale snapshots
+    * surviving a crash AFTER a complete rewrite are ignored rather
+    * than rolled back onto batches ingested since. Crash → call
+    * compact() again; spec-pinned incl. the stale-snapshot case. */
+  def compact(): Unit =
+    StorePaths.compactStore(spark,
+      Seq(
+        (() => sentenceTable, s"$path/compact_tmp_sentences",
+          s"$sentPath/ingest_batch=-1"),
+        (() => cleaned, s"$path/compact_tmp_cleaned",
+          s"$cleanedPath/ingest_batch=-1")),
+      Seq(sentPath, cleanedPath, bloomPath, s"$path/checkpoint")) {
+      reread => writeBloomShards(reread.head, batchId = -1L)
     }
-    StorePaths.wipe(spark, Seq(sentPath, cleanedPath, bloomPath,
-      s"$path/checkpoint"))
-    val kept = spark.read.parquet(tmpSent)
-    kept.write.mode("overwrite").parquet(s"$sentPath/ingest_batch=-1")
-    spark.read.parquet(tmpClean).write.mode("overwrite")
-      .parquet(s"$cleanedPath/ingest_batch=-1")
-    writeBloomShards(kept, batchId = -1L)
-    StorePaths.wipe(spark, Seq(tmpSent, tmpClean))
-  }
 }

@@ -126,4 +126,40 @@ class ParagraphIndexStoreSpec extends AnyFunSuite {
     assert(store.cleaned.where($"doc_id" === 40L)
       .select($"text").as[String].head() == "never seen closing para")
   }
+
+  test("compact crash recovery mirrors the sentence store: committed " +
+      "snapshots resume a wiped store; stale ones never roll back") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files
+      .createTempDirectory("para_index_crash").toString
+    val store = new ParagraphIndexStore(spark, tmp)
+    store.initialize(corpusRows.toDF("doc_id", "text"), "text")
+    store.processBatch(batches.head.toDF("doc_id", "text"), "text", 0L)
+    val before = store.cleaned.orderBy($"doc_id")
+      .select($"doc_id", $"text").as[(Long, String)].collect().toSeq
+    // crash window: snapshots committed, store wiped, rewrite lost
+    store.paragraphTable.write.mode("overwrite")
+      .parquet(s"$tmp/compact_tmp_paragraphs")
+    store.cleaned.write.mode("overwrite")
+      .parquet(s"$tmp/compact_tmp_cleaned")
+    StorePaths.wipe(spark, Seq(s"$tmp/paragraphs", s"$tmp/cleaned",
+      s"$tmp/blooms", s"$tmp/checkpoint"))
+    store.compact()
+    assert(store.cleaned.orderBy($"doc_id")
+      .select($"doc_id", $"text").as[(Long, String)].collect().toSeq
+      == before)
+    // stale-snapshot case: snapshots linger while the store is
+    // intact and keeps ingesting — compact must keep the new batch
+    store.paragraphTable.write.mode("overwrite")
+      .parquet(s"$tmp/compact_tmp_paragraphs")
+    store.cleaned.write.mode("overwrite")
+      .parquet(s"$tmp/compact_tmp_cleaned")
+    store.processBatch(batches(1).toDF("doc_id", "text"), "text", 1L)
+    val withNew = store.cleaned.orderBy($"doc_id")
+      .select($"doc_id", $"text").as[(Long, String)].collect().toSeq
+    store.compact()
+    assert(store.cleaned.orderBy($"doc_id")
+      .select($"doc_id", $"text").as[(Long, String)].collect().toSeq
+      == withNew)
+  }
 }

@@ -198,6 +198,40 @@ class SentenceIndexStoreSpec extends AnyFunSuite {
     assert(!StorePaths.committed(spark, s"$tmp/compact_tmp_sentences"))
   }
 
+  test("STALE committed snapshots never roll the store back: a crash " +
+      "after a complete rewrite leaves snapshots behind, new batches " +
+      "ingest, and the next compact keeps them") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files
+      .createTempDirectory("sent_index_stale").toString
+    val store = new SentenceIndexStore(spark, tmp)
+    store.initialize(corpusRows.toDF("doc_id", "text"), "text")
+    // simulate: a compact completed its rewrite but died before
+    // deleting its snapshots — the store is intact AND committed
+    // snapshots of the OLD state linger
+    store.sentenceTable.write.mode("overwrite")
+      .parquet(s"$tmp/compact_tmp_sentences")
+    store.cleaned.write.mode("overwrite")
+      .parquet(s"$tmp/compact_tmp_cleaned")
+    // life goes on: a new batch lands AFTER the stale snapshots
+    store.processBatch(batches.head.toDF("doc_id", "text"), "text", 0L)
+    val withNew = store.cleaned.orderBy($"doc_id")
+      .select($"doc_id", $"text").as[(Long, String)].collect().toSeq
+    assert(withNew.exists(_._1 == 10L))
+    // the next compact must NOT resume from the stale snapshots —
+    // that would silently erase docs 10/11
+    store.compact()
+    val after = store.cleaned.orderBy($"doc_id")
+      .select($"doc_id", $"text").as[(Long, String)].collect().toSeq
+    assert(after == withNew, s"rolled back: $after vs $withNew")
+    // and the post-compact store still remembers batch-0 sentences
+    store.processBatch(
+      Seq((60L, "Brand new analysis lands. Stale check ending."))
+        .toDF("doc_id", "text"), "text", 0L)
+    assert(store.cleaned.where($"doc_id" === 60L)
+      .select($"text").as[String].head() == "Stale check ending.")
+  }
+
   test("minSentChars keeps short sentences out of the stored index " +
       "entirely (they are never deduped, so they buy nothing but " +
       "bloat) while the cleaned text keeps them") {
