@@ -98,4 +98,21 @@ final class UrlIndexStore(spark: SparkSession, path: String,
       .write.mode("overwrite")
       .parquet(s"$urlsPath/ingest_batch=$batchId")
   }
+
+  /** Maintenance compaction — the shared
+    * [[StorePaths.compactStore]] protocol (see
+    * [[SentenceIndexStore.compact]]): a long ingest degrades into one
+    * tiny `ingest_batch=*` partition per batch; fold everything into
+    * a fresh base build with crash-resume and stale-snapshot
+    * protection. Membership and accepted rows exactly preserved; no
+    * re-canonicalization (the stored tables are already the derived
+    * artifacts). */
+  def compact(): Unit =
+    StorePaths.compactStore(spark,
+      Seq(
+        (() => urlTable, s"$path/compact_tmp_urls",
+          s"$urlsPath/ingest_batch=-1"),
+        (() => accepted, s"$path/compact_tmp_accepted",
+          s"$acceptedPath/ingest_batch=-1")),
+      Seq(urlsPath, acceptedPath, s"$path/checkpoint")) { _ => () }
 }

@@ -75,4 +75,35 @@ class UrlIndexStoreSpec extends AnyFunSuite {
       .as[Long].collect().toSeq
     assert(once == twice)
   }
+
+  test("compact folds batch partitions into one base build and the " +
+      "store keeps rejecting known canonicals afterwards") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files
+      .createTempDirectory("url_index_compact").toString
+    val store = new UrlIndexStore(spark, tmp)
+    store.initialize(corpusRows.toDF("doc_id", "url", "text"))
+    store.processBatch(batches.head.toDF("doc_id", "url", "text"), 0L)
+    def snap() = (
+      store.urlTable.orderBy($"canonical_url")
+        .as[String].collect().toSeq,
+      store.accepted.select($"doc_id").orderBy($"doc_id")
+        .as[Long].collect().toSeq)
+    val before = snap()
+    store.compact()
+    assert(snap() == before)
+    def parts(sub: String) = new java.io.File(s"$tmp/$sub").list()
+      .filter(_.startsWith("ingest_batch=")).toSeq
+    Seq("urls", "accepted").foreach { sub =>
+      assert(parts(sub) == Seq("ingest_batch=-1"), sub)
+    }
+    // a post-compaction batch re-delivering a known canonical drops it
+    val knownUrl = corpusRows.head._2
+    store.processBatch(
+      Seq((900L, knownUrl, "redelivered"),
+        (901L, "http://fresh.example.org/new", "novel"))
+        .toDF("doc_id", "url", "text"), 0L)
+    val ids = store.accepted.select($"doc_id").as[Long].collect().toSet
+    assert(!ids.contains(900L) && ids.contains(901L))
+  }
 }
