@@ -812,15 +812,28 @@ object SimilarityQueriesImpl {
            |      i -> ($a[i] - $b[i]) * ($a[i] - $b[i])), 'sum')"""
           .stripMargin
       // greedy farthest-point step n: the row maximizing its nearest
-      // distance to seeds s1..s(n-1), ties -> lowest id
+      // distance to seeds s1..s(n-1), ties -> lowest id (vec_id rides
+      // along so the q145b seed-id diagnostic can read it back)
       def seedStep(n: Int): String = {
         val prev = (1 until n).map(j => s"s$j")
         val nd = prev.map(p => dist("vm.v", s"$p.v"))
           .reduce((x, y) => s"LEAST($x,\n      $y)")
         s"""s$n AS MATERIALIZED (
-           |  SELECT vm.v FROM vm, ${prev.mkString(", ")}
+           |  SELECT vm.vec_id, vm.v FROM vm, ${prev.mkString(", ")}
            |  ORDER BY $nd DESC, vm.vec_id LIMIT 1)""".stripMargin
       }
+      // the shared quantize + seeding CTE prefix — ONE text, so the
+      // q145 gate and its stage-isolating diagnostics can never
+      // silently probe different pipelines
+      val vmSql =
+        """vm AS MATERIALIZED (SELECT vec_id,
+          |    LIST_TRANSFORM(embedding, x ->
+          |      CAST(ROUND(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS v
+          |  FROM embeddings)""".stripMargin
+      def seedsSql: String =
+        s"""s1 AS MATERIALIZED (SELECT vec_id, v FROM vm
+           |  ORDER BY MD5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 1),
+           |${(2 to k).map(seedStep).mkString(",\n")}""".stripMargin
       def iterStep(t: Int): String =
         s"""a$t AS MATERIALIZED (
            |  SELECT vec_id, v, cid, d FROM (
@@ -843,13 +856,8 @@ object SimilarityQueriesImpl {
            |    (SELECT cid, LIST(m ORDER BY dim) AS v FROM cm$t
            |     GROUP BY 1) n USING (cid))""".stripMargin
       register("q145_kmeans_clusters",
-        s"""WITH vm AS MATERIALIZED (SELECT vec_id,
-           |    LIST_TRANSFORM(embedding, x ->
-           |      CAST(ROUND(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS v
-           |  FROM embeddings),
-           |s1 AS MATERIALIZED (SELECT v FROM vm
-           |  ORDER BY MD5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 1),
-           |${(2 to k).map(seedStep).mkString(",\n")},
+        s"""WITH $vmSql,
+           |$seedsSql,
            |cent0 AS MATERIALIZED (
            |  ${(1 to k).map(j =>
               s"SELECT ${j - 1} AS cid, v FROM s$j")
@@ -872,6 +880,116 @@ object SimilarityQueriesImpl {
           .select(col("vec_id"), col("cluster_id").cast("long")
             .as("cluster_id"), col("dist_sq"))
           .orderBy(col("vec_id"))
+      }
+
+      // ---- q145 stage-isolating diagnostics -------------------------
+      // Three rounds of driver-side q145 reds that no judge-side rerun
+      // reproduces: the next CORRECTNESS file must NAME the diverging
+      // stage in the one environment that reds. Each diagnostic is an
+      // ordinary hash gate over ONE stage of the q145 chain
+      // (quantize → seed → iterate → assign), sharing the exact CTE
+      // text with the full gate:
+      //   q145a red            → the ROUND(DOUBLE*1e6) input
+      //                          quantization diverges (the one float
+      //                          step left in the chain);
+      //   q145a green, b red   → seeding (md5 rank / argmax scan);
+      //   a+b green, c red     → the Lloyd update arithmetic;
+      //   a+b+c green, q145 red→ the final assign, or the driver's
+      //                          compare harness itself — code churn
+      //                          ends.
+      // q145d probes the FLOOR-based quantizer (no half-way rule, and
+      // the double product is exact for FLOAT inputs — see
+      // KMeans.quantizeFloor): q145a red + q145d green hands the next
+      // round an evidence-backed fix (switch the chain to floor).
+
+      // per-vector sum AND index-weighted sum of the quantized micros:
+      // two independent linear functionals, so offsetting ±1 flips
+      // within one vector cannot mask each other
+      register("q145a_quantize_probe",
+        s"""WITH $vmSql
+           |SELECT vec_id,
+           |  CAST(COALESCE(LIST_AGGREGATE(v, 'sum'), 0) AS BIGINT)
+           |    AS micros_sum,
+           |  CAST(COALESCE(LIST_AGGREGATE(LIST_TRANSFORM(
+           |      GENERATE_SERIES(1, LEN(v)), i -> i * v[i]), 'sum'),
+           |    0) AS BIGINT) AS micros_wsum
+           |FROM vm ORDER BY vec_id""".stripMargin) { (s, dir) =>
+        val emb = table(s, dir, "embeddings")
+        val vm = emb.select(col("vec_id"),
+          graft.similarity.KMeans.quantize(col("embedding")).as("v"))
+        vm.select(col("vec_id"),
+            coalesce(aggregate(col("v"), lit(0L), (a, x) => a + x),
+              lit(0L)).as("micros_sum"),
+            coalesce(aggregate(
+              transform(col("v"), (x, i) => (i.cast("long") + 1) * x),
+              lit(0L), (a, x) => a + x), lit(0L)).as("micros_wsum"))
+          .orderBy(col("vec_id"))
+      }
+
+      register("q145d_quantize_floor_probe",
+        s"""WITH vm AS (SELECT vec_id,
+           |    LIST_TRANSFORM(embedding, x ->
+           |      CAST(FLOOR(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS v
+           |  FROM embeddings)
+           |SELECT vec_id,
+           |  CAST(COALESCE(LIST_AGGREGATE(v, 'sum'), 0) AS BIGINT)
+           |    AS micros_sum,
+           |  CAST(COALESCE(LIST_AGGREGATE(LIST_TRANSFORM(
+           |      GENERATE_SERIES(1, LEN(v)), i -> i * v[i]), 'sum'),
+           |    0) AS BIGINT) AS micros_wsum
+           |FROM vm ORDER BY vec_id""".stripMargin) { (s, dir) =>
+        val emb = table(s, dir, "embeddings")
+        val vm = emb.select(col("vec_id"),
+          graft.similarity.KMeans.quantizeFloor(col("embedding"))
+            .as("v"))
+        vm.select(col("vec_id"),
+            coalesce(aggregate(col("v"), lit(0L), (a, x) => a + x),
+              lit(0L)).as("micros_sum"),
+            coalesce(aggregate(
+              transform(col("v"), (x, i) => (i.cast("long") + 1) * x),
+              lit(0L), (a, x) => a + x), lit(0L)).as("micros_wsum"))
+          .orderBy(col("vec_id"))
+      }
+
+      register("q145b_seed_ids",
+        s"""WITH $vmSql,
+           |$seedsSql
+           |SELECT CAST(seed_ord AS BIGINT) AS seed_ord, vec_id
+           |FROM (${(1 to k).map(j =>
+              s"SELECT $j AS seed_ord, vec_id FROM s$j")
+              .mkString("\n  UNION ALL ")})
+           |ORDER BY seed_ord""".stripMargin) { (s, dir) =>
+        val emb = table(s, dir, "embeddings")
+        val ids = graft.similarity.KMeans.seedIds(emb, "embedding",
+          "vec_id", k)
+        import s.implicits._
+        ids.zipWithIndex
+          .map { case (id, i) => ((i + 1).toLong, id.toLong) }
+          .toDF("seed_ord", "vec_id")
+          .orderBy(col("seed_ord"))
+      }
+
+      register("q145c_centroids_iter1",
+        s"""WITH $vmSql,
+           |$seedsSql,
+           |cent0 AS MATERIALIZED (
+           |  ${(1 to k).map(j =>
+              s"SELECT ${j - 1} AS cid, v FROM s$j")
+              .mkString("\n  UNION ALL ")}),
+           |${iterStep(1)}
+           |SELECT CAST(cid AS BIGINT) AS cluster_id,
+           |  CAST(u.i AS BIGINT) AS dim, v[u.i] AS micro
+           |FROM cent1, UNNEST(GENERATE_SERIES(1, LEN(v))) u(i)
+           |ORDER BY cluster_id, dim""".stripMargin) { (s, dir) =>
+        val emb = table(s, dir, "embeddings")
+        val (model, _) = graft.similarity.KMeans.fitTraced(emb,
+          "embedding", "vec_id", k, iters = 1)
+        import s.implicits._
+        model.centroids.zipWithIndex.flatMap { case (c, cid) =>
+          c.zipWithIndex.map { case (m, d) =>
+            (cid.toLong, (d + 1).toLong, m) }
+        }.toDF("cluster_id", "dim", "micro")
+          .orderBy(col("cluster_id"), col("dim"))
       }
     }
   }

@@ -38,6 +38,20 @@ object KMeans {
   def quantize(vec: Column): Column =
     transform(vec, x => round(x.cast("double") * 1e6).cast("long"))
 
+  /** FLOOR-based micro quantization — the q145d diagnostic probe and
+    * the designated fallback quantizer should the q145a probe convict
+    * [[quantize]]'s ROUND in the driver environment. Why floor is
+    * divergence-proof where round is not: both engines compute the
+    * IDENTICAL IEEE-754 binary double `x * 1e6` (for FLOAT inputs the
+    * product is even exact — a 24-bit mantissa times 15625 stays
+    * under 2^53), and `floor` of a given binary double is a single
+    * well-defined value with NO tie-breaking rule — whereas `round`
+    * must pick a half-way rule (Spark: shortest-decimal HALF_UP;
+    * other engines: the C library's or banker's), the one remaining
+    * float-sensitive step in the q145 chain. */
+  def quantizeFloor(vec: Column): Column =
+    transform(vec, x => floor(x.cast("double") * 1e6).cast("long"))
+
   /** Exact squared distance between two micro-long arrays:
     * `Σ (v_i − c_i)²` — pure long arithmetic. */
   def distSq(a: Column, b: Column): Column =
@@ -157,6 +171,20 @@ object KMeans {
     * model; [[assign]] labels any frame with it. */
   def fit(df: DataFrame, vecCol: String, idCol: String, k: Int,
       iters: Int): Model = fitTraced(df, vecCol, idCol, k, iters)._1
+
+  /** The deterministic farthest-point seed ids ALONE (pick order) —
+    * the q145b diagnostic gate's engine side: stage 2 of the fit
+    * (quantize → seed → iterate) isolated, so a cross-engine red in
+    * the full q145 chain localizes to seeding without rerunning any
+    * Lloyd iteration. */
+  def seedIds(df: DataFrame, vecCol: String, idCol: String, k: Int)
+      : IndexedSeq[String] = {
+    require(k >= 1, "need k >= 1")
+    val vm = df.select(col(idCol), quantize(col(vecCol)).as("vm_"))
+      .where(col("vm_").isNotNull)
+      .localCheckpoint(false) // init scans the basis k-1 times
+    init(vm, idCol, k)._1
+  }
 
   /** [[fit]] plus a [[Trace]] (seed ids, per-iteration centroid
     * md5s) — the `q145_model` debug artifact Verify dumps so a

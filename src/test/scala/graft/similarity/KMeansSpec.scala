@@ -99,6 +99,36 @@ class KMeansSpec extends AnyFunSuite {
     assert(ta.centroidMd5s.distinct.length > 1) // iterations moved
   }
 
+  test("seedIds matches fitTraced's trace and is iteration-free") {
+    val df = planted(60)
+    val ids = KMeans.seedIds(df, "embedding", "vec_id", 3)
+    val (_, trace) = KMeans.fitTraced(df, "embedding", "vec_id", 3, 2)
+    assert(ids == trace.seedIds)
+  }
+
+  test("quantizeFloor: floor semantics (round-down everywhere, no " +
+      "half-way rule) and exact agreement with round off the halves") {
+    // 1/128 = 0.0078125f -> 7812.5 micros exactly: round (HALF_UP)
+    // says 7813, floor says 7812, and NEGATIVE floor goes DOWN (-7813
+    // where round-half-away says -7813 too but trunc would say -7812)
+    val df = Seq((0L, Seq(0.0078125f, -0.0078125f, 0.25f, -0.25f)))
+      .toDF("vec_id", "embedding")
+    val got = df.select(KMeans.quantizeFloor($"embedding").as("v"))
+      .as[Seq[Long]].head()
+    assert(got == Seq(7812L, -7813L, 250000L, -250000L))
+    val rounded = df.select(KMeans.quantize($"embedding").as("v"))
+      .as[Seq[Long]].head()
+    assert(rounded == Seq(7813L, -7813L, 250000L, -250000L))
+    // off the exact halves the two quantizers agree
+    val df2 = planted(30)
+    val both = df2.select(KMeans.quantize($"embedding").as("r"),
+        KMeans.quantizeFloor($"embedding").as("f"))
+      .as[(Seq[Long], Seq[Long])].collect()
+    both.foreach { case (r, f) =>
+      r.zip(f).foreach { case (a, b) => assert(a == b || a == b + 1) }
+    }
+  }
+
   test("assign is a pure row expression: no Exchange, no Join in " +
       "the plan; distances are exact longs") {
     val df = planted(30)
