@@ -64,12 +64,18 @@ object ScaleSmoke {
             sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
       })
     def tShuffle(label: String)(f: => Long): Unit = {
-      Thread.sleep(1000) // drain listener events from prior stages
+      // deterministic listener-bus drain before AND after the
+      // measured action — sleeps let late stage events land outside
+      // the window and mis-attribute bytes (race-prone now that the
+      // shuffle columns are load-bearing evidence in README/PLANS)
+      org.apache.spark.graft.ListenerBusBarrier.drain(
+        spark.sparkContext)
       val s0 = shuffleBytes.get()
       val t0 = System.nanoTime()
       val n = f
       val secs = (System.nanoTime() - t0) / 1e9
-      Thread.sleep(1000) // listener bus is async; best-effort drain
+      org.apache.spark.graft.ListenerBusBarrier.drain(
+        spark.sparkContext)
       val mb = (shuffleBytes.get() - s0) / 1e6
       println(f"$label%-28s $secs%7.1f s  $n%,d rows  " +
         f"$mb%,.0f MB shuffled")
@@ -396,12 +402,15 @@ object ScaleSmoke {
             sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
       })
     def tShuffle(label: String)(f: => Long): Unit = {
-      Thread.sleep(1000)
+      // deterministic drain, not sleeps — see the dedup-store twin
+      org.apache.spark.graft.ListenerBusBarrier.drain(
+        spark.sparkContext)
       val s0 = shuffleBytes.get()
       val t0 = System.nanoTime()
       val n = f
       val secs = (System.nanoTime() - t0) / 1e9
-      Thread.sleep(1000) // listener bus is async; best-effort drain
+      org.apache.spark.graft.ListenerBusBarrier.drain(
+        spark.sparkContext)
       val mb = (shuffleBytes.get() - s0) / 1e6
       println(f"$label%-34s $secs%7.1f s  $n%,d rows  " +
         f"$mb%,.0f MB shuffled")

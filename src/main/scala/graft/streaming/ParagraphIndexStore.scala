@@ -147,9 +147,13 @@ final class ParagraphIndexStore(spark: SparkSession, path: String,
   def compact(): Unit =
     StorePaths.compactStore(spark,
       Seq(
-        (() => paragraphTable, s"$path/compact_tmp_paragraphs",
-          s"$paraPath/ingest_batch=-1"),
-        (() => cleaned, s"$path/compact_tmp_cleaned",
+        // base sorted on para_hash — membership probes with a
+        // pushable hash predicate prune row groups post-compaction
+        StorePaths.CompactTable(() => paragraphTable,
+          s"$path/compact_tmp_paragraphs",
+          s"$paraPath/ingest_batch=-1", sortCol = Some("para_hash")),
+        StorePaths.CompactTable(() => cleaned,
+          s"$path/compact_tmp_cleaned",
           s"$cleanedPath/ingest_batch=-1")),
       Seq(paraPath, cleanedPath, bloomPath, s"$path/checkpoint")) {
       reread =>

@@ -174,9 +174,18 @@ final class SentenceIndexStore(spark: SparkSession, path: String,
   def compact(): Unit =
     StorePaths.compactStore(spark,
       Seq(
-        (() => sentenceTable, s"$path/compact_tmp_sentences",
-          s"$sentPath/ingest_batch=-1"),
-        (() => cleaned, s"$path/compact_tmp_cleaned",
+        // the index base lands RANGE-PARTITIONED AND SORTED on
+        // sent_hash: every file/row group covers a disjoint hash
+        // range, so the per-batch exact-confirm probe (a pushable
+        // IN over the batch's maybe-known hashes —
+        // Curation.dedupSentencesAgainstWithIndexSharded) prunes
+        // parquet row groups via min/max stats instead of reading
+        // the whole index per micro-batch
+        StorePaths.CompactTable(() => sentenceTable,
+          s"$path/compact_tmp_sentences",
+          s"$sentPath/ingest_batch=-1", sortCol = Some("sent_hash")),
+        StorePaths.CompactTable(() => cleaned,
+          s"$path/compact_tmp_cleaned",
           s"$cleanedPath/ingest_batch=-1")),
       Seq(sentPath, cleanedPath, bloomPath, s"$path/checkpoint")) {
       reread => writeBloomShards(reread.head, batchId = -1L)

@@ -1,6 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+import scala.util.control.NonFatal
 
 /** Filesystem plumbing shared by the ingest stores. */
 private[streaming] object StorePaths {
@@ -19,6 +21,14 @@ private[streaming] object StorePaths {
       if (fs.exists(hp)) fs.delete(hp, true)
     }
 
+  /** True when `path` exists at all — the cheap half of the
+    * compaction guard (is there a snapshot tmp we could destroy?). */
+  def exists(spark: SparkSession, path: String): Boolean = {
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(hp)
+  }
+
   /** True when `path` holds a COMMITTED parquet write: the
     * `_SUCCESS` marker distinguishes a completed snapshot from the
     * debris of a write that died mid-commit — the signal compaction
@@ -29,15 +39,32 @@ private[streaming] object StorePaths {
     fs.exists(hp)
   }
 
+  /** One table in a [[compactStore]] run: `current` produces the live
+    * merged frame, `tmp` is its durable snapshot path, `base` the
+    * rewritten base-partition path. `sortCol`, when set, range-
+    * partitions AND sorts the base rewrite on that column so every
+    * parquet file/row group covers a disjoint, narrow key range —
+    * min/max row-group (and page-index) statistics then let a
+    * per-micro-batch membership probe with a pushable key predicate
+    * skip everything outside its probe set instead of reading the
+    * whole index (the O(index)-per-batch read the unsorted layout
+    * forces once the store outgrows page cache). Membership content
+    * is unchanged — only the physical layout moves. */
+  final case class CompactTable(
+      current: () => DataFrame,
+      tmp: String,
+      base: String,
+      sortCol: Option[String] = None)
+
   /** The snapshot → wipe → rewrite compaction choreography the text
     * index stores share — ONE implementation so the crash-safety
     * protocol can never silently diverge between stores.
     *
-    * `tables`: per table, (current merged frame, durable snapshot
-    * path, base-partition write path). `wipePaths`: everything to
-    * clear between snapshot and rewrite (table roots, derived
-    * artifacts, checkpoint). `finish` receives the re-read snapshot
-    * frames (same order as `tables`) to rebuild derived artifacts.
+    * `tables`: one [[CompactTable]] per stored table. `wipePaths`:
+    * everything to clear between snapshot and rewrite (table roots,
+    * derived artifacts, checkpoint). `finish` receives the re-read
+    * snapshot frames (same order as `tables`) to rebuild derived
+    * artifacts.
     *
     * Crash safety: the snapshots are the recovery artifact, deleted
     * only after the rewrite AND `finish` complete. RESUME fires only
@@ -49,24 +76,66 @@ private[streaming] object StorePaths {
     * overwritten) — resuming from them would roll those batches
     * back, a silent data loss. Crash at any point → call compact()
     * again; no ingest can land while the store is mid-wipe (reads of
-    * the missing base fail loudly). */
-  def compactStore(spark: SparkSession,
-      tables: Seq[(() => org.apache.spark.sql.DataFrame, String, String)],
+    * the missing base fail loudly).
+    *
+    * GUARD against marker-less committers: `committed()` keys on
+    * parquet `_SUCCESS` markers, which some committers suppress
+    * (`mapreduce.fileoutputcommitter.marksuccessfuljobs=false`, some
+    * object-store committers) — there `resuming` can never fire, and
+    * the non-resume path would wipe snapshot tmps that are the ONLY
+    * surviving copy after a genuine crash-between-wipe-and-rewrite.
+    * So before destroying any existing tmp, the live tables must
+    * prove READABLE (schema resolves); otherwise this throws loudly
+    * with recovery instructions instead of deleting the one recovery
+    * artifact and then failing anyway on the wiped store. */
+  def compactStore(spark: SparkSession, tables: Seq[CompactTable],
       wipePaths: Seq[String])(
-      finish: Seq[org.apache.spark.sql.DataFrame] => Unit): Unit = {
-    val tmps = tables.map(_._2)
-    val basesIntact = tables.forall(t => committed(spark, t._3))
+      finish: Seq[DataFrame] => Unit): Unit = {
+    val tmps = tables.map(_.tmp)
+    val basesIntact = tables.forall(t => committed(spark, t.base))
     val resuming = tmps.forall(t => committed(spark, t)) && !basesIntact
     if (!resuming) {
+      val tmpsPresent = tmps.filter(exists(spark, _))
+      if (tmpsPresent.nonEmpty) {
+        // something snapshot-shaped survives from a previous attempt
+        // but is not provably committed — only safe to overwrite it
+        // when the LIVE store is demonstrably intact
+        val unreadable = tables.map(_.current).zip(tables.map(_.base))
+          .filter { case (cur, _) =>
+            try { cur(); false } catch { case NonFatal(_) => true }
+          }.map(_._2)
+        if (unreadable.nonEmpty) throw new IllegalStateException(
+          s"compactStore: live table(s) at ${unreadable.mkString(", ")} " +
+            s"are unreadable while snapshot tmp(s) " +
+            s"${tmpsPresent.mkString(", ")} exist — refusing to wipe " +
+            "the only possible recovery artifact. If the tmps are a " +
+            "complete snapshot whose _SUCCESS markers the committer " +
+            "suppressed, restore them to the base paths manually (or " +
+            "re-enable mapreduce.fileoutputcommitter." +
+            "marksuccessfuljobs) and compact again.")
+      }
       wipe(spark, tmps)
-      tables.foreach { case (current, tmp, _) =>
-        current().write.mode("overwrite").parquet(tmp)
+      tables.foreach { t =>
+        t.current().write.mode("overwrite").parquet(t.tmp)
       }
     }
     wipe(spark, wipePaths)
-    val reread = tables.map { case (_, tmp, base) =>
-      val df = spark.read.parquet(tmp)
-      df.write.mode("overwrite").parquet(base)
+    val reread = tables.map { t =>
+      val df = spark.read.parquet(t.tmp)
+      val out = t.sortCol match {
+        case Some(c) =>
+          // EXPLICIT partition count: an implicit repartitionByRange
+          // is AQE-coalescible, and a coalesced write produces a few
+          // wide-range row groups that nothing can prune — the
+          // session's shuffle.partitions is the operator's knob for
+          // how finely the sorted base splits
+          df.repartitionByRange(
+              spark.conf.get("spark.sql.shuffle.partitions").toInt,
+              col(c))
+            .sortWithinPartitions(col(c))
+        case None => df
+      }
+      out.write.mode("overwrite").parquet(t.base)
       df
     }
     finish(reread)

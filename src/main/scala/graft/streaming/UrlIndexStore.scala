@@ -110,9 +110,14 @@ final class UrlIndexStore(spark: SparkSession, path: String,
   def compact(): Unit =
     StorePaths.compactStore(spark,
       Seq(
-        (() => urlTable, s"$path/compact_tmp_urls",
-          s"$urlsPath/ingest_batch=-1"),
-        (() => accepted, s"$path/compact_tmp_accepted",
+        // base sorted on canonical_url — equality probes against the
+        // url set prune row groups via min/max string stats
+        StorePaths.CompactTable(() => urlTable,
+          s"$path/compact_tmp_urls",
+          s"$urlsPath/ingest_batch=-1",
+          sortCol = Some("canonical_url")),
+        StorePaths.CompactTable(() => accepted,
+          s"$path/compact_tmp_accepted",
           s"$acceptedPath/ingest_batch=-1")),
       Seq(urlsPath, acceptedPath, s"$path/checkpoint")) { _ => () }
 }

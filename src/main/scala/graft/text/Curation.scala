@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1046,16 +1046,47 @@ object Curation {
     // narrow explode flagSentencesResolved builds — no second
     // segmentation pass over the batch text
     val resolver = (narrow: DataFrame) => {
+      val spark = narrow.sparkSession
+      import spark.implicits._
       val deltaHashes = narrow
         .where(col("sh_").isNotNull && col("len_") >= minSentChars)
         .select(col("sh_").as("sent_hash")).distinct()
       val maybe = flagMaybeKnownHashes(deltaHashes, "sent_hash",
           shardBlooms, shards)
         .where(col("maybe_known")).select(col("sent_hash"))
-      storedHashes
+      val eligible = storedHashes
         .where(col("sent_chars") >= minSentChars)
-        .join(broadcast(maybe), Seq("sent_hash"), "left_semi")
-        .select(col("sent_hash").as("sh_")).distinct()
+      // the maybe set is batch-scale by the front's contract (it was
+      // broadcast before), so collect it and confirm via a PUSHABLE
+      // IN predicate on the stored scan instead of a semi-join: over
+      // a hash-SORTED base build (CompactTable.sortCol) parquet
+      // min/max row-group stats then prune everything outside the
+      // probe set — the per-batch read stops being O(index). The
+      // confirm runs EAGERLY so the raised IN-pushdown threshold
+      // (default 10 would degrade a large IN to a useless min/max
+      // RANGE over random 64-bit hashes) is scoped to this one scan;
+      // the confirmed set (≤ maybe, batch-scale) re-enters the plan
+      // as a local relation. Degenerate regime (maybe set above the
+      // pushdown cap): the original broadcast semi-join, stored side
+      // scanned, never shuffled.
+      val maybeArr = maybe.as[Long].collect()
+      if (maybeArr.isEmpty)
+        spark.emptyDataset[Long].toDF("sh_")
+      else if (maybeArr.length <= MaxProbePushdown) {
+        val confirmed = withSessionConf(spark,
+          "spark.sql.parquet.pushdown.inFilterThreshold",
+          MaxProbePushdown.toString) {
+          eligible
+            .where(col("sent_hash")
+              .isInCollection(maybeArr.toIndexedSeq))
+            .select(col("sent_hash")).distinct()
+            .as[Long].collect()
+        }
+        confirmed.toIndexedSeq.toDF("sh_")
+      } else
+        eligible
+          .join(broadcast(maybe), Seq("sent_hash"), "left_semi")
+          .select(col("sent_hash").as("sh_")).distinct()
     }
     val flagged = flagSentencesResolved(delta, textCol, idCol,
       minSentChars, Some(resolver))
@@ -1322,6 +1353,35 @@ object Curation {
         (h, bloom.exists(_.mightContainLong(h)))
       }
     }.toDF(hashCol, "maybe_known")
+  }
+
+  /** Probe-set ceiling for the pushable-IN exact-confirm path (and
+    * the IN-pushdown threshold it raises to). The bound is STACK
+    * DEPTH, not driver memory: Spark pushes a large IN to parquet as
+    * a LEFT-DEEP or-chain of eq predicates, and parquet-mr evaluates
+    * it recursively — one frame per term, so ~10k terms overflow a
+    * default 1 MB executor thread stack (measured: StackOverflowError
+    * in the row-group stats visitor). 2048 keeps the recursion under
+    * ~400 KB with headroom while still pruning for any sanely-sized
+    * micro-batch: at the store's default 1% bloom fpp the maybe set
+    * is ~0.01 × batch-distinct + true duplicates, so batches up to
+    * ~200k distinct new sentences stay under the cap (drop the fpp to
+    * widen it). Beyond the cap the confirm falls back to the original
+    * broadcast semi-join full scan. */
+  private val MaxProbePushdown: Int = 2048
+
+  // run `body` with one session conf temporarily overridden —
+  // restored (or unset) in a finally, so the override cannot leak
+  // into queries planned after the eager confirm scan
+  private def withSessionConf[A](spark: SparkSession, key: String,
+      value: String)(body: => A): A = {
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, value)
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
   }
 
   /** CCNet-style unigram language-model score: train a unigram LM on

@@ -232,6 +232,143 @@ class SentenceIndexStoreSpec extends AnyFunSuite {
       .select($"text").as[String].head() == "Stale check ending.")
   }
 
+  test("compact REFUSES to wipe snapshot tmps when the live store " +
+      "is unreadable and the tmps are not provably committed — the " +
+      "marker-less-committer crash window keeps its only recovery " +
+      "artifact") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files
+      .createTempDirectory("sent_index_guard").toString
+    val store = new SentenceIndexStore(spark, tmp)
+    store.initialize(corpusRows.toDF("doc_id", "text"), "text")
+    // simulate a crash between wipe and rewrite under a committer
+    // that suppresses _SUCCESS markers: snapshots fully written but
+    // unmarked, live store gone
+    store.sentenceTable.write.mode("overwrite")
+      .parquet(s"$tmp/compact_tmp_sentences")
+    store.cleaned.write.mode("overwrite")
+      .parquet(s"$tmp/compact_tmp_cleaned")
+    Seq("compact_tmp_sentences", "compact_tmp_cleaned").foreach { d =>
+      StorePaths.wipe(spark, Seq(s"$tmp/$d/_SUCCESS"))
+    }
+    StorePaths.wipe(spark, Seq(s"$tmp/sentences", s"$tmp/cleaned",
+      s"$tmp/blooms", s"$tmp/checkpoint"))
+    // without the guard this wiped the tmps (the only copy), then
+    // died reading the empty store — unrecoverable loss
+    val e = intercept[IllegalStateException] { store.compact() }
+    assert(e.getMessage.contains("refusing to wipe"))
+    // the recovery artifact survives intact
+    assert(spark.read.parquet(s"$tmp/compact_tmp_sentences")
+      .count() > 0)
+    assert(spark.read.parquet(s"$tmp/compact_tmp_cleaned")
+      .count() == corpusRows.length)
+  }
+
+  test("compaction sorts the index base by hash: a batch's " +
+      "exact-confirm probe reads a FRACTION of the index bytes " +
+      "(parquet row-group pruning), with membership unchanged") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files
+      .createTempDirectory("sent_index_prune").toString
+    // small blooms so the probe's byte profile is the INDEX scan,
+    // not filter I/O
+    val shards = 4
+    val store = new SentenceIndexStore(spark, tmp,
+      bloomShardCount = shards, bloomItemsPerShard = 1L << 12)
+    def docs(from: Long, n: Long, perDoc: Int) =
+      spark.range(from, from + n).select($"id".as("doc_id"),
+        concat_ws(" ", transform(sequence(lit(0), lit(perDoc - 1)),
+          j => concat(lit("Unique corpus sentence number "),
+            ($"id" * perDoc + j).cast("string"),
+            lit(" stays put.")))).as("text"))
+    store.initialize(docs(0, 5000, 20), "text") // 100k sentences
+    store.processBatch(docs(5100, 500, 20), "text", 0L)
+    store.processBatch(docs(5700, 500, 20), "text", 1L)
+    // probe batch: 10 docs, each one KNOWN sentence (spread over the
+    // corpus) + one fresh — so the confirm set is ~10 hashes
+    val probeBatch = spark.range(0, 10)
+      .select(($"id" + 9000).as("doc_id"),
+        concat(lit("Unique corpus sentence number "),
+          ($"id" * 487).cast("string"), lit(" stays put. "),
+          lit("Probe only sentence number "), $"id".cast("string"),
+          lit(" arrives now.")).as("text"))
+      .localCheckpoint(true) // materialized OUTSIDE the byte windows
+    // parquet's vectored-IO read path bypasses the Hadoop FileSystem
+    // statistics that feed inputMetrics.bytesRead (measured: every
+    // query "reads" exactly the footer bytes) — route data-page reads
+    // through the counted stream for the duration of the measurement
+    val hc = spark.sparkContext.hadoopConfiguration
+    val prevVectored = hc.get("parquet.hadoop.vectored.io.enabled")
+    hc.setBoolean("parquet.hadoop.vectored.io.enabled", false)
+    val inputBytes = new java.util.concurrent.atomic.AtomicLong(0L)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (te.taskMetrics != null)
+          inputBytes.addAndGet(te.taskMetrics.inputMetrics.bytesRead)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    def measured[A](f: => A): (A, Long) = {
+      org.apache.spark.graft.ListenerBusBarrier.drain(
+        spark.sparkContext)
+      val b0 = inputBytes.get()
+      val a = f
+      org.apache.spark.graft.ListenerBusBarrier.drain(
+        spark.sparkContext)
+      (a, inputBytes.get() - b0)
+    }
+    try {
+      // the sharded probe's exact-confirm runs EAGERLY at call time,
+      // so the call itself is the byte window; the cleaned output is
+      // collected outside it (memory-only inputs from there on)
+      def probe() = measured {
+        Curation.dedupSentencesAgainstWithIndexSharded(probeBatch,
+          store.sentenceTable, store.bloomShards, shards,
+          "text", "doc_id")
+      }
+      val (preFrames, preBytes) = probe()
+      val preCleaned = preFrames._1.orderBy($"doc_id")
+        .select($"doc_id", $"text").as[(Long, String)].collect().toSeq
+      // compact with enough range partitions that a ~10-hash probe
+      // can only touch a small minority of the sorted files
+      val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", "64")
+      try store.compact()
+      finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      val (postFrames, postBytes) = probe()
+      val postCleaned = postFrames._1.orderBy($"doc_id")
+        .select($"doc_id", $"text").as[(Long, String)].collect().toSeq
+      // membership/result unchanged: same cleaned output, and every
+      // probe doc actually lost its known sentence
+      assert(postCleaned == preCleaned)
+      assert(postCleaned.forall(_._2.startsWith("Probe only")))
+      // a full index read, for scale: what the probe costs when
+      // nothing prunes
+      // an EXPRESSION aggregate, so neither parquet footer-stats
+      // aggregate pushdown (which answers a bare max() from metadata
+      // in ~footer bytes) nor row-group pruning can dodge the read
+      val (_, fullBytes) = measured {
+        store.sentenceTable
+          .agg(max(pmod($"sent_hash", lit(1000000)))).head()
+      }
+      // the sorted base prunes: the post-compaction probe reads far
+      // less than both the pre-compaction probe and a full scan
+      // (expected ~10 of 64 range files + footers; assert with wide
+      // headroom against layout/footer noise)
+      info(s"probe bytes: pre-compact=$preBytes " +
+        s"post-compact=$postBytes full-scan=$fullBytes")
+      assert(postBytes * 2 < preBytes,
+        s"post=$postBytes pre=$preBytes full=$fullBytes")
+      assert(postBytes * 2 < fullBytes,
+        s"post=$postBytes pre=$preBytes full=$fullBytes")
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      if (prevVectored == null)
+        hc.unset("parquet.hadoop.vectored.io.enabled")
+      else hc.set("parquet.hadoop.vectored.io.enabled", prevVectored)
+    }
+  }
+
   test("minSentChars keeps short sentences out of the stored index " +
       "entirely (they are never deduped, so they buy nothing but " +
       "bloat) while the cleaned text keeps them") {
