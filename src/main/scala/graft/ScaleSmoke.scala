@@ -91,6 +91,11 @@ object ScaleSmoke {
       spark.stop()
       return
     }
+    if (mode == "ivf") {
+      ivfAssign(spark, stations)
+      spark.stop()
+      return
+    }
 
     val dailyMet = spark.range(0, stations.toLong * days, 1, 32)
       .select(
@@ -378,6 +383,64 @@ object ScaleSmoke {
       graft.text.Bpe.train(docs, "text", numMerges = 16).length.toLong
     }
     spark.stop()
+  }
+
+  /** IVF corpus assignment at production shapes: the
+    * literal-expression form at the default nlist vs the broadcast
+    * kernel at a realistic coarse-quantizer size (nlist 1024) — the
+    * auto-switch's two regimes timed on one corpus. Bit-parity
+    * between the forms is spec-pinned (SimilaritySpec, nlist 256);
+    * this row pins the kernel's WALL cost where the literal form
+    * cannot even compile (65k codegen terms). stations scales the
+    * corpus: stations × 20k vectors of 64 dims. */
+  private def ivfAssign(spark: SparkSession, stations: Int): Unit = {
+    import spark.implicits._
+    def t(label: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"$label%-28s ${(System.nanoTime() - t0) / 1e9}%7.1f s  " +
+        f"$n%,d rows")
+    }
+    val dim = 64
+    val n = stations.toLong * 20000L
+    println(f"ivf mode: $n%,d vectors x $dim dims")
+    val corpus = spark.range(0, n, 1, 64)
+      .select(col("id").as("vec_id"),
+        // (id+1): id 0 would make a zero VECTOR, whose zero norm the
+        // literal form's -dot/|c| rejects under ANSI when it becomes
+        // a centroid
+        transform(sequence(lit(1), lit(dim)), j =>
+          sin((col("id") + 1) * j.cast("double") * 0.7))
+          .as("embedding"))
+      .localCheckpoint(true) // materialize OUTSIDE the timed windows
+    def cents(nlist: Int): Array[Array[Double]] = corpus
+      .orderBy(col("vec_id")).limit(nlist)
+      .select(col("embedding")).as[Seq[Double]].collect()
+      .map(_.toArray)
+    val c16 = cents(16)
+    val c1024 = cents(1024)
+    // sum(centroid_id) forces the argmin for every row (a bare count
+    // would let column pruning skip the assignment entirely)
+    t("warmup literal nlist=16") {
+      graft.similarity.Similarity
+        .ivfAssignLiteral(corpus, "embedding", "vec_id", c16)
+        .agg(sum(col("centroid_id"))).head(); n
+    }
+    t("assign literal nlist=16") {
+      graft.similarity.Similarity
+        .ivfAssignLiteral(corpus, "embedding", "vec_id", c16)
+        .agg(sum(col("centroid_id"))).head(); n
+    }
+    t("assign kernel  nlist=16") {
+      graft.similarity.Similarity
+        .ivfAssignKernel(corpus, "embedding", "vec_id", c16)
+        .agg(sum(col("centroid_id"))).head(); n
+    }
+    t("assign kernel  nlist=1024") {
+      graft.similarity.Similarity
+        .ivfAssignKernel(corpus, "embedding", "vec_id", c1024)
+        .agg(sum(col("centroid_id"))).head(); n
+    }
   }
 
   /** The web-ingest curation chain at corpus scale (stations × 1000

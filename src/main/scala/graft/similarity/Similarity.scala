@@ -408,7 +408,7 @@ object Similarity {
     * (-dot/|centroid|: the row's own norm is constant across
     * centroids and cannot change the ranking) — one codegen'd map
     * pass, zero exchange. */
-  private[similarity] def ivfAssignLiteral(corpus: DataFrame,
+  private[graft] def ivfAssignLiteral(corpus: DataFrame,
       vecCol: String, idCol: String,
       centroids: Array[Array[Double]]): DataFrame = {
     val assignExpr = array(centroids.zipWithIndex.map {
@@ -433,7 +433,7 @@ object Similarity {
     * performs, the same `-dot/|centroid|` distance, and ascending-id
     * iteration with strict `<` keeps the lexicographic (dist, id)
     * tie-break. */
-  private[similarity] def ivfAssignKernel(corpus: DataFrame,
+  private[graft] def ivfAssignKernel(corpus: DataFrame,
       vecCol: String, idCol: String,
       centroids: Array[Array[Double]]): DataFrame = {
     val spark = corpus.sparkSession

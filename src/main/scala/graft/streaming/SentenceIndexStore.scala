@@ -107,6 +107,30 @@ final class SentenceIndexStore(spark: SparkSession, path: String,
     Curation.mergeBloomShards(
       spark.read.parquet(bloomPath).drop("ingest_batch"))
 
+  /** How many per-batch Bloom SUB-FILTERS the busiest shard holds.
+    * Every ingested batch adds one sub-filter per shard, and each is
+    * sized to the store's FULL capacity (uniform sizing is what makes
+    * the bit-OR merge exact), so bloom storage and the per-batch
+    * merge cost grow LINEARLY with the batch count between
+    * compactions — ~`bloomItemsPerShard × bloomShardCount ×
+    * 1.2 bytes` per batch at the 1% default fpp. [[compact]] folds
+    * them back to one sub-filter per shard; [[needsCompaction]] is
+    * the cadence check. */
+  def bloomSubFiltersPerShard: Long = {
+    val counts = spark.read.parquet(bloomPath)
+      .groupBy(col("shard")).count().agg(max(col("count"))).head()
+    if (counts.isNullAt(0)) 0L else counts.getLong(0)
+  }
+
+  /** True once any shard's sub-filter count crosses `maxSubFilters` —
+    * run [[compact]] (idle window, not mid-ingest) to fold the
+    * per-batch filters into one and re-bound the per-batch probe's
+    * merge bytes. The default keeps the merged read per batch under
+    * ~16× one filter's size; long-running ingests should check this
+    * every few hundred batches. */
+  def needsCompaction(maxSubFilters: Int = 16): Boolean =
+    bloomSubFiltersPerShard > maxSubFilters
+
   /** The deduped corpus so far. */
   def cleaned: DataFrame =
     spark.read.parquet(cleanedPath).drop("ingest_batch")

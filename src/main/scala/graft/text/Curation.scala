@@ -679,8 +679,12 @@ object Curation {
       .select(col(idCol), col("dropidx_"), units.as("units_"))
       .select(col(idCol),
         size(col("units_")).cast("long").as(nCol),
-        coalesce(size(col("dropidx_")), lit(0)).cast("long")
-          .as("n_dropped"),
+        // size() of the already-null-coalesced array, NOT
+        // coalesce(size(NULL), 0): under legacy sizeOfNull (ANSI
+        // off) size(NULL) is -1, not null, and every no-drop doc
+        // would report n_dropped = -1 — the config-robust form
+        // StreamingCuration already uses
+        size(dropArr).cast("long").as("n_dropped"),
         concat_ws(joinSep,
           filter(col("units_"), (x, i) => !array_contains(dropArr, i)))
           .as(textCol))
@@ -2242,8 +2246,15 @@ object Curation {
       .select(col(idCol),
         round(-col("logprob_micro").cast("double") / col("n_tokens"))
           .cast("long").as("bits_micro"))
+    // doc-scale BARRIER: quantileBuckets consumes its input twice
+    // (histogram + final label join-back), and without it each
+    // consumer re-executes the whole LM pipeline downstream of the
+    // reused shuffles. This is NOT the pairs-scale checkpoint the
+    // LM's tf tables deliberately avoid (that one OOMed at 1M docs):
+    // (id, strata, bits) is a few dozen bytes per document.
     val scored = df.select(col(idCol) +: strataCols.map(col): _*)
       .join(lm, Seq(idCol))
+      .localCheckpoint(false)
     quantileBuckets(scored, "bits_micro", strataCols, fracs, labels,
       binShift)
   }
@@ -2282,9 +2293,16 @@ object Curation {
         round(-col("logprob_micro").cast("double") / col("n_pairs"))
           .cast("long").as("bits_micro"))
     // LEFT: unscoreable docs surface with bits/bucket null instead of
-    // vanishing — quantileBuckets' null-score path carries them
+    // vanishing — quantileBuckets' null-score path carries them.
+    // Doc-scale BARRIER: quantileBuckets consumes this twice
+    // (histogram + final join-back); without it each consumer re-runs
+    // the KN pipeline downstream of the reused shuffles — measured
+    // 30.6 s → 18.5 s at 1M docs. Unlike the LM's pairs-scale tf
+    // tables (whose checkpoint OOMed — PLANS.md), (id, strata, bits)
+    // is a few dozen bytes per document.
     val scored = df.select(col(idCol) +: strataCols.map(col): _*)
       .join(lm, Seq(idCol), "left")
+      .localCheckpoint(false)
     quantileBuckets(scored, "bits_micro", strataCols, fracs, labels,
       binShift)
   }

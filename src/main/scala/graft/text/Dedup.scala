@@ -329,9 +329,14 @@ object Dedup {
       // id ⟹ same document). Two independent tables whose
       // auto-increment ids collide would have a true cross-table pair
       // at coinciding ids silently suppressed — re-key one side
-      // before calling. Null-SAFE negation so null-id rows (allowed —
-      // ids are only compared, never joined on) still pair up instead
-      // of vanishing under `=!=`'s three-valued logic.
+      // before calling. Null-SAFE negation so a null-id row on ONE
+      // side (allowed — ids are only compared, never joined on) still
+      // pairs against non-null ids instead of vanishing under `=!=`'s
+      // three-valued logic. COROLLARY of the one-namespace rule for
+      // nulls: `null <=> null` is TRUE, so two DISTINCT documents that
+      // BOTH carry null ids are suppressed like a self-match — null
+      // ids must be confined to at most one side (or re-keyed) when
+      // null-vs-null pairs matter.
       .where(!(col("delta_id") <=> col("corpus_id")))
       .select(col("delta_id"), col("corpus_id"))
       .dropDuplicates("delta_id", "corpus_id")

@@ -232,6 +232,35 @@ class SentenceIndexStoreSpec extends AnyFunSuite {
       .select($"text").as[String].head() == "Stale check ending.")
   }
 
+  test("bloom sub-filters grow one-per-shard per batch; " +
+      "needsCompaction flags the cadence and compact resets it") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files
+      .createTempDirectory("sent_index_bloomgrow").toString
+    val store = new SentenceIndexStore(spark, tmp,
+      bloomShardCount = 4, bloomItemsPerShard = 1L << 12)
+    // every batch needs enough DISTINCT sentences to land rows in all
+    // 4 shards, or the busiest-shard count undershoots the batch
+    // count (a batch only writes sub-filter rows for shards its kept
+    // sentences hash into)
+    def wide(from: Int) = (0 until 2).map { d =>
+      ((from + d).toLong, (0 until 60).map(i =>
+        s"Wide batch sentence ${from + d} dash $i goes here.")
+        .mkString(" "))
+    }
+    store.initialize(wide(0).toDF("doc_id", "text"), "text")
+    assert(store.bloomSubFiltersPerShard == 1L)
+    Seq(wide(100), wide(200)).zipWithIndex.foreach { case (b, i) =>
+      store.processBatch(b.toDF("doc_id", "text"), "text", i.toLong)
+    }
+    assert(store.bloomSubFiltersPerShard == 3L)
+    assert(store.needsCompaction(maxSubFilters = 2))
+    assert(!store.needsCompaction(maxSubFilters = 8))
+    store.compact()
+    assert(store.bloomSubFiltersPerShard == 1L)
+    assert(!store.needsCompaction(maxSubFilters = 2))
+  }
+
   test("compact REFUSES to wipe snapshot tmps when the live store " +
       "is unreadable and the tmps are not provably committed — the " +
       "marker-less-committer crash window keeps its only recovery " +

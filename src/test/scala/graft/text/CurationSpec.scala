@@ -783,6 +783,39 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("dedupLinesApprox guarantee AT the sizing boundary: a banner " +
+      "whose df sits exactly at maxDocs + floor(N/(sketchK+1)) is " +
+      "dropped — the scaladoc inequality holds with zero slack") {
+    // construction: 30 docs x 3 unique lines + a banner in the first
+    // 15 -> N = 15*4 + 15*3 = 105 qualifying distinct-per-doc lines;
+    // sketchK = 7 gives slack floor(105/8) = 13, so the banner's
+    // df = 15 satisfies f - slack = 2 = maxDocs with EQUALITY — the
+    // guarantee's worst case, where any off-by-one in the sketch's
+    // lower bound (or its cross-partition merge) would let the
+    // banner survive
+    val f = 15
+    val sketchK = 7
+    val maxDocs = 2L
+    val docs = (0 until 30).map { i =>
+      val base = Seq(s"unique alpha $i", s"unique beta $i",
+        s"unique gamma $i")
+      val lines = if (i < f) base :+ "boundary banner line" else base
+      (i.toLong, lines.mkString("\n"))
+    }.toDF("doc_id", "text")
+    val n = 15 * 4 + 15 * 3
+    assert(f - n / (sketchK + 1) == maxDocs) // the edge, exactly
+    val got = Curation.dedupLinesApprox(docs.repartition(5), "text",
+        "doc_id", maxDocs = maxDocs, sketchK = sketchK)
+      .orderBy($"doc_id")
+      .select($"doc_id", $"n_dropped", $"text")
+      .as[(Long, Long, String)].collect().toSeq
+    got.foreach { case (id, dropped, text) =>
+      assert(!text.contains("boundary banner line"), s"doc $id")
+      assert(dropped == (if (id < f) 1L else 0L), s"doc $id")
+      assert(text.contains(s"unique alpha $id"))
+    }
+  }
+
   test("chunkBySentences: greedy boundary-respecting packing, " +
       "oversized sentence isolation, no mid-sentence cuts") {
     val df = Seq(
