@@ -29,21 +29,23 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * the checkpoint is store-owned by default so batch ids stay unique
   * for the store's lifetime.
   *
-  * Scale shape per batch: the membership check is
-  * [[Curation.dedupParagraphsAgainst]] — one equi-join of the batch's
-  * exploded paragraphs against the stored hash table, co-partitioned
-  * on the 64-bit hash, plus the batch-internal first-wins keeper at
-  * batch scale; the fold-back writes batch-scale rows. Nothing
-  * corpus-proportional is recomputed per batch. When even the stored
-  * hash join is too heavy per micro-batch, front it with the SHARDED
-  * Bloom artifact this store also grows (`blooms/`, one sub-filter
-  * table per batch — [[Curation.paragraphBloomShards]]; read merged
-  * via [[bloomShards]], probe with
-  * [[Curation.flagMaybeKnownParagraphsSharded]] — no false
-  * negatives, per-task memory = one shard's sketch) and reserve the
-  * exact join for flagged rows. The sharding is what survives 100 TB:
-  * a single driver sketch caps out near 10⁹ stored paragraphs, the
-  * shard TABLE is bounded only by the cluster. */
+  * Scale shape per batch — the sharded-Bloom front is WIRED IN, like
+  * [[SentenceIndexStore]] (the old direct
+  * [[Curation.dedupParagraphsAgainst]] hash join re-SHUFFLED the
+  * stored table every micro-batch — corpus-proportional network every
+  * few seconds): [[Curation.dedupParagraphsAgainstSharded]] probes
+  * the batch's DISTINCT paragraph hashes against the merged shard
+  * filters (`blooms/`, one sub-filter table per batch —
+  * [[Curation.paragraphBloomShards]]; per-task memory = one shard's
+  * sketch), exactly confirms only the flagged MAYBEs against the
+  * stored table via the pruned-IN / broadcast-semi-join confirm (the
+  * stored side is scanned — row-group-pruned over the compacted
+  * hash-sorted base — never shuffled), and runs the batch-internal
+  * first-wins keeper at batch scale. Bloom filters have no false
+  * negatives, so the result is identical to the exact join —
+  * spec-pinned. The sharding is what survives 100 TB: a single
+  * driver sketch caps out near 10⁹ stored paragraphs, the shard
+  * TABLE is bounded only by the cluster. */
 final class ParagraphIndexStore(spark: SparkSession, path: String,
     idCol: String = "doc_id", sep: String = "\n\n",
     minParaChars: Int = 1, bloomShardCount: Int = 32,
@@ -114,10 +116,22 @@ final class ParagraphIndexStore(spark: SparkSession, path: String,
     * id and prove idempotence directly. */
   private[streaming] def processBatch(batch: DataFrame,
       textCol: String, batchId: Long): Unit = {
+    val notThisBatch = col("ingest_batch") =!= batchId
     val stored = spark.read.parquet(paraPath)
-      .where(col("ingest_batch") =!= batchId).drop("ingest_batch")
-    val cleanedBatch = Curation.dedupParagraphsAgainst(batch, stored,
-        textCol, idCol, sep, minParaChars)
+      .where(notThisBatch).drop("ingest_batch")
+    // membership resolves through the sharded-Bloom front + pruned
+    // exact confirm (the SentenceIndexStore shape): the old direct
+    // dedupParagraphsAgainst hash-join re-SHUFFLED the stored side
+    // every micro-batch — corpus-proportional network per batch. The
+    // Bloom front has no false negatives, so output is identical
+    // (spec-pinned); the stored table is scanned (pruned over the
+    // compacted hash-sorted base), never shuffled.
+    val shardFilters = Curation.mergeBloomShards(
+      spark.read.parquet(bloomPath).where(notThisBatch)
+        .drop("ingest_batch"))
+    val cleanedBatch = Curation.dedupParagraphsAgainstSharded(batch,
+        stored, shardFilters, bloomShardCount, textCol, idCol, sep,
+        minParaChars)
       .localCheckpoint(false) // feeds the fold-back AND the append
     Curation.paragraphHashes(cleanedBatch, textCol, idCol, sep)
       .write.mode("overwrite")

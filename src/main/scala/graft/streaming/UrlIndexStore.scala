@@ -26,10 +26,14 @@ import org.apache.spark.sql.streaming.StreamingQuery
   *
   * Per batch: canonicalization is a pure row expression; batch-
   * internal first-wins is one batch-scale min groupBy; the corpus
-  * check is one equi-join against the stored canonical table
-  * (narrow strings, co-partitioned on the join key). Rows whose URL
-  * doesn't canonicalize (null/scheme-less) are always accepted and
-  * never indexed. */
+  * check probes the batch's DISTINCT canonicals against the stored
+  * table via the pruned-IN exact confirm (stored side SCANNED —
+  * row-group-pruned over the compacted url-sorted base — never
+  * shuffled; the old direct left join re-shuffled the corpus-scale
+  * url table every micro-batch), with the batch-scale known set
+  * broadcast into the anti filter. Rows whose URL doesn't
+  * canonicalize (null/scheme-less) are always accepted and never
+  * indexed. */
 final class UrlIndexStore(spark: SparkSession, path: String,
     idCol: String = "doc_id", urlCol: String = "url",
     trackingParams: Seq[String] = Urls.DefaultTrackingParams) {
@@ -81,13 +85,28 @@ final class UrlIndexStore(spark: SparkSession, path: String,
       batchId: Long): Unit = {
     val stored = spark.read.parquet(urlsPath)
       .where(col("ingest_batch") =!= batchId).drop("ingest_batch")
-      .withColumn("known_", lit(1))
-    // batch-internal first-wins, then the corpus membership join
-    val kept = Urls.dedupByCanonicalUrl(batch, urlCol, idCol,
+    // batch-internal first-wins; barriered because BOTH the probe
+    // (eager) and the membership anti-join consume it
+    val deduped = Urls.dedupByCanonicalUrl(batch, urlCol, idCol,
         trackingParams)
       .where(!col("is_url_dup"))
       .drop("is_url_dup", "url_domain")
-      .join(stored, Seq("canonical_url"), "left")
+      .localCheckpoint(false)
+    // corpus membership via the pruned-IN confirm (the sentence/
+    // paragraph stores' exact-confirm shape, no bloom needed — the
+    // batch's distinct canonicals ARE the probe set): the old direct
+    // left join re-SHUFFLED the stored url table every micro-batch;
+    // now the stored side is scanned (row-group-pruned over the
+    // compacted url-sorted base) and only the batch-scale known set
+    // re-enters the plan, broadcast into the anti filter
+    val batchUrls = deduped.select(col("canonical_url"))
+      .where(col("canonical_url").isNotNull).distinct()
+    val known = graft.text.Curation.confirmKnownStrings(
+        stored.select(col("canonical_url")), "canonical_url",
+        batchUrls)
+      .withColumn("known_", lit(1))
+    val kept = deduped
+      .join(broadcast(known), Seq("canonical_url"), "left")
       .where(col("canonical_url").isNull || col("known_").isNull)
       .drop("known_")
       .localCheckpoint(false) // feeds the fold-back AND the append

@@ -1060,37 +1060,9 @@ object Curation {
         .where(col("maybe_known")).select(col("sent_hash"))
       val eligible = storedHashes
         .where(col("sent_chars") >= minSentChars)
-      // the maybe set is batch-scale by the front's contract (it was
-      // broadcast before), so collect it and confirm via a PUSHABLE
-      // IN predicate on the stored scan instead of a semi-join: over
-      // a hash-SORTED base build (CompactTable.sortCol) parquet
-      // min/max row-group stats then prune everything outside the
-      // probe set — the per-batch read stops being O(index). The
-      // confirm runs EAGERLY so the raised IN-pushdown threshold
-      // (default 10 would degrade a large IN to a useless min/max
-      // RANGE over random 64-bit hashes) is scoped to this one scan;
-      // the confirmed set (≤ maybe, batch-scale) re-enters the plan
-      // as a local relation. Degenerate regime (maybe set above the
-      // pushdown cap): the original broadcast semi-join, stored side
-      // scanned, never shuffled.
-      val maybeArr = maybe.as[Long].collect()
-      if (maybeArr.isEmpty)
-        spark.emptyDataset[Long].toDF("sh_")
-      else if (maybeArr.length <= MaxProbePushdown) {
-        val confirmed = withSessionConf(spark,
-          "spark.sql.parquet.pushdown.inFilterThreshold",
-          MaxProbePushdown.toString) {
-          eligible
-            .where(col("sent_hash")
-              .isInCollection(maybeArr.toIndexedSeq))
-            .select(col("sent_hash")).distinct()
-            .as[Long].collect()
-        }
-        confirmed.toIndexedSeq.toDF("sh_")
-      } else
-        eligible
-          .join(broadcast(maybe), Seq("sent_hash"), "left_semi")
-          .select(col("sent_hash").as("sh_")).distinct()
+        .select(col("sent_hash"))
+      confirmKnownHashes(eligible, "sent_hash", maybe)
+        .select(col("sent_hash").as("sh_"))
     }
     val flagged = flagSentencesResolved(delta, textCol, idCol,
       minSentChars, Some(resolver))
@@ -1143,6 +1115,59 @@ object Curation {
     val known = storedHashes
       .where(col("para_chars") >= minParaChars)
       .select(col("para_hash").as("ph_")).distinct()
+      .withColumn("known_", lit(1))
+    val keeper = narrow
+      .where(col("len_") >= minParaChars)
+      .groupBy(col("ph_"))
+      .agg(min(struct(col(idCol).as("kid_"), col("idx_").as("kidx_")))
+        .as("k_"))
+      .select(col("ph_"), col("k_.kid_").as("kid_"),
+        col("k_.kidx_").as("kidx_"))
+    val flagged = narrow.join(keeper, Seq("ph_"), "left")
+      .join(known, Seq("ph_"), "left")
+      .withColumn("drop_", col("known_").isNotNull ||
+        (col("kid_").isNotNull &&
+          !(col(idCol) === col("kid_") && col("idx_") === col("kidx_"))))
+    rebuildByIndex(delta, dropIndexes(flagged, idCol), textCol, idCol,
+      split(coalesce(col(textCol), lit("")),
+        java.util.regex.Pattern.quote(sep)),
+      joinSep = sep, nCol = "n_paras")
+  }
+
+  /** [[dedupParagraphsAgainst]] fronted by a SHARDED Bloom probe —
+    * the sentence ladder's `dedupSentencesAgainstWithIndexSharded`
+    * shape at paragraph granularity, for the streaming store's
+    * per-micro-batch path: instead of hash-joining the batch's
+    * exploded paragraphs against the FULL stored table every batch
+    * (the stored side re-shuffles per batch — corpus-proportional
+    * network every few seconds), the delta's DISTINCT paragraph
+    * hashes (batch-scale) probe the (shard, bloom_bytes) table
+    * ([[paragraphBloomShards]]; the filters must cover exactly the
+    * stored paragraphs at or above `minParaChars` — the store grows
+    * both together) and only the flagged MAYBEs are exactly confirmed
+    * against the stored table via the pruned-IN / broadcast-semi-join
+    * confirm (stored side scanned, never shuffled; row groups pruned
+    * over a hash-sorted base). Bloom filters have NO false negatives,
+    * so the output is identical to the exact join — spec-pinned. */
+  def dedupParagraphsAgainstSharded(delta: DataFrame,
+      storedHashes: DataFrame, shardBlooms: DataFrame, shards: Int,
+      textCol: String, idCol: String, sep: String = "\n\n",
+      minParaChars: Int = 1): DataFrame = {
+    requireFresh(delta, "idx_", "ph_", "len_", "kid_",
+      "kidx_", "drop_", "known_", "dropidx_", "units_")
+    val narrow = explodeParagraphsNarrow(delta, textCol, idCol, sep)
+      .localCheckpoint(false)
+    val deltaHashes = narrow
+      .where(col("len_") >= minParaChars)
+      .select(col("ph_").as("para_hash")).distinct()
+    val maybe = flagMaybeKnownHashes(deltaHashes, "para_hash",
+        shardBlooms, shards)
+      .where(col("maybe_known")).select(col("para_hash"))
+    val eligible = storedHashes
+      .where(col("para_chars") >= minParaChars)
+      .select(col("para_hash"))
+    val known = confirmKnownHashes(eligible, "para_hash", maybe)
+      .select(col("para_hash").as("ph_"))
       .withColumn("known_", lit(1))
     val keeper = narrow
       .where(col("len_") >= minParaChars)
@@ -1357,6 +1382,74 @@ object Curation {
         (h, bloom.exists(_.mightContainLong(h)))
       }
     }.toDF(hashCol, "maybe_known")
+  }
+
+  /** Exact membership confirm of a batch-scale `maybe` hash set (one
+    * `hashCol` LONG column, the sharded-Bloom front's flagged MAYBEs)
+    * against a stored narrow hash table (pre-filtered, projected to
+    * `hashCol`): returns the DISTINCT confirmed subset. The maybe set
+    * is batch-scale by the front's contract (it was broadcast
+    * before), so collect it and confirm via a PUSHABLE IN predicate
+    * on the stored scan instead of a semi-join: over a hash-SORTED
+    * base build ([[graft.streaming.StorePaths.CompactTable]]
+    * `sortCol`) parquet min/max row-group stats then prune everything
+    * outside the probe set — the per-batch read stops being
+    * O(index). The confirm runs EAGERLY so the raised IN-pushdown
+    * threshold (default 10 would degrade a large IN to a useless
+    * min/max RANGE over random 64-bit hashes) is scoped to this one
+    * scan; the confirmed set (≤ maybe, batch-scale) re-enters the
+    * plan as a local relation. Degenerate regime (maybe set above the
+    * pushdown cap): broadcast semi-join, stored side scanned, never
+    * shuffled. */
+  private def confirmKnownHashes(stored: DataFrame, hashCol: String,
+      maybe: DataFrame): DataFrame = {
+    val spark = stored.sparkSession
+    import spark.implicits._
+    val maybeArr = maybe.as[Long].collect()
+    if (maybeArr.isEmpty)
+      spark.emptyDataset[Long].toDF(hashCol)
+    else if (maybeArr.length <= MaxProbePushdown) {
+      val confirmed = withSessionConf(spark,
+        "spark.sql.parquet.pushdown.inFilterThreshold",
+        MaxProbePushdown.toString) {
+        stored
+          .where(col(hashCol).isInCollection(maybeArr.toIndexedSeq))
+          .select(col(hashCol)).distinct()
+          .as[Long].collect()
+      }
+      confirmed.toIndexedSeq.toDF(hashCol)
+    } else
+      stored
+        .join(broadcast(maybe), Seq(hashCol), "left_semi")
+        .select(col(hashCol)).distinct()
+  }
+
+  /** [[confirmKnownHashes]] for STRING keys (the URL store's
+    * canonical-url membership): same batch-scale collect → pushable
+    * IN → pruned scan → local-relation return, same stack-bounded cap
+    * and semi-join fallback. Over a key-sorted base build parquet
+    * min/max string stats prune exactly like the hash case. */
+  private[graft] def confirmKnownStrings(stored: DataFrame,
+      keyCol: String, maybe: DataFrame): DataFrame = {
+    val spark = stored.sparkSession
+    import spark.implicits._
+    val maybeArr = maybe.as[String].collect()
+    if (maybeArr.isEmpty)
+      spark.emptyDataset[String].toDF(keyCol)
+    else if (maybeArr.length <= MaxProbePushdown) {
+      val confirmed = withSessionConf(spark,
+        "spark.sql.parquet.pushdown.inFilterThreshold",
+        MaxProbePushdown.toString) {
+        stored
+          .where(col(keyCol).isInCollection(maybeArr.toIndexedSeq))
+          .select(col(keyCol)).distinct()
+          .as[String].collect()
+      }
+      confirmed.toIndexedSeq.toDF(keyCol)
+    } else
+      stored
+        .join(broadcast(maybe), Seq(keyCol), "left_semi")
+        .select(col(keyCol)).distinct()
   }
 
   /** Probe-set ceiling for the pushable-IN exact-confirm path (and

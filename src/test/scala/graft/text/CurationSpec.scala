@@ -1339,6 +1339,47 @@ class CurationSpec extends AnyFunSuite {
       .count() == 0)
   }
 
+  test("dedupParagraphsAgainstSharded equals the exact join form — " +
+      "no false negatives through the bloom front, under minParaChars " +
+      "and a SATURATED filter alike") {
+    val corpus = (0 until 40).map { i =>
+      (i.toLong, s"stored unique paragraph $i\n\nshared banner " +
+        s"paragraph ${i % 5}\n\nxx")
+    }.toDF("doc_id", "text")
+    // delta: some docs repeat stored paragraphs, some repeat within
+    // the delta, some are fresh; the "xx" short paragraph sits under
+    // minParaChars and must never dedup
+    val delta = Seq(
+      (100L, "shared banner paragraph 2\n\nfresh delta thought\n\nxx"),
+      (101L, "fresh delta thought\n\nanother fresh one"),
+      (102L, "stored unique paragraph 7\n\nxx\n\nclosing fresh line"))
+      .toDF("doc_id", "text")
+    val minChars = 3
+    val stored = Curation.paragraphHashes(corpus, "text", "doc_id")
+    def run(expectedItems: Long) = {
+      val blooms = Curation.paragraphBloomShards(
+        stored.where($"para_chars" >= minChars), shards = 4,
+        expectedItems = expectedItems)
+      Curation.dedupParagraphsAgainstSharded(delta, stored, blooms,
+          4, "text", "doc_id", minParaChars = minChars)
+        .orderBy($"doc_id")
+        .select($"doc_id", $"n_paras", $"n_dropped", $"text")
+        .as[(Long, Long, Long, String)].collect().toSeq
+    }
+    val exact = Curation.dedupParagraphsAgainst(delta, stored,
+        "text", "doc_id", minParaChars = minChars)
+      .orderBy($"doc_id")
+      .select($"doc_id", $"n_paras", $"n_dropped", $"text")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(run(256L) == exact)      // well-sized filters
+    assert(run(4L) == exact)        // saturated: all MAYBEs, confirm
+                                    // still exact
+    // sanity on the content itself
+    assert(exact.find(_._1 == 100L).get._4 ==
+      "fresh delta thought\n\nxx")
+    assert(exact.find(_._1 == 101L).get._4 == "another fresh one")
+  }
+
   test("dedup ladder never shuffles corpus text: measured shuffle " +
       "bytes are a small fraction of the (incompressible) text bytes") {
     // ~200 docs x ~10 KB of md5-hex text (shuffle compression can't
