@@ -96,6 +96,11 @@ object ScaleSmoke {
       spark.stop()
       return
     }
+    if (mode == "stores") {
+      storeIngest(spark, stations)
+      spark.stop()
+      return
+    }
 
     val dailyMet = spark.range(0, stations.toLong * days, 1, 32)
       .select(
@@ -383,6 +388,115 @@ object ScaleSmoke {
       graft.text.Bpe.train(docs, "text", numMerges = 16).length.toLong
     }
     spark.stop()
+  }
+
+  /** Ingest-store micro-batch membership A/B at corpus scale
+    * (stations × 1000 docs × 8 paragraphs): the OLD direct
+    * `dedupParagraphsAgainst` hash join — which re-shuffles the
+    * stored index every micro-batch — against the wired
+    * sharded-Bloom + pruned-confirm path, before AND after
+    * `compact()` sorts the base by hash. Shuffle bytes are the
+    * cluster-honest column (the stored side crossing the network per
+    * batch is exactly what kills a 100 TB ingest); input bytes show
+    * the post-compaction row-group pruning (vectored IO disabled for
+    * the measurement — it bypasses the FileSystem statistics). */
+  private def storeIngest(spark: SparkSession, stations: Int): Unit = {
+    import spark.implicits._
+    spark.sparkContext.hadoopConfiguration
+      .setBoolean("parquet.hadoop.vectored.io.enabled", false)
+    val shuffleB = new java.util.concurrent.atomic.AtomicLong(0L)
+    val inputB = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted)
+            : Unit = {
+          shuffleB.addAndGet(
+            sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+          inputB.addAndGet(sc.stageInfo.taskMetrics.inputMetrics
+            .bytesRead)
+        }
+      })
+    def t2(label: String)(f: => Long): Unit = {
+      org.apache.spark.graft.ListenerBusBarrier.drain(
+        spark.sparkContext)
+      val s0 = shuffleB.get(); val i0 = inputB.get()
+      val t0 = System.nanoTime()
+      val n = f
+      val secs = (System.nanoTime() - t0) / 1e9
+      org.apache.spark.graft.ListenerBusBarrier.drain(
+        spark.sparkContext)
+      println(f"$label%-44s $secs%6.1f s  $n%,d rows  " +
+        f"${(shuffleB.get() - s0) / 1e6}%,.0f MB shuffled  " +
+        f"${(inputB.get() - i0) / 1e6}%,.0f MB read")
+    }
+    val nDocs = stations * 1000L
+    println(f"stores mode: $nDocs%,d corpus docs x 8 paragraphs")
+    def mkDocs(from: Long, n: Long, dupFrac: Int) =
+      spark.range(from, from + n, 1, 32)
+        .select(col("id").as("doc_id"), concat_ws("\n\n",
+          transform(sequence(lit(0), lit(7)), p =>
+            // every dupFrac-th doc's paragraphs repeat doc (id-1)'s —
+            // planted known-membership load for the probe
+            concat(lit("paragraph body "),
+              (when(pmod(col("id"), lit(dupFrac)) === 0 &&
+                col("id") > from, col("id") - 1)
+                .otherwise(col("id")) * 8 + p).cast("string"),
+              lit(" with enough characters to qualify"))))
+          .as("text"))
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_store_ab").toString
+    val store = new graft.streaming.ParagraphIndexStore(spark, tmp,
+      bloomShardCount = 32, bloomItemsPerShard = 1L << 18)
+    t2("initialize (corpus-wide dedup + index)") {
+      store.initialize(mkDocs(0, nDocs, 7), "text")
+      store.cleaned.count()
+    }
+    // every 500th batch doc repeats a CORPUS doc's paragraphs — a
+    // probe set far smaller than the sorted base's file count, the
+    // regime where row-group pruning shows (probes ≈ row groups reads
+    // everything whatever the layout; a 100 TB index has 100k+ row
+    // groups against batch-scale probes)
+    val batch = spark.range(nDocs + 100, nDocs + 5100, 1, 8)
+      .select(col("id").as("doc_id"), concat_ws("\n\n",
+        transform(sequence(lit(0), lit(7)), p =>
+          concat(lit("paragraph body "),
+            (when(pmod(col("id"), lit(500)) === 0,
+              pmod(col("id"), lit(nDocs)))
+              .otherwise(col("id")) * 8 + p).cast("string"),
+            lit(" with enough characters to qualify"))))
+        .as("text"))
+      .localCheckpoint(true) // batch materialized outside the windows
+    // consume n_dropped, not count(): a bare count lets Catalyst
+    // ELIMINATE the unique-key membership left join (it cannot change
+    // cardinality) and the whole stored-side subtree with it — the
+    // 0-byte "measurement" of nothing
+    def drops(df: org.apache.spark.sql.DataFrame): Long =
+      df.agg(sum(col("n_dropped"))).head().getLong(0)
+    t2("batch OLD exact join (stored side shuffles)") {
+      drops(graft.text.Curation.dedupParagraphsAgainst(batch,
+        store.paragraphTable, "text", "doc_id"))
+    }
+    t2("batch SHARDED+pruned (pre-compaction layout)") {
+      drops(graft.text.Curation.dedupParagraphsAgainstSharded(batch,
+        store.paragraphTable, store.bloomShards, 32, "text",
+        "doc_id"))
+    }
+    t2("compact (snapshot + hash-sorted base)") {
+      // finer range split for the sorted base: pruning granularity is
+      // the row group, and the local 32-partition default would leave
+      // only 32 of them for 4M rows
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", "512")
+      try store.compact()
+      finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+      store.paragraphTable.count()
+    }
+    t2("batch SHARDED+pruned (sorted base)") {
+      drops(graft.text.Curation.dedupParagraphsAgainstSharded(batch,
+        store.paragraphTable, store.bloomShards, 32, "text",
+        "doc_id"))
+    }
   }
 
   /** IVF corpus assignment at production shapes: the

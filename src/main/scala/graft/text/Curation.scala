@@ -1411,9 +1411,9 @@ object Curation {
     else if (maybeArr.length <= MaxProbePushdown) {
       val confirmed = withSessionConf(spark,
         "spark.sql.parquet.pushdown.inFilterThreshold",
-        MaxProbePushdown.toString) {
+        ProbePushdownChunk.toString) {
         stored
-          .where(col(hashCol).isInCollection(maybeArr.toIndexedSeq))
+          .where(chunkedIn(col(hashCol), maybeArr.toIndexedSeq))
           .select(col(hashCol)).distinct()
           .as[Long].collect()
       }
@@ -1439,9 +1439,9 @@ object Curation {
     else if (maybeArr.length <= MaxProbePushdown) {
       val confirmed = withSessionConf(spark,
         "spark.sql.parquet.pushdown.inFilterThreshold",
-        MaxProbePushdown.toString) {
+        ProbePushdownChunk.toString) {
         stored
-          .where(col(keyCol).isInCollection(maybeArr.toIndexedSeq))
+          .where(chunkedIn(col(keyCol), maybeArr.toIndexedSeq))
           .select(col(keyCol)).distinct()
           .as[String].collect()
       }
@@ -1452,20 +1452,30 @@ object Curation {
         .select(col(keyCol)).distinct()
   }
 
-  /** Probe-set ceiling for the pushable-IN exact-confirm path (and
-    * the IN-pushdown threshold it raises to). The bound is STACK
-    * DEPTH, not driver memory: Spark pushes a large IN to parquet as
-    * a LEFT-DEEP or-chain of eq predicates, and parquet-mr evaluates
-    * it recursively — one frame per term, so ~10k terms overflow a
-    * default 1 MB executor thread stack (measured: StackOverflowError
-    * in the row-group stats visitor). 2048 keeps the recursion under
-    * ~400 KB with headroom while still pruning for any sanely-sized
-    * micro-batch: at the store's default 1% bloom fpp the maybe set
-    * is ~0.01 × batch-distinct + true duplicates, so batches up to
-    * ~200k distinct new sentences stay under the cap (drop the fpp to
-    * widen it). Beyond the cap the confirm falls back to the original
-    * broadcast semi-join full scan. */
-  private val MaxProbePushdown: Int = 2048
+  /** Probe-set ceiling for the pushable-IN exact-confirm path. Probes
+    * are CHUNKED into `ProbePushdownChunk`-sized INs combined with an
+    * OR, because parquet-mr evaluates a pushed IN as a LEFT-DEEP
+    * or-chain recursively — several stack frames per term, so even
+    * ~2k terms in ONE In overflow a default executor thread stack
+    * (measured twice: StackOverflowError in the row-group stats
+    * visitor at ~10k and again at ~2k). Chunking bounds the recursion
+    * at ~(#chunks + chunk) frames regardless of probe count, while
+    * each chunk evaluates post-scan as an O(1) InSet. The overall cap
+    * bounds the row-group/page statistics evaluation cost (the whole
+    * predicate tree is visited per row group) and the Catalyst plan
+    * size; beyond it the confirm falls back to the broadcast
+    * semi-join full scan. At the stores' default 1% bloom fpp the
+    * maybe set is ~0.01 × batch-distinct + true duplicates, so
+    * batches up to ~1M distinct new units stay under the cap (drop
+    * the fpp to widen it). */
+  private val MaxProbePushdown: Int = 16384
+  private val ProbePushdownChunk: Int = 256
+
+  // the chunked pushable membership predicate: OR of ≤chunk-sized INs
+  private def chunkedIn(key: Column, values: Seq[Any]): Column =
+    values.grouped(ProbePushdownChunk)
+      .map(c => key.isInCollection(c))
+      .reduce(_ || _)
 
   // run `body` with one session conf temporarily overridden —
   // restored (or unset) in a finally, so the override cannot leak
