@@ -904,52 +904,41 @@ object SimilarityQueriesImpl {
 
       // per-vector sum AND index-weighted sum of the quantized micros:
       // two independent linear functionals, so offsetting ±1 flips
-      // within one vector cannot mask each other
-      register("q145a_quantize_probe",
-        s"""WITH $vmSql
-           |SELECT vec_id,
-           |  CAST(COALESCE(LIST_AGGREGATE(v, 'sum'), 0) AS BIGINT)
-           |    AS micros_sum,
-           |  CAST(COALESCE(LIST_AGGREGATE(LIST_TRANSFORM(
-           |      GENERATE_SERIES(1, LEN(v)), i -> i * v[i]), 'sum'),
-           |    0) AS BIGINT) AS micros_wsum
-           |FROM vm ORDER BY vec_id""".stripMargin) { (s, dir) =>
-        val emb = table(s, dir, "embeddings")
-        val vm = emb.select(col("vec_id"),
-          graft.similarity.KMeans.quantize(col("embedding")).as("v"))
-        vm.select(col("vec_id"),
-            coalesce(aggregate(col("v"), lit(0L), (a, x) => a + x),
-              lit(0L)).as("micros_sum"),
-            coalesce(aggregate(
-              transform(col("v"), (x, i) => (i.cast("long") + 1) * x),
-              lit(0L), (a, x) => a + x), lit(0L)).as("micros_wsum"))
-          .orderBy(col("vec_id"))
-      }
-
-      register("q145d_quantize_floor_probe",
-        s"""WITH vm AS (SELECT vec_id,
-           |    LIST_TRANSFORM(embedding, x ->
-           |      CAST(FLOOR(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS v
-           |  FROM embeddings)
-           |SELECT vec_id,
-           |  CAST(COALESCE(LIST_AGGREGATE(v, 'sum'), 0) AS BIGINT)
-           |    AS micros_sum,
-           |  CAST(COALESCE(LIST_AGGREGATE(LIST_TRANSFORM(
-           |      GENERATE_SERIES(1, LEN(v)), i -> i * v[i]), 'sum'),
-           |    0) AS BIGINT) AS micros_wsum
-           |FROM vm ORDER BY vec_id""".stripMargin) { (s, dir) =>
-        val emb = table(s, dir, "embeddings")
-        val vm = emb.select(col("vec_id"),
-          graft.similarity.KMeans.quantizeFloor(col("embedding"))
-            .as("v"))
-        vm.select(col("vec_id"),
-            coalesce(aggregate(col("v"), lit(0L), (a, x) => a + x),
-              lit(0L)).as("micros_sum"),
-            coalesce(aggregate(
-              transform(col("v"), (x, i) => (i.cast("long") + 1) * x),
-              lit(0L), (a, x) => a + x), lit(0L)).as("micros_wsum"))
-          .orderBy(col("vec_id"))
-      }
+      // within one vector cannot mask each other. ONE registrar for
+      // both quantizers — a drifted copy would quietly make the a/d
+      // red-green comparison probe different functionals, the exact
+      // divergence the shared SQL text prevents on the oracle side.
+      def registerQuantizeProbe(name: String, vmCte: String,
+          quantizer: Column => Column): Unit =
+        register(name,
+          s"""WITH $vmCte
+             |SELECT vec_id,
+             |  CAST(COALESCE(LIST_AGGREGATE(v, 'sum'), 0) AS BIGINT)
+             |    AS micros_sum,
+             |  CAST(COALESCE(LIST_AGGREGATE(LIST_TRANSFORM(
+             |      GENERATE_SERIES(1, LEN(v)), i -> i * v[i]), 'sum'),
+             |    0) AS BIGINT) AS micros_wsum
+             |FROM vm ORDER BY vec_id""".stripMargin) { (s, dir) =>
+          table(s, dir, "embeddings")
+            .select(col("vec_id"),
+              quantizer(col("embedding")).as("v"))
+            .select(col("vec_id"),
+              coalesce(aggregate(col("v"), lit(0L), (a, x) => a + x),
+                lit(0L)).as("micros_sum"),
+              coalesce(aggregate(
+                transform(col("v"),
+                  (x, i) => (i.cast("long") + 1) * x),
+                lit(0L), (a, x) => a + x), lit(0L)).as("micros_wsum"))
+            .orderBy(col("vec_id"))
+        }
+      registerQuantizeProbe("q145a_quantize_probe", vmSql,
+        graft.similarity.KMeans.quantize)
+      registerQuantizeProbe("q145d_quantize_floor_probe",
+        """vm AS (SELECT vec_id,
+          |    LIST_TRANSFORM(embedding, x ->
+          |      CAST(FLOOR(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS v
+          |  FROM embeddings)""".stripMargin,
+        graft.similarity.KMeans.quantizeFloor)
 
       register("q145b_seed_ids",
         s"""WITH $vmSql,

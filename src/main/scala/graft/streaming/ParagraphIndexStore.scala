@@ -100,6 +100,22 @@ final class ParagraphIndexStore(spark: SparkSession, path: String,
   def cleaned: DataFrame =
     spark.read.parquet(cleanedPath).drop("ingest_batch")
 
+  /** How many per-batch Bloom sub-filters the busiest shard holds —
+    * grows by one per batch between compactions, and each is sized to
+    * the store's full capacity (the bit-OR merge contract), so the
+    * per-batch merge cost grows linearly with it. See
+    * [[SentenceIndexStore.bloomSubFiltersPerShard]]; 0 before the
+    * first batch, never throws. */
+  def bloomSubFiltersPerShard: Long =
+    StorePaths.bloomSubFiltersPerShard(spark, bloomPath)
+
+  /** True once any shard's sub-filter count crosses `maxSubFilters` —
+    * run [[compact]] (idle window, not mid-ingest) to fold the
+    * per-batch filters into one and re-bound the per-batch probe's
+    * merge bytes. */
+  def needsCompaction(maxSubFilters: Int = 16): Boolean =
+    bloomSubFiltersPerShard > maxSubFilters
+
   /** Start the growing ingest over a streaming (idCol, textCol)
     * frame. */
   def ingest(stream: DataFrame, textCol: String,

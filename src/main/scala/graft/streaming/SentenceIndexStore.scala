@@ -116,11 +116,8 @@ final class SentenceIndexStore(spark: SparkSession, path: String,
     * 1.2 bytes` per batch at the 1% default fpp. [[compact]] folds
     * them back to one sub-filter per shard; [[needsCompaction]] is
     * the cadence check. */
-  def bloomSubFiltersPerShard: Long = {
-    val counts = spark.read.parquet(bloomPath)
-      .groupBy(col("shard")).count().agg(max(col("count"))).head()
-    if (counts.isNullAt(0)) 0L else counts.getLong(0)
-  }
+  def bloomSubFiltersPerShard: Long =
+    StorePaths.bloomSubFiltersPerShard(spark, bloomPath)
 
   /** True once any shard's sub-filter count crosses `maxSubFilters` —
     * run [[compact]] (idle window, not mid-ingest) to fold the

@@ -1,8 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
-import scala.util.control.NonFatal
+import org.apache.spark.sql.functions.{col, max}
 
 /** Filesystem plumbing shared by the ingest stores. */
 private[streaming] object StorePaths {
@@ -37,6 +36,28 @@ private[streaming] object StorePaths {
     val hp = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.exists(hp)
+  }
+
+  /** Busiest-shard Bloom sub-filter count of a per-batch `blooms/`
+    * artifact directory — the shared cadence metric behind the
+    * stores' `needsCompaction`: every ingested batch adds one
+    * capacity-sized sub-filter per shard it touches, so storage and
+    * the per-batch OR-merge cost grow linearly with batch count
+    * between compactions. Returns 0 (never throws) for a store with
+    * no blooms yet, so a cadence poll can start before the first
+    * batch. */
+  def bloomSubFiltersPerShard(spark: SparkSession,
+      bloomPath: String): Long = {
+    if (!exists(spark, bloomPath)) 0L
+    else try {
+      val row = spark.read.parquet(bloomPath)
+        .groupBy(col("shard")).count()
+        .agg(max(col("count"))).head()
+      if (row.isNullAt(0)) 0L else row.getLong(0)
+    } catch {
+      // an existing-but-empty directory (wiped store) has no schema
+      case _: org.apache.spark.sql.AnalysisException => 0L
+    }
   }
 
   /** One table in a [[compactStore]] run: `current` produces the live
@@ -84,10 +105,14 @@ private[streaming] object StorePaths {
     * object-store committers) — there `resuming` can never fire, and
     * the non-resume path would wipe snapshot tmps that are the ONLY
     * surviving copy after a genuine crash-between-wipe-and-rewrite.
-    * So before destroying any existing tmp, the live tables must
-    * prove READABLE (schema resolves); otherwise this throws loudly
-    * with recovery instructions instead of deleting the one recovery
-    * artifact and then failing anyway on the wiped store. */
+    * So the non-resume path refuses to destroy an existing tmp unless
+    * the base build is provably COMMITTED. Not merely readable: a
+    * direct-write committer's crash mid-rewrite leaves a PARTIAL base
+    * whose schema resolves fine — accepting readability would wipe
+    * the complete snapshot and re-snapshot from the partial table, a
+    * silent loss of every row in the unwritten files. When in doubt
+    * this throws with recovery instructions; an operator who has
+    * verified the live store simply deletes the leftover tmps. */
   def compactStore(spark: SparkSession, tables: Seq[CompactTable],
       wipePaths: Seq[String])(
       finish: Seq[DataFrame] => Unit): Unit = {
@@ -96,24 +121,18 @@ private[streaming] object StorePaths {
     val resuming = tmps.forall(t => committed(spark, t)) && !basesIntact
     if (!resuming) {
       val tmpsPresent = tmps.filter(exists(spark, _))
-      if (tmpsPresent.nonEmpty) {
-        // something snapshot-shaped survives from a previous attempt
-        // but is not provably committed — only safe to overwrite it
-        // when the LIVE store is demonstrably intact
-        val unreadable = tables.map(_.current).zip(tables.map(_.base))
-          .filter { case (cur, _) =>
-            try { cur(); false } catch { case NonFatal(_) => true }
-          }.map(_._2)
-        if (unreadable.nonEmpty) throw new IllegalStateException(
-          s"compactStore: live table(s) at ${unreadable.mkString(", ")} " +
-            s"are unreadable while snapshot tmp(s) " +
-            s"${tmpsPresent.mkString(", ")} exist — refusing to wipe " +
-            "the only possible recovery artifact. If the tmps are a " +
-            "complete snapshot whose _SUCCESS markers the committer " +
-            "suppressed, restore them to the base paths manually (or " +
-            "re-enable mapreduce.fileoutputcommitter." +
-            "marksuccessfuljobs) and compact again.")
-      }
+      if (tmpsPresent.nonEmpty && !basesIntact)
+        throw new IllegalStateException(
+          s"compactStore: snapshot tmp(s) ${tmpsPresent.mkString(", ")} " +
+            "exist but neither they nor the base build carry _SUCCESS " +
+            "markers — cannot tell a crashed-mid-rewrite store (the " +
+            "tmps are the only surviving copy) from a marker-less " +
+            "committer's healthy one. Refusing to wipe the possible " +
+            "recovery artifact. If the tmps are a complete snapshot, " +
+            "restore them to the base paths manually; if the live " +
+            "store is verified intact, delete the tmp dirs and " +
+            "compact again (or re-enable mapreduce." +
+            "fileoutputcommitter.marksuccessfuljobs).")
       wipe(spark, tmps)
       tables.foreach { t =>
         t.current().write.mode("overwrite").parquet(t.tmp)

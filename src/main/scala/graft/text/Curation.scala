@@ -1050,8 +1050,6 @@ object Curation {
     // narrow explode flagSentencesResolved builds — no second
     // segmentation pass over the batch text
     val resolver = (narrow: DataFrame) => {
-      val spark = narrow.sparkSession
-      import spark.implicits._
       val deltaHashes = narrow
         .where(col("sh_").isNotNull && col("len_") >= minSentChars)
         .select(col("sh_").as("sent_hash")).distinct()
@@ -1384,73 +1382,71 @@ object Curation {
     }.toDF(hashCol, "maybe_known")
   }
 
-  /** Exact membership confirm of a batch-scale `maybe` hash set (one
-    * `hashCol` LONG column, the sharded-Bloom front's flagged MAYBEs)
-    * against a stored narrow hash table (pre-filtered, projected to
-    * `hashCol`): returns the DISTINCT confirmed subset. The maybe set
-    * is batch-scale by the front's contract (it was broadcast
-    * before), so collect it and confirm via a PUSHABLE IN predicate
-    * on the stored scan instead of a semi-join: over a hash-SORTED
-    * base build ([[graft.streaming.StorePaths.CompactTable]]
-    * `sortCol`) parquet min/max row-group stats then prune everything
-    * outside the probe set — the per-batch read stops being
-    * O(index). The confirm runs EAGERLY so the raised IN-pushdown
-    * threshold (default 10 would degrade a large IN to a useless
-    * min/max RANGE over random 64-bit hashes) is scoped to this one
-    * scan; the confirmed set (≤ maybe, batch-scale) re-enters the
+  /** Exact membership confirm of a batch-scale `maybe` key set (one
+    * `keyCol` column, e.g. the sharded-Bloom front's flagged MAYBEs
+    * or the URL store's batch canonicals) against a stored narrow
+    * table (pre-filtered, projected to `keyCol`): returns the
+    * DISTINCT confirmed subset. The maybe set is batch-scale by the
+    * caller's contract (it was broadcast before), so collect it ONCE
+    * and confirm via a PUSHABLE chunked IN predicate on the stored
+    * scan instead of a semi-join: over a key-SORTED base build
+    * ([[graft.streaming.StorePaths.CompactTable]] `sortCol`) parquet
+    * min/max row-group stats then prune everything outside the probe
+    * set — the per-batch read stops being O(index). The confirm runs
+    * EAGERLY so the raised IN-pushdown threshold (default 10 would
+    * degrade a large IN to a useless min/max RANGE over random
+    * hashes) is scoped to this one scan, and is serialized through a
+    * JVM-wide lock so concurrent stores on ONE session cannot race a
+    * restore into another confirm's planning window (the raise
+    * direction is harmless to bystander queries; a mid-planning
+    * restore would silently degrade a sibling probe to the range
+    * push). The confirmed set (≤ maybe, batch-scale) re-enters the
     * plan as a local relation. Degenerate regime (maybe set above the
-    * pushdown cap): broadcast semi-join, stored side scanned, never
-    * shuffled. */
-  private def confirmKnownHashes(stored: DataFrame, hashCol: String,
-      maybe: DataFrame): DataFrame = {
+    * pushdown cap): broadcast semi-join building on the ALREADY
+    * COLLECTED set — never re-executing the maybe lineage (the bloom
+    * cogroup would otherwise run twice per batch in exactly the heavy
+    * regime) — stored side scanned, never shuffled. */
+  private def confirmKnownKeys[T](stored: DataFrame, keyCol: String,
+      maybe: DataFrame)(
+      implicit enc: org.apache.spark.sql.Encoder[T]): DataFrame = {
     val spark = stored.sparkSession
-    import spark.implicits._
-    val maybeArr = maybe.as[Long].collect()
-    if (maybeArr.isEmpty)
-      spark.emptyDataset[Long].toDF(hashCol)
+    val maybeArr = maybe.as[T].collect()
+    val maybeLocal = spark.createDataset(maybeArr.toIndexedSeq)
+      .toDF(keyCol)
+    if (maybeArr.isEmpty) maybeLocal
     else if (maybeArr.length <= MaxProbePushdown) {
-      val confirmed = withSessionConf(spark,
-        "spark.sql.parquet.pushdown.inFilterThreshold",
-        ProbePushdownChunk.toString) {
-        stored
-          .where(chunkedIn(col(hashCol), maybeArr.toIndexedSeq))
-          .select(col(hashCol)).distinct()
-          .as[Long].collect()
+      val confirmed = confirmLock.synchronized {
+        withSessionConf(spark,
+          "spark.sql.parquet.pushdown.inFilterThreshold",
+          ProbePushdownChunk.toString) {
+          stored
+            .where(chunkedIn(col(keyCol), maybeArr.toIndexedSeq))
+            .select(col(keyCol)).distinct()
+            .as[T].collect()
+        }
       }
-      confirmed.toIndexedSeq.toDF(hashCol)
+      spark.createDataset(confirmed.toIndexedSeq).toDF(keyCol)
     } else
       stored
-        .join(broadcast(maybe), Seq(hashCol), "left_semi")
-        .select(col(hashCol)).distinct()
-  }
-
-  /** [[confirmKnownHashes]] for STRING keys (the URL store's
-    * canonical-url membership): same batch-scale collect → pushable
-    * IN → pruned scan → local-relation return, same stack-bounded cap
-    * and semi-join fallback. Over a key-sorted base build parquet
-    * min/max string stats prune exactly like the hash case. */
-  private[graft] def confirmKnownStrings(stored: DataFrame,
-      keyCol: String, maybe: DataFrame): DataFrame = {
-    val spark = stored.sparkSession
-    import spark.implicits._
-    val maybeArr = maybe.as[String].collect()
-    if (maybeArr.isEmpty)
-      spark.emptyDataset[String].toDF(keyCol)
-    else if (maybeArr.length <= MaxProbePushdown) {
-      val confirmed = withSessionConf(spark,
-        "spark.sql.parquet.pushdown.inFilterThreshold",
-        ProbePushdownChunk.toString) {
-        stored
-          .where(chunkedIn(col(keyCol), maybeArr.toIndexedSeq))
-          .select(col(keyCol)).distinct()
-          .as[String].collect()
-      }
-      confirmed.toIndexedSeq.toDF(keyCol)
-    } else
-      stored
-        .join(broadcast(maybe), Seq(keyCol), "left_semi")
+        .join(broadcast(maybeLocal), Seq(keyCol), "left_semi")
         .select(col(keyCol)).distinct()
   }
+
+  private def confirmKnownHashes(stored: DataFrame, hashCol: String,
+      maybe: DataFrame): DataFrame =
+    confirmKnownKeys(stored, hashCol, maybe)(
+      org.apache.spark.sql.Encoders.scalaLong)
+
+  /** [[confirmKnownKeys]] over STRING keys — the URL store's
+    * canonical-url membership. */
+  private[graft] def confirmKnownStrings(stored: DataFrame,
+      keyCol: String, maybe: DataFrame): DataFrame =
+    confirmKnownKeys(stored, keyCol, maybe)(
+      org.apache.spark.sql.Encoders.STRING)
+
+  // serializes the conf-raised confirm windows across threads — see
+  // confirmKnownKeys
+  private val confirmLock = new Object
 
   /** Probe-set ceiling for the pushable-IN exact-confirm path. Probes
     * are CHUNKED into `ProbePushdownChunk`-sized INs combined with an

@@ -285,7 +285,7 @@ class SentenceIndexStoreSpec extends AnyFunSuite {
     // without the guard this wiped the tmps (the only copy), then
     // died reading the empty store — unrecoverable loss
     val e = intercept[IllegalStateException] { store.compact() }
-    assert(e.getMessage.contains("refusing to wipe"))
+    assert(e.getMessage.toLowerCase.contains("refusing to wipe"))
     // the recovery artifact survives intact
     assert(spark.read.parquet(s"$tmp/compact_tmp_sentences")
       .count() > 0)
