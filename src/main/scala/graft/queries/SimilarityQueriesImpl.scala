@@ -894,9 +894,10 @@ object SimilarityQueriesImpl {
       //                          step left in the chain);
       //   q145a green, b red   → seeding (md5 rank / argmax scan);
       //   a+b green, c red     → the Lloyd update arithmetic;
-      //   a+b+c green, q145 red→ the final assign, or the driver's
-      //                          compare harness itself — code churn
-      //                          ends.
+      //   a+b+c green, e red   → a LATER iteration (2..n) diverges;
+      //   a..e green, q145 red → the final assign distance/tie-break,
+      //                          or the driver's compare harness
+      //                          itself — code churn ends.
       // q145d probes the FLOOR-based quantizer (no half-way rule, and
       // the double product is exact for FLOAT inputs — see
       // KMeans.quantizeFloor): q145a red + q145d green hands the next
@@ -958,28 +959,38 @@ object SimilarityQueriesImpl {
           .orderBy(col("seed_ord"))
       }
 
-      register("q145c_centroids_iter1",
-        s"""WITH $vmSql,
-           |$seedsSql,
-           |cent0 AS MATERIALIZED (
-           |  ${(1 to k).map(j =>
-              s"SELECT ${j - 1} AS cid, v FROM s$j")
-              .mkString("\n  UNION ALL ")}),
-           |${iterStep(1)}
-           |SELECT CAST(cid AS BIGINT) AS cluster_id,
-           |  CAST(u.i AS BIGINT) AS dim, v[u.i] AS micro
-           |FROM cent1, UNNEST(GENERATE_SERIES(1, LEN(v))) u(i)
-           |ORDER BY cluster_id, dim""".stripMargin) { (s, dir) =>
-        val emb = table(s, dir, "embeddings")
-        val (model, _) = graft.similarity.KMeans.fitTraced(emb,
-          "embedding", "vec_id", k, iters = 1)
-        import s.implicits._
-        model.centroids.zipWithIndex.flatMap { case (c, cid) =>
-          c.zipWithIndex.map { case (m, d) =>
-            (cid.toLong, (d + 1).toLong, m) }
-        }.toDF("cluster_id", "dim", "micro")
-          .orderBy(col("cluster_id"), col("dim"))
-      }
+      // ONE registrar for the centroid-table gates, parameterized on
+      // how many Lloyd iterations run: q145c (iteration 1) isolates
+      // the update arithmetic; q145e (all iterations — the exact
+      // centroids q145's final assignment scores against) closes the
+      // decomposition, so a+b+c+e green with q145 red convicts ONLY
+      // the final assign distance/tie-break or the compare harness —
+      // never an ambiguous "iterations 2..n or later".
+      def registerCentroidsGate(name: String, nIters: Int): Unit =
+        register(name,
+          s"""WITH $vmSql,
+             |$seedsSql,
+             |cent0 AS MATERIALIZED (
+             |  ${(1 to k).map(j =>
+                s"SELECT ${j - 1} AS cid, v FROM s$j")
+                .mkString("\n  UNION ALL ")}),
+             |${(1 to nIters).map(iterStep).mkString(",\n")}
+             |SELECT CAST(cid AS BIGINT) AS cluster_id,
+             |  CAST(u.i AS BIGINT) AS dim, v[u.i] AS micro
+             |FROM cent$nIters, UNNEST(GENERATE_SERIES(1, LEN(v))) u(i)
+             |ORDER BY cluster_id, dim""".stripMargin) { (s, dir) =>
+          val emb = table(s, dir, "embeddings")
+          val (model, _) = graft.similarity.KMeans.fitTraced(emb,
+            "embedding", "vec_id", k, iters = nIters)
+          import s.implicits._
+          model.centroids.zipWithIndex.flatMap { case (c, cid) =>
+            c.zipWithIndex.map { case (m, d) =>
+              (cid.toLong, (d + 1).toLong, m) }
+          }.toDF("cluster_id", "dim", "micro")
+            .orderBy(col("cluster_id"), col("dim"))
+        }
+      registerCentroidsGate("q145c_centroids_iter1", 1)
+      registerCentroidsGate("q145e_centroids_final", iters)
     }
   }
 }
