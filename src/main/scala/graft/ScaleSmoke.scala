@@ -479,7 +479,7 @@ object ScaleSmoke {
     }
     t2("batch SHARDED+pruned (pre-compaction layout)") {
       drops(graft.text.Curation.dedupParagraphsAgainstSharded(batch,
-        store.paragraphTable, store.bloomShards, 32, "text",
+        store.paragraphTable, store.bloomSubFilters, 32, "text",
         "doc_id"))
     }
     t2("compact (snapshot + hash-sorted base)") {
@@ -494,7 +494,7 @@ object ScaleSmoke {
     }
     t2("batch SHARDED+pruned (sorted base)") {
       drops(graft.text.Curation.dedupParagraphsAgainstSharded(batch,
-        store.paragraphTable, store.bloomShards, 32, "text",
+        store.paragraphTable, store.bloomSubFilters, 32, "text",
         "doc_id"))
     }
   }

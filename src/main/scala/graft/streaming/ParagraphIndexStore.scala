@@ -93,8 +93,13 @@ final class ParagraphIndexStore(spark: SparkSession, path: String,
     * [[Curation.flagMaybeKnownParagraphsSharded]] with this store's
     * `bloomShardCount`. */
   def bloomShards: DataFrame =
-    Curation.mergeBloomShards(
-      spark.read.parquet(bloomPath).drop("ingest_batch"))
+    Curation.mergeBloomShards(bloomSubFilters)
+
+  /** The RAW per-batch sub-filter table (multiple rows per shard) —
+    * what the per-batch probe consumes directly; see
+    * [[SentenceIndexStore.bloomSubFilters]]. */
+  def bloomSubFilters: DataFrame =
+    spark.read.parquet(bloomPath).drop("ingest_batch")
 
   /** The deduped corpus so far. */
   def cleaned: DataFrame =
@@ -142,9 +147,10 @@ final class ParagraphIndexStore(spark: SparkSession, path: String,
     // Bloom front has no false negatives, so output is identical
     // (spec-pinned); the stored table is scanned (pruned over the
     // compacted hash-sorted base), never shuffled.
-    val shardFilters = Curation.mergeBloomShards(
-      spark.read.parquet(bloomPath).where(notThisBatch)
-        .drop("ingest_batch"))
+    // RAW sub-filters, no merge pass (scan-probe any-row-hits ==
+    // OR-merged semantics; merging would shuffle the filter table)
+    val shardFilters = spark.read.parquet(bloomPath)
+      .where(notThisBatch).drop("ingest_batch")
     val cleanedBatch = Curation.dedupParagraphsAgainstSharded(batch,
         stored, shardFilters, bloomShardCount, textCol, idCol, sep,
         minParaChars)

@@ -104,8 +104,14 @@ final class SentenceIndexStore(spark: SparkSession, path: String,
     * far — the per-batch sub-filters are bit-compatible by
     * construction ([[Curation.mergeBloomShards]] contract). */
   def bloomShards: DataFrame =
-    Curation.mergeBloomShards(
-      spark.read.parquet(bloomPath).drop("ingest_batch"))
+    Curation.mergeBloomShards(bloomSubFilters)
+
+  /** The RAW per-batch sub-filter table (multiple rows per shard) —
+    * what the per-batch probe consumes directly: the scan-probe
+    * ([[Curation.flagMaybeKnownHashes]]) needs no merged view, so the
+    * capacity-sized filter bytes never cross an exchange per batch. */
+  def bloomSubFilters: DataFrame =
+    spark.read.parquet(bloomPath).drop("ingest_batch")
 
   /** How many per-batch Bloom SUB-FILTERS the busiest shard holds.
     * Every ingested batch adds one sub-filter per shard, and each is
@@ -151,9 +157,11 @@ final class SentenceIndexStore(spark: SparkSession, path: String,
     val notThisBatch = col("ingest_batch") =!= batchId
     val stored = spark.read.parquet(sentPath)
       .where(notThisBatch).drop("ingest_batch")
-    val shardFilters = Curation.mergeBloomShards(
-      spark.read.parquet(bloomPath).where(notThisBatch)
-        .drop("ingest_batch"))
+    // RAW sub-filters, no merge pass: the scan-probe's any-row-hits
+    // semantics equal the OR-merge, and merging would shuffle the
+    // capacity-sized filter table every batch
+    val shardFilters = spark.read.parquet(bloomPath)
+      .where(notThisBatch).drop("ingest_batch")
     // cleaned text + kept-sentence index from ONE keeper computation
     // (re-segmenting the rebuilt text would merge sentences across
     // suppressed boundaries and corrupt the index — scaladoc above);

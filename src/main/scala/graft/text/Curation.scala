@@ -1300,44 +1300,37 @@ object Curation {
   }
 
   /** [[flagMaybeKnownParagraphs]] against a SHARDED (shard,
-    * bloom_bytes) table: delta paragraphs and filters co-group on the
-    * shard key, so each task holds exactly ONE shard's sketch while
-    * its rows stream through — nothing sketch-shaped touches the
-    * driver, and total sketch size is bounded only by the cluster.
-    * A shard with no filter row flags nothing (no stored paragraph
-    * hashes there — vacuously unknown); a shard with SEVERAL filter
-    * rows (the per-batch sub-filter layout `ParagraphIndexStore`
-    * writes) OR-merges them in the task before probing — probing only
-    * the first row would silently drop the other batches' membership
-    * and break the no-false-negative guarantee. Same output
-    * schema. */
+    * bloom_bytes) table — [[flagMaybeKnownHashes]] (the scan-probe:
+    * distinct batch hashes broadcast over an in-place scan of the
+    * filter table; only one shard's sub-filter is ever deserialized
+    * per row, so per-task memory stays one sketch and nothing
+    * capacity-sized crosses an exchange or the driver) joined back to
+    * the per-paragraph rows. A shard with no filter row flags
+    * nothing (no stored paragraph hashes there — vacuously unknown);
+    * a hash is flagged iff ANY sub-filter row of its shard contains
+    * it — exactly the OR-merged semantics, so the per-batch
+    * sub-filter layout `ParagraphIndexStore` writes needs no merge
+    * pass. Same output schema as [[flagMaybeKnownParagraphs]]. */
   def flagMaybeKnownParagraphsSharded(delta: DataFrame,
       textCol: String, idCol: String, shardBlooms: DataFrame,
       shards: Int, sep: String = "\n\n", minParaChars: Int = 1)
       : DataFrame = {
     require(shards > 0, "shards must be positive")
-    val spark = delta.sparkSession
-    import spark.implicits._
-    val rows = paragraphHashes(delta, textCol, idCol, sep)
-      .select(col(idCol).cast("long"), col("para_idx"),
-        col("para_chars"), col("para_hash"),
-        pmod(col("para_hash"), lit(shards)).cast("int").as("shard_"))
-      .as[(java.lang.Long, Int, Int, Long, Int)]
-      .groupByKey(_._5)
-    val blooms = shardBlooms
-      .select(col("shard").cast("int"), col("bloom_bytes"))
-      .as[(Int, Array[Byte])]
-      .groupByKey(_._1)
-    rows.cogroup(blooms) { (_, rs, bs) =>
-      // EVERY sub-filter row of this shard participates: bit-compatible
-      // by construction (same expectedItems/fpp/shards build), so the
-      // OR-merge is exactly the monolithic filter
-      val bloom = mergeFilterRows(bs.map(_._2))
-      rs.map { case (id, idx, chars, h, _) =>
-        (id, idx, chars, h,
-          chars >= minParaChars && bloom.exists(_.mightContainLong(h)))
-      }
-    }.toDF(idCol, "para_idx", "para_chars", "para_hash", "maybe_known")
+    // one segmentation pass feeds both the distinct probe (eager —
+    // flagMaybeKnownHashes collects it) and the per-row flag join
+    val ph = paragraphHashes(delta, textCol, idCol, sep)
+      .localCheckpoint(false)
+    val flags = flagMaybeKnownHashes(
+      ph.where(col("para_chars") >= minParaChars)
+        .select(col("para_hash")).distinct(),
+      "para_hash", shardBlooms, shards)
+      .where(col("maybe_known"))
+      .withColumn("mk_", lit(true)).drop("maybe_known")
+    ph.join(broadcast(flags), Seq("para_hash"), "left")
+      .select(col(idCol), col("para_idx"), col("para_chars"),
+        col("para_hash"),
+        (col("para_chars") >= minParaChars &&
+          coalesce(col("mk_"), lit(false))).as("maybe_known"))
   }
 
   /** SHARDED Bloom filters over a stored [[sentenceHashes]] table —
@@ -1354,32 +1347,52 @@ object Curation {
 
   /** Probe a frame of 64-bit hashes against a SHARDED (shard,
     * bloom_bytes) table — the granularity-agnostic core of
-    * [[flagMaybeKnownParagraphsSharded]]: rows and filters co-group on
-    * `pmod(hash, shards)`, each task holds exactly ONE shard's sketch,
-    * multi-row shards (per-batch sub-filters) OR-merge before probing.
-    * Returns (hashCol, maybe_known); no false negatives per shard.
-    * Input should be DISTINCT hashes (batch-scale) — the caller owns
-    * that contract. */
+    * [[flagMaybeKnownParagraphsSharded]]. The probe set (DISTINCT,
+    * batch-scale — the caller owns that contract) is collected,
+    * grouped by `pmod(hash, shards)`, and BROADCAST to a scan of the
+    * filter table: each task probes its local sub-filter rows against
+    * the broadcast hashes of that row's shard and emits the hits.
+    * The filter table is scanned IN PLACE — the previous cogroup
+    * formulation co-partitioned hashes WITH filters and therefore
+    * shuffled the capacity-sized bloom table (~160 MB at the stores'
+    * defaults, and growing one sub-filter per batch) through an
+    * exchange on EVERY call, i.e. every micro-batch; now only the
+    * batch-scale probe set and the batch-scale hit set move. A hash
+    * is maybe-known iff ANY sub-filter row of its shard contains it —
+    * exactly the OR-merged semantics, without materializing the
+    * merge; rows of other shards are never probed, so the per-shard
+    * fpp contract is unchanged, and a shard with no filter rows flags
+    * nothing. Returns (hashCol, maybe_known); no false negatives. */
   def flagMaybeKnownHashes(hashes: DataFrame, hashCol: String,
       shardBlooms: DataFrame, shards: Int): DataFrame = {
     require(shards > 0, "shards must be positive")
     val spark = hashes.sparkSession
     import spark.implicits._
-    val rows = hashes
-      .select(col(hashCol),
-        pmod(col(hashCol), lit(shards)).cast("int").as("shard_"))
-      .as[(Long, Int)]
-      .groupByKey(_._2)
-    val blooms = shardBlooms
+    val byShard = Array.fill(shards)(
+      scala.collection.mutable.ArrayBuffer.empty[Long])
+    hashes.select(col(hashCol)).as[Long].collect().foreach { h =>
+      byShard((((h % shards) + shards) % shards).toInt) += h
+    }
+    val bc = spark.sparkContext.broadcast(byShard.map(_.toArray))
+    val hits = shardBlooms
       .select(col("shard").cast("int"), col("bloom_bytes"))
       .as[(Int, Array[Byte])]
-      .groupByKey(_._1)
-    rows.cogroup(blooms) { (_, rs, bs) =>
-      val bloom = mergeFilterRows(bs.map(_._2))
-      rs.map { case (h, _) =>
-        (h, bloom.exists(_.mightContainLong(h)))
-      }
-    }.toDF(hashCol, "maybe_known")
+      .mapPartitions { rows =>
+        val probes = bc.value
+        rows.flatMap { case (s, bytes) =>
+          if (s < 0 || s >= probes.length || probes(s).isEmpty)
+            Iterator.empty
+          else {
+            val bloom = org.apache.spark.util.sketch.BloomFilter
+              .readFrom(new java.io.ByteArrayInputStream(bytes))
+            probes(s).iterator.filter(bloom.mightContainLong)
+          }
+        }
+      }.toDF(hashCol).dropDuplicates(hashCol)
+      .withColumn("mk_", lit(true))
+    hashes.join(broadcast(hits), Seq(hashCol), "left")
+      .select(col(hashCol),
+        coalesce(col("mk_"), lit(false)).as("maybe_known"))
   }
 
   /** Exact membership confirm of a batch-scale `maybe` key set (one
