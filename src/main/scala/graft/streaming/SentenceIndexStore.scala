@@ -38,11 +38,15 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * more items than paragraphs, so probing the full stored table per
   * micro-batch is a corpus-proportional join every few seconds):
   * [[Curation.dedupSentencesAgainstWithIndexSharded]] probes the
-  * batch's DISTINCT sentence hashes against the merged shard filters
-  * (each task holds ONE shard's sketch), exactly confirms only the
-  * flagged MAYBEs against the stored table via a broadcast semi-join
-  * (the stored side is scanned, never shuffled), and runs the
-  * batch-internal first-wins keeper at batch scale. Bloom filters
+  * batch's DISTINCT sentence hashes against the RAW sub-filter table
+  * via the scan-probe (hashes broadcast over an in-place scan — the
+  * capacity-sized filter bytes never cross an exchange; one shard's
+  * sketch deserialized per row), exactly confirms only the flagged
+  * MAYBEs against the stored table via the pruned-IN /
+  * broadcast-semi-join confirm (the stored side is scanned —
+  * row-group-pruned over the compacted hash-sorted base — never
+  * shuffled), and runs the batch-internal first-wins keeper at batch
+  * scale. Bloom filters
   * have no false negatives, so the result is identical to the exact
   * join — spec-pinned. The fold-back writes batch-scale rows
   * (index + cleaned + the batch's own bloom sub-filter). Nothing
