@@ -34,11 +34,16 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * breaks the contract.
   *
   * Scale shape: per batch, signature work is per-row expressions over
-  * the arrivals; the corpus check is the same banded equi-join as the
-  * static gate (only bucket collisions verified); the intra-batch pass
-  * is bucket-join + star-contraction components over BATCH-scale
-  * survivors; the append writes batch-scale rows. Nothing
-  * corpus-proportional is recomputed per batch. Caveat, documented: the
+  * the arrivals; the corpus check is the banded equi-join with the
+  * same verify arithmetic as the static gate, run in the BATCH
+  * topology ([[StreamingDedup.nearDupIngestFromSigBatch]]: delta side
+  * broadcast, bucket and doc tables SCANNED in place — the
+  * planner-chosen form shuffles both corpus-scale tables every
+  * micro-batch once the corpus outgrows the broadcast threshold,
+  * because the checkpoint-backed delta offers it no size estimate);
+  * the intra-batch pass is bucket-join + star-contraction components
+  * over BATCH-scale survivors; the append writes batch-scale rows.
+  * Nothing corpus-proportional is recomputed or shuffled per batch. Caveat, documented: the
   * initial build caps degenerate buckets at `maxBucketSize`, while
   * incremental appends cannot re-cap ACROSS batches — a pathological
   * bucket degrades join fan-out gradually; run [[compact]]
@@ -126,7 +131,10 @@ final class CorpusIndexStore(spark: SparkSession, path: String,
     // replayed doc near-dups its own folded signature and the
     // overwrite empties the partition (caught by the idempotence
     // spec). Partition pruning makes the exclusion free.
-    val dupOfCorpus = StreamingDedup.nearDupIngestFromSig(withSig,
+    // BATCH topology: delta side broadcast, both corpus tables
+    // SCANNED — the planner-chosen form shuffled the corpus-scale
+    // bucket and doc tables every micro-batch
+    val dupOfCorpus = StreamingDedup.nearDupIngestFromSigBatch(withSig,
         spark.read.parquet(bucketPath)
           .where(col("ingest_batch") =!= batchId).drop("ingest_batch"),
         spark.read.parquet(docPath)

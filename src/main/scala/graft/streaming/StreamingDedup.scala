@@ -53,13 +53,57 @@ object StreamingDedup {
     * exactly-once bucket guard. */
   def nearDupIngestFromSig(withSig: DataFrame, corpusBuckets: DataFrame,
       corpusDocs: DataFrame, minJaccard: Double): DataFrame =
-    withSig
-      .select(col("delta_id"), col("gh_"), col("bks_"),
-        explode(col("bks_")).as("bucket"))
-      .join(corpusBuckets, "bucket")
-      .join(corpusDocs, "corpus_id")
-      // exactly-once per (delta, corpus): of all shared buckets, only
-      // the minimum one emits the pair
+    verifyPairs(
+      withSig
+        .select(col("delta_id"), col("gh_"), col("bks_"),
+          explode(col("bks_")).as("bucket"))
+        .join(corpusBuckets, "bucket")
+        .join(corpusDocs, "corpus_id"),
+      minJaccard)
+
+  /** [[nearDupIngestFromSig]] with the BATCH-only join topology the
+    * micro-batch stores use ([[CorpusIndexStore.processBatch]] runs
+    * on static frames inside foreachBatch): the delta side is the
+    * small one, so it BROADCASTS and both corpus tables are SCANNED
+    * in place — the stream-legal form above leaves the join strategy
+    * to the planner, which shuffles the corpus-scale bucket AND doc
+    * tables every micro-batch when it picks sort-merge. Shape:
+    * (1) band rows WITHOUT the shingle array broadcast against the
+    *     bucket table (the array would multiply the broadcast by the
+    *     band count);
+    * (2) candidate corpus docs fetched by broadcast of the DISTINCT
+    *     candidate ids (ids only — a hot bucket inflates candidates,
+    *     never the id broadcast beyond id-scale);
+    * (3) candidate-scale joins reattach the corpus rows and the delta
+    *     shingles, then the shared [[verifyPairs]] arithmetic runs.
+    * Output is row-identical to the stream form (spec-pinned): same
+    * inner-join multiset, same exactly-once bucket guard. Illegal on
+    * a STREAMING delta (broadcast/checkpoint of a streaming side) —
+    * streams use [[nearDupIngestStream]]. */
+  def nearDupIngestFromSigBatch(withSig: DataFrame,
+      corpusBuckets: DataFrame, corpusDocs: DataFrame,
+      minJaccard: Double): DataFrame = {
+    val deltaBands = withSig.select(col("delta_id"), col("bks_"),
+      explode(col("bks_")).as("bucket"))
+    val bandMatches = corpusBuckets
+      .join(broadcast(deltaBands), Seq("bucket"))
+      .localCheckpoint(false) // feeds the id fetch AND the verify join
+    val candIds = bandMatches.select(col("corpus_id")).distinct()
+    val fetched = corpusDocs.join(broadcast(candIds), Seq("corpus_id"))
+    verifyPairs(
+      bandMatches.join(fetched, Seq("corpus_id"))
+        .join(broadcast(withSig.select(col("delta_id"), col("gh_"))),
+          Seq("delta_id")),
+      minJaccard)
+  }
+
+  // the shared verify arithmetic + exactly-once guard, so the stream
+  // and batch topologies can never drift: of all shared buckets only
+  // the MINIMUM one emits the pair, then exact jaccard over the
+  // shingle-hash sets
+  private def verifyPairs(joined: DataFrame,
+      minJaccard: Double): DataFrame =
+    joined
       .where(col("bucket") ===
         array_min(array_intersect(col("bks_"), col("cbuckets"))))
       .withColumn("ni",

@@ -60,4 +60,93 @@ class StreamingDedupSpec extends AnyFunSuite {
       assert(got.map(p => (p._1, p._2)).distinct.length == got.length)
     } finally q.stop()
   }
+
+  test("the BATCH join topology (broadcast delta, corpus tables " +
+      "scanned) is row-identical to the stream-legal form and moves " +
+      "a small fraction of its shuffle bytes") {
+    import spark.implicits._
+    // a corpus big enough that shuffling its tables is VISIBLE in the
+    // byte measurement (the shingle-set docs table is the fat one)
+    val corpus = spark.range(100, 2100)
+      .select($"id".as("doc_id"), concat_ws(" ",
+        transform(sequence(lit(0), lit(79)), j =>
+          concat(lit("w"), pmod($"id" * 83 + j * 17, lit(4096))
+            .cast("string")))).as("text"))
+    val corpusHashed = Dedup.shingleHashes(corpus, "text", "doc_id")
+    val (buckets, docs) = Dedup.streamingCorpusIndex(corpusHashed,
+      "doc_id", numHashes = 32, bands = 16)
+    val dir = java.nio.file.Files
+      .createTempDirectory("neardup_batch_ab").toString
+    buckets.write.mode("overwrite").parquet(s"$dir/buckets")
+    docs.write.mode("overwrite").parquet(s"$dir/docs")
+    val bucketsP = spark.read.parquet(s"$dir/buckets")
+    val docsP = spark.read.parquet(s"$dir/docs")
+    // delta: an exact clone of corpus doc 150, a near-clone of doc
+    // 151, and a fresh doc matching nothing
+    val dup = corpus.where($"doc_id" === 150L)
+      .select($"text").as[String].head()
+    val near = corpus.where($"doc_id" === 151L)
+      .select($"text").as[String].head() + " extra tail words here"
+    val withSig = Seq((1L, dup), (2L, near),
+        (3L, "a fresh delta document with entirely new content " +
+          "matching nothing in the standing corpus whatsoever"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id").as("delta_id"), col("text"))
+      .withColumn("gh_", Dedup.shingleHashSetExpr(col("text"), 3))
+      .withColumn("bks_", Dedup.bandBucketsExpr(
+        Dedup.minhashSigExpr(col("gh_"), 32), 32, 16))
+      .localCheckpoint(true) // materialized outside the byte windows
+    val shuffled = new java.util.concurrent.atomic.AtomicLong(0L)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted)
+          : Unit = shuffled.addAndGet(
+        sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    def measured(df: org.apache.spark.sql.DataFrame)
+        : (Seq[(Long, Long, Double)], Long) = {
+      org.apache.spark.graft.ListenerBusBarrier.drain(
+        spark.sparkContext)
+      val b0 = shuffled.get()
+      val rows = df.orderBy($"delta_id", $"corpus_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      org.apache.spark.graft.ListenerBusBarrier.drain(
+        spark.sparkContext)
+      (rows, shuffled.get() - b0)
+    }
+    // the production regime: the corpus tables are far over any
+    // broadcast threshold and the checkpoint-backed delta has no
+    // usable size estimate, so the planner cannot auto-broadcast
+    // EITHER side — at spec scale the tiny corpus would be
+    // auto-broadcast and hide the pathology, so rule it out
+    // explicitly; the batch topology's broadcast() HINTS are exactly
+    // what still applies under a -1 threshold
+    val prevAuto = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf
+      .get("spark.sql.adaptive.autoBroadcastJoinThreshold", prevAuto)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val (streamRows, streamBytes) = measured(
+        StreamingDedup.nearDupIngestFromSig(withSig, bucketsP, docsP,
+          0.5))
+      val (batchRows, batchBytes) = measured(
+        StreamingDedup.nearDupIngestFromSigBatch(withSig, bucketsP,
+          docsP, 0.5))
+      assert(batchRows == streamRows,
+        s"batch=$batchRows stream=$streamRows")
+      assert(batchRows.nonEmpty)
+      // the stream-legal form shuffles the corpus bucket + doc
+      // tables; the batch topology broadcasts the delta and scans
+      // them — its shuffle stays candidate-scale
+      assert(batchBytes * 4 < streamBytes,
+        s"batch=$batchBytes stream=$streamBytes")
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevAuto)
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold",
+        prevAqe)
+    }
+  }
 }
