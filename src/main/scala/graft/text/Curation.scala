@@ -1362,7 +1362,10 @@ object Curation {
     * exactly the OR-merged semantics, without materializing the
     * merge; rows of other shards are never probed, so the per-shard
     * fpp contract is unchanged, and a shard with no filter rows flags
-    * nothing. Returns (hashCol, maybe_known); no false negatives. */
+    * nothing. Returns (hashCol, maybe_known); no false negatives.
+    * EAGER (the probe set collects at call time) — BATCH frames only;
+    * a streaming `hashes` frame is illegal here, exactly as it was
+    * for the cogroup this replaces. */
   def flagMaybeKnownHashes(hashes: DataFrame, hashCol: String,
       shardBlooms: DataFrame, shards: Int): DataFrame = {
     require(shards > 0, "shards must be positive")
