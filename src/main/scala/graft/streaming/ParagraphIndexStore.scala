@@ -34,10 +34,11 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * [[Curation.dedupParagraphsAgainst]] hash join re-SHUFFLED the
   * stored table every micro-batch — corpus-proportional network every
   * few seconds): [[Curation.dedupParagraphsAgainstSharded]] probes
-  * the batch's DISTINCT paragraph hashes against the merged shard
-  * filters (`blooms/`, one sub-filter table per batch —
-  * [[Curation.paragraphBloomShards]]; per-task memory = one shard's
-  * sketch), exactly confirms only the flagged MAYBEs against the
+  * the batch's DISTINCT paragraph hashes against the RAW sub-filter
+  * table via the scan-probe (`blooms/`, one sub-filter table per
+  * batch — [[Curation.paragraphBloomShards]]; hashes broadcast over
+  * an in-place scan, one sketch deserialized per row, nothing
+  * capacity-sized crossing an exchange), exactly confirms only the flagged MAYBEs against the
   * stored table via the pruned-IN / broadcast-semi-join confirm (the
   * stored side is scanned — row-group-pruned over the compacted
   * hash-sorted base — never shuffled), and runs the batch-internal
@@ -107,9 +108,9 @@ final class ParagraphIndexStore(spark: SparkSession, path: String,
 
   /** How many per-batch Bloom sub-filters the busiest shard holds —
     * grows by one per batch between compactions, and each is sized to
-    * the store's full capacity (the bit-OR merge contract), so the
-    * per-batch merge cost grows linearly with it. See
-    * [[SentenceIndexStore.bloomSubFiltersPerShard]]; 0 before the
+    * the store's full capacity (the bit-compatibility contract), so
+    * the per-batch probe's sub-filter scan grows linearly with it.
+    * See [[SentenceIndexStore.bloomSubFiltersPerShard]]; 0 before the
     * first batch, never throws. */
   def bloomSubFiltersPerShard: Long =
     StorePaths.bloomSubFiltersPerShard(spark, bloomPath)
@@ -117,7 +118,7 @@ final class ParagraphIndexStore(spark: SparkSession, path: String,
   /** True once any shard's sub-filter count crosses `maxSubFilters` —
     * run [[compact]] (idle window, not mid-ingest) to fold the
     * per-batch filters into one and re-bound the per-batch probe's
-    * merge bytes. */
+    * sub-filter scan. */
   def needsCompaction(maxSubFilters: Int = 16): Boolean =
     bloomSubFiltersPerShard > maxSubFilters
 

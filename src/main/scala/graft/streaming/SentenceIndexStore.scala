@@ -119,22 +119,24 @@ final class SentenceIndexStore(spark: SparkSession, path: String,
 
   /** How many per-batch Bloom SUB-FILTERS the busiest shard holds.
     * Every ingested batch adds one sub-filter per shard, and each is
-    * sized to the store's FULL capacity (uniform sizing is what makes
-    * the bit-OR merge exact), so bloom storage and the per-batch
-    * merge cost grow LINEARLY with the batch count between
-    * compactions — ~`bloomItemsPerShard × bloomShardCount ×
-    * 1.2 bytes` per batch at the 1% default fpp. [[compact]] folds
-    * them back to one sub-filter per shard; [[needsCompaction]] is
-    * the cadence check. */
+    * sized to the store's FULL capacity (uniform sizing keeps the
+    * sub-filters bit-compatible), so bloom storage — and the
+    * per-batch probe's scan + per-row deserialization over the
+    * sub-filter table — grow LINEARLY with the batch count between
+    * compactions, ~`bloomItemsPerShard × bloomShardCount ×
+    * 1.2 bytes` per batch at the 1% default fpp (a local read, no
+    * shuffle, since the scan-probe rework — but still linear I/O).
+    * [[compact]] folds them back to one sub-filter per shard;
+    * [[needsCompaction]] is the cadence check. */
   def bloomSubFiltersPerShard: Long =
     StorePaths.bloomSubFiltersPerShard(spark, bloomPath)
 
   /** True once any shard's sub-filter count crosses `maxSubFilters` —
     * run [[compact]] (idle window, not mid-ingest) to fold the
     * per-batch filters into one and re-bound the per-batch probe's
-    * merge bytes. The default keeps the merged read per batch under
-    * ~16× one filter's size; long-running ingests should check this
-    * every few hundred batches. */
+    * sub-filter scan. The default keeps the per-batch filter read
+    * under ~16× one filter's size; long-running ingests should check
+    * this every few hundred batches. */
   def needsCompaction(maxSubFilters: Int = 16): Boolean =
     bloomSubFiltersPerShard > maxSubFilters
 

@@ -77,9 +77,17 @@ object StreamingDedup {
     * (3) candidate-scale joins reattach the corpus rows and the delta
     *     shingles, then the shared [[verifyPairs]] arithmetic runs.
     * Output is row-identical to the stream form (spec-pinned): same
-    * inner-join multiset, same exactly-once bucket guard. Illegal on
-    * a STREAMING delta (broadcast/checkpoint of a streaming side) —
-    * streams use [[nearDupIngestStream]]. */
+    * inner-join multiset, same exactly-once bucket guard.
+    * PRECONDITIONS beyond the stream form's: (a) `delta_id` must be
+    * unique within `withSig` — the shingle reattach in step (3) keys
+    * on it, so a duplicated id would cross-pair one row's band
+    * matches with another row's shingles (the stores' one-row-per-doc
+    * batches satisfy this by construction); (b) materialize `withSig`
+    * (`localCheckpoint`) before calling — it is referenced by TWO
+    * broadcasts, and an unmaterialized frame recomputes its
+    * O(shingles × numHashes) signature expressions once per
+    * reference. Illegal on a STREAMING delta (broadcast/checkpoint of
+    * a streaming side) — streams use [[nearDupIngestStream]]. */
   def nearDupIngestFromSigBatch(withSig: DataFrame,
       corpusBuckets: DataFrame, corpusDocs: DataFrame,
       minJaccard: Double): DataFrame = {

@@ -1053,9 +1053,8 @@ object Curation {
       val deltaHashes = narrow
         .where(col("sh_").isNotNull && col("len_") >= minSentChars)
         .select(col("sh_").as("sent_hash")).distinct()
-      val maybe = flagMaybeKnownHashes(deltaHashes, "sent_hash",
-          shardBlooms, shards)
-        .where(col("maybe_known")).select(col("sent_hash"))
+      val maybe = maybeKnownHashes(deltaHashes, "sent_hash",
+        shardBlooms, shards)
       val eligible = storedHashes
         .where(col("sent_chars") >= minSentChars)
         .select(col("sent_hash"))
@@ -1158,9 +1157,8 @@ object Curation {
     val deltaHashes = narrow
       .where(col("len_") >= minParaChars)
       .select(col("ph_").as("para_hash")).distinct()
-    val maybe = flagMaybeKnownHashes(deltaHashes, "para_hash",
-        shardBlooms, shards)
-      .where(col("maybe_known")).select(col("para_hash"))
+    val maybe = maybeKnownHashes(deltaHashes, "para_hash",
+      shardBlooms, shards)
     val eligible = storedHashes
       .where(col("para_chars") >= minParaChars)
       .select(col("para_hash"))
@@ -1320,15 +1318,16 @@ object Curation {
     // flagMaybeKnownHashes collects it) and the per-row flag join
     val ph = paragraphHashes(delta, textCol, idCol, sep)
       .localCheckpoint(false)
-    val flags = flagMaybeKnownHashes(
+    val flags = maybeKnownHashes(
       ph.where(col("para_chars") >= minParaChars)
         .select(col("para_hash")).distinct(),
       "para_hash", shardBlooms, shards)
-      .where(col("maybe_known"))
-      .withColumn("mk_", lit(true)).drop("maybe_known")
+      .withColumn("mk_", lit(true))
     ph.join(broadcast(flags), Seq("para_hash"), "left")
-      .select(col(idCol), col("para_idx"), col("para_chars"),
-        col("para_hash"),
+      // cast like the monolithic flagMaybeKnownParagraphs — the two
+      // variants advertise the SAME output schema
+      .select(col(idCol).cast("long").as(idCol), col("para_idx"),
+        col("para_chars"), col("para_hash"),
         (col("para_chars") >= minParaChars &&
           coalesce(col("mk_"), lit(false))).as("maybe_known"))
   }
@@ -1368,6 +1367,24 @@ object Curation {
     * for the cogroup this replaces. */
   def flagMaybeKnownHashes(hashes: DataFrame, hashCol: String,
       shardBlooms: DataFrame, shards: Int): DataFrame = {
+    val hits = maybeKnownHashes(hashes, hashCol, shardBlooms, shards)
+      .withColumn("mk_", lit(true))
+    hashes.join(broadcast(hits), Seq(hashCol), "left")
+      .select(col(hashCol),
+        coalesce(col("mk_"), lit(false)).as("maybe_known"))
+  }
+
+  /** The scan-probe's HIT SET alone, as a LOCAL relation of the
+    * maybe-known hashes — what the per-batch ingest paths consume
+    * directly: [[flagMaybeKnownHashes]]' flag view joins back through
+    * the caller's `hashes` lineage, so filtering it for the maybes
+    * would re-execute the batch-distinct shuffle a second time per
+    * micro-batch. Eager end to end (probe set collected + broadcast,
+    * hit set collected back, broadcast destroyed before returning —
+    * a per-batch broadcast leaked to the ContextCleaner otherwise);
+    * batch frames only. */
+  def maybeKnownHashes(hashes: DataFrame, hashCol: String,
+      shardBlooms: DataFrame, shards: Int): DataFrame = {
     require(shards > 0, "shards must be positive")
     val spark = hashes.sparkSession
     import spark.implicits._
@@ -1377,25 +1394,24 @@ object Curation {
       byShard((((h % shards) + shards) % shards).toInt) += h
     }
     val bc = spark.sparkContext.broadcast(byShard.map(_.toArray))
-    val hits = shardBlooms
-      .select(col("shard").cast("int"), col("bloom_bytes"))
-      .as[(Int, Array[Byte])]
-      .mapPartitions { rows =>
-        val probes = bc.value
-        rows.flatMap { case (s, bytes) =>
-          if (s < 0 || s >= probes.length || probes(s).isEmpty)
-            Iterator.empty
-          else {
-            val bloom = org.apache.spark.util.sketch.BloomFilter
-              .readFrom(new java.io.ByteArrayInputStream(bytes))
-            probes(s).iterator.filter(bloom.mightContainLong)
+    try {
+      val hits = shardBlooms
+        .select(col("shard").cast("int"), col("bloom_bytes"))
+        .as[(Int, Array[Byte])]
+        .mapPartitions { rows =>
+          val probes = bc.value
+          rows.flatMap { case (s, bytes) =>
+            if (s < 0 || s >= probes.length || probes(s).isEmpty)
+              Iterator.empty
+            else {
+              val bloom = org.apache.spark.util.sketch.BloomFilter
+                .readFrom(new java.io.ByteArrayInputStream(bytes))
+              probes(s).iterator.filter(bloom.mightContainLong)
+            }
           }
-        }
-      }.toDF(hashCol).dropDuplicates(hashCol)
-      .withColumn("mk_", lit(true))
-    hashes.join(broadcast(hits), Seq(hashCol), "left")
-      .select(col(hashCol),
-        coalesce(col("mk_"), lit(false)).as("maybe_known"))
+        }.collect().distinct
+      spark.createDataset(hits.toIndexedSeq).toDF(hashCol)
+    } finally bc.destroy()
   }
 
   /** Exact membership confirm of a batch-scale `maybe` key set (one

@@ -124,7 +124,7 @@ class StreamingDedupSpec extends AnyFunSuite {
     // what still applies under a -1 threshold
     val prevAuto = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     val prevAqe = spark.conf
-      .get("spark.sql.adaptive.autoBroadcastJoinThreshold", prevAuto)
+      .getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
     try {
@@ -145,8 +145,15 @@ class StreamingDedupSpec extends AnyFunSuite {
     } finally {
       spark.sparkContext.removeSparkListener(listener)
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevAuto)
-      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold",
-        prevAqe)
+      // restore "unset" as unset: pinning a default here would break
+      // the adaptive threshold's fallback-to-static for LATER suites
+      // in the shared session
+      prevAqe match {
+        case Some(v) => spark.conf
+          .set("spark.sql.adaptive.autoBroadcastJoinThreshold", v)
+        case None => spark.conf
+          .unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      }
     }
   }
 }
