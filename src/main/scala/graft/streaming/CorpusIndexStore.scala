@@ -74,7 +74,16 @@ final class CorpusIndexStore(spark: SparkSession, path: String,
     StorePaths.wipe(spark, Seq(bucketPath, docPath, acceptedPath,
       s"$path/checkpoint"))
     buckets.write.mode("overwrite").parquet(s"$bucketPath/ingest_batch=-1")
-    docs.write.mode("overwrite").parquet(s"$docPath/ingest_batch=-1")
+    // docs base RANGE-SORTED on corpus_id (explicit count — an
+    // implicit range repartition is AQE-coalescible into unprunable
+    // wide row groups): the per-batch candidate fetch pushes a
+    // chunked IN over corpus_id, and the sort is what lets parquet
+    // min/max stats skip everything outside the candidate set
+    docs.repartitionByRange(
+        spark.conf.get("spark.sql.shuffle.partitions").toInt,
+        col("corpus_id"))
+      .sortWithinPartitions(col("corpus_id"))
+      .write.mode("overwrite").parquet(s"$docPath/ingest_batch=-1")
     corpus.select(col(idCol), col(textCol).as("text"))
       .write.mode("overwrite").parquet(s"$acceptedPath/ingest_batch=-1")
   }

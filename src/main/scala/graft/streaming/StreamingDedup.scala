@@ -71,9 +71,10 @@ object StreamingDedup {
     * (1) band rows WITHOUT the shingle array broadcast against the
     *     bucket table (the array would multiply the broadcast by the
     *     band count);
-    * (2) candidate corpus docs fetched by broadcast of the DISTINCT
-    *     candidate ids (ids only — a hot bucket inflates candidates,
-    *     never the id broadcast beyond id-scale);
+    * (2) candidate corpus docs fetched by the DISTINCT candidate ids
+    *     (pruned chunked-IN scan over a sorted base for small sets,
+    *     left-semi against the local id set beyond — a hot bucket
+    *     inflates candidates, never the id set beyond id-scale);
     * (3) candidate-scale joins reattach the corpus rows and the delta
     *     shingles, then the shared [[verifyPairs]] arithmetic runs.
     * Output is row-identical to the stream form (spec-pinned): same
@@ -96,8 +97,13 @@ object StreamingDedup {
     val bandMatches = corpusBuckets
       .join(broadcast(deltaBands), Seq("bucket"))
       .localCheckpoint(false) // feeds the id fetch AND the verify join
-    val candIds = bandMatches.select(col("corpus_id")).distinct()
-    val fetched = corpusDocs.join(broadcast(candIds), Seq("corpus_id"))
+    // candidate rows fetched by key: pruned chunked-IN scan over a
+    // corpus_id-sorted docs base when the candidate set is small
+    // (row groups skip), left-semi against the local id set beyond —
+    // either way the FAT shingle-set table is scanned, never shuffled
+    // and never fully read when sorted
+    val fetched = graft.text.Curation.fetchByKeys(corpusDocs,
+      "corpus_id", bandMatches.select(col("corpus_id")))
     verifyPairs(
       bandMatches.join(fetched, Seq("corpus_id"))
         .join(broadcast(withSig.select(col("delta_id"), col("gh_"))),

@@ -1469,6 +1469,44 @@ object Curation {
     confirmKnownKeys(stored, hashCol, maybe)(
       org.apache.spark.sql.Encoders.scalaLong)
 
+  /** Fetch the FULL ROWS of `stored` whose `keyCol` is in the
+    * batch-scale `keys` set — the row-fetch sibling of
+    * [[confirmKnownKeys]] for consumers that need the stored payload,
+    * not just membership (e.g. the corpus-index verify side's
+    * shingle-set rows). Key type is whatever `keys`' single column
+    * holds. Small key sets take the pruned chunked-IN scan; because
+    * the fetched rows are too fat to collect, the scan is pinned with
+    * an EAGER `localCheckpoint` INSIDE the conf-raised window (a
+    * lazily returned frame would re-plan under the restored threshold
+    * when composed downstream, silently degrading the IN to the
+    * useless range push). Bounded: ≤ cap rows of `stored` per call.
+    * Above the cap: a left-semi join against the already-collected
+    * local key set — stored scanned, never shuffled. */
+  private[graft] def fetchByKeys(stored: DataFrame, keyCol: String,
+      keys: DataFrame): DataFrame = {
+    val spark = stored.sparkSession
+    val keyArr: IndexedSeq[Any] = keys.select(col(keyCol)).distinct()
+      .collect().map(_.get(0)).toIndexedSeq
+    if (keyArr.isEmpty) stored.limit(0)
+    else if (keyArr.length <= MaxProbePushdown)
+      confirmLock.synchronized {
+        withSessionConf(spark,
+          "spark.sql.parquet.pushdown.inFilterThreshold",
+          ProbePushdownChunk.toString) {
+          stored.where(chunkedIn(col(keyCol), keyArr))
+            .localCheckpoint(true)
+        }
+      }
+    else {
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        keys.select(col(keyCol)).schema.head))
+      val local = spark.createDataFrame(
+        java.util.Arrays.asList(keyArr.map(
+          v => org.apache.spark.sql.Row(v)): _*), schema)
+      stored.join(broadcast(local), Seq(keyCol), "left_semi")
+    }
+  }
+
   /** [[confirmKnownKeys]] over STRING keys — the URL store's
     * canonical-url membership. */
   private[graft] def confirmKnownStrings(stored: DataFrame,
