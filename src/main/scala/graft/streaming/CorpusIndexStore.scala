@@ -129,6 +129,10 @@ final class CorpusIndexStore(spark: SparkSession, path: String,
     // the intra-batch pass, and the append
     val withSig = batch
       .select(col(idCol).as("delta_id"), col(textCol).as("text"))
+      // id = identity: an at-least-once source can redeliver a doc
+      // WITHIN one micro-batch, and the batch topology's shingle
+      // reattach requires unique delta_ids — keep one row per id
+      .dropDuplicates("delta_id")
       .withColumn("gh_", Dedup.shingleHashSetExpr(col("text"), k))
       .withColumn("bks_", Dedup.bandBucketsExpr(
         Dedup.minhashSigExpr(col("gh_"), numHashes), numHashes, bands))

@@ -82,8 +82,9 @@ object StreamingDedup {
     * PRECONDITIONS beyond the stream form's: (a) `delta_id` must be
     * unique within `withSig` — the shingle reattach in step (3) keys
     * on it, so a duplicated id would cross-pair one row's band
-    * matches with another row's shingles (the stores' one-row-per-doc
-    * batches satisfy this by construction); (b) materialize `withSig`
+    * matches with another row's shingles (CorpusIndexStore ENFORCES
+    * it with a per-batch dropDuplicates on the id — id = identity);
+    * (b) materialize `withSig`
     * (`localCheckpoint`) before calling — it is referenced by TWO
     * broadcasts, and an unmaterialized frame recomputes its
     * O(shingles × numHashes) signature expressions once per

@@ -1323,10 +1323,18 @@ object Curation {
         .select(col("para_hash")).distinct(),
       "para_hash", shardBlooms, shards)
       .withColumn("mk_", lit(true))
+    // NUMERIC ids normalize to long like the monolithic
+    // flagMaybeKnownParagraphs (whose typed encoder forces the cast);
+    // any other id type passes through UNCHANGED — a blind cast would
+    // silently null e.g. string ids, corrupting the join-back, and
+    // the monolithic variant cannot carry those ids at all
+    val idOut =
+      if (delta.schema(idCol).dataType
+          .isInstanceOf[org.apache.spark.sql.types.NumericType])
+        col(idCol).cast("long").as(idCol)
+      else col(idCol)
     ph.join(broadcast(flags), Seq("para_hash"), "left")
-      // cast like the monolithic flagMaybeKnownParagraphs — the two
-      // variants advertise the SAME output schema
-      .select(col(idCol).cast("long").as(idCol), col("para_idx"),
+      .select(idOut, col("para_idx"),
         col("para_chars"), col("para_hash"),
         (col("para_chars") >= minParaChars &&
           coalesce(col("mk_"), lit(false))).as("maybe_known"))
@@ -1393,6 +1401,9 @@ object Curation {
     hashes.select(col(hashCol)).as[Long].collect().foreach { h =>
       byShard((((h % shards) + shards) % shards).toInt) += h
     }
+    if (byShard.forall(_.isEmpty)) // empty batch: nothing can hit —
+      // skip the (linear-in-sub-filters) scan entirely
+      return spark.createDataset(Seq.empty[Long]).toDF(hashCol)
     val bc = spark.sparkContext.broadcast(byShard.map(_.toArray))
     try {
       val hits = shardBlooms
@@ -1479,9 +1490,17 @@ object Curation {
     * an EAGER `localCheckpoint` INSIDE the conf-raised window (a
     * lazily returned frame would re-plan under the restored threshold
     * when composed downstream, silently degrading the IN to the
-    * useless range push). Bounded: ≤ cap rows of `stored` per call.
-    * Above the cap: a left-semi join against the already-collected
-    * local key set — stored scanned, never shuffled. */
+    * useless range push). Bounded: ≤ cap ROWS per call WHEN `keyCol`
+    * is unique in `stored` (the doc-table contract — one row per
+    * corpus id); a multi-row-per-key table would materialize every
+    * matching row, so state-check that before reusing this for one.
+    * The checkpointing scan runs INSIDE the shared conf lock, so
+    * concurrent stores on one session serialize behind it — the
+    * fetch is candidate-scale (sub-second at sane batch sizes), and
+    * the alternative (a cloned session per call) costs more than it
+    * saves. Above the cap: a left-semi join against the
+    * already-collected local key set — stored scanned, never
+    * shuffled. */
   private[graft] def fetchByKeys(stored: DataFrame, keyCol: String,
       keys: DataFrame): DataFrame = {
     val spark = stored.sparkSession

@@ -104,7 +104,10 @@ class StreamingDedupSpec extends AnyFunSuite {
         sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
     }
     spark.sparkContext.addSparkListener(listener)
-    def measured(df: org.apache.spark.sql.DataFrame)
+    // CALL-BY-NAME: the batch topology is eager (candidate collect +
+    // checkpointed fetch at construction), so building the frame
+    // before the byte window opens would hide its per-batch shuffle
+    def measured(df: => org.apache.spark.sql.DataFrame)
         : (Seq[(Long, Long, Double)], Long) = {
       org.apache.spark.graft.ListenerBusBarrier.drain(
         spark.sparkContext)
