@@ -60,10 +60,19 @@ object Bench {
     val passes = (1 to nPasses).map(_ => pass())
     val results = passes.head.indices.map { i =>
       passes.head(i)._1 -> passes.map(_(i)._2).min }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // Compact JSON (seconds rounded to ms — full doubles ~tripled the
+    // line length) printed TWICE, back to back: the driver's capture
+    // has shipped a truncated tail for 11 straight rounds, and two
+    // adjacent copies guarantee any one-sided truncation window still
+    // contains one complete metric line to parse.
+    def ms(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    println(line)
     spark.stop()
   }
 }

@@ -399,7 +399,16 @@ object ScaleSmoke {
     * cluster-honest column (the stored side crossing the network per
     * batch is exactly what kills a 100 TB ingest); input bytes show
     * the post-compaction row-group pruning (vectored IO disabled for
-    * the measurement — it bypasses the FileSystem statistics). */
+    * the measurement — it bypasses the FileSystem statistics).
+    *
+    * Also exercised here: the COMPACTION CADENCE loop a long-running
+    * ingest runs (`needsCompaction` polled after every batch,
+    * `compact()` fired when it trips, membership proven unchanged),
+    * the SENTENCE store's probe at the same corpus scale (10-100×
+    * the unit count of paragraphs in production), and the URL store's
+    * STRING-key pruned confirm — one row per granularity, same
+    * contract: per-batch bytes stay batch-scale, never
+    * index-proportional. */
   private def storeIngest(spark: SparkSession, stations: Int): Unit = {
     import spark.implicits._
     spark.sparkContext.hadoopConfiguration
@@ -496,6 +505,133 @@ object ScaleSmoke {
       drops(graft.text.Curation.dedupParagraphsAgainstSharded(batch,
         store.paragraphTable, store.bloomSubFilters, 32, "text",
         "doc_id"))
+    }
+
+    // ---- compaction CADENCE: the maintenance loop a long-running
+    // ingest runs (needsCompaction was caller-polled but nothing in
+    // the repo actually polled it). Every batch folds one sub-filter
+    // per shard into the store; at maxSubFilters=4 the threshold
+    // trips mid-run and compact() folds them back to one — exactly
+    // when a production foreachBatch driver should fire it (idle
+    // window between batches). Membership proof: the planted-dup
+    // probe batch drops the SAME rows before and after the
+    // cadence-driven compaction (cadence doc ids are disjoint from
+    // the probe batch's, so the expected count is unchanged).
+    val dupDrops0 = drops(graft.text.Curation
+      .dedupParagraphsAgainstSharded(batch, store.paragraphTable,
+        store.bloomSubFilters, 32, "text", "doc_id"))
+    var compactions = 0
+    t2("cadence: 6 batches + compact-on-demand") {
+      var i = 0
+      while (i < 6) {
+        store.processBatch(
+          mkDocs(nDocs + 1000000L + i * 2000L, 2000L, 7),
+          "text", batchId = i.toLong)
+        if (store.needsCompaction(maxSubFilters = 4)) {
+          store.compact()
+          compactions += 1
+        }
+        i += 1
+      }
+      compactions.toLong
+    }
+    val dupDrops1 = drops(graft.text.Curation
+      .dedupParagraphsAgainstSharded(batch, store.paragraphTable,
+        store.bloomSubFilters, 32, "text", "doc_id"))
+    require(compactions >= 1,
+      s"cadence never tripped needsCompaction (maxSubFilters=4)")
+    require(dupDrops1 == dupDrops0,
+      s"membership changed across cadence compaction: " +
+        s"$dupDrops0 -> $dupDrops1")
+    println(s"cadence: $compactions compaction(s) fired mid-run; " +
+      s"planted-dup drops unchanged ($dupDrops0)")
+
+    // ---- sentence store: the same contract one granularity down —
+    // probe bytes must stay batch-scale at sentence cardinality too
+    // (a 100 TB ingest stores 10-100x more sentences than paragraphs)
+    def mkSentDocs(from: Long, n: Long, dupFrac: Int) =
+      spark.range(from, from + n, 1, 32)
+        .select(col("id").as("doc_id"), concat_ws(" ",
+          transform(sequence(lit(0), lit(7)), p =>
+            concat(lit("Sentence body number "),
+              (when(pmod(col("id"), lit(dupFrac)) === 0 &&
+                col("id") > from, col("id") - 1)
+                .otherwise(col("id")) * 8 + p).cast("string"),
+              lit(" qualifies with enough characters here."))))
+          .as("text"))
+    val stmp = java.nio.file.Files
+      .createTempDirectory("graft_sent_ab").toString
+    val sstore = new graft.streaming.SentenceIndexStore(spark, stmp,
+      bloomShardCount = 32, bloomItemsPerShard = 1L << 18)
+    t2("sentences: initialize (dedup + index)") {
+      sstore.initialize(mkSentDocs(0, nDocs, 7), "text")
+      sstore.cleaned.count()
+    }
+    t2("sentences: compact (hash-sorted base)") {
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", "512")
+      try sstore.compact()
+      finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+      sstore.sentenceTable.count()
+    }
+    val sbatch = spark.range(nDocs + 100, nDocs + 5100, 1, 8)
+      .select(col("id").as("doc_id"), concat_ws(" ",
+        transform(sequence(lit(0), lit(7)), p =>
+          concat(lit("Sentence body number "),
+            (when(pmod(col("id"), lit(500)) === 0,
+              pmod(col("id"), lit(nDocs)))
+              .otherwise(col("id")) * 8 + p).cast("string"),
+            lit(" qualifies with enough characters here."))))
+        .as("text"))
+      .localCheckpoint(true)
+    t2("sentences: batch SHARDED+pruned probe") {
+      val (cleanedB, _) =
+        graft.text.Curation.dedupSentencesAgainstWithIndexSharded(
+          sbatch, sstore.sentenceTable, sstore.bloomSubFilters, 32,
+          "text", "doc_id")
+      drops(cleanedB)
+    }
+
+    // ---- URL store: the STRING-key pruned confirm (no bloom front —
+    // the batch's distinct canonicals ARE the probe set); row-group
+    // pruning works off min/max STRING stats of the url-sorted base
+    val utmp = java.nio.file.Files
+      .createTempDirectory("graft_url_ab").toString
+    val ustore = new graft.streaming.UrlIndexStore(spark, utmp)
+    def mkUrls(from: Long, n: Long, parts: Int) =
+      spark.range(from, from + n, 1, parts)
+        .select(col("id").as("doc_id"),
+          concat(lit("https://example.org/page/"),
+            col("id").cast("string"),
+            lit("?utm_source=smoke")).as("url"))
+    t2("urls: initialize (canonical dedup + index)") {
+      ustore.initialize(mkUrls(0, nDocs * 8, 32))
+      ustore.urlTable.count()
+    }
+    t2("urls: compact (url-sorted base)") {
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", "512")
+      try ustore.compact()
+      finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+      ustore.urlTable.count()
+    }
+    // every 500th batch url is a known corpus url (id folded back
+    // into the stored range) — the planted-membership load
+    val ubatch = spark.range(nDocs * 8 + 100, nDocs * 8 + 5100, 1, 8)
+      .select(col("id").as("doc_id"),
+        concat(lit("https://example.org/page/"),
+          when(pmod(col("id"), lit(500)) === 0,
+            pmod(col("id"), lit(nDocs * 8)))
+            .otherwise(col("id")).cast("string"),
+          lit("?utm_source=smoke")).as("url"))
+      .localCheckpoint(true)
+    t2("urls: batch pruned string confirm") {
+      val canon = graft.text.Urls.canonicalizeUrl(col("url"))
+      val batchUrls = ubatch.select(canon.as("canonical_url"))
+        .where(col("canonical_url").isNotNull).distinct()
+      graft.text.Curation.confirmKnownStrings(
+        ustore.urlTable.select(col("canonical_url")),
+        "canonical_url", batchUrls).count()
     }
   }
 

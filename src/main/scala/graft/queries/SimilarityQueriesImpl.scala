@@ -81,7 +81,8 @@ object SimilarityQueriesImpl {
       scored.withColumn("rank", row_number().over(w))
         .where(col("rank") <= 5)
         .select(col("query_id"), col("corpus_id"),
-          round(col("cos_raw"), 6).as("cosine"), col("rank"))
+          round(col("cos_raw"), 6).as("cosine"),
+          col("rank").cast("long").as("rank"))
         .orderBy(col("query_id"), col("rank"))
     }
 
@@ -127,6 +128,7 @@ object SimilarityQueriesImpl {
       Similarity.bucketTopK(emb, q, "embedding", "vec_id", "vec_id",
           k = 5, bucket = signBucket, probeBits = 4)
         .withColumn("cosine", round(col("cosine"), 6))
+        .withColumn("rank", col("rank").cast("long"))
         .orderBy(col("query_id"), col("rank"))
     }
 
@@ -188,6 +190,7 @@ object SimilarityQueriesImpl {
           "embedding", "vec_id", "vec_id", k = 5, centroids = cents,
           nprobe = 3)
         .withColumn("cosine", round(col("cosine"), 6))
+        .withColumn("rank", col("rank").cast("long"))
         .orderBy(col("query_id"), col("rank"))
     }
 
@@ -251,6 +254,7 @@ object SimilarityQueriesImpl {
           "embedding", "vec_id", "vec_id", k = 5, centroids = cents,
           nprobe = 3)
         .withColumn("cosine", round(col("cosine"), 6))
+        .withColumn("rank", col("rank").cast("long"))
         .orderBy(col("query_id"), col("rank"))
     }
 
@@ -352,6 +356,7 @@ object SimilarityQueriesImpl {
       Similarity.pqTopKWithCodebooks(emb, emb.where(col("vec_id") < 8),
           "embedding", "vec_id", "vec_id", k = 5, books)
         .withColumn("adc_dist", round(col("adc_dist"), 6))
+        .withColumn("rank", col("rank").cast("long"))
         .orderBy(col("query_id"), col("rank"))
     }
 
@@ -457,7 +462,8 @@ object SimilarityQueriesImpl {
         .as[Multimodal.MediaRow]
       val isReal = element_at(col("features"), 1) >= 1.0f
       Multimodal.extractFeatures(media).toDF()
-        .select(col("media_id"), col("modality"), col("n_bytes"),
+        .select(col("media_id"), col("modality"),
+          col("n_bytes").cast("long").as("n_bytes"),
           element_at(col("features"), 1).cast("int").as("decode_path"),
           when(isReal, element_at(col("features"), 2).cast("int"))
             .as("d1"),
@@ -591,7 +597,8 @@ object SimilarityQueriesImpl {
         pmod(col("media_id"), lit(8)) === 1 ||
         pmod(col("media_id"), lit(16)) === 5
       Multimodal.sampleFrames(media, fps = 0.5, maxFrames = 4).toDF()
-        .select(col("media_id"), col("frame_index"),
+        .select(col("media_id"),
+          col("frame_index").cast("long").as("frame_index"),
           round(col("offset_s"), 6).as("offset_s"),
           when(!isReal, length(col("content")).cast("long"))
             .as("n_bytes"),
@@ -871,7 +878,8 @@ object SimilarityQueriesImpl {
            |        ${dist("vm.v", "c.v")} AS d
            |      FROM vm CROSS JOIN cent$iters c))
            |  WHERE rn = 1)
-           |SELECT vec_id, cid AS cluster_id, d AS dist_sq
+           |SELECT vec_id, CAST(cid AS BIGINT) AS cluster_id,
+           |  CAST(d AS BIGINT) AS dist_sq
            |FROM fin ORDER BY vec_id""".stripMargin) { (s, dir) =>
         val emb = table(s, dir, "embeddings")
         val model = graft.similarity.KMeans.fit(emb, "embedding",

@@ -80,7 +80,9 @@ final class CorpusIndexStore(spark: SparkSession, path: String,
     // chunked IN over corpus_id, and the sort is what lets parquet
     // min/max stats skip everything outside the candidate set
     docs.repartitionByRange(
-        spark.conf.get("spark.sql.shuffle.partitions").toInt,
+        // typed accessor — a non-numeric platform value (e.g. "auto")
+        // would NumberFormatException through conf.get(...).toInt
+        spark.sessionState.conf.numShufflePartitions,
         col("corpus_id"))
       .sortWithinPartitions(col("corpus_id"))
       .write.mode("overwrite").parquet(s"$docPath/ingest_batch=-1")

@@ -136,7 +136,7 @@ final class ParagraphIndexStore(spark: SparkSession, path: String,
 
   /** One micro-batch — package-visible so the spec can replay a batch
     * id and prove idempotence directly. */
-  private[streaming] def processBatch(batch: DataFrame,
+  private[graft] def processBatch(batch: DataFrame,
       textCol: String, batchId: Long): Unit = {
     val notThisBatch = col("ingest_batch") =!= batchId
     val stored = spark.read.parquet(paraPath)

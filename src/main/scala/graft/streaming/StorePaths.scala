@@ -148,8 +148,10 @@ private[streaming] object StorePaths {
           // wide-range row groups that nothing can prune — the
           // session's shuffle.partitions is the operator's knob for
           // how finely the sorted base splits
+          // typed accessor, not conf.get(...).toInt: platforms that
+          // set the conf non-numerically (e.g. "auto") would NFE
           df.repartitionByRange(
-              spark.conf.get("spark.sql.shuffle.partitions").toInt,
+              spark.sessionState.conf.numShufflePartitions,
               col(c))
             .sortWithinPartitions(col(c))
         case None => df

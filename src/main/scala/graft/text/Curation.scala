@@ -1318,11 +1318,11 @@ object Curation {
     // flagMaybeKnownHashes collects it) and the per-row flag join
     val ph = paragraphHashes(delta, textCol, idCol, sep)
       .localCheckpoint(false)
-    val flags = maybeKnownHashes(
+    val (flagsRaw, flagsLocal) = maybeKnownHashesImpl(
       ph.where(col("para_chars") >= minParaChars)
         .select(col("para_hash")).distinct(),
       "para_hash", shardBlooms, shards)
-      .withColumn("mk_", lit(true))
+    val flags = flagsRaw.withColumn("mk_", lit(true))
     // NUMERIC ids normalize to long like the monolithic
     // flagMaybeKnownParagraphs (whose typed encoder forces the cast);
     // any other id type passes through UNCHANGED — a blind cast would
@@ -1333,8 +1333,10 @@ object Curation {
           .isInstanceOf[org.apache.spark.sql.types.NumericType])
         col(idCol).cast("long").as(idCol)
       else col(idCol)
-    ph.join(broadcast(flags), Seq("para_hash"), "left")
-      .select(idOut, col("para_idx"),
+    val joined =
+      if (flagsLocal) ph.join(broadcast(flags), Seq("para_hash"), "left")
+      else ph.join(flags, Seq("para_hash"), "left")
+    joined.select(idOut, col("para_idx"),
         col("para_chars"), col("para_hash"),
         (col("para_chars") >= minParaChars &&
           coalesce(col("mk_"), lit(false))).as("maybe_known"))
@@ -1375,11 +1377,17 @@ object Curation {
     * for the cogroup this replaces. */
   def flagMaybeKnownHashes(hashes: DataFrame, hashCol: String,
       shardBlooms: DataFrame, shards: Int): DataFrame = {
-    val hits = maybeKnownHashes(hashes, hashCol, shardBlooms, shards)
-      .withColumn("mk_", lit(true))
-    hashes.join(broadcast(hits), Seq(hashCol), "left")
-      .select(col(hashCol),
-        coalesce(col("mk_"), lit(false)).as("maybe_known"))
+    val (hitsRaw, isLocal) =
+      maybeKnownHashesImpl(hashes, hashCol, shardBlooms, shards)
+    val hits = hitsRaw.withColumn("mk_", lit(true))
+    // over-cap fallback hits are corpus-scale and distributed — a
+    // forced broadcast there would rebuild exactly the driver-memory
+    // hazard the cap exists to avoid
+    val joined =
+      if (isLocal) hashes.join(broadcast(hits), Seq(hashCol), "left")
+      else hashes.join(hits, Seq(hashCol), "left")
+    joined.select(col(hashCol),
+      coalesce(col("mk_"), lit(false)).as("maybe_known"))
   }
 
   /** The scan-probe's HIT SET alone, as a LOCAL relation of the
@@ -1390,21 +1398,49 @@ object Curation {
     * micro-batch. Eager end to end (probe set collected + broadcast,
     * hit set collected back, broadcast destroyed before returning —
     * a per-batch broadcast leaked to the ContextCleaner otherwise);
-    * batch frames only. */
+    * batch frames only.
+    *
+    * GUARDED against batch-scale turning out to be corpus-scale (the
+    * first micro-batch of an un-rate-limited stream commonly carries
+    * the whole source backlog): the collect is bounded at
+    * [[MaxProbeCollect]] rows via a CollectLimit — which stops pulling
+    * partitions once the cap is crossed — and an over-cap probe set
+    * falls back to the DISTRIBUTED co-grouped probe (the pre-scan-probe
+    * topology: hashes and filters co-partitioned on the shard key, so
+    * the filter table shuffles once but nothing touches the driver).
+    * Over the cap the returned hits are therefore a distributed frame,
+    * not a local relation — degradation flows through the cluster, not
+    * through driver memory. */
   def maybeKnownHashes(hashes: DataFrame, hashCol: String,
-      shardBlooms: DataFrame, shards: Int): DataFrame = {
+      shardBlooms: DataFrame, shards: Int): DataFrame =
+    maybeKnownHashesImpl(hashes, hashCol, shardBlooms, shards)._1
+
+  // (hits, isLocal): isLocal=false signals the over-cap distributed
+  // fallback, whose hits must NOT be force-broadcast by callers
+  private def maybeKnownHashesImpl(hashes: DataFrame, hashCol: String,
+      shardBlooms: DataFrame, shards: Int): (DataFrame, Boolean) = {
     require(shards > 0, "shards must be positive")
     val spark = hashes.sparkSession
     import spark.implicits._
-    val byShard = Array.fill(shards)(
-      scala.collection.mutable.ArrayBuffer.empty[Long])
-    hashes.select(col(hashCol)).as[Long].collect().foreach { h =>
-      byShard((((h % shards) + shards) % shards).toInt) += h
-    }
-    if (byShard.forall(_.isEmpty)) // empty batch: nothing can hit —
+    val all: Array[Long] = hashes.select(col(hashCol))
+      .limit(MaxProbeCollect + 1).as[Long].collect()
+    if (all.length > MaxProbeCollect)
+      return (maybeKnownHashesDistributed(hashes, hashCol, shardBlooms,
+        shards), false)
+    if (all.isEmpty) // empty batch: nothing can hit —
       // skip the (linear-in-sub-filters) scan entirely
-      return spark.createDataset(Seq.empty[Long]).toDF(hashCol)
-    val bc = spark.sparkContext.broadcast(byShard.map(_.toArray))
+      return (spark.createDataset(Seq.empty[Long]).toDF(hashCol), true)
+    // primitive two-pass shard grouping: a per-shard ArrayBuffer[Long]
+    // boxes every element (~3× the footprint at the cap)
+    def shardOf(h: Long): Int = (((h % shards) + shards) % shards).toInt
+    val counts = new Array[Int](shards)
+    all.foreach(h => counts(shardOf(h)) += 1)
+    val byShard = Array.tabulate(shards)(s => new Array[Long](counts(s)))
+    val pos = new Array[Int](shards)
+    all.foreach { h =>
+      val s = shardOf(h); byShard(s)(pos(s)) = h; pos(s) += 1
+    }
+    val bc = spark.sparkContext.broadcast(byShard)
     try {
       val hits = shardBlooms
         .select(col("shard").cast("int"), col("bloom_bytes"))
@@ -1421,8 +1457,35 @@ object Curation {
             }
           }
         }.collect().distinct
-      spark.createDataset(hits.toIndexedSeq).toDF(hashCol)
+      (spark.createDataset(hits.toIndexedSeq).toDF(hashCol), true)
     } finally bc.destroy()
+  }
+
+  // The over-cap distributed probe: the scan-probe's predecessor
+  // topology, kept as the graceful-degradation path. Hashes and
+  // filters co-group on the shard key, each task OR-merges ONE shard's
+  // sub-filter rows and streams that shard's hashes through it — the
+  // capacity-sized filter table crosses an exchange (the cost the
+  // scan-probe avoids in the common regime), but nothing
+  // corpus-proportional is collected or broadcast.
+  private def maybeKnownHashesDistributed(hashes: DataFrame,
+      hashCol: String, shardBlooms: DataFrame, shards: Int): DataFrame = {
+    val spark = hashes.sparkSession
+    import spark.implicits._
+    val rows = hashes
+      .select(col(hashCol),
+        pmod(col(hashCol), lit(shards)).cast("int").as("shard_"))
+      .as[(Long, Int)]
+      .groupByKey(_._2)
+    val blooms = shardBlooms
+      .select(col("shard").cast("int"), col("bloom_bytes"))
+      .as[(Int, Array[Byte])]
+      .groupByKey(_._1)
+    rows.cogroup(blooms) { (_, rs, bs) =>
+      val bloom = mergeFilterRows(bs.map(_._2))
+      rs.collect { case (h, _)
+        if bloom.exists(_.mightContainLong(h)) => h }
+    }.toDF(hashCol).distinct()
   }
 
   /** Exact membership confirm of a batch-scale `maybe` key set (one
@@ -1453,12 +1516,19 @@ object Curation {
       maybe: DataFrame)(
       implicit enc: org.apache.spark.sql.Encoder[T]): DataFrame = {
     val spark = stored.sparkSession
-    val maybeArr = maybe.as[T].collect()
+    // bounded collect (see maybeKnownHashes): an over-cap maybe set —
+    // the whole-backlog first batch of an un-rate-limited stream —
+    // degrades to a distributed semi-join instead of OOMing the driver
+    val maybeArr = maybe.limit(MaxProbeCollect + 1).as[T].collect()
+    if (maybeArr.length > MaxProbeCollect)
+      return stored
+        .join(maybe.distinct(), Seq(keyCol), "left_semi")
+        .select(col(keyCol)).distinct()
     val maybeLocal = spark.createDataset(maybeArr.toIndexedSeq)
       .toDF(keyCol)
     if (maybeArr.isEmpty) maybeLocal
     else if (maybeArr.length <= MaxProbePushdown) {
-      val confirmed = confirmLock.synchronized {
+      val confirmed = confirmLock(spark).synchronized {
         withSessionConf(spark,
           "spark.sql.parquet.pushdown.inFilterThreshold",
           ProbePushdownChunk.toString) {
@@ -1504,11 +1574,18 @@ object Curation {
   private[graft] def fetchByKeys(stored: DataFrame, keyCol: String,
       keys: DataFrame): DataFrame = {
     val spark = stored.sparkSession
+    // bounded collect (see maybeKnownHashes): over-cap key sets take a
+    // distributed semi-join — stored scanned, keys shuffled, driver
+    // untouched
     val keyArr: IndexedSeq[Any] = keys.select(col(keyCol)).distinct()
+      .limit(MaxProbeCollect + 1)
       .collect().map(_.get(0)).toIndexedSeq
+    if (keyArr.length > MaxProbeCollect)
+      return stored.join(keys.select(col(keyCol)).distinct(),
+        Seq(keyCol), "left_semi")
     if (keyArr.isEmpty) stored.limit(0)
     else if (keyArr.length <= MaxProbePushdown)
-      confirmLock.synchronized {
+      confirmLock(spark).synchronized {
         withSessionConf(spark,
           "spark.sql.parquet.pushdown.inFilterThreshold",
           ProbePushdownChunk.toString) {
@@ -1533,9 +1610,26 @@ object Curation {
     confirmKnownKeys(stored, keyCol, maybe)(
       org.apache.spark.sql.Encoders.STRING)
 
-  // serializes the conf-raised confirm windows across threads — see
-  // confirmKnownKeys
-  private val confirmLock = new Object
+  // Serializes the conf-raised confirm windows across threads — see
+  // confirmKnownKeys. PER SparkSession (the overridden conf is
+  // session-scoped, so two stores on DIFFERENT sessions have nothing
+  // to race on and should not serialize behind each other's scans);
+  // keyed weakly so a lock entry cannot pin a closed session. Within
+  // one session the whole eager scan stays inside the critical
+  // section — planning happens at execution, so the raised threshold
+  // must be live for the scan's entire lifetime. Known residual: a
+  // USER change of the same conf on that session during the window is
+  // restored over (documented; the raise direction is harmless to
+  // bystander queries).
+  private val confirmLocks =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, Object])
+  private def confirmLock(spark: SparkSession): Object =
+    confirmLocks.synchronized {
+      val cur = confirmLocks.get(spark)
+      if (cur != null) cur
+      else { val o = new Object; confirmLocks.put(spark, o); o }
+    }
 
   /** Probe-set ceiling for the pushable-IN exact-confirm path. Probes
     * are CHUNKED into `ProbePushdownChunk`-sized INs combined with an
@@ -1555,6 +1649,24 @@ object Curation {
     * the fpp to widen it). */
   private val MaxProbePushdown: Int = 16384
   private val ProbePushdownChunk: Int = 256
+
+  /** Driver-side ceiling for the per-batch probe/key/maybe collects
+    * ([[maybeKnownHashes]], `confirmKnownKeys`, [[fetchByKeys]]).
+    * "Batch-scale" is a caller contract, but the first micro-batch of
+    * an un-rate-limited stream commonly carries the WHOLE source
+    * backlog — corpus-scale — and an unconditional collect is then a
+    * driver OOM. The collects are bounded with a CollectLimit (which
+    * stops pulling partitions once the cap is crossed); over the cap
+    * each path degrades to its distributed predecessor topology
+    * (co-grouped bloom probe / shuffle semi-join) — slower per batch,
+    * but it flows through the cluster, never the driver. 4M longs is
+    * 32 MB primitive on the driver plus the same broadcast — modest
+    * against default driver heaps, far above any sanely rate-limited
+    * batch (set `maxOffsetsPerTrigger`/`maxFilesPerTrigger` on ingest
+    * sources regardless: the cap is a guard rail, not a license).
+    * `var` ONLY so the spec can lower it and exercise the over-cap
+    * fallbacks at test scale — production code must not write it. */
+  private[graft] var MaxProbeCollect: Int = 4 << 20
 
   // the chunked pushable membership predicate: OR of ≤chunk-sized INs
   private def chunkedIn(key: Column, values: Seq[Any]): Column =

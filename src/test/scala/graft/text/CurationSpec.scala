@@ -1378,6 +1378,46 @@ class CurationSpec extends AnyFunSuite {
     assert(exact.find(_._1 == 100L).get._4 ==
       "fresh delta thought\n\nxx")
     assert(exact.find(_._1 == 101L).get._4 == "another fresh one")
+    // OVER-CAP regime: lower the probe-collect ceiling so the
+    // whole-backlog-first-batch guard fires — every path degrades to
+    // its distributed predecessor topology (co-grouped bloom probe,
+    // shuffle semi-join confirm) and the OUTPUT must not change
+    val prevCap = Curation.MaxProbeCollect
+    Curation.MaxProbeCollect = 2
+    try assert(run(256L) == exact)
+    finally Curation.MaxProbeCollect = prevCap
+  }
+
+  test("over-cap probe sets degrade to the distributed topologies " +
+      "with identical flags (the un-rate-limited first-batch guard)") {
+    val shards = 8
+    val stored = (0L until 2000L).map(i => i * 2654435761L)
+      .toDF("sent_hash")
+    val blooms = Curation.sentenceBloomShards(stored, shards,
+      expectedItems = 4000)
+    // mixed probe: all stored hashes + novel ones
+    val probe = stored.unionByName(
+      (1L to 500L).map(i => i * 40503L + 7L).toDF("sent_hash"))
+    def flags() = Curation
+      .flagMaybeKnownHashes(probe, "sent_hash", blooms, shards)
+      .orderBy($"sent_hash")
+      .as[(Long, Boolean)].collect().toSeq
+    val inCap = flags()
+    val prevCap = Curation.MaxProbeCollect
+    Curation.MaxProbeCollect = 10 // force the cogroup fallback
+    try {
+      assert(flags() == inCap)
+      // fetchByKeys over the cap: shuffle semi-join, same rows
+      val keys = (0L until 100L).map(i => i * 2654435761L)
+        .toDF("sent_hash")
+      val fetched = Curation.fetchByKeys(stored, "sent_hash", keys)
+        .orderBy($"sent_hash").as[Long].collect().toSeq
+      assert(fetched == keys.orderBy($"sent_hash")
+        .as[Long].collect().toSeq)
+    } finally Curation.MaxProbeCollect = prevCap
+    // no false negatives survive the fallback either
+    assert(inCap.filter(_._2).map(_._1).toSet
+      .intersect(stored.as[Long].collect().toSet).size == 2000)
   }
 
   test("dedup ladder never shuffles corpus text: measured shuffle " +

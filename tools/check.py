@@ -50,6 +50,37 @@ def values_equal(a, b):
     return str(a) == str(b)
 
 
+def dtype_warnings(name, g, e):
+    """Representation drift the lenient value comparator cannot see.
+
+    The driver's typed hash tolerates integer WIDTH (int32 vs int64)
+    but rejects REPRESENTATION changes (float64 vs int64 renders
+    8240000000000.0 vs 8240000000000) — exactly how q145 stayed red
+    for four rounds while this script passed. Surface both classes so
+    drift is visible locally before the driver sees it.
+    """
+    warns = []
+    for c in g.columns:
+        gk, ek = g[c].dtype.kind, e[c].dtype.kind
+        if gk == ek:
+            continue
+        ints, flts = set("iu"), set("f")
+        if gk in ints and ek in flts or gk in flts and ek in ints:
+            sev = "REPRESENTATION (driver hash WILL mismatch)"
+        elif gk in ints and ek in ints:
+            sev = "int width (tolerated today)"
+        elif "O" in (gk, ek):
+            # pandas object columns hold e.g. nullable ints / strings;
+            # ambiguous, flag softly
+            sev = "object-vs-typed (check manually)"
+        else:
+            sev = "kind"
+        warns.append(
+            f"WARN {name}: column '{c}' dtype {g[c].dtype} (spark) vs "
+            f"{e[c].dtype} (oracle) — {sev}")
+    return warns
+
+
 def main():
     sfdir, outdir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
@@ -61,7 +92,7 @@ def main():
     with open(os.path.join(outdir, "oracle_sql.json")) as f:
         oracles = json.load(f)
 
-    n_pass = n_fail = 0
+    n_pass = n_fail = n_warn = 0
     all_names = sorted(
         d for d in os.listdir(outdir)
         if os.path.isdir(os.path.join(outdir, d)))
@@ -90,6 +121,9 @@ def main():
             print(f"FAIL {name}: rows {len(g)} vs {len(e)}")
             n_fail += 1
             continue
+        for w in dtype_warnings(name, g, e):
+            print(w)
+            n_warn += 1
         bad = []
         for ci, c in enumerate(g.columns):
             gv, ev = g[c].tolist(), e[c].tolist()
@@ -107,7 +141,8 @@ def main():
             print(f"PASS {name}: {len(g)} rows")
             n_pass += 1
     print(f"== {n_pass} pass, {n_fail} fail, "
-          f"{len(all_names) - n_pass - n_fail} rows-only ==")
+          f"{len(all_names) - n_pass - n_fail} rows-only, "
+          f"{n_warn} dtype warnings ==")
     sys.exit(1 if n_fail else 0)
 
 
