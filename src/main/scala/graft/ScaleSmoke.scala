@@ -441,6 +441,15 @@ object ScaleSmoke {
     }
     val nDocs = stations * 1000L
     println(f"stores mode: $nDocs%,d corpus docs x 8 paragraphs")
+    // finer range split for sorted bases: pruning granularity is the
+    // row group, and the local 32-partition default would leave only
+    // 32 of them for 4M rows
+    def withShufflePartitions[A](n: Int)(f: => A): A = {
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", n.toString)
+      try f
+      finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
     def mkDocs(from: Long, n: Long, dupFrac: Int) =
       spark.range(from, from + n, 1, 32)
         .select(col("id").as("doc_id"), concat_ws("\n\n",
@@ -492,13 +501,7 @@ object ScaleSmoke {
         "doc_id"))
     }
     t2("compact (snapshot + hash-sorted base)") {
-      // finer range split for the sorted base: pruning granularity is
-      // the row group, and the local 32-partition default would leave
-      // only 32 of them for 4M rows
-      val prev = spark.conf.get("spark.sql.shuffle.partitions")
-      spark.conf.set("spark.sql.shuffle.partitions", "512")
-      try store.compact()
-      finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+      withShufflePartitions(512) { store.compact() }
       store.paragraphTable.count()
     }
     t2("batch SHARDED+pruned (sorted base)") {
@@ -568,10 +571,7 @@ object ScaleSmoke {
       sstore.cleaned.count()
     }
     t2("sentences: compact (hash-sorted base)") {
-      val prev = spark.conf.get("spark.sql.shuffle.partitions")
-      spark.conf.set("spark.sql.shuffle.partitions", "512")
-      try sstore.compact()
-      finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+      withShufflePartitions(512) { sstore.compact() }
       sstore.sentenceTable.count()
     }
     val sbatch = spark.range(nDocs + 100, nDocs + 5100, 1, 8)
@@ -609,10 +609,7 @@ object ScaleSmoke {
       ustore.urlTable.count()
     }
     t2("urls: compact (url-sorted base)") {
-      val prev = spark.conf.get("spark.sql.shuffle.partitions")
-      spark.conf.set("spark.sql.shuffle.partitions", "512")
-      try ustore.compact()
-      finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+      withShufflePartitions(512) { ustore.compact() }
       ustore.urlTable.count()
     }
     // every 500th batch url is a known corpus url (id folded back

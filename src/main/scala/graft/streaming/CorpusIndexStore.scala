@@ -103,6 +103,23 @@ final class CorpusIndexStore(spark: SparkSession, path: String,
   def accepted: DataFrame =
     spark.read.parquet(acceptedPath).drop("ingest_batch")
 
+  /** How many `ingest_batch=*` partitions the bucket index holds —
+    * one per ingested batch plus the base build. This store's
+    * compaction pressure is twofold: partition accretion (per-batch
+    * scans open every directory) AND degenerate buckets growing
+    * un-capped ACROSS batches (the class-doc caveat — only the base
+    * build applies `maxBucketSize` globally). */
+  def ingestBatchCount: Long =
+    StorePaths.ingestBatchCount(spark, bucketPath)
+
+  /** True once the partition count crosses `maxBatches` — run
+    * [[compact]] in an idle window (never mid-ingest: it re-runs
+    * initialize, which resets the store-owned checkpoint) to rebuild
+    * with global bucket caps. The [[SentenceIndexStore
+    * .needsCompaction]] cadence contract for this store. */
+  def needsCompaction(maxBatches: Int = 64): Boolean =
+    ingestBatchCount > maxBatches
+
   /** Start the growing ingest gate over a streaming (idCol, textCol)
     * frame. Per micro-batch: reject arrivals near-duplicating the
     * CURRENT index, dedup survivors within the batch (star-contraction

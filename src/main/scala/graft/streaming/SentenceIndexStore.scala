@@ -164,8 +164,9 @@ final class SentenceIndexStore(spark: SparkSession, path: String,
     val stored = spark.read.parquet(sentPath)
       .where(notThisBatch).drop("ingest_batch")
     // RAW sub-filters, no merge pass: the scan-probe's any-row-hits
-    // semantics equal the OR-merge, and merging would shuffle the
-    // capacity-sized filter table every batch
+    // probe keeps the OR-merge's no-false-negative guarantee (the
+    // bit-union could only add false positives), and merging would
+    // shuffle the capacity-sized filter table every batch
     val shardFilters = spark.read.parquet(bloomPath)
       .where(notThisBatch).drop("ingest_batch")
     // cleaned text + kept-sentence index from ONE keeper computation

@@ -60,6 +60,25 @@ private[streaming] object StorePaths {
     }
   }
 
+  /** Count of `ingest_batch=*` partition directories under a stored
+    * table root — the compaction-cadence metric for stores WITHOUT a
+    * bloom artifact to measure ([[UrlIndexStore]],
+    * [[CorpusIndexStore]]): every micro-batch adds one partition
+    * directory of batch-scale files, so a long-running ingest
+    * degrades the per-batch stored-table scan into thousands of
+    * tiny-file opens (and, for the corpus store, leaves degenerate
+    * buckets un-capped across batches) until [[compactStore]] folds
+    * everything back into one base partition. Returns 0 (never
+    * throws) for a missing or empty root, so a cadence poll can start
+    * before the first batch. */
+  def ingestBatchCount(spark: SparkSession, tableRoot: String): Long = {
+    val hp = new org.apache.hadoop.fs.Path(tableRoot)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(hp)) 0L
+    else fs.listStatus(hp).count(s => s.isDirectory &&
+      s.getPath.getName.startsWith("ingest_batch=")).toLong
+  }
+
   /** One table in a [[compactStore]] run: `current` produces the live
     * merged frame, `tmp` is its durable snapshot path, `base` the
     * rewritten base-partition path. `sortCol`, when set, range-

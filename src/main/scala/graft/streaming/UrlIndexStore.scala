@@ -67,6 +67,25 @@ final class UrlIndexStore(spark: SparkSession, path: String,
   def accepted: DataFrame =
     spark.read.parquet(acceptedPath).drop("ingest_batch")
 
+  /** How many `ingest_batch=*` partitions the url index holds — one
+    * per ingested batch plus the base build. The URL store has no
+    * bloom artifact, so its compaction pressure IS partition
+    * accretion: every per-batch membership confirm opens every
+    * partition's files, and thousands of tiny directories turn the
+    * row-group-pruned scan into an open()-bound crawl. */
+  def ingestBatchCount: Long =
+    StorePaths.ingestBatchCount(spark, urlsPath)
+
+  /** True once the partition count crosses `maxBatches` — run
+    * [[compact]] in an idle window (never mid-ingest: compaction
+    * resets the store-owned checkpoint) to fold everything into one
+    * url-sorted base. The default bounds the per-batch confirm at
+    * ~64 directory opens; tune by batch cadence vs. available idle
+    * windows — the [[SentenceIndexStore.needsCompaction]] contract at
+    * this store's granularity. */
+  def needsCompaction(maxBatches: Int = 64): Boolean =
+    ingestBatchCount > maxBatches
+
   /** Start the growing ingest over a streaming frame carrying
     * (idCol, urlCol, …payload). */
   def ingest(stream: DataFrame,
@@ -101,12 +120,20 @@ final class UrlIndexStore(spark: SparkSession, path: String,
     // re-enters the plan, broadcast into the anti filter
     val batchUrls = deduped.select(col("canonical_url"))
       .where(col("canonical_url").isNotNull).distinct()
-    val known = graft.text.Curation.confirmKnownStrings(
+    val (known0, knownLocal) = graft.text.Curation
+      .confirmKnownStringsImpl(
         stored.select(col("canonical_url")), "canonical_url",
         batchUrls)
-      .withColumn("known_", lit(1))
-    val kept = deduped
-      .join(broadcast(known), Seq("canonical_url"), "left")
+    val known = known0.withColumn("known_", lit(1))
+    // broadcast only the batch-scale confirmed set; the over-cap
+    // fallback's confirmed frame is corpus-scale and distributed —
+    // force-broadcasting it would rebuild the driver-memory hazard
+    // the collect cap exists to remove
+    val joinedKnown =
+      if (knownLocal) deduped.join(broadcast(known),
+        Seq("canonical_url"), "left")
+      else deduped.join(known, Seq("canonical_url"), "left")
+    val kept = joinedKnown
       .where(col("canonical_url").isNull || col("known_").isNull)
       .drop("known_")
       .localCheckpoint(false) // feeds the fold-back AND the append

@@ -1306,9 +1306,11 @@ object Curation {
     * the per-paragraph rows. A shard with no filter row flags
     * nothing (no stored paragraph hashes there — vacuously unknown);
     * a hash is flagged iff ANY sub-filter row of its shard contains
-    * it — exactly the OR-merged semantics, so the per-batch
-    * sub-filter layout `ParagraphIndexStore` writes needs no merge
-    * pass. Same output schema as [[flagMaybeKnownParagraphs]]. */
+    * it — the OR-merge's no-false-negative semantics without the
+    * merge pass (the bit-union could only ADD false positives), so
+    * the per-batch sub-filter layout `ParagraphIndexStore` writes is
+    * consumed raw. Same output schema as
+    * [[flagMaybeKnownParagraphs]]. */
   def flagMaybeKnownParagraphsSharded(delta: DataFrame,
       textCol: String, idCol: String, shardBlooms: DataFrame,
       shards: Int, sep: String = "\n\n", minParaChars: Int = 1)
@@ -1368,8 +1370,10 @@ object Curation {
     * exchange on EVERY call, i.e. every micro-batch; now only the
     * batch-scale probe set and the batch-scale hit set move. A hash
     * is maybe-known iff ANY sub-filter row of its shard contains it —
-    * exactly the OR-merged semantics, without materializing the
-    * merge; rows of other shards are never probed, so the per-shard
+    * the OR-merge's no-false-negative semantics without materializing
+    * the merge (the bit-union merge could only ADD false positives
+    * relative to this per-row probe);
+    * rows of other shards are never probed, so the per-shard
     * fpp contract is unchanged, and a shard with no filter rows flags
     * nothing. Returns (hashCol, maybe_known); no false negatives.
     * EAGER (the probe set collects at call time) — BATCH frames only;
@@ -1467,7 +1471,15 @@ object Curation {
   // sub-filter rows and streams that shard's hashes through it — the
   // capacity-sized filter table crosses an exchange (the cost the
   // scan-probe avoids in the common regime), but nothing
-  // corpus-proportional is collected or broadcast.
+  // corpus-proportional is collected or broadcast. SEMANTICS: no
+  // false negatives, but the bit-UNION merge can flag a hash no
+  // single sub-filter held (its k positions split across rows), so
+  // the maybe set is an fpp-bounded SUPERSET of the in-cap per-row
+  // scan's — the exact confirm downstream erases the difference
+  // (spec-pinned). The hits are pinned (lazy localCheckpoint): the
+  // confirm's limit-probe and its semi-join both consume them, and
+  // without the pin the cogroup would shuffle the filter table twice
+  // per batch.
   private def maybeKnownHashesDistributed(hashes: DataFrame,
       hashCol: String, shardBlooms: DataFrame, shards: Int): DataFrame = {
     val spark = hashes.sparkSession
@@ -1485,7 +1497,7 @@ object Curation {
       val bloom = mergeFilterRows(bs.map(_._2))
       rs.collect { case (h, _)
         if bloom.exists(_.mightContainLong(h)) => h }
-    }.toDF(hashCol).distinct()
+    }.toDF(hashCol).distinct().localCheckpoint(false)
   }
 
   /** Exact membership confirm of a batch-scale `maybe` key set (one
@@ -1507,26 +1519,45 @@ object Curation {
     * direction is harmless to bystander queries; a mid-planning
     * restore would silently degrade a sibling probe to the range
     * push). The confirmed set (≤ maybe, batch-scale) re-enters the
-    * plan as a local relation. Degenerate regime (maybe set above the
-    * pushdown cap): broadcast semi-join building on the ALREADY
-    * COLLECTED set — never re-executing the maybe lineage (the bloom
-    * cogroup would otherwise run twice per batch in exactly the heavy
-    * regime) — stored side scanned, never shuffled. */
+    * plan as a local relation. Degenerate regimes, in order: above
+    * the PUSHDOWN cap (16k) a broadcast semi-join builds on the
+    * ALREADY COLLECTED set — never re-executing the maybe lineage
+    * (the bloom probe would otherwise run twice per batch in exactly
+    * the heavy regime) — stored side scanned, never shuffled; above
+    * the COLLECT cap (4M, see [[MaxProbeCollect]]) nothing is
+    * collected at all and a distributed semi-join takes over — there
+    * the maybe lineage DOES re-execute once for the join (pinned with
+    * a lazy localCheckpoint so it is the last run), the price of not
+    * holding a corpus-scale set on the driver. */
   private def confirmKnownKeys[T](stored: DataFrame, keyCol: String,
       maybe: DataFrame)(
-      implicit enc: org.apache.spark.sql.Encoder[T]): DataFrame = {
+      implicit enc: org.apache.spark.sql.Encoder[T]): DataFrame =
+    confirmKnownKeysImpl(stored, keyCol, maybe)(enc)._1
+
+  // (confirmed, isLocal): isLocal=false signals the over-collect-cap
+  // distributed fallback — a corpus-scale frame callers must NOT
+  // force-broadcast (the maybeKnownHashesImpl convention)
+  private def confirmKnownKeysImpl[T](stored: DataFrame, keyCol: String,
+      maybe: DataFrame)(
+      implicit enc: org.apache.spark.sql.Encoder[T])
+      : (DataFrame, Boolean) = {
     val spark = stored.sparkSession
     // bounded collect (see maybeKnownHashes): an over-cap maybe set —
     // the whole-backlog first batch of an un-rate-limited stream —
-    // degrades to a distributed semi-join instead of OOMing the driver
+    // degrades to a distributed semi-join instead of OOMing the
+    // driver. The maybe lineage necessarily re-executes once for the
+    // join (the limit-probe only ran it partially); the lazy
+    // localCheckpoint pins THAT execution so downstream consumers of
+    // the confirmed frame cannot run the whole probe chain again.
     val maybeArr = maybe.limit(MaxProbeCollect + 1).as[T].collect()
     if (maybeArr.length > MaxProbeCollect)
-      return stored
-        .join(maybe.distinct(), Seq(keyCol), "left_semi")
-        .select(col(keyCol)).distinct()
+      return (stored
+        .join(maybe.distinct().localCheckpoint(false), Seq(keyCol),
+          "left_semi")
+        .select(col(keyCol)).distinct(), false)
     val maybeLocal = spark.createDataset(maybeArr.toIndexedSeq)
       .toDF(keyCol)
-    if (maybeArr.isEmpty) maybeLocal
+    if (maybeArr.isEmpty) (maybeLocal, true)
     else if (maybeArr.length <= MaxProbePushdown) {
       val confirmed = confirmLock(spark).synchronized {
         withSessionConf(spark,
@@ -1538,11 +1569,11 @@ object Curation {
             .as[T].collect()
         }
       }
-      spark.createDataset(confirmed.toIndexedSeq).toDF(keyCol)
+      (spark.createDataset(confirmed.toIndexedSeq).toDF(keyCol), true)
     } else
-      stored
+      (stored
         .join(broadcast(maybeLocal), Seq(keyCol), "left_semi")
-        .select(col(keyCol)).distinct()
+        .select(col(keyCol)).distinct(), true)
   }
 
   private def confirmKnownHashes(stored: DataFrame, hashCol: String,
@@ -1581,7 +1612,11 @@ object Curation {
       .limit(MaxProbeCollect + 1)
       .collect().map(_.get(0)).toIndexedSeq
     if (keyArr.length > MaxProbeCollect)
-      return stored.join(keys.select(col(keyCol)).distinct(),
+      // the keys lineage re-executes once for the join (the
+      // limit-probe ran it partially); pin that run so downstream
+      // consumers of the fetched rows don't trigger another
+      return stored.join(
+        keys.select(col(keyCol)).distinct().localCheckpoint(false),
         Seq(keyCol), "left_semi")
     if (keyArr.isEmpty) stored.limit(0)
     else if (keyArr.length <= MaxProbePushdown)
@@ -1608,6 +1643,16 @@ object Curation {
   private[graft] def confirmKnownStrings(stored: DataFrame,
       keyCol: String, maybe: DataFrame): DataFrame =
     confirmKnownKeys(stored, keyCol, maybe)(
+      org.apache.spark.sql.Encoders.STRING)
+
+  /** [[confirmKnownStrings]] exposing the (confirmed, isLocal) pair —
+    * for callers that broadcast the confirmed set into a downstream
+    * join and must NOT when the over-cap fallback made it a
+    * corpus-scale distributed frame (UrlIndexStore's per-batch
+    * membership anti-join). */
+  private[graft] def confirmKnownStringsImpl(stored: DataFrame,
+      keyCol: String, maybe: DataFrame): (DataFrame, Boolean) =
+    confirmKnownKeysImpl(stored, keyCol, maybe)(
       org.apache.spark.sql.Encoders.STRING)
 
   // Serializes the conf-raised confirm windows across threads — see

@@ -152,11 +152,18 @@ class CorpusIndexStoreSpec extends AnyFunSuite {
     assert(store.accepted.orderBy(col("doc_id")).collect().toSeq
       == once)
     assert(store.bucketTable.count() == buckets1)
+    // cadence metric before compaction: base + one batch; mirrors the
+    // bloom-backed stores' needsCompaction poll contract
+    assert(store.ingestBatchCount == 2)
+    assert(store.needsCompaction(maxBatches = 1))
+    assert(!store.needsCompaction())
     // compaction rebuilds from the accepted corpus, same membership
     store.compact()
     assert(store.accepted.orderBy(col("doc_id")).collect().toSeq
       == once)
     assert(store.docTable.select(col("corpus_id")).as[Long].collect()
       .toSet == once.map(_.getLong(0)).toSet)
+    assert(store.ingestBatchCount == 1)
+    assert(!store.needsCompaction(maxBatches = 1))
   }
 }

@@ -90,8 +90,15 @@ class UrlIndexStoreSpec extends AnyFunSuite {
       store.accepted.select($"doc_id").orderBy($"doc_id")
         .as[Long].collect().toSeq)
     val before = snap()
+    // cadence metric: base + one batch = 2 partitions; the poll
+    // contract mirrors the bloom-backed stores' needsCompaction
+    assert(store.ingestBatchCount == 2)
+    assert(store.needsCompaction(maxBatches = 1))
+    assert(!store.needsCompaction()) // default threshold far away
     store.compact()
     assert(snap() == before)
+    assert(store.ingestBatchCount == 1)
+    assert(!store.needsCompaction(maxBatches = 1))
     def parts(sub: String) = new java.io.File(s"$tmp/$sub").list()
       .filter(_.startsWith("ingest_batch=")).toSeq
     Seq("urls", "accepted").foreach { sub =>
