@@ -625,6 +625,250 @@ object Similarity {
         col("rank"))
   }
 
+  /** IVF-PQ top-k (the FAISS "IVFADC" composition — Jégou et al.
+    * 2011, "Product Quantization for Nearest Neighbor Search" §IV):
+    * THE production shape for billion-to-trillion-vector search. A
+    * coarse inverted file bounds each query's candidate scan to
+    * `nprobe` of `nlist` cells, and inside a cell a corpus vector
+    * exists only as m small codes of its RESIDUAL (vector − assigned
+    * centroid) — so the scan reads codes, never embeddings, and a
+    * candidate's distance is m table lookups against a per-(query,
+    * probed-cell) LUT over the QUERY residual. Residual encoding is
+    * what separates IVFADC from probing a plain [[pqTopK]] index: the
+    * residual distribution is far tighter than the raw space, so the
+    * same codebook budget quantizes much finer.
+    *
+    * Composition, all existing engines: coarse assignment is the
+    * [[ivfTopKWithCentroids]] literal↔kernel auto-switch (squared-L2
+    * metric here — the IVFADC convention; the cosine IVF keeps its
+    * own gate), residual encode is [[pqEncode]] over the subtracted
+    * vectors, ADC is [[pqTopKWithCodebooks]]' j-ordered fold.
+    * Scale shape: assignment and encode are exchange-free map passes;
+    * the only join is codes ⨝ broadcast(query LUTs) restricted to
+    * probed cells; ranking is a per-query window over candidate-scale
+    * rows. Training (this convenience form) follows [[ivfTopK]]:
+    * hash-ranked sample → driver k-means coarse quantizer → PQ
+    * codebooks fit on the SAMPLE'S RESIDUALS (the FAISS train order).
+    * Returns (query_id, corpus_id, adc_dist, rank), ascending
+    * approximate L2. */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, vecCol: String,
+      idCol: String, queryIdCol: String, k: Int, nlist: Int = 8,
+      m: Int = 8, ksub: Int = 16, nprobe: Int = 4,
+      sampleSize: Int = 2048, seed: Long = 42, iterations: Int = 5)
+      : DataFrame = {
+    val sample = corpus
+      .select(col(vecCol), xxhash64(lit(seed), col(idCol)).as("hr_"))
+      .orderBy(col("hr_")).limit(sampleSize)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    require(sample.nonEmpty, "ivfpq needs a non-empty corpus")
+    val dim = sample.head.length
+    require(dim % m == 0, s"dim $dim must divide into $m subspaces")
+    val ds = dim / m
+    val centroids = kmeans(sample, nlist, iterations, seed)
+    val residuals = sample.map { p =>
+      val c = centroids(nearestSq(p, centroids))
+      Array.tabulate(dim)(i => p(i) - c(i))
+    }
+    val books = Array.tabulate(m) { j =>
+      kmeans(residuals.map(_.slice(j * ds, (j + 1) * ds)), ksub,
+        iterations, seed + j)
+    }
+    ivfPqTopKWithParams(corpus, queries, vecCol, idCol, queryIdCol, k,
+      centroids, books, nprobe)
+  }
+
+  /** [[ivfPqTopK]] with a CALLER-SUPPLIED coarse quantizer and
+    * residual codebooks — a persisted model, or replicable parameters
+    * (data rows picked by a deterministic id rule) a cross-engine
+    * oracle can rebuild (q152). Same assignment / residual-encode /
+    * LUT / ADC / rank engine. */
+  def ivfPqTopKWithParams(corpus: DataFrame, queries: DataFrame,
+      vecCol: String, idCol: String, queryIdCol: String, k: Int,
+      centroids: Array[Array[Double]],
+      books: Array[Array[Array[Double]]], nprobe: Int): DataFrame = {
+    require(centroids.nonEmpty, "ivfpq needs at least one centroid")
+    require(books.nonEmpty && books.head.nonEmpty, "ivfpq needs codebooks")
+    val spark = corpus.sparkSession
+    val m = books.length
+    val ksub = books.head.length
+    val ds = books.head.head.length
+    val dim = centroids.head.length
+    require(m * ds == dim,
+      s"codebooks cover ${m * ds} dims, centroids have $dim")
+
+    val centDf = broadcast(spark.createDataFrame(
+      centroids.zipWithIndex.map { case (cvec, i) =>
+        (i, cvec.toSeq)
+      }.toSeq).toDF("centroid_id", "centroid"))
+
+    // coarse assignment by squared L2 — exchange-free, same
+    // literal↔kernel auto-switch as the cosine IVF
+    val assigned =
+      if (centroids.length.toLong * dim <= LiteralAssignMaxTerms)
+        ivfPqAssignLiteral(corpus, vecCol, idCol, centroids)
+      else ivfPqAssignKernel(corpus, vecCol, idCol, centroids)
+
+    // residual encode: one broadcast join to reattach the assigned
+    // centroid, one codegen'd map pass — the stored artifact a real
+    // index persists is exactly this (corpus_id, centroid_id, codes)
+    // frame: m bytes-ish per vector instead of dim floats
+    val encoded = assigned
+      .join(centDf, Seq("centroid_id"))
+      .withColumn("rv_", zip_with(col("cv"), col("centroid"),
+        (x, c) => x.cast("double") - c))
+      .select(col("corpus_id"), col("centroid_id"),
+        pqEncode(col("rv_"), books).as("codes"))
+
+    // per-(query, probed cell) LUT over the QUERY residual, built on
+    // the driver — queries are few by contract (pqTopKWithCodebooks'
+    // rule), and each LUT is m×ksub doubles
+    val lutRows = queries
+      .select(col(queryIdCol).as("query_id"), col(vecCol).as("qv"))
+      .collect().flatMap { r =>
+        val qv = r.getSeq[Number](1).map(_.doubleValue()).toArray
+        val probed = centroids.indices
+          .map(cid => (sqDistTo(qv, centroids(cid)), cid))
+          .sorted.take(nprobe).map(_._2) // (dist, id) lexicographic
+        probed.map { cid =>
+          val cvec = centroids(cid)
+          val lut = Array.tabulate(m * ksub) { i =>
+            val (j, c) = (i / ksub, i % ksub)
+            var d = 0.0
+            var t = 0
+            while (t < ds) {
+              val diff = (qv(j * ds + t) - cvec(j * ds + t)) -
+                books(j)(c)(t)
+              d += diff * diff; t += 1
+            }
+            d
+          }
+          org.apache.spark.sql.Row(r.get(0), cid, lut.toSeq)
+        }
+      }
+    val qLut = spark.createDataFrame(
+      java.util.Arrays.asList(lutRows: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        queries.schema(queryIdCol).copy(name = "query_id"),
+        org.apache.spark.sql.types.StructField("centroid_id",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("lut",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType, false)))))
+
+    // the centroid_id equi-join IS the inverted-file probe: only
+    // rows of probed cells ever meet a LUT
+    val scored = encoded.join(broadcast(qLut), Seq("centroid_id"))
+      .withColumn("adc_dist",
+        aggregate(
+          zip_with(col("codes"),
+            sequence(lit(0), lit(m - 1)),
+            (code, j) => element_at(col("lut"), j * ksub + code + 1)),
+          lit(0.0), (acc, v) => acc + v))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_dist"), col("corpus_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("corpus_id"), col("adc_dist"),
+        col("rank"))
+  }
+
+  // driver-side squared L2, sequential index order — the same
+  // operation order as the literal/kernel assignment forms, so the
+  // query-side probe choice can never diverge from the corpus side's
+  private def sqDistTo(v: Array[Double], c: Array[Double]): Double = {
+    var d = 0.0
+    var i = 0
+    while (i < c.length) { val diff = v(i) - c(i); d += diff * diff; i += 1 }
+    d
+  }
+
+  private def nearestSq(p: Array[Double],
+      centroids: Array[Array[Double]]): Int = {
+    var best = 0
+    var bd = Double.MaxValue
+    var j = 0
+    while (j < centroids.length) {
+      val d = sqDistTo(p, centroids(j))
+      if (d < bd) { bd = d; best = j }
+      j += 1
+    }
+    best
+  }
+
+  /** Squared-L2 literal argmin — [[ivfAssignLiteral]]'s shape with the
+    * IVFADC metric: one codegen'd map pass, zero exchange, (dist,
+    * centroid_id) lexicographic tie-break via struct array_min.
+    * Malformed vectors (null / wrong length / null element) yield a
+    * null dist, which struct ordering sorts first → centroid_id 0 —
+    * the contract the kernel form below mirrors bit-for-bit. */
+  private[graft] def ivfPqAssignLiteral(corpus: DataFrame,
+      vecCol: String, idCol: String,
+      centroids: Array[Array[Double]]): DataFrame = {
+    val assignExpr = array(centroids.zipWithIndex.map {
+      case (cvec, i) =>
+        val w = array(cvec.map(lit): _*)
+        struct(
+          aggregate(zip_with(col("cv"), w, (x, c) =>
+            (x.cast("double") - c) * (x.cast("double") - c)),
+            lit(0.0), (acc, v) => acc + v).as("dist"),
+          lit(i).as("centroid_id"))
+    }: _*)
+    corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"))
+      .withColumn("centroid_id",
+        array_min(assignExpr).getField("centroid_id"))
+      .select(col("corpus_id"), col("cv"), col("centroid_id"))
+  }
+
+  /** Broadcast-kernel squared-L2 argmin — [[ivfAssignKernel]]'s shape
+    * with the IVFADC metric, for nlist×dim past
+    * [[LiteralAssignMaxTerms]]: plan size independent of nlist,
+    * bit-identical to the literal form (same sequential
+    * subtract-square-accumulate per element, ascending-id iteration
+    * with strict `<` = the (dist, id) tie-break, malformed rows →
+    * centroid 0). */
+  private[graft] def ivfPqAssignKernel(corpus: DataFrame,
+      vecCol: String, idCol: String,
+      centroids: Array[Array[Double]]): DataFrame = {
+    val spark = corpus.sparkSession
+    val bcC = spark.sparkContext.broadcast(centroids)
+    val prepared = corpus.select(col(idCol).as("corpus_id"),
+      col(vecCol).as("cv"))
+    val outSchema = prepared.schema.add("centroid_id",
+      org.apache.spark.sql.types.IntegerType)
+    val dim = centroids.head.length
+    prepared.mapPartitions { rows =>
+      val cents = bcC.value
+      rows.map { r =>
+        val malformed = r.isNullAt(1) || {
+          val v0 = r.getSeq[Number](1)
+          v0.length != dim || v0.contains(null)
+        }
+        if (malformed)
+          org.apache.spark.sql.Row.fromSeq(r.toSeq :+ 0)
+        else {
+          val v = r.getSeq[Number](1)
+          var best = 0
+          var bd = Double.MaxValue
+          var j = 0
+          while (j < cents.length) {
+            val c = cents(j)
+            var s = 0.0
+            var i = 0
+            while (i < c.length) {
+              val diff = v(i).doubleValue() - c(i)
+              s += diff * diff
+              i += 1
+            }
+            if (s < bd) { bd = s; best = j }
+            j += 1
+          }
+          org.apache.spark.sql.Row.fromSeq(r.toSeq :+ best)
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
   /** tiny driver-side k-means (for IVF coarse quantization) */
   def kmeans(points: Array[Array[Double]], k: Int, iterations: Int,
       seed: Long): Array[Array[Double]] = {

@@ -325,4 +325,138 @@ class SimilaritySpec extends AnyFunSuite {
     assert(litW.toSeq == kerW.toSeq, s"lit=${litW.toSeq} ker=${kerW.toSeq}")
     assert(litW.filter(_._1 >= 9001).forall(_._2 == 0))
   }
+
+  test("ivfpq: residual ADC is exact on a representable fixture — " +
+      "every vector self-retrieves at distance 0 inside its own cell") {
+    // corpus vectors constructed as centroid + codeword concat, all
+    // values exactly representable in float, so the residual IS a
+    // codeword pair: encode recovers it, the LUT distance to it is 0,
+    // and ADC(q, q) = 0 < ADC(q, anything else)
+    val cents = Array(Array(10.0, 10, 10, 10),
+      Array(-10.0, -10, -10, -10))
+    val books = Array(
+      Array(Array(1.0, 0.0), Array(2.0, 1.0)),
+      Array(Array(0.0, 3.0), Array(4.0, -1.0)))
+    val rows = for {
+      cid <- 0 to 1; c0 <- 0 to 1; c1 <- 0 to 1
+    } yield {
+      val v = Array(
+        cents(cid)(0) + books(0)(c0)(0),
+        cents(cid)(1) + books(0)(c0)(1),
+        cents(cid)(2) + books(1)(c1)(0),
+        cents(cid)(3) + books(1)(c1)(1))
+      ((cid * 4 + c0 * 2 + c1).toLong, v.map(_.toFloat).toSeq)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val got = Similarity.ivfPqTopKWithParams(df, df, "embedding",
+        "vec_id", "vec_id", k = 1, cents, books, nprobe = 1)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1)
+    assert(got.length == 8)
+    got.foreach { case (q, c, d) =>
+      assert(q == c && d == 0.0, s"query $q retrieved $c at $d")
+    }
+  }
+
+  test("ivfpq with nprobe = nlist equals an independent brute-force " +
+      "residual-ADC ranking; partitioning-invariant") {
+    // parameters mirror the q152 gate: id-picked coarse centroids and
+    // codebooks over the real embeddings — the EXPECTED ranking is
+    // recomputed here from scratch (plain scala doubles), not via any
+    // engine code path
+    val all = emb.orderBy($"vec_id")
+      .select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)
+        .map(_.toDouble).toArray).toMap
+    val cents = (100L to 103L).map(all).toArray
+    val books = Array.tabulate(8) { j =>
+      (200L to 207L).map(i => all(i).slice(j * 8, (j + 1) * 8)).toArray
+    }
+    def sq(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var i = 0
+      while (i < b.length) { val x = a(i) - b(i); d += x * x; i += 1 }
+      d
+    }
+    def assign(v: Array[Double]): Int =
+      cents.indices.minBy(c => (sq(v, cents(c)), c))
+    def codes(v: Array[Double]): Array[Int] = {
+      val cell = cents(assign(v))
+      val rv = Array.tabulate(64)(i => v(i) - cell(i))
+      Array.tabulate(8) { j =>
+        books(j).indices.minBy(c =>
+          (sq(rv.slice(j * 8, (j + 1) * 8), books(j)(c)), c))
+      }
+    }
+    val queries = (0L until 4L).toArray
+    val expected = queries.flatMap { qid =>
+      val qv = all(qid)
+      all.toSeq.map { case (cid, cv) =>
+        val cell = cents(assign(cv))
+        val qr = Array.tabulate(64)(i => qv(i) - cell(i))
+        val cc = codes(cv)
+        val adc = (0 until 8).map { j =>
+          sq(qr.slice(j * 8, (j + 1) * 8), books(j)(cc(j)))
+        }.sum
+        (qid, cid, adc)
+      }.sortBy(x => (x._3, x._2)).take(5).zipWithIndex
+        .map { case ((q, c, _), i) => (q, c, i + 1) }
+    }.toSet
+    def run(df: org.apache.spark.sql.DataFrame) = Similarity
+      .ivfPqTopKWithParams(df, emb.where($"vec_id" < 4), "embedding",
+        "vec_id", "vec_id", k = 5, cents, books, nprobe = cents.length)
+      .select($"query_id", $"corpus_id", $"rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .toSet
+    assert(run(emb) == expected)
+    assert(run(emb.repartition(7)) == expected)
+  }
+
+  test("ivfpq squared-L2 assignment: literal and kernel forms agree " +
+      "at nlist 256 including malformed vectors (auto-switch parity)") {
+    val sample = emb
+      .select(col("embedding"),
+        xxhash64(lit(11L), col("vec_id")).as("hr_"))
+      .orderBy(col("hr_")).limit(256)
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val dim = sample.head.length
+    val idx = sequence(lit(1), lit(dim))
+    val weird = spark.range(9001, 9004).toDF("vec_id")
+      .select($"vec_id",
+        when($"vec_id" === 9001, lit(null).cast("array<float>"))
+          .when($"vec_id" === 9002, array(lit(1.0f), lit(2.0f)))
+          .otherwise(transform(idx, i =>
+            when(i === 1, lit(null).cast("float"))
+              .otherwise(i.cast("float")))).as("embedding"))
+      .unionByName(emb.select($"vec_id", $"embedding"))
+    def run(f: (org.apache.spark.sql.DataFrame, String, String,
+        Array[Array[Double]]) => org.apache.spark.sql.DataFrame) =
+      f(weird, "embedding", "vec_id", sample)
+        .select($"corpus_id", $"centroid_id")
+        .collect().map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1)
+    val l = run(Similarity.ivfPqAssignLiteral)
+    val k2 = run(Similarity.ivfPqAssignKernel)
+    assert(l.toSeq == k2.toSeq)
+    assert(l.filter(_._1 >= 9001).forall(_._2 == 0))
+  }
+
+  test("ivfpq trained path (k-means coarse + residual codebooks) " +
+      "returns k ranked rows per query, deterministic under " +
+      "repartitioning") {
+    val q = emb.where($"vec_id" < 3)
+    def run(df: org.apache.spark.sql.DataFrame) = Similarity
+      .ivfPqTopK(df, q, "embedding", "vec_id", "vec_id", k = 5,
+        nlist = 4, m = 8, ksub = 8, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+      .sortBy(x => (x._1, x._3)).toSeq
+    val a = run(emb)
+    assert(a.length == 15)
+    assert(run(emb.repartition(5)) == a)
+    // probing every cell and exact-representable self-residuals are
+    // not given here, but the self row must still land at rank 1:
+    // ADC(q, q) uses q's own codes, the minimum of its cell
+    val self = a.filter(x => x._1 == x._2)
+    assert(self.length == 3 && self.forall(_._3 == 1))
+  }
 }
