@@ -688,6 +688,22 @@ object ScaleSmoke {
         .ivfAssignKernel(corpus, "embedding", "vec_id", c1024)
         .agg(sum(col("centroid_id"))).head(); n
     }
+    // the composed IVF-PQ pipeline at the same corpus and the same
+    // production nlist: kernel L2 assignment of every vector, residual
+    // PQ encode (m=8, ksub=16 — the stored artifact is 8 codes per
+    // vector instead of 64 doubles), 8 queries probing nprobe=32 cells
+    // via residual LUTs. One end-to-end wall: this is the build+search
+    // cost of the index shape a 100 TB vector corpus actually stores.
+    t("ivfpq e2e   nlist=1024") {
+      val books = Array.tabulate(8) { j =>
+        c16.map(_.slice(j * 8, (j + 1) * 8))
+      }
+      graft.similarity.Similarity
+        .ivfPqTopKWithParams(corpus, corpus.where(col("vec_id") < 8),
+          "embedding", "vec_id", "vec_id", k = 10, c1024, books,
+          nprobe = 32)
+        .agg(sum(col("corpus_id"))).head(); n
+    }
   }
 
   /** The web-ingest curation chain at corpus scale (stations × 1000

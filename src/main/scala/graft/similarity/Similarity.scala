@@ -710,15 +710,18 @@ object Similarity {
       else ivfPqAssignKernel(corpus, vecCol, idCol, centroids)
 
     // residual encode: one broadcast join to reattach the assigned
-    // centroid, one codegen'd map pass — the stored artifact a real
-    // index persists is exactly this (corpus_id, centroid_id, codes)
-    // frame: m bytes-ish per vector instead of dim floats
-    val encoded = assigned
-      .join(centDf, Seq("centroid_id"))
-      .withColumn("rv_", zip_with(col("cv"), col("centroid"),
-        (x, c) => x.cast("double") - c))
-      .select(col("corpus_id"), col("centroid_id"),
-        pqEncode(col("rv_"), books).as("codes"))
+    // centroid, one primitive mapPartitions pass — the stored artifact
+    // a real index persists is exactly this (corpus_id, centroid_id,
+    // codes) frame: m bytes-ish per vector instead of dim floats.
+    // KERNEL, not the pqEncode expression: the interpreted m×ksub HOF
+    // argmin costs ~30 µs/vector (measured 60 s of a 66 s end-to-end
+    // at 2M×64 — fine at query-gate row counts, dominating at corpus
+    // scale), while the JIT'd primitive loop does the same double
+    // arithmetic in the same order for a fraction of it; bit-parity
+    // with the expression form is spec-pinned, malformed rows
+    // included.
+    val encoded = pqEncodeResidualKernel(
+      assigned.join(centDf, Seq("centroid_id")), books)
 
     // per-(query, probed cell) LUT over the QUERY residual, built on
     // the driver — queries are few by contract (pqTopKWithCodebooks'
@@ -771,6 +774,76 @@ object Similarity {
       .where(col("rank") <= k)
       .select(col("query_id"), col("corpus_id"), col("adc_dist"),
         col("rank"))
+  }
+
+  /** Residual PQ encode as a broadcast-kernel mapPartitions pass —
+    * the corpus-scale form of `pqEncode(rv, books)` over a frame
+    * carrying (corpus_id, centroid_id, cv, centroid). Bit-identical
+    * to the expression path (spec-pinned): the same sequential
+    * `(rv[t] − w[t])²` accumulate per subspace (rv = element-wise
+    * `cv − centroid` in index order), ascending-code iteration with
+    * strict `<` = the (dist, code) struct-min tie-break, and the
+    * expression form's malformed contract, which is PER SUBSPACE —
+    * a subspace whose slice touches a null or missing element gets a
+    * null dist for every candidate there, and array_min resolves to
+    * (null, 0) = code 0, while the OTHER subspaces of the same row
+    * still encode normally (so a single null element zeroes one code,
+    * not the row, and a longer-than-dim vector encodes from its first
+    * dim elements exactly as the slices would). */
+  private[graft] def pqEncodeResidualKernel(df: DataFrame,
+      books: Array[Array[Array[Double]]]): DataFrame = {
+    val spark = df.sparkSession
+    val m = books.length
+    val ksub = books.head.length
+    val ds = books.head.head.length
+    val bcB = spark.sparkContext.broadcast(books)
+    val prepared = df.select(col("corpus_id"), col("centroid_id"),
+      col("cv"), col("centroid"))
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      prepared.schema("corpus_id"),
+      prepared.schema("centroid_id"),
+      org.apache.spark.sql.types.StructField("codes",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.IntegerType, containsNull = false))))
+    prepared.mapPartitions { rows =>
+      val bks = bcB.value
+      rows.map { r =>
+        val nullVec = r.isNullAt(2)
+        val v = if (nullVec) null else r.getSeq[Number](2)
+        val cent = r.getSeq[Double](3)
+        val codes = Array.tabulate(m) { j =>
+          val base = j * ds
+          var ok = !nullVec && base + ds <= v.length
+          if (ok) {
+            var t = 0
+            while (ok && t < ds) {
+              if (v(base + t) == null) ok = false
+              t += 1
+            }
+          }
+          if (!ok) 0
+          else {
+            var best = 0
+            var bd = Double.MaxValue
+            var c = 0
+            while (c < ksub) {
+              val w = bks(j)(c)
+              var s = 0.0
+              var t = 0
+              while (t < ds) {
+                val diff = (v(base + t).doubleValue() -
+                  cent(base + t)) - w(t)
+                s += diff * diff; t += 1
+              }
+              if (s < bd) { bd = s; best = c }
+              c += 1
+            }
+            best
+          }
+        }
+        org.apache.spark.sql.Row(r.get(0), r.get(1), codes.toSeq)
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
   }
 
   // driver-side squared L2, sequential index order — the same

@@ -441,6 +441,63 @@ class SimilaritySpec extends AnyFunSuite {
     assert(l.filter(_._1 >= 9001).forall(_._2 == 0))
   }
 
+  test("ivfpq residual encode: the mapPartitions kernel is " +
+      "bit-identical to the pqEncode expression path, malformed and " +
+      "over-long vectors included") {
+    val all = emb.orderBy($"vec_id")
+      .select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)
+        .map(_.toDouble).toArray).toMap
+    val cents = (100L to 107L).map(all).toArray
+    val books = Array.tabulate(8) { j =>
+      (200L to 215L).map(i => all(i).slice(j * 8, (j + 1) * 8)).toArray
+    }
+    val dim = 64
+    val idx = sequence(lit(1), lit(dim))
+    val weird = spark.range(9001, 9005).toDF("vec_id")
+      .select($"vec_id",
+        when($"vec_id" === 9001, lit(null).cast("array<float>"))
+          .when($"vec_id" === 9002, array(lit(1.0f), lit(2.0f)))
+          .when($"vec_id" === 9003, transform(idx, i =>
+            when(i === 1, lit(null).cast("float"))
+              .otherwise(i.cast("float"))))
+          // LONGER than dim: the expression path encodes from the
+          // first dim elements (subspace slices never reach past
+          // them) — the kernel must match, not zero out
+          .otherwise(transform(sequence(lit(1), lit(dim + 6)), i =>
+            i.cast("float"))).as("embedding"))
+      .unionByName(emb.select($"vec_id", $"embedding"))
+    val centDf = cents.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("centroid_id", "centroid")
+    val joined = Similarity
+      .ivfPqAssignLiteral(weird, "embedding", "vec_id", cents)
+      .join(centDf, Seq("centroid_id"))
+      .localCheckpoint(false) // both paths read the same assignment
+    def canon(rows: Array[(Long, Seq[Int])]) = rows.sortBy(_._1).toSeq
+    val kernel = canon(Similarity
+      .pqEncodeResidualKernel(joined, books)
+      .select($"corpus_id", $"codes").collect()
+      .map(r => (r.getLong(0), r.getSeq[Int](1))))
+    val expr = canon(joined
+      .withColumn("rv_", zip_with($"cv", $"centroid",
+        (x, c) => x.cast("double") - c))
+      .select($"corpus_id",
+        Similarity.pqEncode($"rv_", books).as("codes"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1))))
+    assert(kernel == expr)
+    // malformed contract is PER SUBSPACE: the null and too-short rows
+    // zero every code, the single-null-element row zeroes ONLY its
+    // subspace (the others still encode), the over-long row encodes
+    // from its first dim elements
+    val byId = kernel.toMap
+    (9001L to 9002L).foreach(id =>
+      assert(byId(id) == Seq.fill(8)(0), s"row $id"))
+    assert(byId(9003L).head == 0)
+    assert(byId(9003L).tail != Seq.fill(7)(0))
+    assert(byId(9004L) != Seq.fill(8)(0))
+  }
+
   test("ivfpq trained path (k-means coarse + residual codebooks) " +
       "returns k ranked rows per query, deterministic under " +
       "repartitioning") {
