@@ -686,43 +686,68 @@ object Similarity {
   def ivfPqTopKWithParams(corpus: DataFrame, queries: DataFrame,
       vecCol: String, idCol: String, queryIdCol: String, k: Int,
       centroids: Array[Array[Double]],
-      books: Array[Array[Array[Double]]], nprobe: Int): DataFrame = {
-    require(centroids.nonEmpty, "ivfpq needs at least one centroid")
-    require(books.nonEmpty && books.head.nonEmpty, "ivfpq needs codebooks")
-    val spark = corpus.sparkSession
-    val m = books.length
-    val ksub = books.head.length
-    val ds = books.head.head.length
-    val dim = centroids.head.length
-    require(m * ds == dim,
-      s"codebooks cover ${m * ds} dims, centroids have $dim")
+      books: Array[Array[Array[Double]]], nprobe: Int): DataFrame =
+    ivfPqTopKFromCodes(
+      ivfPqCodeTable(corpus, vecCol, idCol, centroids, books),
+      queries, vecCol, queryIdCol, k, centroids, books, nprobe)
 
+  /** The BUILD half of [[ivfPqTopKWithParams]]: the persistable index
+    * artifact — one row per corpus vector, (corpus_id, centroid_id,
+    * codes), m small ints instead of dim floats. Write it
+    * `partitionBy("centroid_id")` and the parquet layout IS the
+    * inverted file: [[ivfPqTopKFromCodes]] filters to its queries'
+    * probed cells before anything else, so partition pruning skips
+    * every other cell's files at the directory level — a query
+    * touches nprobe directories of a 100 TB index, not the index.
+    * Build shape: exchange-free end to end (literal↔kernel L2
+    * assignment + the kernel residual encode). */
+  def ivfPqCodeTable(corpus: DataFrame, vecCol: String, idCol: String,
+      centroids: Array[Array[Double]],
+      books: Array[Array[Array[Double]]]): DataFrame = {
+    require(centroids.nonEmpty, "ivfpq needs at least one centroid")
+    requireIvfPqShapes(centroids, books)
+    val spark = corpus.sparkSession
+    val dim = centroids.head.length
     val centDf = broadcast(spark.createDataFrame(
       centroids.zipWithIndex.map { case (cvec, i) =>
         (i, cvec.toSeq)
       }.toSeq).toDF("centroid_id", "centroid"))
-
     // coarse assignment by squared L2 — exchange-free, same
     // literal↔kernel auto-switch as the cosine IVF
     val assigned =
       if (centroids.length.toLong * dim <= LiteralAssignMaxTerms)
         ivfPqAssignLiteral(corpus, vecCol, idCol, centroids)
       else ivfPqAssignKernel(corpus, vecCol, idCol, centroids)
-
     // residual encode: one broadcast join to reattach the assigned
-    // centroid, one primitive mapPartitions pass — the stored artifact
-    // a real index persists is exactly this (corpus_id, centroid_id,
-    // codes) frame: m bytes-ish per vector instead of dim floats.
-    // KERNEL, not the pqEncode expression: the interpreted m×ksub HOF
-    // argmin costs ~30 µs/vector (measured 60 s of a 66 s end-to-end
-    // at 2M×64 — fine at query-gate row counts, dominating at corpus
-    // scale), while the JIT'd primitive loop does the same double
-    // arithmetic in the same order for a fraction of it; bit-parity
-    // with the expression form is spec-pinned, malformed rows
-    // included.
-    val encoded = pqEncodeResidualKernel(
-      assigned.join(centDf, Seq("centroid_id")), books)
+    // centroid, one primitive mapPartitions pass. KERNEL, not the
+    // pqEncode expression: the interpreted m×ksub HOF argmin costs
+    // ~30 µs/vector (measured 60 s of a 66 s end-to-end at 2M×64 —
+    // fine at query-gate row counts, dominating at corpus scale),
+    // while the JIT'd primitive loop does the same double arithmetic
+    // in the same order for a fraction of it; bit-parity with the
+    // expression form is spec-pinned, malformed rows included.
+    pqEncodeResidualKernel(assigned.join(centDf, Seq("centroid_id")),
+      books)
+  }
 
+  /** The PROBE half of [[ivfPqTopKWithParams]], over a (corpus_id,
+    * centroid_id, codes) table — in-memory from [[ivfPqCodeTable]] or
+    * read back from its partitioned parquet form (search never
+    * touches an embedding). The probed-cell set is driver-known (it
+    * falls out of building the LUTs), so the stored scan is filtered
+    * to `centroid_id IN (probed)` BEFORE the join — that filter is
+    * what partition-prunes a `partitionBy("centroid_id")` layout down
+    * to nprobe directories. */
+  def ivfPqTopKFromCodes(codeTable: DataFrame, queries: DataFrame,
+      vecCol: String, queryIdCol: String, k: Int,
+      centroids: Array[Array[Double]],
+      books: Array[Array[Array[Double]]], nprobe: Int): DataFrame = {
+    require(centroids.nonEmpty, "ivfpq needs at least one centroid")
+    requireIvfPqShapes(centroids, books)
+    val spark = codeTable.sparkSession
+    val m = books.length
+    val ksub = books.head.length
+    val ds = books.head.head.length
     // per-(query, probed cell) LUT over the QUERY residual, built on
     // the driver — queries are few by contract (pqTopKWithCodebooks'
     // rule), and each LUT is m×ksub doubles
@@ -750,7 +775,7 @@ object Similarity {
         }
       }
     val qLut = spark.createDataFrame(
-      java.util.Arrays.asList(lutRows: _*),
+      java.util.Arrays.asList(lutRows.toIndexedSeq: _*),
       org.apache.spark.sql.types.StructType(Seq(
         queries.schema(queryIdCol).copy(name = "query_id"),
         org.apache.spark.sql.types.StructField("centroid_id",
@@ -759,9 +784,15 @@ object Similarity {
           org.apache.spark.sql.types.ArrayType(
             org.apache.spark.sql.types.DoubleType, false)))))
 
-    // the centroid_id equi-join IS the inverted-file probe: only
-    // rows of probed cells ever meet a LUT
-    val scored = encoded.join(broadcast(qLut), Seq("centroid_id"))
+    // the probed-cell filter + centroid_id equi-join IS the
+    // inverted-file probe: only rows of probed cells are ever read
+    // (partition-pruned on a partitioned layout) or meet a LUT
+    val probedCells = lutRows.map(_.getInt(1)).distinct.toSeq
+    val pruned =
+      if (probedCells.isEmpty) codeTable.where(lit(false)) // no queries
+      else codeTable.where(col("centroid_id").isInCollection(probedCells))
+    val scored = pruned
+      .join(broadcast(qLut), Seq("centroid_id"))
       .withColumn("adc_dist",
         aggregate(
           zip_with(col("codes"),
@@ -774,6 +805,15 @@ object Similarity {
       .where(col("rank") <= k)
       .select(col("query_id"), col("corpus_id"), col("adc_dist"),
         col("rank"))
+  }
+
+  private def requireIvfPqShapes(centroids: Array[Array[Double]],
+      books: Array[Array[Array[Double]]]): Unit = {
+    require(books.nonEmpty && books.head.nonEmpty, "ivfpq needs codebooks")
+    val covered = books.length * books.head.head.length
+    require(covered == centroids.head.length,
+      s"codebooks cover $covered dims, centroids have " +
+        s"${centroids.head.length}")
   }
 
   /** Residual PQ encode as a broadcast-kernel mapPartitions pass —

@@ -498,6 +498,44 @@ class SimilaritySpec extends AnyFunSuite {
     assert(byId(9004L) != Seq.fill(8)(0))
   }
 
+  test("ivfpq stored-code table: partitionBy(centroid_id) parquet IS " +
+      "the inverted file — the probe partition-prunes to its nprobe " +
+      "cells and retrieval is identical to the in-memory pipeline") {
+    val all = emb.orderBy($"vec_id")
+      .select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)
+        .map(_.toDouble).toArray).toMap
+    val cents = (100L to 107L).map(all).toArray
+    val books = Array.tabulate(8) { j =>
+      (200L to 215L).map(i => all(i).slice(j * 8, (j + 1) * 8)).toArray
+    }
+    val dir = java.nio.file.Files
+      .createTempDirectory("ivfpqcodes").toString
+    Similarity.ivfPqCodeTable(emb, "embedding", "vec_id", cents, books)
+      .write.partitionBy("centroid_id").mode("overwrite").parquet(dir)
+    val stored = spark.read.parquet(dir)
+    val q = emb.where($"vec_id" < 4)
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3)))
+      .sortBy(x => (x._1, x._4)).toSeq
+    val fromStored = Similarity.ivfPqTopKFromCodes(stored, q,
+      "embedding", "vec_id", k = 5, cents, books, nprobe = 2)
+    val inMemory = Similarity.ivfPqTopKWithParams(emb, q, "embedding",
+      "vec_id", "vec_id", k = 5, cents, books, nprobe = 2)
+    assert(canon(fromStored) == canon(inMemory))
+    // the probed-cell filter reaches the scan as a PARTITION filter —
+    // directory-level pruning, the property that makes the layout an
+    // inverted FILE rather than a table that happens to hold codes
+    val planStr = fromStored.queryExecution.executedPlan.toString
+    val pf = "PartitionFilters: \\[[^\\]]*centroid_id[^\\]]*".r
+      .findFirstIn(planStr)
+    assert(pf.nonEmpty, s"no partition filter in:\n$planStr")
+    assert(pf.get.contains("IN") || pf.get.contains("in("),
+      s"partition filter is not the probed-cell IN: ${pf.get}")
+  }
+
   test("ivfpq trained path (k-means coarse + residual codebooks) " +
       "returns k ranked rows per query, deterministic under " +
       "repartitioning") {
