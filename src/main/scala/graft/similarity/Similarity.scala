@@ -656,6 +656,22 @@ object Similarity {
       m: Int = 8, ksub: Int = 16, nprobe: Int = 4,
       sampleSize: Int = 2048, seed: Long = 42, iterations: Int = 5)
       : DataFrame = {
+    val (centroids, books) = ivfPqTrain(corpus, vecCol, idCol, nlist,
+      m, ksub, sampleSize, seed, iterations)
+    ivfPqTopKWithParams(corpus, queries, vecCol, idCol, queryIdCol, k,
+      centroids, books, nprobe)
+  }
+
+  /** The TRAINING half of [[ivfPqTopK]], exposed for callers that
+    * persist the model (the `VectorIndexStore` freezes it at
+    * initialize — the FAISS operating convention: codes stay
+    * comparable across ingest batches only under one model): coarse
+    * k-means on a hash-ranked sample, then PQ codebooks fit on the
+    * SAMPLE'S RESIDUALS. Returns (centroids, books). */
+  def ivfPqTrain(corpus: DataFrame, vecCol: String, idCol: String,
+      nlist: Int = 8, m: Int = 8, ksub: Int = 16,
+      sampleSize: Int = 2048, seed: Long = 42, iterations: Int = 5)
+      : (Array[Array[Double]], Array[Array[Array[Double]]]) = {
     val sample = corpus
       .select(col(vecCol), xxhash64(lit(seed), col(idCol)).as("hr_"))
       .orderBy(col("hr_")).limit(sampleSize)
@@ -674,8 +690,7 @@ object Similarity {
       kmeans(residuals.map(_.slice(j * ds, (j + 1) * ds)), ksub,
         iterations, seed + j)
     }
-    ivfPqTopKWithParams(corpus, queries, vecCol, idCol, queryIdCol, k,
-      centroids, books, nprobe)
+    (centroids, books)
   }
 
   /** [[ivfPqTopK]] with a CALLER-SUPPLIED coarse quantizer and

@@ -89,12 +89,16 @@ private[streaming] object StorePaths {
     * skip everything outside its probe set instead of reading the
     * whole index (the O(index)-per-batch read the unsorted layout
     * forces once the store outgrows page cache). Membership content
-    * is unchanged — only the physical layout moves. */
+    * is unchanged — only the physical layout moves. `partitionCol`,
+    * when set, `partitionBy`s the base rewrite on that column —
+    * [[VectorIndexStore]]'s inverted-file layout, where the probe
+    * prunes whole cell DIRECTORIES rather than row groups. */
   final case class CompactTable(
       current: () => DataFrame,
       tmp: String,
       base: String,
-      sortCol: Option[String] = None)
+      sortCol: Option[String] = None,
+      partitionCol: Option[String] = None)
 
   /** The snapshot → wipe → rewrite compaction choreography the text
     * index stores share — ONE implementation so the crash-safety
@@ -175,7 +179,9 @@ private[streaming] object StorePaths {
             .sortWithinPartitions(col(c))
         case None => df
       }
-      out.write.mode("overwrite").parquet(t.base)
+      val writer = out.write.mode("overwrite")
+      t.partitionCol.fold(writer)(writer.partitionBy(_))
+        .parquet(t.base)
       df
     }
     finish(reread)

@@ -1,0 +1,124 @@
+package graft.streaming
+
+import graft.TestSpark
+import graft.core.Tables
+import graft.similarity.Similarity
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class VectorIndexStoreSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  lazy val emb =
+    Tables.table(spark, TestSpark.sfDir, "embeddings").cache()
+
+  private def mkStore(tmp: String) = new VectorIndexStore(spark, tmp,
+    nlist = 4, m = 8, ksub = 8, sampleSize = 256)
+
+  private def canon(df: org.apache.spark.sql.DataFrame) = df
+    .collect()
+    .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    .sortBy(x => (x._1, x._4)).toSeq
+
+  test("initialize + topK equals the direct in-memory IVF-PQ pipeline " +
+      "under the store's own persisted model") {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("vec_index").toString
+    val store = mkStore(tmp)
+    val corpus = emb.where($"vec_id" < 300)
+    store.initialize(corpus)
+    val q = emb.where($"vec_id" < 3)
+    // the model round-trips through parquet: searching the store must
+    // equal running the in-memory pipeline with the READ-BACK model
+    val (cents, books) = store.model
+    val direct = Similarity.ivfPqTopKWithParams(corpus, q, "embedding",
+      "vec_id", "vec_id", k = 5, cents, books, nprobe = 2)
+    assert(canon(store.topK(q, "vec_id", k = 5, nprobe = 2))
+      == canon(direct))
+  }
+
+  test("growing ingest: codes accumulate per batch under the FROZEN " +
+      "model, search covers every batch, replay is idempotent") {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("vec_index_grow").toString
+    val store = mkStore(tmp)
+    store.initialize(emb.where($"vec_id" < 200))
+    val b1 = emb.where($"vec_id" >= 200 && $"vec_id" < 350)
+    val b2 = emb.where($"vec_id" >= 350)
+    store.processBatch(b1, 0L)
+    store.processBatch(b2, 1L)
+    // equivalent one-shot index under the SAME model
+    val (cents, books) = store.model
+    val q = emb.where($"vec_id" < 3)
+    val oneShot = Similarity.ivfPqTopKFromCodes(
+      Similarity.ivfPqCodeTable(emb, "embedding", "vec_id", cents,
+        books),
+      q, "embedding", "vec_id", k = 5, cents, books, nprobe = 3)
+    val grown = store.topK(q, "vec_id", k = 5, nprobe = 3)
+    assert(canon(grown) == canon(oneShot))
+    // a redelivered batch id overwrites itself, never duplicates
+    val before = store.codeTable.count()
+    store.processBatch(b2, 1L)
+    assert(store.codeTable.count() == before)
+    assert(canon(store.topK(q, "vec_id", k = 5, nprobe = 3))
+      == canon(oneShot))
+  }
+
+  test("streaming ingest equals the batch folds; the store-owned " +
+      "checkpoint resumes batch numbering") {
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files
+      .createTempDirectory("vec_index_stream").toString
+    val store = mkStore(tmp)
+    store.initialize(emb.where($"vec_id" < 400))
+    val late = emb.where($"vec_id" >= 400)
+      .select($"vec_id", $"embedding").as[(Long, Seq[Float])]
+      .collect().toSeq
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val q = store.ingest(mem.toDF()
+      .select($"_1".as("vec_id"), $"_2".cast("array<float>")
+        .as("embedding")))
+    try {
+      mem.addData(late)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(store.codeTable.count() == emb.count())
+    val queries = emb.where($"vec_id" < 3)
+    val (cents, books) = store.model
+    val oneShot = Similarity.ivfPqTopKFromCodes(
+      Similarity.ivfPqCodeTable(emb, "embedding", "vec_id", cents,
+        books),
+      queries, "embedding", "vec_id", k = 5, cents, books, nprobe = 3)
+    assert(canon(store.topK(queries, "vec_id", k = 5, nprobe = 3))
+      == canon(oneShot))
+  }
+
+  test("compact folds batch partitions into one base build, keeps the " +
+      "centroid_id directory layout (pruning survives), and retrieval " +
+      "is unchanged; cadence metric resets") {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("vec_index_compact").toString
+    val store = mkStore(tmp)
+    store.initialize(emb.where($"vec_id" < 300))
+    store.processBatch(emb.where($"vec_id" >= 300), 0L)
+    val q = emb.where($"vec_id" < 3)
+    val before = canon(store.topK(q, "vec_id", k = 5, nprobe = 2))
+    assert(store.ingestBatchCount == 2)
+    assert(store.needsCompaction(maxBatches = 1))
+    store.compact()
+    assert(store.ingestBatchCount == 1)
+    assert(!store.needsCompaction(maxBatches = 1))
+    assert(canon(store.topK(q, "vec_id", k = 5, nprobe = 2)) == before)
+    // the folded base keeps one directory per cell — the layout the
+    // probe's partition pruning needs
+    val base = new java.io.File(s"$tmp/codes/ingest_batch=-1")
+    val cellDirs = base.list().filter(_.startsWith("centroid_id="))
+    assert(cellDirs.nonEmpty)
+    val planStr = store.topK(q, "vec_id", k = 5, nprobe = 2)
+      .queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*centroid_id[^\\]]*".r
+      .findFirstIn(planStr).nonEmpty, planStr)
+  }
+}
