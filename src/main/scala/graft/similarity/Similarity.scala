@@ -331,11 +331,8 @@ object Similarity {
       idCol: String, queryIdCol: String, k: Int, nlist: Int = 16,
       nprobe: Int = 4, sampleSize: Int = 2048, seed: Long = 42,
       iterations: Int = 5): DataFrame = {
-    val sample = corpus
-      .select(col(vecCol), xxhash64(lit(seed), col(idCol)).as("hr_"))
-      .orderBy(col("hr_")).limit(sampleSize)
-      .select(col(vecCol)).collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val sample = hashRankedSample(corpus, vecCol, idCol, sampleSize,
+      seed)
     ivfTopKWithCentroids(corpus, queries, vecCol, idCol, queryIdCol, k,
       kmeans(sample, nlist, iterations, seed), nprobe)
   }
@@ -503,11 +500,8 @@ object Similarity {
       m: Int = 8, ksub: Int = 16, sampleSize: Int = 2048,
       seed: Long = 42, iterations: Int = 5)
       : Array[Array[Array[Double]]] = {
-    val sample = corpus
-      .select(col(vecCol), xxhash64(lit(seed), col(idCol)).as("hr_"))
-      .orderBy(col("hr_")).limit(sampleSize)
-      .select(col(vecCol)).collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val sample = hashRankedSample(corpus, vecCol, idCol, sampleSize,
+      seed)
     require(sample.nonEmpty, "pq needs a non-empty corpus")
     val dim = sample.head.length
     require(dim % m == 0, s"dim $dim must divide into $m subspaces")
@@ -672,11 +666,8 @@ object Similarity {
       nlist: Int = 8, m: Int = 8, ksub: Int = 16,
       sampleSize: Int = 2048, seed: Long = 42, iterations: Int = 5)
       : (Array[Array[Double]], Array[Array[Array[Double]]]) = {
-    val sample = corpus
-      .select(col(vecCol), xxhash64(lit(seed), col(idCol)).as("hr_"))
-      .orderBy(col("hr_")).limit(sampleSize)
-      .select(col(vecCol)).collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val sample = hashRankedSample(corpus, vecCol, idCol, sampleSize,
+      seed)
     require(sample.nonEmpty, "ivfpq needs a non-empty corpus")
     val dim = sample.head.length
     require(dim % m == 0, s"dim $dim must divide into $m subspaces")
@@ -721,28 +712,24 @@ object Similarity {
       books: Array[Array[Array[Double]]]): DataFrame = {
     require(centroids.nonEmpty, "ivfpq needs at least one centroid")
     requireIvfPqShapes(centroids, books)
-    val spark = corpus.sparkSession
     val dim = centroids.head.length
-    val centDf = broadcast(spark.createDataFrame(
-      centroids.zipWithIndex.map { case (cvec, i) =>
-        (i, cvec.toSeq)
-      }.toSeq).toDF("centroid_id", "centroid"))
     // coarse assignment by squared L2 — exchange-free, same
     // literal↔kernel auto-switch as the cosine IVF
     val assigned =
       if (centroids.length.toLong * dim <= LiteralAssignMaxTerms)
         ivfPqAssignLiteral(corpus, vecCol, idCol, centroids)
       else ivfPqAssignKernel(corpus, vecCol, idCol, centroids)
-    // residual encode: one broadcast join to reattach the assigned
-    // centroid, one primitive mapPartitions pass. KERNEL, not the
-    // pqEncode expression: the interpreted m×ksub HOF argmin costs
-    // ~30 µs/vector (measured 60 s of a 66 s end-to-end at 2M×64 —
-    // fine at query-gate row counts, dominating at corpus scale),
-    // while the JIT'd primitive loop does the same double arithmetic
-    // in the same order for a fraction of it; bit-parity with the
-    // expression form is spec-pinned, malformed rows included.
-    pqEncodeResidualKernel(assigned.join(centDf, Seq("centroid_id")),
-      books)
+    // residual encode in ONE primitive mapPartitions pass. KERNEL,
+    // not the pqEncode expression: the interpreted m×ksub HOF argmin
+    // costs ~30 µs/vector (measured 60 s of a 66 s end-to-end at
+    // 2M×64 — fine at query-gate row counts, dominating at corpus
+    // scale), while the JIT'd primitive loop does the same double
+    // arithmetic in the same order for a fraction of it; bit-parity
+    // with the expression form is spec-pinned, malformed rows
+    // included. The centroids ride the kernel's broadcast, indexed by
+    // each row's centroid_id — never joined on as a per-row dim-wide
+    // array column.
+    pqEncodeResidualKernel(assigned, centroids, books)
   }
 
   /** The PROBE half of [[ivfPqTopKWithParams]], over a (corpus_id,
@@ -825,15 +812,41 @@ object Similarity {
   private def requireIvfPqShapes(centroids: Array[Array[Double]],
       books: Array[Array[Array[Double]]]): Unit = {
     require(books.nonEmpty && books.head.nonEmpty, "ivfpq needs codebooks")
+    // a RAGGED caller-supplied model (a persisted table missing rows
+    // for one subspace, say) must fail HERE with a named error, not
+    // as an ArrayIndexOutOfBounds in the LUT build or the encode
+    // kernel
+    require(books.forall(_.length == books.head.length),
+      s"ragged codebooks: ksub differs across subspaces " +
+        s"(${books.map(_.length).mkString(",")})")
+    require(books.forall(_.forall(_.length == books.head.head.length)),
+      "ragged codebooks: codeword dims differ")
     val covered = books.length * books.head.head.length
     require(covered == centroids.head.length,
       s"codebooks cover $covered dims, centroids have " +
         s"${centroids.head.length}")
   }
 
+  // the ONE hash-ranked sampling rule every driver-side model fit
+  // uses (ivfTopK, pqCodebooks, ivfPqTrain): xxhash64(seed, id)
+  // ascending — a bare limit() takes whatever partitions answer
+  // first, so models (hence results) would differ across
+  // runs/layouts/AQE re-plans
+  private def hashRankedSample(corpus: DataFrame, vecCol: String,
+      idCol: String, sampleSize: Int, seed: Long)
+      : Array[Array[Double]] =
+    corpus
+      .select(col(vecCol), xxhash64(lit(seed), col(idCol)).as("hr_"))
+      .orderBy(col("hr_")).limit(sampleSize)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+
   /** Residual PQ encode as a broadcast-kernel mapPartitions pass —
     * the corpus-scale form of `pqEncode(rv, books)` over a frame
-    * carrying (corpus_id, centroid_id, cv, centroid). Bit-identical
+    * carrying (corpus_id, cv, centroid_id); the centroid vectors ride
+    * the broadcast (indexed by the row's centroid_id) rather than a
+    * join — a per-row dim-double centroid column is pure transport
+    * weight at corpus scale. Bit-identical
     * to the expression path (spec-pinned): the same sequential
     * `(rv[t] − w[t])²` accumulate per subspace (rv = element-wise
     * `cv − centroid` in index order), ascending-code iteration with
@@ -846,14 +859,16 @@ object Similarity {
     * not the row, and a longer-than-dim vector encodes from its first
     * dim elements exactly as the slices would). */
   private[graft] def pqEncodeResidualKernel(df: DataFrame,
+      centroids: Array[Array[Double]],
       books: Array[Array[Array[Double]]]): DataFrame = {
     val spark = df.sparkSession
     val m = books.length
     val ksub = books.head.length
     val ds = books.head.head.length
     val bcB = spark.sparkContext.broadcast(books)
+    val bcC = spark.sparkContext.broadcast(centroids)
     val prepared = df.select(col("corpus_id"), col("centroid_id"),
-      col("cv"), col("centroid"))
+      col("cv"))
     val outSchema = org.apache.spark.sql.types.StructType(Seq(
       prepared.schema("corpus_id"),
       prepared.schema("centroid_id"),
@@ -862,10 +877,11 @@ object Similarity {
           org.apache.spark.sql.types.IntegerType, containsNull = false))))
     prepared.mapPartitions { rows =>
       val bks = bcB.value
+      val cents = bcC.value
       rows.map { r =>
         val nullVec = r.isNullAt(2)
         val v = if (nullVec) null else r.getSeq[Number](2)
-        val cent = r.getSeq[Double](3)
+        val cent = cents(r.getInt(1))
         val codes = Array.tabulate(m) { j =>
           val base = j * ds
           var ok = !nullVec && base + ds <= v.length

@@ -64,8 +64,17 @@ final class VectorIndexStore(spark: SparkSession, path: String,
     StorePaths.wipe(spark, Seq(codesPath, s"$path/model",
       s"$path/checkpoint"))
     writeModel(cents, books)
+    cachedModel = Some((cents, books))
     writeBatch(corpus, -1L, cents, books)
   }
+
+  // the model is IMMUTABLE after initialize (class doc), so it is
+  // read from parquet at most once per store instance — a per-batch
+  // re-read would cost two extra driver collects every micro-batch
+  // and every search for nothing
+  @volatile private var cachedModel
+      : Option[(Array[Array[Double]], Array[Array[Array[Double]]])] =
+    None
 
   private def writeModel(cents: Array[Array[Double]],
       books: Array[Array[Array[Double]]]): Unit = {
@@ -87,20 +96,27 @@ final class VectorIndexStore(spark: SparkSession, path: String,
       .write.mode("overwrite").partitionBy("centroid_id")
       .parquet(s"$codesPath/ingest_batch=$batchId")
 
-  /** The frozen quantizer, read back in id/rank order. */
-  def model: (Array[Array[Double]], Array[Array[Array[Double]]]) = {
-    val cents = spark.read.parquet(centPath)
-      .orderBy(col("centroid_id")).collect()
-      .map(_.getSeq[Double](1).toArray)
-    val rows = spark.read.parquet(bookPath)
-      .orderBy(col("j"), col("c")).collect()
-      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
-    val mOut = rows.map(_._1).max + 1
-    val books = Array.tabulate(mOut) { j =>
-      rows.filter(_._1 == j).sortBy(_._2).map(_._3)
+  /** The frozen quantizer — read back from parquet once per store
+    * instance, cached thereafter (it cannot change except through
+    * [[initialize]], which refreshes the cache; mutating `model/` on
+    * disk underneath a live instance is unsupported). */
+  def model: (Array[Array[Double]], Array[Array[Array[Double]]]) =
+    cachedModel.getOrElse {
+      val cents = spark.read.parquet(centPath)
+        .orderBy(col("centroid_id")).collect()
+        .map(_.getSeq[Double](1).toArray)
+      val rows = spark.read.parquet(bookPath)
+        .orderBy(col("j"), col("c")).collect()
+        .map(r =>
+          (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+      val mOut = rows.map(_._1).max + 1
+      val books = Array.tabulate(mOut) { j =>
+        rows.filter(_._1 == j).sortBy(_._2).map(_._3)
+      }
+      val loaded = (cents, books)
+      cachedModel = Some(loaded)
+      loaded
     }
-    (cents, books)
-  }
 
   /** All code rows so far (base build + every folded batch). */
   def codeTable: DataFrame =
@@ -142,9 +158,23 @@ final class VectorIndexStore(spark: SparkSession, path: String,
 
   /** One micro-batch: encode under the frozen model, overwrite this
     * batch's partition. Package-visible so the spec can replay a
-    * batch id and prove idempotence. */
+    * batch id and prove idempotence.
+    *
+    * GUARD: ingest refuses while the base build is missing. The text
+    * stores get this for free — their per-batch membership reads the
+    * stored table, so a mid-compaction (wiped) store fails loudly —
+    * but this store reads nothing stored at ingest, and a batch
+    * landed into a crashed-mid-compaction store would be silently
+    * WIPED by the subsequent compact() resume (which restores only
+    * the pre-crash snapshot). Finish `compact()` before restarting
+    * ingest. */
   private[graft] def processBatch(batch: DataFrame,
       batchId: Long): Unit = {
+    require(StorePaths.exists(spark, s"$codesPath/ingest_batch=-1"),
+      "VectorIndexStore: base build missing — the store is " +
+        "mid-compaction (run compact() to completion before " +
+        "ingesting; a compaction resume would wipe this batch) or " +
+        "was never initialized")
     val (cents, books) = model
     writeBatch(batch, batchId, cents, books)
   }

@@ -121,4 +121,23 @@ class VectorIndexStoreSpec extends AnyFunSuite {
     assert("PartitionFilters: \\[[^\\]]*centroid_id[^\\]]*".r
       .findFirstIn(planStr).nonEmpty, planStr)
   }
+
+  test("ingest refuses while the base build is missing: a batch " +
+      "landed into a crashed-mid-compaction store would be wiped by " +
+      "the compaction resume") {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("vec_index_guard").toString
+    val store = mkStore(tmp)
+    store.initialize(emb.where($"vec_id" < 300))
+    // simulate the crash window: compact() died after wiping the
+    // codes root (its committed snapshot tmp is the recovery
+    // artifact); the model survives, so an unguarded processBatch
+    // would happily encode and write — and the resume would then
+    // silently delete it
+    StorePaths.wipe(spark, Seq(s"$tmp/codes"))
+    val e = intercept[IllegalArgumentException] {
+      store.processBatch(emb.where($"vec_id" >= 300), 0L)
+    }
+    assert(e.getMessage.contains("base build missing"))
+  }
 }
