@@ -630,6 +630,41 @@ object ScaleSmoke {
         ustore.urlTable.select(col("canonical_url")),
         "canonical_url", batchUrls).count()
     }
+
+    // ---- vector store: the ANN index at ingest. The read column is
+    // the point — topK's probed-cell filter partition-prunes the
+    // partitionBy(centroid_id) layout, so a search reads ~nprobe/nlist
+    // of the stored code bytes, and an ingested batch encodes without
+    // reading anything stored.
+    val vtmp = java.nio.file.Files
+      .createTempDirectory("graft_vec_ab").toString
+    val nVec = nDocs * 4
+    val vstore = new graft.streaming.VectorIndexStore(spark, vtmp,
+      nlist = 64, m = 8, ksub = 16)
+    def mkVecs(from: Long, n: Long) = spark.range(from, from + n, 1, 32)
+      .select(col("id").as("vec_id"),
+        transform(sequence(lit(1), lit(64)), j =>
+          sin((col("id") + 1) * j.cast("double") * 0.7).cast("float"))
+          .as("embedding"))
+    val vecs = mkVecs(0, nVec).localCheckpoint(true)
+    // queries materialized as their OWN tiny frame: deriving them
+    // from `vecs` would scan the whole corpus' checkpoint blocks
+    // inside the measured windows and swamp the codes-read signal
+    val qVecs = mkVecs(0, 8).localCheckpoint(true)
+    t2(f"vectors: initialize (train + encode $nVec%,d)") {
+      vstore.initialize(vecs)
+      vstore.codeTable.count()
+    }
+    t2("vectors: ingest batch (encode only, store unread)") {
+      vstore.processBatch(mkVecs(nVec, 5000), 0L)
+      5000L
+    }
+    t2("vectors: topK 8 queries, nprobe 8/64 (pruned read)") {
+      vstore.topK(qVecs, "vec_id", k = 10, nprobe = 8).count()
+    }
+    t2("vectors: topK 8 queries, nprobe 64/64 (full read)") {
+      vstore.topK(qVecs, "vec_id", k = 10, nprobe = 64).count()
+    }
   }
 
   /** IVF corpus assignment at production shapes: the
