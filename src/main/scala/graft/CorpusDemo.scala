@@ -291,6 +291,33 @@ object CorpusDemo {
         .groupBy(col("cluster_id")).count().count()
     }
 
+    // 8a'''. PERSISTED vector index over the survivors — the storage
+    //        half of the ANN family, composed in the order the store
+    //        doc prescribes: the text dedup/curation gates ran FIRST,
+    //        so the index never holds a document they rejected.
+    //        initialize trains + FREEZES the quantizer and lands the
+    //        inverted file partitionBy(centroid_id); the sample
+    //        searches read nprobe cell DIRECTORIES of stored codes —
+    //        never an embedding — and the refined search re-scores
+    //        its over-fetched candidates against exact vectors (the
+    //        FAISS refine step, the production recall knob).
+    t("index: IVF-PQ vector store + sample searches") {
+      val emb = Tables.table(spark, sfDir, "embeddings")
+        .join(pruned.select(col("doc_id").as("vec_id")), Seq("vec_id"),
+          "left_semi").localCheckpoint(false)
+      val vdir = java.nio.file.Files
+        .createTempDirectory("corpus_demo_vectors").toString
+      val store = new graft.streaming.VectorIndexStore(spark, vdir,
+        nlist = 8, m = 8, ksub = 16)
+      store.initialize(emb)
+      val q = emb.orderBy(col("vec_id")).limit(4).localCheckpoint(false)
+      val hits = store.topK(q, "vec_id", k = 5, nprobe = 2).count()
+      val refined = store.topKRefined(q, "vec_id", k = 5, emb,
+        nprobe = 2, refineFactor = 4).count()
+      println(f"[corpus] vector store: $hits%,d ADC hits, " +
+        f"$refined%,d refined hits for 4 queries")
+    }
+
     // 8b. BM25 relevance probe: rank the survivors against a domain
     //     sketch (here: the probe docs double as the sketch) — the
     //     retrieval signal a curation pass uses to up-weight on-domain

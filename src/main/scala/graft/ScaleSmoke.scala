@@ -96,6 +96,11 @@ object ScaleSmoke {
       spark.stop()
       return
     }
+    if (mode == "ann") {
+      annLadder(spark, stations)
+      spark.stop()
+      return
+    }
     if (mode == "stores") {
       storeIngest(spark, stations)
       spark.stop()
@@ -738,6 +743,162 @@ object ScaleSmoke {
           "embedding", "vec_id", "vec_id", k = 10, c1024, books,
           nprobe = 32)
         .agg(sum(col("corpus_id"))).head(); n
+    }
+  }
+
+  /** The ANN recall LADDER — one row per index shape over ONE stored
+    * corpus (stations × 20k vectors × 64 dims, parquet-backed like a
+    * real index), 8 queries each: recall@10 vs the exact same-metric
+    * ranking, search wall, bytes READ from storage. This is the
+    * sizing table a user picking an index shape needs: what each
+    * rung pays in recall for its I/O and wall savings. Cosine
+    * engines (brute / LSH / IVF / SQ8) score against the exact
+    * cosine top-10, L2 engines (PQ / IVF-PQ / refined) against the
+    * exact squared-L2 top-10 — recall against a mismatched metric
+    * would charge the compression for the metric difference.
+    * Stored artifacts (the corpus table, SQ8 codes, the
+    * partitionBy(centroid_id) IVF-PQ inverted file) are built
+    * OUTSIDE the timed windows: the ladder measures SEARCH, the
+    * `stores`/`ivf` modes own the build costs. */
+  private def annLadder(spark: SparkSession, stations: Int): Unit = {
+    import spark.implicits._
+    spark.sparkContext.hadoopConfiguration
+      .setBoolean("parquet.hadoop.vectored.io.enabled", false)
+    val inputB = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted)
+            : Unit =
+          inputB.addAndGet(sc.stageInfo.taskMetrics.inputMetrics
+            .bytesRead)
+      })
+    val dim = 64
+    val n = stations.toLong * 20000L
+    val k = 10
+    println(f"ann mode: $n%,d vectors x $dim dims, recall@$k over " +
+      "8 queries, engines read their STORED artifacts")
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_ann_ladder").toString
+    // (id+1): id 0 would make a zero vector (zero-norm cosine guard)
+    spark.range(0, n, 1, 64)
+      .select(col("id").as("vec_id"),
+        transform(sequence(lit(1), lit(dim)), j =>
+          sin((col("id") + 1) * j.cast("double") * 0.7).cast("float"))
+          .as("embedding"))
+      .write.mode("overwrite").parquet(s"$tmp/corpus")
+    val corpus = spark.read.parquet(s"$tmp/corpus")
+    val queries = corpus.where(col("vec_id") < 8).collect()
+      .sortBy(_.getLong(0)).toIndexedSeq
+    val qDf = spark.createDataFrame(
+      java.util.Arrays.asList(queries: _*), corpus.schema)
+      .localCheckpoint(true)
+    // models, driver-side (untimed — the production TRAINED path:
+    // recall is only meaningful under codebooks fit to what they
+    // quantize, residuals for ivfpq, raw slices for plain pq);
+    // nlist 1024 is the kernel-assignment regime
+    val (cents, books16) = graft.similarity.Similarity.ivfPqTrain(
+      corpus, "embedding", "vec_id", nlist = 1024, m = 8, ksub = 16,
+      sampleSize = 4096)
+    val booksPq = graft.similarity.Similarity.pqCodebooks(
+      corpus, "embedding", "vec_id", m = 8, ksub = 16,
+      sampleSize = 4096)
+    // stored artifacts (untimed builds)
+    graft.similarity.Similarity.sq8CodeTable(corpus, "embedding",
+        "vec_id")
+      .withColumn("codes", col("codes").cast("array<tinyint>"))
+      .write.mode("overwrite").parquet(s"$tmp/sq8")
+    val sq8Stored = spark.read.parquet(s"$tmp/sq8")
+      .withColumn("codes", col("codes").cast("array<int>"))
+    graft.similarity.Similarity.ivfPqCodeTable(corpus, "embedding",
+        "vec_id", cents, books16)
+      .write.mode("overwrite").partitionBy("centroid_id")
+      .parquet(s"$tmp/ivfpq")
+    val ivfpqStored = spark.read.parquet(s"$tmp/ivfpq")
+    // plain PQ as the degenerate inverted file (nlist=1, zero
+    // centroid → residual = the vector): the SAME stored-codes ADC
+    // engine, so the pq rung reads stored codes like a real PQ index
+    // instead of re-encoding the corpus per search — the recall/read
+    // delta vs the ivfpq rung is then PURELY the inverted file
+    val cents1 = Array(Array.fill(dim)(0.0))
+    graft.similarity.Similarity.ivfPqCodeTable(corpus, "embedding",
+        "vec_id", cents1, booksPq)
+      .write.mode("overwrite").parquet(s"$tmp/pq")
+    val pqStored = spark.read.parquet(s"$tmp/pq")
+    // one ladder row: run the search, collect hits, print the row,
+    // return the per-query hit sets for recall
+    def row(label: String, truth: Map[Long, Set[Long]])
+        (f: => org.apache.spark.sql.DataFrame)
+        : Map[Long, Set[Long]] = {
+      org.apache.spark.graft.ListenerBusBarrier.drain(
+        spark.sparkContext)
+      val i0 = inputB.get()
+      val t0 = System.nanoTime()
+      val hits = f.select(col("query_id").cast("long"),
+          col("corpus_id").cast("long")).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).map { case (q, v) => q -> v.map(_._2).toSet }
+      val secs = (System.nanoTime() - t0) / 1e9
+      org.apache.spark.graft.ListenerBusBarrier.drain(
+        spark.sparkContext)
+      val recall =
+        if (truth.isEmpty) 1.0
+        else truth.map { case (q, ids) =>
+          ids.count(hits.getOrElse(q, Set.empty)).toDouble / ids.size
+        }.sum / truth.size
+      println(f"$label%-14s recall@$k=$recall%5.3f  " +
+        f"wall=$secs%6.1f s  read=${(inputB.get() - i0) / 1e6}%,.0f MB")
+      hits
+    }
+    val S = graft.similarity.Similarity
+    // exact same-metric ground truths — the ladder's two rung-1 rows
+    val cosTruth = row("brute-cos", Map.empty) {
+      S.bruteForceTopK(corpus, qDf, "embedding", "vec_id", "vec_id", k)
+    }
+    val l2Truth = row("brute-l2", Map.empty) {
+      // exact squared-L2 brute force, composed inline (the library's
+      // brute entry is cosine): one corpus scan, broadcast queries
+      val q = broadcast(qDf.select(col("vec_id").as("query_id"),
+        col("embedding").as("qv")))
+      val scored = corpus
+        .select(col("vec_id").as("corpus_id"), col("embedding").as("cv"))
+        .crossJoin(q)
+        .withColumn("d", aggregate(
+          zip_with(col("cv"), col("qv"), (a, b) =>
+            (a.cast("double") - b.cast("double")) *
+              (a.cast("double") - b.cast("double"))),
+          lit(0.0), (acc, v) => acc + v))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("d"), col("corpus_id"))
+      scored.withColumn("rank", row_number().over(w))
+        .where(col("rank") <= k)
+        .select(col("query_id"), col("corpus_id"))
+    }
+    row("lsh", cosTruth) {
+      S.lshTopK(corpus, qDf, "embedding", "vec_id", "vec_id", k,
+        planes = 12, dim = dim)
+    }
+    row("ivf", cosTruth) {
+      S.ivfTopKWithCentroids(corpus, qDf, "embedding", "vec_id",
+        "vec_id", k, cents, nprobe = 32)
+    }
+    row("sq8", cosTruth) {
+      S.sq8TopKFromCodes(sq8Stored, qDf, "embedding", "vec_id",
+        "vec_id", k)
+    }
+    row("pq", l2Truth) {
+      S.ivfPqTopKFromCodes(pqStored, qDf, "embedding", "vec_id",
+        k, cents1, booksPq, nprobe = 1)
+    }
+    row("ivfpq", l2Truth) {
+      S.ivfPqTopKFromCodes(ivfpqStored, qDf, "embedding", "vec_id",
+        k, cents, books16, nprobe = 32)
+    }
+    row("ivfpq-refined", l2Truth) {
+      S.ivfPqTopKRefined(ivfpqStored, corpus, qDf, "embedding",
+        "vec_id", "vec_id", k, cents, books16, nprobe = 32,
+        refineFactor = 4)
     }
   }
 

@@ -459,6 +459,115 @@ object SimilarityQueriesImpl {
         .orderBy(col("query_id"), col("rank"))
     }
 
+    // IVF-PQ + exact re-rank (the FAISS IndexRefineFlat step — the
+    // production recall knob): the q152 compressed probe over-fetches
+    // k′ = 4×5 ADC candidates, those candidates' EXACT vectors are
+    // fetched by id (pruned lookup, never a corpus re-scan) and
+    // re-scored with full-precision squared L2, and the true top 5
+    // re-ranked. The oracle extends the q152 CTE chain with the same
+    // candidate cut, an exact-distance join, and the re-rank window —
+    // so the over-fetch boundary, the exact arithmetic (sequential
+    // index-order fold), and the final ranking all hash-check.
+    register("q153_ivfpq_refined", {
+      def sqFull(x: String, w: String) =
+        s"""LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, LEN($x)),
+           |    i -> (CAST($x[i] AS DOUBLE) - $w[i])
+           |       * (CAST($x[i] AS DOUBLE) - $w[i])))""".stripMargin
+      def sqSub(x: String, j: String, w: String) =
+        s"""LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, 8),
+           |    t -> ($x[$j*8 + t] - $w[t])
+           |       * ($x[$j*8 + t] - $w[t])))""".stripMargin
+      s"""WITH cent AS (
+         |  SELECT CAST(vec_id - 100 AS INT) AS centroid_id,
+         |    LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS cw
+         |  FROM embeddings WHERE vec_id BETWEEN 100 AND 107),
+         |cb AS (
+         |  SELECT t.j, CAST(vec_id - 200 AS INT) AS c,
+         |    LIST_TRANSFORM(GENERATE_SERIES(1, 8),
+         |      u -> CAST(embedding[t.j*8 + u] AS DOUBLE)) AS w
+         |  FROM embeddings CROSS JOIN range(8) t(j)
+         |  WHERE vec_id BETWEEN 200 AND 215),
+         |e AS (SELECT vec_id AS corpus_id, embedding AS cv
+         |  FROM embeddings),
+         |assigned AS (SELECT corpus_id, cv, centroid_id, cw FROM (
+         |    SELECT e.corpus_id, e.cv, cent.centroid_id, cent.cw,
+         |      ROW_NUMBER() OVER (PARTITION BY e.corpus_id
+         |        ORDER BY ${sqFull("e.cv", "cent.cw")},
+         |          cent.centroid_id) AS rn
+         |    FROM e CROSS JOIN cent) WHERE rn = 1),
+         |res AS MATERIALIZED (SELECT corpus_id, centroid_id,
+         |    LIST_TRANSFORM(GENERATE_SERIES(1, LEN(cv)),
+         |      i -> CAST(cv[i] AS DOUBLE) - cw[i]) AS rv
+         |  FROM assigned),
+         |enc AS (SELECT corpus_id, centroid_id, j, c FROM (
+         |    SELECT res.corpus_id, res.centroid_id, cb.j, cb.c,
+         |      ROW_NUMBER() OVER (PARTITION BY res.corpus_id, cb.j
+         |        ORDER BY ${sqSub("res.rv", "cb.j", "cb.w")}, cb.c)
+         |        AS rn
+         |    FROM res CROSS JOIN cb) WHERE rn = 1),
+         |q AS (SELECT vec_id AS query_id, embedding AS qv
+         |  FROM embeddings WHERE vec_id < 8),
+         |qa AS (SELECT query_id, qv, centroid_id, cw FROM (
+         |    SELECT q.query_id, q.qv, cent.centroid_id, cent.cw,
+         |      ROW_NUMBER() OVER (PARTITION BY q.query_id
+         |        ORDER BY ${sqFull("q.qv", "cent.cw")},
+         |          cent.centroid_id) AS rn
+         |    FROM q CROSS JOIN cent) WHERE rn <= 3),
+         |qres AS MATERIALIZED (SELECT query_id, centroid_id,
+         |    LIST_TRANSFORM(GENERATE_SERIES(1, LEN(qv)),
+         |      i -> CAST(qv[i] AS DOUBLE) - cw[i]) AS qr
+         |  FROM qa),
+         |lut AS (SELECT qres.query_id, qres.centroid_id, cb.j, cb.c,
+         |    ${sqSub("qres.qr", "cb.j", "cb.w")} AS d
+         |  FROM qres CROSS JOIN cb),
+         |adc AS (SELECT l.query_id, enc.corpus_id,
+         |    LIST_SUM(LIST(l.d ORDER BY l.j)) AS adc_dist
+         |  FROM enc JOIN lut l
+         |    ON l.centroid_id = enc.centroid_id
+         |    AND l.j = enc.j AND l.c = enc.c
+         |  GROUP BY l.query_id, enc.corpus_id),
+         |cand AS (SELECT query_id, corpus_id FROM (
+         |    SELECT query_id, corpus_id,
+         |      ROW_NUMBER() OVER (PARTITION BY query_id
+         |        ORDER BY adc_dist, corpus_id) AS rank
+         |    FROM adc) WHERE rank <= 20),
+         |ex AS (SELECT cand.query_id, cand.corpus_id,
+         |    LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(e.cv)),
+         |      i -> (CAST(e.cv[i] AS DOUBLE) - CAST(q.qv[i] AS DOUBLE))
+         |         * (CAST(e.cv[i] AS DOUBLE) - CAST(q.qv[i] AS DOUBLE))))
+         |      AS exact_dist
+         |  FROM cand
+         |  JOIN e ON e.corpus_id = cand.corpus_id
+         |  JOIN q ON q.query_id = cand.query_id),
+         |rr AS (SELECT query_id, corpus_id, exact_dist,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY exact_dist, corpus_id) AS rank
+         |  FROM ex)
+         |SELECT query_id, corpus_id, ROUND(exact_dist, 6) AS exact_dist,
+         |  CAST(rank AS BIGINT) AS rank
+         |FROM rr WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+    }) { (s, dir) =>
+      val emb = table(s, dir, "embeddings")
+      val cents = emb.where(col("vec_id").between(100, 107))
+        .orderBy(col("vec_id")).select(col("embedding")).collect()
+        .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      val rows = emb.where(col("vec_id").between(200, 215))
+        .orderBy(col("vec_id")).select(col("embedding")).collect()
+        .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      val books = Array.tabulate(8) { j =>
+        rows.map(_.slice(j * 8, (j + 1) * 8))
+      }
+      Similarity.ivfPqTopKRefined(
+          Similarity.ivfPqCodeTable(emb, "embedding", "vec_id", cents,
+            books),
+          emb, emb.where(col("vec_id") < 8), "embedding", "vec_id",
+          "vec_id", k = 5, centroids = cents, books = books,
+          nprobe = 3, refineFactor = 4)
+        .withColumn("exact_dist", round(col("exact_dist"), 6))
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy(col("query_id"), col("rank"))
+    }
+
     // SemDedup-style semantic pruning, gated end-to-end: the oracle
     // rebuilds the same leading-4-dim sign buckets and the same
     // sequential multiply-accumulate cosine (LIST_SUM over an ordered
@@ -990,63 +1099,19 @@ object SimilarityQueriesImpl {
       }
 
       // ---- q145 stage-isolating diagnostics -------------------------
-      // Three rounds of driver-side q145 reds that no judge-side rerun
-      // reproduces: the next CORRECTNESS file must NAME the diverging
-      // stage in the one environment that reds. Each diagnostic is an
-      // ordinary hash gate over ONE stage of the q145 chain
-      // (quantize → seed → iterate → assign), sharing the exact CTE
-      // text with the full gate:
-      //   q145a red            → the ROUND(DOUBLE*1e6) input
-      //                          quantization diverges (the one float
-      //                          step left in the chain);
-      //   q145a green, b red   → seeding (md5 rank / argmax scan);
-      //   a+b green, c red     → the Lloyd update arithmetic;
-      //   a+b+c green, e red   → a LATER iteration (2..n) diverges;
-      //   a..e green, q145 red → the final assign distance/tie-break,
-      //                          or the driver's compare harness
-      //                          itself — code churn ends.
-      // q145d probes the FLOOR-based quantizer (no half-way rule, and
-      // the double product is exact for FLOAT inputs — see
-      // KMeans.quantizeFloor): q145a red + q145d green hands the next
-      // round an evidence-backed fix (switch the chain to floor).
-
-      // per-vector sum AND index-weighted sum of the quantized micros:
-      // two independent linear functionals, so offsetting ±1 flips
-      // within one vector cannot mask each other. ONE registrar for
-      // both quantizers — a drifted copy would quietly make the a/d
-      // red-green comparison probe different functionals, the exact
-      // divergence the shared SQL text prevents on the oracle side.
-      def registerQuantizeProbe(name: String, vmCte: String,
-          quantizer: Column => Column): Unit =
-        register(name,
-          s"""WITH $vmCte
-             |SELECT vec_id,
-             |  CAST(COALESCE(LIST_AGGREGATE(v, 'sum'), 0) AS BIGINT)
-             |    AS micros_sum,
-             |  CAST(COALESCE(LIST_AGGREGATE(LIST_TRANSFORM(
-             |      GENERATE_SERIES(1, LEN(v)), i -> i * v[i]), 'sum'),
-             |    0) AS BIGINT) AS micros_wsum
-             |FROM vm ORDER BY vec_id""".stripMargin) { (s, dir) =>
-          table(s, dir, "embeddings")
-            .select(col("vec_id"),
-              quantizer(col("embedding")).as("v"))
-            .select(col("vec_id"),
-              coalesce(aggregate(col("v"), lit(0L), (a, x) => a + x),
-                lit(0L)).as("micros_sum"),
-              coalesce(aggregate(
-                transform(col("v"),
-                  (x, i) => (i.cast("long") + 1) * x),
-                lit(0L), (a, x) => a + x), lit(0L)).as("micros_wsum"))
-            .orderBy(col("vec_id"))
-        }
-      registerQuantizeProbe("q145a_quantize_probe", vmSql,
-        graft.similarity.KMeans.quantize)
-      registerQuantizeProbe("q145d_quantize_floor_probe",
-        """vm AS (SELECT vec_id,
-          |    LIST_TRANSFORM(embedding, x ->
-          |      CAST(FLOOR(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS v
-          |  FROM embeddings)""".stripMargin,
-        graft.similarity.KMeans.quantizeFloor)
+      // Relics of the four-round q145 hunt (the oracle's HUGEINT
+      // output type, closed round 12). The quantize probes q145a/q145d
+      // served their purpose and are RETIRED (round-13 decision, see
+      // COVERAGE changelog: 0.2 s/round for a stage the green b/c/e
+      // chain already transitively covers — a quantize divergence
+      // cannot leave the seed ids, iteration-1 centroids, AND final
+      // centroids all green). b/c/e stay as centroid-chain regression
+      // tripwires over the seed → iterate-1 → iterate-n stages:
+      //   b red                → seeding (md5 rank / argmax scan);
+      //   b green, c red       → the Lloyd update arithmetic;
+      //   b+c green, e red     → a LATER iteration (2..n) diverges;
+      //   b..e green, q145 red → the final assign distance/tie-break,
+      //                          or the compare harness itself.
 
       register("q145b_seed_ids",
         s"""WITH $vmSql,

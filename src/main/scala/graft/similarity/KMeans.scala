@@ -38,9 +38,12 @@ object KMeans {
   def quantize(vec: Column): Column =
     transform(vec, x => round(x.cast("double") * 1e6).cast("long"))
 
-  /** FLOOR-based micro quantization — the q145d diagnostic probe and
-    * the designated fallback quantizer should the q145a probe convict
-    * [[quantize]]'s ROUND in the driver environment. Why floor is
+  /** FLOOR-based micro quantization — the designated fallback
+    * quantizer should a cross-engine environment ever convict
+    * [[quantize]]'s ROUND (spec-covered; its q145a/q145d oracle
+    * probes were retired round 13 once the q145 hunt closed — the
+    * 2026 divergence was the oracle's HUGEINT output type, not the
+    * quantizer). Why floor is
     * divergence-proof where round is not: both engines compute the
     * IDENTICAL IEEE-754 binary double `x * 1e6` (for FLOAT inputs the
     * product is even exact — a 24-bit mantissa times 15625 stays

@@ -581,9 +581,8 @@ object Similarity {
     // getLong would ClassCastException on the string/int ids the
     // text pipeline uses): keep the raw id value and rebuild the
     // LUT frame with the query id column's ORIGINAL type
-    val lutRows = queries
-      .select(col(queryIdCol).as("query_id"), col(vecCol).as("qv"))
-      .collect().map { r =>
+    val lutRows = collectQueryRows(queries, queryIdCol, vecCol,
+      "pqTopKWithCodebooks").map { r =>
         val qv = r.getSeq[Float](1).map(_.toDouble).toArray
         val lut = Array.tabulate(m * ksub) { i =>
           val (j, c) = (i / ksub, i % ksub)
@@ -752,10 +751,10 @@ object Similarity {
     val ds = books.head.head.length
     // per-(query, probed cell) LUT over the QUERY residual, built on
     // the driver — queries are few by contract (pqTopKWithCodebooks'
-    // rule), and each LUT is m×ksub doubles
-    val lutRows = queries
-      .select(col(queryIdCol).as("query_id"), col(vecCol).as("qv"))
-      .collect().flatMap { r =>
+    // rule, enforced by the MaxQueryCollect guard), and each LUT is
+    // m×ksub doubles
+    val lutRows = collectQueryRows(queries, queryIdCol, vecCol,
+      "ivfPqTopKFromCodes").flatMap { r =>
         val qv = r.getSeq[Number](1).map(_.doubleValue()).toArray
         val probed = centroids.indices
           .map(cid => (sqDistTo(qv, centroids(cid)), cid))
@@ -793,7 +792,24 @@ object Similarity {
     val pruned =
       if (probedCells.isEmpty) codeTable.where(lit(false)) // no queries
       else codeTable.where(col("centroid_id").isInCollection(probedCells))
-    val scored = pruned
+    // VALIDATE the codes against THIS model before any LUT lookup:
+    // requireIvfPqShapes checks only the model, so a caller-supplied
+    // table persisted under a different ksub/m would otherwise read
+    // the WRONG LUT slot when the stale code is still in bounds
+    // (silently wrong distances) or land a null adc_dist that the
+    // ascending nulls-first window ranks at 1 (silently garbage
+    // top-k). Candidate-scale rows only (probed cells), so the check
+    // is not a corpus-scan cost.
+    val checked = pruned.withColumn("codes",
+      when(size(col("codes")) === m &&
+          array_min(col("codes")) >= 0 &&
+          array_max(col("codes")) < ksub, col("codes"))
+        .otherwise(raise_error(concat(
+          lit(s"ivfPqTopKFromCodes: code row of corpus_id "),
+          col("corpus_id").cast("string"),
+          lit(s" does not fit the supplied model (m=$m, ksub=$ksub)" +
+            " — the table was built under a different quantizer")))))
+    val scored = checked
       .join(broadcast(qLut), Seq("centroid_id"))
       .withColumn("adc_dist",
         aggregate(
@@ -806,6 +822,68 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("query_id"), col("corpus_id"), col("adc_dist"),
+        col("rank"))
+  }
+
+  /** Exact re-ranking over IVF-PQ candidates — the FAISS
+    * `IndexRefineFlat` step, the recall knob production IVFADC
+    * deployments turn first: 8×-compressed residual codes lose
+    * ordering among near-ties, so over-fetch k′ = `refineFactor`×k
+    * candidates from the compressed index ([[ivfPqTopKFromCodes]]),
+    * re-score JUST those candidates against their exact vectors, and
+    * re-keep the true top k. Recall@k rises toward the probed-cell
+    * ceiling (candidates outside the nprobe cells stay invisible —
+    * raise nprobe for that axis) at the cost of fetching k′ exact
+    * vectors per query.
+    *
+    * Scale shape: the candidate set is queries×k′ rows (small by the
+    * MaxQueryCollect contract), so the exact-vector fetch is a
+    * PRUNED id lookup against the stored corpus
+    * ([[graft.text.Curation.fetchByKeys]] — chunked-IN pushdown /
+    * broadcast semi-join; an id-sorted corpus layout prunes to the
+    * candidate row groups), never a corpus re-scan; the re-score is
+    * candidate-scale arithmetic. `corpus` is the full-precision
+    * vector table ((idCol, vecCol) — the one [[ivfPqCodeTable]]
+    * encoded); pass the SAME model and nprobe as the code table's
+    * probe. Returns (query_id, corpus_id, exact_dist, rank),
+    * ascending exact squared L2. */
+  def ivfPqTopKRefined(codeTable: DataFrame, corpus: DataFrame,
+      queries: DataFrame, vecCol: String, idCol: String,
+      queryIdCol: String, k: Int,
+      centroids: Array[Array[Double]],
+      books: Array[Array[Array[Double]]], nprobe: Int,
+      refineFactor: Int = 4): DataFrame = {
+    require(refineFactor >= 1,
+      s"refineFactor must be >= 1, got $refineFactor")
+    // lazy pin: the candidate lineage (probe + window) is consumed
+    // twice below — once by the fetch's key collect, once by the
+    // re-score join — and would re-execute the whole probe otherwise
+    val candidates = ivfPqTopKFromCodes(codeTable, queries, vecCol,
+        queryIdCol, k * refineFactor, centroids, books, nprobe)
+      .select(col("query_id"), col("corpus_id"))
+      .localCheckpoint(false)
+    val fetched = graft.text.Curation.fetchByKeys(
+      corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv")),
+      "corpus_id", candidates)
+    val q = queries.select(col(queryIdCol).as("query_id"),
+      col(vecCol).as("qv"))
+    // exact squared L2 — the metric the ADC approximates; sequential
+    // index-order fold (the engine-wide double-arithmetic convention,
+    // so a cross-engine oracle can replay it)
+    val rescored = candidates
+      .join(fetched, Seq("corpus_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .withColumn("exact_dist",
+        aggregate(
+          zip_with(col("cv"), col("qv"), (a, b) =>
+            (a.cast("double") - b.cast("double")) *
+              (a.cast("double") - b.cast("double"))),
+          lit(0.0), (acc, v) => acc + v))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("exact_dist"), col("corpus_id"))
+    rescored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("corpus_id"), col("exact_dist"),
         col("rank"))
   }
 
@@ -825,6 +903,33 @@ object Similarity {
     require(covered == centroids.head.length,
       s"codebooks cover $covered dims, centroids have " +
         s"${centroids.head.length}")
+  }
+
+  /** Hard cap on the query-table collects behind the driver-side
+    * per-query LUT builders ([[pqTopKWithCodebooks]],
+    * [[ivfPqTopKFromCodes]]). Those entry points are few-queries by
+    * contract — each query costs an m×ksub LUT built on the driver —
+    * and a caller who points a corpus-scale query table at one should
+    * get a NAMED error at plan-build, not a silent driver stall/OOM
+    * (the ScaleGuard stance, [[graft.text.Dedup]]'s all-pairs
+    * precedent). `var` so specs can exercise the boundary without a
+    * 10k-row fixture. */
+  private[graft] var MaxQueryCollect: Int = 10000
+
+  // bounded collect via CollectLimit (stops pulling partitions at the
+  // cap) — the MaxProbeCollect pattern from graft.text.Curation
+  private def collectQueryRows(queries: DataFrame, queryIdCol: String,
+      vecCol: String, caller: String): Array[org.apache.spark.sql.Row] = {
+    val rows = queries
+      .select(col(queryIdCol).as("query_id"), col(vecCol).as("qv"))
+      .limit(MaxQueryCollect + 1).collect()
+    require(rows.length <= MaxQueryCollect,
+      s"$caller: query table exceeds $MaxQueryCollect rows — the " +
+        "per-query LUT build is driver-side by contract (few " +
+        "queries). Batch the query table, or use bruteForceTopK / " +
+        "sq8TopKFromCodes (broadcast queries, no driver collect) " +
+        "for corpus-scale query sets.")
+    rows
   }
 
   // the ONE hash-ranked sampling rule every driver-side model fit

@@ -230,4 +230,25 @@ final class CorpusIndexStore(spark: SparkSession, path: String,
     initialize(spark.read.parquet(tmp), textCol)
     StorePaths.wipe(spark, Seq(tmp))
   }
+
+  /** Takedown deletion — remove every document whose id appears in
+    * `ids` (a frame carrying the store's `idCol` column) from the
+    * accepted corpus, then rebuild the signature index from the
+    * survivors (this store's compaction IS a rebuild, so deletion
+    * rides it): the deleted documents' band buckets and signatures
+    * leave the index with them, so a future arrival near-duplicating
+    * ONLY deleted content is accepted — the membership evidence died
+    * with the takedown. Crash-safe the same way [[compact]] is: the
+    * filtered corpus is snapshotted to durable parquet before the
+    * wipe, so a crash mid-rebuild leaves `compact_tmp` as the
+    * (already-filtered) recovery artifact. */
+  def deleteIds(ids: DataFrame, textCol: String = "text"): Unit = {
+    val tmp = s"$path/compact_tmp"
+    StorePaths.wipe(spark, Seq(tmp))
+    accepted.join(ids.select(col(idCol)).distinct(), Seq(idCol),
+        "left_anti")
+      .write.mode("overwrite").parquet(tmp)
+    initialize(spark.read.parquet(tmp), textCol)
+    StorePaths.wipe(spark, Seq(tmp))
+  }
 }

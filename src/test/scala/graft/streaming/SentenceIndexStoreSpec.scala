@@ -424,4 +424,40 @@ class SentenceIndexStoreSpec extends AnyFunSuite {
     assert(store.cleaned.where($"doc_id" === 2L)
       .select($"text").as[String].head().startsWith("Yes."))
   }
+
+  test("deleteIds: the document leaves the cleaned corpus and its " +
+      "kept sentences leave the index — membership FORGETS them, so " +
+      "a later copy is kept anew; surviving docs still dedup") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files
+      .createTempDirectory("sent_index_delete").toString
+    val store = new SentenceIndexStore(spark, tmp)
+    store.initialize(corpusRows.toDF("doc_id", "text"), "text")
+    // take down doc 1 — sole keeper of "The famous quote lives."
+    store.deleteIds(Seq(1L).toDF("doc_id"))
+    assert(store.cleaned.where(col("doc_id") === 1L).count() == 0)
+    assert(store.sentenceTable.where(col("doc_id") === 1L)
+      .count() == 0)
+    assert(store.cleaned.count() == 1)
+    // post-takedown semantics: the content left the corpus, so its
+    // future copies must not be suppressed on evidence the store no
+    // longer holds
+    store.processBatch(
+      Seq((30L, "The famous quote lives. Fresh trailing sentence."))
+        .toDF("doc_id", "text"), "text", 3L)
+    assert(store.cleaned.where(col("doc_id") === 30L)
+      .select(col("text")).as[String].head() ==
+      "The famous quote lives. Fresh trailing sentence.")
+    // while the SURVIVING doc 2's sentences still kill copies (the
+    // delete filtered, it did not rebuild membership from scratch)
+    store.processBatch(
+      Seq((31L, "Independent corpus text stands. Trailing bit here."))
+        .toDF("doc_id", "text"), "text", 4L)
+    assert(store.cleaned.where(col("doc_id") === 31L)
+      .select(col("text")).as[String].head() == "Trailing bit here.")
+    // replaying the same delete is a no-op (anti-join idempotence)
+    val n = store.cleaned.count()
+    store.deleteIds(Seq(1L).toDF("doc_id"))
+    assert(store.cleaned.count() == n)
+  }
 }

@@ -113,4 +113,31 @@ class UrlIndexStoreSpec extends AnyFunSuite {
     val ids = store.accepted.select($"doc_id").as[Long].collect().toSet
     assert(!ids.contains(900L) && ids.contains(901L))
   }
+  test("deleteIds: takedown removes the rows AND their canonicals — " +
+      "a re-submitted variant of the url is accepted again; " +
+      "surviving urls still reject variants") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files
+      .createTempDirectory("url_index_delete").toString
+    val store = new UrlIndexStore(spark, tmp)
+    store.initialize(corpusRows.toDF("doc_id", "url", "text"))
+    store.deleteIds(Seq(1L).toDF("doc_id"))
+    assert(store.accepted.where($"doc_id" === 1L).count() == 0)
+    assert(store.accepted.count() == 2) // 2 and the unparseable 3
+    // doc 1's canonical left the index with it: the membership
+    // evidence for deleted content must not keep rejecting future
+    // submissions of the url
+    assert(store.urlTable.count() == 1)
+    store.processBatch(
+      Seq((30L, "http://news.org/story", "the page, returned"),
+        (31L, "https://blog.example.com/post", "variant of survivor"))
+        .toDF("doc_id", "url", "text"), 5L)
+    val ids = store.accepted.select($"doc_id").as[Long].collect().toSet
+    assert(ids.contains(30L), s"taken-down url not re-accepted: $ids")
+    assert(!ids.contains(31L), s"surviving url stopped rejecting: $ids")
+    // replaying the same delete is a no-op
+    val n = store.accepted.count()
+    store.deleteIds(Seq(1L).toDF("doc_id"))
+    assert(store.accepted.count() == n)
+  }
 }

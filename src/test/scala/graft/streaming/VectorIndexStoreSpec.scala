@@ -93,6 +93,87 @@ class VectorIndexStoreSpec extends AnyFunSuite {
       queries, "embedding", "vec_id", k = 5, cents, books, nprobe = 3)
     assert(canon(store.topK(queries, "vec_id", k = 5, nprobe = 3))
       == canon(oneShot))
+    // compact() PRESERVES the store-owned checkpoint: this store has
+    // no membership gate, so a wiped checkpoint + a replayable source
+    // would re-deliver every already-indexed offset into fresh batch
+    // partitions — duplicate corpus_ids at multiple topK ranks with
+    // no error anywhere (the text stores survive that replay through
+    // membership; this store's protection is the checkpoint)
+    store.compact()
+    assert(StorePaths.exists(spark, s"$tmp/checkpoint"),
+      "compact() must not wipe the vector store's checkpoint")
+    assert(canon(store.topK(queries, "vec_id", k = 5, nprobe = 3))
+      == canon(oneShot))
+  }
+
+  test("deleteIds: deleted ids never surface in topK again, the " +
+      "fold equals a one-shot index over the surviving corpus, the " +
+      "cell layout (pruning) survives, and replay is idempotent") {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("vec_index_delete").toString
+    val store = mkStore(tmp)
+    store.initialize(emb.where($"vec_id" < 300))
+    store.processBatch(emb.where($"vec_id" >= 300), 0L)
+    val q = emb.where($"vec_id" < 3)
+    // take ids the index actually RETURNS, so the assertion bites
+    val served = store.topK(q, "vec_id", k = 5, nprobe = 4)
+      .select($"corpus_id").distinct().limit(3)
+      .as[Long].collect().toSeq
+    assert(served.nonEmpty)
+    store.deleteIds(served.toDF("vec_id"))
+    val after = store.topK(q, "vec_id", k = 5, nprobe = 4)
+    assert(after.where($"corpus_id".isin(served: _*)).count() == 0)
+    assert(store.codeTable
+      .where($"corpus_id".isin(served: _*)).count() == 0)
+    // deletion ≡ one-shot index over the surviving corpus under the
+    // same frozen model
+    val (cents, books) = store.model
+    val survivors = emb.where(!$"vec_id".isin(served: _*))
+    val oneShot = Similarity.ivfPqTopKFromCodes(
+      Similarity.ivfPqCodeTable(survivors, "embedding", "vec_id",
+        cents, books),
+      q, "embedding", "vec_id", k = 5, cents, books, nprobe = 4)
+    assert(canon(after) == canon(oneShot))
+    // deletion IS a compaction: folded to one base, layout preserved
+    assert(store.ingestBatchCount == 1)
+    val planStr = after.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*centroid_id[^\\]]*".r
+      .findFirstIn(planStr).nonEmpty, planStr)
+    // replaying the SAME delete is a no-op (anti-join idempotence)
+    val count = store.codeTable.count()
+    store.deleteIds(served.toDF("vec_id"))
+    assert(store.codeTable.count() == count)
+    assert(canon(store.topK(q, "vec_id", k = 5, nprobe = 4))
+      == canon(oneShot))
+    // a deleted id RE-INGESTED later is indexed anew (no tombstones —
+    // an index, not a dedup gate)
+    store.processBatch(emb.where($"vec_id" === served.head), 7L)
+    assert(store.codeTable
+      .where($"corpus_id" === served.head).count() == 1)
+  }
+
+  test("topKRefined through the store equals the composed " +
+      "Similarity.ivfPqTopKRefined under the persisted model") {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("vec_index_refine").toString
+    val store = mkStore(tmp)
+    store.initialize(emb)
+    val q = emb.where($"vec_id" < 3)
+    val (cents, books) = store.model
+    val direct = Similarity.ivfPqTopKRefined(
+      Similarity.ivfPqCodeTable(emb, "embedding", "vec_id", cents,
+        books),
+      emb, q, "embedding", "vec_id", "vec_id", k = 5, cents, books,
+      nprobe = 2, refineFactor = 4)
+    assert(canon(store.topKRefined(q, "vec_id", k = 5, emb,
+      nprobe = 2, refineFactor = 4)) == canon(direct))
+    // the refine re-ranks by EXACT distance, so each query's self
+    // (distance 0) is rank 1 whenever its cell was probed — and the
+    // query's own cell is always its nearest, so always probed
+    val self = store.topKRefined(q, "vec_id", k = 5, emb, nprobe = 2)
+      .where($"query_id" === $"corpus_id").select($"rank")
+      .as[Int].collect()
+    assert(self.length == 3 && self.forall(_ == 1))
   }
 
   test("compact folds batch partitions into one base build, keeps the " +
