@@ -670,6 +670,14 @@ object ScaleSmoke {
     t2("vectors: topK 8 queries, nprobe 64/64 (full read)") {
       vstore.topK(qVecs, "vec_id", k = 10, nprobe = 64).count()
     }
+    // the takedown path's honest cost shape: deletion IS a compaction
+    // (snapshot → anti-join rewrite → fold), so its wall is one full
+    // index rewrite regardless of how few ids die — batch takedowns
+    // into compaction windows, don't fire one per request
+    t2("vectors: deleteIds 1k (one compaction rewrite)") {
+      vstore.deleteIds(mkVecs(0, 1000).select(col("vec_id")))
+      vstore.codeTable.count()
+    }
   }
 
   /** IVF corpus assignment at production shapes: the
@@ -797,12 +805,15 @@ object ScaleSmoke {
     // recall is only meaningful under codebooks fit to what they
     // quantize, residuals for ivfpq, raw slices for plain pq);
     // nlist 1024 is the kernel-assignment regime
+    // ksub=256 = 8-BIT codes, the FAISS-standard PQ shape (ksub=16
+    // halves the code bytes but collapses recall on tight corpora);
+    // sample sized for 256-way subspace k-means
     val (cents, books16) = graft.similarity.Similarity.ivfPqTrain(
-      corpus, "embedding", "vec_id", nlist = 1024, m = 8, ksub = 16,
-      sampleSize = 4096)
+      corpus, "embedding", "vec_id", nlist = 1024, m = 8, ksub = 256,
+      sampleSize = 16384)
     val booksPq = graft.similarity.Similarity.pqCodebooks(
-      corpus, "embedding", "vec_id", m = 8, ksub = 16,
-      sampleSize = 4096)
+      corpus, "embedding", "vec_id", m = 8, ksub = 256,
+      sampleSize = 16384)
     // stored artifacts (untimed builds)
     graft.similarity.Similarity.sq8CodeTable(corpus, "embedding",
         "vec_id")

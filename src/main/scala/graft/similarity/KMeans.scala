@@ -205,10 +205,53 @@ object KMeans {
     // and keep their seed centroid (documented in init; spec-pinned)
     val (seedIds, centroids0) = init(vm, idCol, k)
     assert(centroids0.length == k)
+    val (centroids, hashes) = lloyd(vm, centroids0, iters)
+    (Model(centroids), Trace(seedIds, hashes))
+  }
+
+  /** [[fit]] with ONE-SCAN hash-ranked-sample seeding instead of
+    * farthest-point — the LARGE-K form: farthest-point init is k−1
+    * sequential corpus scans (right at topic-scale k, prohibitive at
+    * coarse-quantizer scale — an IVF nlist of 2¹⁰–2¹⁶), while the
+    * `xxhash64(seed, id)` rank is the engine-wide one-scan sampling
+    * rule and a pure function of the data. The Lloyd iterations are
+    * the SAME exchange-free distributed passes (exact long
+    * arithmetic — deterministic under any partitioning, retry, or
+    * AQE re-plan). Trade: sample seeds can land two in one cluster
+    * and starve another (the reason farthest-point exists); at
+    * coarse-quantizer k the Lloyd passes wash that out, and a
+    * duplicate seed just owns an empty cell under the documented
+    * empty-cluster rule (assign ties break to the lowest id). */
+  def fitSampleSeeded(df: DataFrame, vecCol: String, idCol: String,
+      k: Int, iters: Int, seed: Long = 42): Model = {
+    require(k >= 1 && iters >= 1, "need k >= 1 and iters >= 1")
+    require(!df.columns.exists(Seq("vm_", "cluster_id", "dist_sq")
+      .contains), "input already has a reserved kmeans column")
+    val vm = df.select(col(idCol), quantize(col(vecCol)).as("vm_"))
+      .where(col("vm_").isNotNull)
+      .localCheckpoint(false) // every iteration re-reads this basis
+    val seeds = vm
+      .select(col("vm_"), xxhash64(lit(seed), col(idCol)).as("hr_"))
+      .orderBy(col("hr_")).limit(k)
+      .select(col("vm_")).collect()
+      .map(_.getSeq[Long](0).toIndexedSeq).toIndexedSeq
+    require(seeds.length == k,
+      s"fitSampleSeeded: only ${seeds.length} non-null vectors for " +
+        s"k=$k clusters — a quantizer cannot have more cells than " +
+        "training vectors")
+    Model(lloyd(vm, seeds, iters)._1)
+  }
+
+  // the distributed Lloyd loop both fit forms share: assignment +
+  // per-cluster dim sums as one primitive mapPartitions pass per
+  // iteration, exact long arithmetic throughout
+  private def lloyd(vm: DataFrame,
+      centroids0: IndexedSeq[IndexedSeq[Long]], iters: Int)
+      : (IndexedSeq[IndexedSeq[Long]], IndexedSeq[String]) = {
     var centroids = centroids0
     var hashes = IndexedSeq(centroidsMd5(centroids))
     val dims = centroids.head.length
-    val spark = df.sparkSession
+    val spark = vm.sparkSession
     import spark.implicits._
     var it = 0
     while (it < iters) {
@@ -267,7 +310,7 @@ object KMeans {
       hashes = hashes :+ centroidsMd5(centroids)
       it += 1
     }
-    (Model(centroids), Trace(seedIds, hashes))
+    (centroids, hashes)
   }
 
   /** Label every row with its nearest centroid: input + `cluster_id`

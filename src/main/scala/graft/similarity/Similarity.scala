@@ -683,6 +683,50 @@ object Similarity {
     (centroids, books)
   }
 
+  /** [[ivfPqTrain]] with the COARSE quantizer fit DISTRIBUTED over
+    * the full corpus — the large-nlist form. The driver form trains
+    * on a collected sample, and FAISS's own sizing rule wants
+    * ~39×nlist training vectors: at production coarse sizes
+    * (nlist 2¹⁴–2¹⁶ for 10⁹–10¹² vectors) that is corpus-scale
+    * training data no driver should hold or iterate. Here the coarse
+    * fit is [[KMeans.fitSampleSeeded]] — one-scan hash-ranked
+    * seeding + exchange-free exact-integer Lloyd passes over the
+    * corpus (k×(dims+1) longs per task to the driver per iteration,
+    * deterministic under any partitioning) — and the centroids come
+    * back as micros/1e6 doubles for the double-based
+    * assignment/LUT engines. Residual codebooks still fit on a
+    * driver sample (m small k-means of ksub ≤ 256 codewords each —
+    * sample-scale by design, the FAISS convention). */
+  def ivfPqTrainDistributed(corpus: DataFrame, vecCol: String,
+      idCol: String, nlist: Int = 1024, m: Int = 8, ksub: Int = 16,
+      sampleSize: Int = 2048, seed: Long = 42, iterations: Int = 5,
+      lloydIters: Int = 5)
+      : (Array[Array[Double]], Array[Array[Array[Double]]]) = {
+    val model = KMeans.fitSampleSeeded(
+      corpus.select(col(idCol), col(vecCol)), vecCol, idCol, nlist,
+      lloydIters, seed)
+    val centroids = model.centroids
+      .map(_.map(_ / 1e6).toArray).toArray
+    val sample = hashRankedSample(corpus, vecCol, idCol, sampleSize,
+      seed)
+    require(sample.nonEmpty, "ivfpq needs a non-empty corpus")
+    val dim = sample.head.length
+    require(dim % m == 0, s"dim $dim must divide into $m subspaces")
+    require(centroids.head.length == dim,
+      s"coarse centroids have ${centroids.head.length} dims, " +
+        s"sample vectors $dim")
+    val ds = dim / m
+    val residuals = sample.map { p =>
+      val c = centroids(nearestSq(p, centroids))
+      Array.tabulate(dim)(i => p(i) - c(i))
+    }
+    val books = Array.tabulate(m) { j =>
+      kmeans(residuals.map(_.slice(j * ds, (j + 1) * ds)), ksub,
+        iterations, seed + j)
+    }
+    (centroids, books)
+  }
+
   /** [[ivfPqTopK]] with a CALLER-SUPPLIED coarse quantizer and
     * residual codebooks — a persisted model, or replicable parameters
     * (data rows picked by a deterministic id rule) a cross-engine

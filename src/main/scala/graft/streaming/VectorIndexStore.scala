@@ -50,7 +50,8 @@ import org.apache.spark.sql.streaming.StreamingQuery
 final class VectorIndexStore(spark: SparkSession, path: String,
     idCol: String = "vec_id", vecCol: String = "embedding",
     nlist: Int = 8, m: Int = 8, ksub: Int = 16,
-    sampleSize: Int = 2048, seed: Long = 42, iterations: Int = 5) {
+    sampleSize: Int = 2048, seed: Long = 42, iterations: Int = 5,
+    distributedTrain: Boolean = false) {
 
   private val codesPath = s"$path/codes"
   private val centPath = s"$path/model/centroids"
@@ -58,11 +59,17 @@ final class VectorIndexStore(spark: SparkSession, path: String,
 
   /** Batch-build: train the quantizer on the seed corpus (coarse
     * k-means on a hash-ranked sample + codebooks on its residuals —
-    * [[Similarity.ivfPqTrain]]), persist it, and land the corpus'
+    * [[Similarity.ivfPqTrain]]; with `distributedTrain` the coarse
+    * fit runs as exchange-free Lloyd passes over the WHOLE corpus
+    * instead of a driver sample — [[Similarity.ivfPqTrainDistributed]],
+    * the large-nlist form), persist it, and land the corpus'
     * codes as `ingest_batch=-1`, wiping prior state under `path`. */
   def initialize(corpus: DataFrame): Unit = {
-    val (cents, books) = Similarity.ivfPqTrain(corpus, vecCol, idCol,
-      nlist, m, ksub, sampleSize, seed, iterations)
+    val (cents, books) =
+      if (distributedTrain) Similarity.ivfPqTrainDistributed(corpus,
+        vecCol, idCol, nlist, m, ksub, sampleSize, seed, iterations)
+      else Similarity.ivfPqTrain(corpus, vecCol, idCol,
+        nlist, m, ksub, sampleSize, seed, iterations)
     StorePaths.wipe(spark, Seq(codesPath, s"$path/model",
       s"$path/checkpoint"))
     writeModel(cents, books)

@@ -147,4 +147,31 @@ class KMeansSpec extends AnyFunSuite {
     }.sum
     assert(row._3 == want)
   }
+
+  test("fitSampleSeeded (large-k form): planted clusters recover, " +
+      "the model is deterministic under repartitioning, and k beyond " +
+      "the row count fails with a named error") {
+    val df = planted(90)
+    val model = KMeans.fitSampleSeeded(df, "embedding", "vec_id",
+      k = 3, iters = 4)
+    // same recovery bar as the farthest-point fit on this fixture:
+    // the Lloyd passes wash out the sample seeding
+    val got = KMeans.assign(df, "embedding", model)
+      .select($"planted", $"cluster_id").as[(Int, Int)].collect()
+    val mapping = got.groupBy(_._1).map { case (p, rows) =>
+      p -> rows.map(_._2).distinct
+    }
+    assert(mapping.values.forall(_.length == 1), mapping)
+    assert(mapping.values.flatten.toSet.size == 3, mapping)
+    // deterministic: hash-ranked seeds + exact-integer Lloyd are a
+    // pure function of the data under ANY partitioning
+    val model2 = KMeans.fitSampleSeeded(df.repartition(7),
+      "embedding", "vec_id", k = 3, iters = 4)
+    assert(model2.centroids == model.centroids)
+    val e = intercept[IllegalArgumentException] {
+      KMeans.fitSampleSeeded(planted(4), "embedding", "vec_id",
+        k = 9, iters = 1)
+    }
+    assert(e.getMessage.contains("more cells than"))
+  }
 }

@@ -700,4 +700,28 @@ class SimilaritySpec extends AnyFunSuite {
     assert(Similarity.ivfPqTopKFromCodes(fine, q, "embedding",
       "vec_id", k = 1, cents, books, nprobe = 1).count() == 1)
   }
+
+  test("ivfPqTrainDistributed (large-nlist form): valid model " +
+      "shapes, deterministic under repartitioning, retrieval " +
+      "through the standard engines with self in top-5") {
+    def run(df: org.apache.spark.sql.DataFrame) = Similarity
+      .ivfPqTrainDistributed(df, "embedding", "vec_id", nlist = 4,
+        m = 8, ksub = 8, sampleSize = 256, lloydIters = 3)
+    val (cents, books) = run(emb)
+    assert(cents.length == 4 && cents.head.length == 64)
+    assert(books.length == 8 && books.forall(_.length == 8) &&
+      books.forall(_.forall(_.length == 8)))
+    val (cents2, books2) = run(emb.repartition(7))
+    assert(cents2.map(_.toSeq).toSeq == cents.map(_.toSeq).toSeq)
+    assert(books2.map(_.map(_.toSeq).toSeq).toSeq ==
+      books.map(_.map(_.toSeq).toSeq).toSeq)
+    val q = emb.where($"vec_id" < 3)
+    val got = Similarity.ivfPqTopKWithParams(emb, q, "embedding",
+        "vec_id", "vec_id", k = 5, cents, books, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    assert(got.length == 15)
+    // the corpus-trained quantizer meets the trained-path recall bar:
+    // every query's self lands in its top-5 (the q152-family floor)
+    assert(got.count(x => x._1 == x._2) == 3, got.toSeq)
+  }
 }

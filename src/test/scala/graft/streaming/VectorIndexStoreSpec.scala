@@ -176,6 +176,26 @@ class VectorIndexStoreSpec extends AnyFunSuite {
     assert(self.length == 3 && self.forall(_ == 1))
   }
 
+  test("distributedTrain store: searching equals the direct pipeline " +
+      "under the ivfPqTrainDistributed model (the large-nlist path)") {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("vec_index_dist").toString
+    val store = new VectorIndexStore(spark, tmp, nlist = 4, m = 8,
+      ksub = 8, sampleSize = 256, distributedTrain = true)
+    store.initialize(emb)
+    val q = emb.where($"vec_id" < 3)
+    // the persisted model IS the distributed-trained one
+    val (wantCents, _) = Similarity.ivfPqTrainDistributed(emb,
+      "embedding", "vec_id", nlist = 4, m = 8, ksub = 8,
+      sampleSize = 256)
+    val (cents, books) = store.model
+    assert(cents.map(_.toSeq).toSeq == wantCents.map(_.toSeq).toSeq)
+    val direct = Similarity.ivfPqTopKWithParams(emb, q, "embedding",
+      "vec_id", "vec_id", k = 5, cents, books, nprobe = 2)
+    assert(canon(store.topK(q, "vec_id", k = 5, nprobe = 2))
+      == canon(direct))
+  }
+
   test("compact folds batch partitions into one base build, keeps the " +
       "centroid_id directory layout (pruning survives), and retrieval " +
       "is unchanged; cadence metric resets") {
