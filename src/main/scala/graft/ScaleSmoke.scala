@@ -807,10 +807,14 @@ object ScaleSmoke {
     // nlist 1024 is the kernel-assignment regime
     // ksub=256 = 8-BIT codes, the FAISS-standard PQ shape (ksub=16
     // halves the code bytes but collapses recall on tight corpora);
-    // sample sized for 256-way subspace k-means
-    val (cents, books16) = graft.similarity.Similarity.ivfPqTrain(
-      corpus, "embedding", "vec_id", nlist = 1024, m = 8, ksub = 256,
-      sampleSize = 16384)
+    // sample sized for 256-way subspace k-means. The coarse fit is
+    // the DISTRIBUTED trainer — nlist=1024 over 2M vectors is the
+    // large-nlist regime it exists for (the driver form would
+    // single-thread a 1024×16k k-means)
+    val (cents, books16) =
+      graft.similarity.Similarity.ivfPqTrainDistributed(
+        corpus, "embedding", "vec_id", nlist = 1024, m = 8,
+        ksub = 256, sampleSize = 16384, lloydIters = 3)
     val booksPq = graft.similarity.Similarity.pqCodebooks(
       corpus, "embedding", "vec_id", m = 8, ksub = 256,
       sampleSize = 16384)
