@@ -84,7 +84,11 @@ object Bench {
       (s"""{"metric":"total","value":${us(total)},"unit":"sec",""" +
         s""""queries":${jmap(results, us)},"sf":"$sfDir"}""" + "\n")
         .getBytes("UTF-8"))
-    val halves = results.grouped((results.size + 1) / 2).toSeq
+    // grouped(0) throws — an over-narrow SPARK_GRAFT_ONLY filter must
+    // yield empty-but-valid output, not a crash
+    val halves =
+      if (results.isEmpty) Seq.empty
+      else results.grouped((results.size + 1) / 2).toSeq
     halves.zipWithIndex.foreach { case (h, i) =>
       println(s"""{"metric":"part","i":${i + 1},"n":${halves.size},""" +
         s""""queries":${jmap(h, ms)}}""")
