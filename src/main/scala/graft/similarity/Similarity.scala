@@ -668,19 +668,34 @@ object Similarity {
     val sample = hashRankedSample(corpus, vecCol, idCol, sampleSize,
       seed)
     require(sample.nonEmpty, "ivfpq needs a non-empty corpus")
+    val centroids = kmeans(sample, nlist, iterations, seed)
+    (centroids, residualBooks(sample, centroids, m, ksub, seed,
+      iterations))
+  }
+
+  // the residual-codebook tail BOTH train forms share (driver-sample
+  // and distributed coarse fits): subtract each sample vector's
+  // assigned centroid, fit one ksub-way k-means per subspace on the
+  // residual slices — the FAISS train order. One implementation so
+  // the codebook convention can never drift between the two paths
+  // the specs pin as equivalent engines.
+  private def residualBooks(sample: Array[Array[Double]],
+      centroids: Array[Array[Double]], m: Int, ksub: Int,
+      seed: Long, iterations: Int): Array[Array[Array[Double]]] = {
     val dim = sample.head.length
     require(dim % m == 0, s"dim $dim must divide into $m subspaces")
+    require(centroids.head.length == dim,
+      s"coarse centroids have ${centroids.head.length} dims, " +
+        s"sample vectors $dim")
     val ds = dim / m
-    val centroids = kmeans(sample, nlist, iterations, seed)
     val residuals = sample.map { p =>
       val c = centroids(nearestSq(p, centroids))
       Array.tabulate(dim)(i => p(i) - c(i))
     }
-    val books = Array.tabulate(m) { j =>
+    Array.tabulate(m) { j =>
       kmeans(residuals.map(_.slice(j * ds, (j + 1) * ds)), ksub,
         iterations, seed + j)
     }
-    (centroids, books)
   }
 
   /** [[ivfPqTrain]] with the COARSE quantizer fit DISTRIBUTED over
@@ -710,21 +725,8 @@ object Similarity {
     val sample = hashRankedSample(corpus, vecCol, idCol, sampleSize,
       seed)
     require(sample.nonEmpty, "ivfpq needs a non-empty corpus")
-    val dim = sample.head.length
-    require(dim % m == 0, s"dim $dim must divide into $m subspaces")
-    require(centroids.head.length == dim,
-      s"coarse centroids have ${centroids.head.length} dims, " +
-        s"sample vectors $dim")
-    val ds = dim / m
-    val residuals = sample.map { p =>
-      val c = centroids(nearestSq(p, centroids))
-      Array.tabulate(dim)(i => p(i) - c(i))
-    }
-    val books = Array.tabulate(m) { j =>
-      kmeans(residuals.map(_.slice(j * ds, (j + 1) * ds)), ksub,
-        iterations, seed + j)
-    }
-    (centroids, books)
+    (centroids, residualBooks(sample, centroids, m, ksub, seed,
+      iterations))
   }
 
   /** [[ivfPqTopK]] with a CALLER-SUPPLIED coarse quantizer and
@@ -844,8 +846,12 @@ object Similarity {
     // ascending nulls-first window ranks at 1 (silently garbage
     // top-k). Candidate-scale rows only (probed cells), so the check
     // is not a corpus-scan cost.
+    // forall-not-null FIRST: array_min/array_max SKIP null elements,
+    // so a row like [null, 3] would pass the range check and fold a
+    // null adc_dist that the ascending nulls-first window ranks at 1
     val checked = pruned.withColumn("codes",
       when(size(col("codes")) === m &&
+          forall(col("codes"), c => c.isNotNull) &&
           array_min(col("codes")) >= 0 &&
           array_max(col("codes")) < ksub, col("codes"))
         .otherwise(raise_error(concat(

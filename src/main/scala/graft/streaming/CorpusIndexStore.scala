@@ -60,8 +60,14 @@ final class CorpusIndexStore(spark: SparkSession, path: String,
 
   /** Batch-build the index (and seed the accepted corpus) from an
     * initial corpus — lands as `ingest_batch=-1`, wiping any prior
-    * state under `path`. */
-  def initialize(corpus: DataFrame, textCol: String): Unit = {
+    * state under `path` INCLUDING the store-owned checkpoint (a new
+    * store's stream must not skip source data an old checkpoint
+    * committed). */
+  def initialize(corpus: DataFrame, textCol: String): Unit =
+    rebuild(corpus, textCol, wipeCheckpoint = true)
+
+  private def rebuild(corpus: DataFrame, textCol: String,
+      wipeCheckpoint: Boolean): Unit = {
     val hashed = Dedup.shingleHashes(corpus, textCol, idCol, k)
     val (buckets, docs) = Dedup.streamingCorpusIndex(hashed, idCol,
       numHashes, bands, maxBucketSize)
@@ -71,8 +77,8 @@ final class CorpusIndexStore(spark: SparkSession, path: String,
     // committed offsets under a custom checkpoint and restarting with
     // that same checkpoint would silently skip the already-committed
     // source data; reset the custom checkpoint yourself in that flow
-    StorePaths.wipe(spark, Seq(bucketPath, docPath, acceptedPath,
-      s"$path/checkpoint"))
+    StorePaths.wipe(spark, Seq(bucketPath, docPath, acceptedPath) ++
+      (if (wipeCheckpoint) Seq(s"$path/checkpoint") else Nil))
     buckets.write.mode("overwrite").parquet(s"$bucketPath/ingest_batch=-1")
     // docs base RANGE-SORTED on corpus_id (explicit count — an
     // implicit range repartition is AQE-coalescible into unprunable
@@ -80,9 +86,14 @@ final class CorpusIndexStore(spark: SparkSession, path: String,
     // chunked IN over corpus_id, and the sort is what lets parquet
     // min/max stats skip everything outside the candidate set
     docs.repartitionByRange(
-        // typed accessor — a non-numeric platform value (e.g. "auto")
-        // would NumberFormatException through conf.get(...).toInt
-        spark.sessionState.conf.numShufflePartitions,
+        // SHUFFLE_PARTITIONS read DIRECTLY (typed — a non-numeric
+        // platform value would NFE through conf.get(...).toInt; and
+        // the numShufflePartitions shortcut returns AQE's
+        // coalescePartitions.initialPartitionNum when set, hijacking
+        // the documented spark.sql.shuffle.partitions knob — the
+        // StorePaths.compactStore rule)
+        spark.sessionState.conf.getConf(
+          org.apache.spark.sql.internal.SQLConf.SHUFFLE_PARTITIONS),
         col("corpus_id"))
       .sortWithinPartitions(col("corpus_id"))
       .write.mode("overwrite").parquet(s"$docPath/ingest_batch=-1")
@@ -113,8 +124,8 @@ final class CorpusIndexStore(spark: SparkSession, path: String,
     StorePaths.ingestBatchCount(spark, bucketPath)
 
   /** True once the partition count crosses `maxBatches` — run
-    * [[compact]] in an idle window (never mid-ingest: it re-runs
-    * initialize, which resets the store-owned checkpoint) to rebuild
+    * [[compact]] in an idle window (never mid-ingest: it wipes and
+    * rewrites the tables an in-flight batch reads) to rebuild
     * with global bucket caps. The [[SentenceIndexStore
     * .needsCompaction]] cadence contract for this store. */
   def needsCompaction(maxBatches: Int = 64): Boolean =
@@ -215,19 +226,52 @@ final class CorpusIndexStore(spark: SparkSession, path: String,
       .parquet(s"$acceptedPath/ingest_batch=$batchId")
   }
 
+  // the three base partitions a completed rebuild commits — the
+  // base-intact signal the crash protocol keys on (the
+  // StorePaths.compactStore rule, hand-rolled here because this
+  // store's compaction re-RUNS the dedup rather than copying tables)
+  private def baseIntact: Boolean =
+    Seq(bucketPath, docPath, acceptedPath).forall(p =>
+      StorePaths.committed(spark, s"$p/ingest_batch=-1"))
+
   /** Maintenance compaction: rebuild the index from the accepted
     * corpus with GLOBAL bucket caps (the per-batch appends cannot cap
     * across batches) — lands as a fresh base build. The accepted
     * corpus is SNAPSHOTTED TO DURABLE PARQUET before the store is
     * wiped: a localCheckpoint-only copy lives in unreplicated
-    * executor blocks, so one executor loss between initialize()'s
-    * delete and its rewrite would destroy the corpus with no recovery
-    * path — the temp snapshot makes the rebuild restartable. */
+    * executor blocks, so one executor loss between the wipe and the
+    * rewrite would destroy the corpus with no recovery path.
+    *
+    * CRASH SAFETY — the [[StorePaths.compactStore]] rules applied to
+    * this store's rebuild-shaped compaction: a COMMITTED snapshot tmp
+    * with an incomplete base build RESUMES (rebuilds from the tmp
+    * instead of wiping it — the old code wiped the tmp first, so the
+    * natural retry destroyed the only surviving copy of the corpus);
+    * an UNcommitted tmp with an incomplete base refuses to proceed
+    * (marker-less committer / mid-write crash — the tmp may be the
+    * recovery artifact); a stale tmp alongside an INTACT base is
+    * ignored and overwritten (resuming from it would roll back
+    * batches ingested since). The store-owned checkpoint is KEPT:
+    * rebuilding the index changes neither source offsets nor batch
+    * numbering, and a wiped checkpoint on a replayable source would
+    * re-deliver every historical offset. */
   def compact(textCol: String = "text"): Unit = {
     val tmp = s"$path/compact_tmp"
-    StorePaths.wipe(spark, Seq(tmp))
-    accepted.write.mode("overwrite").parquet(tmp)
-    initialize(spark.read.parquet(tmp), textCol)
+    val resuming = StorePaths.committed(spark, tmp) && !baseIntact
+    if (!resuming) {
+      if (StorePaths.exists(spark, tmp) && !baseIntact)
+        throw new IllegalStateException(
+          s"CorpusIndexStore.compact: snapshot tmp $tmp exists but " +
+            "neither it nor the base build carry _SUCCESS markers — " +
+            "cannot tell a crashed-mid-rebuild store (the tmp may be " +
+            "the only surviving copy) from a marker-less committer's " +
+            "healthy one. If the tmp is a complete corpus snapshot, " +
+            "rebuild from it manually; if the live store is verified " +
+            "intact, delete the tmp and compact again.")
+      StorePaths.wipe(spark, Seq(tmp))
+      accepted.write.mode("overwrite").parquet(tmp)
+    }
+    rebuild(spark.read.parquet(tmp), textCol, wipeCheckpoint = false)
     StorePaths.wipe(spark, Seq(tmp))
   }
 
@@ -238,17 +282,35 @@ final class CorpusIndexStore(spark: SparkSession, path: String,
     * rides it): the deleted documents' band buckets and signatures
     * leave the index with them, so a future arrival near-duplicating
     * ONLY deleted content is accepted — the membership evidence died
-    * with the takedown. Crash-safe the same way [[compact]] is: the
-    * filtered corpus is snapshotted to durable parquet before the
-    * wipe, so a crash mid-rebuild leaves `compact_tmp` as the
-    * (already-filtered) recovery artifact. */
+    * with the takedown. Crash contract: a PENDING crashed compaction
+    * (committed tmp, incomplete base) REFUSES the deletion — resuming
+    * would rebuild from the unfiltered snapshot and silently skip it;
+    * run [[compact]] to completion first. A crash mid-deleteIds
+    * leaves the already-FILTERED snapshot as the recovery artifact,
+    * so the subsequent compact() completes the deletion. The
+    * checkpoint is kept ([[compact]]'s rationale — doubly so here: a
+    * replayed source would resurrect the taken-down documents, since
+    * the membership evidence against them just died). */
   def deleteIds(ids: DataFrame, textCol: String = "text"): Unit = {
     val tmp = s"$path/compact_tmp"
+    if (!baseIntact) {
+      if (StorePaths.committed(spark, tmp))
+        throw new IllegalStateException(
+          "CorpusIndexStore.deleteIds: a previously crashed " +
+            "compaction is pending (committed snapshot tmp, " +
+            "incomplete base) — proceeding would rebuild from the " +
+            "UNFILTERED snapshot and silently skip this deletion. " +
+            "Run compact() to completion first, then deleteIds again.")
+      throw new IllegalStateException(
+        "CorpusIndexStore.deleteIds: the base build is incomplete " +
+          "and no committed snapshot exists — the store is " +
+          "mid-initialize or damaged; repair it before deleting.")
+    }
     StorePaths.wipe(spark, Seq(tmp))
     accepted.join(ids.select(col(idCol)).distinct(), Seq(idCol),
         "left_anti")
       .write.mode("overwrite").parquet(tmp)
-    initialize(spark.read.parquet(tmp), textCol)
+    rebuild(spark.read.parquet(tmp), textCol, wipeCheckpoint = false)
     StorePaths.wipe(spark, Seq(tmp))
   }
 }

@@ -174,9 +174,9 @@ final class ParagraphIndexStore(spark: SparkSession, path: String,
     * the wipe and the rewrite), then land back as single
     * `ingest_batch=-1` partitions with shard filters rebuilt from
     * the snapshot hash table; membership and cleaned text are
-    * exactly preserved, no dedup recomputation. The checkpoint
-    * resets — safe, every pre-compaction batch now lives in the
-    * base partition. Crash safety is the shared
+    * exactly preserved, no dedup recomputation. The store-owned
+    * checkpoint is KEPT (folding invalidates neither source offsets
+    * nor batch numbering). Crash safety is the shared
     * [[StorePaths.compactStore]] protocol (see
     * [[SentenceIndexStore.compact]]): resume only when the base
     * build is missing; stale snapshots after a complete rewrite are
@@ -207,7 +207,11 @@ final class ParagraphIndexStore(spark: SparkSession, path: String,
         StorePaths.CompactTable(() => drop(cleaned),
           s"$path/compact_tmp_cleaned",
           s"$cleanedPath/ingest_batch=-1")),
-      Seq(paraPath, cleanedPath, bloomPath, s"$path/checkpoint")) {
+      // checkpoint KEPT — the [[SentenceIndexStore]] compactImpl
+      // rationale: a wiped checkpoint + replayable source duplicates
+      // doc rows and, post-deleteIds, resurrects taken-down docs
+      Seq(paraPath, cleanedPath, bloomPath),
+      pendingDeletion = del.isDefined) {
       reread =>
         Curation.paragraphBloomShards(
             reread.head.where(col("para_chars") >= minParaChars),

@@ -196,9 +196,9 @@ final class SentenceIndexStore(spark: SparkSession, path: String,
     * between the wipe and the rewrite), the store is wiped, and both
     * land back as single `ingest_batch=-1` partitions with shard
     * filters rebuilt from the snapshot. Membership and cleaned text
-    * are exactly preserved; the checkpoint resets, which is safe
-    * because every pre-compaction batch now lives in the base
-    * partition.
+    * are exactly preserved; the store-owned checkpoint is KEPT
+    * (folding invalidates neither source offsets nor batch
+    * numbering — see the wipe-paths note in `compactImpl`).
     *
     * CRASH SAFETY — the [[StorePaths.compactStore]] protocol, shared
     * with [[ParagraphIndexStore]]: the snapshots are the recovery
@@ -245,7 +245,17 @@ final class SentenceIndexStore(spark: SparkSession, path: String,
         StorePaths.CompactTable(() => drop(cleaned),
           s"$path/compact_tmp_cleaned",
           s"$cleanedPath/ingest_batch=-1")),
-      Seq(sentPath, cleanedPath, bloomPath, s"$path/checkpoint")) {
+      // the store-owned checkpoint is KEPT (only initialize wipes
+      // it): folding batches into the base changes neither source
+      // offsets nor batch numbering, and a wiped checkpoint on a
+      // replayable source re-delivers every historical offset — at
+      // best duplicate doc rows in `cleaned` (membership strips the
+      // CONTENT but each replayed doc still lands a row), and after
+      // deleteIds it silently RESURRECTS the taken-down documents
+      // (membership deliberately forgot them, so nothing stops the
+      // replayed copy)
+      Seq(sentPath, cleanedPath, bloomPath),
+      pendingDeletion = del.isDefined) {
       reread => writeBloomShards(reread.head, batchId = -1L)
     }
   }

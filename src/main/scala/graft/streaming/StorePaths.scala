@@ -136,12 +136,27 @@ private[streaming] object StorePaths {
     * silent loss of every row in the unwritten files. When in doubt
     * this throws with recovery instructions; an operator who has
     * verified the live store simply deletes the leftover tmps. */
+  /** `pendingDeletion`: set by the stores' `deleteIds` path. The
+    * RESUME branch restores the PREVIOUS run's snapshot verbatim and
+    * never invokes `current()` — correct for a crashed plain
+    * compaction, but a deletion riding it would silently NO-OP (the
+    * stale snapshot is unfiltered, the anti-join closure never runs,
+    * and the call returns success while the takedown ids stay fully
+    * searchable). A pending deletion therefore REFUSES the resume
+    * with instructions instead of lying. */
   def compactStore(spark: SparkSession, tables: Seq[CompactTable],
-      wipePaths: Seq[String])(
+      wipePaths: Seq[String], pendingDeletion: Boolean = false)(
       finish: Seq[DataFrame] => Unit): Unit = {
     val tmps = tables.map(_.tmp)
     val basesIntact = tables.forall(t => committed(spark, t.base))
     val resuming = tmps.forall(t => committed(spark, t)) && !basesIntact
+    if (resuming && pendingDeletion)
+      throw new IllegalStateException(
+        "compactStore: a previously crashed compaction is pending " +
+          "(committed snapshot tmps exist and the base build is " +
+          "incomplete) — resuming would restore the UNFILTERED " +
+          "snapshot and silently skip this deletion. Run compact() " +
+          "to completion first, then deleteIds again.")
     if (!resuming) {
       val tmpsPresent = tmps.filter(exists(spark, _))
       if (tmpsPresent.nonEmpty && !basesIntact)

@@ -77,9 +77,9 @@ final class UrlIndexStore(spark: SparkSession, path: String,
     StorePaths.ingestBatchCount(spark, urlsPath)
 
   /** True once the partition count crosses `maxBatches` — run
-    * [[compact]] in an idle window (never mid-ingest: compaction
-    * resets the store-owned checkpoint) to fold everything into one
-    * url-sorted base. The default bounds the per-batch confirm at
+    * [[compact]] in an idle window (never mid-ingest: it wipes and
+    * rewrites the tables an in-flight batch reads) to fold
+    * everything into one url-sorted base. The default bounds the per-batch confirm at
     * ~64 directory opens; tune by batch cadence vs. available idle
     * windows — the [[SentenceIndexStore.needsCompaction]] contract at
     * this store's granularity. */
@@ -192,5 +192,9 @@ final class UrlIndexStore(spark: SparkSession, path: String,
             accepted.join(d, Seq(idCol), "left_anti") },
           s"$path/compact_tmp_accepted",
           s"$acceptedPath/ingest_batch=-1")),
-      Seq(urlsPath, acceptedPath, s"$path/checkpoint")) { _ => () }
+      // checkpoint KEPT — the [[SentenceIndexStore]] compactImpl
+      // rationale: a wiped checkpoint + replayable source duplicates
+      // accepted rows and, post-deleteIds, resurrects taken-down urls
+      Seq(urlsPath, acceptedPath),
+      pendingDeletion = del.isDefined) { _ => () }
 }

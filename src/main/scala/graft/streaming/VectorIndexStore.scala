@@ -67,7 +67,12 @@ final class VectorIndexStore(spark: SparkSession, path: String,
   def initialize(corpus: DataFrame): Unit = {
     val (cents, books) =
       if (distributedTrain) Similarity.ivfPqTrainDistributed(corpus,
-        vecCol, idCol, nlist, m, ksub, sampleSize, seed, iterations)
+        vecCol, idCol, nlist, m, ksub, sampleSize, seed, iterations,
+        // the store's ONE iterations knob governs the coarse fit on
+        // BOTH paths (it does on the driver path) — without this the
+        // distributed Lloyd count silently pins at its default and
+        // tuning `iterations` changes only the codebooks
+        lloydIters = iterations)
       else Similarity.ivfPqTrain(corpus, vecCol, idCol,
         nlist, m, ksub, sampleSize, seed, iterations)
     StorePaths.wipe(spark, Seq(codesPath, s"$path/model",
@@ -250,5 +255,6 @@ final class VectorIndexStore(spark: SparkSession, path: String,
         s"$path/compact_tmp_codes",
         s"$codesPath/ingest_batch=-1",
         partitionCol = Some("centroid_id"))),
-      Seq(codesPath)) { _ => () }
+      Seq(codesPath),
+      pendingDeletion = del.isDefined) { _ => () }
 }

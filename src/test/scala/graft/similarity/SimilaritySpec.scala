@@ -694,6 +694,17 @@ class SimilaritySpec extends AnyFunSuite {
     }
     assert(msgChain(e2).contains("does not fit the supplied model"),
       msgChain(e2))
+    // a NULL code element must fail too: array_min/array_max SKIP
+    // nulls, so an in-range-looking [null, 0] row would otherwise
+    // fold a null adc_dist that nulls-first ordering ranks at 1
+    val nullCode = Seq((1L, 0)).toDF("corpus_id", "centroid_id")
+      .withColumn("codes", array(lit(null).cast("int"), lit(0)))
+    val e3 = intercept[Throwable] {
+      Similarity.ivfPqTopKFromCodes(nullCode, q, "embedding",
+        "vec_id", k = 1, cents, books, nprobe = 1).collect()
+    }
+    assert(msgChain(e3).contains("does not fit the supplied model"),
+      msgChain(e3))
     // a WELL-FORMED table still ranks normally through the check
     val fine = Seq((1L, 0, Seq(0, 0)), (2L, 0, Seq(1, 1)))
       .toDF("corpus_id", "centroid_id", "codes")

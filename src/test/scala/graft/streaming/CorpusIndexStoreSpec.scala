@@ -189,4 +189,31 @@ class CorpusIndexStoreSpec extends AnyFunSuite {
     assert(ids.contains(30L), s"clone of deleted doc rejected: $ids")
     assert(!ids.contains(31L), s"clone of survivor accepted: $ids")
   }
+  test("compact() RESUMES from a committed snapshot after a crash " +
+      "mid-rebuild instead of wiping the only surviving copy; " +
+      "deleteIds refuses while that state is pending") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files
+      .createTempDirectory("corpus_index_crash").toString
+    val store = newStore(tmp)
+    store.initialize(corpusRows.toDF("doc_id", "text"), "text")
+    val before = store.accepted.orderBy(col("doc_id")).collect().toSeq
+    // crash window: snapshot committed, base wiped mid-rebuild — the
+    // old compact() wiped the tmp FIRST on retry, destroying the
+    // corpus' only surviving copy before discovering the base is gone
+    store.accepted.write.mode("overwrite").parquet(s"$tmp/compact_tmp")
+    StorePaths.wipe(spark, Seq(s"$tmp/buckets", s"$tmp/docs",
+      s"$tmp/accepted"))
+    val e = intercept[IllegalStateException] {
+      store.deleteIds(Seq(100L).toDF("doc_id"))
+    }
+    assert(e.getMessage.contains("skip this deletion"))
+    store.compact()
+    assert(store.accepted.orderBy(col("doc_id")).collect().toSeq
+      == before)
+    assert(store.docTable.count() > 0)
+    // the deletion completes once the store is whole again
+    store.deleteIds(Seq(100L).toDF("doc_id"))
+    assert(store.accepted.where(col("doc_id") === 100L).count() == 0)
+  }
 }

@@ -188,4 +188,32 @@ class ParagraphIndexStoreSpec extends AnyFunSuite {
     assert(store.cleaned.where(col("doc_id") === 31L)
       .select(col("text")).as[String].head() == "trailing new bit")
   }
+  test("deleteIds refuses to ride a crashed compaction's resume " +
+      "(it would restore the UNFILTERED snapshot and silently skip " +
+      "the deletion); compact() then deleteIds completes it") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files
+      .createTempDirectory("para_index_del_resume").toString
+    val store = new ParagraphIndexStore(spark, tmp)
+    store.initialize(corpusRows.toDF("doc_id", "text"), "text")
+    // crash window: snapshots committed, base wiped mid-rewrite
+    store.paragraphTable.write.mode("overwrite")
+      .parquet(s"$tmp/compact_tmp_paragraphs")
+    store.cleaned.write.mode("overwrite")
+      .parquet(s"$tmp/compact_tmp_cleaned")
+    StorePaths.wipe(spark, Seq(s"$tmp/paragraphs", s"$tmp/cleaned",
+      s"$tmp/blooms"))
+    val e = intercept[IllegalStateException] {
+      store.deleteIds(Seq(1L).toDF("doc_id"))
+    }
+    assert(e.getMessage.contains("skip this deletion"))
+    // the pending compaction resumes normally...
+    store.compact()
+    assert(store.cleaned.where(col("doc_id") === 1L).count() == 1)
+    // ...and the deletion lands once the store is whole again
+    store.deleteIds(Seq(1L).toDF("doc_id"))
+    assert(store.cleaned.where(col("doc_id") === 1L).count() == 0)
+    assert(store.paragraphTable.where(col("doc_id") === 1L)
+      .count() == 0)
+  }
 }

@@ -63,6 +63,16 @@ class SentenceIndexStoreSpec extends AnyFunSuite {
     val indexHashes = store.sentenceTable.select(col("sent_hash"))
       .as[Long].collect().sorted
     assert(indexHashes.toSeq == keptHashes.toSeq)
+    // compaction PRESERVES the store-owned checkpoint (round-13
+    // stance, all stores): a wiped checkpoint + replayable source
+    // re-delivers every offset — duplicate doc rows in cleaned, and
+    // resurrection of taken-down docs after deleteIds
+    store.compact()
+    assert(StorePaths.exists(spark, s"$tmp/checkpoint"),
+      "compact() must not wipe the store-owned checkpoint")
+    assert(store.cleaned.orderBy(col("doc_id"))
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().toSeq == got)
   }
 
   test("index survives NON-INVERTIBLE re-segmentation: rebuilt text " +

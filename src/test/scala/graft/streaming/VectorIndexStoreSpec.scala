@@ -180,14 +180,18 @@ class VectorIndexStoreSpec extends AnyFunSuite {
       "under the ivfPqTrainDistributed model (the large-nlist path)") {
     val tmp = java.nio.file.Files
       .createTempDirectory("vec_index_dist").toString
+    // iterations=1: the store's ONE iterations knob must govern the
+    // COARSE Lloyd count on this path too (a mis-forwarded knob
+    // would train 5 Lloyd passes and diverge from wantCents below)
     val store = new VectorIndexStore(spark, tmp, nlist = 4, m = 8,
-      ksub = 8, sampleSize = 256, distributedTrain = true)
+      ksub = 8, sampleSize = 256, iterations = 1,
+      distributedTrain = true)
     store.initialize(emb)
     val q = emb.where($"vec_id" < 3)
     // the persisted model IS the distributed-trained one
     val (wantCents, _) = Similarity.ivfPqTrainDistributed(emb,
       "embedding", "vec_id", nlist = 4, m = 8, ksub = 8,
-      sampleSize = 256)
+      sampleSize = 256, iterations = 1, lloydIters = 1)
     val (cents, books) = store.model
     assert(cents.map(_.toSeq).toSeq == wantCents.map(_.toSeq).toSeq)
     val direct = Similarity.ivfPqTopKWithParams(emb, q, "embedding",
