@@ -806,6 +806,119 @@ object CurationQueriesImpl {
         .orderBy(col("query_id"), col("rank"))
     }
 
+    // HYBRID retrieval via reciprocal-rank fusion (Cormack 2009):
+    // the q105 lexical top-10 fused with a semantic top-10 over the
+    // same ids (documents and embeddings share the 0..499 key space)
+    // through the REAL Curation.rrfFuse engine. The semantic list
+    // uses the q70 gate's micro-quantized cosine (order-independent
+    // integer product sums -> identical cross-engine ORDERING; the
+    // production bruteForceTopK stays spec-tested) and both lists'
+    // contributions are integer micros floor(1e6/(60+rank)) — FLOOR,
+    // not ROUND: 1e6/128 = 7812.5 exactly, and a cross-engine
+    // half-way rule is the q145 failure class (rrfFuse scaladoc) —
+    // so the fused scores, list counts, and final ranking all
+    // hash-check. Docs surfacing in BOTH lists outrank single-list
+    // hits at comparable ranks: the property hybrid retrieval buys.
+    register("q154_rrf_hybrid",
+      """WITH d AS (SELECT doc_id,
+        |    REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+') AS tok
+        |  FROM documents),
+        |q AS (SELECT DISTINCT a.doc_id AS qid,
+        |    UNNEST(LIST_DISTINCT(a.tok)) AS term
+        |  FROM d a WHERE a.doc_id < 3),
+        |st AS (SELECT COUNT(*) AS n, SUM(LEN(tok)) AS sdl FROM d),
+        |t AS (SELECT doc_id, LEN(tok) AS dl, UNNEST(tok) AS term
+        |  FROM d),
+        |tf AS (SELECT q.qid, t.doc_id, t.term, ANY_VALUE(t.dl) AS dl,
+        |    COUNT(*) AS tf
+        |  FROM t JOIN q ON t.term = q.term
+        |  GROUP BY q.qid, t.doc_id, t.term),
+        |dfq AS (SELECT term, COUNT(*) AS dfr
+        |  FROM (SELECT DISTINCT doc_id, term FROM tf) GROUP BY term),
+        |sc AS (SELECT tf.qid, tf.doc_id,
+        |    CAST(SUM(CAST(ROUND(LN((st.n - dfq.dfr + 0.5)
+        |        / (dfq.dfr + 0.5) + 1.0)
+        |      * (tf.tf * (1.2 + 1)) / (tf.tf + 1.2 * (1 - 0.75
+        |      + 0.75 * tf.dl / (CAST(st.sdl AS DOUBLE) / st.n)))
+        |      * 1e6) AS BIGINT)) AS BIGINT) AS bm
+        |  FROM tf, dfq, st WHERE tf.term = dfq.term
+        |  GROUP BY tf.qid, tf.doc_id),
+        |brk AS (SELECT qid, doc_id, rank FROM (
+        |    SELECT qid, doc_id, ROW_NUMBER() OVER (PARTITION BY qid
+        |      ORDER BY bm DESC, doc_id) AS rank
+        |    FROM sc) WHERE rank <= 10),
+        |e AS (SELECT vec_id, embedding FROM embeddings),
+        |cq AS (SELECT vec_id AS qid, embedding AS qv FROM e
+        |  WHERE vec_id < 3),
+        |pairs AS (SELECT cq.qid, e.vec_id AS doc_id,
+        |    LIST_AGGREGATE(LIST_TRANSFORM(GENERATE_SERIES(1,
+        |        LEN(cq.qv)),
+        |      i -> CAST(ROUND(CAST(cq.qv[i] AS DOUBLE)
+        |        * CAST(e.embedding[i] AS DOUBLE) * 1e12) AS BIGINT)),
+        |      'sum') / 1e12 AS dot,
+        |    LIST_AGGREGATE(LIST_TRANSFORM(GENERATE_SERIES(1,
+        |        LEN(cq.qv)),
+        |      i -> CAST(ROUND(CAST(cq.qv[i] AS DOUBLE)
+        |        * CAST(cq.qv[i] AS DOUBLE) * 1e12) AS BIGINT)),
+        |      'sum') / 1e12 AS qn,
+        |    LIST_AGGREGATE(LIST_TRANSFORM(GENERATE_SERIES(1,
+        |        LEN(e.embedding)),
+        |      i -> CAST(ROUND(CAST(e.embedding[i] AS DOUBLE)
+        |        * CAST(e.embedding[i] AS DOUBLE) * 1e12) AS BIGINT)),
+        |      'sum') / 1e12 AS cn
+        |  FROM e CROSS JOIN cq),
+        |crk AS (SELECT qid, doc_id, rank FROM (
+        |    SELECT qid, doc_id, ROW_NUMBER() OVER (PARTITION BY qid
+        |      ORDER BY dot / (SQRT(qn) * SQRT(cn)) DESC, doc_id)
+        |      AS rank
+        |    FROM pairs) WHERE rank <= 10),
+        |u AS (SELECT qid, doc_id,
+        |    CAST(FLOOR(1e6 / (60 + rank)) AS BIGINT) AS m FROM brk
+        |  UNION ALL
+        |  SELECT qid, doc_id,
+        |    CAST(FLOOR(1e6 / (60 + rank)) AS BIGINT) FROM crk),
+        |f AS (SELECT qid, doc_id, CAST(SUM(m) AS BIGINT) AS rrf_micro,
+        |    CAST(COUNT(*) AS BIGINT) AS n_lists
+        |  FROM u GROUP BY qid, doc_id),
+        |fr AS (SELECT qid, doc_id, rrf_micro, n_lists,
+        |    ROW_NUMBER() OVER (PARTITION BY qid
+        |      ORDER BY rrf_micro DESC, doc_id) AS rank FROM f)
+        |SELECT qid AS query_id, doc_id, rrf_micro, n_lists,
+        |  CAST(rank AS BIGINT) AS rank
+        |FROM fr WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin) {
+      (s, dir) =>
+      val docs = TextQueriesImpl.docTokens(s, dir)
+      val lex = Curation.bm25TopKFromTokens(docs, "toks_low",
+          docs.where(col("doc_id") < 3).select("doc_id", "text"),
+          "text", "doc_id", "doc_id", k = 10)
+        .select(col("query_id"), col("doc_id"), col("rank"))
+      val emb = table(s, dir, "embeddings")
+      def microDot(a: Column, b: Column) =
+        aggregate(zip_with(a, b, (x, y) =>
+          round(x.cast("double") * y.cast("double") * 1e12)
+            .cast("long")),
+          lit(0L), (acc, v) => acc + v) / 1e12
+      val qSide = emb.where(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").as("qv"))
+        .withColumn("qn", microDot(col("qv"), col("qv")))
+      val cSide = emb.select(col("vec_id").as("doc_id"),
+          col("embedding").as("cv"))
+        .withColumn("cn", microDot(col("cv"), col("cv")))
+      val sem = cSide.crossJoin(broadcast(qSide))
+        .withColumn("dot_", microDot(col("cv"), col("qv")))
+        .withColumn("cos_",
+          col("dot_") / (sqrt(col("qn")) * sqrt(col("cn"))))
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("query_id"))
+            .orderBy(col("cos_").desc, col("doc_id"))).cast("long"))
+        .where(col("rank") <= 10)
+        .select(col("query_id"), col("doc_id"), col("rank"))
+      Curation.rrfFuse(Seq(lex, sem), "query_id", "doc_id", k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }
+
     // Stratified sampling through the q99 oracle-twin pattern: the
     // production draw is xxhash64 (spec-locked for partitioning
     // invariance); this gate swaps ONLY the per-row uniform for the

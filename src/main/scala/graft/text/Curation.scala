@@ -2246,6 +2246,54 @@ object Curation {
         col("n_matched"), col("bm25_micro"), col("rank"))
   }
 
+  /** Reciprocal-rank fusion (Cormack et al. 2009) — the HYBRID
+    * retrieval step every production RAG/curation stack runs: fuse a
+    * lexical ranking ([[bm25TopK]]) with a semantic one (the
+    * `similarity` top-k family) without score calibration, because
+    * RRF consumes only RANKS: a document's fused score is
+    * `Σ_lists round(1e6 / (c + rank))` over the lists that contain
+    * it (INTEGER micros, so the sum is order-independent and
+    * cross-engine exact — the engine-wide float-hash rule; c = 60,
+    * the published constant, damps the head so one list's #1 cannot
+    * drown agreement further down). Documents surfacing in SEVERAL
+    * lists outrank single-list hits at comparable ranks — exactly
+    * the property hybrid retrieval wants.
+    *
+    * Inputs: each ranking carries (queryIdCol, docIdCol, rank) —
+    * rank 1-based, the shape every top-k engine here emits. Returns
+    * (queryIdCol, docIdCol, rrf_micro, n_lists, rank ≤ k), ties on
+    * the fused score broken by docIdCol.
+    *
+    * Scale shape: the inputs are per-query TOP-K′ lists (rank-list
+    * scale by construction — the corpus-scale work already happened
+    * inside the retrievers), so the union + one groupBy + one
+    * per-query window are candidate-scale; nothing here touches a
+    * corpus. The contribution is FLOOR(1e6/(c+rank)), not ROUND:
+    * `2e6 = 2⁷·5⁶` has odd divisors (at c = 60, rank 68 → 1e6/128 =
+    * 7812.5 EXACTLY), so a ROUND here would sit on a half-way case
+    * whose tie rule differs across engines — the q145 failure class;
+    * floor of the identical IEEE quotient has no tie rule at all
+    * (the KMeans.quantizeFloor argument). The spec pins the 7812.5
+    * case explicitly. */
+  def rrfFuse(rankings: Seq[DataFrame], queryIdCol: String,
+      docIdCol: String, k: Int, c: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    require(k > 0 && c >= 1, "k must be positive, c >= 1")
+    val contribs = rankings.map(_.select(col(queryIdCol),
+      col(docIdCol),
+      floor(lit(1e6) / (lit(c) + col("rank").cast("double")))
+        .cast("long").as("rrf_m_")))
+    val fused = contribs.reduce(_.unionByName(_))
+      .groupBy(col(queryIdCol), col(docIdCol))
+      .agg(sum(col("rrf_m_")).as("rrf_micro"),
+        count(lit(1)).as("n_lists"))
+    fused
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col(queryIdCol))
+          .orderBy(col("rrf_micro").desc, col(docIdCol))).cast("long"))
+      .where(col("rank") <= k)
+  }
+
   /** Per-domain document cap (the C4/Dolma curation step): keep at
     * most `n` rows per `keyCols` group, preferring `order` (e.g.
     * quality desc) — callers append a unique id to `order` for a

@@ -523,6 +523,46 @@ class CurationSpec extends AnyFunSuite {
         (1 to rows.length).map(_.toLong)) }
   }
 
+  test("rrfFuse: hand-checked contributions, multi-list agreement " +
+      "outranks single-list heads, k cut, deterministic ties, and " +
+      "the 7812.5 half-way case floors identically everywhere") {
+    // list A: (q, d, rank); list B overlaps on d=2 (rank 2 in both)
+    val a = Seq((1L, 1L, 1L), (1L, 2L, 2L), (1L, 3L, 3L))
+      .toDF("query_id", "doc_id", "rank")
+    val b = Seq((1L, 2L, 2L), (1L, 9L, 1L))
+      .toDF("query_id", "doc_id", "rank")
+    val fused = Curation.rrfFuse(Seq(a, b), "query_id", "doc_id",
+        k = 3)
+      .orderBy($"rank")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    def m(rank: Long): Long = 1000000L / (60 + rank) // = floor
+    // doc 2 appears in BOTH lists at rank 2: 2×m(2) beats every
+    // single-list head m(1) — the hybrid-agreement property
+    assert(fused.head == (2L, 2 * m(2), 2L, 1L), fused.toSeq)
+    // singles ranked by their one contribution; k=3 cuts doc 3
+    // (m(3) < m(1)); ties on the fused score break by doc_id — docs
+    // 1 and 9 both carry m(1), so 1 before 9
+    assert(fused.toSeq == Seq(
+      (2L, 2 * m(2), 2L, 1L),
+      (1L, m(1), 1L, 2L),
+      (9L, m(1), 1L, 3L)), fused.toSeq)
+    // the scaladoc's half-way case, pinned THROUGH the engine: rank
+    // 68 at c=60 makes 1e6/128 = 7812.5 exactly — a ROUND here would
+    // sit on a cross-engine tie rule (the q145 failure class); floor
+    // is 7812 everywhere
+    val half = Curation.rrfFuse(
+        Seq(Seq((1L, 5L, 68L)).toDF("query_id", "doc_id", "rank")),
+        "query_id", "doc_id", k = 1)
+      .select($"rrf_micro").as[Long].head()
+    assert(half == 7812L, s"halfway contribution drifted: $half")
+    // empty rankings refused
+    val e = intercept[IllegalArgumentException] {
+      Curation.rrfFuse(Seq.empty, "query_id", "doc_id", k = 1)
+    }
+    assert(e.getMessage.contains("at least one ranking"))
+  }
+
   test("capPerKey keeps the n best per key with dense 1-based ranks") {
     val df = Seq(
       ("a", 1L, 50L), ("a", 2L, 90L), ("a", 3L, 70L), ("a", 4L, 90L),
