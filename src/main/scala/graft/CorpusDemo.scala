@@ -276,6 +276,20 @@ object CorpusDemo {
         "embedding", "vec_id", "vec_id", k = 5).count()
     }
 
+    // 8a'-bis. the 32x tier below SQ8: sign-bit binary quantization
+    //          with the oversample-then-rescore search — Hamming
+    //          candidates over packed codes, exact cosine on only the
+    //          over-fetched candidates
+    t("ann probe: bq rescored top-5 over survivors") {
+      val emb = Tables.table(spark, sfDir, "embeddings")
+        .join(pruned.select(col("doc_id").as("vec_id")), Seq("vec_id"),
+          "left_semi").localCheckpoint(false)
+      Similarity.bqTopKRescored(
+        Similarity.bqCodeTable(emb, "embedding", "vec_id"), emb,
+        emb.orderBy(col("vec_id")).limit(4),
+        "embedding", "vec_id", "vec_id", k = 5, refineFactor = 4).count()
+    }
+
     // 8a''. cluster-aware probe: exact-integer k-means over the
     //       survivors' embeddings — cluster ids are the stratum key a
     //       label-free corpus uses for balanced caps/mixtures (the

@@ -568,6 +568,92 @@ object SimilarityQueriesImpl {
         .orderBy(col("query_id"), col("rank"))
     }
 
+    // Binary quantization through the REAL packed engine: Spark packs
+    // sign bits 32-per-long (bqSignBits), XORs and popcounts the words
+    // (bit_count); the oracle counts sign disagreements dimension-wise
+    // — arithmetically identical Hamming distances (pure integers, no
+    // float hazard), so candidates, distances and (hamming, id) ranks
+    // all hash-check without DuckDB replaying the packing itself.
+    register("q155_bq_hamming_topk",
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+        |  WHERE vec_id < 8),
+        |c AS (SELECT vec_id AS corpus_id, embedding AS cv
+        |      FROM embeddings),
+        |pairs AS (
+        |  SELECT query_id, corpus_id,
+        |    CAST(LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(qv)),
+        |      i -> CASE WHEN (qv[i] >= 0) <> (cv[i] >= 0)
+        |           THEN 1 ELSE 0 END)) AS BIGINT) AS hamming
+        |  FROM q CROSS JOIN c),
+        |ranked AS (
+        |  SELECT query_id, corpus_id, hamming,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY hamming, corpus_id) AS rank
+        |  FROM pairs)
+        |SELECT query_id, corpus_id, hamming, CAST(rank AS BIGINT) AS rank
+        |FROM ranked WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
+      val emb = table(s, dir, "embeddings")
+      Similarity.bqTopK(emb, emb.where(col("vec_id") < 8),
+          "embedding", "vec_id", "vec_id", k = 5)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy(col("query_id"), col("rank"))
+    }
+
+    // BQ + exact rescore (the production oversample-then-rescore
+    // shape): Hamming over-fetch of 4x5 candidates through the packed
+    // engine, then exact cosine on just those candidates via the
+    // pruned id fetch. The oracle rebuilds the same candidate set from
+    // sign disagreements (integers — exact) and the same sequential
+    // multiply-accumulate cosine (LIST_SUM == the codegen'd primitive
+    // loop, bit-identical doubles — the q79 precedent).
+    register("q156_bq_rescored_topk", {
+      def sumProd(x: String, y: String) =
+        s"""LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, LEN($x)),
+           |    i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)))"""
+          .stripMargin
+      s"""WITH q AS (
+         |  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+         |  WHERE vec_id < 8),
+         |c AS (SELECT vec_id AS corpus_id, embedding AS cv
+         |      FROM embeddings),
+         |ham AS (
+         |  SELECT query_id, corpus_id,
+         |    LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(qv)),
+         |      i -> CASE WHEN (qv[i] >= 0) <> (cv[i] >= 0)
+         |           THEN 1 ELSE 0 END)) AS hamming
+         |  FROM q CROSS JOIN c),
+         |cand AS (SELECT query_id, corpus_id FROM (
+         |    SELECT query_id, corpus_id,
+         |      ROW_NUMBER() OVER (PARTITION BY query_id
+         |        ORDER BY hamming, corpus_id) AS rank
+         |    FROM ham) WHERE rank <= 20),
+         |ex AS (SELECT cand.query_id, cand.corpus_id,
+         |    ${sumProd("c.cv", "q.qv")}
+         |      / (SQRT(${sumProd("c.cv", "c.cv")})
+         |       * SQRT(${sumProd("q.qv", "q.qv")})) AS cosine
+         |  FROM cand
+         |  JOIN c ON c.corpus_id = cand.corpus_id
+         |  JOIN q ON q.query_id = cand.query_id),
+         |rr AS (SELECT query_id, corpus_id, cosine,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY cosine DESC, corpus_id) AS rank
+         |  FROM ex)
+         |SELECT query_id, corpus_id, ROUND(cosine, 6) AS cosine,
+         |  CAST(rank AS BIGINT) AS rank
+         |FROM rr WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+    }) { (s, dir) =>
+      val emb = table(s, dir, "embeddings")
+      Similarity.bqTopKRescored(
+          Similarity.bqCodeTable(emb, "embedding", "vec_id"),
+          emb, emb.where(col("vec_id") < 8), "embedding", "vec_id",
+          "vec_id", k = 5, refineFactor = 4)
+        .withColumn("cosine", round(col("cosine"), 6))
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy(col("query_id"), col("rank"))
+    }
+
     // SemDedup-style semantic pruning, gated end-to-end: the oracle
     // rebuilds the same leading-4-dim sign buckets and the same
     // sequential multiply-accumulate cosine (LIST_SUM over an ordered

@@ -253,6 +253,134 @@ object Similarity {
         round(col("cosine_q"), 6).as("cosine_q"), col("rank"))
   }
 
+  // --- binary quantization (1 bit/dim sign codes, Hamming rank) ---
+
+  /** Sign-bit binary quantization of a float vector: bit i of word w
+    * is 1 iff `vec[w*32 + i] >= 0`, packed 32 bits per BIGINT word
+    * (`array<long>`, `ceil(dim/32)` words). 32 — not 64 — bits per
+    * word so no packing ever touches a long's sign bit: under ANSI
+    * mode a `2^63` term is an arithmetic-overflow ERROR, and a
+    * sign-flipped word would also poison any oracle replaying the
+    * packing as a plain integer sum. The at-rest cost is 8 bytes per
+    * 32 dims = 32× smaller than float32 — binary quantization's
+    * entire point: the whole index fits where 3% of the corpus did.
+    *
+    * For unit-ish-normalized embeddings, Hamming distance over these
+    * codes is a monotone estimate of angular distance (each sign bit
+    * is the 1-hyperplane LSH along a coordinate axis), which is why
+    * BQ + exact rescoring is the shape production lexical engines
+    * (Lucene/Elasticsearch-style int1 quantization) deploy first. */
+  def bqSignBits(vec: Column): Column = {
+    val d = size(vec)
+    transform(
+      // word indices 0..ceil(dim/32)-1; int division via cast (d>0)
+      sequence(lit(0), ((d - 1) / 32).cast("int")),
+      w => aggregate(
+        // fold dim bits high->low: acc*2 + bit needs no shift-by-
+        // column (shiftleft takes only literal shifts) and never
+        // exceeds 2^32
+        sequence(lit(31), lit(0), lit(-1)),
+        lit(0L),
+        (acc, i) => {
+          val idx = w * 32 + i // 0-based dimension index
+          // nested when, not &&: element_at past the end is an ANSI
+          // error, so the bounds check must short-circuit lazily
+          acc * 2 + when(idx >= d, 0L)
+            .otherwise(when(element_at(vec, idx + 1) >= 0, 1L)
+              .otherwise(0L))
+        }))
+  }
+
+  /** The stored-codes artifact for [[bqTopKFromBits]]: (idCol, bits).
+    * Quantize ONCE when the corpus lands — every retrieval then reads
+    * 8 bytes per 32 dims instead of float32 embeddings. */
+  def bqCodeTable(df: DataFrame, vecCol: String,
+      idCol: String): DataFrame =
+    df.select(col(idCol), bqSignBits(col(vecCol)).as("bits"))
+
+  /** Hamming distance between two packed sign-bit codes:
+    * `sum(bit_count(a[w] XOR b[w]))` — pure integer, exact. */
+  def bqHamming(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
+      lit(0L), (acc, v) => acc + v)
+
+  /** Top-k by Hamming distance over sign-bit codes — the cheapest ANN
+    * tier: candidates rank by XOR + popcount over `ceil(dim/32)`
+    * longs, the scan reads the 32×-compressed [[bqCodeTable]] and
+    * never a float vector. Exact ties (common — Hamming is a small
+    * integer) break on corpus id, so results are deterministic under
+    * any partitioning. Scale shape: identical to [[sq8TopKFromCodes]]
+    * — queries quantize on the fly and broadcast, ONE stored-codes
+    * scan, per-query top-k window. Returns
+    * (query_id, corpus_id, hamming, rank). */
+  def bqTopKFromBits(corpusBits: DataFrame, queries: DataFrame,
+      vecCol: String, idCol: String, queryIdCol: String,
+      k: Int): DataFrame = {
+    val c = corpusBits.select(col(idCol).as("corpus_id"),
+      col("bits").as("cb_"))
+    val q = bqCodeTable(queries, vecCol, queryIdCol)
+      .select(col(queryIdCol).as("query_id"), col("bits").as("qb_"))
+    val scored = c.crossJoin(broadcast(q))
+      .withColumn("hamming", bqHamming(col("cb_"), col("qb_")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("hamming"), col("corpus_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("corpus_id"), col("hamming"),
+        col("rank"))
+  }
+
+  /** [[bqTopKFromBits]] quantizing the corpus inline — the one-shot
+    * form; persist [[bqCodeTable]] instead when the corpus is read
+    * more than once. */
+  def bqTopK(corpus: DataFrame, queries: DataFrame, vecCol: String,
+      idCol: String, queryIdCol: String, k: Int): DataFrame =
+    bqTopKFromBits(bqCodeTable(corpus, vecCol, idCol), queries,
+      vecCol, idCol, queryIdCol, k)
+
+  /** Binary-quantized search with exact rescoring — the production BQ
+    * deployment shape (Lucene/Elasticsearch int1 "oversample then
+    * rescore"): over-fetch k′ = `refineFactor`×k candidates by Hamming
+    * distance over the compressed codes, fetch JUST those candidates'
+    * float vectors by id, re-score with exact cosine, keep the true
+    * top k. The recall knob is `refineFactor` (Hamming collapses
+    * near-ties; rescoring restores their order) — raise it before
+    * abandoning BQ for a heavier index.
+    *
+    * Scale shape: the Hamming pass reads only the 32×-compressed
+    * codes; the candidate set is queries×k′ rows, so the exact-vector
+    * fetch is a PRUNED id lookup ([[graft.text.Curation.fetchByKeys]]
+    * — chunked-IN pushdown / semi-join), never a corpus re-scan.
+    * Returns (query_id, corpus_id, cosine, rank), descending cosine. */
+  def bqTopKRescored(corpusBits: DataFrame, corpus: DataFrame,
+      queries: DataFrame, vecCol: String, idCol: String,
+      queryIdCol: String, k: Int, refineFactor: Int = 4): DataFrame = {
+    require(refineFactor >= 1,
+      s"refineFactor must be >= 1, got $refineFactor")
+    // lazy pin: the candidate lineage is consumed twice (fetch's key
+    // collect + rescore join) and would re-run the Hamming scan
+    val candidates = bqTopKFromBits(corpusBits, queries, vecCol,
+        idCol, queryIdCol, k * refineFactor)
+      .select(col("query_id"), col("corpus_id"))
+      .localCheckpoint(false)
+    val fetched = graft.text.Curation.fetchByKeys(
+      corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv")),
+      "corpus_id", candidates)
+    val q = queries.select(col(queryIdCol).as("query_id"),
+      col(vecCol).as("qv"))
+    val rescored = candidates
+      .join(fetched, Seq("corpus_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .withColumn("cosine", cosine(col("cv"), col("qv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("corpus_id"))
+    rescored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("corpus_id"), col("cosine"),
+        col("rank"))
+  }
+
   /** Brute-force cosine top-k: per query vector, the k nearest corpus
     * vectors. `queries` is broadcast — one corpus scan total. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
