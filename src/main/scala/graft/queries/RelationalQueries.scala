@@ -121,5 +121,59 @@ object RelationalQueries {
           col("v_click"), col("v_view"))
         .orderBy(col("day"))
     }
+
+    // Exact-integer PageRank (graft.core.Graphs) over the customer<->
+    // supplier trade graph — the link-graph quality-prior shape a
+    // curation pipeline joins onto documents. The recurrence is pure
+    // floor-division long arithmetic, so the oracle replays all three
+    // iterations bit-for-bit as unrolled CTEs: node set, out-degrees,
+    // per-edge damped contributions and the (One-D) base all
+    // hash-check with zero float hazard.
+    register("q157_pagerank",
+      """WITH pairs AS (
+        |  SELECT DISTINCT 'c:' || CAST(o_custkey AS VARCHAR) AS src,
+        |                  's:' || CAST(l_suppkey AS VARCHAR) AS dst
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |e AS (SELECT src, dst FROM pairs UNION SELECT dst, src FROM pairs),
+        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |outdeg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg
+        |           FROM e GROUP BY src),
+        |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes),
+        |c1 AS (SELECT e.dst,
+        |    CAST(SUM((850000 * (r0.r // o.outdeg)) // 1000000)
+        |      AS BIGINT) AS s
+        |  FROM e JOIN outdeg o ON e.src = o.src
+        |  JOIN r0 ON r0.node = e.src GROUP BY e.dst),
+        |r1 AS (SELECT nodes.node, 150000 + COALESCE(c1.s, 0) AS r
+        |  FROM nodes LEFT JOIN c1 ON c1.dst = nodes.node),
+        |c2 AS (SELECT e.dst,
+        |    CAST(SUM((850000 * (r1.r // o.outdeg)) // 1000000)
+        |      AS BIGINT) AS s
+        |  FROM e JOIN outdeg o ON e.src = o.src
+        |  JOIN r1 ON r1.node = e.src GROUP BY e.dst),
+        |r2 AS (SELECT nodes.node, 150000 + COALESCE(c2.s, 0) AS r
+        |  FROM nodes LEFT JOIN c2 ON c2.dst = nodes.node),
+        |c3 AS (SELECT e.dst,
+        |    CAST(SUM((850000 * (r2.r // o.outdeg)) // 1000000)
+        |      AS BIGINT) AS s
+        |  FROM e JOIN outdeg o ON e.src = o.src
+        |  JOIN r2 ON r2.node = e.src GROUP BY e.dst),
+        |r3 AS (SELECT nodes.node, 150000 + COALESCE(c3.s, 0) AS r
+        |  FROM nodes LEFT JOIN c3 ON c3.dst = nodes.node)
+        |SELECT node, CAST(r AS BIGINT) AS rank_micros
+        |FROM r3 ORDER BY node""".stripMargin) { (s, dir) =>
+      val pairs = table(s, dir, "orders")
+        .join(table(s, dir, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(
+          concat(lit("c:"), col("o_custkey").cast("string")).as("src"),
+          concat(lit("s:"), col("l_suppkey").cast("string")).as("dst"))
+        .distinct()
+      val edges = pairs.union(
+        pairs.select(col("dst").as("src"), col("src").as("dst")))
+      graft.core.Graphs.pageRankMicros(edges, "src", "dst",
+          iterations = 3)
+        .orderBy(col("node"))
+    }
   }
 }

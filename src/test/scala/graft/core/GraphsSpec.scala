@@ -1,0 +1,79 @@
+package graft.core
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Exact-integer PageRank: hand-checked recurrence, determinism,
+  * dangling-leak semantics. */
+class GraphsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ranks(edges: Seq[(String, String)], iters: Int) =
+    Graphs.pageRankMicros(edges.toDF("src", "dst"), "src", "dst",
+        iterations = iters)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  test("one iteration on a 3-node star matches the hand-computed " +
+      "integer recurrence") {
+    // a->b, a->c, b->a, c->a; r0 = 1000000, base = 150000
+    // a's share per edge: 1000000 div 2 = 500000, damped
+    //   (850000*500000) div 1e6 = 425000
+    // b,c's share: (850000*1000000) div 1e6 = 850000
+    val r = ranks(Seq("a" -> "b", "a" -> "c", "b" -> "a", "c" -> "a"), 1)
+    assert(r("a") == 150000L + 850000L + 850000L)
+    assert(r("b") == 150000L + 425000L)
+    assert(r("c") == 150000L + 425000L)
+  }
+
+  test("symmetric cycle stays exactly uniform") {
+    val r = ranks(Seq("a" -> "b", "b" -> "a"), 5)
+    // r0=1000000; contrib=(850000*1000000) div 1e6=850000;
+    // base=150000 -> 1000000 again, a fixed point with zero floor loss
+    assert(r == Map("a" -> 1000000L, "b" -> 1000000L))
+  }
+
+  test("dangling node leaks mass: totals shrink but ranking holds") {
+    val r1 = ranks(Seq("a" -> "b"), 1)
+    assert(r1 == Map("a" -> 150000L, "b" -> 1000000L))
+    val r2 = ranks(Seq("a" -> "b"), 2)
+    // b never votes (dangling): a keeps only the base; b gets a's
+    // damped 150000 share on top of the base
+    assert(r2 == Map("a" -> 150000L, "b" -> (150000L + 127500L)))
+    assert(r2.values.sum < r1.values.sum)
+  }
+
+  test("iterations = 0 returns the uniform start; duplicate edge rows " +
+      "collapse (simple-graph semantics)") {
+    val r = ranks(Seq("a" -> "b", "a" -> "b", "b" -> "a"), 0)
+    assert(r == Map("a" -> 1000000L, "b" -> 1000000L))
+    val dup = ranks(Seq("a" -> "b", "a" -> "b", "b" -> "a"), 2)
+    val simple = ranks(Seq("a" -> "b", "b" -> "a"), 2)
+    assert(dup == simple)
+  }
+
+  test("result is a pure function of the graph: identical under any " +
+      "input partitioning") {
+    val edges = (0 until 200).map(i => s"n${i % 37}" -> s"n${(i * 7) % 41}")
+    def run(p: Int) = Graphs.pageRankMicros(
+        edges.toDF("src", "dst").repartition(p), "src", "dst",
+        iterations = 4)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val a = run(1)
+    assert(a == run(13))
+    assert(a.values.max > a.values.min) // non-degenerate fixture
+  }
+
+  test("named errors on an empty graph and out-of-range damping") {
+    val empty = Seq.empty[(String, String)].toDF("src", "dst")
+    val e1 = intercept[IllegalArgumentException] {
+      Graphs.pageRankMicros(empty, "src", "dst", iterations = 1)
+    }
+    assert(e1.getMessage.contains("empty graph"))
+    val e2 = intercept[IllegalArgumentException] {
+      Graphs.pageRankMicros(Seq("a" -> "b").toDF("src", "dst"),
+        "src", "dst", iterations = 1, dampingMicros = 2000000L)
+    }
+    assert(e2.getMessage.contains("dampingMicros"))
+  }
+}
