@@ -106,6 +106,11 @@ object ScaleSmoke {
       spark.stop()
       return
     }
+    if (mode == "graph") {
+      graphRank(spark, stations)
+      spark.stop()
+      return
+    }
 
     val dailyMet = spark.range(0, stations.toLong * days, 1, 32)
       .select(
@@ -830,6 +835,12 @@ object ScaleSmoke {
       .write.mode("overwrite").partitionBy("centroid_id")
       .parquet(s"$tmp/ivfpq")
     val ivfpqStored = spark.read.parquet(s"$tmp/ivfpq")
+    // sign-bit binary quantization: 2 longs per 64-dim vector, the
+    // 32x-compressed cheapest rung
+    graft.similarity.Similarity.bqCodeTable(corpus, "embedding",
+        "vec_id")
+      .write.mode("overwrite").parquet(s"$tmp/bq")
+    val bqStored = spark.read.parquet(s"$tmp/bq")
     // plain PQ as the degenerate inverted file (nlist=1, zero
     // centroid → residual = the vector): the SAME stored-codes ADC
     // engine, so the pq rung reads stored codes like a real PQ index
@@ -902,6 +913,16 @@ object ScaleSmoke {
       S.sq8TopKFromCodes(sq8Stored, qDf, "embedding", "vec_id",
         "vec_id", k)
     }
+    row("bq", cosTruth) {
+      S.bqTopKFromBits(bqStored, qDf, "embedding", "vec_id",
+        "vec_id", k)
+    }
+    row("bq-rescored", cosTruth) {
+      // the production BQ shape: Hamming over-fetch 8x, exact cosine
+      // rescore of just those candidates (pruned id fetch)
+      S.bqTopKRescored(bqStored, corpus, qDf, "embedding", "vec_id",
+        "vec_id", k, refineFactor = 8)
+    }
     row("pq", l2Truth) {
       S.ivfPqTopKFromCodes(pqStored, qDf, "embedding", "vec_id",
         k, cents1, booksPq, nprobe = 1)
@@ -915,6 +936,56 @@ object ScaleSmoke {
         "vec_id", "vec_id", k, cents, books16, nprobe = 32,
         refineFactor = 4)
     }
+  }
+
+  /** Link-graph PageRank at corpus scale: a deterministic power-law-ish
+    * graph (stations × 10k nodes, 8 edges per node, cubed-uniform dst
+    * so in-degree concentrates on low ids — the hub skew a real host
+    * graph has), ranked with the exact-integer recurrence. Measures
+    * the whole run (setup + all iterations) and the marginal cost of
+    * 5 more iterations — per-iteration wall AND shuffle bytes are the
+    * numbers that scale to a 100 TB crawl's host graph (the edge
+    * table shuffles on src once per iteration, contributions shuffle
+    * on dst; both hash-partitioned, no driver state beyond n). */
+  private def graphRank(spark: SparkSession, stations: Int): Unit = {
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted)
+            : Unit =
+          shuffleBytes.addAndGet(
+            sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+      })
+    val nNodes = stations.toLong * 10000L
+    val nEdges = nNodes * 8L
+    println(f"graph mode: $nNodes%,d nodes, $nEdges%,d edges")
+    // deterministic hub-skewed graph: src uniform, dst = n*u^3 for a
+    // hash-uniform u (cubing piles in-degree onto low ids)
+    val u = pmod(xxhash64(col("id"), lit(7L)), lit(1000003L))
+      .cast("double") / 1000003.0
+    val edges = spark.range(0, nEdges, 1, 64)
+      .select(pmod(xxhash64(col("id"), lit(3L)), lit(nNodes)).as("src"),
+        floor(lit(nNodes.toDouble) * u * u * u).cast("long").as("dst"))
+      .localCheckpoint(true)
+    def run(label: String, iters: Int): Unit = {
+      org.apache.spark.graft.ListenerBusBarrier.drain(
+        spark.sparkContext)
+      val s0 = shuffleBytes.get()
+      val t0 = System.nanoTime()
+      val top = graft.core.Graphs.pageRankMicros(edges, "src", "dst",
+          iterations = iters)
+        .orderBy(col("rank_micros").desc, col("node")).limit(5)
+        .collect().map(r => s"${r.get(0)}:${r.getLong(1)}")
+      val secs = (System.nanoTime() - t0) / 1e9
+      org.apache.spark.graft.ListenerBusBarrier.drain(
+        spark.sparkContext)
+      val mb = (shuffleBytes.get() - s0) / 1e6
+      println(f"$label%-28s $secs%7.1f s  $mb%,.0f MB shuffled  " +
+        s"top5=${top.mkString(",")}")
+    }
+    run("pagerank: 5 iterations", 5)
+    run("pagerank: 10 iterations", 10)
   }
 
   /** The web-ingest curation chain at corpus scale (stations × 1000
