@@ -841,6 +841,11 @@ object ScaleSmoke {
         "vec_id")
       .write.mode("overwrite").parquet(s"$tmp/bq")
     val bqStored = spark.read.parquet(s"$tmp/bq")
+    // Matryoshka 16-dim prefixes: the 4x-smaller float shortlist tier
+    graft.similarity.Similarity.prefixTable(corpus, "embedding",
+        "vec_id", 16)
+      .write.mode("overwrite").parquet(s"$tmp/mrl")
+    val mrlStored = spark.read.parquet(s"$tmp/mrl")
     // plain PQ as the degenerate inverted file (nlist=1, zero
     // centroid → residual = the vector): the SAME stored-codes ADC
     // engine, so the pq rung reads stored codes like a real PQ index
@@ -922,6 +927,13 @@ object ScaleSmoke {
       // rescore of just those candidates (pruned id fetch)
       S.bqTopKRescored(bqStored, corpus, qDf, "embedding", "vec_id",
         "vec_id", k, refineFactor = 8)
+    }
+    row("mrl-rescored", cosTruth) {
+      // Matryoshka adaptive retrieval: 16-dim prefix shortlist read
+      // from the stored artifact, exact full-dim rescore of the 8x
+      // over-fetch
+      S.prefixTopKRescored(mrlStored, corpus, qDf, "embedding",
+        "vec_id", "vec_id", k, prefixDim = 16, refineFactor = 8)
     }
     row("pq", l2Truth) {
       S.ivfPqTopKFromCodes(pqStored, qDf, "embedding", "vec_id",

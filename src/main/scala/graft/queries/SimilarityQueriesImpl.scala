@@ -654,6 +654,59 @@ object SimilarityQueriesImpl {
         .orderBy(col("query_id"), col("rank"))
     }
 
+    // Matryoshka coarse-to-fine through the REAL engine: coarse cosine
+    // over the stored 16-dim prefixes, 4x over-fetch, exact full-dim
+    // cosine rescore of only the fetched candidates. The oracle slices
+    // the same prefix and replays both sequential multiply-accumulate
+    // cosines (LIST_SUM == the codegen'd primitive loop — the q79
+    // precedent), so the coarse cut AND the final ranking hash-check.
+    register("q158_mrl_prefix_rescored", {
+      def sumProd(x: String, y: String) =
+        s"""LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, LEN($x)),
+           |    i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)))"""
+          .stripMargin
+      s"""WITH q AS (
+         |  SELECT vec_id AS query_id, embedding AS qv,
+         |    embedding[1:16] AS qp
+         |  FROM embeddings WHERE vec_id < 8),
+         |c AS (SELECT vec_id AS corpus_id, embedding AS cv,
+         |      embedding[1:16] AS cp FROM embeddings),
+         |coarse AS (
+         |  SELECT query_id, corpus_id,
+         |    ${sumProd("c.cp", "q.qp")}
+         |      / (SQRT(${sumProd("c.cp", "c.cp")})
+         |       * SQRT(${sumProd("q.qp", "q.qp")})) AS cc
+         |  FROM q CROSS JOIN c),
+         |cand AS (SELECT query_id, corpus_id FROM (
+         |    SELECT query_id, corpus_id,
+         |      ROW_NUMBER() OVER (PARTITION BY query_id
+         |        ORDER BY cc DESC, corpus_id) AS crank
+         |    FROM coarse) WHERE crank <= 20),
+         |ex AS (SELECT cand.query_id, cand.corpus_id,
+         |    ${sumProd("c.cv", "q.qv")}
+         |      / (SQRT(${sumProd("c.cv", "c.cv")})
+         |       * SQRT(${sumProd("q.qv", "q.qv")})) AS cosine
+         |  FROM cand
+         |  JOIN c ON c.corpus_id = cand.corpus_id
+         |  JOIN q ON q.query_id = cand.query_id),
+         |rr AS (SELECT query_id, corpus_id, cosine,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY cosine DESC, corpus_id) AS rank
+         |  FROM ex)
+         |SELECT query_id, corpus_id, ROUND(cosine, 6) AS cosine,
+         |  CAST(rank AS BIGINT) AS rank
+         |FROM rr WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+    }) { (s, dir) =>
+      val emb = table(s, dir, "embeddings")
+      Similarity.prefixTopKRescored(
+          Similarity.prefixTable(emb, "embedding", "vec_id", 16),
+          emb, emb.where(col("vec_id") < 8), "embedding", "vec_id",
+          "vec_id", k = 5, prefixDim = 16, refineFactor = 4)
+        .withColumn("cosine", round(col("cosine"), 6))
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy(col("query_id"), col("rank"))
+    }
+
     // SemDedup-style semantic pruning, gated end-to-end: the oracle
     // rebuilds the same leading-4-dim sign buckets and the same
     // sequential multiply-accumulate cosine (LIST_SUM over an ordered

@@ -381,6 +381,69 @@ object Similarity {
         col("rank"))
   }
 
+  // --- Matryoshka (MRL) coarse-to-fine: truncated-prefix search ---
+
+  /** The stored truncated-prefix artifact for [[prefixTopKRescored]]:
+    * (idCol, prefix) where `prefix` is the vector's first `prefixDim`
+    * dimensions. Matryoshka-trained embeddings (Kusupati et al. 2022)
+    * order information by dimension, so a short prefix ranks almost
+    * as well as the full vector — store the prefix table and the
+    * coarse pass reads dim/prefixDim× fewer bytes. */
+  def prefixTable(df: DataFrame, vecCol: String, idCol: String,
+      prefixDim: Int): DataFrame = {
+    require(prefixDim >= 1, s"prefixDim must be >= 1, got $prefixDim")
+    df.select(col(idCol),
+      slice(col(vecCol), 1, prefixDim).as("prefix"))
+  }
+
+  /** Matryoshka coarse-to-fine top-k: rank by cosine over the stored
+    * `prefixDim`-dim prefixes ([[prefixTable]]), over-fetch
+    * k′ = `refineFactor`×k candidates, fetch ONLY those candidates'
+    * full vectors by id and re-rank by exact full-dim cosine — the
+    * adaptive-retrieval shape MRL embeddings are deployed with
+    * (shortlist on a cheap prefix, rescore the shortlist at full
+    * precision). Same scale shape as [[bqTopKRescored]]: the coarse
+    * scan reads the small stored artifact, the exact fetch is a
+    * pruned id lookup, never a corpus re-scan. Returns
+    * (query_id, corpus_id, cosine, rank), descending full cosine. */
+  def prefixTopKRescored(prefixes: DataFrame, corpus: DataFrame,
+      queries: DataFrame, vecCol: String, idCol: String,
+      queryIdCol: String, k: Int, prefixDim: Int,
+      refineFactor: Int = 4): DataFrame = {
+    require(refineFactor >= 1,
+      s"refineFactor must be >= 1, got $refineFactor")
+    val c = prefixes.select(col(idCol).as("corpus_id"),
+      col("prefix").as("cp_"))
+    val q = queries.select(col(queryIdCol).as("query_id"),
+      slice(col(vecCol), 1, prefixDim).as("qp_"),
+      col(vecCol).as("qv"))
+    val coarse = c.crossJoin(broadcast(q.select(col("query_id"),
+        col("qp_"))))
+      .withColumn("coarse_cos", cosine(col("cp_"), col("qp_")))
+    val wCoarse = Window.partitionBy(col("query_id"))
+      .orderBy(col("coarse_cos").desc, col("corpus_id"))
+    // lazy pin: consumed by the fetch's key collect AND the rescore
+    val candidates = coarse
+      .withColumn("crank", row_number().over(wCoarse))
+      .where(col("crank") <= k * refineFactor)
+      .select(col("query_id"), col("corpus_id"))
+      .localCheckpoint(false)
+    val fetched = graft.text.Curation.fetchByKeys(
+      corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv")),
+      "corpus_id", candidates)
+    val rescored = candidates
+      .join(fetched, Seq("corpus_id"))
+      .join(broadcast(q.select(col("query_id"), col("qv"))),
+        Seq("query_id"))
+      .withColumn("cosine", cosine(col("cv"), col("qv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("corpus_id"))
+    rescored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("corpus_id"), col("cosine"),
+        col("rank"))
+  }
+
   /** Brute-force cosine top-k: per query vector, the k nearest corpus
     * vectors. `queries` is broadcast — one corpus scan total. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
