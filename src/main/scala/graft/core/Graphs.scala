@@ -67,7 +67,32 @@ object Graphs {
     * O(1) in `iterations` instead of exploding exponentially.
     * Returns (node, rank_micros). */
   def pageRankMicros(edges: DataFrame, srcCol: String, dstCol: String,
-      iterations: Int = 10, dampingMicros: Long = 850000L): DataFrame = {
+      iterations: Int = 10, dampingMicros: Long = 850000L): DataFrame =
+    rankLoop(edges, srcCol, dstCol, iterations, dampingMicros,
+      seeds = None, seedCol = "")
+
+  /** Personalized PageRank: the teleport goes ONLY to `seeds`
+    * (topic-conditioned authority — rank relative to a trusted /
+    * on-topic seed set, the curation variant: seed with known-good
+    * hosts and the rank is a per-host trust prior). Identical
+    * exact-integer recurrence with a seed-conditional start and base:
+    * {{{
+    *   r0(v)   = One        if v in seeds else 0
+    *   r'(v)   = (One - D)·[v in seeds]  +  sum(contrib into v)
+    * }}}
+    * so mass flows outward from the seeds and a node unreachable from
+    * them ranks exactly 0. With `seeds` = all nodes this IS
+    * [[pageRankMicros]] (spec-pinned). Seed rows not present in the
+    * graph are ignored. Returns (node, rank_micros). */
+  def personalizedPageRankMicros(edges: DataFrame, srcCol: String,
+      dstCol: String, seeds: DataFrame, seedCol: String,
+      iterations: Int = 10, dampingMicros: Long = 850000L): DataFrame =
+    rankLoop(edges, srcCol, dstCol, iterations, dampingMicros,
+      seeds = Some(seeds), seedCol = seedCol)
+
+  private def rankLoop(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int, dampingMicros: Long, seeds: Option[DataFrame],
+      seedCol: String): DataFrame = {
     require(iterations >= 0, s"iterations must be >= 0, got $iterations")
     require(dampingMicros >= 0L && dampingMicros <= One,
       s"dampingMicros must be in [0, $One], got $dampingMicros")
@@ -75,20 +100,36 @@ object Graphs {
       .select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .where(col("src").isNotNull && col("dst").isNotNull)
       .distinct()
-    val nodes = e.select(col("src").as("node"))
+    val nodeSet = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .distinct()
-      // nodes and the per-iteration rank frames are consumed every
-      // iteration — pin the distinct once
-      .localCheckpoint(false)
+    // (node, base, start) — per-node teleport share and start mass:
+    // One-D / One everywhere for plain PageRank, seed-conditional for
+    // the personalized form. Pinned: nodes and the per-iteration rank
+    // frames are consumed every iteration
+    val nodes = (seeds match {
+      case None =>
+        nodeSet.withColumn("base", lit(One - dampingMicros))
+          .withColumn("start", lit(One))
+      case Some(s) =>
+        nodeSet.join(
+            s.select(col(seedCol).as("node")).distinct()
+              .withColumn("is_seed", lit(true)),
+            Seq("node"), "left")
+          .select(col("node"),
+            when(col("is_seed"), lit(One - dampingMicros))
+              .otherwise(lit(0L)).as("base"),
+            when(col("is_seed"), lit(One)).otherwise(lit(0L))
+              .as("start"))
+    }).localCheckpoint(false)
     require(nodes.limit(1).count() > 0, "pageRankMicros: empty graph")
     // static across iterations: (src, dst, outdeg) — pinned so the
     // distinct + degree aggregation runs once, not once per iteration
     val eo = e.join(
         e.groupBy("src").agg(count(lit(1)).as("outdeg")), Seq("src"))
       .localCheckpoint(false)
-    val base = One - dampingMicros
-    var ranks = nodes.withColumn("rank_micros", lit(One))
+    var ranks = nodes.select(col("node"),
+      col("start").as("rank_micros"))
     for (_ <- 1 to iterations) {
       val contribs = eo
         .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
@@ -101,7 +142,7 @@ object Graphs {
       ranks = nodes
         .join(contribs, Seq("node"), "left")
         .select(col("node"),
-          (lit(base) + coalesce(col("s"), lit(0L))).as("rank_micros"))
+          (col("base") + coalesce(col("s"), lit(0L))).as("rank_micros"))
         .localCheckpoint(false)
     }
     ranks

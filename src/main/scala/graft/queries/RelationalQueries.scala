@@ -175,5 +175,68 @@ object RelationalQueries {
           iterations = 3)
         .orderBy(col("node"))
     }
+
+    // Personalized PageRank: teleport restricted to one nation's
+    // customers — topic-conditioned authority (seed with trusted hosts,
+    // read a trust prior off the graph). Same unrolled-CTE replay with
+    // a seed-conditional start vector and base, so seed membership,
+    // zero-mass unreachability, and every rank hash-check.
+    register("q159_personalized_pagerank",
+      """WITH pairs AS (
+        |  SELECT DISTINCT 'c:' || CAST(o_custkey AS VARCHAR) AS src,
+        |                  's:' || CAST(l_suppkey AS VARCHAR) AS dst
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |e AS (SELECT src, dst FROM pairs UNION SELECT dst, src FROM pairs),
+        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |seed AS (SELECT DISTINCT 'c:' || CAST(c_custkey AS VARCHAR)
+        |           AS node
+        |         FROM customer WHERE c_nationkey = 0),
+        |nb AS (SELECT nodes.node,
+        |    CASE WHEN seed.node IS NULL THEN 0 ELSE 150000 END AS base,
+        |    CASE WHEN seed.node IS NULL THEN 0 ELSE 1000000 END AS st
+        |  FROM nodes LEFT JOIN seed ON seed.node = nodes.node),
+        |outdeg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg
+        |           FROM e GROUP BY src),
+        |r0 AS (SELECT node, CAST(st AS BIGINT) AS r FROM nb),
+        |c1 AS (SELECT e.dst,
+        |    CAST(SUM((850000 * (r0.r // o.outdeg)) // 1000000)
+        |      AS BIGINT) AS s
+        |  FROM e JOIN outdeg o ON e.src = o.src
+        |  JOIN r0 ON r0.node = e.src GROUP BY e.dst),
+        |r1 AS (SELECT nb.node, nb.base + COALESCE(c1.s, 0) AS r
+        |  FROM nb LEFT JOIN c1 ON c1.dst = nb.node),
+        |c2 AS (SELECT e.dst,
+        |    CAST(SUM((850000 * (r1.r // o.outdeg)) // 1000000)
+        |      AS BIGINT) AS s
+        |  FROM e JOIN outdeg o ON e.src = o.src
+        |  JOIN r1 ON r1.node = e.src GROUP BY e.dst),
+        |r2 AS (SELECT nb.node, nb.base + COALESCE(c2.s, 0) AS r
+        |  FROM nb LEFT JOIN c2 ON c2.dst = nb.node),
+        |c3 AS (SELECT e.dst,
+        |    CAST(SUM((850000 * (r2.r // o.outdeg)) // 1000000)
+        |      AS BIGINT) AS s
+        |  FROM e JOIN outdeg o ON e.src = o.src
+        |  JOIN r2 ON r2.node = e.src GROUP BY e.dst),
+        |r3 AS (SELECT nb.node, nb.base + COALESCE(c3.s, 0) AS r
+        |  FROM nb LEFT JOIN c3 ON c3.dst = nb.node)
+        |SELECT node, CAST(r AS BIGINT) AS rank_micros
+        |FROM r3 ORDER BY node""".stripMargin) { (s, dir) =>
+      val pairs = table(s, dir, "orders")
+        .join(table(s, dir, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(
+          concat(lit("c:"), col("o_custkey").cast("string")).as("src"),
+          concat(lit("s:"), col("l_suppkey").cast("string")).as("dst"))
+        .distinct()
+      val edges = pairs.union(
+        pairs.select(col("dst").as("src"), col("src").as("dst")))
+      val seeds = table(s, dir, "customer")
+        .where(col("c_nationkey") === 0)
+        .select(concat(lit("c:"), col("c_custkey").cast("string"))
+          .as("node"))
+      graft.core.Graphs.personalizedPageRankMicros(edges, "src", "dst",
+          seeds, "node", iterations = 3)
+        .orderBy(col("node"))
+    }
   }
 }

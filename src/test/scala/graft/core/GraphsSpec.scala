@@ -64,6 +64,36 @@ class GraphsSpec extends AnyFunSuite {
     assert(a.values.max > a.values.min) // non-degenerate fixture
   }
 
+  test("personalized: seeds = all nodes IS plain PageRank") {
+    val edges = (0 until 60).map(i => s"n${i % 11}" -> s"n${(i * 5) % 13}")
+    val seeds = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      .toDF("node")
+    val plain = Graphs.pageRankMicros(edges.toDF("src", "dst"),
+        "src", "dst", iterations = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ppr = Graphs.personalizedPageRankMicros(
+        edges.toDF("src", "dst"), "src", "dst", seeds, "node",
+        iterations = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ppr == plain)
+  }
+
+  test("personalized: mass flows only from seeds; unreachable nodes " +
+      "rank exactly 0; off-graph seeds are ignored") {
+    val edges = Seq("a" -> "b", "c" -> "d").toDF("src", "dst")
+    def run(seedIds: Seq[String], iters: Int) =
+      Graphs.personalizedPageRankMicros(edges, "src", "dst",
+          seedIds.toDF("node"), "node", iterations = iters)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // seed {a}: a keeps only its base, b gets a's damped full share,
+    // the c->d component never sees any mass
+    assert(run(Seq("a"), 1) ==
+      Map("a" -> 150000L, "b" -> 850000L, "c" -> 0L, "d" -> 0L))
+    assert(run(Seq("a"), 4)("c") == 0L)
+    assert(run(Seq("a"), 4)("d") == 0L)
+    assert(run(Seq("a", "zz"), 2) == run(Seq("a"), 2))
+  }
+
   test("named errors on an empty graph and out-of-range damping") {
     val empty = Seq.empty[(String, String)].toDF("src", "dst")
     val e1 = intercept[IllegalArgumentException] {
