@@ -130,7 +130,7 @@ object Graphs {
       .localCheckpoint(false)
     var ranks = nodes.select(col("node"),
       col("start").as("rank_micros"))
-    for (_ <- 1 to iterations) {
+    for (i <- 1 to iterations) {
       val contribs = eo
         .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
         // integer floor chain (all values non-negative): share per
@@ -143,7 +143,15 @@ object Graphs {
         .join(contribs, Seq("node"), "left")
         .select(col("node"),
           (col("base") + coalesce(col("s"), lit(0L))).as("rank_micros"))
-        .localCheckpoint(false)
+      // lineage cut every 3rd round, not every round: ranks is
+      // consumed once per iteration so plan depth grows LINEARLY
+      // between cuts (no exponential blowup to fear), and each lazy
+      // checkpoint costs a materialization job — the cadence trades
+      // bounded plan depth (≤3 iterations) for 3× fewer of those
+      // jobs (measured: the per-iteration cost at gate scale is
+      // stage latency, not data)
+      if (i % 3 == 0 && i < iterations)
+        ranks = ranks.localCheckpoint(false)
     }
     ranks
   }

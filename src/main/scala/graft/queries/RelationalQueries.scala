@@ -133,7 +133,8 @@ object RelationalQueries {
       """WITH pairs AS (
         |  SELECT DISTINCT 'c:' || CAST(o_custkey AS VARCHAR) AS src,
         |                  's:' || CAST(l_suppkey AS VARCHAR) AS dst
-        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |  WHERE o_custkey % 3 = 0),
         |e AS (SELECT src, dst FROM pairs UNION SELECT dst, src FROM pairs),
         |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
         |outdeg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg
@@ -163,6 +164,7 @@ object RelationalQueries {
         |SELECT node, CAST(r AS BIGINT) AS rank_micros
         |FROM r3 ORDER BY node""".stripMargin) { (s, dir) =>
       val pairs = table(s, dir, "orders")
+        .where(col("o_custkey") % 3 === 0)
         .join(table(s, dir, "lineitem"),
           col("o_orderkey") === col("l_orderkey"))
         .select(
@@ -185,7 +187,8 @@ object RelationalQueries {
       """WITH pairs AS (
         |  SELECT DISTINCT 'c:' || CAST(o_custkey AS VARCHAR) AS src,
         |                  's:' || CAST(l_suppkey AS VARCHAR) AS dst
-        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |  WHERE o_custkey % 3 = 0),
         |e AS (SELECT src, dst FROM pairs UNION SELECT dst, src FROM pairs),
         |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
         |seed AS (SELECT DISTINCT 'c:' || CAST(c_custkey AS VARCHAR)
@@ -222,6 +225,7 @@ object RelationalQueries {
         |SELECT node, CAST(r AS BIGINT) AS rank_micros
         |FROM r3 ORDER BY node""".stripMargin) { (s, dir) =>
       val pairs = table(s, dir, "orders")
+        .where(col("o_custkey") % 3 === 0)
         .join(table(s, dir, "lineitem"),
           col("o_orderkey") === col("l_orderkey"))
         .select(
