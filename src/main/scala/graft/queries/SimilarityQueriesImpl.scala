@@ -24,6 +24,82 @@ object SimilarityQueriesImpl {
   val KMeansGateK = 4
   val KMeansGateIters = 3
 
+
+  /** The q152/q160 oracle — the full IVF-PQ probe replay (assignment
+    * argmin, residual encode, per-(query, probed-cell) LUT, j-ordered
+    * ADC fold, (adc, id) ranking). ONE definition shared by the
+    * driver-LUT gate (q152) and the distributed many-queries gate
+    * (q160): a hash match on both proves the two engine paths compute
+    * identical distances, and the shared text can never drift. */
+  private def ivfPqProbeOracleSql: String = {
+    // full-dim squared L2 between a raw vector and a DOUBLE list
+    def sqFull(x: String, w: String) =
+      s"""LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, LEN($x)),
+         |    i -> (CAST($x[i] AS DOUBLE) - $w[i])
+         |       * (CAST($x[i] AS DOUBLE) - $w[i])))""".stripMargin
+    // subspace-j squared L2 between a residual list and codeword w
+    def sqSub(x: String, j: String, w: String) =
+      s"""LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, 8),
+         |    t -> ($x[$j*8 + t] - $w[t])
+         |       * ($x[$j*8 + t] - $w[t])))""".stripMargin
+    s"""WITH cent AS (
+       |  SELECT CAST(vec_id - 100 AS INT) AS centroid_id,
+       |    LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS cw
+       |  FROM embeddings WHERE vec_id BETWEEN 100 AND 107),
+       |cb AS (
+       |  SELECT t.j, CAST(vec_id - 200 AS INT) AS c,
+       |    LIST_TRANSFORM(GENERATE_SERIES(1, 8),
+       |      u -> CAST(embedding[t.j*8 + u] AS DOUBLE)) AS w
+       |  FROM embeddings CROSS JOIN range(8) t(j)
+       |  WHERE vec_id BETWEEN 200 AND 215),
+       |e AS (SELECT vec_id AS corpus_id, embedding AS cv
+       |  FROM embeddings),
+       |assigned AS (SELECT corpus_id, cv, centroid_id, cw FROM (
+       |    SELECT e.corpus_id, e.cv, cent.centroid_id, cent.cw,
+       |      ROW_NUMBER() OVER (PARTITION BY e.corpus_id
+       |        ORDER BY ${sqFull("e.cv", "cent.cw")},
+       |          cent.centroid_id) AS rn
+       |    FROM e CROSS JOIN cent) WHERE rn = 1),
+       |res AS MATERIALIZED (SELECT corpus_id, centroid_id,
+       |    LIST_TRANSFORM(GENERATE_SERIES(1, LEN(cv)),
+       |      i -> CAST(cv[i] AS DOUBLE) - cw[i]) AS rv
+       |  FROM assigned),
+       |enc AS (SELECT corpus_id, centroid_id, j, c FROM (
+       |    SELECT res.corpus_id, res.centroid_id, cb.j, cb.c,
+       |      ROW_NUMBER() OVER (PARTITION BY res.corpus_id, cb.j
+       |        ORDER BY ${sqSub("res.rv", "cb.j", "cb.w")}, cb.c)
+       |        AS rn
+       |    FROM res CROSS JOIN cb) WHERE rn = 1),
+       |q AS (SELECT vec_id AS query_id, embedding AS qv
+       |  FROM embeddings WHERE vec_id < 8),
+       |qa AS (SELECT query_id, qv, centroid_id, cw FROM (
+       |    SELECT q.query_id, q.qv, cent.centroid_id, cent.cw,
+       |      ROW_NUMBER() OVER (PARTITION BY q.query_id
+       |        ORDER BY ${sqFull("q.qv", "cent.cw")},
+       |          cent.centroid_id) AS rn
+       |    FROM q CROSS JOIN cent) WHERE rn <= 3),
+       |qres AS MATERIALIZED (SELECT query_id, centroid_id,
+       |    LIST_TRANSFORM(GENERATE_SERIES(1, LEN(qv)),
+       |      i -> CAST(qv[i] AS DOUBLE) - cw[i]) AS qr
+       |  FROM qa),
+       |lut AS (SELECT qres.query_id, qres.centroid_id, cb.j, cb.c,
+       |    ${sqSub("qres.qr", "cb.j", "cb.w")} AS d
+       |  FROM qres CROSS JOIN cb),
+       |adc AS (SELECT l.query_id, enc.corpus_id,
+       |    LIST_SUM(LIST(l.d ORDER BY l.j)) AS adc_dist
+       |  FROM enc JOIN lut l
+       |    ON l.centroid_id = enc.centroid_id
+       |    AND l.j = enc.j AND l.c = enc.c
+       |  GROUP BY l.query_id, enc.corpus_id),
+       |r AS (SELECT query_id, corpus_id, adc_dist,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY adc_dist, corpus_id) AS rank
+       |  FROM adc)
+       |SELECT query_id, corpus_id, ROUND(adc_dist, 6) AS adc_dist,
+       |  CAST(rank AS BIGINT) AS rank
+       |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
+
   def init(): Unit = {
 
     register("q70_cosine_topk_bruteforce",
@@ -373,74 +449,7 @@ object SimilarityQueriesImpl {
     // distances, and rank all hash-check. The k-means-trained
     // production path (ivfPqTopK: coarse fit + residual codebooks
     // from a hash-ranked sample) stays spec-tested (SimilaritySpec).
-    register("q152_ivfpq_topk", {
-      // full-dim squared L2 between a raw vector and a DOUBLE list
-      def sqFull(x: String, w: String) =
-        s"""LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, LEN($x)),
-           |    i -> (CAST($x[i] AS DOUBLE) - $w[i])
-           |       * (CAST($x[i] AS DOUBLE) - $w[i])))""".stripMargin
-      // subspace-j squared L2 between a residual list and codeword w
-      def sqSub(x: String, j: String, w: String) =
-        s"""LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, 8),
-           |    t -> ($x[$j*8 + t] - $w[t])
-           |       * ($x[$j*8 + t] - $w[t])))""".stripMargin
-      s"""WITH cent AS (
-         |  SELECT CAST(vec_id - 100 AS INT) AS centroid_id,
-         |    LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS cw
-         |  FROM embeddings WHERE vec_id BETWEEN 100 AND 107),
-         |cb AS (
-         |  SELECT t.j, CAST(vec_id - 200 AS INT) AS c,
-         |    LIST_TRANSFORM(GENERATE_SERIES(1, 8),
-         |      u -> CAST(embedding[t.j*8 + u] AS DOUBLE)) AS w
-         |  FROM embeddings CROSS JOIN range(8) t(j)
-         |  WHERE vec_id BETWEEN 200 AND 215),
-         |e AS (SELECT vec_id AS corpus_id, embedding AS cv
-         |  FROM embeddings),
-         |assigned AS (SELECT corpus_id, cv, centroid_id, cw FROM (
-         |    SELECT e.corpus_id, e.cv, cent.centroid_id, cent.cw,
-         |      ROW_NUMBER() OVER (PARTITION BY e.corpus_id
-         |        ORDER BY ${sqFull("e.cv", "cent.cw")},
-         |          cent.centroid_id) AS rn
-         |    FROM e CROSS JOIN cent) WHERE rn = 1),
-         |res AS MATERIALIZED (SELECT corpus_id, centroid_id,
-         |    LIST_TRANSFORM(GENERATE_SERIES(1, LEN(cv)),
-         |      i -> CAST(cv[i] AS DOUBLE) - cw[i]) AS rv
-         |  FROM assigned),
-         |enc AS (SELECT corpus_id, centroid_id, j, c FROM (
-         |    SELECT res.corpus_id, res.centroid_id, cb.j, cb.c,
-         |      ROW_NUMBER() OVER (PARTITION BY res.corpus_id, cb.j
-         |        ORDER BY ${sqSub("res.rv", "cb.j", "cb.w")}, cb.c)
-         |        AS rn
-         |    FROM res CROSS JOIN cb) WHERE rn = 1),
-         |q AS (SELECT vec_id AS query_id, embedding AS qv
-         |  FROM embeddings WHERE vec_id < 8),
-         |qa AS (SELECT query_id, qv, centroid_id, cw FROM (
-         |    SELECT q.query_id, q.qv, cent.centroid_id, cent.cw,
-         |      ROW_NUMBER() OVER (PARTITION BY q.query_id
-         |        ORDER BY ${sqFull("q.qv", "cent.cw")},
-         |          cent.centroid_id) AS rn
-         |    FROM q CROSS JOIN cent) WHERE rn <= 3),
-         |qres AS MATERIALIZED (SELECT query_id, centroid_id,
-         |    LIST_TRANSFORM(GENERATE_SERIES(1, LEN(qv)),
-         |      i -> CAST(qv[i] AS DOUBLE) - cw[i]) AS qr
-         |  FROM qa),
-         |lut AS (SELECT qres.query_id, qres.centroid_id, cb.j, cb.c,
-         |    ${sqSub("qres.qr", "cb.j", "cb.w")} AS d
-         |  FROM qres CROSS JOIN cb),
-         |adc AS (SELECT l.query_id, enc.corpus_id,
-         |    LIST_SUM(LIST(l.d ORDER BY l.j)) AS adc_dist
-         |  FROM enc JOIN lut l
-         |    ON l.centroid_id = enc.centroid_id
-         |    AND l.j = enc.j AND l.c = enc.c
-         |  GROUP BY l.query_id, enc.corpus_id),
-         |r AS (SELECT query_id, corpus_id, adc_dist,
-         |    ROW_NUMBER() OVER (PARTITION BY query_id
-         |      ORDER BY adc_dist, corpus_id) AS rank
-         |  FROM adc)
-         |SELECT query_id, corpus_id, ROUND(adc_dist, 6) AS adc_dist,
-         |  CAST(rank AS BIGINT) AS rank
-         |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
-    }) { (s, dir) =>
+    register("q152_ivfpq_topk", ivfPqProbeOracleSql) { (s, dir) =>
       val emb = table(s, dir, "embeddings")
       val cents = emb.where(col("vec_id").between(100, 107))
         .orderBy(col("vec_id")).select(col("embedding")).collect()
@@ -454,6 +463,34 @@ object SimilarityQueriesImpl {
       Similarity.ivfPqTopKWithParams(emb, emb.where(col("vec_id") < 8),
           "embedding", "vec_id", "vec_id", k = 5, centroids = cents,
           books = books, nprobe = 3)
+        .withColumn("adc_dist", round(col("adc_dist"), 6))
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy(col("query_id"), col("rank"))
+    }
+
+    // The DISTRIBUTED many-queries probe against the IDENTICAL oracle
+    // text as q152: kernel cell assignment, centroid_id shuffle join,
+    // direct-ADC kernel — zero driver collects. A hash match here
+    // proves the corpus-scale-queries path computes the exact same
+    // distances and ranks as the driver-LUT path the oracle replays
+    // (bit-parity also spec-pinned under a lowered MaxQueryCollect).
+    register("q160_ivfpq_many_queries", ivfPqProbeOracleSql) {
+      (s, dir) =>
+      val emb = table(s, dir, "embeddings")
+      val cents = emb.where(col("vec_id").between(100, 107))
+        .orderBy(col("vec_id")).select(col("embedding")).collect()
+        .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      val rows = emb.where(col("vec_id").between(200, 215))
+        .orderBy(col("vec_id")).select(col("embedding")).collect()
+        .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      val books = Array.tabulate(8) { j =>
+        rows.map(_.slice(j * 8, (j + 1) * 8))
+      }
+      Similarity.ivfPqTopKManyQueries(
+          Similarity.ivfPqCodeTable(emb, "embedding", "vec_id", cents,
+            books),
+          emb.where(col("vec_id") < 8), "embedding", "vec_id", k = 5,
+          centroids = cents, books = books, nprobe = 3)
         .withColumn("adc_dist", round(col("adc_dist"), 6))
         .withColumn("rank", col("rank").cast("long"))
         .orderBy(col("query_id"), col("rank"))

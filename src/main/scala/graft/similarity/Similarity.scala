@@ -1066,6 +1066,144 @@ object Similarity {
         col("rank"))
   }
 
+  /** [[ivfPqTopKFromCodes]] for CORPUS-SCALE query tables — the
+    * distributed twin of the driver-LUT probe, for the regime past
+    * [[MaxQueryCollect]] (batch re-embedding sweeps, all-pairs
+    * retrieval audits): no driver collect anywhere, so a 10M-row
+    * query table is a legal input.
+    *
+    * Topology: a broadcast-centroid KERNEL assigns each query its
+    * nprobe probed cells (same (dist, id) lexicographic order as the
+    * LUT path) and emits the query RESIDUAL per probed cell; the code
+    * table joins those probe rows on `centroid_id` (both sides
+    * shuffle — at corpus-scale queries most cells are probed by
+    * someone, so reading the whole compressed index once is the
+    * optimal scan, unlike the few-queries path's directory pruning;
+    * AQE's skew-join split covers hot cells); a broadcast-codebook
+    * kernel then scores each (codes, residual) pair DIRECTLY —
+    * adc = Σ_j ‖qres_j − book_j[code_j]‖², the same doubles in the
+    * same order as the LUT build + fold, so distances are
+    * bit-identical to [[ivfPqTopKFromCodes]] (spec-pinned). Returns
+    * (query_id, corpus_id, adc_dist, rank) like the LUT form.
+    *
+    * Loud failures, not silent garbage: a malformed query vector
+    * (null / wrong dim / null element) and a code row that does not
+    * fit the model (size ≠ m, code ∉ [0, ksub)) both throw named
+    * errors from the kernels. */
+  def ivfPqTopKManyQueries(codeTable: DataFrame, queries: DataFrame,
+      vecCol: String, queryIdCol: String, k: Int,
+      centroids: Array[Array[Double]],
+      books: Array[Array[Array[Double]]], nprobe: Int): DataFrame = {
+    require(centroids.nonEmpty, "ivfpq needs at least one centroid")
+    requireIvfPqShapes(centroids, books)
+    require(nprobe >= 1 && nprobe <= centroids.length,
+      s"nprobe must be in [1, ${centroids.length}], got $nprobe")
+    val spark = codeTable.sparkSession
+    val m = books.length
+    val ksub = books.head.length
+    val ds = books.head.head.length
+    val dim = centroids.head.length
+    val bcC = spark.sparkContext.broadcast(centroids)
+    val bcB = spark.sparkContext.broadcast(books)
+
+    // probe-assignment kernel: (query_id, centroid_id, qres)
+    val prepared = queries.select(col(queryIdCol).as("query_id"),
+      col(vecCol).as("qv"))
+    val probeSchema = org.apache.spark.sql.types.StructType(Seq(
+      prepared.schema.head.copy(name = "query_id"),
+      org.apache.spark.sql.types.StructField("centroid_id",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("qres",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType, false))))
+    val probes = prepared.mapPartitions { rows =>
+      val cents = bcC.value
+      rows.flatMap { r =>
+        if (r.isNullAt(1))
+          throw new IllegalArgumentException(
+            s"ivfPqTopKManyQueries: null query vector for id ${r.get(0)}")
+        val v0 = r.getSeq[Number](1)
+        if (v0.length != dim || v0.contains(null))
+          throw new IllegalArgumentException(
+            "ivfPqTopKManyQueries: malformed query vector for id " +
+              s"${r.get(0)} (dim ${v0.length}, model dim $dim)")
+        val qv = Array.tabulate(dim)(i => v0(i).doubleValue())
+        // (dist, id) lexicographic over ALL centroids — the exact
+        // probed-cell rule of the driver-LUT path
+        val scored = Array.tabulate(cents.length) { cid =>
+          val c = cents(cid)
+          var s = 0.0
+          var i = 0
+          while (i < dim) {
+            val diff = qv(i) - c(i); s += diff * diff; i += 1
+          }
+          (s, cid)
+        }
+        scored.sortBy(identity).take(nprobe).iterator.map {
+          case (_, cid) =>
+            val c = cents(cid)
+            val qres = Array.tabulate(dim)(i => qv(i) - c(i))
+            org.apache.spark.sql.Row(r.get(0), cid, qres.toSeq)
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(probeSchema))
+
+    // centroid_id equi-join: the many-queries probe reads the whole
+    // compressed index once (no driver-known cell set to prune by)
+    val joined = codeTable
+      .select(col("centroid_id"), col("corpus_id"), col("codes"))
+      .join(probes, Seq("centroid_id"))
+      .select(col("query_id"), col("corpus_id"), col("codes"),
+        col("qres"))
+
+    // direct-ADC kernel: same doubles, same order as LUT-entry build
+    // ((qv−c)−book, squared, summed over t) + the j-ascending fold
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      joined.schema.head,
+      joined.schema(1),
+      org.apache.spark.sql.types.StructField("adc_dist",
+        org.apache.spark.sql.types.DoubleType, nullable = false)))
+    val scored = joined.mapPartitions { rows =>
+      val bks = bcB.value
+      rows.map { r =>
+        val codes = if (r.isNullAt(2)) null else r.getSeq[Number](2)
+        if (codes == null || codes.length != m ||
+            codes.exists(c => c == null || c.intValue() < 0 ||
+              c.intValue() >= ksub))
+          throw new IllegalArgumentException(
+            "ivfPqTopKManyQueries: stored codes for corpus id " +
+              s"${r.get(1)} do not fit the supplied model " +
+              s"(m=$m, ksub=$ksub) — the table was built under a " +
+              "different quantizer")
+        val qres = r.getSeq[Double](3)
+        // per-subspace subtotal FIRST, then the j-ascending fold —
+        // the LUT path's summation order exactly (each LUT entry is
+        // its own Σ_t from 0.0; the adc fold then adds entries), so
+        // distances are bit-identical, not merely close
+        var d = 0.0
+        var j = 0
+        while (j < m) {
+          val w = bks(j)(codes(j).intValue())
+          var dj = 0.0
+          var t = 0
+          while (t < ds) {
+            val diff = qres(j * ds + t) - w(t)
+            dj += diff * diff; t += 1
+          }
+          d += dj
+          j += 1
+        }
+        org.apache.spark.sql.Row(r.get(0), r.get(1), d)
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_dist"), col("corpus_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("corpus_id"), col("adc_dist"),
+        col("rank"))
+  }
+
   /** Exact re-ranking over IVF-PQ candidates — the FAISS
     * `IndexRefineFlat` step, the recall knob production IVFADC
     * deployments turn first: 8×-compressed residual codes lose

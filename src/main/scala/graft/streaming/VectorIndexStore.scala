@@ -145,6 +145,20 @@ final class VectorIndexStore(spark: SparkSession, path: String,
       queryIdCol, k, cents, books, nprobe)
   }
 
+  /** [[topK]] for CORPUS-SCALE query tables
+    * ([[Similarity.ivfPqTopKManyQueries]] — kernel cell assignment,
+    * centroid_id shuffle join, direct-ADC kernel, zero driver
+    * collects): the batch-sweep form, legal past `MaxQueryCollect`.
+    * Reads the WHOLE compressed index once instead of directory-
+    * pruning — the right scan when most cells are probed by someone,
+    * which a corpus-scale query set guarantees. */
+  def topKManyQueries(queries: DataFrame, queryIdCol: String, k: Int,
+      nprobe: Int = 4): DataFrame = {
+    val (cents, books) = model
+    Similarity.ivfPqTopKManyQueries(codeTable, queries, vecCol,
+      queryIdCol, k, cents, books, nprobe)
+  }
+
   /** [[topK]] with exact re-ranking ([[Similarity.ivfPqTopKRefined]]
     * — the FAISS refine step): over-fetch refineFactor×k candidates
     * from the compressed index, re-score them against their exact

@@ -662,6 +662,59 @@ class SimilaritySpec extends AnyFunSuite {
     } finally Similarity.MaxQueryCollect = old
   }
 
+  test("ivfPqTopKManyQueries: bit-identical to the driver-LUT probe " +
+      "and legal past MaxQueryCollect (no driver collect anywhere)") {
+    val (_, cents, books) = refineFixture()
+    val codeTable = Similarity.ivfPqCodeTable(emb, "embedding",
+      "vec_id", cents, books).localCheckpoint(true)
+    val q = emb.where($"vec_id" < 8)
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3)))
+      .sortBy(x => (x._1, x._4)).toSeq
+    val lut = canon(Similarity.ivfPqTopKFromCodes(codeTable, q,
+      "embedding", "vec_id", k = 5, cents, books, nprobe = 3))
+    // EXACT double equality — the kernel replays the LUT arithmetic
+    // (per-subspace subtotal then the j-ascending fold), not an
+    // epsilon-close reimplementation
+    val old = Similarity.MaxQueryCollect
+    try {
+      Similarity.MaxQueryCollect = 4 // 8 queries: LUT path would refuse
+      val many = canon(Similarity.ivfPqTopKManyQueries(codeTable, q,
+        "embedding", "vec_id", k = 5, cents, books, nprobe = 3))
+      assert(many == lut)
+    } finally Similarity.MaxQueryCollect = old
+  }
+
+  test("ivfPqTopKManyQueries fails loudly on malformed queries and " +
+      "model-mismatched codes") {
+    val (_, cents, books) = refineFixture()
+    val codeTable = Similarity.ivfPqCodeTable(emb, "embedding",
+      "vec_id", cents, books).localCheckpoint(true)
+    def chain(t: Throwable): String = {
+      var msgs = List.empty[String]
+      var cur = t
+      while (cur != null) {
+        msgs ::= String.valueOf(cur.getMessage); cur = cur.getCause
+      }
+      msgs.mkString(" | ")
+    }
+    val badQ = Seq((99L, Seq(1f, 2f, 3f))).toDF("vec_id", "embedding")
+    val e1 = intercept[Throwable] {
+      Similarity.ivfPqTopKManyQueries(codeTable, badQ, "embedding",
+        "vec_id", k = 5, cents, books, nprobe = 2).count()
+    }
+    assert(chain(e1).contains("malformed query vector"), chain(e1))
+    val stale = codeTable.withColumn("codes",
+      transform(col("codes"), c => c + 1000))
+    val e2 = intercept[Throwable] {
+      Similarity.ivfPqTopKManyQueries(stale,
+        emb.where($"vec_id" < 2), "embedding", "vec_id", k = 5,
+        cents, books, nprobe = 2).count()
+    }
+    assert(chain(e2).contains("different quantizer"), chain(e2))
+  }
+
   test("ivfPqTopKFromCodes fails LOUDLY on a code table that does " +
       "not fit the supplied model (stale persisted quantizer), " +
       "instead of ranking garbage or null distances first") {

@@ -39,6 +39,17 @@ class VectorIndexStoreSpec extends AnyFunSuite {
       == canon(direct))
   }
 
+  test("topKManyQueries (distributed probe) equals topK (driver-LUT " +
+      "probe) through the store") {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("vec_index_mq").toString
+    val store = mkStore(tmp)
+    store.initialize(emb.where($"vec_id" < 300))
+    val q = emb.where($"vec_id" < 6)
+    assert(canon(store.topKManyQueries(q, "vec_id", k = 5, nprobe = 2))
+      == canon(store.topK(q, "vec_id", k = 5, nprobe = 2)))
+  }
+
   test("growing ingest: codes accumulate per batch under the FROZEN " +
       "model, search covers every batch, replay is idempotent") {
     val tmp = java.nio.file.Files
