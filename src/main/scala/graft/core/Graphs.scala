@@ -68,8 +68,42 @@ object Graphs {
     * Returns (node, rank_micros). */
   def pageRankMicros(edges: DataFrame, srcCol: String, dstCol: String,
       iterations: Int = 10, dampingMicros: Long = 850000L): DataFrame =
-    rankLoop(edges, srcCol, dstCol, iterations, dampingMicros,
-      seeds = None, seedCol = "")
+    rankLoop(simpleEdges(edges, srcCol, dstCol), iterations,
+      dampingMicros, seeds = None, seedCol = "")
+
+  /** PageRank with WEIGHTED edges — the real crawl-graph form (href
+    * counts between hosts): each src splits its vote proportionally,
+    * `contrib = (D * ((rank * w) div W_src)) div One` with
+    * `W_src = Σ w` over src's out-edges. Still pure floor-division
+    * long arithmetic (exact while `rank · w` fits a long —
+    * ~9e18/1e9-micro hub ranks leaves weights up to ~1e9, far past
+    * real href counts), and scaling ALL weights by a constant leaves
+    * every rank bit-identical (`floor(r·cw / cW) = floor(r·w / W)`,
+    * spec-pinned) — only the proportions matter. Rows with the same
+    * (src, dst) SUM their weights (parallel links add up — the
+    * multigraph semantics the unweighted form's distinct() removes);
+    * non-positive and null weights are rejected at plan-build.
+    * Returns (node, rank_micros). */
+  def weightedPageRankMicros(edges: DataFrame, srcCol: String,
+      dstCol: String, weightCol: String, iterations: Int = 10,
+      dampingMicros: Long = 850000L): DataFrame = {
+    val e = edges
+      .select(col(srcCol).as("src"), col(dstCol).as("dst"),
+        col(weightCol).cast("long").as("w"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+    // a zero/negative/null weight is a caller bug (a dropped edge
+    // should be absent, not weight-0) — fail loudly, in-plan
+    val checked = e.withColumn("w",
+      when(col("w").isNull || col("w") <= 0L,
+        raise_error(concat(lit("weightedPageRankMicros: weight must " +
+          "be a positive integer, got "), col("w").cast("string"),
+          lit(" on edge "), col("src").cast("string"), lit(" -> "),
+          col("dst").cast("string"))).cast("long"))
+        .otherwise(col("w")))
+      .groupBy("src", "dst").agg(sum(col("w")).as("w"))
+    rankLoop(checked, iterations, dampingMicros, seeds = None,
+      seedCol = "")
+  }
 
   /** Personalized PageRank: the teleport goes ONLY to `seeds`
     * (topic-conditioned authority — rank relative to a trusted /
@@ -87,19 +121,26 @@ object Graphs {
   def personalizedPageRankMicros(edges: DataFrame, srcCol: String,
       dstCol: String, seeds: DataFrame, seedCol: String,
       iterations: Int = 10, dampingMicros: Long = 850000L): DataFrame =
-    rankLoop(edges, srcCol, dstCol, iterations, dampingMicros,
-      seeds = Some(seeds), seedCol = seedCol)
+    rankLoop(simpleEdges(edges, srcCol, dstCol), iterations,
+      dampingMicros, seeds = Some(seeds), seedCol = seedCol)
 
-  private def rankLoop(edges: DataFrame, srcCol: String, dstCol: String,
-      iterations: Int, dampingMicros: Long, seeds: Option[DataFrame],
+  /** simple-graph normalization: distinct (src, dst), weight 1 —
+    * `(rank · 1) div W` then reduces to the unweighted
+    * `rank div outdeg`, so the weighted loop IS the plain loop. */
+  private def simpleEdges(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame =
+    edges
+      .select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+      .withColumn("w", lit(1L))
+
+  private def rankLoop(e: DataFrame, iterations: Int,
+      dampingMicros: Long, seeds: Option[DataFrame],
       seedCol: String): DataFrame = {
     require(iterations >= 0, s"iterations must be >= 0, got $iterations")
     require(dampingMicros >= 0L && dampingMicros <= One,
       s"dampingMicros must be in [0, $One], got $dampingMicros")
-    val e = edges
-      .select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .where(col("src").isNotNull && col("dst").isNotNull)
-      .distinct()
     val nodeSet = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .distinct()
@@ -123,20 +164,24 @@ object Graphs {
               .as("start"))
     }).localCheckpoint(false)
     require(nodes.limit(1).count() > 0, "pageRankMicros: empty graph")
-    // static across iterations: (src, dst, outdeg) — pinned so the
-    // distinct + degree aggregation runs once, not once per iteration
+    // static across iterations: (src, dst, w, wsum) — pinned so the
+    // normalization + out-mass aggregation runs once, not once per
+    // iteration. wsum = Σ w over src's out-edges (= outdeg when all
+    // weights are 1, so the weighted recurrence IS the plain one)
     val eo = e.join(
-        e.groupBy("src").agg(count(lit(1)).as("outdeg")), Seq("src"))
+        e.groupBy("src").agg(sum(col("w")).as("wsum")), Seq("src"))
       .localCheckpoint(false)
     var ranks = nodes.select(col("node"),
       col("start").as("rank_micros"))
     for (i <- 1 to iterations) {
       val contribs = eo
         .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
-        // integer floor chain (all values non-negative): share per
-        // out-edge, then the damped share — see the recurrence above
+        // integer floor chain (all values non-negative): the
+        // weight-proportional share, then the damped share — see the
+        // recurrence above; rank·w FIRST (then one floor) — dividing
+        // before multiplying would floor away the proportionality
         .select(col("dst").as("node"),
-          expr(s"($dampingMicros * (rank_micros DIV outdeg)) " +
+          expr(s"($dampingMicros * ((rank_micros * w) DIV wsum)) " +
             s"DIV $One").as("c"))
         .groupBy("node").agg(sum(col("c")).as("s"))
       ranks = nodes

@@ -242,5 +242,61 @@ object RelationalQueries {
           seeds, "node", iterations = 3)
         .orderBy(col("node"))
     }
+ 
+    // WEIGHTED PageRank: edge weights = lineitem counts per
+    // customer-supplier pair (the href-count form a real host graph
+    // carries). Votes split weight-proportionally — (rank*w) DIV Wsum
+    // with ONE floor, replayed exactly by the unrolled CTEs.
+    register("q161_weighted_pagerank",
+      """WITH pairs AS (
+        |  SELECT 'c:' || CAST(o_custkey AS VARCHAR) AS src,
+        |         's:' || CAST(l_suppkey AS VARCHAR) AS dst,
+        |         CAST(COUNT(*) AS BIGINT) AS w
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |  WHERE o_custkey % 3 = 0 GROUP BY 1, 2),
+        |e AS (SELECT src, dst, w FROM pairs
+        |      UNION ALL SELECT dst, src, w FROM pairs),
+        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |om AS (SELECT src, CAST(SUM(w) AS BIGINT) AS wsum
+        |       FROM e GROUP BY src),
+        |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes),
+        |c1 AS (SELECT e.dst,
+        |    CAST(SUM((850000 * ((r0.r * e.w) // o.wsum)) // 1000000)
+        |      AS BIGINT) AS s
+        |  FROM e JOIN om o ON e.src = o.src
+        |  JOIN r0 ON r0.node = e.src GROUP BY e.dst),
+        |r1 AS (SELECT nodes.node, 150000 + COALESCE(c1.s, 0) AS r
+        |  FROM nodes LEFT JOIN c1 ON c1.dst = nodes.node),
+        |c2 AS (SELECT e.dst,
+        |    CAST(SUM((850000 * ((r1.r * e.w) // o.wsum)) // 1000000)
+        |      AS BIGINT) AS s
+        |  FROM e JOIN om o ON e.src = o.src
+        |  JOIN r1 ON r1.node = e.src GROUP BY e.dst),
+        |r2 AS (SELECT nodes.node, 150000 + COALESCE(c2.s, 0) AS r
+        |  FROM nodes LEFT JOIN c2 ON c2.dst = nodes.node),
+        |c3 AS (SELECT e.dst,
+        |    CAST(SUM((850000 * ((r2.r * e.w) // o.wsum)) // 1000000)
+        |      AS BIGINT) AS s
+        |  FROM e JOIN om o ON e.src = o.src
+        |  JOIN r2 ON r2.node = e.src GROUP BY e.dst),
+        |r3 AS (SELECT nodes.node, 150000 + COALESCE(c3.s, 0) AS r
+        |  FROM nodes LEFT JOIN c3 ON c3.dst = nodes.node)
+        |SELECT node, CAST(r AS BIGINT) AS rank_micros
+        |FROM r3 ORDER BY node""".stripMargin) { (s, dir) =>
+      val pairs = table(s, dir, "orders")
+        .where(col("o_custkey") % 3 === 0)
+        .join(table(s, dir, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy(
+          concat(lit("c:"), col("o_custkey").cast("string")).as("src"),
+          concat(lit("s:"), col("l_suppkey").cast("string")).as("dst"))
+        .agg(count(lit(1)).as("w"))
+      val edges = pairs.union(
+        pairs.select(col("dst").as("src"), col("src").as("dst"),
+          col("w")))
+      graft.core.Graphs.weightedPageRankMicros(edges, "src", "dst",
+          "w", iterations = 3)
+        .orderBy(col("node"))
+    }
   }
 }

@@ -94,6 +94,58 @@ class GraphsSpec extends AnyFunSuite {
     assert(run(Seq("a", "zz"), 2) == run(Seq("a"), 2))
   }
 
+  test("weighted: all-1 weights IS plain PageRank; scaling every " +
+      "weight by a constant changes nothing; duplicate rows sum") {
+    val edges = (0 until 120).map(i =>
+      (s"n${i % 17}", s"n${(i * 11) % 19}", (i % 5 + 1).toLong))
+    def runW(es: Seq[(String, String, Long)]) =
+      Graphs.weightedPageRankMicros(es.toDF("src", "dst", "w"),
+          "src", "dst", "w", iterations = 3)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val uniform = edges.map(e => (e._1, e._2)).distinct
+      .map { case (s, d) => (s, d, 1L) }
+    val plain = Graphs.pageRankMicros(
+        edges.map(e => (e._1, e._2)).toDF("src", "dst"), "src", "dst",
+        iterations = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(runW(uniform) == plain)
+    // floor(r*cw / cW) = floor(r*w / W): only proportions matter
+    val base = edges.map(e => (e._1, e._2)).distinct.zipWithIndex
+      .map { case ((s, d), i) => (s, d, (i % 7 + 1).toLong) }
+    assert(runW(base) == runW(base.map(e => (e._1, e._2, e._3 * 1000))))
+    // parallel (src,dst) rows add their weights
+    val dup = Seq(("a", "b", 2L), ("a", "b", 2L), ("b", "a", 1L))
+    val merged = Seq(("a", "b", 4L), ("b", "a", 1L))
+    assert(runW(dup) == runW(merged))
+  }
+
+  test("weighted: hand-checked proportional split; non-positive " +
+      "weight fails loudly") {
+    // a->b w3, a->c w1, b->a w2, c->a w5; W_a=4, W_b=2, W_c=5
+    // b gets (850000*((1e6*3) div 4)) div 1e6 = 637500
+    // c gets (850000*((1e6*1) div 4)) div 1e6 = 212500
+    // a gets 850000 from b and 850000 from c (full shares)
+    val r = Graphs.weightedPageRankMicros(
+        Seq(("a", "b", 3L), ("a", "c", 1L), ("b", "a", 2L),
+          ("c", "a", 5L)).toDF("src", "dst", "w"),
+        "src", "dst", "w", iterations = 1)
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(r == Map("a" -> (150000L + 850000L + 850000L),
+      "b" -> (150000L + 637500L), "c" -> (150000L + 212500L)))
+    val e = intercept[Throwable] {
+      Graphs.weightedPageRankMicros(
+        Seq(("a", "b", 0L)).toDF("src", "dst", "w"),
+        "src", "dst", "w", iterations = 1).collect()
+    }
+    def chain(t: Throwable): String = {
+      var m = List.empty[String]; var c = t
+      while (c != null) { m ::= String.valueOf(c.getMessage); c = c.getCause }
+      m.mkString(" | ")
+    }
+    assert(chain(e).contains("weight must be a positive integer"),
+      chain(e))
+  }
+
   test("named errors on an empty graph and out-of-range damping") {
     val empty = Seq.empty[(String, String)].toDF("src", "dst")
     val e1 = intercept[IllegalArgumentException] {
