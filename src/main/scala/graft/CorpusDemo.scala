@@ -341,6 +341,27 @@ object CorpusDemo {
         "text", "doc_id", "doc_id", k = 5).count()
     }
 
+    // 8b'. hybrid retrieval: RRF-fuse the lexical BM25 ranking with
+    //      the semantic SQ8 ranking — rank-only fusion (no score
+    //      calibration), agreement between lists outranks either
+    //      list's head. The production RAG/curation retrieval stack
+    //      in one line per leg.
+    t("retrieve: RRF hybrid (BM25 + sq8 vectors)") {
+      val lex = Curation.bm25TopK(pruned,
+          docs.where(col("doc_id") < 3), "text", "doc_id", "doc_id",
+          k = 20)
+        .select(col("query_id"), col("doc_id"), col("rank"))
+      val emb = Tables.table(spark, sfDir, "embeddings")
+        .join(pruned.select(col("doc_id").as("vec_id")), Seq("vec_id"),
+          "left_semi").localCheckpoint(false)
+      val sem = Similarity.sq8TopK(emb, emb.where(col("vec_id") < 3),
+          "embedding", "vec_id", "vec_id", k = 20)
+        .select(col("query_id"), col("corpus_id").as("doc_id"),
+          col("rank"))
+      Curation.rrfFuse(Seq(lex, sem), "query_id", "doc_id", k = 5)
+        .count()
+    }
+
     // 8c. per-domain cap: no single source may dominate the mixture
     //     the later stages balance (C4/Dolma step; longest-first cut)
     val capped = t("cap: per-source document limit") {

@@ -998,6 +998,22 @@ object ScaleSmoke {
     }
     run("pagerank: 5 iterations", 5)
     run("pagerank: 10 iterations", 10)
+    // weighted form at the same scale: hash-derived 1..16 weights —
+    // same two exchanges per round plus the one-off weight sum
+    org.apache.spark.graft.ListenerBusBarrier.drain(spark.sparkContext)
+    val s0 = shuffleBytes.get()
+    val t0 = System.nanoTime()
+    val wtop = graft.core.Graphs.weightedPageRankMicros(
+        edges.withColumn("w",
+          pmod(xxhash64(col("src"), col("dst")), lit(16L)) + 1L),
+        "src", "dst", "w", iterations = 5)
+      .orderBy(col("rank_micros").desc, col("node")).limit(5)
+      .collect().map(r => s"${r.get(0)}:${r.getLong(1)}")
+    val secs = (System.nanoTime() - t0) / 1e9
+    org.apache.spark.graft.ListenerBusBarrier.drain(spark.sparkContext)
+    println(f"${"pagerank-weighted: 5 iters"}%-28s $secs%7.1f s  " +
+      f"${(shuffleBytes.get() - s0) / 1e6}%,.0f MB shuffled  " +
+      s"top5=${wtop.mkString(",")}")
   }
 
   /** The web-ingest curation chain at corpus scale (stations × 1000
