@@ -62,6 +62,27 @@ object Tables {
   def readStationPartitioned(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Materialize a [[graft.text.Curation.trainingOrder]] (or
+    * `packGreedy`) frame as the training-shard layout a data loader
+    * consumes: hive-partitioned by `shard`, rows sorted by `pos`
+    * within each file, `maxRecordsPerFile` bounding the reader's unit
+    * of work. The one repartition on `shard` is exactly the
+    * clustering the per-shard `pos` window already computed with, so
+    * the write adds no second semantic shuffle — a loader then reads
+    * `shard=K` as one directory and streams rows in training order.
+    * Epoch re-draws (trainingOrder with a bumped seed) land in a new
+    * `path`. */
+  def writeTrainingShards(df: DataFrame, path: String,
+      shardCol: String = "shard", posCol: String = "pos",
+      maxRecordsPerFile: Long = 5000000L): Unit =
+    df.repartition(col(shardCol))
+      .sortWithinPartitions(col(shardCol), col(posCol))
+      .write
+      .partitionBy(shardCol)
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .mode("overwrite")
+      .parquet(path)
+
   /** Bucketed-table write for CO-LOCATED joins: two tables bucketed the
     * same way on the same key join with NO Exchange on either side —
     * at 100 TB that deletes the dominant shuffle of every fact-to-fact

@@ -51,6 +51,39 @@ class TablesSpec extends AnyFunSuite {
     assert(head.sorted.toSeq == head.toSeq)
   }
 
+  test("training-shard layout: shard dirs partition-prune, every " +
+      "FILE streams rows in pos order, round-trip is lossless") {
+    val docs = (0 until 500).map(i => (i.toLong, s"doc $i"))
+      .toDF("doc_id", "text")
+    val ordered = graft.text.Curation.trainingOrder(docs,
+      Seq("doc_id"), numShards = 8)
+    val dir = java.nio.file.Files.createTempDirectory("graft_shards")
+      .toString + "/epoch0"
+    Tables.writeTrainingShards(ordered, dir)
+    val back = spark.read.parquet(dir)
+    // lossless: same (doc_id, shard, pos) triples
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select($"doc_id", $"shard".cast("int"), $"pos")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .toSet
+    assert(canon(back) == canon(ordered))
+    // a loader reading one shard directory gets training order
+    // WITHOUT a sort: rows inside each parquet FILE are pos-ascending
+    val files = new java.io.File(s"$dir/shard=3").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(files.nonEmpty)
+    files.foreach { f =>
+      val pos = spark.read.parquet(f.getAbsolutePath)
+        .select($"pos").collect().map(_.getLong(0)).toSeq
+      assert(pos == pos.sorted, s"file ${f.getName} not pos-sorted")
+    }
+    // shard filters prune at the directory level
+    val plan = back.where($"shard" === 3).queryExecution.executedPlan
+      .toString
+    assert("PartitionFilters: \\[[^\\]]*shard[^\\]]*".r
+      .findFirstIn(plan).nonEmpty, plan)
+  }
+
   test("bucketed tables join without an exchange on either side") {
     val left = spark.range(0, 10000)
       .select($"id".as("k"), ($"id" * 2).as("a"))
