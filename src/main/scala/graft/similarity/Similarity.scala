@@ -323,6 +323,18 @@ object Similarity {
       .select(col(queryIdCol).as("query_id"), col("bits").as("qb_"))
     val scored = c.crossJoin(broadcast(q))
       .withColumn("hamming", bqHamming(col("cb_"), col("qb_")))
+      // a null Hamming (null bits row, or corpus/query packed under
+      // DIFFERENT dims — zip_with pads the short side with nulls)
+      // would sort FIRST under the ascending window and silently rank
+      // garbage at 1; fail loudly instead (the ivfPqTopKFromCodes
+      // stale-model stance)
+      .withColumn("hamming",
+        when(col("hamming").isNull, raise_error(concat(
+          lit("bqTopKFromBits: null Hamming distance for corpus id "),
+          col("corpus_id").cast("string"),
+          lit(" — null bits or a corpus/query dimension mismatch " +
+            "(codes packed under different dims)"))).cast("long"))
+          .otherwise(col("hamming")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("hamming"), col("corpus_id"))
     scored.withColumn("rank", row_number().over(w))

@@ -106,6 +106,36 @@ class BqSpec extends AnyFunSuite {
       s"rescored=${recall(rescored)} plain=${recall(plain)}")
   }
 
+  test("null bits / dimension-mismatched codes fail LOUDLY instead " +
+      "of ranking garbage at 1 (ascending window, nulls-first)") {
+    def chain(t: Throwable): String = {
+      var m = List.empty[String]; var c = t
+      while (c != null) { m ::= String.valueOf(c.getMessage); c = c.getCause }
+      m.mkString(" | ")
+    }
+    // corpus packed at 64 dims (2 words), query at 16 (1 word):
+    // zip_with pads the short side with nulls -> null Hamming without
+    // the guard. (A mismatch WITHIN one word — e.g. 33 vs 64 dims —
+    // packs to equal word counts and compares the padding bits as
+    // negative signs: deterministic, same silent-truncation semantics
+    // as zip_with cosine over unequal dims everywhere else.)
+    val shortQ = Seq((0L, Seq.fill(16)(1f))).toDF("vec_id", "embedding")
+    val e1 = intercept[Throwable] {
+      Similarity.bqTopK(emb, shortQ, "embedding", "vec_id", "vec_id",
+        k = 5).collect()
+    }
+    assert(chain(e1).contains("dimension mismatch"), chain(e1))
+    // a null corpus vector packs to null bits
+    val withNull = emb.select($"vec_id",
+      when($"vec_id" === 7L, lit(null)).otherwise($"embedding")
+        .as("embedding"))
+    val e2 = intercept[Throwable] {
+      Similarity.bqTopK(withNull, emb.where($"vec_id" < 2),
+        "embedding", "vec_id", "vec_id", k = 5).collect()
+    }
+    assert(chain(e2).contains("null Hamming"), chain(e2))
+  }
+
   test("bqTopKRescored rejects refineFactor < 1") {
     val e = intercept[IllegalArgumentException] {
       Similarity.bqTopKRescored(
