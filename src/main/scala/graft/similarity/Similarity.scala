@@ -424,8 +424,20 @@ object Similarity {
       refineFactor: Int = 4): DataFrame = {
     require(refineFactor >= 1,
       s"refineFactor must be >= 1, got $refineFactor")
+    // a stored table built under a DIFFERENT prefixDim makes every
+    // coarse cosine null (DotProduct's length-mismatch contract) and
+    // the search silently returns nothing — fail loudly instead (the
+    // stale-model stance)
     val c = prefixes.select(col(idCol).as("corpus_id"),
       col("prefix").as("cp_"))
+      .withColumn("cp_",
+        when(col("cp_").isNotNull && size(col("cp_")) === prefixDim,
+          col("cp_"))
+          .otherwise(raise_error(concat(
+            lit("prefixTopKRescored: stored prefix for corpus id "),
+            col("corpus_id").cast("string"),
+            lit(s" does not match prefixDim=$prefixDim — the table " +
+              "was built under a different truncation")))))
     val q = queries.select(col(queryIdCol).as("query_id"),
       slice(col(vecCol), 1, prefixDim).as("qp_"),
       col(vecCol).as("qv"))

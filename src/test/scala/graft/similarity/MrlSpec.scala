@@ -55,6 +55,22 @@ class MrlSpec extends AnyFunSuite {
       s"rescored=${recall(rescored)} coarse=${recall(coarseOnly)}")
   }
 
+  test("a stored prefix table built under a different prefixDim " +
+      "fails loudly instead of returning an empty result") {
+    val stored8 = Similarity.prefixTable(emb, "embedding", "vec_id", 8)
+    val e = intercept[Throwable] {
+      Similarity.prefixTopKRescored(stored8, emb, emb.limit(1),
+        "embedding", "vec_id", "vec_id", k = 5, prefixDim = 16)
+        .collect()
+    }
+    def chain(t: Throwable): String = {
+      var m = List.empty[String]; var c = t
+      while (c != null) { m ::= String.valueOf(c.getMessage); c = c.getCause }
+      m.mkString(" | ")
+    }
+    assert(chain(e).contains("different truncation"), chain(e))
+  }
+
   test("named errors on bad prefixDim / refineFactor") {
     val e1 = intercept[IllegalArgumentException] {
       Similarity.prefixTable(emb, "embedding", "vec_id", 0)
