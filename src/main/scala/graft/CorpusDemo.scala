@@ -435,6 +435,17 @@ object CorpusDemo {
         Seq("doc_id", "chunk_idx"), numShards = 16)
     }
 
+    // 12b. materialize the epoch as the loader-facing layout: one
+    //      hive directory per shard, rows pos-sorted inside every
+    //      file — a data loader streams shard=K in training order
+    //      with no sort
+    t("shard: write training-shard layout") {
+      val sdir = java.nio.file.Files
+        .createTempDirectory("corpus_demo_shards").toString
+      graft.core.Tables.writeTrainingShards(sharded, s"$sdir/epoch0")
+      spark.read.parquet(s"$sdir/epoch0").count()
+    }
+
     val counts = Seq(
       "input" -> total, "heuristic-filtered" -> heuristic.count(),
       "quality-filtered" -> filtered.count(),
