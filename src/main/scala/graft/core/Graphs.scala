@@ -86,14 +86,32 @@ object Graphs {
     * Returns (node, rank_micros). */
   def weightedPageRankMicros(edges: DataFrame, srcCol: String,
       dstCol: String, weightCol: String, iterations: Int = 10,
-      dampingMicros: Long = 850000L): DataFrame = {
+      dampingMicros: Long = 850000L): DataFrame =
+    rankLoop(weightedEdges(edges, srcCol, dstCol, weightCol),
+      iterations, dampingMicros, seeds = None, seedCol = "")
+
+  /** [[weightedPageRankMicros]] with [[personalizedPageRankMicros]]'
+    * seed-restricted teleport — both axes at once (a weighted host
+    * graph ranked from a trusted seed set). */
+  def weightedPersonalizedPageRankMicros(edges: DataFrame,
+      srcCol: String, dstCol: String, weightCol: String,
+      seeds: DataFrame, seedCol: String, iterations: Int = 10,
+      dampingMicros: Long = 850000L): DataFrame =
+    rankLoop(weightedEdges(edges, srcCol, dstCol, weightCol),
+      iterations, dampingMicros, seeds = Some(seeds),
+      seedCol = seedCol)
+
+  /** weighted-graph normalization: positive-weight validation
+    * (in-plan, loud) + parallel-edge weight summing. */
+  private def weightedEdges(edges: DataFrame, srcCol: String,
+      dstCol: String, weightCol: String): DataFrame = {
     val e = edges
       .select(col(srcCol).as("src"), col(dstCol).as("dst"),
         col(weightCol).cast("long").as("w"))
       .where(col("src").isNotNull && col("dst").isNotNull)
     // a zero/negative/null weight is a caller bug (a dropped edge
     // should be absent, not weight-0) — fail loudly, in-plan
-    val checked = e.withColumn("w",
+    e.withColumn("w",
       when(col("w").isNull || col("w") <= 0L,
         raise_error(concat(lit("weightedPageRankMicros: weight must " +
           "be a positive integer, got "), col("w").cast("string"),
@@ -101,8 +119,6 @@ object Graphs {
           col("dst").cast("string"))).cast("long"))
         .otherwise(col("w")))
       .groupBy("src", "dst").agg(sum(col("w")).as("w"))
-    rankLoop(checked, iterations, dampingMicros, seeds = None,
-      seedCol = "")
   }
 
   /** Personalized PageRank: the teleport goes ONLY to `seeds`
