@@ -683,6 +683,50 @@ object ScaleSmoke {
       vstore.deleteIds(mkVecs(0, 1000).select(col("vec_id")))
       vstore.codeTable.count()
     }
+
+    // ---- edge store: the link graph at ingest. Per-batch work is
+    // batch-scale (nothing stored is read — the base-exists guard is
+    // the only stat call); the rank reads the whole accumulated table
+    // (the semantics of a global rank); compaction aggregates a
+    // re-crawl-heavy log toward distinct-pair size.
+    val gtmp = java.nio.file.Files
+      .createTempDirectory("graft_graph_ab").toString
+    val gstore = new graft.streaming.GraphEdgeStore(spark, gtmp)
+    val gNodes = nDocs
+    val gEdges = nDocs * 8
+    // re-crawl shape: each underlying edge is observed ~4 times (the
+    // id folds onto a quarter-sized edge universe), so the weight-1
+    // store accumulates weight 4 per pair and compaction has real
+    // parallel rows to aggregate
+    def mkEdges(from: Long, n: Long) =
+      spark.range(from, from + n, 1, 32)
+        .select(pmod(col("id"), lit(gEdges / 4)).as("e_"))
+        .select(
+          pmod(xxhash64(col("e_"), lit(3L)), lit(gNodes)).cast("string")
+            .as("src"),
+          pmod(pmod(xxhash64(col("e_"), lit(7L)), lit(gNodes)),
+            lit(gNodes / 2)).cast("string").as("dst"))
+    t2(f"graph: initialize (land $gEdges%,d edges)") {
+      gstore.initialize(mkEdges(0, gEdges))
+      gstore.edgeTable.count()
+    }
+    t2("graph: ingest batch (land only, store unread)") {
+      gstore.processBatch(mkEdges(gEdges, 5000), 0L)
+      5000L
+    }
+    t2("graph: pageRank 3 iters over accumulated") {
+      gstore.pageRank(iterations = 3).count()
+    }
+    t2("graph: compact (fold + aggregate pairs)") {
+      gstore.compact()
+      gstore.edgeTable.count()
+    }
+    t2("graph: deleteNodes 100 (one compaction rewrite)") {
+      gstore.deleteNodes(
+        spark.range(0, 100).select(col("id").cast("string")
+          .as("node")))
+      gstore.edgeTable.count()
+    }
   }
 
   /** IVF corpus assignment at production shapes: the
