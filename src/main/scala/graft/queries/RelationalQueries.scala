@@ -304,5 +304,65 @@ object RelationalQueries {
           "w", iterations = 3)
         .orderBy(col("node"))
     }
+ 
+    // The combined axis the edge store exposes: WEIGHTED votes +
+    // seed-restricted teleport (rank a weighted host graph from a
+    // trusted seed set). Oracle = q161's weighted CTEs with q159's
+    // seed-conditional base/start.
+    register("q162_weighted_personalized_pagerank",
+      """WITH pairs AS (
+        |  SELECT 'c:' || CAST(o_custkey AS VARCHAR) AS src,
+        |         's:' || CAST(l_suppkey AS VARCHAR) AS dst,
+        |         CAST(COUNT(*) AS BIGINT) AS w
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |  WHERE o_custkey % 3 = 0 GROUP BY 1, 2),
+        |e AS (SELECT src, dst, w FROM pairs
+        |      UNION ALL SELECT dst, src, w FROM pairs),
+        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |seed AS (SELECT DISTINCT 'c:' || CAST(c_custkey AS VARCHAR)
+        |           AS node
+        |         FROM customer WHERE c_nationkey = 0),
+        |nb AS (SELECT nodes.node,
+        |    CASE WHEN seed.node IS NULL THEN 0 ELSE 150000 END AS base,
+        |    CASE WHEN seed.node IS NULL THEN 0 ELSE 1000000 END AS st
+        |  FROM nodes LEFT JOIN seed ON seed.node = nodes.node),
+        |om AS (SELECT src, CAST(SUM(w) AS BIGINT) AS wsum
+        |       FROM e GROUP BY src),
+        |r0 AS (SELECT node, CAST(st AS BIGINT) AS r FROM nb),
+        |c1 AS (SELECT e.dst,
+        |    CAST(SUM((850000 * ((r0.r * e.w) // o.wsum)) // 1000000)
+        |      AS BIGINT) AS s
+        |  FROM e JOIN om o ON e.src = o.src
+        |  JOIN r0 ON r0.node = e.src GROUP BY e.dst),
+        |r1 AS (SELECT nb.node, nb.base + COALESCE(c1.s, 0) AS r
+        |  FROM nb LEFT JOIN c1 ON c1.dst = nb.node),
+        |c2 AS (SELECT e.dst,
+        |    CAST(SUM((850000 * ((r1.r * e.w) // o.wsum)) // 1000000)
+        |      AS BIGINT) AS s
+        |  FROM e JOIN om o ON e.src = o.src
+        |  JOIN r1 ON r1.node = e.src GROUP BY e.dst),
+        |r2 AS (SELECT nb.node, nb.base + COALESCE(c2.s, 0) AS r
+        |  FROM nb LEFT JOIN c2 ON c2.dst = nb.node),
+        |c3 AS (SELECT e.dst,
+        |    CAST(SUM((850000 * ((r2.r * e.w) // o.wsum)) // 1000000)
+        |      AS BIGINT) AS s
+        |  FROM e JOIN om o ON e.src = o.src
+        |  JOIN r2 ON r2.node = e.src GROUP BY e.dst),
+        |r3 AS (SELECT nb.node, nb.base + COALESCE(c3.s, 0) AS r
+        |  FROM nb LEFT JOIN c3 ON c3.dst = nb.node)
+        |SELECT node, CAST(r AS BIGINT) AS rank_micros
+        |FROM r3 ORDER BY node""".stripMargin) { (s, dir) =>
+      val pairs = tradePairs(s, dir)
+      val edges = pairs.union(
+        pairs.select(col("dst").as("src"), col("src").as("dst"),
+          col("w")))
+      val seeds = table(s, dir, "customer")
+        .where(col("c_nationkey") === 0)
+        .select(concat(lit("c:"), col("c_custkey").cast("string"))
+          .as("node"))
+      graft.core.Graphs.weightedPersonalizedPageRankMicros(edges,
+          "src", "dst", "w", seeds, "node", iterations = 3)
+        .orderBy(col("node"))
+    }
   }
 }
