@@ -101,6 +101,77 @@ object Graphs {
       iterations, dampingMicros, seeds = Some(seeds),
       seedCol = seedCol)
 
+  /** HITS hubs & authorities (Kleinberg 1999) with exact integer
+    * arithmetic — the bipartite companion to PageRank: an AUTHORITY
+    * is pointed at by good hubs, a HUB points at good authorities
+    * (the customer↔supplier / page↔resource shape PageRank's single
+    * score conflates). Scores are micros in [0, One], max-normalized
+    * each half-iteration:
+    * {{{
+    *   a'(v) = Σ_{u→v} h(u);   a(v) = (a'(v) · One) div max(a')
+    *   h'(u) = Σ_{u→v} a(v);   h(u) = (h'(u) · One) div max(h')
+    * }}}
+    * All floor division and exact long sums, so results are a pure
+    * function of the graph (replayed by the q163 oracle's unrolled
+    * CTEs, scalar-subquery maxes included). Max-normalization — not
+    * L2 — because it stays in integers; the RANKING it induces is
+    * the same. The top hub and top authority sit at exactly One.
+    *
+    * Bounds: `a'·One` must fit a long → in-degree ≤ ~9e6 at
+    * full-scale hub scores (ANSI overflow throws loudly past it —
+    * partition hub-monsters out first, or rescale dampingless ranks
+    * are not the tool for them). Edges are deduplicated (simple
+    * graph). Scale shape per iteration: two src/dst-keyed join+agg
+    * exchanges (the PageRank physics) plus two node-scale max
+    * scalars; each half-iteration's frame is pinned before its max
+    * so the scalar action and the next join share one execution.
+    * Returns (node, hub_micros, auth_micros). */
+  def hitsMicros(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int = 5): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    val e = edges
+      .select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+      .localCheckpoint(false)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+      .localCheckpoint(false)
+    require(nodes.limit(1).count() > 0, "hitsMicros: empty graph")
+    var hubs = nodes.withColumn("hub", lit(One))
+    var auths = nodes.withColumn("auth", lit(One))
+    for (_ <- 1 to iterations) {
+      // authority update from current hubs
+      val aRaw = nodes
+        .join(e.join(hubs.withColumnRenamed("node", "src"), Seq("src"))
+          .groupBy(col("dst").as("node")).agg(sum(col("hub")).as("s")),
+          Seq("node"), "left")
+        .select(col("node"), coalesce(col("s"), lit(0L)).as("s"))
+        // pin: consumed by the max scalar AND the normalization AND
+        // the next half-iteration's join
+        .localCheckpoint(false)
+      val maxA = aRaw.agg(max(col("s"))).head().getLong(0)
+      auths = aRaw.select(col("node"),
+        (if (maxA == 0L) lit(0L)
+         else expr(s"(s * $One) DIV $maxA")).as("auth"))
+      // hub update from the new authorities
+      val hRaw = nodes
+        .join(e.join(auths.withColumnRenamed("node", "dst"), Seq("dst"))
+          .groupBy(col("src").as("node")).agg(sum(col("auth")).as("s")),
+          Seq("node"), "left")
+        .select(col("node"), coalesce(col("s"), lit(0L)).as("s"))
+        .localCheckpoint(false)
+      val maxH = hRaw.agg(max(col("s"))).head().getLong(0)
+      hubs = hRaw.select(col("node"),
+        (if (maxH == 0L) lit(0L)
+         else expr(s"(s * $One) DIV $maxH")).as("hub"))
+    }
+    hubs.join(auths, Seq("node"))
+      .select(col("node"), col("hub").as("hub_micros"),
+        col("auth").as("auth_micros"))
+  }
+
   /** weighted-graph normalization: positive-weight validation
     * (in-plan, loud) + parallel-edge weight summing. */
   private def weightedEdges(edges: DataFrame, srcCol: String,

@@ -364,5 +364,56 @@ object RelationalQueries {
           "src", "dst", "w", seeds, "node", iterations = 3)
         .orderBy(col("node"))
     }
+ 
+    // HITS hubs & authorities over the DIRECTED customer->supplier
+    // graph — the bipartite-authority shape PageRank's single score
+    // conflates (buyers are pure hubs, suppliers pure authorities).
+    // Max-normalized exact-integer recurrence; the oracle unrolls
+    // both iterations, scalar-subquery maxes included.
+    register("q163_hits",
+      """WITH e AS (
+        |  SELECT DISTINCT 'c:' || CAST(o_custkey AS VARCHAR) AS src,
+        |                  's:' || CAST(l_suppkey AS VARCHAR) AS dst
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |  WHERE o_custkey % 3 = 0),
+        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |h0 AS (SELECT node, CAST(1000000 AS BIGINT) AS h FROM nodes),
+        |a1r AS (SELECT nodes.node, COALESCE(x.s, 0) AS s
+        |  FROM nodes LEFT JOIN (
+        |    SELECT e.dst AS node, CAST(SUM(h0.h) AS BIGINT) AS s
+        |    FROM e JOIN h0 ON h0.node = e.src GROUP BY e.dst) x
+        |  ON x.node = nodes.node),
+        |a1 AS (SELECT node,
+        |  (s * 1000000) // (SELECT MAX(s) FROM a1r) AS a FROM a1r),
+        |h1r AS (SELECT nodes.node, COALESCE(x.s, 0) AS s
+        |  FROM nodes LEFT JOIN (
+        |    SELECT e.src AS node, CAST(SUM(a1.a) AS BIGINT) AS s
+        |    FROM e JOIN a1 ON a1.node = e.dst GROUP BY e.src) x
+        |  ON x.node = nodes.node),
+        |h1 AS (SELECT node,
+        |  (s * 1000000) // (SELECT MAX(s) FROM h1r) AS h FROM h1r),
+        |a2r AS (SELECT nodes.node, COALESCE(x.s, 0) AS s
+        |  FROM nodes LEFT JOIN (
+        |    SELECT e.dst AS node, CAST(SUM(h1.h) AS BIGINT) AS s
+        |    FROM e JOIN h1 ON h1.node = e.src GROUP BY e.dst) x
+        |  ON x.node = nodes.node),
+        |a2 AS (SELECT node,
+        |  (s * 1000000) // (SELECT MAX(s) FROM a2r) AS a FROM a2r),
+        |h2r AS (SELECT nodes.node, COALESCE(x.s, 0) AS s
+        |  FROM nodes LEFT JOIN (
+        |    SELECT e.src AS node, CAST(SUM(a2.a) AS BIGINT) AS s
+        |    FROM e JOIN a2 ON a2.node = e.dst GROUP BY e.src) x
+        |  ON x.node = nodes.node),
+        |h2 AS (SELECT node,
+        |  (s * 1000000) // (SELECT MAX(s) FROM h2r) AS h FROM h2r)
+        |SELECT h2.node, CAST(h2.h AS BIGINT) AS hub_micros,
+        |  CAST(a2.a AS BIGINT) AS auth_micros
+        |FROM h2 JOIN a2 ON a2.node = h2.node
+        |ORDER BY h2.node""".stripMargin) { (s, dir) =>
+      graft.core.Graphs.hitsMicros(
+          tradePairs(s, dir).select(col("src"), col("dst")),
+          "src", "dst", iterations = 2)
+        .orderBy(col("node"))
+    }
   }
 }

@@ -146,6 +146,41 @@ class GraphsSpec extends AnyFunSuite {
       chain(e))
   }
 
+  test("hits: one iteration matches the hand-computed max-normalized " +
+      "recurrence; directed bipartite sources/sinks zero out") {
+    // a->x, b->x, b->y: a1r x=2e6 y=1e6 -> maxA=2e6 -> a(x)=1e6,
+    // a(y)=500000; h1r a=1e6, b=1.5e6 -> maxH=1.5e6 ->
+    // h(a)=(1e6*1e6)div 1.5e6=666666, h(b)=1e6
+    val r = Graphs.hitsMicros(
+        Seq("a" -> "x", "b" -> "x", "b" -> "y").toDF("src", "dst"),
+        "src", "dst", iterations = 1)
+      .collect()
+      .map(x => x.getString(0) -> (x.getLong(1), x.getLong(2))).toMap
+    assert(r("a") == (666666L, 0L))
+    assert(r("b") == (1000000L, 0L))
+    assert(r("x") == (0L, 1000000L))
+    assert(r("y") == (0L, 500000L))
+  }
+
+  test("hits: pure function of the graph under any partitioning; " +
+      "top hub and authority sit at exactly One") {
+    val edges = (0 until 150).map(i => s"h${i % 13}" -> s"a${(i * 7) % 17}")
+    def run(p: Int) = Graphs.hitsMicros(
+        edges.toDF("src", "dst").repartition(p), "src", "dst",
+        iterations = 3)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val a = run(1)
+    assert(a == run(13))
+    assert(a.values.map(_._1).max == 1000000L)
+    assert(a.values.map(_._2).max == 1000000L)
+    val e = intercept[IllegalArgumentException] {
+      Graphs.hitsMicros(Seq.empty[(String, String)].toDF("src", "dst"),
+        "src", "dst", iterations = 1)
+    }
+    assert(e.getMessage.contains("empty graph"))
+  }
+
   test("named errors on an empty graph and out-of-range damping") {
     val empty = Seq.empty[(String, String)].toDF("src", "dst")
     val e1 = intercept[IllegalArgumentException] {
