@@ -68,8 +68,48 @@ object Graphs {
     * Returns (node, rank_micros). */
   def pageRankMicros(edges: DataFrame, srcCol: String, dstCol: String,
       iterations: Int = 10, dampingMicros: Long = 850000L): DataFrame =
-    rankLoop(simpleEdges(edges, srcCol, dstCol), iterations,
+    rankLoop(prepare(simpleEdges(edges, srcCol, dstCol)), iterations,
       dampingMicros, seeds = None, seedCol = "")
+
+  /** A pre-normalized, pinned rank-ready graph: `nodeSet` is the
+    * endpoint set (one `node` column, distinct, lazily
+    * localCheckpoint'd) and `eo` the static per-iteration join side
+    * (src, dst, w, wsum = Σ w over src's out-edges, pinned). Build it
+    * once per stored graph with [[prepareSimple]]/[[prepareWeighted]]
+    * and hand it to every rank variant ([[pageRankMicrosOn]] and
+    * friends) — the multi-rank production shape (a pipeline
+    * materializes its host graph once; plain, personalized and
+    * weighted ranks all read the same artifact). Results are
+    * bit-identical to the one-shot entry points: the prepared frames
+    * are exactly the ones [[rankLoop]] builds internally. */
+  final case class PreparedGraph private[core] (
+      nodeSet: DataFrame, eo: DataFrame)
+
+  /** [[PreparedGraph]] of the SIMPLE (deduplicated, unweighted) graph
+    * — the [[pageRankMicros]] normalization. */
+  def prepareSimple(edges: DataFrame, srcCol: String,
+      dstCol: String): PreparedGraph =
+    prepare(simpleEdges(edges, srcCol, dstCol))
+
+  /** [[PreparedGraph]] of the WEIGHTED multigraph (parallel edges
+    * summed, positive weights enforced) — the
+    * [[weightedPageRankMicros]] normalization. */
+  def prepareWeighted(edges: DataFrame, srcCol: String,
+      dstCol: String, weightCol: String): PreparedGraph =
+    prepare(weightedEdges(edges, srcCol, dstCol, weightCol))
+
+  /** [[pageRankMicros]] over a [[PreparedGraph]] (simple or weighted
+    * — the unweighted recurrence IS the weighted one at w=1). */
+  def pageRankMicrosOn(g: PreparedGraph, iterations: Int = 10,
+      dampingMicros: Long = 850000L): DataFrame =
+    rankLoop(g, iterations, dampingMicros, seeds = None, seedCol = "")
+
+  /** [[personalizedPageRankMicros]] over a [[PreparedGraph]]. */
+  def personalizedPageRankMicrosOn(g: PreparedGraph, seeds: DataFrame,
+      seedCol: String, iterations: Int = 10,
+      dampingMicros: Long = 850000L): DataFrame =
+    rankLoop(g, iterations, dampingMicros, seeds = Some(seeds),
+      seedCol = seedCol)
 
   /** PageRank with WEIGHTED edges — the real crawl-graph form (href
     * counts between hosts): each src splits its vote proportionally,
@@ -87,7 +127,7 @@ object Graphs {
   def weightedPageRankMicros(edges: DataFrame, srcCol: String,
       dstCol: String, weightCol: String, iterations: Int = 10,
       dampingMicros: Long = 850000L): DataFrame =
-    rankLoop(weightedEdges(edges, srcCol, dstCol, weightCol),
+    rankLoop(prepare(weightedEdges(edges, srcCol, dstCol, weightCol)),
       iterations, dampingMicros, seeds = None, seedCol = "")
 
   /** [[weightedPageRankMicros]] with [[personalizedPageRankMicros]]'
@@ -97,7 +137,7 @@ object Graphs {
       srcCol: String, dstCol: String, weightCol: String,
       seeds: DataFrame, seedCol: String, iterations: Int = 10,
       dampingMicros: Long = 850000L): DataFrame =
-    rankLoop(weightedEdges(edges, srcCol, dstCol, weightCol),
+    rankLoop(prepare(weightedEdges(edges, srcCol, dstCol, weightCol)),
       iterations, dampingMicros, seeds = Some(seeds),
       seedCol = seedCol)
 
@@ -128,7 +168,6 @@ object Graphs {
     * Returns (node, hub_micros, auth_micros). */
   def hitsMicros(edges: DataFrame, srcCol: String, dstCol: String,
       iterations: Int = 5): DataFrame = {
-    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     val e = edges
       .select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .where(col("src").isNotNull && col("dst").isNotNull)
@@ -138,7 +177,37 @@ object Graphs {
       .union(e.select(col("dst").as("node")))
       .distinct()
       .localCheckpoint(false)
+    hitsMicrosOn(e, nodes, iterations)
+  }
+
+  /** [[hitsMicros]] over pre-pinned graph frames — `e` the DISTINCT
+    * non-null (src, dst) edge list, `nodes` its endpoint set (one
+    * `node` column), both already lazily localCheckpoint'd (the
+    * multi-rank stored-graph shape of [[PreparedGraph]]; HITS runs on
+    * the DIRECTED edge list, so it takes the raw frames rather than
+    * the symmetrized eo artifact). Results are bit-identical to
+    * [[hitsMicros]], which just builds these two frames and
+    * delegates.
+    *
+    * The max scalars normalize IN-PLAN: each half-iteration's raw sum
+    * frame is pinned, then cross-joined with the broadcast 1-row max
+    * of itself — both consumers read the pinned RDD, the whole
+    * 2·`iterations`-round recurrence stays ONE lazy plan, and the
+    * only driver actions a caller pays are the empty-graph probe and
+    * its own terminal action. (The earlier form collected each max
+    * with `head()` — 2·iterations driver round-trips per call, each
+    * a separate job.) `DIV` on a zero max is guarded by a `when`
+    * (zero-mass frames normalize to 0, as before). */
+  def hitsMicrosOn(e: DataFrame, nodes: DataFrame,
+      iterations: Int = 5): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     require(nodes.limit(1).count() > 0, "hitsMicros: empty graph")
+    // normalize a pinned raw-sum frame by its own max, in-plan
+    def maxNorm(raw: DataFrame, out: String): DataFrame =
+      raw.crossJoin(broadcast(raw.agg(max(col("s")).as("mx_"))))
+        .select(col("node"),
+          when(col("mx_") === 0L || col("mx_").isNull, lit(0L))
+            .otherwise(expr(s"(s * $One) DIV mx_")).as(out))
     var hubs = nodes.withColumn("hub", lit(One))
     var auths = nodes.withColumn("auth", lit(One))
     for (_ <- 1 to iterations) {
@@ -151,10 +220,7 @@ object Graphs {
         // pin: consumed by the max scalar AND the normalization AND
         // the next half-iteration's join
         .localCheckpoint(false)
-      val maxA = aRaw.agg(max(col("s"))).head().getLong(0)
-      auths = aRaw.select(col("node"),
-        (if (maxA == 0L) lit(0L)
-         else expr(s"(s * $One) DIV $maxA")).as("auth"))
+      auths = maxNorm(aRaw, "auth")
       // hub update from the new authorities
       val hRaw = nodes
         .join(e.join(auths.withColumnRenamed("node", "dst"), Seq("dst"))
@@ -162,10 +228,7 @@ object Graphs {
           Seq("node"), "left")
         .select(col("node"), coalesce(col("s"), lit(0L)).as("s"))
         .localCheckpoint(false)
-      val maxH = hRaw.agg(max(col("s"))).head().getLong(0)
-      hubs = hRaw.select(col("node"),
-        (if (maxH == 0L) lit(0L)
-         else expr(s"(s * $One) DIV $maxH")).as("hub"))
+      hubs = maxNorm(hRaw, "hub")
     }
     hubs.join(auths, Seq("node"))
       .select(col("node"), col("hub").as("hub_micros"),
@@ -208,7 +271,7 @@ object Graphs {
   def personalizedPageRankMicros(edges: DataFrame, srcCol: String,
       dstCol: String, seeds: DataFrame, seedCol: String,
       iterations: Int = 10, dampingMicros: Long = 850000L): DataFrame =
-    rankLoop(simpleEdges(edges, srcCol, dstCol), iterations,
+    rankLoop(prepare(simpleEdges(edges, srcCol, dstCol)), iterations,
       dampingMicros, seeds = Some(seeds), seedCol = seedCol)
 
   /** simple-graph normalization: distinct (src, dst), weight 1 —
@@ -222,25 +285,40 @@ object Graphs {
       .distinct()
       .withColumn("w", lit(1L))
 
-  private def rankLoop(e: DataFrame, iterations: Int,
+  /** normalized-edge frame -> pinned [[PreparedGraph]]: endpoint set
+    * plus the static per-iteration join side. Pinned because both are
+    * consumed every iteration (and, via the prepared entry points, by
+    * every rank VARIANT over the same stored graph). wsum = Σ w over
+    * src's out-edges (= outdeg when all weights are 1, so the
+    * weighted recurrence IS the plain one). */
+  private def prepare(e: DataFrame): PreparedGraph = {
+    val nodeSet = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+      .localCheckpoint(false)
+    val eo = e.join(
+        e.groupBy("src").agg(sum(col("w")).as("wsum")), Seq("src"))
+      .localCheckpoint(false)
+    PreparedGraph(nodeSet, eo)
+  }
+
+  private def rankLoop(g: PreparedGraph, iterations: Int,
       dampingMicros: Long, seeds: Option[DataFrame],
       seedCol: String): DataFrame = {
     require(iterations >= 0, s"iterations must be >= 0, got $iterations")
     require(dampingMicros >= 0L && dampingMicros <= One,
       s"dampingMicros must be in [0, $One], got $dampingMicros")
-    val nodeSet = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node")))
-      .distinct()
     // (node, base, start) — per-node teleport share and start mass:
-    // One-D / One everywhere for plain PageRank, seed-conditional for
-    // the personalized form. Pinned: nodes and the per-iteration rank
-    // frames are consumed every iteration
-    val nodes = (seeds match {
+    // One-D / One everywhere for plain PageRank (literal columns over
+    // the pinned node set — nothing to re-pin), seed-conditional for
+    // the personalized form (one node-scale join, pinned because the
+    // rank loop consumes it every iteration)
+    val nodes = seeds match {
       case None =>
-        nodeSet.withColumn("base", lit(One - dampingMicros))
+        g.nodeSet.withColumn("base", lit(One - dampingMicros))
           .withColumn("start", lit(One))
       case Some(s) =>
-        nodeSet.join(
+        g.nodeSet.join(
             s.select(col(seedCol).as("node")).distinct()
               .withColumn("is_seed", lit(true)),
             Seq("node"), "left")
@@ -249,15 +327,10 @@ object Graphs {
               .otherwise(lit(0L)).as("base"),
             when(col("is_seed"), lit(One)).otherwise(lit(0L))
               .as("start"))
-    }).localCheckpoint(false)
+          .localCheckpoint(false)
+    }
     require(nodes.limit(1).count() > 0, "pageRankMicros: empty graph")
-    // static across iterations: (src, dst, w, wsum) — pinned so the
-    // normalization + out-mass aggregation runs once, not once per
-    // iteration. wsum = Σ w over src's out-edges (= outdeg when all
-    // weights are 1, so the weighted recurrence IS the plain one)
-    val eo = e.join(
-        e.groupBy("src").agg(sum(col("w")).as("wsum")), Seq("src"))
-      .localCheckpoint(false)
+    val eo = g.eo
     var ranks = nodes.select(col("node"),
       col("start").as("rank_micros"))
     for (i <- 1 to iterations) {

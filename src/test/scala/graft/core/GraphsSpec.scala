@@ -181,6 +181,45 @@ class GraphsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("empty graph"))
   }
 
+  test("prepared graph: every rank variant off one artifact is " +
+      "bit-identical to its one-shot entry point") {
+    val edges = (0 until 150)
+      .map(i => (s"n${i % 13}", s"n${(i * 7) % 17}", (i % 4 + 1).toLong))
+    val df = edges.toDF("src", "dst", "w")
+    val seeds = Seq("n1", "n2", "n3").toDF("node")
+    def m(r: org.apache.spark.sql.DataFrame) =
+      r.collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    val simple = Graphs.prepareSimple(df, "src", "dst")
+    assert(m(Graphs.pageRankMicrosOn(simple, iterations = 3)) ==
+      m(Graphs.pageRankMicros(df, "src", "dst", iterations = 3)))
+    assert(m(Graphs.personalizedPageRankMicrosOn(simple, seeds,
+        "node", iterations = 3)) ==
+      m(Graphs.personalizedPageRankMicros(df, "src", "dst", seeds,
+        "node", iterations = 3)))
+    val weighted = Graphs.prepareWeighted(df, "src", "dst", "w")
+    assert(m(Graphs.pageRankMicrosOn(weighted, iterations = 3)) ==
+      m(Graphs.weightedPageRankMicros(df, "src", "dst", "w",
+        iterations = 3)))
+    assert(m(Graphs.personalizedPageRankMicrosOn(weighted, seeds,
+        "node", iterations = 3)) ==
+      m(Graphs.weightedPersonalizedPageRankMicros(df, "src", "dst",
+        "w", seeds, "node", iterations = 3)))
+  }
+
+  test("hits over pre-pinned frames is bit-identical to the one-shot " +
+      "entry point") {
+    val edges = (0 until 150).map(i => s"h${i % 13}" -> s"a${(i * 7) % 17}")
+    val df = edges.toDF("src", "dst")
+    val e = df.distinct().localCheckpoint(false)
+    val nodes = e.select($"src".as("node"))
+      .union(e.select($"dst".as("node"))).distinct()
+      .localCheckpoint(false)
+    def m(r: org.apache.spark.sql.DataFrame) = r.collect()
+      .map(x => x.getString(0) -> (x.getLong(1), x.getLong(2))).toMap
+    assert(m(Graphs.hitsMicrosOn(e, nodes, iterations = 3)) ==
+      m(Graphs.hitsMicros(df, "src", "dst", iterations = 3)))
+  }
+
   test("named errors on an empty graph and out-of-range damping") {
     val empty = Seq.empty[(String, String)].toDF("src", "dst")
     val e1 = intercept[IllegalArgumentException] {
