@@ -83,9 +83,10 @@ object TextQueriesImpl {
   /** Stored cluster labels per (session, sfDir) — the input shape of
     * [[graft.text.Clusters.splitFromClusters]]: a curated corpus
     * computes its dedup clusters once, stores them, and split/keeper/
-    * stats consumers read the stored frame. Only q102 (whose operator
-    * under test IS the stored-labels split) reads this; q77 measures
-    * the closure itself and always recomputes. Same session-keyed
+    * stats consumers read the stored frame. The label CONSUMERS —
+    * q102 (stored-labels split) and q119 (keep-best re-rank) — read
+    * this; q77 measures the closure itself and always recomputes.
+    * Same session-keyed
     * eviction as the shingle cache. 32 hashes → 16 bands of 2: same
     * S-curve guarantee at minJaccard=0.5 as 128 hashes at a quarter
     * the signature cost (signature hashing dominates at corpus
@@ -1068,11 +1069,14 @@ object TextQueriesImpl {
          |SELECT doc_id, cluster_id, cluster_size, keeper_rank,
          |  CAST(keeper_rank = 1 AS BIGINT) AS is_keeper
          |FROM r ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      val pairs = Dedup.nearDupPairsFromSigTable(
-        docSignatures(s, dir), "doc_id",
-        minJaccard = 0.5, numHashes = 32)
-      Clusters.assignKeepBest(table(s, dir, "documents"), "doc_id",
-          pairs, order = Seq(col("n_chars").desc))
+      // keeper RANKING is this gate's operator under test; the
+      // closure comes from the stored cluster labels (the q77/q102
+      // division of labor — q77 measures the contraction itself,
+      // label consumers read the stored frame; the cache is built
+      // with exactly this gate's pair parameters)
+      Clusters.keepBestFromClusters(table(s, dir, "documents"),
+          "doc_id", docClusters(s, dir),
+          order = Seq(col("n_chars").desc))
         .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
           col("keeper_rank"), col("is_keeper"))
         .orderBy(col("doc_id"))

@@ -249,13 +249,27 @@ object Clusters {
     * exactly what upstream exact-dedup removes first). */
   def assignKeepBest(df: DataFrame, idCol: String, pairs: DataFrame,
       order: Seq[Column], srcCol: String = "id_a",
-      dstCol: String = "id_b"): DataFrame = {
+      dstCol: String = "id_b"): DataFrame =
+    keepBestFromClusters(df, idCol,
+      assign(df, idCol, pairs, srcCol, dstCol), order)
+
+  /** [[assignKeepBest]] from STORED labels (an [[assign]] output) —
+    * the stored-labels twin of [[splitFromClusters]]: a curated
+    * corpus computes its cluster closure once and every keeper policy
+    * (longest, highest-quality, newest) re-ranks the stored frame
+    * with one window instead of re-running the contraction loop.
+    * Identical output to [[assignKeepBest]] by construction — that
+    * entry point now just closes the graph and delegates here. */
+  def keepBestFromClusters(df: DataFrame, idCol: String,
+      clusters: DataFrame, order: Seq[Column]): DataFrame = {
     require(order.nonEmpty, "pass at least one ordering column")
+    require(clusters.columns.contains("cluster_id"),
+      "keepBestFromClusters expects an assign() output with cluster_id")
     val clash = Seq("cluster_id", "cluster_size", "keeper_rank",
       "is_keeper").filter(df.columns.contains)
     require(clash.isEmpty,
       s"input already has reserved column(s): ${clash.mkString(", ")}")
-    val labels = assign(df, idCol, pairs, srcCol, dstCol)
+    val labels = clusters
       .select(col(idCol), col("cluster_id"), col("cluster_size"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("cluster_id"))
