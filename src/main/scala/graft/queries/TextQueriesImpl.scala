@@ -316,7 +316,14 @@ object TextQueriesImpl {
         def phraseAt(div: Int) = element_at(
           element_at(bankLit, col("lang")),
           (pmod(floor(col("doc_id") / div), lit(4)) + 1).cast("int"))
+        // the fixture parquet is 1-2 scan partitions; gram explode
+        // and the scoring pass are the cost centers, so spread the
+        // rows first (the q110 computeWeights pattern — at fleet
+        // scale the scan is already parallel and this exchange is a
+        // no-op choice)
         val fix = table(s, dir, "documents")
+          .repartition(s.sparkContext.defaultParallelism,
+            col("doc_id"))
           .select(col("doc_id"),
             element_at(langsArr,
               (pmod(col("doc_id"), lit(4)) + 1).cast("int")).as("lang"))
@@ -423,7 +430,10 @@ object TextQueriesImpl {
         def phraseOf(lang: org.apache.spark.sql.Column, div: Int) =
           element_at(element_at(bankLit, lang),
             (pmod(floor(col("doc_id") / div), lit(4)) + 1).cast("int"))
+        // spread the 1-2 scan partitions before gram work — see q138
         val fix = table(s, dir, "documents")
+          .repartition(s.sparkContext.defaultParallelism,
+            col("doc_id"))
           .select(col("doc_id"),
             element_at(langsArr,
               (pmod(col("doc_id"), lit(4)) + 1).cast("int")).as("lang"))

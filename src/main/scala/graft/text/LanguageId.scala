@@ -141,16 +141,33 @@ object LanguageId {
   }
 
   /** Labeled-sample n-gram counts: (lang, gram, cnt) at distinct-gram
-    * scale after one explode + one map-side-combined groupBy. */
+    * scale after one explode per n + one map-side-combined groupBy.
+    *
+    * Grams come from exploding POSITIONS and slicing with the
+    * codegen'd `substr` row expression — not from exploding a
+    * [[charNgrams]] array: higher-order `transform` lambdas are
+    * interpreter-evaluated per element, and at the q138 gate scale
+    * that array build alone measured ~2 s where the position-explode
+    * form runs in ~0.2 s. Same gram multiset by construction (both
+    * are SQL SUBSTR over the same normalized column; the truncated
+    * short-text gram and the empty-gram filter carry over). */
   def ngramCounts(df: DataFrame, textCol: String, langCol: String,
-      nMin: Int = 1, nMax: Int = 3): DataFrame =
-    df.select(col(langCol).cast("string").as("lang"),
-        TextAnalysis.normalizeText(coalesce(col(textCol), lit("")))
-          .as("t_"))
-      .select(col("lang"),
-        explode(charNgrams(col("t_"), nMin, nMax)).as("gram"))
+      nMin: Int = 1, nMax: Int = 3): DataFrame = {
+    require(nMin >= 1 && nMax >= nMin, s"bad n range: $nMin..$nMax")
+    val base = df.select(col(langCol).cast("string").as("lang"),
+      TextAnalysis.normalizeText(coalesce(col(textCol), lit("")))
+        .as("t_"))
+    (nMin to nMax).map { n =>
+      base.select(col("lang"), col("t_"),
+          explode(sequence(lit(1),
+            greatest(length(col("t_")) - (n - 1), lit(1)))).as("i_"))
+        .select(col("lang"),
+          col("t_").substr(col("i_"), lit(n)).as("gram"))
+    }.reduce(_.unionByName(_))
+      .where(col("gram") =!= "")
       .groupBy(col("lang"), col("gram"))
       .agg(count(lit(1)).as("cnt"))
+  }
 
   /** The scored, pruned model as a DataFrame — (lang, gram,
     * logp_micros), plus per-language floors and priors via
@@ -233,10 +250,16 @@ object LanguageId {
     * second candidate, so margin is 0 by definition and the threshold
     * is NOT applied (otherwise any positive threshold would silently
     * route every row of a degenerate model to 'und').
-    * Normalization and gram extraction stay Column expressions (exact
-    * parity with [[ngramCounts]]); the scoring pass is
-    * `mapPartitions` with the model broadcast as a HashMap — the
-    * [[Bpe.encode]] contract. A literal-map `element_at` would be an
+    * Normalization stays a Column expression (exact parity with
+    * [[ngramCounts]]); the scoring pass is `mapPartitions` with the
+    * model broadcast as a HashMap — the [[Bpe.encode]] contract —
+    * and extracts grams with the SAME `UTF8String.substringSQL`
+    * primitive the `substr` expression evaluates, over the same
+    * normalized column, so the gram stream is bit-identical to
+    * [[ngramCounts]]' (building a gram ARRAY column first went
+    * through the interpreter-evaluated `transform` lambda — ~1.7 s of
+    * the q138 gate's 2 s apply half; the in-pass loop removes it).
+    * A literal-map `element_at` would be an
     * O(model) LINEAR scan per gram (Spark map literals are
     * array-backed): at 1M docs × ~600 grams × 4k entries that was
     * measured at 104 s where the hash path takes ~3 s. Still
@@ -254,8 +277,6 @@ object LanguageId {
     val prepared = df
       .withColumn("t__",
         TextAnalysis.normalizeText(coalesce(col(textCol), lit(""))))
-      .withColumn("g__", charNgrams(col("t__"), model.nMin, model.nMax))
-      .drop("t__")
     val inSchema = prepared.schema
     val outSchema = inSchema
       .add("scores_micro",
@@ -264,19 +285,37 @@ object LanguageId {
       .add("language", org.apache.spark.sql.types.StringType)
       .add("score_micro", org.apache.spark.sql.types.LongType)
       .add("margin_micro", org.apache.spark.sql.types.LongType)
-    val gIdx = inSchema.fieldIndex("g__")
+    val tIdx = inSchema.fieldIndex("t__")
+    val (nMin, nMax) = (model.nMin, model.nMax)
     val scored = prepared.mapPartitions { rows =>
       val (langs, gramsM, unk, prior) = bc.value
       val table = new java.util.HashMap[String, Array[Long]]()
       gramsM.foreach { case (g, v) => table.put(g, v) }
       rows.map { row =>
-        val grams = row.getSeq[String](gIdx)
+        // gram stream = ngramCounts' position-explode, inlined: the
+        // same substringSQL the substr expression evaluates, same
+        // short-text clamp, same empty-gram filter
+        val u = org.apache.spark.unsafe.types.UTF8String.fromString(
+          if (row.isNullAt(tIdx)) "" else row.getString(tIdx))
+        val nChars = u.numChars()
         val scores = prior.clone()
-        grams.foreach { g =>
-          val v = table.get(g)
-          val add = if (v == null) unk else v
-          var i = 0
-          while (i < scores.length) { scores(i) += add(i); i += 1 }
+        var sawGram = false
+        var n = nMin
+        while (n <= nMax) {
+          val hi = math.max(nChars - (n - 1), 1)
+          var p = 1
+          while (p <= hi) {
+            val g = u.substringSQL(p, n)
+            if (g.numBytes() > 0) {
+              sawGram = true
+              val v = table.get(g.toString)
+              val add = if (v == null) unk else v
+              var i = 0
+              while (i < scores.length) { scores(i) += add(i); i += 1 }
+            }
+            p += 1
+          }
+          n += 1
         }
         var best = 0
         var second = -1
@@ -287,20 +326,20 @@ object LanguageId {
           i += 1
         }
         val margin =
-          if (grams.isEmpty || second < 0) 0L
+          if (!sawGram || second < 0) 0L
           else scores(best) - scores(second)
         // the threshold only applies where a margin EXISTS (>= 2
         // languages): a single-language model's margin is 0 by
         // definition, not low confidence
         val lang =
-          if (grams.isEmpty) "und"
+          if (!sawGram) "und"
           else if (second >= 0 && margin < minMarginMicros) "und"
           else langs(best)
         org.apache.spark.sql.Row.fromSeq(
           row.toSeq ++ Seq(scores.toSeq, lang, scores(best), margin))
       }
     }(org.apache.spark.sql.Encoders.row(outSchema))
-    scored.drop("g__")
+    scored.drop("t__")
   }
 
   /** [[applyModel]] falling back to the stopword heuristic for rows
