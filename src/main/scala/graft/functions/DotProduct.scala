@@ -123,6 +123,11 @@ object GraftFunctions {
   def dot(a: Column, b: Column): Column =
     ColumnBridge.column(DotProduct(ColumnBridge.expression(a),
       ColumnBridge.expression(b)))
+
+  /** `Σ round(a_i·b_i·1e12)` as a long — see [[MicroDotLong]]. */
+  def microDotLong(a: Column, b: Column): Column =
+    ColumnBridge.column(MicroDotLong(ColumnBridge.expression(a),
+      ColumnBridge.expression(b)))
 }
 
 /** `SparkSessionExtensions` hook: `spark.sql.extensions=

