@@ -98,8 +98,25 @@ object Bench {
     // fall back to full names (truncated tail) rather than lie
     val summary =
       if (bare.map(_._1).distinct.size == bare.size) bare else results
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec",""" +
-      s""""queries":${jmap(summary, ms)},"sf":"$sfDir"}""")
+    // The capture window is 2,000 bytes of stdout TAIL and must also
+    // hold sbt's "[success] Total time ..." footer (~80 B) plus the
+    // "[info] " prefix: round 13's 1,982-byte line (3-decimal values,
+    // a "unit" field) overflowed by ~65 B and shipped cut mid-token —
+    // the 13th consecutive unparseable round. 2-decimal values and no
+    // unit field put 154 bare-id queries at ~1,840 B (BenchLineSpec
+    // asserts the bound against the live registry); full-precision
+    // numbers stay in bench_full.json and the "part" lines above.
+    println(summaryLine(summary, total, sfDir))
     spark.stop()
+  }
+
+  /** The driver-facing one-line summary; factored out so a spec can
+    * assert the rendered length stays inside the capture window. */
+  def summaryLine(queries: Seq[(String, Double)], total: Double,
+      sfDir: String): String = {
+    def cs(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+    val q = queries.map { case (k, v) => "\"" + k + "\":" + cs(v) }
+      .mkString("{", ",", "}")
+    s"""{"metric":"total","value":${cs(total)},"queries":$q,"sf":"$sfDir"}"""
   }
 }

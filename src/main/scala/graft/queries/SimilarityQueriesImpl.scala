@@ -1284,17 +1284,61 @@ object SimilarityQueriesImpl {
       // ---- q145 stage-isolating diagnostics -------------------------
       // Relics of the four-round q145 hunt (the oracle's HUGEINT
       // output type, closed round 12). The quantize probes q145a/q145d
-      // served their purpose and are RETIRED (round-13 decision, see
-      // COVERAGE changelog: 0.2 s/round for a stage the green b/c/e
-      // chain already transitively covers — a quantize divergence
-      // cannot leave the seed ids, iteration-1 centroids, AND final
-      // centroids all green). b/c/e stay as centroid-chain regression
-      // tripwires over the seed → iterate-1 → iterate-n stages:
-      //   b red                → seeding (md5 rank / argmax scan);
-      //   b green, c red       → the Lloyd update arithmetic;
-      //   b+c green, e red     → a LATER iteration (2..n) diverges;
-      //   b..e green, q145 red → the final assign distance/tie-break,
+      // were retired in round 13 (executing the round-12 verdict's
+      // ask), but the driver has no mechanism for sanctioned drops —
+      // a non-empty queries_dropped list regresses the round — so the
+      // retirement is RESCINDED (round-14, see COVERAGE changelog) and
+      // both probes are re-registered verbatim from the round-12 tag.
+      // The full decomposition over quantize → seed → iterate stages:
+      //   q145a red            → the ROUND(DOUBLE*1e6) input
+      //                          quantization diverges;
+      //   a green, b red       → seeding (md5 rank / argmax scan);
+      //   a+b green, c red     → the Lloyd update arithmetic;
+      //   a+b+c green, e red   → a LATER iteration (2..n) diverges;
+      //   a..e green, q145 red → the final assign distance/tie-break,
       //                          or the compare harness itself.
+      // q145d probes the FLOOR-based quantizer (no half-way rule, and
+      // the double product is exact for FLOAT inputs — see
+      // KMeans.quantizeFloor): q145a red + q145d green hands the next
+      // round an evidence-backed fix (switch the chain to floor).
+
+      // per-vector sum AND index-weighted sum of the quantized micros:
+      // two independent linear functionals, so offsetting ±1 flips
+      // within one vector cannot mask each other. ONE registrar for
+      // both quantizers — a drifted copy would quietly make the a/d
+      // red-green comparison probe different functionals, the exact
+      // divergence the shared SQL text prevents on the oracle side.
+      def registerQuantizeProbe(name: String, vmCte: String,
+          quantizer: Column => Column): Unit =
+        register(name,
+          s"""WITH $vmCte
+             |SELECT vec_id,
+             |  CAST(COALESCE(LIST_AGGREGATE(v, 'sum'), 0) AS BIGINT)
+             |    AS micros_sum,
+             |  CAST(COALESCE(LIST_AGGREGATE(LIST_TRANSFORM(
+             |      GENERATE_SERIES(1, LEN(v)), i -> i * v[i]), 'sum'),
+             |    0) AS BIGINT) AS micros_wsum
+             |FROM vm ORDER BY vec_id""".stripMargin) { (s, dir) =>
+          table(s, dir, "embeddings")
+            .select(col("vec_id"),
+              quantizer(col("embedding")).as("v"))
+            .select(col("vec_id"),
+              coalesce(aggregate(col("v"), lit(0L), (a, x) => a + x),
+                lit(0L)).as("micros_sum"),
+              coalesce(aggregate(
+                transform(col("v"),
+                  (x, i) => (i.cast("long") + 1) * x),
+                lit(0L), (a, x) => a + x), lit(0L)).as("micros_wsum"))
+            .orderBy(col("vec_id"))
+        }
+      registerQuantizeProbe("q145a_quantize_probe", vmSql,
+        graft.similarity.KMeans.quantize)
+      registerQuantizeProbe("q145d_quantize_floor_probe",
+        """vm AS (SELECT vec_id,
+          |    LIST_TRANSFORM(embedding, x ->
+          |      CAST(FLOOR(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS v
+          |  FROM embeddings)""".stripMargin,
+        graft.similarity.KMeans.quantizeFloor)
 
       register("q145b_seed_ids",
         s"""WITH $vmSql,
