@@ -28,3 +28,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// Per-test durations in the test report (-oD): the suite's wall time
+// is itself a driver gate (the verify window killed a 51-minute run
+// in round 13), so every run must say where the minutes go.
+Test / testOptions += Tests.Argument(TestFrameworks.ScalaTest, "-oD")

@@ -197,11 +197,45 @@ object Graphs {
     * its own terminal action. (The earlier form collected each max
     * with `head()` — 2·iterations driver round-trips per call, each
     * a separate job.) `DIV` on a zero max is guarded by a `when`
-    * (zero-mass frames normalize to 0, as before). */
-  def hitsMicrosOn(e: DataFrame, nodes: DataFrame,
+    * (zero-mass frames normalize to 0, as before).
+    *
+    * `private[graft]`: the caller contract (distinct, non-null edges;
+    * `nodes` = the edge list's endpoint set) is NOT validated here —
+    * duplicate edges double-count and missing nodes drop rows
+    * silently — so the entry point stays repo-internal; external
+    * callers go through [[hitsMicros]], which normalizes. */
+  /** Node-count ceiling under which the HITS recurrence broadcasts
+    * its node-scale frames (ranks into the edge join, per-node sums
+    * into the endpoint left join). ~40 B/node puts the default's
+    * worst broadcast around 80 MB — inside the comfortable broadcast
+    * range; past it the recurrence keeps the shuffle joins that scale
+    * to arbitrary node counts. Override per session with
+    * `spark.graft.hits.broadcastMaxNodes` for clusters whose
+    * executors can hold more (or less). */
+  private val HitsBroadcastMaxNodesDefault = 2000000L
+
+  private[core] def hitsBroadcastMaxNodes(df: DataFrame): Long =
+    df.sparkSession.conf
+      .get("spark.graft.hits.broadcastMaxNodes",
+        HitsBroadcastMaxNodesDefault.toString).toLong
+
+  private[graft] def hitsMicrosOn(e: DataFrame, nodes: DataFrame,
       iterations: Int = 5): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
-    require(nodes.limit(1).count() > 0, "hitsMicros: empty graph")
+    // one node count up front: the empty-graph probe (as before) and
+    // the join-strategy pick. Strategy only — scores are a pure
+    // function of the graph under either join (spec-pinned).
+    val nNodes = nodes.count()
+    require(nNodes > 0, "hitsMicros: empty graph")
+    // Below the ceiling, every node-scale side of the recurrence
+    // broadcasts: the 2·iterations join+agg rounds then carry ONE
+    // exchange each (the groupBy) instead of shuffling the edge list
+    // AND the endpoint set per half-iteration — at gate scale the
+    // rounds are stage-latency-bound, not data-bound, and the before
+    // plan showed 14 exchanges against the after's 4.
+    val small = nNodes <= hitsBroadcastMaxNodes(nodes)
+    def nodeScale(df: DataFrame): DataFrame =
+      if (small) broadcast(df) else df
     // normalize a pinned raw-sum frame by its own max, in-plan
     def maxNorm(raw: DataFrame, out: String): DataFrame =
       raw.crossJoin(broadcast(raw.agg(max(col("s")).as("mx_"))))
@@ -213,8 +247,10 @@ object Graphs {
     for (_ <- 1 to iterations) {
       // authority update from current hubs
       val aRaw = nodes
-        .join(e.join(hubs.withColumnRenamed("node", "src"), Seq("src"))
-          .groupBy(col("dst").as("node")).agg(sum(col("hub")).as("s")),
+        .join(nodeScale(
+          e.join(nodeScale(hubs.withColumnRenamed("node", "src")),
+            Seq("src"))
+          .groupBy(col("dst").as("node")).agg(sum(col("hub")).as("s"))),
           Seq("node"), "left")
         .select(col("node"), coalesce(col("s"), lit(0L)).as("s"))
         // pin: consumed by the max scalar AND the normalization AND
@@ -223,14 +259,16 @@ object Graphs {
       auths = maxNorm(aRaw, "auth")
       // hub update from the new authorities
       val hRaw = nodes
-        .join(e.join(auths.withColumnRenamed("node", "dst"), Seq("dst"))
-          .groupBy(col("src").as("node")).agg(sum(col("auth")).as("s")),
+        .join(nodeScale(
+          e.join(nodeScale(auths.withColumnRenamed("node", "dst")),
+            Seq("dst"))
+          .groupBy(col("src").as("node")).agg(sum(col("auth")).as("s"))),
           Seq("node"), "left")
         .select(col("node"), coalesce(col("s"), lit(0L)).as("s"))
         .localCheckpoint(false)
       hubs = maxNorm(hRaw, "hub")
     }
-    hubs.join(auths, Seq("node"))
+    hubs.join(nodeScale(auths), Seq("node"))
       .select(col("node"), col("hub").as("hub_micros"),
         col("auth").as("auth_micros"))
   }

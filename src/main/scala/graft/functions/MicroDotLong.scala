@@ -68,7 +68,8 @@ case class MicroDotLong(left: Expression, right: Expression)
       var i = 0
       while (i < n) {
         if (av.isNullAt(i) || bv.isNullAt(i)) return null
-        acc += MicroDotLong.roundMicro(read(av, lt, i) * read(bv, rt, i))
+        acc = MicroDotLong.addMicro(acc,
+          MicroDotLong.roundMicro(read(av, lt, i) * read(bv, rt, i)))
         i += 1
       }
       acc
@@ -101,8 +102,8 @@ case class MicroDotLong(left: Expression, right: Expression)
          |      ${ev.isNull} = true;
          |      break;
          |    }
-         |    $acc += $cls.roundMicro(
-         |      ${getter(a, lt, i)} * ${getter(b, rt, i)});
+         |    $acc = $cls.addMicro($acc, $cls.roundMicro(
+         |      ${getter(a, lt, i)} * ${getter(b, rt, i)}));
          |  }
          |  if (!${ev.isNull}) {
          |    ${ev.value} = $acc;
@@ -118,11 +119,40 @@ case class MicroDotLong(left: Expression, right: Expression)
 }
 
 object MicroDotLong {
+  // 2^63 as a double — the first rounded value the ANSI double→long
+  // cast rejects on the high side; −2^63 itself is a valid long
+  private val TwoPow63 = 9.223372036854776e18
+
   /** `cast(round(p * 1e12) as long)` exactly as Spark evaluates it on
-    * a double: half-up via BigDecimal (not `Math.round`, which floors
-    * negative half-way values the other way), then the integral
-    * double truncates to long. */
-  def roundMicro(p: Double): Long =
-    java.math.BigDecimal.valueOf(p * 1e12)
-      .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong
+    * a double under ANSI: half-up via BigDecimal (not `Math.round`,
+    * which floors negative half-way values the other way), then the
+    * integral double converts to long.
+    *
+    * Value domain: the scaled product must be FINITE and the rounded
+    * value must fit a long — a NaN/Infinity product or a |p| past
+    * ~9.2e6 (micros scale) throws ArithmeticException, mirroring the
+    * composed ANSI form's loud cast failure instead of silently
+    * wrapping (the [[graft.core.Graphs]] loud-overflow stance). */
+  def roundMicro(p: Double): Long = {
+    val scaled = p * 1e12
+    if (java.lang.Double.isNaN(scaled) ||
+        java.lang.Double.isInfinite(scaled))
+      throw new ArithmeticException(
+        s"graft_microdot: non-finite scaled product $scaled (input " +
+          s"product $p) cannot cast to a long micro term — the " +
+          "composed ANSI cast(round(x*1e12) as long) fails the same " +
+          "way; clean non-finite embedding values upstream")
+    val r = java.math.BigDecimal.valueOf(scaled)
+      .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue()
+    if (r >= TwoPow63 || r < -TwoPow63)
+      throw new ArithmeticException(
+        s"graft_microdot: rounded micro term $r overflows long — the " +
+          "composed ANSI cast throws the same; rescale the embeddings")
+    r.toLong
+  }
+
+  /** Accumulate a micro term with loud long overflow — the composed
+    * ANSI SUM fails loudly on overflow, so the native loop must too
+    * (a wrapping `+=` would silently corrupt the rank order). */
+  def addMicro(acc: Long, term: Long): Long = Math.addExact(acc, term)
 }

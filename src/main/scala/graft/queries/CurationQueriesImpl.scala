@@ -1273,7 +1273,12 @@ object CurationQueriesImpl {
          |FROM tot t LEFT JOIN s USING (doc_id)
          |ORDER BY t.doc_id""".stripMargin
     }) { (s, dir) =>
+      // spread the 1-2-partition fixture scan: the corpus side's
+      // per-row 13-gram shingling is the cost center (q110/q138
+      // criterion); the report is a per-doc aggregate, partitioning-
+      // independent
       val docs = table(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
       Curation.contaminationReport(
           docs.where(col("doc_id") >= 10),
           docs.where(col("doc_id") < 10), "text", "doc_id", k = 13)

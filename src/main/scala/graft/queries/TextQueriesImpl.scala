@@ -61,8 +61,21 @@ object TextQueriesImpl {
   private def docShingleHashes(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame =
     evictAndGet(shingleCache, s, dir)(
-      Dedup.shingleHashes(table(s, dir, "documents"), "text", "doc_id",
-        k = 3).localCheckpoint(false))
+      // spread the BUILD, not the cache: the fixture parquet scans as
+      // 1-2 partitions, and this build's per-row work (tokenize,
+      // shingle, explode, hash — then the 128-wide min-agg map side
+      // one level up, which runs in the same stage) is the cost
+      // center of the whole cold signature path (the q110/q138
+      // criterion). Downstream warm consumers read docSignatures,
+      // whose partitioning comes from its groupBy, so the r13
+      // negative result on spreading CACHED artifacts does not apply
+      // — this cache's only consumer IS the signature build.
+      // Partitioning cannot reach results: the min-aggs and the
+      // gh set sizes/intersections are order-independent.
+      Dedup.shingleHashes(
+        table(s, dir, "documents")
+          .repartition(s.sparkContext.defaultParallelism),
+        "text", "doc_id", k = 3).localCheckpoint(false))
 
   /** One shared 128-hash [[Dedup.signatureTable]] per (session, sfDir)
     * — the stored signatures-at-ingest artifact one level past the
@@ -876,7 +889,13 @@ object TextQueriesImpl {
         |    / (LEN(a.g) + LEN(b.g) - LEN(LIST_INTERSECT(a.g, b.g)))
         |    >= 0.3
         |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+      // spread the 1-2-partition fixture scan before the double
+      // tokenize+shingle+fingerprint build that ngramJaccardPairs
+      // pins (the q110/q138 criterion — per-row work dominates);
+      // the pair set and each pair's jaccard are partitioning-
+      // independent
       val docs = table(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
         .withColumn("toks_", TextAnalysis.tokens(lower(col("text"))))
         .withColumn("sh_",
           TextAnalysis.shinglesFromTokens(col("toks_"), 3))
@@ -1055,8 +1074,14 @@ object TextQueriesImpl {
          |SELECT doc_id, pos, gram_hash FROM fp
          |ORDER BY doc_id, pos""".stripMargin
     }) { (s, dir) =>
-      Dedup.winnowFingerprints(table(s, dir, "documents"), "text",
-          "doc_id", k = 5, w = 4,
+      // spread the 1-2-partition fixture scan before the per-gram
+      // md5+conv map work that feeds the per-doc window exchange (the
+      // q110/q138 criterion); selection is per-document, so
+      // partitioning can't reach the result
+      Dedup.winnowFingerprints(
+          table(s, dir, "documents")
+            .repartition(s.sparkContext.defaultParallelism),
+          "text", "doc_id", k = 5, w = 4,
           gramHash = g => conv(substring(md5(g), 1, 10), 16, 10)
             .cast("long"))
         .orderBy(col("doc_id"), col("pos"))
@@ -1221,7 +1246,13 @@ object TextQueriesImpl {
     }) { (s, dir) =>
       def lane(v: Column, bit: Int, slot: Int): Column =
         shiftleft(shiftright(v, bit).bitwiseAND(lit(1L)), 32 * slot)
+      // spread the 1-2-partition fixture scan before the per-token
+      // md5 + 16 hex extracts — the per-row work IS this gate's cost
+      // center (the q110/q138 criterion); every downstream step is an
+      // order-independent aggregate, so partitioning can't reach the
+      // result
       val toks = table(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
         .select(col("doc_id"),
           explode(TextAnalysis.tokens(lower(col("text")))).as("t"))
         .select(col("doc_id"),

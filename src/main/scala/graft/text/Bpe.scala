@@ -156,6 +156,44 @@ object Bpe {
     folded
   }
 
+  /** [[mergePairExpr]]'s greedy non-overlapping left-to-right merge
+    * as ONE codegen'd `regexp_replace` over the space-joined symbol
+    * string — bit-identical to the fold (property-pinned against it
+    * in BpeSpec) at a fraction of the cost: the fold is an
+    * interpreted higher-order aggregate whose per-round expression
+    * tree also dominates the trainers' plan/codegen time. Java's
+    * `replaceAll` scans left-to-right and resumes AFTER each match,
+    * which is exactly the fold's non-overlapping greedy scan; the
+    * `(?<=^| )`/`(?= |$)` lookarounds anchor both symbols on
+    * separator boundaries without consuming them, so adjacent
+    * occurrences (`a a a a` under pair (a,a)) still both merge.
+    *
+    * PRECONDITION (validated once by the trainers at histogram
+    * build): no symbol contains the `' '` separator — true of every
+    * symbolizer here, since they all SPLIT on spaces. Defined only
+    * for non-empty symbol arrays (the trainers never shrink a word
+    * below one symbol). */
+  def mergePairFast(syms: Column, a: String, b: String,
+      merged: String): Column = {
+    val pat = "(?<=^| )" +
+      java.util.regex.Pattern.quote(a + " " + b) + "(?= |$)"
+    val rep = java.util.regex.Matcher.quoteReplacement(merged)
+    split(regexp_replace(concat_ws(" ", syms), pat, rep), " ")
+  }
+
+  /** Loud once-per-train guard for [[mergePairFast]]'s separator
+    * precondition, applied to the symbolized histogram: a custom
+    * `symbolize` emitting a space-bearing symbol would silently
+    * corrupt the string-form merge, so it fails at build instead. */
+  private[text] def requireSpaceFreeSyms(syms: Column): Column =
+    when(exists(syms, s => instr(s, " ") > 0),
+      raise_error(concat(
+        lit("bpe train: symbolize produced a symbol containing the " +
+          "' ' separator in "),
+        concat_ws(" ", syms),
+        lit(" — space-free symbols are required"))).cast("array<string>"))
+      .otherwise(syms)
+
   /** Learned merge table: rank (1-based, merge order), the pair, the
     * merged symbol, and the pair's frequency at merge time. */
   final case class Merge(rank: Int, left: String, right: String,
@@ -168,9 +206,11 @@ object Bpe {
       freqCol: String, numMerges: Int, minFreq: Long = 2L,
       symbolize: Column => Column = charSymbols): Seq[Merge] = {
     require(numMerges > 0 && minFreq >= 1)
+    // the guard runs once here, over the histogram — every later
+    // round works on merge outputs of already-validated symbols
     var w = words
       .select(col(freqCol).cast("long").as("freq"),
-        symbolize(col(wordCol)).as("syms"))
+        requireSpaceFreeSyms(symbolize(col(wordCol))).as("syms"))
       .where(size(col("syms")) >= 2)
       .localCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
@@ -194,14 +234,34 @@ object Bpe {
         val (l, r, c) = (best.head.getString(0), best.head.getString(1),
           best.head.getLong(2))
         merges += Merge(merges.length + 1, l, r, l + r, c)
-        // eager checkpoint: each round's fold otherwise nests inside
-        // the previous round's plan (the cascade-chain guard)
-        w = w.select(col("freq"),
-          mergePairExpr(col("syms"), l, r).as("syms"))
-          .localCheckpoint()
+        w = mergeRound(w, l, r, l + r)
       }
     }
     merges.toSeq
+  }
+
+  /** One trainer round's merge application: the codegen'd string-form
+    * merge ([[mergePairFast]]), gated per word by a plain substring
+    * pre-check (`instr` is a SUPERSET test — a word without the
+    * joined pair substring anywhere cannot contain the adjacent pair,
+    * so it skips the regex untouched; a boundary-crossing false
+    * positive just runs a regex that matches nothing). The checkpoint
+    * is LAZY: the logical lineage is cut either way (the plan becomes
+    * an RDD scan immediately), and materialization rides the next
+    * round's pair-count job instead of paying a dedicated job per
+    * round — the trainers are stage-latency-bound at fixture scale. */
+  private[text] def mergeRound(w: DataFrame, l: String, r: String,
+      merged: String): DataFrame = {
+    val pat = "(?<=^| )" +
+      java.util.regex.Pattern.quote(l + " " + r) + "(?= |$)"
+    val rep = java.util.regex.Matcher.quoteReplacement(merged)
+    w.select(col("freq"), col("syms"),
+        concat_ws(" ", col("syms")).as("j_"))
+      .select(col("freq"),
+        when(instr(col("j_"), l + " " + r) === 0, col("syms"))
+          .otherwise(split(regexp_replace(col("j_"), pat, rep), " "))
+          .as("syms"))
+      .localCheckpoint(false)
   }
 
   /** [[trainFromWordCounts]] straight from a corpus text column: one

@@ -154,9 +154,16 @@ object LanguageId {
   def ngramCounts(df: DataFrame, textCol: String, langCol: String,
       nMin: Int = 1, nMax: Int = 3): DataFrame = {
     require(nMin >= 1 && nMax >= nMin, s"bad n range: $nMin..$nMax")
+    // pin the normalized frame: the per-n union branches below are
+    // narrow SHARED subtrees with no exchange boundary, which Spark
+    // does not dedup — unpinned, the source scan and normalizeText
+    // both execute nMax-nMin+1 times in the one job (3× at the
+    // defaults). The frame is tiny (lang + normalized text) and the
+    // gram stream it feeds is unchanged.
     val base = df.select(col(langCol).cast("string").as("lang"),
       TextAnalysis.normalizeText(coalesce(col(textCol), lit("")))
         .as("t_"))
+      .localCheckpoint(false)
     (nMin to nMax).map { n =>
       base.select(col("lang"), col("t_"),
           explode(sequence(lit(1),

@@ -57,7 +57,8 @@ object WordPiece {
     require(numMerges > 0 && minFreq >= 1)
     var w = words
       .select(col(freqCol).cast("long").as("freq"),
-        wordPieceSymbols(col(wordCol)).as("syms"))
+        Bpe.requireSpaceFreeSyms(wordPieceSymbols(col(wordCol)))
+          .as("syms"))
       .where(size(col("syms")) >= 2)
       .localCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
@@ -99,9 +100,7 @@ object WordPiece {
           best.head.getLong(3))
         val merged = l + r.stripPrefix(ContinuationPrefix)
         merges += Merge(merges.length + 1, l, r, merged, c, sm)
-        w = w.select(col("freq"),
-          Bpe.mergePairExpr(col("syms"), l, r, merged).as("syms"))
-          .localCheckpoint()
+        w = Bpe.mergeRound(w, l, r, merged)
       }
     }
     merges.toSeq

@@ -220,6 +220,20 @@ class GraphsSpec extends AnyFunSuite {
       m(Graphs.hitsMicros(df, "src", "dst", iterations = 3)))
   }
 
+  test("hits: broadcast and shuffle recurrences are bit-identical " +
+      "(spark.graft.hits.broadcastMaxNodes picks strategy only)") {
+    val df = (0 until 150).map(i => s"h${i % 13}" -> s"a${(i * 7) % 17}")
+      .toDF("src", "dst")
+    def m(r: org.apache.spark.sql.DataFrame) = r.collect()
+      .map(x => x.getString(0) -> (x.getLong(1), x.getLong(2))).toMap
+    val broadcastPath = m(Graphs.hitsMicros(df, "src", "dst", 3))
+    spark.conf.set("spark.graft.hits.broadcastMaxNodes", "0")
+    try {
+      val shufflePath = m(Graphs.hitsMicros(df, "src", "dst", 3))
+      assert(broadcastPath == shufflePath)
+    } finally spark.conf.unset("spark.graft.hits.broadcastMaxNodes")
+  }
+
   test("named errors on an empty graph and out-of-range damping") {
     val empty = Seq.empty[(String, String)].toDF("src", "dst")
     val e1 = intercept[IllegalArgumentException] {

@@ -48,4 +48,37 @@ class MicroDotLongSpec extends AnyFunSuite {
       .select(GraftFunctions.microDotLong($"a", $"b").as("native"))
     assert(df.collect().forall(_.isNullAt(0)))
   }
+
+  test("non-finite products and long overflow fail loudly (the " +
+      "composed ANSI cast/sum stance), never wrap or NPE") {
+    // NaN / Infinity products → ArithmeticException naming the tool
+    val nan = intercept[ArithmeticException] {
+      MicroDotLong.roundMicro(Double.NaN)
+    }
+    assert(nan.getMessage.contains("graft_microdot"))
+    intercept[ArithmeticException] {
+      MicroDotLong.roundMicro(Double.PositiveInfinity)
+    }
+    // finite input whose SCALED product overflows the double range
+    intercept[ArithmeticException] {
+      MicroDotLong.roundMicro(1e300)
+    }
+    // rounded magnitude past Long range → loud, not saturating
+    intercept[ArithmeticException] { MicroDotLong.roundMicro(1e7) }
+    assert(MicroDotLong.roundMicro(9.0e6) == 9000000000000000000L)
+    // accumulator overflow → loud, not wrapping
+    intercept[ArithmeticException] {
+      MicroDotLong.addMicro(Long.MaxValue, 1L)
+    }
+    // end-to-end through the codegen path
+    val e = intercept[Exception] {
+      Seq((Array(Double.NaN), Array(1.0))).toDF("a", "b")
+        .select(GraftFunctions.microDotLong($"a", $"b")).collect()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      t +: Option(t.getCause).toSeq.flatMap(chain)
+    assert(chain(e).exists(_.getMessage != null) &&
+      chain(e).exists(t => Option(t.getMessage)
+        .exists(_.contains("graft_microdot"))))
+  }
 }

@@ -193,6 +193,53 @@ class BpeSpec extends AnyFunSuite {
       Seq("b", "aa"), Seq("a")))
   }
 
+  test("mergePairFast ≡ mergePairExpr on randomized symbol arrays, " +
+      "regex metachars and repeated-run edges included") {
+    // symbols exercising regex metachars, multi-char pieces, and the
+    // substring-vs-adjacency trap (pair ("a","b") inside "xab")
+    val alphabet = Vector("a", "b", "aa", "ab", "xab", ".", "$", "\\",
+      "(", "##a", "e", "</w>")
+    val rnd = new scala.util.Random(42)
+    val rows = (Seq(Seq("a", "a", "a"), Seq("a", "a", "a", "a"),
+      Seq("b", "a", "a"), Seq("a"), Seq("ab", "a", "b", "ab")) ++
+      (0 until 200).map(_ =>
+        Seq.fill(1 + rnd.nextInt(9))(alphabet(rnd.nextInt(alphabet.size)))))
+      .toDF("syms")
+    val pairs = Seq("a" -> "a", "a" -> "b", "ab" -> "a", "." -> "$",
+      "\\" -> "(", "##a" -> "e", "e" -> "</w>", "xab" -> "xab")
+    pairs.foreach { case (l, r) =>
+      val both = rows.select(
+        Bpe.mergePairExpr($"syms", l, r).as("fold"),
+        Bpe.mergePairFast($"syms", l, r, l + r).as("fast"))
+        .as[(Seq[String], Seq[String])].collect()
+      both.foreach { case (fold, fast) =>
+        assert(fold == fast, s"pair ($l,$r): $fold != $fast")
+      }
+    }
+  }
+
+  test("mergeRound (instr pre-check + lazy checkpoint) matches the " +
+      "plain fold over a frequency table, and a space-bearing symbol " +
+      "fails loudly at train build") {
+    val w = Seq((3L, Seq("a", "b", "a", "b")), (1L, Seq("xab", "a")),
+      (2L, Seq("b", "b"))).toDF("freq", "syms")
+    val got = Bpe.mergeRound(w, "a", "b", "ab")
+      .as[(Long, Seq[String])].collect().toSet
+    assert(got == Set((3L, Seq("ab", "ab")), (1L, Seq("xab", "a")),
+      (2L, Seq("b", "b"))))
+    // two symbols (so the size>=2 filter keeps the row), the first
+    // carrying a space — the build-time guard must fire loudly
+    val bad = Seq(("a b,c", 1L)).toDF("word", "freq")
+    val e = intercept[Exception] {
+      Bpe.trainFromWordCounts(bad, "word", "freq", numMerges = 1,
+        minFreq = 1L, symbolize = c => split(c, ","))
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      t +: Option(t.getCause).toSeq.flatMap(chain)
+    assert(chain(e).exists(t => Option(t.getMessage)
+      .exists(_.contains("space-free symbols"))))
+  }
+
   test("encode replays training: training words reach their final " +
       "symbolization, novel words compose learned pieces") {
     val m = Bpe.trainFromWordCounts(toy, "word", "freq", 4)
