@@ -296,8 +296,15 @@ object LanguageId {
     val (nMin, nMax) = (model.nMin, model.nMax)
     val scored = prepared.mapPartitions { rows =>
       val (langs, gramsM, unk, prior) = bc.value
-      val table = new java.util.HashMap[String, Array[Long]]()
-      gramsM.foreach { case (g, v) => table.put(g, v) }
+      // key by UTF8String, not String: substringSQL yields UTF8String
+      // views, and UTF8String equals/hashCode are content-based — a
+      // String-keyed table forces a per-gram toString (UTF-8 decode +
+      // alloc) on EVERY lookup, ~2 allocations per gram over the whole
+      // corpus for zero semantic difference
+      val table = new java.util.HashMap[
+        org.apache.spark.unsafe.types.UTF8String, Array[Long]]()
+      gramsM.foreach { case (g, v) => table.put(
+        org.apache.spark.unsafe.types.UTF8String.fromString(g), v) }
       rows.map { row =>
         // gram stream = ngramCounts' position-explode, inlined: the
         // same substringSQL the substr expression evaluates, same
@@ -315,7 +322,7 @@ object LanguageId {
             val g = u.substringSQL(p, n)
             if (g.numBytes() > 0) {
               sawGram = true
-              val v = table.get(g.toString)
+              val v = table.get(g)
               val add = if (v == null) unk else v
               var i = 0
               while (i < scores.length) { scores(i) += add(i); i += 1 }
