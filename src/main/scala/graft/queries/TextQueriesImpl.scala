@@ -1257,9 +1257,23 @@ object TextQueriesImpl {
           explode(TextAnalysis.tokens(lower(col("text")))).as("t"))
         .select(col("doc_id"),
           md5(to_binary(col("t"), lit("utf-8"))).as("m"))
-      val vals = toks.select(col("doc_id") +: (0 until 16).map(i =>
-        (expr(s"instr('0123456789abcdef', substring(m, ${i + 1}, 1))")
-          .cast("long") - 1).as(s"v$i")): _*)
+      // nibble extraction via TWO conv parses of 8 hex chars each +
+      // bit shifts, not 16 instr scans + substrings: v_i is the i-th
+      // hex digit of the md5 either way (probe-verified exceptAll-
+      // identical on every sf0.1 token), the oracle's INSTR text is
+      // untouched, and the per-token expression work drops ~8×. 8 hex
+      // chars max 0xFFFFFFFF, so the ANSI long cast can't overflow.
+      val vals = toks
+        .withColumn("hi_",
+          expr("cast(conv(substring(m, 1, 8), 16, 10) as long)"))
+        .withColumn("lo_",
+          expr("cast(conv(substring(m, 9, 8), 16, 10) as long)"))
+        .select(col("doc_id") +: (0 until 16).map(i =>
+          (if (i < 8)
+            shiftright(col("hi_"), 4 * (7 - i)).bitwiseAND(lit(15L))
+          else
+            shiftright(col("lo_"), 4 * (15 - i)).bitwiseAND(lit(15L)))
+            .as(s"v$i")): _*)
       val packedAggs = count(lit(1)).as("n") +: (0 until 16).flatMap(i =>
         Seq(sum(lane(col(s"v$i"), 0, 0) + lane(col(s"v$i"), 1, 1))
             .as(s"pa$i"),

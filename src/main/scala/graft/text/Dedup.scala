@@ -65,17 +65,22 @@ object Dedup {
   private[graft] def cappedPairs(buckets: DataFrame, membersCol: String,
       maxBucketSize: Int): DataFrame = {
     val ms = col(membersCol)
-    val pairOf = (x: Column, y: Column) => struct(x.as("a"), y.as("b"))
+    // all (ms[i], ms[j]) i<j pairs via TWO codegen generators —
+    // posexplode picks the left member, explode(slice(...)) its
+    // later partners — instead of one interpreted nested-transform
+    // lambda building the m²/2 pair array per bucket (higher-order
+    // functions don't codegen; this is the hot inner step of every
+    // candidate-pair path). Same pair stream: slice's 1-based start
+    // i+2 = "elements after 0-based index i", length size(ms) clamps.
     val small = buckets.where(size(ms) <= maxBucketSize)
-      .select(explode(flatten(transform(ms, (x, i) =>
-        transform(slice(ms, i + 2, size(ms)), y =>
-          pairOf(x, y))))).as("p"))
+      .select(ms.as("ms_"), posexplode(ms).as(Seq("i_", "a")))
+      .select(col("a"),
+        explode(slice(col("ms_"), col("i_") + 2, size(col("ms_"))))
+          .as("b"))
     val big = buckets.where(size(ms) > maxBucketSize)
-      .select(element_at(ms, 1).as("rep"),
-        explode(slice(ms, lit(2), size(ms))).as("other"))
-      .select(pairOf(col("rep"), col("other")).as("p"))
+      .select(element_at(ms, 1).as("a"),
+        explode(slice(ms, lit(2), size(ms))).as("b"))
     small.unionByName(big)
-      .select(col("p.a").as("a"), col("p.b").as("b"))
   }
 
   /** Exploded (idCol, s) rows — one row per (document, word-shingle),
